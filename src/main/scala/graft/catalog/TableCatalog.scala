@@ -1,0 +1,81 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table registry over parquet paths + information_schema views.
+  *
+  * Plays the role of the reference's runtime schema discovery
+  * (`/root/reference/src/main/java/com/mercari/solution/transforms/DummyToMutation.java:103-161`
+  * reads INFORMATION_SCHEMA.COLUMNS from Spanner). Here the catalog is
+  * Spark's own: temp views over file paths, with an `information_schema`
+  * facade derived from the resolved schemas so catalog-driven operators
+  * (e.g. the dummy generator) stay engine-native.
+  *
+  * At scale: a view is plan-time metadata only; registering all tables is
+  * free. Reads are lazy parquet scans, so Catalyst pushes filters and
+  * prunes columns per query.
+  */
+object TableCatalog {
+
+  /** The driver-generated benchmark tables (TESTDATA.md). */
+  val testTables: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, table: String): DataFrame = {
+    // The events table carries TIMESTAMP(NANOS) which parquet-mr surfaces
+    // only via nanosAsLong (Spark timestamps are micros). Read nanos as
+    // long and truncate to micros — same value DuckDB sees after its own
+    // ns→us cast, so oracle comparisons stay exact.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$table.parquet")
+    if (table == "events")
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
+
+  /** Register every table under `dir` as a temp view named after the table. */
+  def register(spark: SparkSession, dir: String, tables: Seq[String] = testTables): Unit =
+    tables.foreach { t => load(spark, dir, t).createOrReplaceTempView(t) }
+
+  /** INFORMATION_SCHEMA.COLUMNS-equivalent over the given tables: one row
+    * per column with (table_name, column_name, ordinal_position,
+    * spanner_type, is_nullable, is_primary_key). Primary keys follow the
+    * TPC-H-ish convention `<prefix>_<table>key` / first column.
+    */
+  def informationSchemaColumns(spark: SparkSession, dir: String,
+                               tables: Seq[String] = testTables): DataFrame = {
+    import spark.implicits._
+    val rows = tables.flatMap { t =>
+      val schema = load(spark, dir, t).schema
+      schema.fields.zipWithIndex.map { case (f, i) =>
+        (t, f.name, i + 1L, sparkTypeToSpannerType(f.dataType),
+          if (f.nullable) "YES" else "NO", i == 0)
+      }
+    }
+    rows.toDF("table_name", "column_name", "ordinal_position",
+      "spanner_type", "is_nullable", "is_primary_key")
+  }
+
+  /** Type-name policy of the reference's DDL builder
+    * (`SpannerTablePrepareDoFn.java:105-148`): STRING(MAX)/BYTES(MAX)/BOOL/
+    * FLOAT64/INT64/DATE/TIMESTAMP/ARRAY<...>.
+    */
+  def sparkTypeToSpannerType(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case BooleanType => "BOOL"
+      case ByteType | ShortType | IntegerType | LongType => "INT64"
+      case FloatType | DoubleType => "FLOAT64"
+      case StringType => "STRING(MAX)"
+      case BinaryType => "BYTES(MAX)"
+      case DateType => "DATE"
+      case TimestampType | TimestampNTZType => "TIMESTAMP"
+      case _: DecimalType => "NUMERIC"
+      case ArrayType(e, _) => s"ARRAY<${sparkTypeToSpannerType(e)}>"
+      case _: StructType => "STRUCT" // not writable to Spanner columns (StructToMutationConverter.java:59-62)
+      case other => other.sql
+    }
+  }
+}

@@ -1,0 +1,256 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.catalog.TableCatalog
+import graft.sql.SqlRunner
+
+/** The relational surface the reference delegates to Spanner/BigQuery SQL
+  * (SURVEY §2.4) — here executed natively by Catalyst. Each entry pairs a
+  * DataFrame-API implementation with a DuckDB oracle (SparkEntry.oracleSql).
+  *
+  * Numeric policy for oracle parity: aggregate over exact decimals
+  * (order-independent), then cast the final value to double — both engines
+  * round the same decimal to the same IEEE double. Integer sums are cast
+  * to BIGINT on the DuckDB side (it widens to HUGEINT by default).
+  */
+object CoreQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    TableCatalog.load(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // S1/P14: --SPLITTER-- manual parallelism → unionByName.
+    "s1_splitter_union" -> ((s, dir) => {
+      TableCatalog.register(s, dir)
+      SqlRunner.run(s,
+        """SELECT n_name, n_regionkey FROM nation WHERE n_regionkey <= 1
+          | --SPLITTER--
+          | SELECT n_name, n_regionkey FROM nation WHERE n_regionkey >= 3
+          |""".stripMargin)
+        .orderBy("n_name")
+    }),
+
+    // S4: arbitrary SQL pass-through with @param binding (GoogleSQL
+    // `IN UNNEST(@tables)` shape, DummyToMutation.java:105-111).
+    "s4_sql_param_bind" -> ((s, dir) => {
+      TableCatalog.register(s, dir)
+      SqlRunner.run(s,
+        "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n FROM orders " +
+          "WHERE o_orderstatus = @status GROUP BY o_orderpriority ORDER BY o_orderpriority",
+        params = Map("status" -> "F"))
+    }),
+
+    // S7: literal/config source (Create.ofProvider equivalent).
+    "s7_literal_source" -> ((s, _) => {
+      import s.implicits._
+      Seq(("config", 1L)).toDF("value", "id")
+    }),
+
+    // Filter + projection — pushed to the parquet scan by Catalyst.
+    "q_filter_pushdown" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") < to_timestamp(lit("1995-06-01 00:00:00")) &&
+          col("l_quantity") > 45)
+        .select("l_orderkey", "l_linenumber", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // TPC-H Q1-shaped aggregation with map-side partial aggregation.
+    "q_agg_pricing_summary" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
+          (sum(col("l_discount").cast("decimal(18,6)")).cast("double") /
+            count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // Multi-way join: dims broadcast, fact shuffles once on the join key.
+    "q_join_revenue_by_nation" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy("n_name")
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    }),
+
+    // Left outer join keeping customers with zero orders.
+    "q_left_outer_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .groupBy(c("c_custkey"))
+        .agg(count(o("o_orderkey")).as("n_orders"))
+        .orderBy("c_custkey")
+    }),
+
+    // Anti join: customers with no orders (NOT EXISTS).
+    "q_anti_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // Semi join: suppliers that shipped at least one item (EXISTS).
+    "q_semi_join" -> ((s, dir) => {
+      val sup = t(s, dir, "supplier")
+      val li = t(s, dir, "lineitem")
+      sup.join(li, sup("s_suppkey") === li("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    }),
+
+    // Window function: top-3 orders per priority (deterministic tiebreak).
+    "q_window_topn" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select("o_orderpriority", "rn", "o_orderkey")
+        .orderBy("o_orderpriority", "rn")
+    }),
+
+    // Global sort + limit (the shape Spanner's partitionQuery rejects,
+    // README.md:90-91 — Spark runs it in parallel via TakeOrderedAndProject).
+    "q_sort_limit" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select("o_orderkey")
+    }),
+
+    // Set ops: union / intersect / except over key sets.
+    "q_set_ops" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val big = c.filter(col("c_acctbal") > 9000).select("c_custkey")
+      val auto = c.filter(col("c_mktsegment") === "AUTOMOBILE").select("c_custkey")
+      val inter = big.intersect(auto).withColumn("tag", lit("both"))
+      val only = big.exceptAll(auto).withColumn("tag", lit("big_only"))
+      inter.unionByName(only).orderBy("tag", "c_custkey")
+    }),
+
+    // Distinct (exact — unlike the reference's per-bundle HashSet
+    // approximation, StructToAvroTransform.java:87-90).
+    "q_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select("l_returnflag", "l_linestatus")
+        .distinct()
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // Grouped aggregation over the events table with JSON extraction
+    // (get_json_object over the props column).
+    "q_events_json_agg" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("day", to_date(col("ts")))
+        .groupBy("event_type", "day")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
+        .orderBy("event_type", "day")
+    }),
+
+    // P15: key-by-split-field (null → "") — the dynamic-sink key rule.
+    "p15_split_key" -> ((s, dir) => {
+      import graft.functions.Formats
+      t(s, dir, "orders")
+        .withColumn("__split", Formats.splitKey(col("o_orderstatus")))
+        .groupBy("__split").agg(count(lit(1)).as("n"))
+        .orderBy("__split")
+    }),
+
+    // P12: dynamic field extraction by runtime name (StructUtil.getFieldValue).
+    "p12_dynamic_field" -> ((s, dir) => {
+      val fieldName = "o_orderpriority" // runtime-supplied in the reference
+      t(s, dir, "orders")
+        .select(col(fieldName).as("value"))
+        .distinct()
+        .orderBy("value")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "s1_splitter_union" ->
+      """SELECT n_name, n_regionkey FROM nation WHERE n_regionkey <= 1
+        |UNION ALL
+        |SELECT n_name, n_regionkey FROM nation WHERE n_regionkey >= 3
+        |ORDER BY n_name""".stripMargin,
+    "s4_sql_param_bind" ->
+      "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderpriority ORDER BY o_orderpriority",
+    "s7_literal_source" ->
+      "SELECT 'config' AS value, CAST(1 AS BIGINT) AS id",
+    "q_filter_pushdown" ->
+      "SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem WHERE l_shipdate < TIMESTAMP '1995-06-01 00:00:00' AND l_quantity > 45 ORDER BY l_orderkey, l_linenumber",
+    "q_agg_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_join_revenue_by_nation" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q_left_outer_join" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+        |FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_semi_join" ->
+      """SELECT s_suppkey, s_name FROM supplier s
+        |WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q_window_topn" ->
+      """SELECT o_orderpriority, rn, o_orderkey FROM (
+        |  SELECT o_orderpriority, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) WHERE rn <= 3
+        |ORDER BY o_orderpriority, rn""".stripMargin,
+    "q_sort_limit" ->
+      "SELECT o_orderkey FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10",
+    "q_set_ops" ->
+      """WITH big AS (SELECT c_custkey FROM customer WHERE c_acctbal > 9000),
+        |     auto AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+        |SELECT c_custkey, 'both' AS tag FROM (SELECT * FROM big INTERSECT SELECT * FROM auto)
+        |UNION ALL
+        |SELECT c_custkey, 'big_only' AS tag FROM (SELECT * FROM big EXCEPT ALL SELECT * FROM auto)
+        |ORDER BY tag, c_custkey""".stripMargin,
+    "q_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY l_returnflag, l_linestatus",
+    "q_events_json_agg" ->
+      """SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY event_type, CAST(ts AS DATE)
+        |ORDER BY event_type, day""".stripMargin,
+    "p15_split_key" ->
+      """SELECT coalesce(CAST(o_orderstatus AS VARCHAR), '') AS __split, count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY __split""".stripMargin,
+    "p12_dynamic_field" ->
+      "SELECT DISTINCT o_orderpriority AS value FROM orders ORDER BY value"
+  )
+}
