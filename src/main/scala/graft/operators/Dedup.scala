@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Deduplication operators for training-data pipelines, designed for the
+  * 100 TB regime: no operator ever materializes the O(n²) pair space —
+  * candidates come from equi-join blocking (shared shingle, LSH band,
+  * SimHash chunk), so the shuffles are keyed joins Catalyst can plan with
+  * AQE skew handling, and every hash is deterministic (md5-derived, see
+  * [[graft.functions.TextFunctions]]) so results are partitioning-invariant.
+  *
+  * Reference scope note: the reference engine's only dedup is a per-bundle
+  * first-seen `HashSet` (`/root/reference/src/main/java/com/mercari/solution/
+  * transforms/StructToAvroTransform.java:87-90`, an approximation). These
+  * operators are the exact + near-dup generalizations a data-curation user
+  * of that pipeline needs.
+  */
+object Dedup {
+
+  /** Exact dedup by content hash: one surviving `idCol` (the minimum) per
+    * distinct `textCol`. A single hash-shuffle on md5(text); at scale the
+    * 32-hex-char key keeps the shuffle narrow regardless of document size.
+    */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as(idCol),
+        count(lit(1)).as("n_copies"))
+      .select(idCol, "content_hash", "n_copies")
+
+  /** Per-document MinHash signature, exploded as (id, hash_idx, sig) rows.
+    * `numHashes` independent hash functions h_i(s) = md5(i || '|' || s),
+    * each minimized lexicographically over the distinct k-shingle set.
+    * Long format (not an array column) so the banding/estimation joins
+    * stay key-based. */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int = 16, k: Int = 3): DataFrame = {
+    val toks = tokens(col(textCol))
+    df.select(col(idCol), toks.as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col(idCol), explode(shingles(col("toks"), k)).as("s"))
+      .crossJoin(spark_range_df(df, numHashes))
+      .groupBy(col(idCol), col("h"))
+      .agg(min(minhashComponent(col("h"), col("s"))).as("sig"))
+  }
+
+  // Tiny literal table of hash indices 0..n-1 — broadcast by Catalyst.
+  private def spark_range_df(df: DataFrame, n: Int): DataFrame =
+    df.sparkSession.range(n).toDF("h")
+
+  /** MinHash + LSH near-duplicate pairs. Signatures are banded
+    * (`bands` bands of `numHashes/bands` rows, band hash = md5 of the
+    * concatenated components); documents sharing any (band, hash) bucket
+    * are candidates; candidates are re-scored by exact signature agreement
+    * (estimated Jaccard = matching components / numHashes) and kept at
+    * `minEstJaccard`. The only joins are equi-joins on band buckets and on
+    * (id, hash_idx) — never a cross join. */
+  def minhashLsh(df: DataFrame, idCol: String, textCol: String,
+                 numHashes: Int = 16, bands: Int = 4,
+                 minEstJaccard: Double = 0.5, k: Int = 3): DataFrame = {
+    val rows = numHashes / bands
+    val sig = minhashSignatures(df, idCol, textCol, numHashes, k).cache()
+    val band = sig
+      .groupBy(col(idCol), (col("h") / rows).cast("long").as("band"))
+      .agg(md5(concat_ws(",", sort_array(collect_list(struct(col("h"), col("sig"))))
+        .getField("sig"))).as("bh"))
+    val cand = band.as("a").join(band.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"))
+      .distinct()
+    cand
+      .join(sig.as("x"), col("x." + idCol) === col("d1"))
+      .join(sig.as("y"), col("y." + idCol) === col("d2") && col("y.h") === col("x.h"))
+      .groupBy(col("d1"), col("d2"))
+      .agg((sum(when(col("x.sig") === col("y.sig"), 1).otherwise(0)) /
+        lit(numHashes)).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minEstJaccard)
+  }
+
+  /** Per-document SimHash (`bits`-bit, default 48 so the value and all
+    * 2^b terms fit a signed long). Token-frequency weighted: bit b of the
+    * fingerprint is the sign of Σ_tokens cnt * (±1) where the ±1 is bit b
+    * of the token's md5. Entirely key-grouped aggregations — linear in
+    * corpus size. */
+  def simhash(df: DataFrame, idCol: String, textCol: String,
+              bits: Int = 48): DataFrame = {
+    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("w"))
+      .groupBy(col(idCol), col("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("h", md5(col("w")))
+    tok
+      .crossJoin(df.sparkSession.range(bits).toDF("b"))
+      .groupBy(col(idCol), col("b"))
+      .agg(sum(when(expr(md5BitSql("h", "b") + " = 1"), col("cnt"))
+        .otherwise(-col("cnt"))).as("score"))
+      .groupBy(col(idCol))
+      .agg(sum(when(col("score") > 0, pow(lit(2), col("b")).cast("long"))
+        .otherwise(0L)).as("simhash"))
+  }
+
+  /** SimHash near-duplicate pairs with chunk blocking: a 48-bit hash is
+    * split into 4 chunks of 12 bits; by pigeonhole, any pair within
+    * Hamming distance 3 shares at least one exact chunk, so candidates
+    * come from an equi-join on (chunk_idx, chunk_value) and only those
+    * pairs pay the popcount. This is the standard web-scale SimHash
+    * sharding scheme — no cross join at any size. */
+  def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
+                     maxHamming: Int = 3): DataFrame = {
+    val bits = 48; val chunks = 4; val w = bits / chunks // 12-bit chunks
+    val sh = simhash(df, idCol, textCol, bits).cache()
+    val chunked = sh.crossJoin(df.sparkSession.range(chunks).toDF("c"))
+      .withColumn("ck", (col("simhash") / pow(lit(2), col("c") * w).cast("long"))
+        .cast("long") % (1L << w))
+    val cand = chunked.as("a").join(chunked.as("b"),
+        col("a.c") === col("b.c") && col("a.ck") === col("b.ck") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("d1"), col("a.simhash").as("s1"),
+        col(s"b.$idCol").as("d2"), col("b.simhash").as("s2"))
+      .distinct()
+    cand.withColumn("hamming", bit_count(col("s1").bitwiseXOR(col("s2"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("d1", "d2", "hamming")
+  }
+
+  /** Exact n-gram Jaccard similarity for all pairs that share at least one
+    * shingle. The pair space is generated by a self-equi-join on the
+    * shingle value — i.e. inverted-index blocking: cost is Σ_s df(s)², not
+    * n². Pairs below `minJaccard` are dropped at the end. For corpora with
+    * pathological high-frequency shingles, pre-filter hot shingles (they
+    * carry no dedup signal) — at TPC-ish scale this is the skew-salting
+    * knob. */
+  def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
+                   k: Int = 3, minJaccard: Double = 0.2): DataFrame = {
+    val sh = df.select(col(idCol), tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col(idCol), shingles(col("toks"), k).as("sh"))
+      .select(col(idCol), size(col("sh")).cast("long").as("n"),
+        explode(col("sh")).as("s"))
+    sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"))
+      .agg(count(lit(1)).as("inter"),
+        first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("d1", "d2", "jaccard")
+  }
+
+  /** Embedding near-duplicate pairs: cosine >= `minCosine`, blocked by
+    * `blockCol` (a coarse cluster id — here the label column plays the
+    * IVF-centroid role; at scale substitute k-means assignments). Cosine is
+    * a sequential double fold (deterministic order), rounded to 6 dp so the
+    * value is reproducible across engines and partitionings. */
+  def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
+                       blockCol: String, minCosine: Double = 0.45): DataFrame = {
+    val pairs = df.as("a").join(df.as("b"),
+      col(s"a.$blockCol") === col(s"b.$blockCol") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+    pairs.select(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"),
+        Vectors.cosine(col(s"a.$vecCol"), col(s"b.$vecCol")).as("cos"))
+      .filter(col("cos") >= minCosine)
+  }
+}

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions.md5BitSql
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`).
+  *
+  * Two tiers, per the standard recall/cost trade:
+  *   - [[bruteForceTopK]] — exact baseline: score every (query, corpus)
+  *     pair. Correct at any scale only when the query set is small enough
+  *     to broadcast; the corpus side streams, so it's a map-only pass
+  *     (no shuffle of the corpus) followed by a per-query top-k.
+  *   - [[lshTopK]] — the scale path: random-hyperplane LSH buckets both
+  *     sides, candidates are bucket-equi-join matches only, then exact
+  *     cosine rerank. Hyperplane j's component for dimension d is a
+  *     deterministic ±1 from md5(j,"_",d) parity, so the index is
+  *     reproducible with no stored model and both sides of a join build
+  *     identical planes — the property that lets two independent 100 TB
+  *     passes agree.
+  */
+object Similarity {
+
+  /** Exact top-k by cosine for each query vector. `queries` should be
+    * small (it is broadcast); corpus scans once. Deterministic tiebreak on
+    * neighbor id. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int = 5): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv")))
+    val scored = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"))
+      .join(q, col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), Vectors.cosine(col("qv"), col("nv")).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
+  /** Random-hyperplane LSH bucket id (one `planes`-bit integer per row).
+    * dot(v, r_j) where r_jd = ±1 from md5 parity; bit j = sign. Linear in
+    * rows × dims × planes, all key-grouped aggregation. */
+  def lshBuckets(df: DataFrame, idCol: String, vecCol: String,
+                 planes: Int = 8): DataFrame = {
+    val s = df.sparkSession
+    val dims = df.select(size(col(vecCol))).first().getInt(0)
+    df.select(col(idCol), col(vecCol))
+      .crossJoin(s.range(planes).toDF("p"))
+      .crossJoin(s.range(dims).toDF("d"))
+      .withColumn("comp",
+        when(expr(md5BitSql("md5(concat(cast(p AS string), '_', cast(d AS string)))", "0") + " = 1"),
+          element_at(col(vecCol), col("d").cast("int") + 1).cast("double"))
+          .otherwise(-element_at(col(vecCol), col("d").cast("int") + 1).cast("double")))
+      .groupBy(col(idCol), col("p"))
+      .agg(sum(col("comp")).as("dotp"))
+      .groupBy(col(idCol))
+      .agg(sum(when(col("dotp") > 0, pow(lit(2), col("p")).cast("long"))
+        .otherwise(0L)).as("bucket"))
+  }
+
+  /** LSH-bucketed ANN: candidates share a bucket with the query, reranked
+    * by exact cosine. Recall < 1 by construction; `planes` trades bucket
+    * occupancy (shuffle width) against recall. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int = 5,
+              planes: Int = 8): DataFrame = {
+    val cb = lshBuckets(corpus, idCol, vecCol, planes)
+      .join(corpus.select(col(idCol), col(vecCol)), idCol)
+    val qb = lshBuckets(queries, idCol, vecCol, planes)
+      .join(queries.select(col(idCol), col(vecCol)), idCol)
+      .select(col(idCol).as("qid"), col(vecCol).as("qv"), col("bucket").as("qbucket"))
+    val scored = cb.join(qb, col("qbucket") === col("bucket") && col("qid") =!= col(idCol))
+      .select(col("qid"), col(idCol).as("nid"),
+        Vectors.cosine(col("qv"), col(vecCol)).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+}

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Per-document text analysis for training-data curation: language ID,
+  * quality scoring, token counting, and winnowing fingerprints. All
+  * map-side expression work (one narrow pass per document; the only
+  * shuffles are the final per-doc aggregations), so throughput is
+  * scan-bound at any corpus size.
+  */
+object TextAnalysis {
+
+  /** Stopword-vote language ID. Scores each candidate language by
+    * closed-class-word hits (with multiplicity) and takes the argmax with
+    * a fixed precedence order (en > de > fr > es) for ties; no hits at
+    * all → "und" (undetermined), mirroring common lang-ID tooling. */
+  def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val scored = df.select(col(idCol), toks.as("toks"))
+      .select(col(idCol) +:
+        stopwords.toSeq.sortBy(_._1).map { case (l, ws) =>
+          stopwordHits(col("toks"), ws).as(s"s_$l") }: _*)
+    val (en, de, fr, es) = (col("s_en"), col("s_de"), col("s_fr"), col("s_es"))
+    scored.withColumn("pred_lang",
+        when(en >= de && en >= fr && en >= es && en > 0, "en")
+          .when(de >= fr && de >= es && de > 0, "de")
+          .when(fr >= es && fr > 0, "fr")
+          .when(es > 0, "es")
+          .otherwise("und"))
+      .select(col(idCol), col("pred_lang"))
+  }
+
+  /** Quality metrics: length, token stats, punctuation/uppercase/stopword
+    * ratios, and a composite keep/drop flag with the usual curation
+    * thresholds (enough tokens, sane mean token length, not mostly
+    * punctuation). Ratios are exact integer-count divisions in double. */
+  def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val allStop = stopwords.values.flatten.toSeq.distinct.sorted
+    df.select(col(idCol),
+        length(t).cast("long").as("n_chars"),
+        size(tokens(t)).cast("long").as("n_tokens"),
+        aggregate(tokens(t), lit(0L), (a, x) => a + length(x)).as("n_token_chars"),
+        punctCount(t).as("n_punct"),
+        upperCount(t).as("n_upper"),
+        stopwordHits(tokens(t), allStop).as("n_stop"))
+      .withColumn("mean_token_len",
+        when(col("n_tokens") > 0,
+          round(col("n_token_chars").cast("double") / col("n_tokens"), 6))
+          .otherwise(0.0))
+      .withColumn("punct_ratio",
+        when(col("n_chars") > 0, round(col("n_punct").cast("double") / col("n_chars"), 6))
+          .otherwise(0.0))
+      .withColumn("stop_ratio",
+        when(col("n_tokens") > 0, round(col("n_stop").cast("double") / col("n_tokens"), 6))
+          .otherwise(0.0))
+      .withColumn("keep",
+        col("n_tokens") >= 10 && col("mean_token_len") >= 2 &&
+          col("mean_token_len") <= 12 && col("punct_ratio") <= 0.2)
+  }
+
+  /** Token counts under two tokenizers: whitespace-ish word tokens and the
+    * BPE-ish segmentation (letter runs / digit runs / single punctuation).
+    * The BPE-ish count is the budget estimator training pipelines use for
+    * context-length packing. */
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      size(tokens(col(textCol))).cast("long").as("n_word_tokens"),
+      size(bpeishTokens(col(textCol))).cast("long").as("n_bpeish_tokens"))
+
+  /** Winnowing document fingerprints: hash every k-shingle (md5), slide a
+    * window of `window` consecutive shingle positions, keep the minimum
+    * hash per window, and emit the distinct selected hashes per document.
+    * This is the standard MOSS-style local fingerprinting scheme: any
+    * shared substring of length >= window+k-1 tokens yields a shared
+    * fingerprint, so overlap detection needs only an equi-join on `fp`.
+    * Output: (id, n_fingerprints, min_fingerprint). */
+  def fingerprints(df: DataFrame, idCol: String, textCol: String,
+                   k: Int = 3, window: Int = 4): DataFrame = {
+    val sh = df.select(col(idCol), tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0), size(col("toks")) - k),
+        i => md5(concat_ws(" ", (0 until k).map(j => element_at(col("toks"), i + j + 1)): _*)))))
+      .toDF(idCol, "pos", "h")
+    val w = Window.partitionBy(idCol).orderBy("pos")
+      .rowsBetween(Window.currentRow, window - 1)
+    sh.withColumn("fp", min(col("h")).over(w))
+      .groupBy(col(idCol))
+      .agg(count_distinct(col("fp")).as("n_fp"), min(col("fp")).as("min_fp"))
+  }
+}

@@ -1,0 +1,250 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.catalog.TableCatalog
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+/** Training-data pipeline operators (dedup / similarity / text analysis)
+  * as driver-contract queries over the `documents` and `embeddings`
+  * tables, each paired with a DuckDB oracle in [[oracleSql]].
+  *
+  * Cross-engine determinism contract (what makes hash-match possible):
+  * all content hashes are md5 hex strings; minhash = lexicographic min
+  * over md5s; cosine = sequential double fold rounded to 6 dp; ratios are
+  * exact integer divisions in double. See operator Scaladoc for the
+  * 100 TB design rationale (inverted-index / LSH / chunk blocking — no
+  * O(n²) pair materialization anywhere).
+  */
+object PipelineQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    TableCatalog.load(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    TableCatalog.load(s, dir, "embeddings")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- dedup ---
+    "d_exact_dedup" -> ((s, dir) =>
+      Dedup.exactDedup(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    "d_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLsh(docs(s, dir), "doc_id", "text")
+        .orderBy("d1", "d2")),
+
+    "d_simhash" -> ((s, dir) =>
+      Dedup.simhash(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    "d_simhash_neardup" -> ((s, dir) =>
+      Dedup.simhashNearDup(docs(s, dir), "doc_id", "text")
+        .orderBy("d1", "d2")),
+
+    "d_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccard(docs(s, dir), "doc_id", "text")
+        .orderBy("d1", "d2")),
+
+    "d_embedding_neardup" -> ((s, dir) =>
+      Dedup.embeddingNearDup(emb(s, dir), "vec_id", "embedding", "label")
+        .orderBy("d1", "d2")),
+
+    // --- similarity search ---
+    "a_ann_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") % 50 === 0),
+          "vec_id", "embedding", k = 5)
+        .orderBy("qid", "rk")
+    }),
+
+    "a_ann_lsh_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.lshTopK(e, e.filter(col("vec_id") % 50 === 0),
+          "vec_id", "embedding", k = 5, planes = 8)
+        .orderBy("qid", "rk")
+    }),
+
+    // --- text analysis ---
+    "t_lang_id" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextAnalysis.langId(d, "doc_id", "text")
+        .join(d.select("doc_id", "lang"), "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    "t_quality" -> ((s, dir) =>
+      TextAnalysis.qualityScore(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    "t_token_count" -> ((s, dir) =>
+      TextAnalysis.tokenCounts(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    "t_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprints(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id"))
+  )
+
+  /** DuckDB equivalents. Shared subexpressions are spelled out per query
+    * (the driver runs each statement standalone). */
+  val oracleSql: Map[String, String] = {
+    val toks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+    // distinct word 3-shingles over toks `t`
+    val sh3 = "list_distinct(list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))"
+    val bit = "(strpos('0123456789abcdef', substring(h, 1 + (b // 4), 1)) - 1) // ((2 ** (b % 4))::INT) % 2"
+    val stopEn = "['the','and','of','to','in','is','that','for']"
+    val stopDe = "['der','die','das','und','ist','nicht','mit','ein']"
+    val stopFr = "['le','la','les','et','est','pas','pour','une']"
+    val stopEs = "['el','la','los','y','es','no','por','una']"
+    val cosAB = "round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / " +
+      "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * " +
+      "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6)"
+
+    Map(
+      "d_exact_dedup" ->
+        """SELECT min(doc_id) AS doc_id, md5(text) AS content_hash, count(*) AS n_copies
+          |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
+
+      "d_minhash_lsh" ->
+        s"""WITH sh AS (
+           |  SELECT doc_id, unnest($sh3) AS s
+           |  FROM (SELECT doc_id, $toks AS t FROM documents) WHERE len(t) >= 3),
+           |sig AS (SELECT doc_id, h, min(md5(h::VARCHAR || '|' || s)) AS mh
+           |        FROM sh CROSS JOIN (SELECT unnest(range(16)) AS h) GROUP BY doc_id, h),
+           |band AS (SELECT doc_id, h // 4 AS band, md5(string_agg(mh, ',' ORDER BY h)) AS bh
+           |         FROM sig GROUP BY doc_id, h // 4),
+           |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+           |         FROM band a JOIN band b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+           |SELECT d1, d2, count(*) FILTER (x.mh = y.mh)::DOUBLE / 16 AS est_jaccard
+           |FROM cand JOIN sig x ON x.doc_id = d1 JOIN sig y ON y.doc_id = d2 AND y.h = x.h
+           |GROUP BY d1, d2 HAVING count(*) FILTER (x.mh = y.mh)::DOUBLE / 16 >= 0.5
+           |ORDER BY d1, d2""".stripMargin,
+
+      "d_simhash" ->
+        s"""WITH tok AS (SELECT doc_id, unnest($toks) AS w FROM documents),
+           |th AS (SELECT doc_id, w, count(*) AS cnt, md5(w) AS h FROM tok GROUP BY doc_id, w),
+           |bits AS (SELECT doc_id, b,
+           |    sum(CASE WHEN $bit = 1 THEN cnt ELSE -cnt END) AS score
+           |  FROM th CROSS JOIN (SELECT unnest(range(48)) AS b) GROUP BY doc_id, b)
+           |SELECT doc_id, sum(CASE WHEN score > 0 THEN (2 ** b)::BIGINT ELSE 0 END)::BIGINT AS simhash
+           |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      "d_simhash_neardup" ->
+        s"""WITH tok AS (SELECT doc_id, unnest($toks) AS w FROM documents),
+           |th AS (SELECT doc_id, w, count(*) AS cnt, md5(w) AS h FROM tok GROUP BY doc_id, w),
+           |bits AS (SELECT doc_id, b,
+           |    sum(CASE WHEN $bit = 1 THEN cnt ELSE -cnt END) AS score
+           |  FROM th CROSS JOIN (SELECT unnest(range(48)) AS b) GROUP BY doc_id, b),
+           |sh AS (SELECT doc_id, sum(CASE WHEN score > 0 THEN (2 ** b)::BIGINT ELSE 0 END)::BIGINT AS s
+           |       FROM bits GROUP BY doc_id),
+           |chunked AS (SELECT doc_id, s, c, (s // (2 ** (c * 12))::BIGINT) % 4096 AS ck
+           |            FROM sh CROSS JOIN (SELECT unnest(range(4)) AS c)),
+           |cand AS (SELECT DISTINCT a.doc_id AS d1, a.s AS s1, b.doc_id AS d2, b.s AS s2
+           |         FROM chunked a JOIN chunked b ON a.c = b.c AND a.ck = b.ck AND a.doc_id < b.doc_id)
+           |SELECT d1, d2, bit_count(xor(s1, s2))::BIGINT AS hamming FROM cand
+           |WHERE bit_count(xor(s1, s2)) <= 3 ORDER BY d1, d2""".stripMargin,
+
+      "d_ngram_jaccard" ->
+        s"""WITH sh AS (
+           |  SELECT doc_id, len($sh3)::BIGINT AS n, unnest($sh3) AS s
+           |  FROM (SELECT doc_id, $toks AS t FROM documents) WHERE len(t) >= 3)
+           |SELECT a.doc_id AS d1, b.doc_id AS d2,
+           |  count(*)::DOUBLE / (any_value(a.n) + any_value(b.n) - count(*)) AS jaccard
+           |FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           |GROUP BY a.doc_id, b.doc_id
+           |HAVING count(*)::DOUBLE / (any_value(a.n) + any_value(b.n) - count(*)) >= 0.2
+           |ORDER BY d1, d2""".stripMargin,
+
+      "d_embedding_neardup" ->
+        s"""SELECT d1, d2, cos FROM (
+           |  SELECT a.vec_id AS d1, b.vec_id AS d2, $cosAB AS cos
+           |  FROM embeddings a JOIN embeddings b
+           |    ON a.label = b.label AND a.vec_id < b.vec_id)
+           |WHERE cos >= 0.45 ORDER BY d1, d2""".stripMargin,
+
+      "a_ann_topk" ->
+        s"""WITH sc AS (
+           |  SELECT a.vec_id AS qid, b.vec_id AS nid, $cosAB AS cos
+           |  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+           |  WHERE a.vec_id % 50 = 0)
+           |SELECT qid, nid, cos, CAST(rk AS BIGINT) AS rk FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk FROM sc)
+           |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+
+      "a_ann_lsh_topk" ->
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |proj AS (
+           |  SELECT vec_id, p,
+           |    sum(CASE WHEN (strpos('0123456789abcdef',
+           |          substring(md5(p::VARCHAR || '_' || d::VARCHAR), 1, 1)) - 1) % 2 = 1
+           |        THEN v[d+1] ELSE -v[d+1] END) AS dotp
+           |  FROM e CROSS JOIN (SELECT unnest(range(8)) AS p) CROSS JOIN (SELECT unnest(range(64)) AS d)
+           |  GROUP BY vec_id, p),
+           |bucket AS (SELECT vec_id, sum(CASE WHEN dotp > 0 THEN (2 ** p)::BIGINT ELSE 0 END)::BIGINT AS bk
+           |           FROM proj GROUP BY vec_id),
+           |cand AS (SELECT q.vec_id AS qid, c.vec_id AS nid
+           |         FROM bucket q JOIN bucket c ON q.bk = c.bk AND q.vec_id <> c.vec_id
+           |         WHERE q.vec_id % 50 = 0),
+           |sc AS (SELECT qid, nid, $cosAB AS cos
+           |       FROM cand JOIN embeddings a ON a.vec_id = qid JOIN embeddings b ON b.vec_id = nid)
+           |SELECT qid, nid, cos, CAST(rk AS BIGINT) AS rk FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk FROM sc)
+           |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+
+      "t_lang_id" ->
+        s"""WITH sc AS (SELECT doc_id, lang,
+           |  len(list_filter($toks, x -> list_contains($stopEn, x)))::BIGINT AS s_en,
+           |  len(list_filter($toks, x -> list_contains($stopDe, x)))::BIGINT AS s_de,
+           |  len(list_filter($toks, x -> list_contains($stopFr, x)))::BIGINT AS s_fr,
+           |  len(list_filter($toks, x -> list_contains($stopEs, x)))::BIGINT AS s_es
+           |  FROM documents)
+           |SELECT doc_id, lang, CASE
+           |  WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en'
+           |  WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
+           |  WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+           |  WHEN s_es > 0 THEN 'es' ELSE 'und' END AS pred_lang
+           |FROM sc ORDER BY doc_id""".stripMargin,
+
+      "t_quality" -> {
+        val allStop = (Seq("the", "and", "of", "to", "in", "is", "that", "for") ++
+          Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein") ++
+          Seq("le", "la", "les", "et", "est", "pas", "pour", "une") ++
+          Seq("el", "la", "los", "y", "es", "no", "por", "una"))
+          .distinct.sorted.map(w => s"'$w'").mkString("[", ",", "]")
+        s"""WITH m AS (SELECT doc_id,
+           |  length(text)::BIGINT AS n_chars,
+           |  len($toks)::BIGINT AS n_tokens,
+           |  coalesce(list_sum(list_transform($toks, x -> length(x))), 0)::BIGINT AS n_token_chars,
+           |  len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]'))::BIGINT AS n_punct,
+           |  len(regexp_extract_all(text, '[A-Z]'))::BIGINT AS n_upper,
+           |  len(list_filter($toks, x -> list_contains($allStop, x)))::BIGINT AS n_stop
+           |  FROM documents)
+           |SELECT *,
+           |  CASE WHEN n_tokens > 0 THEN round(n_token_chars::DOUBLE / n_tokens, 6) ELSE 0.0 END AS mean_token_len,
+           |  CASE WHEN n_chars > 0 THEN round(n_punct::DOUBLE / n_chars, 6) ELSE 0.0 END AS punct_ratio,
+           |  CASE WHEN n_tokens > 0 THEN round(n_stop::DOUBLE / n_tokens, 6) ELSE 0.0 END AS stop_ratio,
+           |  (n_tokens >= 10 AND
+           |   (CASE WHEN n_tokens > 0 THEN round(n_token_chars::DOUBLE / n_tokens, 6) ELSE 0.0 END) BETWEEN 2 AND 12 AND
+           |   (CASE WHEN n_chars > 0 THEN round(n_punct::DOUBLE / n_chars, 6) ELSE 0.0 END) <= 0.2) AS keep
+           |FROM m ORDER BY doc_id""".stripMargin
+      },
+
+      "t_token_count" ->
+        s"""SELECT doc_id,
+           |  len($toks)::BIGINT AS n_word_tokens,
+           |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))::BIGINT AS n_bpeish_tokens
+           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "t_fingerprint" ->
+        s"""WITH sh AS (
+           |  SELECT doc_id, i AS pos, md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS h
+           |  FROM (SELECT doc_id, $toks AS t FROM documents), unnest(range(1, len(t)-1)) AS u(i)
+           |  WHERE len(t) >= 3),
+           |win AS (SELECT doc_id, min(h) OVER (
+           |  PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp FROM sh)
+           |SELECT doc_id, count(DISTINCT fp) AS n_fp, min(fp) AS min_fp
+           |FROM win GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    )
+  }
+}
