@@ -1,0 +1,195 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.catalog.TableCatalog
+import graft.generate.DummyGen
+import graft.mutate.{TablePrepare, UpsertWriter}
+import graft.sinks.{DynamicFileSink, TFRecordSink}
+import graft.sql.SqlRunner
+
+/** The reference's 11 template entry points re-expressed as config-driven
+  * pipeline functions (SURVEY §0 table). Sources and sinks are local-scope
+  * stand-ins for the cloud systems (registered tables play Spanner/
+  * BigQuery; parquet dirs play Spanner tables; keyed-document projection
+  * plays Datastore) — the query surface, converter semantics, dynamic-
+  * destination behavior, mutation ops, error branches, and notification
+  * contract are the capabilities being preserved, per SURVEY §0: "the
+  * README-documented template parameter surface is the public API
+  * contract".
+  *
+  * Each function is the full §3 lifecycle: parse-free config case class →
+  * `SqlRunner` (--SPLITTER--, @params, timestampBound accepted) →
+  * Catalyst-planned transforms → sink + finish pass.
+  */
+object Templates {
+
+  /** SpannerToText (`templates/SpannerToText.java:98-141`). */
+  final case class QueryToTextConfig(
+      query: String,
+      output: String,
+      format: String = "json", // json | csv
+      splitField: Option[String] = None,
+      header: Option[String] = None,
+      withoutSharding: Boolean = false,
+      outputNotify: Option[String] = None,
+      outputEmpty: Boolean = false,
+      params: Map[String, Any] = Map.empty,
+      timestampBound: Option[java.time.Instant] = None)
+
+  def queryToText(spark: SparkSession, c: QueryToTextConfig): DynamicFileSink.Result = {
+    val df = SqlRunner.run(spark, c.query, c.params, c.timestampBound)
+    DynamicFileSink.write(df, DynamicFileSink.Config(
+      c.output, c.format, c.splitField, c.header, c.withoutSharding,
+      c.outputNotify, c.outputEmpty))
+  }
+
+  /** SpannerToAvro (`templates/SpannerToAvro.java:78-103`): snappy Avro,
+    * dynamic split; per-key schema sampling is unnecessary in Spark — one
+    * schema per query result (SURVEY §3.3). */
+  final case class QueryToAvroConfig(
+      query: String, output: String,
+      splitField: Option[String] = None,
+      outputNotify: Option[String] = None,
+      outputEmpty: Boolean = false,
+      params: Map[String, Any] = Map.empty)
+
+  def queryToAvro(spark: SparkSession, c: QueryToAvroConfig): DynamicFileSink.Result = {
+    val df = SqlRunner.run(spark, c.query, c.params)
+    DynamicFileSink.write(df, DynamicFileSink.Config(
+      c.output, "avro", c.splitField, None, withoutSharding = false,
+      c.outputNotify, c.outputEmpty))
+  }
+
+  /** SpannerToBigQuery (`templates/SpannerToBigQuery.java:69-99`): query →
+    * warehouse table, CREATE_IF_NEEDED + WRITE_APPEND. */
+  final case class QueryToTableConfig(query: String, table: String,
+                                      params: Map[String, Any] = Map.empty)
+
+  def queryToTable(spark: SparkSession, c: QueryToTableConfig): Long = {
+    val df = SqlRunner.run(spark, c.query, c.params)
+    TablePrepare.prepare(spark, c.table, df.schema, Seq(df.schema.fieldNames.head))
+    df.write.mode(SaveMode.Append).insertInto(c.table)
+    spark.table(c.table).count()
+  }
+
+  /** SpannerToSpanner (`templates/SpannerToSpanner.java:95-125`): query →
+    * mutations with failed-row Avro error branch. */
+  final case class QueryToUpsertConfig(
+      query: String, outputTable: String,
+      keyFields: Seq[String],
+      mutationOp: String = "INSERT_OR_UPDATE",
+      outputError: Option[String] = None,
+      outputNotify: Option[String] = None,
+      params: Map[String, Any] = Map.empty)
+
+  def queryToUpsert(spark: SparkSession, c: QueryToUpsertConfig): UpsertWriter.Result = {
+    val df = SqlRunner.run(spark, c.query, c.params)
+    val res = UpsertWriter.write(df, c.outputTable, UpsertWriter.Op.parse(c.mutationOp), c.keyFields)
+    // K7 error branch + K9 failed-count notify (BigQueryToSpanner.java:126-145)
+    c.outputError.foreach { p =>
+      if (!res.failed.isEmpty)
+        graft.sources.AvroIO.write(res.failed, p)
+    }
+    c.outputNotify.foreach { n =>
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new org.apache.hadoop.fs.Path(n).toUri, spark.sparkContext.hadoopConfiguration)
+      val o = fs.create(new org.apache.hadoop.fs.Path(n), true)
+      o.write(res.failed.count().toString.getBytes("UTF-8")); o.close()
+    }
+    res
+  }
+
+  /** SpannerToSpannerDelete (`templates/SpannerToSpannerDelete.java:71-95`). */
+  final case class QueryToDeleteConfig(query: String, outputTable: String,
+                                       keyFields: Seq[String],
+                                       params: Map[String, Any] = Map.empty)
+
+  def queryToDelete(spark: SparkSession, c: QueryToDeleteConfig): UpsertWriter.Result = {
+    val df = SqlRunner.run(spark, c.query, c.params)
+    UpsertWriter.write(df, c.outputTable, UpsertWriter.Delete, c.keyFields)
+  }
+
+  /** BigQueryToSpanner (`templates/BigQueryToSpanner.java:87-149`) — same
+    * pipeline as queryToUpsert here (both sources are registered tables);
+    * auto-CREATE from the result schema included via the upsert writer's
+    * create-on-absent behavior. */
+  def bigQueryToSpanner(spark: SparkSession, c: QueryToUpsertConfig): UpsertWriter.Result =
+    queryToUpsert(spark, c)
+
+  /** BigQueryToDatastore (`templates/BigQueryToDatastore.java:59-89`) +
+    * converter P7: keyed-document projection with key path from
+    * `keyField` and index exclusions (strings > 1500 bytes auto-unindexed,
+    * `RecordToEntityConverter.java:126-129`). */
+  final case class QueryToDocumentsConfig(
+      query: String, output: String, kind: String, keyField: String,
+      excludeFromIndexFields: Seq[String] = Seq.empty,
+      params: Map[String, Any] = Map.empty)
+
+  def queryToDocuments(spark: SparkSession, c: QueryToDocumentsConfig): DataFrame = {
+    val df = SqlRunner.run(spark, c.query, c.params)
+    val stringCols = df.schema.fields.filter(_.dataType ==
+      org.apache.spark.sql.types.StringType).map(_.name)
+    val autoUnindexed = array_compact(array(stringCols.toIndexedSeq.map { n =>
+      when(octet_length(col(n)) > 1500, lit(n))
+    }: _*))
+    val configured = array(c.excludeFromIndexFields.map(lit): _*)
+    val out = df.select(
+      concat(lit(c.kind), lit("/"), col(c.keyField).cast("string")).as("__key__"),
+      struct(df.columns.map(col).toIndexedSeq: _*).as("doc"),
+      array_union(configured, autoUnindexed).as("__unindexed__"))
+    out.write.mode(SaveMode.Overwrite).parquet(c.output)
+    spark.read.parquet(c.output)
+  }
+
+  /** BigQueryToTFRecord (`templates/BigQueryToTFRecord.java:65-114`). */
+  final case class QueryToTFRecordConfig(
+      query: String, output: String,
+      splitField: Option[String] = None,
+      outputNotify: Option[String] = None,
+      params: Map[String, Any] = Map.empty)
+
+  def queryToTFRecord(spark: SparkSession, c: QueryToTFRecordConfig): Seq[String] = {
+    val df = SqlRunner.run(spark, c.query, c.params)
+    TFRecordSink.write(df, TFRecordSink.Config(c.output, c.splitField,
+      gzip = true, c.outputNotify))
+  }
+
+  /** AvroToSpanner (`templates/AvroToSpanner.java:68-85`). */
+  final case class AvroToUpsertConfig(input: String, outputTable: String,
+                                      keyFields: Seq[String],
+                                      mutationOp: String = "INSERT_OR_UPDATE")
+
+  def avroToUpsert(spark: SparkSession, c: AvroToUpsertConfig): UpsertWriter.Result = {
+    val df = graft.sources.AvroIO.read(spark, c.input)
+    UpsertWriter.write(df, c.outputTable, UpsertWriter.Op.parse(c.mutationOp), c.keyFields)
+  }
+
+  /** AvroToDatastore (`templates/AvroToDatastore.java:63-81`). */
+  final case class AvroToDocumentsConfig(input: String, output: String,
+                                         kind: String, keyField: String,
+                                         excludeFromIndexFields: Seq[String] = Seq.empty)
+
+  def avroToDocuments(spark: SparkSession, c: AvroToDocumentsConfig): DataFrame = {
+    graft.sources.AvroIO.read(spark, c.input).createOrReplaceTempView("__avro_in")
+    queryToDocuments(spark, QueryToDocumentsConfig(
+      "SELECT * FROM __avro_in", c.output, c.kind, c.keyField, c.excludeFromIndexFields))
+  }
+
+  /** DummyToSpanner (`templates/DummyToSpanner.java:61-84`): generator →
+    * mutations. Schemas come from the catalog facade
+    * ([[TableCatalog.informationSchemaColumns]] plays INFORMATION_SCHEMA). */
+  final case class DummyToUpsertConfig(
+      configYaml: String, outputDir: String,
+      schemas: Map[String, org.apache.spark.sql.types.StructType],
+      parallelNum: Int = 1, seed: Long = 42L)
+
+  def dummyToUpsert(spark: SparkSession, c: DummyToUpsertConfig): Map[String, UpsertWriter.Result] = {
+    DummyGen.parseYaml(c.configYaml).map { tc =>
+      val schema = c.schemas(tc.table)
+      val df = DummyGen.generate(spark, schema, tc, c.parallelNum, c.seed)
+      val keys = if (tc.primaryKeys.nonEmpty) tc.primaryKeys else Seq(schema.fieldNames.head)
+      tc.table -> UpsertWriter.write(df, s"${c.outputDir}/${tc.table}", UpsertWriter.InsertOrUpdate, keys)
+    }.toMap
+  }
+}

@@ -1,0 +1,124 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+import org.apache.avro.Schema
+import org.apache.avro.file.{CodecFactory, DataFileStream, DataFileWriter}
+import org.apache.avro.generic.{GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import graft.types.SchemaBridge
+
+/** Avro file source/sink on avro-core (reference S5 `AvroIO
+  * .parseGenericRecords` / K2 `AvroDynamicSink`, snappy `:37`). This build
+  * ships no spark-avro module, so the container format is handled
+  * directly: write via `mapPartitions` (one writer per partition per
+  * split key, streaming), read via a parallel per-file scan with the
+  * schema taken from the first file's header — the same inference point
+  * the reference uses (`templates/AvroToSpanner.java:75`).
+  *
+  * Scale notes: files are the parallelism unit on read (avro blocks are
+  * not split further — matching Beam's behavior for non-splittable
+  * reads); on write, each task streams through one open writer, O(1)
+  * memory. The converter layer is [[graft.types.SchemaBridge]].
+  */
+object AvroIO {
+
+  /** Write one `.avro` container per partition under `dir`. */
+  def write(df: DataFrame, dir: String, codec: String = "snappy"): Seq[String] =
+    writeKeyed(df.withColumn("__split", lit("")), s"$dir/part", None, codec)
+      .map(_._2)
+
+  /** Keyed write for the dynamic sink: `df` must carry a string `__split`
+    * column; one file `<prefix><key>-pNNNNN.avro` per (key × partition).
+    * Returns (key, path) pairs. */
+  def writeKeyed(df: DataFrame, prefix: String, repartitionOn: Option[String],
+                 codec: String = "snappy"): Seq[(String, String)] = {
+    val keyed = repartitionOn match {
+      case Some(_) => df.repartition(col("__split")).sortWithinPartitions("__split")
+      case None => df.sortWithinPartitions("__split")
+    }
+    val dataSchema = StructType(keyed.schema.fields.filter(_.name != "__split"))
+    val avroJson = SchemaBridge.toAvro(dataSchema, "topLevelRecord").toString
+    val codecName = codec
+    import df.sparkSession.implicits._
+    keyed.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val avroSchema = new Schema.Parser().parse(avroJson)
+      val fs = FileSystem.get(new Path(prefix).toUri,
+        new org.apache.hadoop.conf.Configuration())
+      val written = scala.collection.mutable.ArrayBuffer[(String, String)]()
+      var curKey: String = null
+      var w: DataFileWriter[GenericRecord] = null
+      def roll(key: String): Unit = {
+        if (w != null) w.close()
+        val path = new Path(f"$prefix${key.replace("/", "%2F")}-p$pid%05d.avro")
+        w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](avroSchema))
+        w.setCodec(if (codecName == "snappy") CodecFactory.snappyCodec()
+          else CodecFactory.fromString(codecName))
+        w.create(avroSchema, fs.create(path, true))
+        written += ((key, path.toUri.getPath))
+        curKey = key
+      }
+      it.foreach { r =>
+        val key = r.getAs[String]("__split")
+        if (w == null || key != curKey) roll(key)
+        val slim = Row.fromSeq(dataSchema.fieldNames.toIndexedSeq.map(n => r.getAs[Any](n)))
+        w.append(SchemaBridge.rowToRecord(slim, dataSchema, avroSchema))
+      }
+      if (w != null) w.close()
+      written.iterator
+    }.collect().toSeq
+  }
+
+  /** Read `.avro` container files (a file, a directory, or a glob) into a
+    * DataFrame. Schema from the first file's header. */
+  def read(spark: SparkSession, pathSpec: String): DataFrame = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val p = new Path(pathSpec)
+    val fs = FileSystem.get(p.toUri, hconf)
+    val files: Seq[String] = {
+      val statuses =
+        if (fs.isDirectory(p)) fs.listStatus(p).toSeq
+        else fs.globStatus(p) match {
+          case null => Seq.empty
+          case gs if gs.nonEmpty => gs.toSeq
+          case _ => Seq.empty
+        }
+      val expanded = statuses.flatMap { s =>
+        if (s.isDirectory) fs.listStatus(s.getPath).toSeq else Seq(s)
+      }
+      expanded.filter(s => s.isFile && s.getPath.getName.endsWith(".avro"))
+        .map(_.getPath.toString)
+    }
+    require(files.nonEmpty, s"no .avro files at $pathSpec")
+    // schema from the first file header (driver-side, reads bytes not rows)
+    val avroSchema = {
+      val in = fs.open(new Path(files.head))
+      val dfs = new DataFileStream[GenericRecord](in, new GenericDatumReader[GenericRecord]())
+      val s = dfs.getSchema
+      dfs.close()
+      s
+    }
+    val sparkSchema = SchemaBridge.toSpark(avroSchema)
+    val rdd = spark.sparkContext
+      .parallelize(files, math.min(files.size, 64))
+      .flatMap { f =>
+        val ffs = FileSystem.get(new java.net.URI(f),
+          new org.apache.hadoop.conf.Configuration())
+        val stream = new DataFileStream[GenericRecord](
+          ffs.open(new Path(f)), new GenericDatumReader[GenericRecord]())
+        val schemaLocal = sparkSchema
+        new Iterator[Row] {
+          def hasNext: Boolean = {
+            val h = stream.hasNext
+            if (!h) stream.close()
+            h
+          }
+          def next(): Row = SchemaBridge.recordToRow(stream.next(), schemaLocal)
+        }
+      }
+    spark.createDataFrame(rdd, sparkSchema)
+  }
+}

@@ -32,7 +32,7 @@ object SqlRunner {
   val Splitter = "--SPLITTER--"
 
   /** `@name` → `:name`, skipping occurrences inside string literals. */
-  private[sql] def rewriteParams(sql: String): String = {
+  def rewriteParams(sql: String): String = {
     val out = new StringBuilder(sql.length)
     var inSingle = false; var inDouble = false; var i = 0
     while (i < sql.length) {

@@ -1,0 +1,73 @@
+package graft.formats
+
+import java.sql.Timestamp
+import java.util.Base64
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import graft.SparkSpec
+
+/** Golden-string tests from FIXTURES.md §3 (reference
+  * `StructToTextDoFnTest.java:55-58,86-91`,
+  * `StructAndCsvConverterTest.java:27`). */
+class RowFormatsSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.from(java.time.Instant.parse(s))
+
+  test("JSON line golden (flat)") {
+    val schema = StructType(Seq(
+      StructField("bool", BooleanType), StructField("int", LongType),
+      StructField("string", StringType), StructField("float", DoubleType),
+      StructField("timestamp", TimestampType)))
+    val df = spark.createDataFrame(
+      java.util.List.of(Row(true, 12L, "string", 10.12, ts("2018-01-19T03:24:13Z"))),
+      schema)
+    val got = df.select(RowFormats.jsonLine(df).as("j")).head.getString(0)
+    assert(got ===
+      """{"bool":true,"int":12,"string":"string","float":10.12,"timestamp":"2018-01-19T03:24:13Z"}""")
+  }
+
+  test("JSON null fields serialize as null") {
+    val schema = StructType(Seq(
+      StructField("a", StringType), StructField("b", LongType)))
+    val df = spark.createDataFrame(java.util.List.of(Row(null, null)), schema)
+    val got = df.select(RowFormats.jsonLine(df).as("j")).head.getString(0)
+    assert(got === """{"a":null,"b":null}""")
+  }
+
+  test("CSV line golden (simpleStruct: bytes base64, null -> empty)") {
+    val schema = StructType(Seq(
+      StructField("cbf", BooleanType), StructField("cif", LongType),
+      StructField("cff", DoubleType), StructField("cdf", DateType),
+      StructField("ctf", TimestampType), StructField("csf", StringType),
+      StructField("cnf", BinaryType)))
+    val bytes = Base64.getDecoder.decode("AAAAAAAAAAAAAAAABfXhAA==")
+    val df = spark.createDataFrame(
+      java.util.List.of(Row(true, 12L, 0.005, java.sql.Date.valueOf("2018-09-01"),
+        ts("2018-09-01T03:00:00Z"), "This is a pen", bytes)),
+      schema)
+    val got = df.select(RowFormats.csvLine(df).as("c")).head.getString(0)
+    assert(got ===
+      "true,12,0.005,2018-09-01,2018-09-01T03:00:00Z,This is a pen,AAAAAAAAAAAAAAAABfXhAA==")
+  }
+
+  test("CSV quoting: commas and quotes per commons-csv DEFAULT") {
+    val schema = StructType(Seq(StructField("s", StringType), StructField("n", LongType)))
+    val df = spark.createDataFrame(
+      java.util.List.of(Row("""a,b "q" c""", 1L), Row(null, 2L)), schema)
+    val got = df.select(RowFormats.csvLine(df).as("c"))
+      .collect().map(_.getString(0)).sorted
+    assert(got === Array(""""a,b ""q"" c",1""", ",2"))
+  }
+
+  test("JSON nested struct + array with null element") {
+    val inner = StructType(Seq(StructField("x", LongType)))
+    val schema = StructType(Seq(
+      StructField("r", inner),
+      StructField("aif", ArrayType(LongType, containsNull = true)),
+      StructField("anf", ArrayType(LongType), nullable = true)))
+    val df = spark.createDataFrame(
+      java.util.List.of(Row(Row(7L), Seq[Any](null, 2L, 3L), null)), schema)
+    val got = df.select(RowFormats.jsonLine(df).as("j")).head.getString(0)
+    assert(got === """{"r":{"x":7},"aif":[null,2,3],"anf":null}""")
+  }
+}

@@ -1,0 +1,134 @@
+package graft.pipelines
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.catalog.TableCatalog
+
+/** End-to-end template-equivalents on /root/testdata/sf0.001 (t1 smoke
+  * scale) — the §3.1 lifecycle: register → SQL (--SPLITTER--, @params) →
+  * sink → notify. */
+class TemplatesSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("SpannerToText equivalent: query -> split json files + notify") {
+    TableCatalog.register(spark, sf)
+    val dir = tmpDir("t_text")
+    val res = Templates.queryToText(spark, Templates.QueryToTextConfig(
+      query = "SELECT r_regionkey, r_name FROM region",
+      output = s"$dir/regions",
+      format = "json",
+      splitField = Some("r_name"),
+      withoutSharding = true,
+      outputNotify = Some(s"$dir/notify.txt")))
+    assert(res.files.length === 5)
+    assert(res.files.exists(_.endsWith("regionsAFRICA.json")))
+    val notify = Files.readAllLines(Paths.get(s"$dir/notify.txt")).asScala
+    assert(notify.length === 5)
+  }
+
+  test("SpannerToText: --SPLITTER-- + @param binding") {
+    TableCatalog.register(spark, sf)
+    val dir = tmpDir("t_split")
+    val res = Templates.queryToText(spark, Templates.QueryToTextConfig(
+      query = "SELECT n_name FROM nation WHERE n_regionkey = @rk " +
+        "--SPLITTER-- SELECT r_name AS n_name FROM region WHERE r_regionkey = @rk",
+      output = s"$dir/out", format = "csv", withoutSharding = true,
+      params = Map("rk" -> 0)))
+    val lines = Files.readAllLines(Paths.get(res.files.head)).asScala
+    assert(lines.length === 6) // 5 nations + 1 region
+  }
+
+  test("SpannerToAvro equivalent round-trips") {
+    TableCatalog.register(spark, sf)
+    val dir = tmpDir("t_avro")
+    val res = Templates.queryToAvro(spark, Templates.QueryToAvroConfig(
+      query = "SELECT n_nationkey, n_name FROM nation",
+      output = s"$dir/nations"))
+    val back = graft.sources.AvroIO.read(spark, res.files.head)
+    assert(back.count() === 25)
+  }
+
+  test("SpannerToSpanner equivalent: upsert with error branch") {
+    TableCatalog.register(spark, sf)
+    val dir = tmpDir("t_upsert")
+    val r1 = Templates.queryToUpsert(spark, Templates.QueryToUpsertConfig(
+      query = "SELECT r_regionkey, r_name FROM region",
+      outputTable = s"$dir/region_t", keyFields = Seq("r_regionkey"),
+      mutationOp = "INSERT"))
+    assert(r1.written === 5 && r1.failed.isEmpty)
+    // second INSERT of same keys: all failed, error avro written, count notified
+    val r2 = Templates.queryToUpsert(spark, Templates.QueryToUpsertConfig(
+      query = "SELECT r_regionkey, r_name FROM region",
+      outputTable = s"$dir/region_t", keyFields = Seq("r_regionkey"),
+      mutationOp = "INSERT",
+      outputError = Some(s"$dir/errors"),
+      outputNotify = Some(s"$dir/failed_count.txt")))
+    assert(r2.failed.count() === 5)
+    assert(graft.sources.AvroIO.read(spark, s"$dir/errors").count() === 5)
+    assert(Files.readString(Paths.get(s"$dir/failed_count.txt")) === "5")
+  }
+
+  test("SpannerToSpannerDelete equivalent") {
+    TableCatalog.register(spark, sf)
+    val dir = tmpDir("t_del")
+    Templates.queryToUpsert(spark, Templates.QueryToUpsertConfig(
+      "SELECT r_regionkey, r_name FROM region", s"$dir/t", Seq("r_regionkey"), "INSERT"))
+    Templates.queryToDelete(spark, Templates.QueryToDeleteConfig(
+      "SELECT r_regionkey FROM region WHERE r_regionkey < 2", s"$dir/t", Seq("r_regionkey")))
+    assert(spark.read.parquet(s"$dir/t").count() === 3)
+  }
+
+  test("BigQueryToDatastore equivalent: keyed docs + 1500-byte unindex rule") {
+    TableCatalog.register(spark, sf)
+    val dir = tmpDir("t_ds")
+    spark.sql("SELECT 1L AS id, repeat('x', 2000) AS big, 'small' AS small")
+      .createOrReplaceTempView("wide")
+    val out = Templates.queryToDocuments(spark, Templates.QueryToDocumentsConfig(
+      "SELECT * FROM wide", s"$dir/docs", kind = "Wide", keyField = "id"))
+    val row = out.head
+    assert(row.getAs[String]("__key__") === "Wide/1")
+    assert(row.getAs[Seq[String]]("__unindexed__") === Seq("big"))
+  }
+
+  test("BigQueryToTFRecord equivalent writes framed gzip files") {
+    TableCatalog.register(spark, sf)
+    val dir = tmpDir("t_tfr")
+    val files = Templates.queryToTFRecord(spark, Templates.QueryToTFRecordConfig(
+      "SELECT r_regionkey, r_name FROM region", s"$dir/rec"))
+    assert(files.nonEmpty && files.forall(_.endsWith(".tfrecord")))
+  }
+
+  test("AvroToSpanner + AvroToDatastore equivalents") {
+    TableCatalog.register(spark, sf)
+    val dir = tmpDir("t_avro_in")
+    // produce avro input first
+    Templates.queryToAvro(spark, Templates.QueryToAvroConfig(
+      "SELECT n_nationkey, n_name FROM nation", s"$dir/in"))
+    val r = Templates.avroToUpsert(spark, Templates.AvroToUpsertConfig(
+      s"$dir/in.avro", s"$dir/t", Seq("n_nationkey")))
+    assert(r.written === 25)
+    val docs = Templates.avroToDocuments(spark, Templates.AvroToDocumentsConfig(
+      s"$dir/in.avro", s"$dir/docs", "Nation", "n_nationkey"))
+    assert(docs.count() === 25)
+  }
+
+  test("DummyToSpanner equivalent: generator -> upsert") {
+    val dir = tmpDir("t_dummy")
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType)))
+    val res = Templates.dummyToUpsert(spark, Templates.DummyToUpsertConfig(
+      """tables:
+        |  - table: gen1
+        |    count: 100
+        |    primaryKeys: [id]
+        |""".stripMargin,
+      dir, Map("gen1" -> schema), parallelNum = 2))
+    assert(res("gen1").written === 100)
+    assert(spark.read.parquet(s"$dir/gen1").count() === 100)
+  }
+}

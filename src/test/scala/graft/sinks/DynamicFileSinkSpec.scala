@@ -1,0 +1,65 @@
+package graft.sinks
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+import graft.SparkSpec
+
+/** K1/K8 semantics: exact naming, split-by-field, header, notify, empty. */
+class DynamicFileSinkSpec extends SparkSpec {
+
+  private def lines(p: String): Seq[String] =
+    Files.readAllLines(Paths.get(p)).asScala.toSeq
+
+  test("split by field, exact <prefix><key>.<type> names, notify listing") {
+    import spark.implicits._
+    val df = Seq(("A", 1L), ("B", 2L), ("A", 3L)).toDF("k", "v")
+    val dir = tmpDir("dfs")
+    val res = DynamicFileSink.write(df, DynamicFileSink.Config(
+      s"$dir/out", "json", splitField = Some("k"), withoutSharding = true,
+      outputNotify = Some(s"$dir/notify.txt")))
+    assert(res.files.map(_.split('/').last).sorted === Seq("outA.json", "outB.json"))
+    val a = lines(s"$dir/outA.json").sorted
+    assert(a === Seq("""{"k":"A","v":1}""", """{"k":"A","v":3}"""))
+    assert(lines(s"$dir/notify.txt").mkString("\n").split("\n").length === 2)
+  }
+
+  test("csv with header line") {
+    import spark.implicits._
+    val df = Seq((1L, "x")).toDF("a", "b")
+    val dir = tmpDir("dfs_csv")
+    DynamicFileSink.write(df, DynamicFileSink.Config(
+      s"$dir/r", "csv", withoutSharding = true, header = Some("a,b")))
+    assert(lines(s"$dir/r.csv") === Seq("a,b", "1,x"))
+  }
+
+  test("null split key goes to empty-string destination") {
+    import spark.implicits._
+    val df = Seq((Option.empty[String], 1L), (Some("K"), 2L)).toDF("k", "v")
+    val dir = tmpDir("dfs_null")
+    val res = DynamicFileSink.write(df, DynamicFileSink.Config(
+      s"$dir/out", "json", splitField = Some("k"), withoutSharding = true))
+    assert(res.files.map(_.split('/').last).sorted === Seq("out.json", "outK.json"))
+  }
+
+  test("empty result + outputEmpty writes marker file with header") {
+    import spark.implicits._
+    val df = Seq((1L, "x")).toDF("a", "b").filter("a < 0")
+    val dir = tmpDir("dfs_empty")
+    val res = DynamicFileSink.write(df, DynamicFileSink.Config(
+      s"$dir/none", "csv", withoutSharding = true, header = Some("a,b"),
+      outputEmpty = true, outputNotify = Some(s"$dir/n.txt")))
+    assert(res.files.map(_.split('/').last) === Seq("none.csv"))
+    assert(lines(s"$dir/none.csv") === Seq("a,b"))
+  }
+
+  test("avro snappy round-trip with split") {
+    import spark.implicits._
+    val df = Seq(("A", 1L), ("B", 2L)).toDF("k", "v")
+    val dir = tmpDir("dfs_avro")
+    val res = DynamicFileSink.write(df, DynamicFileSink.Config(
+      s"$dir/part", "avro", splitField = Some("k")))
+    assert(res.files.map(_.split('/').last).sorted === Seq("partA.avro", "partB.avro"))
+    val back = graft.sources.AvroIO.read(spark, s"$dir/partA.avro")
+    assert(back.select("v").collect().map(_.getLong(0)) === Array(1L))
+  }
+}
