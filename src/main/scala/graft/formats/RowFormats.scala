@@ -18,11 +18,14 @@ import org.apache.spark.sql.types._
   */
 object RowFormats {
 
-  /** RFC3339 with `Z`; whole seconds render without a fraction. */
-  private def rfc3339(c: Column): Column =
+  /** RFC3339 with `Z`; whole seconds render without a fraction. The cast
+    * handles TIMESTAMP_NTZ inputs (UTC session timezone → same instant). */
+  private def rfc3339(c0: Column): Column = {
+    val c = c0.cast("timestamp")
     when(unix_micros(c) % 1000000 === 0,
       date_format(c, "yyyy-MM-dd'T'HH:mm:ss'Z'"))
       .otherwise(date_format(c, "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"))
+  }
 
   /** Scalar rendered as a JSON value fragment (with quotes where needed). */
   private def jsonValue(c: Column, dt: DataType): Column = dt match {

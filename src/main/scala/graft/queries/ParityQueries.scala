@@ -1,0 +1,120 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.catalog.TableCatalog
+import graft.formats.RowFormats
+import graft.functions.Formats
+import graft.generate.DummyGen
+
+/** Converter/generator/scalar-function parity as oracle-checked queries:
+  * P1 (JSON line), P2 (CSV line), §2.5 scalar functions, S6 generator
+  * (deterministic md5-derived mode for cross-engine reproducibility),
+  * plus ROLLUP coverage for the delegated-SQL surface.
+  */
+object ParityQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    TableCatalog.load(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // P1: schema-order JSON lines (StructToJsonConverter semantics).
+    "p1_json_line" -> ((s, dir) => {
+      val n = t(s, dir, "nation")
+      n.select(col("n_nationkey").cast("long").as("n_nationkey"),
+          RowFormats.jsonLine(n).as("line"))
+        .orderBy("n_nationkey")
+    }),
+
+    // P2: CSV lines incl. RFC3339 timestamp rendering (StructToCsvConverter).
+    "p2_csv_line" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderdate"), col("o_orderpriority"))
+      o.select(col("o_orderkey"), RowFormats.csvLine(o).as("line"))
+        .orderBy("o_orderkey")
+    }),
+
+    // §2.5 scalar functions: base64, epoch-days, NUMERIC trim-format.
+    "q_format_scalars" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          base64(col("o_orderstatus").cast("binary")).as("b64"),
+          Formats.toEpochDays(to_date(col("o_orderdate"))).cast("long").as("epoch_days"),
+          Formats.decimalTrimString(col("o_totalprice").cast("decimal(18,2)")).as("price_trim"))
+        .orderBy("o_orderkey")),
+
+    // S6: generator machinery in deterministic mode — every value derives
+    // from the row id via md5, so DuckDB reproduces it exactly.
+    "g_dummy_generate" -> ((s, _) => {
+      s.range(0, 1000).toDF("id").select(
+        col("id"),
+        DummyGen.deterministicColumn("name", StringType).as("name"),
+        DummyGen.deterministicColumn("num", LongType).as("num"),
+        DummyGen.deterministicColumn("flag", BooleanType).as("flag"),
+        DummyGen.deterministicColumn("dt", DateType).as("dt"))
+        .orderBy("id")
+    }),
+
+    // ROLLUP over the pass-through SQL surface (delegated in the
+    // reference, native Catalyst here).
+    "q_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first))
+  )
+
+  val oracleSql: Map[String, String] = {
+    def digit(h: String, pos: Int) = s"(strpos('0123456789abcdef', substring($h, $pos, 1)) - 1)"
+    val h = "md5(id::VARCHAR || '|' || 'NAME')"
+    Map(
+      "p1_json_line" ->
+        """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+          |  '{"n_nationkey":' || n_nationkey || ',"n_name":"' || n_name ||
+          |  '","n_regionkey":' || n_regionkey || '}' AS line
+          |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+      "p2_csv_line" ->
+        """SELECT o_orderkey,
+          |  o_orderkey || ',' || o_orderstatus || ',' ||
+          |  strftime(o_orderdate, '%Y-%m-%dT%H:%M:%SZ') || ',' ||
+          |  CASE WHEN regexp_matches(o_orderpriority, '[",\n\r]')
+          |       THEN '"' || replace(o_orderpriority, '"', '""') || '"'
+          |       ELSE o_orderpriority END AS line
+          |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+      "q_format_scalars" ->
+        """SELECT o_orderkey,
+          |  to_base64(o_orderstatus::BLOB) AS b64,
+          |  (o_orderdate::DATE - DATE '1970-01-01')::BIGINT AS epoch_days,
+          |  CASE WHEN contains(CAST(o_totalprice::DECIMAL(18,2) AS VARCHAR), '.')
+          |       THEN regexp_replace(regexp_replace(
+          |              CAST(o_totalprice::DECIMAL(18,2) AS VARCHAR), '0+$', ''), '\.$', '')
+          |       ELSE CAST(o_totalprice::DECIMAL(18,2) AS VARCHAR) END AS price_trim
+          |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+      "g_dummy_generate" -> {
+        def col(name: String) = {
+          val hh = s"md5(id::VARCHAR || '|' || '$name')"
+          (hh, s"(${digit(hh, 1)} * 16 + ${digit(hh, 2)})")
+        }
+        val (hn, _) = col("name"); val (_, vNum) = col("num")
+        val (hf, _) = col("flag"); val (_, vDt) = col("dt")
+        s"""SELECT id, $hn AS name, $vNum::BIGINT AS num,
+           |  (${digit(hf, 1)} % 2 = 1) AS flag,
+           |  (DATE '1970-01-01' + ($vDt)::INT) AS dt
+           |FROM range(1000) t(id) ORDER BY id""".stripMargin
+      },
+
+      "q_rollup" ->
+        """SELECT l_returnflag, l_linestatus, count(*) AS n,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+          |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+          |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+    )
+  }
+}

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming surface. The reference is batch-only (SURVEY
+  * §2.6: no watermarks/triggers/state anywhere), so nothing here is
+  * parity — it is the forward-looking streaming tier over the same
+  * `events` schema (ts, event_type, user_id, value, props), built on the
+  * standard Spark primitives:
+  *
+  *  - [[windowedCounts]]: event-time tumbling-window aggregation with a
+  *    watermark — late data beyond the watermark is dropped and state is
+  *    bounded, which is the property that keeps a 100 TB/day stream's
+  *    state store finite.
+  *  - [[sessionize]]: arbitrary stateful processing via
+  *    `flatMapGroupsWithState` — per-user session accumulation with a
+  *    processing-time timeout.
+  *
+  * Batch/stream parity: both transforms accept any DataFrame with the
+  * events schema, so the SAME code runs `spark.read` (backfill) and
+  * `spark.readStream` (live) — the Dataset API is the unifying layer.
+  */
+object EventStream {
+
+  /** Tumbling-window counts/sums per event_type with a 1-hour watermark. */
+  def windowedCounts(events: DataFrame,
+                     windowLen: String = "1 day",
+                     watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  final case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class Session(user_id: Long, n_events: Long, total: Double, open: Boolean)
+
+  /** Per-user running session via flatMapGroupsWithState: accumulates
+    * (count, sum) per user and emits the updated session on every batch.
+    * With `timeoutMs > 0` state expires after that much processing-time
+    * inactivity and the closed session is emitted (note: processing-time
+    * timeouts make the engine run timeout-evaluation micro-batches
+    * continuously — expected on a live stream, but `processAllAvailable`
+    * never settles, so tests and bounded replays should pass 0). */
+  def sessionize(events: Dataset[Event], timeoutMs: Long = 0L): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val timeoutConf =
+      if (timeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Session, Session](
+        OutputMode.Append(), timeoutConf) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[Session]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(s.copy(open = false))
+          } else {
+            val prev = state.getOption.getOrElse(Session(uid, 0L, 0.0, open = true))
+            val batch = rows.toSeq
+            val next = prev.copy(
+              n_events = prev.n_events + batch.size,
+              total = prev.total + batch.map(_.value).sum)
+            state.update(next)
+            if (timeoutMs > 0) state.setTimeoutDuration(timeoutMs)
+            Iterator(next)
+          }
+      }
+  }
+}

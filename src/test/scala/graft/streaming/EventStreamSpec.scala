@@ -1,0 +1,62 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class EventStreamSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.from(java.time.Instant.parse(s))
+
+  test("windowedCounts: same code runs batch and stream, same results") {
+    import spark.implicits._
+    val rows = Seq(
+      (ts("2026-01-01T00:10:00Z"), "click", 1L, 1.0),
+      (ts("2026-01-01T05:00:00Z"), "click", 2L, 2.0),
+      (ts("2026-01-02T00:00:30Z"), "view", 1L, 5.0))
+    val batch = rows.toDF("ts", "event_type", "user_id", "value")
+    val batchRes = EventStream.windowedCounts(batch)
+      .orderBy("window_start", "event_type")
+      .select("event_type", "n", "total_value")
+      .as[(String, Long, Double)].collect()
+    assert(batchRes === Array(("click", 2L, 3.0), ("view", 1L, 5.0)))
+
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Long, Double)]
+    val streamDf = mem.toDF.toDF("ts", "event_type", "user_id", "value")
+    val q = EventStream.windowedCounts(streamDf)
+      .writeStream.format("memory").queryName("wincounts")
+      .outputMode("update").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val streamRes = spark.table("wincounts")
+        .orderBy("window_start", "event_type")
+        .select("event_type", "n", "total_value")
+        .as[(String, Long, Double)].collect()
+      assert(streamRes === batchRes)
+    } finally q.stop()
+  }
+
+  test("sessionize: flatMapGroupsWithState accumulates per user") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[EventStream.Event]
+    val q = EventStream.sessionize(mem.toDS())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        EventStream.Event(1L, ts("2026-01-01T00:00:00Z"), 1.0),
+        EventStream.Event(1L, ts("2026-01-01T00:00:10Z"), 2.0),
+        EventStream.Event(2L, ts("2026-01-01T00:00:20Z"), 7.0))
+      q.processAllAvailable()
+      val byUser = spark.table("sessions").as[EventStream.Session]
+        .collect().groupBy(_.user_id)
+      assert(byUser(1L).map(_.n_events).max === 2L)
+      assert(byUser(1L).map(_.total).max === 3.0)
+      assert(byUser(2L).map(_.total).max === 7.0)
+    } finally q.stop()
+  }
+}
