@@ -23,16 +23,20 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val names = SparkEntry.queries.keys.toSeq.sorted
-    // warmup (untimed)
+    // warmup (untimed); clearCache drops operator-internal cached stages
+    // between queries so one query's working set never taxes the next
     names.foreach { n =>
       try SparkEntry.queries(n)(spark, sfDir).count()
       catch { case _: Throwable => () }
+      spark.catalog.clearCache()
     }
     val results = names.map { n =>
       val t0 = System.nanoTime()
       try SparkEntry.queries(n)(spark, sfDir).count()
       catch { case _: Throwable => () }
-      n -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      n -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

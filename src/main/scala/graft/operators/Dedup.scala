@@ -19,6 +19,16 @@ import graft.functions.TextFunctions._
   */
 object Dedup {
 
+  /** Fan-out guard for small-input/heavy-compute stages: a compact
+    * parquet file can arrive as one split, serializing the shingle/md5
+    * fan-out into a single task. If the input has fewer partitions than
+    * the cluster's parallelism, spread it; at real scale (input splits >>
+    * cores) this is a no-op — no shuffle is added. */
+  private[operators] def widen(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Exact dedup by content hash: one surviving `idCol` (the minimum) per
     * distinct `textCol`. A single hash-shuffle on md5(text); at scale the
     * 32-hex-char key keeps the shuffle narrow regardless of document size.
@@ -34,8 +44,9 @@ object Dedup {
     * each minimized lexicographically over the distinct k-shingle set.
     * Long format (not an array column) so the banding/estimation joins
     * stay key-based. */
-  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+  def minhashSignatures(df0: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 16, k: Int = 3): DataFrame = {
+    val df = widen(df0)
     val toks = tokens(col(textCol))
     df.select(col(idCol), toks.as("toks"))
       .filter(size(col("toks")) >= k)
@@ -84,8 +95,9 @@ object Dedup {
     * fingerprint is the sign of Σ_tokens cnt * (±1) where the ±1 is bit b
     * of the token's md5. Entirely key-grouped aggregations — linear in
     * corpus size. */
-  def simhash(df: DataFrame, idCol: String, textCol: String,
+  def simhash(df0: DataFrame, idCol: String, textCol: String,
               bits: Int = 48): DataFrame = {
+    val df = widen(df0)
     val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("w"))
       .groupBy(col(idCol), col("w"))
       .agg(count(lit(1)).as("cnt"))
@@ -139,8 +151,9 @@ object Dedup {
     * filter is lossless (standard AllPairs guarantee), so results equal
     * the brute-force join. Exact intersections are then computed per
     * candidate from the collected shingle arrays — no second explode. */
-  def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
+  def ngramJaccard(df0: DataFrame, idCol: String, textCol: String,
                    k: Int = 3, minJaccard: Double = 0.2): DataFrame = {
+    val df = widen(df0)
     val docSh = df.select(col(idCol), tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= k)
       .select(col(idCol), shingles(col("toks"), k).as("sh"))
@@ -173,8 +186,9 @@ object Dedup {
     * IVF-centroid role; at scale substitute k-means assignments). Cosine is
     * a sequential double fold (deterministic order), rounded to 6 dp so the
     * value is reproducible across engines and partitionings. */
-  def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
+  def embeddingNearDup(df0: DataFrame, idCol: String, vecCol: String,
                        blockCol: String, minCosine: Double = 0.45): DataFrame = {
+    val df = widen(df0)
     // Norms once per vector (not per pair): n-1 fewer folds per row.
     val withNorm = df.select(col(idCol), col(vecCol), col(blockCol),
       Vectors.norm(col(vecCol)).as("nrm"))

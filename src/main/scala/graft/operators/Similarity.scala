@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions.md5BitSql
+import graft.operators.Dedup.widen
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (`array<float>`).
@@ -26,8 +27,9 @@ object Similarity {
   /** Exact top-k by cosine for each query vector. `queries` should be
     * small (it is broadcast); corpus scans once. Deterministic tiebreak on
     * neighbor id. */
-  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+  def bruteForceTopK(corpus0: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int = 5): DataFrame = {
+    val corpus = widen(corpus0)
     // Norms are computed once per side, not per pair.
     val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
       Vectors.norm(col(vecCol)).as("qn")))
@@ -44,8 +46,9 @@ object Similarity {
   /** Random-hyperplane LSH bucket id (one `planes`-bit integer per row).
     * dot(v, r_j) where r_jd = ±1 from md5 parity; bit j = sign. Linear in
     * rows × dims × planes, all key-grouped aggregation. */
-  def lshBuckets(df: DataFrame, idCol: String, vecCol: String,
+  def lshBuckets(df0: DataFrame, idCol: String, vecCol: String,
                  planes: Int = 8): DataFrame = {
+    val df = widen(df0)
     val s = df.sparkSession
     val dims = df.select(size(col(vecCol))).first().getInt(0)
     df.select(col(idCol), col(vecCol))

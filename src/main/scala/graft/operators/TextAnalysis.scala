@@ -78,8 +78,9 @@ object TextAnalysis {
     * shared substring of length >= window+k-1 tokens yields a shared
     * fingerprint, so overlap detection needs only an equi-join on `fp`.
     * Output: (id, n_fingerprints, min_fingerprint). */
-  def fingerprints(df: DataFrame, idCol: String, textCol: String,
+  def fingerprints(df0: DataFrame, idCol: String, textCol: String,
                    k: Int = 3, window: Int = 4): DataFrame = {
+    val df = Dedup.widen(df0)
     val sh = df.select(col(idCol), tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= k)
       .select(col(idCol), posexplode(transform(
