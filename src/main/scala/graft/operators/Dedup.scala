@@ -189,15 +189,12 @@ object Dedup {
   def embeddingNearDup(df0: DataFrame, idCol: String, vecCol: String,
                        blockCol: String, minCosine: Double = 0.45): DataFrame = {
     val df = widen(df0)
-    // Norms once per vector (not per pair): n-1 fewer folds per row.
-    val withNorm = df.select(col(idCol), col(vecCol), col(blockCol),
-      Vectors.norm(col(vecCol)).as("nrm"))
-    val pairs = withNorm.as("a").join(withNorm.as("b"),
+    val pairs = df.as("a").join(df.as("b"),
       col(s"a.$blockCol") === col(s"b.$blockCol") &&
         col(s"a.$idCol") < col(s"b.$idCol"))
     pairs.select(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"),
-        round(Vectors.dot(col(s"a.$vecCol"), col(s"b.$vecCol")) /
-          (col("a.nrm") * col("b.nrm")), 6).as("cos"))
+        Vectors.cosineNative(df0.sparkSession,
+          col(s"a.$vecCol"), col(s"b.$vecCol")).as("cos"))
       .filter(col("cos") >= minCosine)
   }
 }

@@ -30,14 +30,12 @@ object Similarity {
   def bruteForceTopK(corpus0: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int = 5): DataFrame = {
     val corpus = widen(corpus0)
-    // Norms are computed once per side, not per pair.
-    val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
-      Vectors.norm(col(vecCol)).as("qn")))
-    val scored = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"),
-        Vectors.norm(col(vecCol)).as("nn"))
+    val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv")))
+    val scored = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"))
       .join(q, col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
-        round(Vectors.dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6).as("cos"))
+        Vectors.cosineNative(corpus0.sparkSession,
+          col("qv"), col("nv")).as("cos"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
     scored.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
@@ -72,16 +70,15 @@ object Similarity {
               idCol: String, vecCol: String, k: Int = 5,
               planes: Int = 8): DataFrame = {
     val cb = lshBuckets(corpus, idCol, vecCol, planes)
-      .join(corpus.select(col(idCol), col(vecCol),
-        Vectors.norm(col(vecCol)).as("nn")), idCol)
+      .join(corpus.select(col(idCol), col(vecCol)), idCol)
     val qb = lshBuckets(queries, idCol, vecCol, planes)
-      .join(queries.select(col(idCol), col(vecCol),
-        Vectors.norm(col(vecCol)).as("qn")), idCol)
-      .select(col(idCol).as("qid"), col(vecCol).as("qv"), col("qn"),
+      .join(queries.select(col(idCol), col(vecCol)), idCol)
+      .select(col(idCol).as("qid"), col(vecCol).as("qv"),
         col("bucket").as("qbucket"))
     val scored = cb.join(qb, col("qbucket") === col("bucket") && col("qid") =!= col(idCol))
       .select(col("qid"), col(idCol).as("nid"),
-        round(Vectors.dot(col("qv"), col(vecCol)) / (col("qn") * col("nn")), 6).as("cos"))
+        Vectors.cosineNative(corpus.sparkSession,
+          col("qv"), col(vecCol)).as("cos"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
     scored.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)

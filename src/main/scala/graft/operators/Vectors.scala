@@ -26,4 +26,13 @@ object Vectors {
   /** Cosine similarity rounded to 6 dp (reproducibility contract). */
   def cosine(a: Column, b: Column): Column =
     round(dot(a, b) / (norm(a) * norm(b)), 6)
+
+  /** Native fused variant (graft.plans.CosineSimilarity — one codegen'd
+    * loop, no intermediate array). Bit-identical to [[cosine]]; requires
+    * registration, which is idempotent and done here. */
+  def cosineNative(spark: org.apache.spark.sql.SparkSession,
+                   a: Column, b: Column): Column = {
+    graft.plans.GraftFunctions.register(spark)
+    round(call_function("graft_cosine", a, b), 6)
+  }
 }
