@@ -48,10 +48,14 @@ object CoreQueries {
       Seq(("config", 1L)).toDF("value", "id")
     }),
 
-    // Filter + projection — pushed to the parquet scan by Catalyst.
+    // Filter + projection — pushed to the parquet scan by Catalyst. The
+    // literal is cast to the COLUMN's type (timestamp_ntz): a plain
+    // to_timestamp literal would make Catalyst cast the column instead,
+    // which blocks parquet predicate pushdown entirely (verified with
+    // .explain: PushedFilters was empty before this cast).
     "q_filter_pushdown" -> ((s, dir) => {
       t(s, dir, "lineitem")
-        .filter(col("l_shipdate") < to_timestamp(lit("1995-06-01 00:00:00")) &&
+        .filter(col("l_shipdate") < lit("1995-06-01 00:00:00").cast("timestamp_ntz") &&
           col("l_quantity") > 45)
         .select("l_orderkey", "l_linenumber", "l_returnflag")
         .orderBy("l_orderkey", "l_linenumber")
