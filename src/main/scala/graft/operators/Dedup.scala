@@ -93,23 +93,32 @@ object Dedup {
   /** Per-document SimHash (`bits`-bit, default 48 so the value and all
     * 2^b terms fit a signed long). Token-frequency weighted: bit b of the
     * fingerprint is the sign of Σ_tokens cnt * (±1) where the ±1 is bit b
-    * of the token's md5. Entirely key-grouped aggregations — linear in
-    * corpus size. */
+    * of the token's md5.
+    *
+    * Shape: ONE aggregation over (doc, token) rows with `bits` parallel
+    * sum columns — the bit index is unrolled into the aggregate list
+    * instead of cross-joined into a bits× row blowup (the naive form
+    * shuffles 48× the token rows; this shuffles them once). Integer sums,
+    * so the result is exactly the same. */
   def simhash(df0: DataFrame, idCol: String, textCol: String,
               bits: Int = 48): DataFrame = {
+    require(bits <= 48, "bits must fit pigeonhole chunks in a signed long")
     val df = widen(df0)
     val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("w"))
       .groupBy(col(idCol), col("w"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("h", md5(col("w")))
-    tok
-      .crossJoin(df.sparkSession.range(bits).toDF("b"))
-      .groupBy(col(idCol), col("b"))
-      .agg(sum(when(expr(md5BitSql("h", "b") + " = 1"), col("cnt"))
-        .otherwise(-col("cnt"))).as("score"))
-      .groupBy(col(idCol))
-      .agg(sum(when(col("score") > 0, pow(lit(2), col("b")).cast("long"))
-        .otherwise(0L)).as("simhash"))
+    // b is a compile-time constant per column → the hex-digit arithmetic
+    // constant-folds (substring position and power are literals).
+    val scoreCols = (0 until bits).map { b =>
+      sum(when(expr(md5BitSql("h", b.toString) + " = 1"), col("cnt"))
+        .otherwise(-col("cnt"))).as(s"s$b")
+    }
+    val scored = tok.groupBy(col(idCol)).agg(scoreCols.head, scoreCols.tail: _*)
+    val sim = (0 until bits).map { b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    scored.select(col(idCol), sim.as("simhash"))
   }
 
   /** SimHash near-duplicate pairs with chunk blocking: a 48-bit hash is
@@ -153,10 +162,16 @@ object Dedup {
     * candidate from the collected shingle arrays — no second explode. */
   def ngramJaccard(df0: DataFrame, idCol: String, textCol: String,
                    k: Int = 3, minJaccard: Double = 0.2): DataFrame = {
+    graft.plans.GraftFunctions.register(df0.sparkSession)
     val df = widen(df0)
+    val t = minJaccard
+    // shingle sets stored SORTED: verification uses the native merge-walk
+    // intersect (graft_sorted_intersect_count) — zero allocation vs
+    // array_intersect's per-row hash set, on the millions-of-candidates
+    // hot path. Set semantics unchanged (shingles() already dedups).
     val docSh = df.select(col(idCol), tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= k)
-      .select(col(idCol), shingles(col("toks"), k).as("sh"))
+      .select(col(idCol), sort_array(shingles(col("toks"), k)).as("sh"))
       .withColumn("n", size(col("sh")).cast("long"))
       .cache()
     val ex = docSh.select(col(idCol), col("n"), explode(col("sh")).as("s"))
@@ -164,17 +179,26 @@ object Dedup {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(idCol).orderBy(col("df"), col("s"))
     val prefix = ex.join(dfreq, "s")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= col("n") - ceil(col("n") * minJaccard) + 1)
-      .select(col(idCol), col("s"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= col("n") - ceil(col("n") * t) + 1)
+      .select(col(idCol), col("s"), col("rn"), col("n"))
+    // PPJoin candidate join: equi-join on prefix shingles plus the two
+    // LOSSLESS pruning conditions — length filter (|B| >= t|A|) and
+    // position filter (a match at ranks (i,j) can contribute at most
+    // 1 + min(na-i, nb-j) overlap, which must reach the required
+    // α = ceil(t/(1+t) * (na+nb))).
     val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.s") === col("b.s") && col(s"a.$idCol") < col(s"b.$idCol"))
+        col("a.s") === col("b.s") && col(s"a.$idCol") < col(s"b.$idCol") &&
+          col("b.n") >= col("a.n") * t && col("a.n") >= col("b.n") * t &&
+          (lit(1L) + least(col("a.n") - col("a.rn"), col("b.n") - col("b.rn"))) >=
+            ceil(lit(t / (1 + t)) * (col("a.n") + col("b.n"))))
       .select(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"))
       .distinct()
     cand
       .join(docSh.select(col(idCol).as("d1"), col("sh").as("sha"), col("n").as("na")), "d1")
       .join(docSh.select(col(idCol).as("d2"), col("sh").as("shb"), col("n").as("nb")), "d2")
-      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .withColumn("inter",
+        call_function("graft_sorted_intersect_count", col("sha"), col("shb")))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= minJaccard)

@@ -42,25 +42,30 @@ object Similarity {
   }
 
   /** Random-hyperplane LSH bucket id (one `planes`-bit integer per row).
-    * dot(v, r_j) where r_jd = ±1 from md5 parity; bit j = sign. Linear in
-    * rows × dims × planes, all key-grouped aggregation. */
+    * dot(v, r_j) where r_jd = ±1 from md5(j,"_",d) parity; bit j = sign.
+    *
+    * The sign matrix is a deterministic function of (plane, dim), so it
+    * is computed ONCE on the driver and unrolled into literals: the whole
+    * bucket assignment becomes a single map-side projection — zero
+    * shuffles, zero row blowup (the naive form multiplies rows by
+    * planes × dims). Same hash family, same buckets. */
   def lshBuckets(df0: DataFrame, idCol: String, vecCol: String,
                  planes: Int = 8): DataFrame = {
     val df = widen(df0)
-    val s = df.sparkSession
     val dims = df.select(size(col(vecCol))).first().getInt(0)
-    df.select(col(idCol), col(vecCol))
-      .crossJoin(s.range(planes).toDF("p"))
-      .crossJoin(s.range(dims).toDF("d"))
-      .withColumn("comp",
-        when(expr(md5BitSql("md5(concat(cast(p AS string), '_', cast(d AS string)))", "0") + " = 1"),
-          element_at(col(vecCol), col("d").cast("int") + 1).cast("double"))
-          .otherwise(-element_at(col(vecCol), col("d").cast("int") + 1).cast("double")))
-      .groupBy(col(idCol), col("p"))
-      .agg(sum(col("comp")).as("dotp"))
-      .groupBy(col(idCol))
-      .agg(sum(when(col("dotp") > 0, pow(lit(2), col("p")).cast("long"))
-        .otherwise(0L)).as("bucket"))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(p: Int, d: Int): Double = {
+      val h = md.digest(s"${p}_$d".getBytes("UTF-8"))
+      // first hex digit = high nibble of byte 0; parity of that digit
+      if ((((h(0) >> 4) & 0xf) % 2) == 1) 1.0 else -1.0
+    }
+    val bucket = (0 until planes).map { p =>
+      val dot = (1 to dims).map { d1 =>
+        element_at(col(vecCol), d1).cast("double") * lit(sign(p, d1 - 1))
+      }.reduce(_ + _)
+      when(dot > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    df.select(col(idCol), bucket.as("bucket"))
   }
 
   /** LSH-bucketed ANN: candidates share a bucket with the query, reranked

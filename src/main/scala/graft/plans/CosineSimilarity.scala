@@ -94,18 +94,26 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * call it before using `graft_cosine`). */
 object GraftFunctions {
   val cosineInfo = new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine")
+  val intersectInfo = new ExpressionInfo(
+    classOf[SortedIntersectCount].getName, "graft_sorted_intersect_count")
+
+  private val builders: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_cosine"), cosineInfo,
+      (c: Seq[Expression]) => CosineSimilarity(c.head, c(1))),
+    (FunctionIdentifier("graft_sorted_intersect_count"), intersectInfo,
+      (c: Seq[Expression]) => SortedIntersectCount(c.head, c(1))))
 
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_cosine"), cosineInfo,
-      (children: Seq[Expression]) => CosineSimilarity(children.head, children(1)))
+    builders.foreach { case (id, info, b) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, b)
+    }
+
+  private[plans] def all = builders
 }
 
 /** `SparkSessionExtensions` hook: inject the native functions at session
   * build time (`--conf spark.sql.extensions=graft.plans.GraftExtensions`). */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
-    ext.injectFunction((FunctionIdentifier("graft_cosine"),
-      GraftFunctions.cosineInfo,
-      (children: Seq[Expression]) => CosineSimilarity(children.head, children(1))))
+    GraftFunctions.all.foreach(ext.injectFunction)
 }
