@@ -58,6 +58,14 @@ object ParityQueries {
         .orderBy("id")
     }),
 
+    // Streaming transform in batch mode: the SAME EventStream
+    // .windowedCounts code serves live streams (readStream + watermark)
+    // and backfills — this entry pins the batch-parity semantics against
+    // the oracle (1-day tumbling window = date_trunc).
+    "st_events_window" -> ((s, dir) =>
+      graft.streaming.EventStream.windowedCounts(t(s, dir, "events"))
+        .orderBy("window_start", "event_type")),
+
     // ROLLUP over the pass-through SQL surface (delegated in the
     // reference, native Catalyst here).
     "q_rollup" -> ((s, dir) =>
@@ -109,6 +117,12 @@ object ParityQueries {
            |  (DATE '1970-01-01' + ($vDt)::INT) AS dt
            |FROM range(1000) t(id) ORDER BY id""".stripMargin
       },
+
+      "st_events_window" ->
+        """SELECT date_trunc('day', ts) AS window_start, event_type,
+          |  count(*) AS n,
+          |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+          |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
 
       "q_rollup" ->
         """SELECT l_returnflag, l_linestatus, count(*) AS n,

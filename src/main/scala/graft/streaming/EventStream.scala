@@ -31,8 +31,11 @@ object EventStream {
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowLen), col("event_type"))
+      // decimal accumulation → order-independent exact sum (same value on
+      // any partitioning, any engine — required for the batch-parity
+      // oracle and for deterministic stream/backfill agreement)
       .agg(count(lit(1)).as("n"),
-        sum(col("value")).as("total_value"))
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 

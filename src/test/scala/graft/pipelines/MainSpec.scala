@@ -1,0 +1,30 @@
+package graft.pipelines
+
+import java.nio.file.{Files, Paths}
+import graft.SparkSpec
+
+class MainSpec extends SparkSpec {
+
+  test("arg parsing: --key=value and bare flags") {
+    val (t, o) = Main.parseArgs(Array("query-to-text",
+      "--query=SELECT 1", "--withoutSharding", "--output=/tmp/x"))
+    assert(t === "query-to-text")
+    assert(o === Map("query" -> "SELECT 1", "withoutSharding" -> "true",
+      "output" -> "/tmp/x"))
+  }
+
+  test("query-to-text end-to-end through the CLI surface") {
+    val dir = tmpDir("cli")
+    Main.run(spark, "query-to-text", Map(
+      "tablesDir" -> "/root/testdata/sf0.001",
+      "query" -> "SELECT r_regionkey, r_name FROM region",
+      "output" -> s"$dir/r", "format" -> "csv", "withoutSharding" -> "true",
+      "outputNotify" -> s"$dir/n.txt"))
+    assert(Files.exists(Paths.get(s"$dir/r.csv")))
+    assert(Files.readAllLines(Paths.get(s"$dir/r.csv")).size === 5)
+  }
+
+  test("unknown template rejected") {
+    intercept[IllegalArgumentException](Main.run(spark, "nope", Map.empty))
+  }
+}
