@@ -39,6 +39,32 @@ object TableCatalog {
   def register(spark: SparkSession, dir: String, tables: Seq[String] = testTables): Unit =
     tables.foreach { t => load(spark, dir, t).createOrReplaceTempView(t) }
 
+  /** Register a table as a BUCKETED managed table on `bucketKeys`:
+    * repeated joins/aggregations on those keys then read pre-shuffled
+    * data — no Exchange in the plan. This is the co-located-join tier for
+    * hot fact tables (the 100 TB answer to "the same join key shuffles
+    * every query"); bucket counts should match downstream
+    * `spark.sql.shuffle.partitions`. Idempotent per (name, dir). */
+  def registerBucketed(spark: SparkSession, dir: String, table: String,
+                       bucketKeys: Seq[String], buckets: Int = 32,
+                       as: Option[String] = None): String = {
+    val name = as.getOrElse(s"${table}_bucketed")
+    if (!spark.catalog.tableExists(name)) {
+      // a managed table's location must not pre-exist; clear leftovers
+      // from a previous session (in-memory catalog, persistent warehouse)
+      val wh = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), name)
+      org.apache.hadoop.fs.FileSystem.get(wh.toUri,
+        spark.sparkContext.hadoopConfiguration).delete(wh, true)
+      load(spark, dir, table).write
+        .bucketBy(buckets, bucketKeys.head, bucketKeys.tail: _*)
+        .sortBy(bucketKeys.head, bucketKeys.tail: _*)
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .saveAsTable(name)
+    }
+    name
+  }
+
   /** INFORMATION_SCHEMA.COLUMNS-equivalent over the given tables: one row
     * per column with (table_name, column_name, ordinal_position,
     * spanner_type, is_nullable, is_primary_key). Primary keys follow the

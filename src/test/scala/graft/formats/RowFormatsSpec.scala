@@ -59,6 +59,48 @@ class RowFormatsSpec extends SparkSpec {
     assert(got === Array(""""a,b ""q"" c",1""", ",2"))
   }
 
+  test("JSON full nested golden (StructAndJsonConverterTest.java:25)") {
+    val simple = StructType(Seq(
+      StructField("cbf", BooleanType), StructField("cif", LongType),
+      StructField("cff", DoubleType), StructField("cdf", DateType),
+      StructField("ctf", TimestampType), StructField("csf", StringType),
+      StructField("cnf", BinaryType)))
+    val schema = StructType(Seq(
+      StructField("bf", BooleanType), StructField("if", LongType),
+      StructField("ff", DoubleType), StructField("sf", StringType),
+      StructField("df", DateType), StructField("tf", TimestampType),
+      StructField("nf", StringType), StructField("lnf", LongType),
+      StructField("dnf", DateType), StructField("tnf", TimestampType),
+      StructField("rf", simple),
+      StructField("arf", ArrayType(simple)),
+      StructField("asf", ArrayType(StringType)),
+      StructField("aif", ArrayType(LongType)),
+      StructField("adf", ArrayType(DateType)),
+      StructField("anf", ArrayType(LongType)),
+      StructField("amf", ArrayType(LongType)),
+      StructField("atf", ArrayType(TimestampType))))
+    val bytes = Base64.getDecoder.decode("AAAAAAAAAAAAAAAABfXhAA==")
+    val simpleRow = Row(true, 12L, 0.005, java.sql.Date.valueOf("2018-09-01"),
+      ts("2018-09-01T03:00:00Z"), "This is a pen", bytes)
+    val row = Row(false, -12L, 110.005, "I am a pen",
+      java.sql.Date.valueOf("2018-10-01"), ts("2018-10-01T03:00:00Z"),
+      null, null, null, null, simpleRow, Seq(simpleRow), Seq("a", "b", "c"),
+      Seq(1L, 2L, 3L),
+      Seq(java.sql.Date.valueOf("2018-09-01"), java.sql.Date.valueOf("2018-10-01")),
+      null, Seq(1L, 2L, 3L),
+      Seq(ts("2018-09-01T03:00:00Z"), ts("2018-10-01T03:00:00Z")))
+    val df = spark.createDataFrame(java.util.List.of(row), schema)
+    val got = df.select(RowFormats.jsonLine(df).as("j")).head.getString(0)
+    val simpleJson = """{"cbf":true,"cif":12,"cff":0.005,"cdf":"2018-09-01",""" +
+      """"ctf":"2018-09-01T03:00:00Z","csf":"This is a pen","cnf":"AAAAAAAAAAAAAAAABfXhAA=="}"""
+    assert(got ===
+      s"""{"bf":false,"if":-12,"ff":110.005,"sf":"I am a pen","df":"2018-10-01",""" +
+      s""""tf":"2018-10-01T03:00:00Z","nf":null,"lnf":null,"dnf":null,"tnf":null,""" +
+      s""""rf":$simpleJson,"arf":[$simpleJson],"asf":["a","b","c"],"aif":[1,2,3],""" +
+      s""""adf":["2018-09-01","2018-10-01"],"anf":null,"amf":[1,2,3],""" +
+      s""""atf":["2018-09-01T03:00:00Z","2018-10-01T03:00:00Z"]}""")
+  }
+
   test("JSON nested struct + array with null element") {
     val inner = StructType(Seq(StructField("x", LongType)))
     val schema = StructType(Seq(

@@ -39,6 +39,27 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file stream over the events table matches the batch backfill") {
+    import spark.implicits._
+    val src = graft.catalog.TableCatalog.load(spark, "/root/testdata/sf0.001", "events")
+    val dir = tmpDir("evstream")
+    src.limit(500).coalesce(1).write.parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/in")
+    val q = EventStream.windowedCounts(stream)
+      .writeStream.format("memory").queryName("evfile")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("evfile")
+        .select("window_start", "event_type", "n", "total_value")
+      val batch = EventStream.windowedCounts(spark.read.parquet(s"$dir/in"))
+        .select("window_start", "event_type", "n", "total_value")
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+      assert(batch.count() > 0)
+    } finally q.stop()
+  }
+
   test("sessionize: flatMapGroupsWithState accumulates per user") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
