@@ -42,23 +42,26 @@ object Dedup {
   /** Per-document MinHash signature, exploded as (id, hash_idx, sig) rows.
     * `numHashes` independent hash functions h_i(s) = md5(i || '|' || s),
     * each minimized lexicographically over the distinct k-shingle set.
-    * Long format (not an array column) so the banding/estimation joins
-    * stay key-based. */
+    *
+    * Shape: the hash index is unrolled into `numHashes` parallel `min`
+    * aggregate columns over the (doc, shingle) rows — ONE shuffle of the
+    * shingle rows instead of a numHashes× cross-join blowup — then
+    * `stack`ed back to long (id, h, sig) format for the key-based
+    * banding/estimation joins. */
   def minhashSignatures(df0: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 16, k: Int = 3): DataFrame = {
     val df = widen(df0)
     val toks = tokens(col(textCol))
-    df.select(col(idCol), toks.as("toks"))
+    val sh = df.select(col(idCol), toks.as("toks"))
       .filter(size(col("toks")) >= k)
       .select(col(idCol), explode(shingles(col("toks"), k)).as("s"))
-      .crossJoin(spark_range_df(df, numHashes))
-      .groupBy(col(idCol), col("h"))
-      .agg(min(minhashComponent(col("h"), col("s"))).as("sig"))
+    val sigCols = (0 until numHashes).map { h =>
+      min(minhashComponent(lit(h.toLong), col("s"))).as(s"m$h")
+    }
+    val wide = sh.groupBy(col(idCol)).agg(sigCols.head, sigCols.tail: _*)
+    val stackExpr = (0 until numHashes).map(h => s"${h}L, m$h").mkString(", ")
+    wide.selectExpr(idCol, s"stack($numHashes, $stackExpr) AS (h, sig)")
   }
-
-  // Tiny literal table of hash indices 0..n-1 — broadcast by Catalyst.
-  private def spark_range_df(df: DataFrame, n: Int): DataFrame =
-    df.sparkSession.range(n).toDF("h")
 
   /** MinHash + LSH near-duplicate pairs. Signatures are banded
     * (`bands` bands of `numHashes/bands` rows, band hash = md5 of the
