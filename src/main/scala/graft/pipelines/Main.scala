@@ -23,7 +23,9 @@ import graft.catalog.TableCatalog
   *   query-to-tfrecord:  --query --output [--splitField] [--outputNotify]
   *   avro-to-upsert:     --input --outputTable --keyFields [--mutationOp]
   *   avro-to-documents:  --input --output --kind --keyField
+  *   dummy-to-upsert:    --config=<yaml> --outputDir [--tablesDir] [--parallelNum] [--seed]
   * }}}
+  * Full reference-parameter → graft mapping: docs/PARAMETERS.md.
   */
 object Main {
 
@@ -78,6 +80,22 @@ object Main {
       case "avro-to-documents" =>
         Templates.avroToDocuments(spark, Templates.AvroToDocumentsConfig(
           req("input"), req("output"), req("kind"), req("keyField")))
+      case "dummy-to-upsert" =>
+        // schemas come from the target catalog, like the reference's
+        // INFORMATION_SCHEMA read (DummyToMutation.java:103-161): managed
+        // tables first, then the registered tablesDir parquet
+        val yaml = java.nio.file.Files.readString(java.nio.file.Paths.get(req("config")))
+        val tcs = graft.generate.DummyGen.parseYaml(yaml)
+        val schemas = tcs.map { tc =>
+          val schema =
+            if (spark.catalog.tableExists(tc.table)) spark.table(tc.table).schema
+            else TableCatalog.load(spark, req("tablesDir"), tc.table).schema
+          tc.table -> schema
+        }.toMap
+        Templates.dummyToUpsert(spark, Templates.DummyToUpsertConfig(
+          yaml, req("outputDir"), schemas,
+          o.getOrElse("parallelNum", "1").toInt,
+          o.getOrElse("seed", "42").toLong))
       case other =>
         throw new IllegalArgumentException(s"unknown template: $other")
     }

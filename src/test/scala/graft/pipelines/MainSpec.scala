@@ -24,6 +24,24 @@ class MainSpec extends SparkSpec {
     assert(Files.readAllLines(Paths.get(s"$dir/r.csv")).size === 5)
   }
 
+  test("dummy-to-upsert through the CLI: schema from catalog parquet") {
+    val dir = tmpDir("cli_dummy")
+    val yaml = s"$dir/config.yaml"
+    Files.writeString(Paths.get(yaml),
+      """tables:
+        |  - table: region
+        |    count: 50
+        |    primaryKeys: [r_regionkey]
+        |""".stripMargin)
+    Main.run(spark, "dummy-to-upsert", Map(
+      "tablesDir" -> "/root/testdata/sf0.001",
+      "config" -> yaml, "outputDir" -> s"$dir/out", "parallelNum" -> "2"))
+    val out = spark.read.parquet(s"$dir/out/region")
+    assert(out.count() === 50)
+    assert(out.columns.toSet ===
+      spark.read.parquet("/root/testdata/sf0.001/region.parquet").columns.toSet)
+  }
+
   test("unknown template rejected") {
     intercept[IllegalArgumentException](Main.run(spark, "nope", Map.empty))
   }
