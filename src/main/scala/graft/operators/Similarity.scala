@@ -68,6 +68,47 @@ object Similarity {
     df.select(col(idCol), bucket.as("bucket"))
   }
 
+  /** IVF-style ANN: a deterministic coarse quantizer (every
+    * `centroidEvery`-th vector serves as a centroid — at real scale,
+    * k-means centroids slot in here) assigns each corpus vector to its
+    * nearest centroid; a query probes its `nprobe` nearest centroids and
+    * reranks only the vectors in those inverted lists by exact cosine.
+    *
+    * Scale shape: the centroid set is tiny and broadcast (assignment is a
+    * map-side pass over the corpus — no shuffle of the vectors); the
+    * probe join is an equi-join on centroid id, so the candidate volume
+    * is nprobe/K of the corpus per query instead of all of it. */
+  def ivfTopK(corpus0: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int = 5,
+              nprobe: Int = 2, centroidEvery: Int = 100): DataFrame = {
+    val spark = corpus0.sparkSession
+    val corpus = widen(corpus0)
+    val cent = broadcast(corpus
+      .filter(col(idCol) % centroidEvery === 1)
+      .select(col(idCol).as("cid"), col(vecCol).as("cv")))
+    def nearestCentroids(df: DataFrame, outId: String, outVec: String, n: Int): DataFrame = {
+      val w = Window.partitionBy(outId)
+        .orderBy(col("ccos").desc, col("cid").asc)
+      df.crossJoin(cent)
+        .withColumn("ccos", Vectors.cosineNative(spark, col(outVec), col("cv")))
+        .withColumn("crk", row_number().over(w))
+        .filter(col("crk") <= n)
+        .select(col(outId), col(outVec), col("cid"))
+    }
+    val assign = nearestCentroids(
+      corpus.select(col(idCol).as("nid"), col(vecCol).as("nv")), "nid", "nv", 1)
+    val probes = nearestCentroids(
+      queries.select(col(idCol).as("qid"), col(vecCol).as("qv")), "qid", "qv", nprobe)
+    val scored = probes.join(assign, probes("cid") === assign("cid") &&
+        col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        Vectors.cosineNative(spark, col("qv"), col("nv")).as("cos"))
+      .distinct() // a neighbor can surface via multiple probed centroids
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
   /** LSH-bucketed ANN: candidates share a bucket with the query, reranked
     * by exact cosine. Recall < 1 by construction; `planes` trades bucket
     * occupancy (shuffle width) against recall. */

@@ -65,6 +65,13 @@ object PipelineQueries {
         .orderBy("qid", "rk")
     }),
 
+    "a_ann_ivf_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") % 50 === 0),
+          "vec_id", "embedding", k = 5, nprobe = 2, centroidEvery = 100)
+        .orderBy("qid", "rk")
+    }),
+
     // --- text analysis ---
     "t_lang_id" -> ((s, dir) => {
       val d = docs(s, dir)
@@ -191,6 +198,29 @@ object PipelineQueries {
            |SELECT qid, nid, cos, CAST(rk AS BIGINT) AS rk FROM (
            |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk FROM sc)
            |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+
+      "a_ann_ivf_topk" -> {
+        def cos(a: String, b: String) =
+          s"round(list_dot_product($a::DOUBLE[], $b::DOUBLE[]) / " +
+            s"(sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) * " +
+            s"sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[]))), 6)"
+        s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 100 = 1),
+           |assign AS (SELECT nid, cid FROM (
+           |  SELECT nid, cid, row_number() OVER (PARTITION BY nid ORDER BY ccos DESC, cid) AS crk
+           |  FROM (SELECT e.vec_id AS nid, c.cid, ${cos("e.embedding", "c.cv")} AS ccos
+           |        FROM embeddings e CROSS JOIN cent c)) WHERE crk = 1),
+           |probes AS (SELECT qid, cid FROM (
+           |  SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY ccos DESC, cid) AS crk
+           |  FROM (SELECT q.vec_id AS qid, c.cid, ${cos("q.embedding", "c.cv")} AS ccos
+           |        FROM embeddings q CROSS JOIN cent c WHERE q.vec_id % 50 = 0)) WHERE crk <= 2),
+           |sc AS (SELECT DISTINCT p.qid, a.nid, ${cos("x.embedding", "y.embedding")} AS cos
+           |       FROM probes p JOIN assign a ON p.cid = a.cid AND a.nid <> p.qid
+           |       JOIN embeddings x ON x.vec_id = p.qid
+           |       JOIN embeddings y ON y.vec_id = a.nid)
+           |SELECT qid, nid, cos, CAST(rk AS BIGINT) AS rk FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk FROM sc)
+           |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
+      },
 
       "t_lang_id" ->
         s"""WITH sc AS (SELECT doc_id, lang,

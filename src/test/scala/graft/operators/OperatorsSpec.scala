@@ -66,6 +66,18 @@ class SimilaritySpec extends SparkSpec {
     assert(r.head === 1L) // closest direction
   }
 
+  test("ivfTopK: exact rerank within probed inverted lists") {
+    val q = vecs.filter(col("vec_id") === 0)
+    // centroidEvery=2 -> centroids {1, 3}; nprobe=2 probes both -> full recall here
+    val ivf = Similarity.ivfTopK(vecs, q, "vec_id", "embedding",
+        k = 3, nprobe = 2, centroidEvery = 2)
+      .select("nid", "cos").as[(Long, Double)].collect().toMap
+    val bf = Similarity.bruteForceTopK(vecs, q, "vec_id", "embedding", k = 3)
+      .select("nid", "cos").as[(Long, Double)].collect().toMap
+    ivf.foreach { case (nid, cos) => assert(bf(nid) === cos) }
+    assert(ivf.nonEmpty)
+  }
+
   test("lshTopK returns subset of brute-force candidates with exact rerank") {
     val q = vecs.filter(col("vec_id") === 0)
     val lsh = Similarity.lshTopK(vecs, q, "vec_id", "embedding", k = 3)
