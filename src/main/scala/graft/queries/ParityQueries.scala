@@ -66,6 +66,13 @@ object ParityQueries {
       graft.streaming.EventStream.windowedCounts(t(s, dir, "events"))
         .orderBy("window_start", "event_type")),
 
+    // Gap-based sessionization in batch mode (1-hour gap): lag + running
+    // sum over one user_id shuffle; deterministic since (user_id, ts) is
+    // unique.
+    "st_sessionize_batch" -> ((s, dir) =>
+      graft.streaming.EventStream.sessionizeBatch(t(s, dir, "events"))
+        .orderBy("user_id", "session_id")),
+
     // ROLLUP over the pass-through SQL surface (delegated in the
     // reference, native Catalyst here).
     "q_rollup" -> ((s, dir) =>
@@ -117,6 +124,21 @@ object ParityQueries {
            |  (DATE '1970-01-01' + ($vDt)::INT) AS dt
            |FROM range(1000) t(id) ORDER BY id""".stripMargin
       },
+
+      "st_sessionize_batch" ->
+        """WITH s AS (
+          |  SELECT user_id, ts, value,
+          |    CASE WHEN lag(ts) OVER w IS NULL
+          |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 3600000000
+          |         THEN 1 ELSE 0 END AS ns
+          |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+          |g AS (SELECT user_id, ts, value,
+          |  sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+          |  FROM s)
+          |SELECT user_id, sid::BIGINT AS session_id, count(*) AS n,
+          |  min(ts) AS session_start, max(ts) AS session_end,
+          |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+          |FROM g GROUP BY user_id, sid ORDER BY user_id, session_id""".stripMargin,
 
       "st_events_window" ->
         """SELECT date_trunc('day', ts) AS window_start, event_type,

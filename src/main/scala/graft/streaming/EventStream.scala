@@ -39,6 +39,30 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Batch (backfill) sessionization: gap-based sessions per user via
+    * lag + running sum — the standard windowed formulation, fully
+    * deterministic because (user_id, ts) is unique in the events schema.
+    * One shuffle on user_id; both window functions share it. The
+    * streaming counterpart is [[sessionize]] (stateful); this is the
+    * replay/backfill path over the same data. */
+  def sessionizeBatch(events: DataFrame, gapMicros: Long = 3600000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts")
+    val running = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapMicros, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess")).over(running))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
+  }
+
   final case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class Session(user_id: Long, n_events: Long, total: Double, open: Boolean)
 
