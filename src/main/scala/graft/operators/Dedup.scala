@@ -190,7 +190,12 @@ object Dedup {
     // position filter (a match at ranks (i,j) can contribute at most
     // 1 + min(na-i, nb-j) overlap, which must reach the required
     // α = ceil(t/(1+t) * (na+nb))).
-    val cand = prefix.as("a").join(prefix.as("b"),
+    // shuffle_hash hint: the prefix index is corpus-sized — broadcasting
+    // it (Catalyst's pick when stats squeeze under the threshold) builds
+    // a driver-side hash relation of the whole index, which is exactly
+    // the non-scalable plan; partition-by-shingle hash join is the shape
+    // that survives 100 TB.
+    val cand = prefix.as("a").hint("shuffle_hash").join(prefix.as("b"),
         col("a.s") === col("b.s") && col(s"a.$idCol") < col(s"b.$idCol") &&
           col("b.n") >= col("a.n") * t && col("a.n") >= col("b.n") * t &&
           (lit(1L) + least(col("a.n") - col("a.rn"), col("b.n") - col("b.rn"))) >=
