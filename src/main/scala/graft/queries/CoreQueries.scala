@@ -169,6 +169,34 @@ object CoreQueries {
         .orderBy("event_type", "day")
     }),
 
+    // CUBE over the pass-through surface (all grouping-set combos).
+    "q_cube" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
+    // Correlated scalar subquery — Catalyst decorrelates it into a join
+    // (the reference delegates this shape to Spanner/BigQuery).
+    "q_correlated_subquery" -> ((s, dir) => {
+      TableCatalog.register(s, dir)
+      SqlRunner.run(s,
+        """SELECT c_custkey FROM customer c
+          |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+          |                   WHERE c2.c_mktsegment = c.c_mktsegment)
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+
+    // JSON extraction from the events props column (engine-level JSON
+    // path support).
+    "q_json_extract" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")),
+
     // P15: key-by-split-field (null → "") — the dynamic-sink key rule.
     "p15_split_key" -> ((s, dir) => {
       import graft.functions.Formats
@@ -251,6 +279,21 @@ object CoreQueries {
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM events GROUP BY event_type, CAST(ts AS DATE)
         |ORDER BY event_type, day""".stripMargin,
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_correlated_subquery" ->
+      """SELECT c_custkey FROM customer c
+        |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+        |                   WHERE c2.c_mktsegment = c.c_mktsegment)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_json_extract" ->
+      """SELECT event_type,
+        |  CAST(sum(json_extract_string(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "p15_split_key" ->
       """SELECT coalesce(CAST(o_orderstatus AS VARCHAR), '') AS __split, count(*) AS n
         |FROM orders GROUP BY 1 ORDER BY __split""".stripMargin,
