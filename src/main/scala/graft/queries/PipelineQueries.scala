@@ -72,6 +72,18 @@ object PipelineQueries {
         .orderBy("qid", "rk")
     }),
 
+    // --- as-of join (operator Spark lacks; composed per SURVEY §7.4(a)) ---
+    "q_asof_join" -> ((s, dir) => {
+      val ev = TableCatalog.load(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+      graft.operators.AsofJoin.asofJoin(
+          purchases, clicks, Seq("user_id"), "ts", "ts",
+          rightValueCols = Seq("ts", "event_id"))
+        .orderBy("event_id")
+    }),
+
     // --- text analysis ---
     "t_lang_id" -> ((s, dir) => {
       val d = docs(s, dir)
@@ -221,6 +233,13 @@ object PipelineQueries {
            |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk FROM sc)
            |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
       },
+
+      "q_asof_join" ->
+        """SELECT l.event_id, l.user_id, l.ts, r.ts AS asof_ts, r.event_id AS asof_event_id
+          |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') l
+          |ASOF LEFT JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') r
+          |  ON l.user_id = r.user_id AND l.ts >= r.ts
+          |ORDER BY l.event_id""".stripMargin,
 
       "t_lang_id" ->
         s"""WITH sc AS (SELECT doc_id, lang,

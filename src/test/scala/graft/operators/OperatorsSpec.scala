@@ -49,6 +49,29 @@ class DedupSpec extends SparkSpec {
   }
 }
 
+class AsofJoinSpec extends SparkSpec {
+  import spark.implicits._
+  private def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+
+  test("latest right row at-or-before each left row, per key") {
+    val trades = Seq(
+      (1L, 10L, ts("2026-01-01T00:00:10Z")),
+      (2L, 10L, ts("2026-01-01T00:00:20Z")),
+      (3L, 20L, ts("2026-01-01T00:00:05Z"))
+    ).toDF("trade_id", "k", "ts")
+    val quotes = Seq(
+      (100L, 10L, ts("2026-01-01T00:00:10Z")), // == trade 1 ts -> matches (<=)
+      (101L, 10L, ts("2026-01-01T00:00:15Z")),
+      (102L, 20L, ts("2026-01-01T00:00:09Z"))  // after trade 3 -> no match
+    ).toDF("quote_id", "k", "ts")
+    val r = AsofJoin.asofJoin(trades, quotes, Seq("k"), "ts", "ts",
+        Seq("quote_id"))
+      .select("trade_id", "asof_quote_id")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(r === Map(1L -> Some(100L), 2L -> Some(101L), 3L -> None))
+  }
+}
+
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
 
