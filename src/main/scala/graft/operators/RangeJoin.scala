@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Range (point-in-interval) join with bin blocking. Spark plans a bare
+  * inequality join as BroadcastNestedLoopJoin — O(|points|·|intervals|)
+  * and a driver-sized broadcast, which dies at scale. The standard fix
+  * (SURVEY §7.4 tier (a): compose built-ins) is to discretize time into
+  * fixed bins: each point hashes to one bin, each interval explodes to
+  * the bins it overlaps, the join becomes an EQUI-join on the bin id, and
+  * the exact `between` predicate filters within the bin.
+  *
+  * Cost: |points| + Σ interval_span/bin rows through one hash shuffle —
+  * linear as long as `binMicros` is on the order of typical interval
+  * length (too small → interval explosion; too large → bin collisions).
+  */
+object RangeJoin {
+
+  /** @param extraCond additional join predicate (e.g. key equality)
+    * @return matched (point × interval) rows, point columns first */
+  def rangeJoin(points: DataFrame, intervals: DataFrame,
+                pointTs: String, startTs: String, endTs: String,
+                binMicros: Long = 86400000000L, // 1 day
+                extraCond: Option[Column] = None): DataFrame = {
+    val p = points.withColumn("__bin", (unix_micros(col(pointTs)) / binMicros).cast("long"))
+    val i = intervals
+      .withColumn("__bin", explode(sequence(
+        (unix_micros(col(startTs)) / binMicros).cast("long"),
+        (unix_micros(col(endTs)) / binMicros).cast("long"))))
+    val cond = p("__bin") === i("__bin") &&
+      p(pointTs) >= i(startTs) && p(pointTs) <= i(endTs) &&
+      extraCond.getOrElse(lit(true))
+    p.join(i, cond)
+      .drop("__bin")
+  }
+}

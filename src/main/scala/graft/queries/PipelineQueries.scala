@@ -84,6 +84,20 @@ object PipelineQueries {
         .orderBy("event_id")
     }),
 
+    // --- range join (bin-blocked point-in-interval; SURVEY §7.4(a)) ---
+    "q_range_join" -> ((s, dir) => {
+      val ev = TableCatalog.load(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id").as("p_user"), col("ts"))
+      val sessions = graft.streaming.EventStream.sessionizeBatch(ev)
+        .select("user_id", "session_id", "session_start", "session_end")
+      graft.operators.RangeJoin.rangeJoin(
+          purchases, sessions, "ts", "session_start", "session_end",
+          extraCond = Some(col("p_user") === col("user_id")))
+        .select(col("event_id"), col("user_id"), col("session_id"))
+        .orderBy("event_id")
+    }),
+
     // --- text analysis ---
     "t_lang_id" -> ((s, dir) => {
       val d = docs(s, dir)
@@ -240,6 +254,25 @@ object PipelineQueries {
           |ASOF LEFT JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') r
           |  ON l.user_id = r.user_id AND l.ts >= r.ts
           |ORDER BY l.event_id""".stripMargin,
+
+      "q_range_join" ->
+        """WITH s0 AS (
+          |  SELECT user_id, ts, value,
+          |    CASE WHEN lag(ts) OVER w IS NULL
+          |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 3600000000
+          |         THEN 1 ELSE 0 END AS ns
+          |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+          |g AS (SELECT user_id, ts,
+          |  sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+          |  FROM s0),
+          |sessions AS (SELECT user_id, sid::BIGINT AS session_id,
+          |  min(ts) AS session_start, max(ts) AS session_end
+          |  FROM g GROUP BY user_id, sid)
+          |SELECT p.event_id, s.user_id, s.session_id
+          |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+          |JOIN sessions s ON p.user_id = s.user_id
+          |  AND p.ts BETWEEN s.session_start AND s.session_end
+          |ORDER BY p.event_id""".stripMargin,
 
       "t_lang_id" ->
         s"""WITH sc AS (SELECT doc_id, lang,

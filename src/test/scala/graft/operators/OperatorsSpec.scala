@@ -72,6 +72,26 @@ class AsofJoinSpec extends SparkSpec {
   }
 }
 
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+  private def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+
+  test("bin-blocked point-in-interval join, intervals spanning bins") {
+    val points = Seq(
+      (1L, ts("2026-01-01T12:00:00Z")),
+      (2L, ts("2026-01-03T00:00:01Z")),
+      (3L, ts("2026-01-09T00:00:00Z"))
+    ).toDF("pid", "ts")
+    val intervals = Seq(
+      (10L, ts("2026-01-01T00:00:00Z"), ts("2026-01-04T00:00:00Z")), // 4-day span
+      (20L, ts("2026-01-02T18:00:00Z"), ts("2026-01-03T06:00:00Z"))
+    ).toDF("iid", "s", "e")
+    val r = RangeJoin.rangeJoin(points, intervals, "ts", "s", "e")
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(r === Set((1L, 10L), (2L, 10L), (2L, 20L))) // point 3 unmatched
+  }
+}
+
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
 
