@@ -1,0 +1,29 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for joins: salt the large (skewed) side with a
+  * deterministic `pmod(xxhash64(row), factor)` and replicate the small
+  * side once per salt value, turning one hot join key into `factor`
+  * evenly-sized keys. AQE's runtime skew-join splitting handles most
+  * cases; explicit salting is the knob for the pathological ones (one
+  * key = 30% of 100 TB) where even a split partition exceeds executor
+  * memory, and for deterministic pre-planned layouts.
+  *
+  * Results are identical to the plain join: every (large, small) match
+  * lands in exactly one salt bucket.
+  */
+object Skew {
+
+  def saltedJoin(large: DataFrame, small: DataFrame, keys: Seq[String],
+                 factor: Int = 8, joinType: String = "inner"): DataFrame = {
+    require(factor > 0, "salt factor must be positive")
+    val saltCols = large.columns.map(col)
+    val l = large.withColumn("__salt",
+      pmod(xxhash64(saltCols.toIndexedSeq: _*), lit(factor)).cast("int"))
+    val s = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(factor - 1))))
+    l.join(s, keys :+ "__salt", joinType).drop("__salt")
+  }
+}

@@ -197,6 +197,28 @@ object CoreQueries {
           count(lit(1)).as("n"))
         .orderBy("event_type")),
 
+    // Exact interpolated percentiles (aggregation-surface coverage;
+    // Spark percentile == DuckDB quantile_cont bit-for-bit).
+    "q_percentile" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(expr("percentile(o_totalprice, 0.5)").as("p50"),
+          expr("percentile(o_totalprice, 0.9)").as("p90"))
+        .orderBy("o_orderpriority")),
+
+    // Skew-salted join — result must equal the plain join (salting is a
+    // physical rewrite, not a semantic one).
+    "q_salted_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey", "l_quantity")
+      val sup = t(s, dir, "supplier")
+        .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+      graft.operators.Skew.saltedJoin(li, sup, keys = Seq("l_suppkey"), factor = 4)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"))
+        .orderBy("s_nationkey")
+    }),
+
     // P15: key-by-split-field (null → "") — the dynamic-sink key rule.
     "p15_split_key" -> ((s, dir) => {
       import graft.functions.Formats
@@ -294,6 +316,15 @@ object CoreQueries {
         |  CAST(sum(json_extract_string(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
         |  count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_percentile" ->
+      """SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS p50,
+        |  quantile_cont(o_totalprice, 0.9) AS p90
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_salted_join" ->
+      """SELECT s_nationkey, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "p15_split_key" ->
       """SELECT coalesce(CAST(o_orderstatus AS VARCHAR), '') AS __split, count(*) AS n
         |FROM orders GROUP BY 1 ORDER BY __split""".stripMargin,
