@@ -98,6 +98,14 @@ object PipelineQueries {
         .orderBy("event_id")
     }),
 
+    // --- deterministic stratified sampling (curation downsampling) ---
+    "t_stratified_sample" -> ((s, dir) =>
+      graft.operators.Sampling.stratifiedHashSample(
+          docs(s, dir), "doc_id", "lang",
+          rates = Map("en" -> 0.5, "zh" -> 0.8))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
+
     // --- text analysis ---
     "t_lang_id" -> ((s, dir) => {
       val d = docs(s, dir)
@@ -273,6 +281,16 @@ object PipelineQueries {
           |JOIN sessions s ON p.user_id = s.user_id
           |  AND p.ts BETWEEN s.session_start AND s.session_end
           |ORDER BY p.event_id""".stripMargin,
+
+      "t_stratified_sample" -> {
+        // u = first 6 md5 hex digits / 16^6; DuckDB hex->int via digit fold
+        val u = "(SELECT sum((strpos('0123456789abcdef', substring(h, i, 1)) - 1) * (16 ** (6 - i))) " +
+          "FROM range(1, 7) t(i))::DOUBLE / 16777216.0"
+        s"""SELECT doc_id, lang FROM (
+           |  SELECT doc_id, lang, md5(doc_id::VARCHAR) AS h FROM documents)
+           |WHERE $u < (CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.8 ELSE 1.0 END)
+           |ORDER BY doc_id""".stripMargin
+      },
 
       "t_lang_id" ->
         s"""WITH sc AS (SELECT doc_id, lang,
