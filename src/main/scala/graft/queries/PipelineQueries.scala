@@ -106,6 +106,34 @@ object PipelineQueries {
         .select("doc_id", "lang")
         .orderBy("doc_id")),
 
+    // --- context-length packing (token-budget binning per lang) ---
+    "t_pack" -> ((s, dir) =>
+      graft.operators.Packing.packByTokenBudget(
+          docs(s, dir), "doc_id", "text", "lang", budget = 512)
+        .select("doc_id", "lang", "n_tokens", "bin")
+        .orderBy("doc_id")),
+
+    // --- end-to-end curation pipeline: quality filter → exact dedup →
+    //     minhash near-dup removal (keep lowest doc_id) → stratified
+    //     sample → per-lang corpus stats ---
+    "d_curation_pipeline" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val quality = TextAnalysis.qualityScore(d, "doc_id", "text")
+        .filter(col("keep")).select("doc_id")
+      val kept = d.join(quality, "doc_id")
+      val exactKeep = Dedup.exactDedup(kept, "doc_id", "text").select("doc_id")
+      val afterExact = kept.join(exactKeep, "doc_id")
+      val nearDupLosers = Dedup.minhashLsh(afterExact, "doc_id", "text")
+        .select(col("d2").as("doc_id")).distinct() // keep the lower id of each pair
+      val afterNear = afterExact.join(nearDupLosers, Seq("doc_id"), "left_anti")
+      val sampled = graft.operators.Sampling.stratifiedHashSample(
+        afterNear, "doc_id", "lang", rates = Map("en" -> 0.5))
+      sampled.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy("lang")
+    }),
+
     // --- text analysis ---
     "t_lang_id" -> ((s, dir) => {
       val d = docs(s, dir)
@@ -290,6 +318,49 @@ object PipelineQueries {
            |  SELECT doc_id, lang, md5(doc_id::VARCHAR) AS h FROM documents)
            |WHERE $u < (CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.8 ELSE 1.0 END)
            |ORDER BY doc_id""".stripMargin
+      },
+
+      "t_pack" ->
+        s"""WITH t AS (SELECT doc_id, lang,
+           |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))::BIGINT AS n_tokens
+           |  FROM documents),
+           |c AS (SELECT doc_id, lang, n_tokens,
+           |  sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+           |  FROM t)
+           |SELECT doc_id, lang, n_tokens, ((cum - n_tokens) // 512)::BIGINT AS bin
+           |FROM c ORDER BY doc_id""".stripMargin,
+
+      "d_curation_pipeline" -> {
+        val u6 = "(SELECT sum((strpos('0123456789abcdef', substring(md5(doc_id::VARCHAR), i, 1)) - 1) * (16 ** (6 - i))) " +
+          "FROM range(1, 7) t(i))::DOUBLE / 16777216.0"
+        s"""WITH m AS (SELECT doc_id,
+           |    len($toks)::BIGINT AS n_tokens,
+           |    coalesce(list_sum(list_transform($toks, x -> length(x))), 0)::BIGINT AS n_token_chars,
+           |    len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]'))::BIGINT AS n_punct,
+           |    length(text)::BIGINT AS len_chars
+           |  FROM documents),
+           |q AS (SELECT d.* FROM documents d JOIN m USING (doc_id)
+           |  WHERE m.n_tokens >= 10
+           |    AND (CASE WHEN m.n_tokens > 0 THEN round(m.n_token_chars::DOUBLE / m.n_tokens, 6) ELSE 0.0 END) BETWEEN 2 AND 12
+           |    AND (CASE WHEN m.len_chars > 0 THEN round(m.n_punct::DOUBLE / m.len_chars, 6) ELSE 0.0 END) <= 0.2),
+           |e AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+           |ae AS (SELECT q.* FROM q JOIN e USING (doc_id)),
+           |sh AS (SELECT doc_id, unnest($sh3) AS s
+           |       FROM (SELECT doc_id, $toks AS t FROM ae) WHERE len(t) >= 3),
+           |sig AS (SELECT doc_id, h, min(md5(h::VARCHAR || '|' || s)) AS mh
+           |        FROM sh CROSS JOIN (SELECT unnest(range(16)) AS h) GROUP BY doc_id, h),
+           |band AS (SELECT doc_id, h // 4 AS band, md5(string_agg(mh, ',' ORDER BY h)) AS bh
+           |         FROM sig GROUP BY doc_id, h // 4),
+           |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+           |         FROM band a JOIN band b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+           |est AS (SELECT d1, d2 FROM cand JOIN sig x ON x.doc_id = d1
+           |        JOIN sig y ON y.doc_id = d2 AND y.h = x.h
+           |        GROUP BY d1, d2 HAVING count(*) FILTER (x.mh = y.mh)::DOUBLE / 16 >= 0.5),
+           |an AS (SELECT * FROM ae WHERE doc_id NOT IN (SELECT DISTINCT d2 FROM est)),
+           |samp AS (SELECT * FROM an
+           |         WHERE $u6 < (CASE lang WHEN 'en' THEN 0.5 ELSE 1.0 END))
+           |SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+           |FROM samp GROUP BY lang ORDER BY lang""".stripMargin
       },
 
       "t_lang_id" ->
