@@ -63,33 +63,50 @@ object Dedup {
     wide.selectExpr(idCol, s"stack($numHashes, $stackExpr) AS (h, sig)")
   }
 
-  /** MinHash + LSH near-duplicate pairs. Signatures are banded
-    * (`bands` bands of `numHashes/bands` rows, band hash = md5 of the
-    * concatenated components); documents sharing any (band, hash) bucket
-    * are candidates; candidates are re-scored by exact signature agreement
-    * (estimated Jaccard = matching components / numHashes) and kept at
-    * `minEstJaccard`. The only joins are equi-joins on band buckets and on
-    * (id, hash_idx) — never a cross join. */
+  /** Per-document MinHash signature as ONE array column (component i at
+    * position i+1) — the layout banding and estimation consume without
+    * further shuffles. */
+  def minhashSignatureArray(df0: DataFrame, idCol: String, textCol: String,
+                            numHashes: Int = 16, k: Int = 3): DataFrame = {
+    val df = widen(df0)
+    val sh = df.select(col(idCol), tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col(idCol), explode(shingles(col("toks"), k)).as("s"))
+    val sigCols = (0 until numHashes).map { h =>
+      min(minhashComponent(lit(h.toLong), col("s"))).as(s"m$h")
+    }
+    sh.groupBy(col(idCol)).agg(sigCols.head, sigCols.tail: _*)
+      .select(col(idCol),
+        array((0 until numHashes).map(h => col(s"m$h")): _*).as("sig"))
+  }
+
+  /** MinHash + LSH near-duplicate pairs. Signature arrays are banded
+    * (`bands` bands of `numHashes/bands` components, band hash = md5 of
+    * the concatenated slice); documents sharing any (band, hash) bucket
+    * are candidates; candidates are re-scored by component agreement
+    * (estimated Jaccard = matching components / numHashes) computed as an
+    * array `zip_with` — banding and estimation add NO shuffles beyond the
+    * band-bucket equi-join itself. */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
                  numHashes: Int = 16, bands: Int = 4,
                  minEstJaccard: Double = 0.5, k: Int = 3): DataFrame = {
     val rows = numHashes / bands
-    val sig = minhashSignatures(df, idCol, textCol, numHashes, k).cache()
-    val band = sig
-      .groupBy(col(idCol), (col("h") / rows).cast("long").as("band"))
-      .agg(md5(concat_ws(",", sort_array(collect_list(struct(col("h"), col("sig"))))
-        .getField("sig"))).as("bh"))
+    val sig = minhashSignatureArray(df, idCol, textCol, numHashes, k).cache()
+    val band = sig.select(col(idCol), col("sig"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"),
+            md5(concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows)))).as("bh"))))
+          .as("bb"))
+      .select(col(idCol), col("sig"), col("bb.band").as("band"), col("bb.bh").as("bh"))
     val cand = band.as("a").join(band.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"))
-      .distinct()
-    cand
-      .join(sig.as("x"), col("x." + idCol) === col("d1"))
-      .join(sig.as("y"), col("y." + idCol) === col("d2") && col("y.h") === col("x.h"))
-      .groupBy(col("d1"), col("d2"))
-      .agg((sum(when(col("x.sig") === col("y.sig"), 1).otherwise(0)) /
-        lit(numHashes)).as("est_jaccard"))
+      .select(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"),
+        col("a.sig").as("sa"), col("b.sig").as("sb"))
+      .dropDuplicates("d1", "d2")
+    cand.select(col("d1"), col("d2"),
+        (size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y), b => b))
+          .cast("double") / numHashes).as("est_jaccard"))
       .filter(col("est_jaccard") >= minEstJaccard)
   }
 
