@@ -134,6 +134,19 @@ object PipelineQueries {
         .orderBy("lang")
     }),
 
+    // --- normalization + PII redaction (emails synthesized per doc —
+    //     the corpus is word-soup — so masking behavior is exercised) ---
+    "t_normalize_redact" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("with_pii",
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com or +1 555-123-4567")))
+        .select(col("doc_id"),
+          graft.operators.TextNormalize.normalize(col("text")).as("norm"),
+          graft.operators.TextNormalize.redactPhones(
+            graft.operators.TextNormalize.redactEmails(col("with_pii"))).as("redacted"))
+        .orderBy("doc_id")),
+
     // --- text analysis ---
     "t_lang_id" -> ((s, dir) => {
       val d = docs(s, dir)
@@ -362,6 +375,15 @@ object PipelineQueries {
            |SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
            |FROM samp GROUP BY lang ORDER BY lang""".stripMargin
       },
+
+      "t_normalize_redact" ->
+        """SELECT doc_id,
+          |  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm,
+          |  regexp_replace(regexp_replace(
+          |    text || ' contact user' || doc_id || '@example.com or +1 555-123-4567',
+          |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+          |    '\+?[0-9][0-9()\-\s]{5,}[0-9]', '[PHONE]', 'g') AS redacted
+          |FROM documents ORDER BY doc_id""".stripMargin,
 
       "t_lang_id" ->
         s"""WITH sc AS (SELECT doc_id, lang,
