@@ -219,6 +219,23 @@ object CoreQueries {
         .orderBy("s_nationkey")
     }),
 
+    // Window-function family: running aggregate, lag, first_value over
+    // one deterministic per-customer frame.
+    "q_window_running" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byCust = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val running = byCust.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .filter(col("o_custkey") <= 100)
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).over(running)
+            .cast("double").as("running_total"),
+          lag(col("o_orderkey"), 1).over(byCust).as("prev_order"),
+          first(col("o_orderkey")).over(running).as("first_order"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     // P15: key-by-split-field (null → "") — the dynamic-sink key rule.
     "p15_split_key" -> ((s, dir) => {
       import graft.functions.Formats
@@ -325,6 +342,15 @@ object CoreQueries {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_total,
+        |  lag(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_order,
+        |  first_value(o_orderkey) OVER w AS first_order
+        |FROM orders WHERE o_custkey <= 100
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS UNBOUNDED PRECEDING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "p15_split_key" ->
       """SELECT coalesce(CAST(o_orderstatus AS VARCHAR), '') AS __split, count(*) AS n
         |FROM orders GROUP BY 1 ORDER BY __split""".stripMargin,

@@ -122,7 +122,7 @@ object PipelineQueries {
         .filter(col("keep")).select("doc_id")
       val kept = d.join(quality, "doc_id")
       val exactKeep = Dedup.exactDedup(kept, "doc_id", "text").select("doc_id")
-      val afterExact = kept.join(exactKeep, "doc_id")
+      val afterExact = kept.join(exactKeep, "doc_id").cache() // reused: LSH input + anti-join base
       val nearDupLosers = Dedup.minhashLsh(afterExact, "doc_id", "text")
         .select(col("d2").as("doc_id")).distinct() // keep the lower id of each pair
       val afterNear = afterExact.join(nearDupLosers, Seq("doc_id"), "left_anti")
