@@ -236,6 +236,16 @@ object CoreQueries {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // Arbitrary GROUPING SETS through the SQL pass-through surface.
+    "q_grouping_sets" -> ((s, dir) => {
+      TableCatalog.register(s, dir)
+      SqlRunner.run(s,
+        """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n
+          |FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+    }),
+
     // P15: key-by-split-field (null → "") — the dynamic-sink key rule.
     "p15_split_key" -> ((s, dir) => {
       import graft.functions.Formats
@@ -351,6 +361,11 @@ object CoreQueries {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |             ROWS UNBOUNDED PRECEDING)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "p15_split_key" ->
       """SELECT coalesce(CAST(o_orderstatus AS VARCHAR), '') AS __split, count(*) AS n
         |FROM orders GROUP BY 1 ORDER BY __split""".stripMargin,

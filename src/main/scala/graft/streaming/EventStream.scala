@@ -63,6 +63,16 @@ object EventStream {
         sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
   }
 
+  /** Streaming exact dedup by id within the watermark horizon
+    * (`dropDuplicatesWithinWatermark`): state stores only ids younger
+    * than the watermark, so a forever-running ingest keeps bounded state
+    * — the streaming face of [[graft.operators.Dedup.exactDedup]] for
+    * at-least-once sources that re-deliver events. */
+  def dedupStream(events: DataFrame, idCol: String = "event_id",
+                  watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(idCol)
+
   final case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class Session(user_id: Long, n_events: Long, total: Double, open: Boolean)
 

@@ -60,6 +60,27 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream drops redelivered event ids within the watermark") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val df = mem.toDF.toDF("event_id", "ts", "payload")
+    val q = EventStream.dedupStream(df)
+      .writeStream.format("memory").queryName("dedup_ev")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, ts("2026-01-01T00:00:00Z"), "a"),
+        (1L, ts("2026-01-01T00:00:01Z"), "a-redelivered"),
+        (2L, ts("2026-01-01T00:00:02Z"), "b"))
+      q.processAllAvailable()
+      mem.addData((2L, ts("2026-01-01T00:10:00Z"), "b-redelivered"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_ev").select("event_id").as[Long].collect().sorted
+      assert(ids === Array(1L, 2L))
+    } finally q.stop()
+  }
+
   test("sessionize: flatMapGroupsWithState accumulates per user") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
