@@ -176,6 +176,31 @@ object Templates {
       "SELECT * FROM __avro_in", c.output, c.kind, c.keyField, c.excludeFromIndexFields))
   }
 
+  /** Incremental corpus update — the composition a training-data user
+    * runs on every ingest batch: curate the incoming documents (quality
+    * filter → exact dedup → minhash near-dup removal against the batch
+    * itself) and MERGE the survivors into the corpus table keyed on
+    * `idCol` (INSERT_OR_UPDATE, so re-ingests are idempotent). Cross-
+    * batch near-dups are handled by running the dedup operators over the
+    * corpus table on a cadence; within-batch curation keeps the merge
+    * cheap and incremental. */
+  final case class CorpusUpdateConfig(
+      corpusTable: String, idCol: String = "doc_id", textCol: String = "text")
+
+  def corpusUpdate(spark: SparkSession, batch: DataFrame,
+                   c: CorpusUpdateConfig): UpsertWriter.Result = {
+    import graft.operators.{Dedup, TextAnalysis}
+    val quality = TextAnalysis.qualityScore(batch, c.idCol, c.textCol)
+      .filter(col("keep")).select(c.idCol)
+    val kept = batch.join(quality, c.idCol)
+    val exactKeep = Dedup.exactDedup(kept, c.idCol, c.textCol).select(c.idCol)
+    val afterExact = kept.join(exactKeep, c.idCol).cache()
+    val losers = Dedup.minhashLsh(afterExact, c.idCol, c.textCol)
+      .select(col("d2").as(c.idCol)).distinct()
+    val curated = afterExact.join(losers, Seq(c.idCol), "left_anti")
+    UpsertWriter.write(curated, c.corpusTable, UpsertWriter.InsertOrUpdate, Seq(c.idCol))
+  }
+
   /** DummyToSpanner (`templates/DummyToSpanner.java:61-84`): generator →
     * mutations. Schemas come from the catalog facade
     * ([[TableCatalog.informationSchemaColumns]] plays INFORMATION_SCHEMA). */

@@ -115,6 +115,22 @@ class TemplatesSpec extends SparkSpec {
     assert(docs.count() === 25)
   }
 
+  test("incremental corpus update: curate batch then merge, idempotent") {
+    val dir = tmpDir("t_corpus")
+    val docs = TableCatalog.load(spark, sf, "documents")
+    val conf = Templates.CorpusUpdateConfig(s"$dir/corpus")
+    val r1 = Templates.corpusUpdate(spark, docs.filter(col("doc_id") < 300), conf)
+    assert(r1.written > 0 && r1.failed.isEmpty)
+    val sizeAfter1 = spark.read.parquet(s"$dir/corpus").count()
+    // second batch overlaps the first -> overlapping ids merge, not duplicate
+    val r2 = Templates.corpusUpdate(spark, docs.filter(col("doc_id") < 400), conf)
+    val sizeAfter2 = spark.read.parquet(s"$dir/corpus").count()
+    assert(sizeAfter2 > sizeAfter1)
+    // re-ingesting the same batch is a no-op on row count (idempotent)
+    Templates.corpusUpdate(spark, docs.filter(col("doc_id") < 400), conf)
+    assert(spark.read.parquet(s"$dir/corpus").count() === sizeAfter2)
+  }
+
   test("DummyToSpanner equivalent: generator -> upsert") {
     val dir = tmpDir("t_dummy")
     import org.apache.spark.sql.types._
