@@ -41,6 +41,20 @@ class DynamicFileSinkSpec extends SparkSpec {
     assert(res.files.map(_.split('/').last).sorted === Seq("out.json", "outK.json"))
   }
 
+  test("multi-shard destinations get indexed names, single-shard exact names") {
+    import spark.implicits._
+    val df = (1L to 100L).map(i => (if (i % 2 == 0) "E" else "O", i))
+      .toDF("k", "v").repartition(4)
+    val dir = tmpDir("dfs_shards")
+    val res = DynamicFileSink.write(df, DynamicFileSink.Config(
+      s"$dir/out", "json", splitField = Some("k")))
+    val names = res.files.map(_.split('/').last)
+    // 4 partitions × 2 keys -> several parts per key, indexed -NNNNN
+    assert(names.forall(n => n.matches("out[EO]-\\d{5}\\.json") || n.matches("out[EO]\\.json")))
+    val totalLines = res.files.map(f => lines(f).size).sum
+    assert(totalLines === 100)
+  }
+
   test("empty result + outputEmpty writes marker file with header") {
     import spark.implicits._
     val df = Seq((1L, "x")).toDF("a", "b").filter("a < 0")
