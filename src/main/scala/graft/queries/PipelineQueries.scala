@@ -30,6 +30,15 @@ object PipelineQueries {
       Dedup.exactDedup(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // exact dedup over the canonical form — case/whitespace variants
+    // collapse to one content hash (normalize ∘ exactDedup composition)
+    "d_exact_dedup_norm" -> ((s, dir) =>
+      Dedup.exactDedup(
+          docs(s, dir).withColumn("canon",
+            graft.operators.TextNormalize.normalize(col("text"))),
+          "doc_id", "canon")
+        .orderBy("doc_id")),
+
     "d_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLsh(docs(s, dir), "doc_id", "text")
         .orderBy("d1", "d2")),
@@ -187,6 +196,14 @@ object PipelineQueries {
       "d_exact_dedup" ->
         """SELECT min(doc_id) AS doc_id, md5(text) AS content_hash, count(*) AS n_copies
           |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
+
+      "d_exact_dedup_norm" ->
+        """SELECT min(doc_id) AS doc_id,
+          |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash,
+          |  count(*) AS n_copies
+          |FROM documents
+          |GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+          |ORDER BY doc_id""".stripMargin,
 
       "d_minhash_lsh" ->
         s"""WITH sh AS (
