@@ -30,13 +30,20 @@ object WarehouseSchema {
     case other => throw new IllegalArgumentException(s"unsupported type: $other")
   }
 
-  private def fieldJson(name: String, dt: DataType): String = {
+  /** STRING-backed warehouse types carried via the `sqlType` metadata tag
+    * (see [[graft.types.SchemaBridge]]): TIME, DATETIME, GEOGRAPHY render
+    * as their own warehouse type, not STRING
+    * (`RecordToTableRowConverter.java:259-262,271-274`,
+    * `AvroSchemaUtil.java:169-191`). */
+  private val taggedStringTypes = Set("TIME", "DATETIME", "GEOGRAPHY")
+
+  private def fieldJson(name: String, dt: DataType, metadata: Metadata = Metadata.empty): String = {
     val (mode, inner) = dt match {
       case ArrayType(e, _) => ("REPEATED", e)
       case other => ("NULLABLE", other)
     }
     val sub = inner match {
-      case st: StructType => s""","fields":[${st.fields.map(f => fieldJson(f.name, f.dataType)).mkString(",")}]"""
+      case st: StructType => s""","fields":[${st.fields.map(f => fieldJson(f.name, f.dataType, f.metadata)).mkString(",")}]"""
       case MapType(_, vt, _) =>
         s""","fields":[${fieldJson("key", StringType)},${fieldJson("value", vt)}]"""
       case _ => ""
@@ -46,7 +53,12 @@ object WarehouseSchema {
       case _: MapType => "REPEATED"
       case _ => mode
     }
-    s"""{"name":"$name","type":"${typeName(inner)}","mode":"$actualMode"$sub}"""
+    val tn =
+      if (inner == StringType && metadata.contains("sqlType") &&
+          taggedStringTypes.contains(metadata.getString("sqlType")))
+        metadata.getString("sqlType")
+      else typeName(inner)
+    s"""{"name":"$name","type":"$tn","mode":"$actualMode"$sub}"""
   }
 
   /** Schema JSON for `withSchemaFromView`-style consumers. */
@@ -54,6 +66,6 @@ object WarehouseSchema {
     require(!schema.fieldNames.contains("f"),
       "field name 'f' is reserved in the warehouse row format " +
         "(StructToTableRowConverter.java:43-45)")
-    s"""{"fields":[${schema.fields.map(f => fieldJson(f.name, f.dataType)).mkString(",")}]}"""
+    s"""{"fields":[${schema.fields.map(f => fieldJson(f.name, f.dataType, f.metadata)).mkString(",")}]}"""
   }
 }

@@ -55,12 +55,17 @@ object UpsertWriter {
     if (fs.exists(new Path(path))) Some(spark.read.parquet(path)) else None
   }
 
-  /** Atomically replace `path` with `next` via staging + rename. */
+  /** Atomically replace `path` with `next` via staging + rename. The row
+    * count piggybacks on the staging write via `observe()` — a second
+    * read of the staged table just to count it would be a full extra scan
+    * of the output per merge at scale. */
   private def swap(spark: SparkSession, path: String, next: DataFrame): Long = {
     val staging = path + "__staging"
-    next.write.mode(SaveMode.Overwrite).parquet(staging)
+    val obs = new org.apache.spark.sql.Observation()
+    next.observe(obs, count(lit(1)).as("n"))
+      .write.mode(SaveMode.Overwrite).parquet(staging)
+    val n = obs.get("n").asInstanceOf[Long]
     val fs = FileSystem.get(new Path(path).toUri, spark.sparkContext.hadoopConfiguration)
-    val n = spark.read.parquet(staging).count()
     fs.delete(new Path(path), true)
     fs.rename(new Path(staging), new Path(path))
     n

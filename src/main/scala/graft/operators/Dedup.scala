@@ -25,8 +25,15 @@ object Dedup {
     * the cluster's parallelism, spread it; at real scale (input splits >>
     * cores) this is a no-op — no shuffle is added. */
   private[operators] def widen(df: DataFrame): DataFrame = {
+    // inputFiles is metadata-only — the previous rdd.getNumPartitions
+    // probe forced a physical plan + RDD conversion per invocation and
+    // pinned that branch outside AQE. File count under-estimates split
+    // count (one big file splits by maxPartitionBytes), so this only
+    // fires on genuinely few-file inputs — exactly the compact-parquet
+    // case it guards; non-file inputs (in-memory test frames) skip it.
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val files = df.inputFiles.length
+    if (files > 0 && files < target) df.repartition(target) else df
   }
 
   /** Exact dedup by content hash: one surviving `idCol` (the minimum) per
@@ -89,9 +96,21 @@ object Dedup {
     * band-bucket equi-join itself. */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
                  numHashes: Int = 16, bands: Int = 4,
-                 minEstJaccard: Double = 0.5, k: Int = 3): DataFrame = {
+                 minEstJaccard: Double = 0.5, k: Int = 3): DataFrame =
+    minhashLshFromSignatures(
+      minhashSignatureArray(df, idCol, textCol, numHashes, k).cache(),
+      idCol, numHashes, bands, minEstJaccard)
+
+  /** Banding + estimation stage of [[minhashLsh]] over PRECOMPUTED
+    * signatures (`sig`: the (id, sig array) layout of
+    * [[minhashSignatureArray]]). Exposed so pipelines that already
+    * materialized signatures — e.g. the curation pipeline, which holds a
+    * cached curated intermediate — feed banding directly instead of
+    * re-tokenizing the corpus a second time. */
+  def minhashLshFromSignatures(sig: DataFrame, idCol: String,
+                               numHashes: Int = 16, bands: Int = 4,
+                               minEstJaccard: Double = 0.5): DataFrame = {
     val rows = numHashes / bands
-    val sig = minhashSignatureArray(df, idCol, textCol, numHashes, k).cache()
     val band = sig.select(col(idCol), col("sig"),
         explode(transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.as("band"),

@@ -1,7 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
 
@@ -77,20 +76,28 @@ object TextAnalysis {
     * This is the standard MOSS-style local fingerprinting scheme: any
     * shared substring of length >= window+k-1 tokens yields a shared
     * fingerprint, so overlap detection needs only an equi-join on `fp`.
-    * Output: (id, n_fingerprints, min_fingerprint). */
+    * Output: (id, n_fingerprints, min_fingerprint).
+    *
+    * Entirely MAP-ONLY: the shingle-hash array never leaves its row —
+    * the per-window minimum is `array_min(slice(...))` over the in-row
+    * array (O(n·window) comparisons inside codegen'd higher-order
+    * functions) instead of posexplode → window-function shuffle of every
+    * shingle, which shuffled ~|tokens| rows per document. Zero exchanges;
+    * throughput is scan-bound at any corpus size. (`slice` clamps at the
+    * array end, matching the old `rowsBetween(currentRow, window-1)`
+    * frame that shortened at the partition tail.) */
   def fingerprints(df0: DataFrame, idCol: String, textCol: String,
                    k: Int = 3, window: Int = 4): DataFrame = {
     val df = Dedup.widen(df0)
-    val sh = df.select(col(idCol), tokens(col(textCol)).as("toks"))
+    df.select(col(idCol), tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= k)
-      .select(col(idCol), posexplode(transform(
+      .withColumn("hs", transform(
         sequence(lit(0), size(col("toks")) - k),
-        i => md5(concat_ws(" ", (0 until k).map(j => element_at(col("toks"), i + j + 1)): _*)))))
-      .toDF(idCol, "pos", "h")
-    val w = Window.partitionBy(idCol).orderBy("pos")
-      .rowsBetween(Window.currentRow, window - 1)
-    sh.withColumn("fp", min(col("h")).over(w))
-      .groupBy(col(idCol))
-      .agg(count_distinct(col("fp")).as("n_fp"), min(col("fp")).as("min_fp"))
+        i => md5(concat_ws(" ", (0 until k).map(j => element_at(col("toks"), i + j + 1)): _*))))
+      .withColumn("fps", transform(sequence(lit(1), size(col("hs"))),
+        i => array_min(slice(col("hs"), i, lit(window)))))
+      .select(col(idCol),
+        size(array_distinct(col("fps"))).cast("long").as("n_fp"),
+        array_min(col("fps")).as("min_fp"))
   }
 }

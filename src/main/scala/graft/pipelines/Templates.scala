@@ -127,9 +127,22 @@ object Templates {
       params: Map[String, Any] = Map.empty)
 
   def queryToDocuments(spark: SparkSession, c: QueryToDocumentsConfig): DataFrame = {
+    import org.apache.spark.sql.types._
     val df = SqlRunner.run(spark, c.query, c.params)
-    val stringCols = df.schema.fields.filter(_.dataType ==
-      org.apache.spark.sql.types.StringType).map(_.name)
+    // Key fields must be STRING names or INT64-family ids — any other type
+    // is a config error, as in the reference
+    // (RecordToEntityConverter.java:238-254 throws for non-STRING/INT64).
+    val keyType = df.schema.fields.find(_.name == c.keyField)
+      .getOrElse(throw new IllegalArgumentException(
+        s"keyField '${c.keyField}' not in query result"))
+      .dataType
+    keyType match {
+      case StringType | ByteType | ShortType | IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"keyField '${c.keyField}' must be STRING or INT64, got ${other.simpleString} " +
+          "(RecordToEntityConverter.java:238-254)")
+    }
+    val stringCols = df.schema.fields.filter(_.dataType == StringType).map(_.name)
     val autoUnindexed = array_compact(array(stringCols.toIndexedSeq.map { n =>
       when(octet_length(col(n)) > 1500, lit(n))
     }: _*))

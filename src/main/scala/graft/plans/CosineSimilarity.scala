@@ -67,17 +67,22 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
       val nb = ctx.freshName("nb")
       val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      // freshName is mandatory for EVERY local: two graft_cosine calls fused
+      // into one whole-stage-codegen method would otherwise redeclare the
+      // variable, fail Janino compilation, and silently drop the stage to
+      // interpreted execution.
+      val hasNullElem = ctx.freshName("hasNullElem")
       s"""
          |int $n = Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0, $na = 0.0, $nb = 0.0;
-         |boolean hasNullElem = false;
+         |boolean $hasNullElem = false;
          |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { hasNullElem = true; break; }
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $hasNullElem = true; break; }
          |  double $xv = (double) $a.getFloat($i);
          |  double $yv = (double) $b.getFloat($i);
          |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
          |}
-         |if (hasNullElem) {
+         |if ($hasNullElem) {
          |  ${ev.isNull} = true;
          |} else {
          |  ${ev.value} = $dot / (Math.sqrt($na) * Math.sqrt($nb));

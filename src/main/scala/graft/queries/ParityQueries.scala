@@ -37,14 +37,26 @@ object ParityQueries {
         .orderBy("o_orderkey")
     }),
 
-    // §2.5 scalar functions: base64, epoch-days, NUMERIC trim-format.
-    "q_format_scalars" -> ((s, dir) =>
+    // §2.5 scalar functions: base64, epoch-days, NUMERIC trim-format,
+    // ISO local time, epoch millis/micros/seconds (full §2.5 family).
+    "q_format_scalars" -> ((s, dir) => {
+      // parquet stores o_orderdate as TIMESTAMP_NTZ; unix_* require
+      // TIMESTAMP — cast is value-identical under the UTC session TZ
+      val ts = col("o_orderdate").cast("timestamp")
       t(s, dir, "orders")
         .select(col("o_orderkey"),
           base64(col("o_orderstatus").cast("binary")).as("b64"),
           Formats.toEpochDays(to_date(col("o_orderdate"))).cast("long").as("epoch_days"),
-          Formats.decimalTrimString(col("o_totalprice").cast("decimal(18,2)")).as("price_trim"))
-        .orderBy("o_orderkey")),
+          Formats.decimalTrimString(col("o_totalprice").cast("decimal(18,2)")).as("price_trim"),
+          Formats.isoLocalTime(ts).as("iso_time"),
+          Formats.toEpochMillis(ts).as("epoch_ms"),
+          Formats.toEpochMicros(ts).as("epoch_us"),
+          Formats.toEpochSeconds(ts).as("epoch_s"),
+          // round-trip pins from* against to*: micros → timestamp → RFC3339
+          Formats.rfc3339(Formats.fromEpochMicros(
+            Formats.toEpochMicros(ts))).as("ts_rt"))
+        .orderBy("o_orderkey")
+    }),
 
     // S6: generator machinery in deterministic mode — every value derives
     // from the row id via md5, so DuckDB reproduces it exactly.
@@ -109,7 +121,12 @@ object ParityQueries {
           |  CASE WHEN contains(CAST(o_totalprice::DECIMAL(18,2) AS VARCHAR), '.')
           |       THEN regexp_replace(regexp_replace(
           |              CAST(o_totalprice::DECIMAL(18,2) AS VARCHAR), '0+$', ''), '\.$', '')
-          |       ELSE CAST(o_totalprice::DECIMAL(18,2) AS VARCHAR) END AS price_trim
+          |       ELSE CAST(o_totalprice::DECIMAL(18,2) AS VARCHAR) END AS price_trim,
+          |  strftime(o_orderdate, '%H:%M:%S') AS iso_time,
+          |  epoch_ms(o_orderdate) AS epoch_ms,
+          |  epoch_us(o_orderdate) AS epoch_us,
+          |  CAST(floor(epoch(o_orderdate)) AS BIGINT) AS epoch_s,
+          |  strftime(make_timestamp(epoch_us(o_orderdate)), '%Y-%m-%dT%H:%M:%SZ') AS ts_rt
           |FROM orders ORDER BY o_orderkey""".stripMargin,
 
       "g_dummy_generate" -> {

@@ -132,7 +132,10 @@ object PipelineQueries {
       val kept = d.join(quality, "doc_id")
       val exactKeep = Dedup.exactDedup(kept, "doc_id", "text").select("doc_id")
       val afterExact = kept.join(exactKeep, "doc_id").cache() // reused: LSH input + anti-join base
-      val nearDupLosers = Dedup.minhashLsh(afterExact, "doc_id", "text")
+      // signatures computed ONCE on the cached intermediate; banding
+      // consumes them directly (no second tokenize pass inside the LSH)
+      val sigs = Dedup.minhashSignatureArray(afterExact, "doc_id", "text").cache()
+      val nearDupLosers = Dedup.minhashLshFromSignatures(sigs, "doc_id")
         .select(col("d2").as("doc_id")).distinct() // keep the lower id of each pair
       val afterNear = afterExact.join(nearDupLosers, Seq("doc_id"), "left_anti")
       val sampled = graft.operators.Sampling.stratifiedHashSample(

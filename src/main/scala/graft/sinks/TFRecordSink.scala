@@ -140,8 +140,12 @@ object TFRecordSink {
           case ByteType | ShortType | IntegerType | LongType =>
             Some(int64ListFeature(Seq(v.asInstanceOf[Number].longValue())))
           case DateType => Some(int64ListFeature(Seq(v.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay)))
-          case TimestampType => Some(int64ListFeature(Seq(
-            v.asInstanceOf[java.sql.Timestamp].getTime * 1000L)))
+          case TimestampType =>
+            // true epoch-micros (reference writes int64 micros): getTime is
+            // millis, so recover the sub-millisecond digits from getNanos —
+            // same math as SchemaBridge.toAvroValue.
+            val t = v.asInstanceOf[java.sql.Timestamp]
+            Some(int64ListFeature(Seq(t.getTime * 1000L + (t.getNanos % 1000000L) / 1000L)))
           case _ => None
         }
         f.dataType match {

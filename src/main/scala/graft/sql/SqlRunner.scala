@@ -59,6 +59,15 @@ object SqlRunner {
   /** Full reference semantics: split on --SPLITTER--, run each statement,
     * union results by column name. A `TimestampBound` has no meaning over
     * immutable files; the parameter is accepted and recorded for API parity.
+    *
+    * Pinned edge (decision, not accident): the split is a NAIVE substring
+    * split — a `--SPLITTER--` occurring INSIDE a string literal still
+    * splits the query, exactly as the reference's
+    * `query.split("--SPLITTER--")` does (`SpannerQueryIO.java:29,75`).
+    * Queries whose literals must contain the token don't exist in the
+    * reference's surface; matching its behavior keeps migration
+    * bug-for-bug safe. See SqlRunnerSpec "splitter inside a string
+    * literal".
     */
   def run(spark: SparkSession, query: String,
           params: Map[String, Any] = Map.empty,

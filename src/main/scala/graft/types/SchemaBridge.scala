@@ -20,13 +20,45 @@ import org.apache.spark.sql.types._
   *    is a documented bug, NOT replicated — SURVEY §7.5)
   *  - enum collapses to string (`RecordToStructConverter.java:78-80`)
   *  - map keys are strings
+  *  - TIME logical types (`time-millis`/`time-micros`) render as ISO
+  *    local-time STRINGS (`RecordToStructConverter.java:243-249`,
+  *    `RecordToTableRowConverter.java:259-262`), with the original
+  *    logical type kept in field metadata (`avroLogical`) so the write
+  *    path round-trips the int/long encoding exactly
+  *  - `sqlType` string prop (DATETIME/GEOGRAPHY, `AvroSchemaUtil.java:169-191`)
+  *    passes through as a `sqlType` field-metadata tag both directions
   */
 object SchemaBridge {
+
+  /** Field-metadata keys carrying avro-side type info that Spark's type
+    * system can't express natively. */
+  val AvroLogicalKey = "avroLogical"
+  val SqlTypeKey = "sqlType"
+
+  private def isTime(lt: org.apache.avro.LogicalType): Boolean =
+    lt != null && (lt.getName == "time-millis" || lt.getName == "time-micros")
 
   // ---- StructType -> avro Schema ----
   def toAvro(st: StructType, name: String = "record", ns: String = "graft"): Schema = {
     val fields = st.fields.toIndexedSeq.map { f =>
-      val base = typeToAvro(f.dataType, s"${name}_${f.name}", ns)
+      val base =
+        if (f.metadata.contains(AvroLogicalKey) && f.dataType == StringType)
+          f.metadata.getString(AvroLogicalKey) match {
+            case "time-millis" =>
+              LogicalTypes.timeMillis().addToSchema(Schema.create(Schema.Type.INT))
+            case "time-micros" =>
+              LogicalTypes.timeMicros().addToSchema(Schema.create(Schema.Type.LONG))
+            case other =>
+              throw new IllegalArgumentException(s"unknown $AvroLogicalKey: $other")
+          }
+        else {
+          val b = typeToAvro(f.dataType, s"${name}_${f.name}", ns)
+          // DATETIME/GEOGRAPHY travel as a string prop on the avro schema
+          // (AvroSchemaUtil.java:169-191,220-227)
+          if (f.metadata.contains(SqlTypeKey) && f.dataType == StringType)
+            b.addProp(SqlTypeKey, f.metadata.getString(SqlTypeKey))
+          b
+        }
       val sch = if (f.nullable) Schema.createUnion(
         java.util.List.of(Schema.create(Schema.Type.NULL), base)) else base
       new Schema.Field(f.name, sch, null, if (f.nullable) Schema.Field.NULL_DEFAULT_VALUE else null)
@@ -73,7 +105,13 @@ object SchemaBridge {
     require(schema.getType == Schema.Type.RECORD, s"not a record: $schema")
     StructType(schema.getFields.asScala.toIndexedSeq.map { f =>
       val (s, nullable) = unnest(f.schema())
-      StructField(f.name(), avroToType(s), nullable)
+      val mb = new MetadataBuilder()
+      if (isTime(s.getLogicalType)) {
+        mb.putString(AvroLogicalKey, s.getLogicalType.getName)
+        mb.putString(SqlTypeKey, "TIME")
+      }
+      Option(s.getProp(SqlTypeKey)).foreach(mb.putString(SqlTypeKey, _))
+      StructField(f.name(), avroToType(s), nullable, mb.build())
     })
   }
 
@@ -82,9 +120,12 @@ object SchemaBridge {
     s.getType match {
       case Schema.Type.BOOLEAN => BooleanType
       case Schema.Type.INT =>
-        if (lt != null && lt.getName == "date") DateType else IntegerType
+        if (lt != null && lt.getName == "date") DateType
+        else if (isTime(lt)) StringType // ISO local-time rendering
+        else IntegerType
       case Schema.Type.LONG => lt match {
         case _: LogicalTypes.TimestampMicros | _: LogicalTypes.TimestampMillis => TimestampType
+        case _ if isTime(lt) => StringType // time-micros → ISO local-time
         case _ => LongType
       }
       case Schema.Type.FLOAT => FloatType
@@ -105,12 +146,36 @@ object SchemaBridge {
     }
   }
 
+  // ---- TIME value rendering (ISO local-time string ⇄ int millis / long micros) ----
+  /** `LocalTime.toString` form, as the reference renders TIME
+    * (`RecordToStructConverter.java:243-249`): `HH:mm`, `HH:mm:ss`, or
+    * `HH:mm:ss.fff...` with trailing zero groups trimmed. */
+  private def timeToString(v: Any, logical: String): String = {
+    val nanos = logical match {
+      case "time-millis" => v.asInstanceOf[Number].longValue() * 1000000L
+      case "time-micros" => v.asInstanceOf[Number].longValue() * 1000L
+    }
+    java.time.LocalTime.ofNanoOfDay(nanos).toString
+  }
+  private def timeFromString(s: String, logical: String): AnyRef = {
+    val lt = java.time.LocalTime.parse(s)
+    logical match {
+      case "time-millis" => Int.box((lt.toNanoOfDay / 1000000L).toInt)
+      case "time-micros" => Long.box(lt.toNanoOfDay / 1000L)
+    }
+  }
+
   // ---- Row -> GenericRecord ----
   def rowToRecord(row: Row, st: StructType, avro: Schema): GenericRecord = {
     val b = new GenericRecordBuilder(avro)
     st.fields.toIndexedSeq.zipWithIndex.foreach { case (f, i) =>
       val fieldSchema = unnest(avro.getFields.get(i).schema())._1
-      b.set(f.name, if (row.isNullAt(i)) null else toAvroValue(row.get(i), f.dataType, fieldSchema))
+      val v =
+        if (row.isNullAt(i)) null
+        else if (f.metadata.contains(AvroLogicalKey) && f.dataType == StringType)
+          timeFromString(row.getString(i), f.metadata.getString(AvroLogicalKey))
+        else toAvroValue(row.get(i), f.dataType, fieldSchema)
+      b.set(f.name, v)
     }
     b.build()
   }
@@ -150,7 +215,10 @@ object SchemaBridge {
   def recordToRow(rec: GenericRecord, st: StructType): Row = {
     val vals = st.fields.toIndexedSeq.map { f =>
       val v = rec.get(f.name)
-      if (v == null) null else fromAvroValue(v, f.dataType)
+      if (v == null) null
+      else if (f.metadata.contains(AvroLogicalKey) && f.dataType == StringType)
+        timeToString(v, f.metadata.getString(AvroLogicalKey))
+      else fromAvroValue(v, f.dataType)
     }
     Row.fromSeq(vals)
   }

@@ -39,6 +39,15 @@ class DedupSpec extends SparkSpec {
     assert(!r.contains((1L, 3L)))
   }
 
+  test("minhashLshFromSignatures over precomputed signatures equals minhashLsh") {
+    val fused = Dedup.minhashLsh(docs, "doc_id", "text")
+      .select("d1", "d2", "est_jaccard").as[(Long, Long, Double)].collect().toSet
+    val sigs = Dedup.minhashSignatureArray(docs, "doc_id", "text")
+    val staged = Dedup.minhashLshFromSignatures(sigs, "doc_id")
+      .select("d1", "d2", "est_jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(staged === fused)
+  }
+
   test("simhash: identical docs get identical hashes, near-dups small hamming") {
     val sh = Dedup.simhash(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap

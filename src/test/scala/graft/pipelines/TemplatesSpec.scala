@@ -93,6 +93,23 @@ class TemplatesSpec extends SparkSpec {
     assert(row.getAs[Seq[String]]("__unindexed__") === Seq("big"))
   }
 
+  test("Datastore key field must be STRING or INT64 — DOUBLE rejected " +
+    "(RecordToEntityConverter.java:238-254)") {
+    val dir = tmpDir("t_dskey")
+    spark.sql("SELECT CAST(1.5 AS DOUBLE) AS id, 'x' AS v")
+      .createOrReplaceTempView("badkey")
+    val e = intercept[IllegalArgumentException] {
+      Templates.queryToDocuments(spark, Templates.QueryToDocumentsConfig(
+        "SELECT * FROM badkey", s"$dir/docs", kind = "K", keyField = "id"))
+    }
+    assert(e.getMessage.contains("STRING or INT64"))
+    // long and string keys remain accepted
+    spark.sql("SELECT 7L AS id, 'x' AS v").createOrReplaceTempView("goodkey")
+    val out = Templates.queryToDocuments(spark, Templates.QueryToDocumentsConfig(
+      "SELECT * FROM goodkey", s"$dir/docs2", kind = "K", keyField = "id"))
+    assert(out.head.getAs[String]("__key__") === "K/7")
+  }
+
   test("BigQueryToTFRecord equivalent writes framed gzip files") {
     TableCatalog.register(spark, sf)
     val dir = tmpDir("t_tfr")

@@ -36,6 +36,26 @@ class CosineSimilaritySpec extends SparkSpec {
     assert(r.forall(_.isNullAt(0)))
   }
 
+  test("two cosine columns in one projection survive fused codegen (no name collision)") {
+    GraftFunctions.register(spark)
+    // fallback=false turns a Janino compile failure (the bug: a fixed-name
+    // local declared twice in the fused method) into a thrown error
+    // instead of a silent interpreted fallback.
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val r = vecs.select(
+        call_function("graft_cosine", col("a"), col("b")).as("c1"),
+        call_function("graft_cosine", col("b"), col("a")).as("c2"),
+        call_function("graft_cosine", col("a"), col("a")).as("c3"))
+        .as[(Double, Double, Double)].collect()
+      r.foreach { case (c1, c2, c3) =>
+        assert(java.lang.Double.doubleToLongBits(c1) ===
+          java.lang.Double.doubleToLongBits(c2)) // cosine is symmetric
+        assert(math.abs(c3 - 1.0) < 1e-9)
+      }
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
+
   test("interpreted eval matches codegen") {
     GraftFunctions.register(spark)
     // force interpreted path by evaluating the expression directly

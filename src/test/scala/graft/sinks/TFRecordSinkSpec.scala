@@ -25,6 +25,19 @@ class TFRecordSinkSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("timestamp encodes as true epoch-micros (sub-millisecond preserved)") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    // 1970-01-01T00:00:01.123456Z — 456 µs below millisecond resolution
+    val ts = new java.sql.Timestamp(1000L); ts.setNanos(123456000)
+    val viaTs = TFRecordSink.encodeRow(Row(ts),
+      StructType(Seq(StructField("a", TimestampType))))
+    // golden-by-equivalence against the (golden-verified) int64 path
+    val viaLong = TFRecordSink.encodeRow(Row(1123456L),
+      StructType(Seq(StructField("a", LongType))))
+    assert(viaTs === viaLong)
+  }
+
   test("TFRecord frame structure: u64-LE length + masked crcs") {
     val payload = "hello".getBytes("UTF-8")
     val framed = TFRecordSink.frame(payload)

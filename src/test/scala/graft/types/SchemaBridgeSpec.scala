@@ -97,6 +97,58 @@ class SchemaBridgeSpec extends SparkSpec {
     }
   }
 
+  test("TIME logical types: ISO local-time strings, exact round-trip") {
+    import org.apache.avro.{LogicalTypes, Schema}
+    val tMillis = LogicalTypes.timeMillis().addToSchema(Schema.create(Schema.Type.INT))
+    val tMicros = LogicalTypes.timeMicros().addToSchema(Schema.create(Schema.Type.LONG))
+    val rec = Schema.createRecord("r", null, "graft", false, java.util.List.of(
+      new Schema.Field("tm", tMillis, null, null),
+      new Schema.Field("tu", tMicros, null, null)))
+    val st = SchemaBridge.toSpark(rec)
+    assert(st("tm").dataType === StringType)
+    assert(st("tm").metadata.getString(SchemaBridge.AvroLogicalKey) === "time-millis")
+    assert(st("tm").metadata.getString(SchemaBridge.SqlTypeKey) === "TIME")
+    assert(st("tu").dataType === StringType)
+    assert(st("tu").metadata.getString(SchemaBridge.AvroLogicalKey) === "time-micros")
+
+    val secOfDay = 10 * 3600 + 15 * 60 + 30
+    val millis = secOfDay * 1000 + 500            // 10:15:30.500
+    val micros = secOfDay.toLong * 1000000L + 123456L // 10:15:30.123456
+    val r = new org.apache.avro.generic.GenericRecordBuilder(rec)
+      .set("tm", Int.box(millis)).set("tu", Long.box(micros)).build()
+    val row = SchemaBridge.recordToRow(r, st)
+    assert(row.getString(0) === "10:15:30.500")
+    assert(row.getString(1) === "10:15:30.123456")
+
+    // write path: metadata restores the int/long logical-type encoding
+    val back = SchemaBridge.toAvro(st)
+    assert(SchemaBridge.unnest(back.getField("tm").schema())._1
+      .getLogicalType.getName === "time-millis")
+    assert(SchemaBridge.unnest(back.getField("tu").schema())._1
+      .getLogicalType.getName === "time-micros")
+    val r2 = SchemaBridge.rowToRecord(row, st, back)
+    assert(r2.get("tm") === Int.box(millis))
+    assert(r2.get("tu") === Long.box(micros))
+  }
+
+  test("DATETIME/GEOGRAPHY sqlType prop passes through both directions") {
+    import org.apache.avro.Schema
+    val dts = Schema.create(Schema.Type.STRING); dts.addProp("sqlType", "DATETIME")
+    val geo = Schema.create(Schema.Type.STRING); geo.addProp("sqlType", "GEOGRAPHY")
+    val rec = Schema.createRecord("r", null, "graft", false, java.util.List.of(
+      new Schema.Field("dt", dts, null, null),
+      new Schema.Field("g", geo, null, null),
+      new Schema.Field("s", Schema.create(Schema.Type.STRING), null, null)))
+    val st = SchemaBridge.toSpark(rec)
+    assert(st("dt").metadata.getString(SchemaBridge.SqlTypeKey) === "DATETIME")
+    assert(st("g").metadata.getString(SchemaBridge.SqlTypeKey) === "GEOGRAPHY")
+    assert(!st("s").metadata.contains(SchemaBridge.SqlTypeKey))
+    val back = SchemaBridge.toAvro(st)
+    assert(SchemaBridge.unnest(back.getField("dt").schema())._1.getProp("sqlType") === "DATETIME")
+    assert(SchemaBridge.unnest(back.getField("g").schema())._1.getProp("sqlType") === "GEOGRAPHY")
+    assert(SchemaBridge.unnest(back.getField("s").schema())._1.getProp("sqlType") === null)
+  }
+
   private def assertSame(a: Any, b: Any, dt: DataType, name: String): Unit = (a, b) match {
     case (null, null) => ()
     case (x: Array[Byte], y: Array[Byte]) => assert(x.sameElements(y), name)
