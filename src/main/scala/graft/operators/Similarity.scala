@@ -44,28 +44,18 @@ object Similarity {
   /** Random-hyperplane LSH bucket id (one `planes`-bit integer per row).
     * dot(v, r_j) where r_jd = ±1 from md5(j,"_",d) parity; bit j = sign.
     *
-    * The sign matrix is a deterministic function of (plane, dim), so it
-    * is computed ONCE on the driver and unrolled into literals: the whole
-    * bucket assignment becomes a single map-side projection — zero
-    * shuffles, zero row blowup (the naive form multiplies rows by
-    * planes × dims). Same hash family, same buckets. */
+    * One map-side projection through the native
+    * [[graft.plans.HyperplaneBuckets]] kernel — zero shuffles, zero row
+    * blowup, and no driver job to probe dims. (The earlier driver-unrolled
+    * column form computed identical buckets but built a planes × dims
+    * expression tree whose multi-second Janino compile was re-paid on
+    * every generated-class cache eviction in multi-query workloads.) */
   def lshBuckets(df0: DataFrame, idCol: String, vecCol: String,
                  planes: Int = 8): DataFrame = {
+    graft.plans.GraftFunctions.register(df0.sparkSession)
     val df = widen(df0)
-    val dims = df.select(size(col(vecCol))).first().getInt(0)
-    val md = java.security.MessageDigest.getInstance("MD5")
-    def sign(p: Int, d: Int): Double = {
-      val h = md.digest(s"${p}_$d".getBytes("UTF-8"))
-      // first hex digit = high nibble of byte 0; parity of that digit
-      if ((((h(0) >> 4) & 0xf) % 2) == 1) 1.0 else -1.0
-    }
-    val bucket = (0 until planes).map { p =>
-      val dot = (1 to dims).map { d1 =>
-        element_at(col(vecCol), d1).cast("double") * lit(sign(p, d1 - 1))
-      }.reduce(_ + _)
-      when(dot > 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    df.select(col(idCol), bucket.as("bucket"))
+    df.select(col(idCol),
+      call_function("graft_hyperplane_bucket", col(vecCol), lit(planes)).as("bucket"))
   }
 
   /** IVF-style ANN: a deterministic coarse quantizer (every

@@ -101,12 +101,16 @@ object GraftFunctions {
   val cosineInfo = new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine")
   val intersectInfo = new ExpressionInfo(
     classOf[SortedIntersectCount].getName, "graft_sorted_intersect_count")
+  val hyperplaneInfo = new ExpressionInfo(
+    classOf[HyperplaneBuckets].getName, "graft_hyperplane_bucket")
 
   private val builders: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_cosine"), cosineInfo,
       (c: Seq[Expression]) => CosineSimilarity(c.head, c(1))),
     (FunctionIdentifier("graft_sorted_intersect_count"), intersectInfo,
-      (c: Seq[Expression]) => SortedIntersectCount(c.head, c(1))))
+      (c: Seq[Expression]) => SortedIntersectCount(c.head, c(1))),
+    (FunctionIdentifier("graft_hyperplane_bucket"), hyperplaneInfo,
+      (c: Seq[Expression]) => HyperplaneBuckets(c.head, c(1))))
 
   def register(spark: SparkSession): Unit =
     builders.foreach { case (id, info, b) =>
