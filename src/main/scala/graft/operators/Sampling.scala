@@ -35,4 +35,47 @@ object Sampling {
     }
     df.filter(hashUnit(col(keyCol), seed) < rateExpr)
   }
+
+  /** Cap rows per group at `maxPerGroup` (the per-domain cap of web-crawl
+    * curation: no single domain may dominate the corpus). Selection is
+    * deterministic — rows ranked by (md5(key), key) within each group, so
+    * which rows survive is content-addressed, not partition-ordered.
+    * Output: input columns + `rk` (1-based rank within group). One window
+    * shuffle keyed by the group column; AQE's skew handling covers the
+    * pathological domain. */
+  def capPerGroup(df: DataFrame, keyCol: String, groupCol: String,
+                  maxPerGroup: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol)
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    df.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= maxPerGroup)
+  }
+
+  /** Temperature-based stratum rebalancing: keep rates proportional to
+    * n_stratum^alpha (alpha < 1 flattens the mix toward uniform — the
+    * standard multilingual resampling scheme), scaled so the expected
+    * kept fraction over the whole input is `targetFrac`, capped at 1.
+    * Per-row keep decisions are content-hash deterministic.
+    *
+    * Scale shape: the stratum-count aggregate is tiny (one row per
+    * stratum) and re-joins via broadcast; the corpus itself is touched by
+    * exactly one map-side filtered pass. Rates are rounded to 6 dp so the
+    * boundary comparison is reproducible across engines. */
+  def temperatureSample(df: DataFrame, keyCol: String, strataCol: String,
+                        alpha: Double = 0.5, targetFrac: Double = 0.5,
+                        seed: String = ""): DataFrame = {
+    val counts = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_stratum"))
+    val tot = counts.agg(
+      sum(col("n_stratum")).as("n_total"),
+      sum(pow(col("n_stratum").cast("double"), alpha)).as("sum_w"))
+    val rates = counts.crossJoin(broadcast(tot))
+      .withColumn("rate", least(lit(1.0), round(
+        lit(targetFrac) * col("n_total") * pow(col("n_stratum").cast("double"), alpha)
+          / col("sum_w") / col("n_stratum"), 6)))
+      .select(col(strataCol), col("rate"))
+    df.join(broadcast(rates), strataCol)
+      .filter(hashUnit(col(keyCol), seed) < col("rate"))
+  }
 }

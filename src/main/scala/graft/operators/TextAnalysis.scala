@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
 
@@ -69,6 +69,67 @@ object TextAnalysis {
     df.select(col(idCol),
       size(tokens(col(textCol))).cast("long").as("n_word_tokens"),
       size(bpeishTokens(col(textCol))).cast("long").as("n_bpeish_tokens"))
+
+  /** Gopher-style repetition metrics: the fraction of bigram occurrences
+    * claimed by the single most frequent bigram, and the fraction of
+    * trigram occurrences whose trigram repeats within the document —
+    * the standard boilerplate/repetition quality gates for web text.
+    *
+    * Entirely MAP-ONLY, like [[fingerprints]]: n-gram counting happens
+    * inside the row via folds over the SORTED in-row gram array (max run
+    * length = max occurrence count; singleton-run count = values occurring
+    * once), so per-document metrics never explode gram rows into a
+    * shuffle. Zero exchanges; scan-bound at any corpus size.
+    * Output: (id, max_bi, n_bi, dup_tri, n_tri, top_bigram_frac,
+    * dup_trigram_frac, keep). */
+  def repetitionMetrics(df0: DataFrame, idCol: String, textCol: String,
+                        maxTopBigramFrac: Double = 0.1,
+                        maxDupTrigramFrac: Double = 0.2): DataFrame = {
+    val df = Dedup.widen(df0)
+    def grams(n: Int) = transform(
+      sequence(lit(0), size(col("toks")) - n),
+      i => concat_ws(" ", (0 until n).map(j => element_at(col("toks"), i + j + 1)): _*))
+    // max run length over the sorted gram array = count of the most
+    // frequent gram. The "" sentinel can never equal a gram (grams are
+    // non-empty), so the first element always starts a run.
+    def maxRunLen(arr: Column) = aggregate(
+      array_sort(arr),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    // count of singleton runs = number of grams occurring exactly once
+    def singletonRuns(arr: Column) = aggregate(
+      array_sort(arr),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("singles")),
+      (acc, x) => {
+        val isNew = x =!= acc.getField("prev")
+        struct(x.as("prev"),
+          when(isNew, lit(1L)).otherwise(acc.getField("run") + 1).as("run"),
+          (acc.getField("singles") +
+            when(isNew && acc.getField("run") === 1, 1L).otherwise(0L)).as("singles"))
+      },
+      acc => acc.getField("singles") +
+        when(acc.getField("run") === 1, 1L).otherwise(0L))
+    df.select(col(idCol), tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col(idCol),
+        maxRunLen(grams(2)).as("max_bi"),
+        size(grams(2)).cast("long").as("n_bi"),
+        (size(grams(3)).cast("long") - singletonRuns(grams(3))).as("dup_tri"),
+        size(grams(3)).cast("long").as("n_tri"))
+      .withColumn("top_bigram_frac",
+        round(col("max_bi").cast("double") / col("n_bi"), 6))
+      .withColumn("dup_trigram_frac",
+        round(col("dup_tri").cast("double") / col("n_tri"), 6))
+      .withColumn("keep",
+        col("top_bigram_frac") <= maxTopBigramFrac &&
+          col("dup_trigram_frac") <= maxDupTrigramFrac)
+  }
 
   /** Winnowing document fingerprints: hash every k-shingle (md5), slide a
     * window of `window` consecutive shingle positions, keep the minimum

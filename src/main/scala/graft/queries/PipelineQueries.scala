@@ -177,6 +177,45 @@ object PipelineQueries {
 
     "t_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprints(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // --- benchmark decontamination: training docs sharing >= 30% of
+    //     their shingles with the eval subset (doc_id % 97 == 0) ---
+    "t_decontaminate" -> ((s, dir) =>
+      graft.operators.Decontamination.flagContaminated(
+          docs(s, dir), "doc_id", "text",
+          evalPred = col("doc_id") % 97 === 0)
+        .orderBy("doc_id")),
+
+    // --- per-domain cap: at most 20 docs per source, content-hash order ---
+    "t_domain_cap" -> ((s, dir) =>
+      graft.operators.Sampling.capPerGroup(
+          docs(s, dir), "doc_id", "source", maxPerGroup = 20)
+        .select("doc_id", "source", "rk")
+        .orderBy("doc_id")),
+
+    // --- temperature resampling of the language mix (alpha=0.5) ---
+    "t_temperature_sample" -> ((s, dir) =>
+      graft.operators.Sampling.temperatureSample(
+          docs(s, dir), "doc_id", "lang", alpha = 0.5, targetFrac = 0.5)
+        .select("doc_id", "lang", "rate")
+        .orderBy("doc_id")),
+
+    // --- KMV distinct-shingle sketch per language (engine-portable
+    //     cardinality estimate; see Sketches Scaladoc) ---
+    "t_kmv_distinct" -> ((s, dir) => {
+      val d = docs(s, dir)
+      import graft.functions.TextFunctions._
+      val sh = d.select(col("lang"), tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .select(col("lang"), explode(shingles(col("toks"), 3)).as("s"))
+      graft.operators.Sketches.kmvDistinct(sh, "lang", "s", k = 64)
+        .orderBy("lang")
+    }),
+
+    // --- Gopher-style repetition quality gates ---
+    "t_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionMetrics(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id"))
   )
 
@@ -457,7 +496,80 @@ object PipelineQueries {
            |win AS (SELECT doc_id, min(h) OVER (
            |  PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp FROM sh)
            |SELECT doc_id, count(DISTINCT fp) AS n_fp, min(fp) AS min_fp
-           |FROM win GROUP BY doc_id ORDER BY doc_id""".stripMargin
+           |FROM win GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      "t_decontaminate" ->
+        s"""WITH sh AS (
+           |  SELECT doc_id, unnest($sh3) AS s
+           |  FROM (SELECT doc_id, $toks AS t FROM documents) WHERE len(t) >= 3),
+           |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+           |tr AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+           |       FROM sh WHERE doc_id % 97 <> 0 GROUP BY doc_id),
+           |bad AS (SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
+           |        FROM sh JOIN ev USING (s) WHERE doc_id % 97 <> 0 GROUP BY sh.doc_id)
+           |SELECT doc_id, n_contaminated, n_shingles,
+           |  round(n_contaminated::DOUBLE / n_shingles, 6) AS contamination
+           |FROM bad JOIN tr USING (doc_id)
+           |WHERE round(n_contaminated::DOUBLE / n_shingles, 6) >= 0.05
+           |ORDER BY doc_id""".stripMargin,
+
+      "t_domain_cap" ->
+        """SELECT doc_id, source, CAST(rk AS BIGINT) AS rk FROM (
+          |  SELECT doc_id, source,
+          |    row_number() OVER (PARTITION BY source
+          |      ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+          |  FROM documents)
+          |WHERE rk <= 20 ORDER BY doc_id""".stripMargin,
+
+      "t_temperature_sample" -> {
+        val u6 = "(SELECT sum((strpos('0123456789abcdef', substring(md5(doc_id::VARCHAR), i, 1)) - 1) * (16 ** (6 - i))) " +
+          "FROM range(1, 7) t(i))::DOUBLE / 16777216.0"
+        s"""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_stratum
+           |           FROM documents GROUP BY lang),
+           |t AS (SELECT CAST(sum(n_stratum) AS BIGINT) AS n_total,
+           |             sum(pow(n_stratum, 0.5)) AS sum_w FROM c),
+           |r AS (SELECT lang, least(1.0,
+           |        round(0.5 * n_total * pow(n_stratum, 0.5) / sum_w / n_stratum, 6)) AS rate
+           |      FROM c CROSS JOIN t)
+           |SELECT doc_id, lang, rate FROM documents JOIN r USING (lang)
+           |WHERE $u6 < rate ORDER BY doc_id""".stripMargin
+      },
+
+      "t_kmv_distinct" -> {
+        val u6v = "(SELECT sum((strpos('0123456789abcdef', substring(md5(v), i, 1)) - 1) * (16 ** (6 - i))) " +
+          "FROM range(1, 7) t(i))::DOUBLE / 16777216.0"
+        s"""WITH dv AS (SELECT DISTINCT lang, s AS v FROM (
+           |    SELECT lang, unnest($sh3) AS s
+           |    FROM (SELECT lang, $toks AS t FROM documents) WHERE len(t) >= 3)),
+           |uu AS (SELECT lang, v, $u6v AS u FROM dv),
+           |rk AS (SELECT lang, u,
+           |       row_number() OVER (PARTITION BY lang ORDER BY u, v) AS rn FROM uu),
+           |kth AS (SELECT lang, u AS uk FROM rk WHERE rn = 64),
+           |ex AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_exact FROM dv GROUP BY lang)
+           |SELECT lang, n_exact,
+           |  round(coalesce(63.0 / uk, n_exact::DOUBLE), 4) AS kmv_estimate
+           |FROM ex LEFT JOIN kth USING (lang) ORDER BY lang""".stripMargin
+      },
+
+      "t_repetition" ->
+        s"""WITH base AS (SELECT doc_id, $toks AS t FROM documents),
+           |g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
+           |       FROM base WHERE len(t) >= 3),
+           |c2 AS (SELECT doc_id, g, count(*) AS cnt FROM g2 GROUP BY doc_id, g),
+           |b AS (SELECT doc_id, CAST(max(cnt) AS BIGINT) AS max_bi,
+           |             CAST(sum(cnt) AS BIGINT) AS n_bi FROM c2 GROUP BY doc_id),
+           |g3 AS (SELECT doc_id, unnest(list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+           |       FROM base WHERE len(t) >= 3),
+           |c3 AS (SELECT doc_id, g, count(*) AS cnt FROM g3 GROUP BY doc_id, g),
+           |tr AS (SELECT doc_id,
+           |         CAST(sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS BIGINT) AS dup_tri,
+           |         CAST(sum(cnt) AS BIGINT) AS n_tri FROM c3 GROUP BY doc_id)
+           |SELECT doc_id, max_bi, n_bi, dup_tri, n_tri,
+           |  round(max_bi::DOUBLE / n_bi, 6) AS top_bigram_frac,
+           |  round(dup_tri::DOUBLE / n_tri, 6) AS dup_trigram_frac,
+           |  (round(max_bi::DOUBLE / n_bi, 6) <= 0.1 AND
+           |   round(dup_tri::DOUBLE / n_tri, 6) <= 0.2) AS keep
+           |FROM b JOIN tr USING (doc_id) ORDER BY doc_id""".stripMargin
     )
   }
 }

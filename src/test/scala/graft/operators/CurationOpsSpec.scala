@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Behavioral tests for the round-4 curation operators: decontamination,
+  * per-domain caps, temperature resampling, KMV sketches, and repetition
+  * metrics (the oracle gate covers cross-engine value parity; these pin
+  * semantics on constructed corpora with known answers). */
+class CurationOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("flagContaminated reports overlap of training docs with the eval subset") {
+    // doc 100 is eval; doc 1 copies it verbatim (full contamination),
+    // doc 2 shares nothing, doc 3 shares a phrase (partial).
+    val docs = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine ten"),
+      (3L, "alpha beta gamma delta unrelated tail words here now")
+    ).toDF("doc_id", "text")
+    val r = Decontamination.flagContaminated(
+        docs, "doc_id", "text", evalPred = col("doc_id") === 100L, minFrac = 0.05)
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_contaminated"), x.getAs[Long]("n_shingles"),
+          x.getAs[Double]("contamination"))).toMap
+    assert(r(1L)._3 === 1.0)                        // verbatim copy
+    assert(!r.contains(2L))                         // no shared shingles
+    assert(r(3L)._1 === 2L)                         // "alpha beta gamma", "beta gamma delta"
+    assert(r(3L)._3 > 0.05 && r(3L)._3 < 1.0)
+    assert(!r.contains(100L))                       // eval docs not reported
+  }
+
+  test("capPerGroup keeps at most N per group, deterministically") {
+    val df = (1L to 100L).map(i => (i, s"grp${i % 3}")).toDF("id", "grp")
+    val r = Sampling.capPerGroup(df, "id", "grp", maxPerGroup = 10)
+    val byGrp = r.groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(byGrp.values.forall(_ === 10L))
+    // deterministic: same selection on rerun and under different partitioning
+    val again = Sampling.capPerGroup(df.repartition(7), "id", "grp", 10)
+      .select("id").as[Long].collect().toSet
+    assert(again === r.select("id").as[Long].collect().toSet)
+    assert(r.select(max("rk")).head.getLong(0) === 10L)
+  }
+
+  test("temperatureSample flattens the stratum mix toward uniform") {
+    // 900 docs of lang a, 100 of lang b; alpha=0.5 should keep b at a
+    // higher rate than a.
+    val df = ((1L to 900L).map(i => (i, "a")) ++ (901L to 1000L).map(i => (i, "b")))
+      .toDF("id", "lang")
+    val r = Sampling.temperatureSample(df, "id", "lang", alpha = 0.5, targetFrac = 0.5)
+    val rates = r.select("lang", "rate").distinct().as[(String, Double)].collect().toMap
+    assert(rates("b") > rates("a"))
+    // expected kept fraction ~ targetFrac (hash sampling is approximate)
+    val kept = r.count().toDouble / 1000
+    assert(kept > 0.35 && kept < 0.65)
+    // deterministic under repartitioning
+    val again = Sampling.temperatureSample(df.repartition(13), "id", "lang",
+      alpha = 0.5, targetFrac = 0.5).select("id").as[Long].collect().toSet
+    assert(again === r.select("id").as[Long].collect().toSet)
+  }
+
+  test("kmvDistinct: small strata fall back to exact; estimate tracks cardinality") {
+    val small = (1 to 20).map(i => ("s", s"v$i"))
+    val big = (1 to 5000).map(i => ("b", s"w$i"))
+    val df = (small ++ big).toDF("g", "v")
+    val r = Sketches.kmvDistinct(df, "g", "v", k = 64)
+      .collect().map(x => x.getAs[String]("g") ->
+        (x.getAs[Long]("n_exact"), x.getAs[Double]("kmv_estimate"))).toMap
+    assert(r("s")._1 === 20L)
+    assert(r("s")._2 === 20.0)                      // < k distinct -> exact fallback
+    assert(r("b")._1 === 5000L)
+    // KMV with k=64 has ~12% relative sd; accept a generous band
+    assert(r("b")._2 > 2500 && r("b")._2 < 10000)
+  }
+
+  test("repetitionMetrics counts top-bigram and duplicated-trigram occurrences") {
+    val docs = Seq(
+      // "a b" appears 3x of 5 bigrams; trigrams "a b a","b a b" repeat
+      (1L, "a b a b a b"),
+      // all bigrams/trigrams unique
+      (2L, "one two three four five six")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionMetrics(docs, "doc_id", "text")
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("max_bi"), x.getAs[Long]("n_bi"),
+          x.getAs[Long]("dup_tri"), x.getAs[Long]("n_tri"),
+          x.getAs[Boolean]("keep"))).toMap
+    assert(r(1L)._1 === 3L)   // "a b" x3
+    assert(r(1L)._2 === 5L)
+    assert(r(1L)._3 === 4L)   // "a b a" x2 + "b a b" x2
+    assert(r(1L)._4 === 4L)
+    assert(!r(1L)._5)
+    assert(r(2L)._1 === 1L)   // all bigrams unique
+    assert(r(2L)._3 === 0L)   // no repeated trigram
+  }
+}
