@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over an undirected edge list — the clustering
+  * step that turns pairwise near-duplicate evidence (MinHash/SimHash/
+  * Jaccard pairs) into dedup groups with one canonical representative
+  * (the minimum id) per group.
+  *
+  * Algorithm: iterative min-label propagation. Every vertex starts
+  * labeled with itself; each round replaces a vertex's label with the
+  * minimum over its own and its neighbors' labels; convergence (no label
+  * changed) is reached within the graph diameter — for dedup graphs,
+  * clusters are small and dense, so a handful of rounds. Each round is
+  * one keyed equi-join + one per-vertex min aggregate: all-shuffle-keyed
+  * work that AQE can plan, no driver-side graph state. (At web scale the
+  * same loop with the large-star/small-star edge rewriting of
+  * Kiveris et al. "Connected Components in MapReduce" converges in
+  * O(log n) rounds on adversarial diameters; plain propagation is the
+  * right default for dedup-shaped graphs.)
+  *
+  * Determinism: min over vertex ids — the fixpoint is unique regardless
+  * of partitioning or iteration interleaving.
+  *
+  * `localCheckpoint` truncates the per-round lineage (otherwise the plan
+  * doubles every round and analysis cost explodes); on a real cluster
+  * with reliable storage, substitute `checkpoint` for fault tolerance.
+  */
+object ConnectedComponents {
+
+  /** (v, component) for every vertex in `edges`; `component` = minimum
+    * vertex id reachable from v. */
+  def components(edges: DataFrame, srcCol: String, dstCol: String,
+                 maxIter: Int = 25): DataFrame = {
+    val sym = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+      .cache()
+    var labels = sym.select(col("a").as("v")).distinct()
+      .withColumn("l", col("v"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = sym.join(labels, sym("b") === labels("v"))
+        .groupBy(col("a")).agg(min(col("l")).as("nl"))
+      val next = labels.join(nbrMin, labels("v") === nbrMin("a"), "left")
+        .select(col("v"), least(col("l"), coalesce(col("nl"), col("l"))).as("l"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("l", "lold"), "v")
+        .filter(col("l") =!= col("lold")).isEmpty
+      labels = next
+      i += 1
+    }
+    sym.unpersist()
+    labels.select(col("v"), col("l").as("component"))
+  }
+}

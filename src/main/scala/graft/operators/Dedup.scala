@@ -259,6 +259,59 @@ object Dedup {
       .select("d1", "d2", "jaccard")
   }
 
+  /** Asymmetric near-CONTAINMENT pairs: (d1, d2) with
+    * |Sh(d1) ∩ Sh(d2)| / |Sh(d1)| >= `minContainment` — d1's shingle set
+    * is (nearly) inside d2's. Catches documents quoted or embedded in
+    * larger ones, which symmetric Jaccard structurally misses: a
+    * 50-shingle doc fully contained in a 500-shingle doc has Jaccard
+    * ~0.1 but containment 1.0.
+    *
+    * Prefix filtering adapts to the asymmetry: only the CONTAINED side
+    * carries a prefix (first n - ceil(t·n) + 1 shingles in ascending
+    * global-df order — if a true pair had no common shingle there, the
+    * overlap could not reach ceil(t·n)); the container side joins with
+    * its full ranked postings, since no upper length bound exists. The
+    * length (nb >= ceil(t·na)) and first-match position
+    * (1 + min(na-rna, nb-rnb) >= ceil(t·na)) prunes are lossless by the
+    * same consistent-global-order argument as [[ngramJaccard]]. */
+  def containment(df0: DataFrame, idCol: String, textCol: String,
+                  k: Int = 3, minContainment: Double = 0.8): DataFrame = {
+    graft.plans.GraftFunctions.register(df0.sparkSession)
+    val df = widen(df0)
+    val t = minContainment
+    val docSh = df.select(col(idCol), tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col(idCol), sort_array(shingles(col("toks"), k)).as("sh"))
+      .withColumn("n", size(col("sh")).cast("long"))
+      .cache()
+    val ex = docSh.select(col(idCol), col("n"), explode(col("sh")).as("s"))
+    val dfreq = ex.groupBy("s").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("df"), col("s"))
+    // ranked is consumed by both join sides (prefix slice on a, full on
+    // b) — exchange reuse shares the window shuffle; do not cache (see
+    // ngramJaccard's note).
+    val ranked = ex.join(dfreq, "s")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .select(col(idCol), col("s"), col("rn"), col("n"))
+    val prefixA = ranked.filter(col("rn") <= col("n") - ceil(col("n") * t) + 1)
+    val cand = prefixA.as("a").hint("shuffle_hash").join(ranked.as("b"),
+        col("a.s") === col("b.s") && col(s"a.$idCol") =!= col(s"b.$idCol") &&
+          col("b.n") >= ceil(col("a.n") * t) &&
+          (lit(1L) + least(col("a.n") - col("a.rn"), col("b.n") - col("b.rn"))) >=
+            ceil(col("a.n") * t))
+      .select(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"))
+      .distinct() // rebalances skewed join output (see ngramJaccard)
+    cand
+      .join(docSh.select(col(idCol).as("d1"), col("sh").as("sha"), col("n").as("na")), "d1")
+      .join(docSh.select(col(idCol).as("d2"), col("sh").as("shb")), "d2")
+      .withColumn("inter",
+        call_function("graft_sorted_intersect_count", col("sha"), col("shb")))
+      .withColumn("containment", col("inter").cast("double") / col("na"))
+      .filter(col("containment") >= minContainment)
+      .select("d1", "d2", "containment")
+  }
+
   /** Embedding near-duplicate pairs: cosine >= `minCosine`, blocked by
     * `blockCol` (a coarse cluster id — here the label column plays the
     * IVF-centroid role; at scale substitute k-means assignments). Cosine is

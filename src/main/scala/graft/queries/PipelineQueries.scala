@@ -55,6 +55,20 @@ object PipelineQueries {
       Dedup.ngramJaccard(docs(s, dir), "doc_id", "text")
         .orderBy("d1", "d2")),
 
+    // --- asymmetric containment (docs embedded in larger docs) ---
+    "d_containment" -> ((s, dir) =>
+      Dedup.containment(docs(s, dir), "doc_id", "text")
+        .orderBy("d1", "d2")),
+
+    // --- dedup clustering: minhash-LSH pairs → connected components →
+    //     (doc, canonical representative) ---
+    "d_dedup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.minhashLsh(docs(s, dir), "doc_id", "text")
+      graft.operators.ConnectedComponents.components(pairs, "d1", "d2")
+        .select(col("v").as("doc_id"), col("component").as("cluster_id"))
+        .orderBy("doc_id")
+    }),
+
     "d_embedding_neardup" -> ((s, dir) =>
       Dedup.embeddingNearDup(emb(s, dir), "vec_id", "embedding", "label")
         .orderBy("d1", "d2")),
@@ -296,6 +310,39 @@ object PipelineQueries {
            |GROUP BY a.doc_id, b.doc_id
            |HAVING count(*)::DOUBLE / (any_value(a.n) + any_value(b.n) - count(*)) >= 0.2
            |ORDER BY d1, d2""".stripMargin,
+
+      "d_containment" ->
+        s"""WITH sh AS (
+           |  SELECT doc_id, len($sh3)::BIGINT AS n, unnest($sh3) AS s
+           |  FROM (SELECT doc_id, $toks AS t FROM documents) WHERE len(t) >= 3)
+           |SELECT a.doc_id AS d1, b.doc_id AS d2,
+           |  count(*)::DOUBLE / any_value(a.n) AS containment
+           |FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+           |GROUP BY a.doc_id, b.doc_id
+           |HAVING count(*)::DOUBLE / any_value(a.n) >= 0.8
+           |ORDER BY d1, d2""".stripMargin,
+
+      "d_dedup_clusters" ->
+        s"""WITH RECURSIVE sh AS (
+           |  SELECT doc_id, unnest($sh3) AS s
+           |  FROM (SELECT doc_id, $toks AS t FROM documents) WHERE len(t) >= 3),
+           |sig AS (SELECT doc_id, h, min(md5(h::VARCHAR || '|' || s)) AS mh
+           |        FROM sh CROSS JOIN (SELECT unnest(range(16)) AS h) GROUP BY doc_id, h),
+           |band AS (SELECT doc_id, h // 4 AS band, md5(string_agg(mh, ',' ORDER BY h)) AS bh
+           |         FROM sig GROUP BY doc_id, h // 4),
+           |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+           |         FROM band a JOIN band b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+           |est AS (SELECT d1, d2 FROM cand JOIN sig x ON x.doc_id = d1
+           |        JOIN sig y ON y.doc_id = d2 AND y.h = x.h
+           |        GROUP BY d1, d2
+           |        HAVING count(*) FILTER (x.mh = y.mh)::DOUBLE / 16 >= 0.5),
+           |edges AS (SELECT d1 AS a, d2 AS b FROM est UNION SELECT d2, d1 FROM est),
+           |reach(v, r) AS (
+           |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+           |  UNION
+           |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.v)
+           |SELECT v AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+           |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin,
 
       "d_embedding_neardup" ->
         s"""SELECT d1, d2, cos FROM (

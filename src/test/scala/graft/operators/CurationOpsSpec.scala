@@ -74,6 +74,39 @@ class CurationOpsSpec extends SparkSpec {
     assert(r("b")._2 > 2500 && r("b")._2 < 10000)
   }
 
+  test("containment finds an embedded doc that jaccard misses") {
+    val small = "alpha beta gamma delta epsilon zeta"
+    val filler = (1 to 60).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, small),                      // contained in 2
+      (2L, s"$filler $small"),          // container
+      (3L, "totally unrelated words one two three four five six seven")
+    ).toDF("doc_id", "text")
+    val cont = Dedup.containment(docs, "doc_id", "text", minContainment = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(cont((1L, 2L)) === 1.0)      // every shingle of 1 is in 2
+    assert(!cont.contains((2L, 1L)))    // asymmetric: 2 is not inside 1
+    assert(!cont.keys.exists(p => p._1 == 3L || p._2 == 3L))
+    // jaccard at the same corpus misses the pair entirely (|∩|/|∪| ~ 0.06)
+    val jac = Dedup.ngramJaccard(docs, "doc_id", "text", minJaccard = 0.2)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(!jac.contains((1L, 2L)))
+  }
+
+  test("connected components: min-label over chains and isolated pairs") {
+    val edges = Seq(
+      (5L, 3L), (3L, 9L), (9L, 11L),    // chain: component 3
+      (20L, 21L),                       // pair: component 20
+      (30L, 7L)                         // pair: component 7
+    ).toDF("d1", "d2")
+    val r = ConnectedComponents.components(edges, "d1", "d2")
+      .as[(Long, Long)].collect().toMap
+    assert(r(5L) === 3L && r(3L) === 3L && r(9L) === 3L && r(11L) === 3L)
+    assert(r(20L) === 20L && r(21L) === 20L)
+    assert(r(30L) === 7L && r(7L) === 7L)
+    assert(r.size === 8)
+  }
+
   test("repetitionMetrics counts top-bigram and duplicated-trigram occurrences") {
     val docs = Seq(
       // "a b" appears 3x of 5 bigrams; trigrams "a b a","b a b" repeat
