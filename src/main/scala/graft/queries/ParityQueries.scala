@@ -85,6 +85,17 @@ object ParityQueries {
       graft.streaming.EventStream.sessionizeBatch(t(s, dir, "events"))
         .orderBy("user_id", "session_id")),
 
+    // Stream-stream interval join (attribution) in batch mode: same
+    // EventStream.intervalJoin code runs live with watermark-bounded
+    // state; this entry pins its join semantics against the oracle.
+    "st_interval_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.streaming.EventStream.intervalJoin(
+          ev.filter(col("event_type") === "purchase"),
+          ev.filter(col("event_type") === "click"))
+        .orderBy("p_event_id", "c_event_id")
+    }),
+
     // ROLLUP over the pass-through SQL surface (delegated in the
     // reference, native Catalyst here).
     "q_rollup" -> ((s, dir) =>
@@ -162,6 +173,15 @@ object ParityQueries {
           |  count(*) AS n,
           |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
           |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+      "st_interval_join" ->
+        """SELECT p.event_id AS p_event_id, p.user_id, p.ts AS p_ts,
+          |  c.event_id AS c_event_id, c.ts AS c_ts
+          |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+          |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          |  ON c.user_id = p.user_id AND c.ts <= p.ts
+          | AND c.ts >= p.ts - INTERVAL 1 HOUR
+          |ORDER BY p_event_id, c_event_id""".stripMargin,
 
       "q_rollup" ->
         """SELECT l_returnflag, l_linestatus, count(*) AS n,

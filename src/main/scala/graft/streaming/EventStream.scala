@@ -73,6 +73,29 @@ object EventStream {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(idCol)
 
+  /** Stream-stream interval join: each purchase matches the same user's
+    * clicks in the event-time window [p_ts - lookback, p_ts] — the
+    * attribution join. Both sides carry watermarks and the join condition
+    * bounds event-time distance, which is exactly what lets Spark prove
+    * state eviction: click state older than watermark + lookback is
+    * dropped, so an unbounded stream holds bounded state. On batch
+    * DataFrames `withWatermark` is a no-op and the same code is the
+    * backfill path (how the oracle checks it). */
+  def intervalJoin(purchases: DataFrame, clicks: DataFrame,
+                   lookback: String = "1 hour",
+                   watermark: String = "1 hour"): DataFrame = {
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("event_id").as("p_event_id"), col("user_id"),
+        col("ts").as("p_ts"))
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("event_id").as("c_event_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+    p.join(c, col("user_id") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $lookback"))
+      .select("p_event_id", "user_id", "p_ts", "c_event_id", "c_ts")
+  }
+
   final case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class Session(user_id: Long, n_events: Long, total: Double, open: Boolean)
 

@@ -81,6 +81,40 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoin: stream-stream join matches the batch backfill") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val pRows = Seq(
+      (10L, 1L, ts("2026-01-01T01:00:00Z")),
+      (11L, 2L, ts("2026-01-01T02:00:00Z")))
+    val cRows = Seq(
+      (20L, 1L, ts("2026-01-01T00:30:00Z")), // within 1h of purchase 10
+      (21L, 1L, ts("2025-12-31T23:50:00Z")), // outside lookback — hits watermark-bounded state
+      (22L, 2L, ts("2026-01-01T01:59:00Z")), // within 1h of purchase 11
+      (23L, 2L, ts("2026-01-01T02:30:00Z"))) // after the purchase — excluded
+    val pBatch = pRows.toDF("event_id", "user_id", "ts")
+    val cBatch = cRows.toDF("event_id", "user_id", "ts")
+    val batchRes = EventStream.intervalJoin(pBatch, cBatch)
+      .select("p_event_id", "c_event_id").as[(Long, Long)].collect().sorted
+    assert(batchRes === Array((10L, 20L), (11L, 22L)))
+
+    val pMem = MemoryStream[(Long, Long, Timestamp)]
+    val cMem = MemoryStream[(Long, Long, Timestamp)]
+    val q = EventStream.intervalJoin(
+        pMem.toDF.toDF("event_id", "user_id", "ts"),
+        cMem.toDF.toDF("event_id", "user_id", "ts"))
+      .writeStream.format("memory").queryName("ivjoin")
+      .outputMode("append").start()
+    try {
+      pMem.addData(pRows: _*)
+      cMem.addData(cRows: _*)
+      q.processAllAvailable()
+      val streamRes = spark.table("ivjoin")
+        .select("p_event_id", "c_event_id").as[(Long, Long)].collect().sorted
+      assert(streamRes === batchRes)
+    } finally q.stop()
+  }
+
   test("sessionize: flatMapGroupsWithState accumulates per user") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
