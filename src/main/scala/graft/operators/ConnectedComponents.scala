@@ -33,8 +33,13 @@ object ConnectedComponents {
     * vertex id reachable from v. */
   def components(edges: DataFrame, srcCol: String, dstCol: String,
                  maxIter: Int = 25): DataFrame = {
-    val sym = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
-      .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+    // symmetrize in ONE pass over the edge pipeline (a union of two
+    // selects would compute the upstream — e.g. a full MinHash-LSH run —
+    // once per branch before the cache materializes)
+    val sym = edges.select(explode(array(
+        struct(col(srcCol).as("a"), col(dstCol).as("b")),
+        struct(col(dstCol).as("a"), col(srcCol).as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
       .cache()
     var labels = sym.select(col("a").as("v")).distinct()
       .withColumn("l", col("v"))
@@ -44,12 +49,15 @@ object ConnectedComponents {
     while (!converged && i < maxIter) {
       val nbrMin = sym.join(labels, sym("b") === labels("v"))
         .groupBy(col("a")).agg(min(col("l")).as("nl"))
+      // the old label rides along in the checkpointed frame so the
+      // convergence check is a filter over materialized rows, not an
+      // extra join+recompute per round
       val next = labels.join(nbrMin, labels("v") === nbrMin("a"), "left")
-        .select(col("v"), least(col("l"), coalesce(col("nl"), col("l"))).as("l"))
+        .select(col("v"), least(col("l"), coalesce(col("nl"), col("l"))).as("l"),
+          col("l").as("lold"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("l", "lold"), "v")
-        .filter(col("l") =!= col("lold")).isEmpty
-      labels = next
+      converged = next.filter(col("l") =!= col("lold")).isEmpty
+      labels = next.drop("lold")
       i += 1
     }
     sym.unpersist()
