@@ -34,6 +34,12 @@ object Sketches {
     val dv = df.select(col(strataCol), col(valueCol).as("v")).distinct()
       .withColumn("u", Sampling.hashUnit(col("v")))
     val w = Window.partitionBy(strataCol).orderBy(col("u"), col("v"))
+    // Two branches over dv, deliberately: the rank-k branch keeps its
+    // `rn === k` filter so Spark's WindowGroupLimit prunes each stratum
+    // to its top-k rows BEFORE the window sort, and the exact count is a
+    // plain aggregate with no sort at all. Folding both into one ranked
+    // pass (n_exact = max(rn)) measures 2× SLOWER — it forces a full
+    // per-stratum sort of every distinct value just to learn the count.
     val kth = dv.withColumn("rn", row_number().over(w))
       .filter(col("rn") === k)
       .select(col(strataCol), col("u").as("uk"))
