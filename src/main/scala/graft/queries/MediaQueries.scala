@@ -29,6 +29,20 @@ object MediaQueries {
         .orderBy("media_id")
     }),
 
+    // binary-payload exact dedup: Dedup.exactDedup works unchanged on a
+    // binary column (md5 accepts binary), so media dedup is the same
+    // one-hash-shuffle operator as text dedup. Duplicates are planted
+    // (an id-shifted copy of every payload) since the corpus has none.
+    "m_media_dedup" -> ((s, dir) => {
+      val media = TableCatalog.load(s, dir, "documents")
+        .select(col("doc_id").as("media_id"), col("text").cast("binary").as("bytes"))
+      val copies = media.select((col("media_id") + 1000000L).as("media_id"),
+        col("bytes"))
+      graft.operators.Dedup.exactDedup(
+          media.unionByName(copies), "media_id", "bytes")
+        .orderBy("media_id")
+    }),
+
     "m_media_pipeline" -> ((s, dir) => {
       val media = TableCatalog.load(s, dir, "documents")
         .select(col("doc_id").as("media_id"), lit("text").as("kind"),
@@ -43,6 +57,15 @@ object MediaQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "m_media_dedup" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents)
+        |SELECT min(media_id) AS media_id, md5(text) AS content_hash,
+        |  CAST(count(*) AS BIGINT) AS n_copies
+        |FROM m GROUP BY md5(text) ORDER BY media_id""".stripMargin,
+
     "m_media_stats" ->
       """SELECT doc_id AS media_id, strlen(text)::BIGINT AS n_bytes,
         |  sha256(text) AS content_sha
