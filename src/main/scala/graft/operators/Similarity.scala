@@ -99,6 +99,55 @@ object Similarity {
       .filter(col("rk") <= k)
   }
 
+  /** Hybrid retrieval: lexical + dense scoring, the standard RAG-corpus
+    * ranking. Candidates come from an inverted shingle index (a doc is a
+    * candidate for a query iff they share a k-shingle — sparse for real
+    * corpora); each candidate is scored
+    * `wVec * cosine(q, d) + wLex * |Sh(q) ∩ Sh(d)| / |Sh(q)|` and the
+    * top-k per query survive.
+    *
+    * Scale shape: the query side of retrieval is small by nature, so its
+    * shingle postings broadcast (map-side candidate generation against
+    * the corpus stream — no corpus shuffle); scoring touches only
+    * candidates, with the fused native cosine and merge-walk intersect
+    * kernels. `corpus` must carry (idCol, textCol, vecCol); `queryPred`
+    * selects the query rows (they remain eligible as neighbors of other
+    * queries). */
+  def hybridTopK(corpus: DataFrame, queryPred: org.apache.spark.sql.Column,
+                 idCol: String, textCol: String, vecCol: String,
+                 k: Int = 5, wVec: Double = 0.6, wLex: Double = 0.4,
+                 shingleK: Int = 3): DataFrame = {
+    import graft.functions.TextFunctions._
+    graft.plans.GraftFunctions.register(corpus.sparkSession)
+    val df = Dedup.widen(corpus)
+    val docSh = df.select(col(idCol), col(vecCol).as("vec"),
+        tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= shingleK)
+      .select(col(idCol), col("vec"),
+        sort_array(shingles(col("toks"), shingleK)).as("sh"))
+      .withColumn("n", size(col("sh")).cast("long"))
+      .cache()
+    val ex = docSh.select(col(idCol), explode(col("sh")).as("s"))
+    val qSh = broadcast(ex.filter(queryPred)
+      .select(col(idCol).as("qid"), col("s")))
+    val cand = ex.join(qSh, "s")
+      .filter(col("qid") =!= col(idCol))
+      .select(col("qid"), col(idCol).as("nid"))
+      .distinct()
+    val scored = cand
+      .join(docSh.select(col(idCol).as("qid"), col("sh").as("shq"),
+        col("n").as("nq"), col("vec").as("qv")), "qid")
+      .join(docSh.select(col(idCol).as("nid"), col("sh").as("shn"),
+        col("vec").as("nv")), "nid")
+      .select(col("qid"), col("nid"),
+        (lit(wVec) * Vectors.cosineNative(corpus.sparkSession, col("qv"), col("nv")) +
+          lit(wLex) * (call_function("graft_sorted_intersect_count",
+            col("shq"), col("shn")).cast("double") / col("nq"))).as("score"))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("nid").asc)
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
   /** LSH-bucketed ANN: candidates share a bucket with the query, reranked
     * by exact cosine. Recall < 1 by construction; `planes` trades bucket
     * occupancy (shuffle width) against recall. */

@@ -95,6 +95,16 @@ object PipelineQueries {
         .orderBy("qid", "rk")
     }),
 
+    // --- hybrid retrieval: shingle-index candidates, lexical+dense score ---
+    "a_hybrid_topk" -> ((s, dir) => {
+      val corpus = docs(s, dir).join(
+        emb(s, dir).select(col("vec_id"), col("embedding")),
+        col("doc_id") === col("vec_id"))
+      Similarity.hybridTopK(corpus, col("doc_id") % 97 === 0,
+          "doc_id", "text", "embedding", k = 5)
+        .orderBy("qid", "rk")
+    }),
+
     // --- as-of join (operator Spark lacks; composed per SURVEY §7.4(a)) ---
     "q_asof_join" -> ((s, dir) => {
       val ev = TableCatalog.load(s, dir, "events")
@@ -402,6 +412,27 @@ object PipelineQueries {
            |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk FROM sc)
            |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
       },
+
+      "a_hybrid_topk" ->
+        s"""WITH sh AS (
+           |  SELECT doc_id, len($sh3)::BIGINT AS n, unnest($sh3) AS s
+           |  FROM (SELECT doc_id, $toks AS t
+           |        FROM documents JOIN embeddings ON doc_id = vec_id)
+           |  WHERE len(t) >= 3),
+           |lex AS (SELECT a.doc_id AS qid, b.doc_id AS nid,
+           |          CAST(count(*) AS BIGINT) AS inter, any_value(a.n) AS nq
+           |        FROM sh a JOIN sh b ON a.s = b.s
+           |          AND a.doc_id % 97 = 0 AND a.doc_id <> b.doc_id
+           |        GROUP BY a.doc_id, b.doc_id),
+           |sc AS (SELECT l.qid, l.nid,
+           |         0.6 * ${cosAB.replace("a.embedding", "qe.embedding").replace("b.embedding", "ne.embedding")}
+           |           + 0.4 * (inter::DOUBLE / nq) AS score
+           |       FROM lex l JOIN embeddings qe ON qe.vec_id = l.qid
+           |                  JOIN embeddings ne ON ne.vec_id = l.nid)
+           |SELECT qid, nid, score, CAST(rk AS BIGINT) AS rk FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rk
+           |  FROM sc)
+           |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
 
       "q_asof_join" ->
         """SELECT l.event_id, l.user_id, l.ts, r.ts AS asof_ts, r.event_id AS asof_event_id

@@ -107,6 +107,28 @@ class CurationOpsSpec extends SparkSpec {
     assert(r.size === 8)
   }
 
+  test("hybridTopK ranks the lexically-and-densely similar doc first") {
+    // doc 100 is the query; 1 shares text AND vector, 2 shares only the
+    // vector direction, 3 shares nothing. Candidates require a shared
+    // shingle, so 3 (and 2, lexically disjoint) can only appear via
+    // shingle overlap — 2 is still a candidate through "delta epsilon
+    // zeta".
+    val corpus = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta", Array(1.0f, 0.0f, 1.0f, 0.5f)),
+      (1L, "alpha beta gamma delta other tail here", Array(1.0f, 0.0f, 1.0f, 0.4f)),
+      (2L, "unrelated words delta epsilon zeta closing", Array(0.9f, 0.1f, 1.0f, 0.5f)),
+      (3L, "completely different tokens entirely now yes", Array(-1.0f, 0.5f, -1.0f, 0.0f))
+    ).toDF("doc_id", "text", "embedding")
+    val r = Similarity.hybridTopK(corpus, col("doc_id") === 100L,
+        "doc_id", "text", "embedding", k = 3)
+      .select("qid", "nid", "rk").as[(Long, Long, Long)].collect()
+    assert(r.forall(_._1 === 100L))
+    val ranked = r.sortBy(_._3).map(_._2)
+    assert(ranked.head === 1L)          // best combined score
+    assert(ranked.contains(2L))         // candidate via shared shingle
+    assert(!ranked.contains(3L))        // no shared shingle -> never scored
+  }
+
   test("repetitionMetrics counts top-bigram and duplicated-trigram occurrences") {
     val docs = Seq(
       // "a b" appears 3x of 5 bigrams; trigrams "a b a","b a b" repeat
