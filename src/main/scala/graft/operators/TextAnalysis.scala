@@ -131,6 +131,32 @@ object TextAnalysis {
           col("dup_trigram_frac") <= maxDupTrigramFrac)
   }
 
+  /** Fixed-size token-window chunking with overlap — the context-prep
+    * step before embedding or training on long documents. Chunk i covers
+    * tokens [i*stride, i*stride + chunkSize); the last chunk may be
+    * short; a doc shorter than one chunk yields a single chunk. MAP-ONLY
+    * (per-row transform + explode, no shuffle); chunk ids are
+    * deterministic (doc_id, chunk_idx).
+    * Output: (id, chunk_idx, chunk_text, n_chunk_tokens). */
+  def chunk(df0: DataFrame, idCol: String, textCol: String,
+            chunkSize: Int = 32, stride: Int = 24): DataFrame = {
+    require(stride > 0 && chunkSize >= stride,
+      "need 0 < stride <= chunkSize (overlapping or adjacent windows)")
+    val df = Dedup.widen(df0)
+    // number of chunks: 1 + ceil(max(0, n - chunkSize) / stride)
+    val n = size(col("toks"))
+    val nChunks = lit(1) + ceil(greatest(n - chunkSize, lit(0)).cast("double") / stride).cast("int")
+    df.select(col(idCol), tokens(col(textCol)).as("toks"))
+      .filter(n > 0)
+      .select(col(idCol), col("toks"),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        slice(col("toks"), col("chunk_idx") * stride + 1, lit(chunkSize)).as("ct"))
+      .select(col(idCol), col("chunk_idx"),
+        concat_ws(" ", col("ct")).as("chunk_text"),
+        size(col("ct")).cast("long").as("n_chunk_tokens"))
+  }
+
   /** Winnowing document fingerprints: hash every k-shingle (md5), slide a
     * window of `window` consecutive shingle positions, keep the minimum
     * hash per window, and emit the distinct selected hashes per document.

@@ -240,7 +240,13 @@ object PipelineQueries {
     // --- Gopher-style repetition quality gates ---
     "t_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionMetrics(docs(s, dir), "doc_id", "text")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // --- overlapping token-window chunking (context prep) ---
+    "t_chunk" -> ((s, dir) =>
+      TextAnalysis.chunk(docs(s, dir), "doc_id", "text",
+          chunkSize = 32, stride = 24)
+        .orderBy("doc_id", "chunk_idx"))
   )
 
   /** DuckDB equivalents. Shared subexpressions are spelled out per query
@@ -628,6 +634,16 @@ object PipelineQueries {
            |  round(coalesce(63.0 / uk, n_exact::DOUBLE), 4) AS kmv_estimate
            |FROM ex LEFT JOIN kth USING (lang) ORDER BY lang""".stripMargin
       },
+
+      "t_chunk" ->
+        s"""WITH base AS (SELECT doc_id, $toks AS t FROM documents),
+           |c AS (SELECT doc_id, t,
+           |        unnest(range(0, (1 + ceil(greatest(len(t) - 32, 0) / 24.0))::INT)) AS chunk_idx
+           |      FROM base WHERE len(t) > 0)
+           |SELECT doc_id, chunk_idx::BIGINT AS chunk_idx,
+           |  array_to_string(t[chunk_idx*24 + 1 : chunk_idx*24 + 32], ' ') AS chunk_text,
+           |  len(t[chunk_idx*24 + 1 : chunk_idx*24 + 32])::BIGINT AS n_chunk_tokens
+           |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
 
       "t_repetition" ->
         s"""WITH base AS (SELECT doc_id, $toks AS t FROM documents),

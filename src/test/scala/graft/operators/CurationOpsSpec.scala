@@ -107,6 +107,23 @@ class CurationOpsSpec extends SparkSpec {
     assert(r.size === 8)
   }
 
+  test("chunk: overlapping windows cover every token; short docs yield one chunk") {
+    val docs = Seq(
+      (1L, (1 to 50).map(i => s"t$i").mkString(" ")), // 50 tokens -> 2 chunks
+      (2L, "a b c")                                   // short -> 1 chunk
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.chunk(docs, "doc_id", "text", chunkSize = 32, stride = 24)
+      .collect().map(x => (x.getAs[Long]("doc_id"), x.getAs[Long]("chunk_idx")) ->
+        (x.getAs[String]("chunk_text"), x.getAs[Long]("n_chunk_tokens"))).toMap
+    assert(r((1L, 0L))._2 === 32L)
+    assert(r((1L, 1L))._2 === 26L)                    // tokens 25..50
+    assert(r((1L, 1L))._1.startsWith("t25 "))         // stride 24 -> 8-token overlap
+    assert(r((1L, 0L))._1.endsWith(" t32"))
+    assert(r((2L, 0L)) === (("a b c", 3L)))
+    assert(!r.contains((2L, 1L)))
+    assert(r.size === 3)
+  }
+
   test("hybridTopK ranks the lexically-and-densely similar doc first") {
     // doc 100 is the query; 1 shares text AND vector, 2 shares only the
     // vector direction, 3 shares nothing. Candidates require a shared
