@@ -35,4 +35,59 @@ object Vectors {
     graft.plans.GraftFunctions.register(spark)
     round(call_function("graft_cosine", a, b), 6)
   }
+
+  /** Deterministic distributed k-means (cosine metric) — the trained
+    * coarse quantizer that [[graft.operators.Similarity.ivfTopK]]'s
+    * Scaladoc promises. Returns the final (id, cluster_id) assignment
+    * after `iters` Lloyd rounds; cluster ids are the init vector ids
+    * (rows with `idCol <= k`), stable across rounds.
+    *
+    * Scale shape: each round is one broadcast of k centroids + a
+    * map-side argmax over the corpus (no corpus shuffle) + one keyed
+    * mean aggregate; only k×dims means ever reach the driver (config-
+    * sized, like any trained-model broadcast).
+    *
+    * Cross-engine determinism (what makes even the TRAINED MODEL
+    * oracle-checkable): assignment argmax uses the 6-dp-rounded cosine
+    * with id tiebreak; per-dimension means accumulate in decimal(30,15)
+    * (order-independent exact sums — a double sum would depend on
+    * partition order) and divide in double; the new centroid rounds to
+    * float exactly as any engine's double→float cast does. Empty
+    * clusters keep their previous centroid. */
+  def kmeansAssign(df: org.apache.spark.sql.DataFrame, idCol: String,
+                   vecCol: String, k: Int = 4, iters: Int = 2)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    graft.plans.GraftFunctions.register(spark)
+    val base = df.select(col(idCol), col(vecCol).as("v"))
+    var cents: Seq[(Long, Array[Float])] = base
+      .filter(col(idCol) <= k)
+      .as[(Long, Array[Float])].collect().sortBy(_._1).toSeq
+    var assign: org.apache.spark.sql.DataFrame = null
+    for (i <- 1 to iters) {
+      val centDf = broadcast(cents.toDF("cid", "cv"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(idCol).orderBy(col("ccos").desc, col("cid").asc)
+      assign = base.crossJoin(centDf)
+        .withColumn("ccos", cosineNative(spark, col("v"), col("cv")))
+        .withColumn("crk", row_number().over(w))
+        .filter(col("crk") === 1)
+        .select(col(idCol), col("cid").as("cluster_id"))
+      if (i < iters) {
+        val means = assign.join(base, idCol)
+          .select(col("cluster_id"), posexplode(col("v")).as(Seq("dim", "x")))
+          .groupBy(col("cluster_id"), col("dim"))
+          .agg((sum(col("x").cast("double").cast("decimal(30,15)")).cast("double")
+            / count(lit(1))).as("m"))
+          .as[(Long, Int, Double)].collect()
+          .groupBy(_._1)
+          .map { case (cid, rows) =>
+            cid -> rows.sortBy(_._2).map(_._3.toFloat).toArray
+          }
+        cents = cents.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
+      }
+    }
+    assign
+  }
 }

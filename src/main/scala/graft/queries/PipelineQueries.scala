@@ -95,6 +95,12 @@ object PipelineQueries {
         .orderBy("qid", "rk")
     }),
 
+    // --- k-means coarse quantizer training (2 Lloyd rounds, k=4) ---
+    "a_kmeans_assign" -> ((s, dir) =>
+      graft.operators.Vectors.kmeansAssign(
+          emb(s, dir), "vec_id", "embedding", k = 4, iters = 2)
+        .orderBy("vec_id")),
+
     // --- hybrid retrieval: shingle-index candidates, lexical+dense score ---
     "a_hybrid_topk" -> ((s, dir) => {
       val corpus = docs(s, dir).join(
@@ -417,6 +423,34 @@ object PipelineQueries {
            |SELECT qid, nid, cos, CAST(rk AS BIGINT) AS rk FROM (
            |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk FROM sc)
            |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
+      },
+
+      "a_kmeans_assign" -> {
+        def cos(a: String, b: String) =
+          s"round(list_dot_product($a::DOUBLE[], $b::DOUBLE[]) / " +
+            s"(sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) * " +
+            s"sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[]))), 6)"
+        s"""WITH c0 AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id <= 4),
+           |a1 AS (SELECT vec_id, cid FROM (
+           |  SELECT e.vec_id, c.cid,
+           |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cos("e.embedding", "c.cv")} DESC, c.cid) AS rk
+           |  FROM embeddings e CROSS JOIN c0 c) WHERE rk = 1),
+           |m1 AS (SELECT a1.cid, d.dim,
+           |         CAST(sum(CAST(CAST(e.embedding[d.dim] AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE)
+           |           / count(*) AS mv
+           |       FROM a1 JOIN embeddings e USING (vec_id),
+           |            unnest(range(1, len(e.embedding) + 1)) AS d(dim)
+           |       GROUP BY a1.cid, d.dim),
+           |c1 AS (SELECT c0.cid,
+           |         CASE WHEN count(m1.mv) = 0 THEN any_value(c0.cv)
+           |              ELSE list(CAST(m1.mv AS FLOAT) ORDER BY m1.dim) END AS cv
+           |       FROM c0 LEFT JOIN m1 ON m1.cid = c0.cid
+           |       GROUP BY c0.cid)
+           |SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id FROM (
+           |  SELECT e.vec_id, c.cid,
+           |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cos("e.embedding", "c.cv")} DESC, c.cid) AS rk
+           |  FROM embeddings e CROSS JOIN c1 c) WHERE rk = 1
+           |ORDER BY vec_id""".stripMargin
       },
 
       "a_hybrid_topk" ->

@@ -107,6 +107,25 @@ class CurationOpsSpec extends SparkSpec {
     assert(r.size === 8)
   }
 
+  test("kmeansAssign clusters planted blobs and is deterministic under repartition") {
+    def blob(center: Array[Float], seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      center.map(c => c + (r.nextFloat() - 0.5f) * 0.1f)
+    }
+    val cA = Array(1.0f, 0.0f, 0.0f, 1.0f)
+    val cB = Array(-1.0f, 1.0f, 0.0f, -1.0f)
+    // ids 1..2 are the init centroids (one per blob), the rest alternate
+    val rows = Seq(1L -> blob(cA, 1), 2L -> blob(cB, 2)) ++
+      (3L to 40L).map(i => i -> blob(if (i % 2 == 1) cA else cB, i.toInt))
+    val df = rows.toDF("vec_id", "embedding")
+    val r = Vectors.kmeansAssign(df, "vec_id", "embedding", k = 2, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert((3L to 40L).forall(i => r(i) === (if (i % 2 == 1) 1L else 2L)))
+    val again = Vectors.kmeansAssign(df.repartition(7), "vec_id", "embedding",
+      k = 2, iters = 2).as[(Long, Long)].collect().toMap
+    assert(again === r)
+  }
+
   test("chunk: overlapping windows cover every token; short docs yield one chunk") {
     val docs = Seq(
       (1L, (1 to 50).map(i => s"t$i").mkString(" ")), // 50 tokens -> 2 chunks
