@@ -236,6 +236,24 @@ object CoreQueries {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // RANGE-frame windows (value-based frames — peers by order-date
+    // distance, not row position): each order against the same
+    // customer's orders within ±30 days.
+    "q_window_range" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val nearby = Window.partitionBy("o_custkey").orderBy(col("od_days"))
+        .rangeBetween(-30, 30)
+      t(s, dir, "orders")
+        .filter(col("o_custkey") <= 100)
+        .withColumn("od_days",
+          datediff(col("o_orderdate"), lit("1970-01-01")).cast("long"))
+        .select(col("o_custkey"), col("o_orderkey"), col("od_days"),
+          count(lit(1)).over(nearby).as("n_nearby"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).over(nearby)
+            .cast("double").as("nearby_total"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     // Arbitrary GROUPING SETS through the SQL pass-through surface.
     "q_grouping_sets" -> ((s, dir) => {
       TableCatalog.register(s, dir)
@@ -366,6 +384,15 @@ object CoreQueries {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_window_range" ->
+      """SELECT o_custkey, o_orderkey, od_days,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_nearby,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS nearby_total
+        |FROM (SELECT *, (o_orderdate::DATE - DATE '1970-01-01')::BIGINT AS od_days
+        |      FROM orders WHERE o_custkey <= 100)
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY od_days
+        |             RANGE BETWEEN 30 PRECEDING AND 30 FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "p15_split_key" ->
       """SELECT coalesce(CAST(o_orderstatus AS VARCHAR), '') AS __split, count(*) AS n
         |FROM orders GROUP BY 1 ORDER BY __split""".stripMargin,
