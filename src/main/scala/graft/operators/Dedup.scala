@@ -199,18 +199,30 @@ object Dedup {
     * filter is lossless (standard AllPairs guarantee), so results equal
     * the brute-force join. Exact intersections are then computed per
     * candidate from the collected shingle arrays — no second explode. */
+  /** 60-bit md5-derived shingle hash (first 15 hex digits). At corpus
+    * scale the shingle STRINGS are the dominant bytes of the inverted-
+    * index shuffle; 8-byte hashes cut that ~2.5× and make every index
+    * compare one instruction. Collisions merge two distinct shingles —
+    * P ≈ |shingles|²/2^61, immaterial below ~10^8 distinct shingles per
+    * comparison universe, and deterministic (both engines would agree on
+    * the collision if one occurred). */
+  private def shingleHash(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
   def ngramJaccard(df0: DataFrame, idCol: String, textCol: String,
                    k: Int = 3, minJaccard: Double = 0.2): DataFrame = {
     graft.plans.GraftFunctions.register(df0.sparkSession)
     val df = widen(df0)
     val t = minJaccard
-    // shingle sets stored SORTED: verification uses the native merge-walk
-    // intersect (graft_sorted_intersect_count) — zero allocation vs
-    // array_intersect's per-row hash set, on the millions-of-candidates
-    // hot path. Set semantics unchanged (shingles() already dedups).
+    // shingle sets stored as SORTED long hashes: the index shuffles and
+    // compares 8-byte keys (see shingleHash), and verification uses the
+    // native merge-walk intersect (graft_sorted_intersect_count) — zero
+    // allocation vs array_intersect's per-row hash set, on the
+    // millions-of-candidates hot path.
     val docSh = df.select(col(idCol), tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= k)
-      .select(col(idCol), sort_array(shingles(col("toks"), k)).as("sh"))
+      .select(col(idCol), sort_array(array_distinct(
+        transform(shingles(col("toks"), k), shingleHash(_)))).as("sh"))
       .withColumn("n", size(col("sh")).cast("long"))
       .cache()
     val ex = docSh.select(col(idCol), col("n"), explode(col("sh")).as("s"))
@@ -281,7 +293,8 @@ object Dedup {
     val t = minContainment
     val docSh = df.select(col(idCol), tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= k)
-      .select(col(idCol), sort_array(shingles(col("toks"), k)).as("sh"))
+      .select(col(idCol), sort_array(array_distinct(
+        transform(shingles(col("toks"), k), shingleHash(_)))).as("sh"))
       .withColumn("n", size(col("sh")).cast("long"))
       .cache()
     val ex = docSh.select(col(idCol), col("n"), explode(col("sh")).as("s"))

@@ -60,6 +60,22 @@ class NativeKernelPropertySpec extends SparkSpec {
     }
   }
 
+  test("graft_sorted_intersect_count: long-element variant equals set intersection") {
+    GraftFunctions.register(spark)
+    val longPairGen: Gen[(Array[Long], Array[Long])] = for {
+      na <- Gen.choose(0, 40)
+      nb <- Gen.choose(0, 40)
+      a <- Gen.listOfN(na, Gen.choose(-50L, 50L))
+      b <- Gen.listOfN(nb, Gen.choose(-50L, 50L))
+    } yield (a.distinct.sorted.toArray, b.distinct.sorted.toArray)
+    forAll(longPairGen) { case (a, b) =>
+      val r = Seq((a, b)).toDF("a", "b")
+        .select(call_function("graft_sorted_intersect_count", col("a"), col("b")))
+        .as[Long].head()
+      assert(r === a.toSet.intersect(b.toSet).size.toLong)
+    }
+  }
+
   test("graft_hyperplane_bucket equals the unrolled projection on arbitrary vectors") {
     GraftFunctions.register(spark)
     forAll(vecPairGen) { case (v, _) =>
