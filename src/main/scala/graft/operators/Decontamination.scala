@@ -27,10 +27,14 @@ object Decontamination {
                        evalPred: Column, k: Int = 3,
                        minFrac: Double = 0.05): DataFrame = {
     val df = Dedup.widen(df0)
+    // 8-byte hashed shingles (see Dedup.shingleHash): the overlap join
+    // keys and the broadcast eval set carry longs, not shingle strings
     val sh = df.select(col(idCol), evalPred.as("is_eval"),
         tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= k)
-      .select(col(idCol), col("is_eval"), explode(shingles(col("toks"), k)).as("s"))
+      .select(col(idCol), col("is_eval"),
+        explode(array_distinct(transform(
+          shingles(col("toks"), k), Dedup.shingleHash(_)))).as("s"))
     val evalSh = broadcast(sh.filter(col("is_eval")).select("s").distinct())
     val train = sh.filter(!col("is_eval"))
     // shingles() emits DISTINCT shingles per doc, so count(*) counts the

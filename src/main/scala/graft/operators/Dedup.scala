@@ -206,7 +206,7 @@ object Dedup {
     * P ≈ |shingles|²/2^61, immaterial below ~10^8 distinct shingles per
     * comparison universe, and deterministic (both engines would agree on
     * the collision if one occurred). */
-  private def shingleHash(s: Column): Column =
+  private[operators] def shingleHash(s: Column): Column =
     conv(substring(md5(s), 1, 15), 16, 10).cast("long")
 
   def ngramJaccard(df0: DataFrame, idCol: String, textCol: String,

@@ -120,11 +120,14 @@ object Similarity {
     import graft.functions.TextFunctions._
     graft.plans.GraftFunctions.register(corpus.sparkSession)
     val df = Dedup.widen(corpus)
+    // 8-byte hashed shingles through the index and intersect, as in
+    // Dedup.ngramJaccard (see Dedup.shingleHash for the collision math)
     val docSh = df.select(col(idCol), col(vecCol).as("vec"),
         tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= shingleK)
       .select(col(idCol), col("vec"),
-        sort_array(shingles(col("toks"), shingleK)).as("sh"))
+        sort_array(array_distinct(transform(
+          shingles(col("toks"), shingleK), Dedup.shingleHash(_)))).as("sh"))
       .withColumn("n", size(col("sh")).cast("long"))
       .cache()
     val ex = docSh.select(col(idCol), explode(col("sh")).as("s"))
