@@ -61,6 +61,13 @@ object ConnectedComponents {
       i += 1
     }
     sym.unpersist()
+    // fail fast rather than silently returning partially-propagated
+    // labels: a graph with diameter > maxIter (e.g. a long chain of
+    // incrementally-edited near-dups) would otherwise report one true
+    // cluster as several, with wrong representatives.
+    if (!converged) throw new IllegalStateException(
+      s"connected components did not converge within $maxIter rounds — " +
+        "the edge graph has a longer diameter; raise maxIter")
     labels.select(col("v"), col("l").as("component"))
   }
 }

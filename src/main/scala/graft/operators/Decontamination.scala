@@ -29,12 +29,16 @@ object Decontamination {
     val df = Dedup.widen(df0)
     // 8-byte hashed shingles (see Dedup.shingleHash): the overlap join
     // keys and the broadcast eval set carry longs, not shingle strings
+    // cached: three branches consume sh (eval set, per-doc totals, and
+    // the overlap join) and none share an exchange — uncached, the
+    // tokenize→shingle→hash pipeline would run three times
     val sh = df.select(col(idCol), evalPred.as("is_eval"),
         tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= k)
       .select(col(idCol), col("is_eval"),
         explode(array_distinct(transform(
           shingles(col("toks"), k), Dedup.shingleHash(_)))).as("s"))
+      .cache()
     val evalSh = broadcast(sh.filter(col("is_eval")).select("s").distinct())
     val train = sh.filter(!col("is_eval"))
     // shingles() emits DISTINCT shingles per doc, so count(*) counts the

@@ -184,6 +184,37 @@ object Dedup {
       .select("d1", "d2", "hamming")
   }
 
+  /** 60-bit md5-derived shingle hash (first 15 hex digits). At corpus
+    * scale the shingle STRINGS are the dominant bytes of the inverted-
+    * index shuffle; 8-byte hashes cut that ~2.5× and make every index
+    * compare one instruction. Collisions merge two distinct shingles —
+    * P ≈ |shingles|²/2^61, immaterial below ~10^8 distinct shingles per
+    * comparison universe, and deterministic (both engines would agree on
+    * the collision if one occurred). */
+  private[operators] def shingleHash(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
+  /** Per-doc sorted distinct hashed-shingle sets, the shared index layout
+    * of every set-overlap operator (jaccard, containment, hybrid
+    * retrieval): `keep` extra columns + `sh` (sorted array<long>, see
+    * [[shingleHash]]) + `n` (set size). CACHED — each operator consumes
+    * it from several join branches; the cache lives until session end
+    * (bench clears between queries; long-lived pipelines should
+    * `unpersist()` the returned frame when done). */
+  private[operators] def hashedShingleSets(df: DataFrame, idCol: String,
+                                           textCol: String, k: Int,
+                                           keep: Seq[Column] = Nil): DataFrame = {
+    val base = df.select(col(idCol) +: keep :+ tokens(col(textCol)).as("toks"): _*)
+      .filter(size(col("toks")) >= k)
+    // keep expressions were evaluated in the select above; from here on
+    // reference them by their OUTPUT names only
+    val carried = base.columns.filter(_ != "toks").map(col).toSeq
+    base.select(carried :+ sort_array(array_distinct(
+        transform(shingles(col("toks"), k), shingleHash(_)))).as("sh"): _*)
+      .withColumn("n", size(col("sh")).cast("long"))
+      .cache()
+  }
+
   /** Exact n-gram Jaccard similarity for all pairs with jaccard >=
     * `minJaccard`, via AllPairs/PPJoin-style **prefix filtering** — the
     * property that makes this viable at 100 TB:
@@ -198,33 +229,19 @@ object Dedup {
     * frequency and measured 20× slower on the benchmark corpus. The
     * filter is lossless (standard AllPairs guarantee), so results equal
     * the brute-force join. Exact intersections are then computed per
-    * candidate from the collected shingle arrays — no second explode. */
-  /** 60-bit md5-derived shingle hash (first 15 hex digits). At corpus
-    * scale the shingle STRINGS are the dominant bytes of the inverted-
-    * index shuffle; 8-byte hashes cut that ~2.5× and make every index
-    * compare one instruction. Collisions merge two distinct shingles —
-    * P ≈ |shingles|²/2^61, immaterial below ~10^8 distinct shingles per
-    * comparison universe, and deterministic (both engines would agree on
-    * the collision if one occurred). */
-  private[operators] def shingleHash(s: Column): Column =
-    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
-
+    * candidate from the collected shingle arrays — no second explode.
+    *
+    * The index carries SORTED long hashes: shuffles and compares touch
+    * 8-byte keys (see [[shingleHash]]), and verification uses the native
+    * merge-walk intersect (graft_sorted_intersect_count) — zero
+    * allocation vs array_intersect's per-row hash set, on the
+    * millions-of-candidates hot path. */
   def ngramJaccard(df0: DataFrame, idCol: String, textCol: String,
                    k: Int = 3, minJaccard: Double = 0.2): DataFrame = {
     graft.plans.GraftFunctions.register(df0.sparkSession)
     val df = widen(df0)
     val t = minJaccard
-    // shingle sets stored as SORTED long hashes: the index shuffles and
-    // compares 8-byte keys (see shingleHash), and verification uses the
-    // native merge-walk intersect (graft_sorted_intersect_count) — zero
-    // allocation vs array_intersect's per-row hash set, on the
-    // millions-of-candidates hot path.
-    val docSh = df.select(col(idCol), tokens(col(textCol)).as("toks"))
-      .filter(size(col("toks")) >= k)
-      .select(col(idCol), sort_array(array_distinct(
-        transform(shingles(col("toks"), k), shingleHash(_)))).as("sh"))
-      .withColumn("n", size(col("sh")).cast("long"))
-      .cache()
+    val docSh = hashedShingleSets(df, idCol, textCol, k)
     val ex = docSh.select(col(idCol), col("n"), explode(col("sh")).as("s"))
     val dfreq = ex.groupBy("s").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
@@ -291,12 +308,7 @@ object Dedup {
     graft.plans.GraftFunctions.register(df0.sparkSession)
     val df = widen(df0)
     val t = minContainment
-    val docSh = df.select(col(idCol), tokens(col(textCol)).as("toks"))
-      .filter(size(col("toks")) >= k)
-      .select(col(idCol), sort_array(array_distinct(
-        transform(shingles(col("toks"), k), shingleHash(_)))).as("sh"))
-      .withColumn("n", size(col("sh")).cast("long"))
-      .cache()
+    val docSh = hashedShingleSets(df, idCol, textCol, k)
     val ex = docSh.select(col(idCol), col("n"), explode(col("sh")).as("s"))
     val dfreq = ex.groupBy("s").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window

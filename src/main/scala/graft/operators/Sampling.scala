@@ -67,9 +67,14 @@ object Sampling {
                         seed: String = ""): DataFrame = {
     val counts = df.groupBy(col(strataCol))
       .agg(count(lit(1)).as("n_stratum"))
+    // sum_w accumulates in decimal: a plain double sum merges partials
+    // in partition-arrival order, and a rate within 1 ulp of a 6-dp
+    // rounding boundary could then flip between runs/engines — the
+    // same order-dependence kmeansAssign's means avoid.
     val tot = counts.agg(
       sum(col("n_stratum")).as("n_total"),
-      sum(pow(col("n_stratum").cast("double"), alpha)).as("sum_w"))
+      sum(pow(col("n_stratum").cast("double"), alpha).cast("decimal(30,12)"))
+        .cast("double").as("sum_w"))
     val rates = counts.crossJoin(broadcast(tot))
       .withColumn("rate", least(lit(1.0), round(
         lit(targetFrac) * col("n_total") * pow(col("n_stratum").cast("double"), alpha)

@@ -121,17 +121,13 @@ object Similarity {
     graft.plans.GraftFunctions.register(corpus.sparkSession)
     val df = Dedup.widen(corpus)
     // 8-byte hashed shingles through the index and intersect, as in
-    // Dedup.ngramJaccard (see Dedup.shingleHash for the collision math)
-    val docSh = df.select(col(idCol), col(vecCol).as("vec"),
-        tokens(col(textCol)).as("toks"))
-      .filter(size(col("toks")) >= shingleK)
-      .select(col(idCol), col("vec"),
-        sort_array(array_distinct(transform(
-          shingles(col("toks"), shingleK), Dedup.shingleHash(_)))).as("sh"))
-      .withColumn("n", size(col("sh")).cast("long"))
-      .cache()
-    val ex = docSh.select(col(idCol), explode(col("sh")).as("s"))
-    val qSh = broadcast(ex.filter(queryPred)
+    // Dedup.ngramJaccard (see Dedup.shingleHash for the collision math).
+    // queryPred is evaluated against the FULL corpus row (any column may
+    // appear in it) and carried as a flag into the shingle index.
+    val docSh = Dedup.hashedShingleSets(df, idCol, textCol, shingleK,
+      keep = Seq(col(vecCol).as("vec"), queryPred.as("is_query")))
+    val ex = docSh.select(col(idCol), col("is_query"), explode(col("sh")).as("s"))
+    val qSh = broadcast(ex.filter(col("is_query"))
       .select(col(idCol).as("qid"), col("s")))
     val cand = ex.join(qSh, "s")
       .filter(col("qid") =!= col(idCol))

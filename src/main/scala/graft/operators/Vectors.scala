@@ -57,6 +57,7 @@ object Vectors {
   def kmeansAssign(df: org.apache.spark.sql.DataFrame, idCol: String,
                    vecCol: String, k: Int = 4, iters: Int = 2)
       : org.apache.spark.sql.DataFrame = {
+    require(iters >= 1, s"kmeansAssign needs iters >= 1, got $iters")
     val spark = df.sparkSession
     import spark.implicits._
     graft.plans.GraftFunctions.register(spark)

@@ -16,8 +16,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   *
   * Element types: `array<string>` or `array<long>` (both sides the
   * same). The long form is what the dedup operators use at scale —
-  * 64-bit md5-derived shingle hashes shuffle ~2.5× fewer bytes than the
-  * shingle strings and compare in one instruction.
+  * 60-bit md5-derived shingle hashes (Dedup.shingleHash) shuffle ~2.5×
+  * fewer bytes than the shingle strings and compare in one instruction.
   *
   * Caller contract: both inputs sorted ascending with distinct elements
   * (produced with `sort_array(array_distinct(...))`); unsorted input

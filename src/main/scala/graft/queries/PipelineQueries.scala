@@ -645,7 +645,8 @@ object PipelineQueries {
         s"""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_stratum
            |           FROM documents GROUP BY lang),
            |t AS (SELECT CAST(sum(n_stratum) AS BIGINT) AS n_total,
-           |             sum(pow(n_stratum, 0.5)) AS sum_w FROM c),
+           |             CAST(sum(CAST(pow(n_stratum, 0.5) AS DECIMAL(30,12))) AS DOUBLE) AS sum_w
+           |      FROM c),
            |r AS (SELECT lang, least(1.0,
            |        round(0.5 * n_total * pow(n_stratum, 0.5) / sum_w / n_stratum, 6)) AS rate
            |      FROM c CROSS JOIN t)
