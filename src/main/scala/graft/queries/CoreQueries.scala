@@ -236,6 +236,16 @@ object CoreQueries {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // Pivot (long-to-wide): order counts per priority, one column per
+    // status. Values are listed explicitly — at scale an unbounded
+    // .pivot() collects the distinct values to the driver first.
+    "q_pivot" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .orderBy("o_orderpriority")),
+
     // RANGE-frame windows (value-based frames — peers by order-date
     // distance, not row position): each order against the same
     // customer's orders within ±30 days.
@@ -384,6 +394,12 @@ object CoreQueries {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS F,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS O,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS P
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_window_range" ->
       """SELECT o_custkey, o_orderkey, od_days,
         |  CAST(count(*) OVER w AS BIGINT) AS n_nearby,
