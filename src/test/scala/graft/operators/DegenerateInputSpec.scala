@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Degenerate-corpus behavior: operators must return empty (or
+  * trivially-correct) results — never throw — when documents are too
+  * short to shingle, the eval/query set is empty, or the edge graph has
+  * no edges. These are the shapes a real pipeline hits on its first or
+  * last incremental batch. */
+class DegenerateInputSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val shortDocs = Seq(
+    (1L, "one two"), (2L, "three"), (3L, "")
+  ).toDF("doc_id", "text")
+
+  test("shingle-based dedup ops are empty on sub-shingle docs") {
+    assert(Dedup.ngramJaccard(shortDocs, "doc_id", "text").isEmpty)
+    assert(Dedup.containment(shortDocs, "doc_id", "text").isEmpty)
+    assert(Dedup.minhashLsh(shortDocs, "doc_id", "text").isEmpty)
+  }
+
+  test("decontamination with an empty eval set reports nothing") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon")
+    ).toDF("doc_id", "text")
+    val r = Decontamination.flagContaminated(
+      docs, "doc_id", "text", evalPred = col("doc_id") > 100L)
+    assert(r.isEmpty)
+  }
+
+  test("connected components on an empty edge list returns no vertices") {
+    val edges = Seq.empty[(Long, Long)].toDF("d1", "d2")
+    assert(ConnectedComponents.components(edges, "d1", "d2").isEmpty)
+  }
+
+  test("hybridTopK with a query predicate matching nothing is empty") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta", Array(1.0f, 2.0f)),
+      (2L, "alpha beta gamma other", Array(2.0f, 1.0f))
+    ).toDF("doc_id", "text", "embedding")
+    val r = Similarity.hybridTopK(corpus, col("doc_id") > 100L,
+      "doc_id", "text", "embedding")
+    assert(r.isEmpty)
+  }
+
+  test("chunk drops zero-token docs instead of emitting empty chunks") {
+    val r = TextAnalysis.chunk(shortDocs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(r === Set(1L, 2L)) // doc 3 has no tokens
+  }
+
+  test("repetitionMetrics skips sub-trigram docs") {
+    val r = TextAnalysis.repetitionMetrics(shortDocs, "doc_id", "text")
+    assert(r.isEmpty) // no doc reaches 3 tokens
+  }
+
+  test("temperatureSample on a single stratum keeps ~targetFrac") {
+    val df = (1L to 200L).map(i => (i, "only")).toDF("id", "lang")
+    val r = Sampling.temperatureSample(df, "id", "lang", targetFrac = 0.5)
+    val kept = r.count().toDouble / 200
+    assert(kept > 0.3 && kept < 0.7)
+    // single stratum -> rate is exactly min(1, targetFrac * n * n^a / n^a / n) = targetFrac
+    assert(r.select("rate").distinct().as[Double].head() === 0.5)
+  }
+}
