@@ -43,6 +43,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"))
   }
 
+  test("hybridTopK joins the query postings as a broadcast (map-side vs corpus)") {
+    val corpus = spark.range(1, 201).select(col("id").as("doc_id"),
+      concat_ws(" ", lit("alpha"), col("id").cast("string"), lit("beta gamma delta epsilon")).as("text"),
+      transform(sequence(lit(1), lit(8)), i => (col("id") % i).cast("float")).as("embedding"))
+    val plan = physicalPlan(graft.operators.Similarity.hybridTopK(
+      corpus, col("doc_id") % 50 === 0, "doc_id", "text", "embedding"))
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("kmeans assignment is a broadcast of centroids, not a corpus shuffle") {
+    val vecs = spark.range(1, 101).select(col("id").as("vec_id"),
+      transform(sequence(lit(1), lit(8)), i => (col("id") % i).cast("float")).as("embedding"))
+    val plan = physicalPlan(graft.operators.Vectors.kmeansAssign(
+      vecs, "vec_id", "embedding", k = 2, iters = 1))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
   test("lshBuckets is a single map-side projection (no shuffle, no driver job)") {
     // range-based source: a Seq-backed LocalRelation would be constant-
     // folded straight to LocalTableScan (the expression evaluates at
