@@ -96,6 +96,17 @@ object ParityQueries {
         .orderBy("p_event_id", "c_event_id")
     }),
 
+    // Left-outer variant: unattributed purchases surface with null click
+    // columns (streaming emits them watermark-gated; batch immediately).
+    "st_interval_join_outer" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.streaming.EventStream.intervalJoin(
+          ev.filter(col("event_type") === "purchase"),
+          ev.filter(col("event_type") === "click"),
+          joinType = "left_outer")
+        .orderBy(col("p_event_id"), col("c_event_id").asc_nulls_first)
+    }),
+
     // ROLLUP over the pass-through SQL surface (delegated in the
     // reference, native Catalyst here).
     "q_rollup" -> ((s, dir) =>
@@ -182,6 +193,15 @@ object ParityQueries {
           |  ON c.user_id = p.user_id AND c.ts <= p.ts
           | AND c.ts >= p.ts - INTERVAL 1 HOUR
           |ORDER BY p_event_id, c_event_id""".stripMargin,
+
+      "st_interval_join_outer" ->
+        """SELECT p.event_id AS p_event_id, p.user_id, p.ts AS p_ts,
+          |  c.event_id AS c_event_id, c.ts AS c_ts
+          |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+          |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          |  ON c.user_id = p.user_id AND c.ts <= p.ts
+          | AND c.ts >= p.ts - INTERVAL 1 HOUR
+          |ORDER BY p_event_id, c_event_id NULLS FIRST""".stripMargin,
 
       "q_rollup" ->
         """SELECT l_returnflag, l_linestatus, count(*) AS n,

@@ -81,9 +81,14 @@ object EventStream {
     * dropped, so an unbounded stream holds bounded state. On batch
     * DataFrames `withWatermark` is a no-op and the same code is the
     * backfill path (how the oracle checks it). */
+  /** `joinType` "inner" (default) or "left_outer": outer emits
+    * unattributed purchases with null click columns — in streaming mode
+    * only once the watermark proves no matching click can still arrive
+    * (the event-time bound is what makes the null decision provable). */
   def intervalJoin(purchases: DataFrame, clicks: DataFrame,
                    lookback: String = "1 hour",
-                   watermark: String = "1 hour"): DataFrame = {
+                   watermark: String = "1 hour",
+                   joinType: String = "inner"): DataFrame = {
     val p = purchases.withWatermark("ts", watermark)
       .select(col("event_id").as("p_event_id"), col("user_id"),
         col("ts").as("p_ts"))
@@ -92,7 +97,8 @@ object EventStream {
         col("ts").as("c_ts"))
     p.join(c, col("user_id") === col("c_user") &&
         col("c_ts") <= col("p_ts") &&
-        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $lookback"))
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $lookback"),
+        joinType)
       .select("p_event_id", "user_id", "p_ts", "c_event_id", "c_ts")
   }
 

@@ -115,6 +115,35 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoin left_outer: unattributed purchase emits nulls after the watermark passes") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val pMem = MemoryStream[(Long, Long, Timestamp)]
+    val cMem = MemoryStream[(Long, Long, Timestamp)]
+    val q = EventStream.intervalJoin(
+        pMem.toDF.toDF("event_id", "user_id", "ts"),
+        cMem.toDF.toDF("event_id", "user_id", "ts"),
+        joinType = "left_outer")
+      .writeStream.format("memory").queryName("ivjoin_outer")
+      .outputMode("append").start()
+    try {
+      // purchase with NO click; engine cannot emit the null row until
+      // the watermark proves no in-range click can still arrive
+      pMem.addData((10L, 1L, ts("2026-01-01T01:00:00Z")))
+      cMem.addData((20L, 2L, ts("2026-01-01T01:00:00Z"))) // other user
+      q.processAllAvailable()
+      // advance event time on BOTH streams well past p_ts + lookback
+      pMem.addData((11L, 1L, ts("2026-01-01T09:00:00Z")))
+      cMem.addData((21L, 2L, ts("2026-01-01T09:00:00Z")))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val rows = spark.table("ivjoin_outer")
+        .select("p_event_id", "c_event_id").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      assert(rows.contains((10L, None))) // the watermark-gated null emission
+    } finally q.stop()
+  }
+
   test("sessionize: flatMapGroupsWithState accumulates per user") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
