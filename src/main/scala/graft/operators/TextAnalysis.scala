@@ -131,6 +131,29 @@ object TextAnalysis {
           col("dup_trigram_frac") <= maxDupTrigramFrac)
   }
 
+  /** Corpus-relative novelty: the fraction of a document's distinct
+    * k-shingles that appear in NO other document — high novelty marks
+    * original content, low novelty marks boilerplate/template text (the
+    * inverse of the repetition gates, but measured against the corpus
+    * rather than within the document).
+    *
+    * Shape: one hashed-shingle explode (8-byte keys, see
+    * [[Dedup.shingleHash]]), one df aggregate, one broadcast-size join
+    * back — the same inverted-index scaffolding as the dedup family.
+    * Output: (id, n_shingles, n_unique, novelty). */
+  def noveltyScore(df0: DataFrame, idCol: String, textCol: String,
+                   k: Int = 3): DataFrame = {
+    val docSh = Dedup.hashedShingleSets(Dedup.widen(df0), idCol, textCol, k)
+    val ex = docSh.select(col(idCol), explode(col("sh")).as("s"))
+    val dfreq = ex.groupBy("s").agg(count(lit(1)).as("df"))
+    ex.join(dfreq, "s")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .withColumn("novelty",
+        round(col("n_unique").cast("double") / col("n_shingles"), 6))
+  }
+
   /** Fixed-size token-window chunking with overlap — the context-prep
     * step before embedding or training on long documents. Chunk i covers
     * tokens [i*stride, i*stride + chunkSize); the last chunk may be

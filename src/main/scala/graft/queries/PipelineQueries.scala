@@ -248,6 +248,11 @@ object PipelineQueries {
       TextAnalysis.repetitionMetrics(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // --- corpus-relative novelty (inverse boilerplate detector) ---
+    "t_novelty" -> ((s, dir) =>
+      TextAnalysis.noveltyScore(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // --- overlapping token-window chunking (context prep) ---
     "t_chunk" -> ((s, dir) =>
       TextAnalysis.chunk(docs(s, dir), "doc_id", "text",
@@ -669,6 +674,16 @@ object PipelineQueries {
            |  round(coalesce(63.0 / uk, n_exact::DOUBLE), 4) AS kmv_estimate
            |FROM ex LEFT JOIN kth USING (lang) ORDER BY lang""".stripMargin
       },
+
+      "t_novelty" ->
+        s"""WITH sh AS (
+           |  SELECT doc_id, unnest($sh3) AS s
+           |  FROM (SELECT doc_id, $toks AS t FROM documents) WHERE len(t) >= 3),
+           |dfq AS (SELECT s, count(*) AS df FROM sh GROUP BY s)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+           |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+           |  round(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS novelty
+           |FROM sh JOIN dfq USING (s) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
       "t_chunk" ->
         s"""WITH base AS (SELECT doc_id, $toks AS t FROM documents),
