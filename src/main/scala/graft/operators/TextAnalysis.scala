@@ -131,6 +131,24 @@ object TextAnalysis {
           col("dup_trigram_frac") <= maxDupTrigramFrac)
   }
 
+  /** Per-stratum vocabulary induction: the `topK` most frequent word
+    * tokens per stratum (language), with occurrence counts — the corpus
+    * statistic tokenizer training starts from. One token-explode +
+    * one (stratum, token) count + a group-limited rank (Spark's
+    * WindowGroupLimit prunes to top-k before the sort).
+    * Output: (stratum, token, cnt, rk); ties rank by token asc. */
+  def vocabTopK(df: DataFrame, strataCol: String, textCol: String,
+                topK: Int = 20): DataFrame = {
+    val counts = Dedup.widen(df)
+      .select(col(strataCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col(strataCol), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCol).orderBy(col("cnt").desc, col("token").asc)
+    counts.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= topK)
+  }
+
   /** Corpus-relative novelty: the fraction of a document's distinct
     * k-shingles that appear in NO other document — high novelty marks
     * original content, low novelty marks boilerplate/template text (the

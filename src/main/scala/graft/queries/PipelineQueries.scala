@@ -248,6 +248,11 @@ object PipelineQueries {
       TextAnalysis.repetitionMetrics(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // --- per-language vocabulary induction (tokenizer-training prep) ---
+    "t_vocab_topk" -> ((s, dir) =>
+      TextAnalysis.vocabTopK(docs(s, dir), "lang", "text", topK = 20)
+        .orderBy("lang", "rk")),
+
     // --- corpus-relative novelty (inverse boilerplate detector) ---
     "t_novelty" -> ((s, dir) =>
       TextAnalysis.noveltyScore(docs(s, dir), "doc_id", "text")
@@ -674,6 +679,15 @@ object PipelineQueries {
            |  round(coalesce(63.0 / uk, n_exact::DOUBLE), 4) AS kmv_estimate
            |FROM ex LEFT JOIN kth USING (lang) ORDER BY lang""".stripMargin
       },
+
+      "t_vocab_topk" ->
+        s"""WITH tok AS (SELECT lang, unnest($toks) AS token FROM documents),
+           |c AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS cnt
+           |      FROM tok GROUP BY lang, token)
+           |SELECT lang, token, cnt, CAST(rk AS BIGINT) AS rk FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token) AS rk
+           |  FROM c)
+           |WHERE rk <= 20 ORDER BY lang, rk""".stripMargin,
 
       "t_novelty" ->
         s"""WITH sh AS (
