@@ -21,7 +21,8 @@ object SparkEntry {
     graft.queries.CoreQueries.queries ++
       graft.queries.PipelineQueries.queries ++
       graft.queries.ParityQueries.queries ++
-      graft.queries.MediaQueries.queries
+      graft.queries.MediaQueries.queries ++
+      graft.queries.SinkQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,5 +30,6 @@ object SparkEntry {
     graft.queries.CoreQueries.oracleSql ++
       graft.queries.PipelineQueries.oracleSql ++
       graft.queries.ParityQueries.oracleSql ++
-      graft.queries.MediaQueries.oracleSql
+      graft.queries.MediaQueries.oracleSql ++
+      graft.queries.SinkQueries.oracleSql
 }

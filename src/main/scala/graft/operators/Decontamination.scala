@@ -22,7 +22,13 @@ object Decontamination {
     * `evalPred` (the benchmark subset). Returns training docs (rows NOT
     * matching `evalPred`) whose fraction of distinct k-shingles shared
     * with ANY benchmark doc reaches `minFrac`:
-    * (id, n_contaminated, n_shingles, contamination). */
+    * (id, n_contaminated, n_shingles, contamination).
+    *
+    * Cache lifetime: the internal shingle frame is `cache()`d (three join
+    * branches consume it) and, like [[Dedup.hashedShingleSets]], lives
+    * until session end — the bench harness clears caches between queries;
+    * a long-lived pipeline should `spark.catalog.clearCache()` (or scope
+    * a session) once the returned frame is materialized. */
   def flagContaminated(df0: DataFrame, idCol: String, textCol: String,
                        evalPred: Column, k: Int = 3,
                        minFrac: Double = 0.05): DataFrame = {

@@ -38,8 +38,12 @@ object Sampling {
 
   /** Cap rows per group at `maxPerGroup` (the per-domain cap of web-crawl
     * curation: no single domain may dominate the corpus). Selection is
-    * deterministic — rows ranked by (md5(key), key) within each group, so
-    * which rows survive is content-addressed, not partition-ordered.
+    * deterministic PROVIDED `keyCol` is unique per row (a doc id — true of
+    * every call site): rows rank by (md5(key), key) within each group, so
+    * which rows survive is content-addressed, not partition-ordered. If
+    * key values repeated within a group, the ordering would tie and
+    * row_number would break the tie by partition arrival order — pass a
+    * unique id, not a payload column.
     * Output: input columns + `rk` (1-based rank within group). One window
     * shuffle keyed by the group column; AQE's skew handling covers the
     * pathological domain. */

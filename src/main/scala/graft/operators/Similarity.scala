@@ -70,12 +70,24 @@ object Similarity {
     * is nprobe/K of the corpus per query instead of all of it. */
   def ivfTopK(corpus0: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int = 5,
-              nprobe: Int = 2, centroidEvery: Int = 100): DataFrame = {
+              nprobe: Int = 2, centroidEvery: Int = 100): DataFrame =
+    ivfTopKWithCentroids(corpus0, queries,
+      widen(corpus0).filter(col(idCol) % centroidEvery === 1)
+        .select(col(idCol).as("cid"), col(vecCol).as("cv")),
+      idCol, vecCol, k, nprobe)
+
+  /** IVF ANN over a TRAINED coarse quantizer: `centroids` is a (cid, cv)
+    * frame — in production the k-means model from
+    * [[graft.operators.Vectors.kmeansTrain]] (`cents.toDF("cid", "cv")`).
+    * Same plan shape as [[ivfTopK]]: centroids broadcast, corpus
+    * assignment is map-side, probe join is an equi-join on centroid id. */
+  def ivfTopKWithCentroids(corpus0: DataFrame, queries: DataFrame,
+                           centroids: DataFrame,
+                           idCol: String, vecCol: String, k: Int = 5,
+                           nprobe: Int = 2): DataFrame = {
     val spark = corpus0.sparkSession
     val corpus = widen(corpus0)
-    val cent = broadcast(corpus
-      .filter(col(idCol) % centroidEvery === 1)
-      .select(col(idCol).as("cid"), col(vecCol).as("cv")))
+    val cent = broadcast(centroids.select(col("cid"), col("cv")))
     def nearestCentroids(df: DataFrame, outId: String, outVec: String, n: Int): DataFrame = {
       val w = Window.partitionBy(outId)
         .orderBy(col("ccos").desc, col("cid").asc)

@@ -36,11 +36,19 @@ object Vectors {
     round(call_function("graft_cosine", a, b), 6)
   }
 
-  /** Deterministic distributed k-means (cosine metric) — the trained
-    * coarse quantizer that [[graft.operators.Similarity.ivfTopK]]'s
-    * Scaladoc promises. Returns the final (id, cluster_id) assignment
-    * after `iters` Lloyd rounds; cluster ids are the init vector ids
-    * (rows with `idCol <= k`), stable across rounds.
+  /** Deterministic distributed k-means training (cosine metric) — the
+    * trained coarse quantizer for
+    * [[graft.operators.Similarity.ivfTopKWithCentroids]]. Returns the
+    * final (cid, centroid) model after `iters` Lloyd rounds; cluster ids
+    * are the init vector ids.
+    *
+    * Seeding: the k lowest-`idCol` rows (rank-based — `orderBy(id)
+    * .limit(k)` is a distributed TakeOrdered). A value filter like
+    * `id <= k` would assume dense 1-based ids and silently train with
+    * fewer (or zero) centroids on a corpus keyed by content hash;
+    * rank-based seeding takes exactly min(k, n) centroids from ANY id
+    * space, and coincides with `id <= k` on dense ids (so existing
+    * oracle hashes are unchanged).
     *
     * Scale shape: each round is one broadcast of k centroids + a
     * map-side argmax over the corpus (no corpus shuffle) + one keyed
@@ -54,41 +62,58 @@ object Vectors {
     * partition order) and divide in double; the new centroid rounds to
     * float exactly as any engine's double→float cast does. Empty
     * clusters keep their previous centroid. */
-  def kmeansAssign(df: org.apache.spark.sql.DataFrame, idCol: String,
-                   vecCol: String, k: Int = 4, iters: Int = 2)
-      : org.apache.spark.sql.DataFrame = {
-    require(iters >= 1, s"kmeansAssign needs iters >= 1, got $iters")
+  def kmeansTrain(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  vecCol: String, k: Int = 4, iters: Int = 2)
+      : Seq[(Long, Array[Float])] = {
+    require(iters >= 1, s"kmeansTrain needs iters >= 1, got $iters")
     val spark = df.sparkSession
     import spark.implicits._
     graft.plans.GraftFunctions.register(spark)
     val base = df.select(col(idCol), col(vecCol).as("v"))
     var cents: Seq[(Long, Array[Float])] = base
-      .filter(col(idCol) <= k)
+      .orderBy(col(idCol).asc).limit(k)
       .as[(Long, Array[Float])].collect().sortBy(_._1).toSeq
-    var assign: org.apache.spark.sql.DataFrame = null
-    for (i <- 1 to iters) {
-      val centDf = broadcast(cents.toDF("cid", "cv"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(idCol).orderBy(col("ccos").desc, col("cid").asc)
-      assign = base.crossJoin(centDf)
-        .withColumn("ccos", cosineNative(spark, col("v"), col("cv")))
-        .withColumn("crk", row_number().over(w))
-        .filter(col("crk") === 1)
-        .select(col(idCol), col("cid").as("cluster_id"))
-      if (i < iters) {
-        val means = assign.join(base, idCol)
-          .select(col("cluster_id"), posexplode(col("v")).as(Seq("dim", "x")))
-          .groupBy(col("cluster_id"), col("dim"))
-          .agg((sum(col("x").cast("double").cast("decimal(30,15)")).cast("double")
-            / count(lit(1))).as("m"))
-          .as[(Long, Int, Double)].collect()
-          .groupBy(_._1)
-          .map { case (cid, rows) =>
-            cid -> rows.sortBy(_._2).map(_._3.toFloat).toArray
-          }
-        cents = cents.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
-      }
+    // iters Lloyd rounds = (iters - 1) centroid updates; the final
+    // assignment pass happens in assignToCentroids against this model.
+    for (_ <- 1 until iters) {
+      val assign = assignToCentroids(df, idCol, vecCol, cents)
+      val means = assign.join(base, idCol)
+        .select(col("cluster_id"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cluster_id"), col("dim"))
+        .agg((sum(col("x").cast("double").cast("decimal(30,15)")).cast("double")
+          / count(lit(1))).as("m"))
+        .as[(Long, Int, Double)].collect()
+        .groupBy(_._1)
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_._2).map(_._3.toFloat).toArray
+        }
+      cents = cents.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
     }
-    assign
+    cents
   }
+
+  /** Map-side argmax of `df`'s vectors against a broadcast centroid
+    * model: (idCol, cluster_id). One pass over the corpus, no shuffle of
+    * the vectors (the per-id window runs inside the k-wide fan-out). */
+  def assignToCentroids(df: org.apache.spark.sql.DataFrame, idCol: String,
+                        vecCol: String, cents: Seq[(Long, Array[Float])])
+      : org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val centDf = broadcast(cents.toDF("cid", "cv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("ccos").desc, col("cid").asc)
+    df.select(col(idCol), col(vecCol).as("v")).crossJoin(centDf)
+      .withColumn("ccos", cosineNative(spark, col("v"), col("cv")))
+      .withColumn("crk", row_number().over(w))
+      .filter(col("crk") === 1)
+      .select(col(idCol), col("cid").as("cluster_id"))
+  }
+
+  /** Train + final assignment: (id, cluster_id) after `iters` rounds —
+    * see [[kmeansTrain]] for seeding/determinism/scale notes. */
+  def kmeansAssign(df: org.apache.spark.sql.DataFrame, idCol: String,
+                   vecCol: String, k: Int = 4, iters: Int = 2)
+      : org.apache.spark.sql.DataFrame =
+    assignToCentroids(df, idCol, vecCol, kmeansTrain(df, idCol, vecCol, k, iters))
 }

@@ -62,15 +62,20 @@ object Templates {
   }
 
   /** SpannerToBigQuery (`templates/SpannerToBigQuery.java:69-99`): query →
-    * warehouse table, CREATE_IF_NEEDED + WRITE_APPEND. */
+    * warehouse table, CREATE_IF_NEEDED + WRITE_APPEND. Returns the number
+    * of rows appended by THIS batch, observed on the insert itself — a
+    * `spark.table(...).count()` after the append would rescan the whole
+    * output table per batch, O(table) instead of O(batch) at scale. */
   final case class QueryToTableConfig(query: String, table: String,
                                       params: Map[String, Any] = Map.empty)
 
   def queryToTable(spark: SparkSession, c: QueryToTableConfig): Long = {
     val df = SqlRunner.run(spark, c.query, c.params)
     TablePrepare.prepare(spark, c.table, df.schema, Seq(df.schema.fieldNames.head))
-    df.write.mode(SaveMode.Append).insertInto(c.table)
-    spark.table(c.table).count()
+    val obs = new org.apache.spark.sql.Observation()
+    df.observe(obs, count(lit(1)).as("n"))
+      .write.mode(SaveMode.Append).insertInto(c.table)
+    obs.get("n").asInstanceOf[Long]
   }
 
   /** SpannerToSpanner (`templates/SpannerToSpanner.java:95-125`): query →
@@ -86,16 +91,21 @@ object Templates {
   def queryToUpsert(spark: SparkSession, c: QueryToUpsertConfig): UpsertWriter.Result = {
     val df = SqlRunner.run(spark, c.query, c.params)
     val res = UpsertWriter.write(df, c.outputTable, UpsertWriter.Op.parse(c.mutationOp), c.keyFields)
-    // K7 error branch + K9 failed-count notify (BigQueryToSpanner.java:126-145)
-    c.outputError.foreach { p =>
-      if (!res.failed.isEmpty)
-        graft.sources.AvroIO.write(res.failed, p)
-    }
-    c.outputNotify.foreach { n =>
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        new org.apache.hadoop.fs.Path(n).toUri, spark.sparkContext.hadoopConfiguration)
-      val o = fs.create(new org.apache.hadoop.fs.Path(n), true)
-      o.write(res.failed.count().toString.getBytes("UTF-8")); o.close()
+    // K7 error branch + K9 failed-count notify (BigQueryToSpanner.java:126-145).
+    // res.failed is localCheckpoint'ed by UpsertWriter; count it ONCE and
+    // reuse for both branches (the earlier isEmpty + write + count ran
+    // three jobs against the failed branch).
+    if (c.outputError.isDefined || c.outputNotify.isDefined) {
+      val nFailed = res.failed.count()
+      c.outputError.foreach { p =>
+        if (nFailed > 0) graft.sources.AvroIO.write(res.failed, p)
+      }
+      c.outputNotify.foreach { n =>
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new org.apache.hadoop.fs.Path(n).toUri, spark.sparkContext.hadoopConfiguration)
+        val o = fs.create(new org.apache.hadoop.fs.Path(n), true)
+        o.write(nFailed.toString.getBytes("UTF-8")); o.close()
+      }
     }
     res
   }

@@ -42,9 +42,17 @@ case class HyperplaneBuckets(left: Expression, right: Expression)
       case ArrayType(FloatType, _) => true
       case _ => false
     }
-    if (vecOk && right.dataType == IntegerType && right.foldable)
-      TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
+    if (vecOk && right.dataType == IntegerType && right.foldable) {
+      // planes is foldable, so its value is known at analysis time: range-
+      // check it HERE — planes >= 64 would silently wrap `1L << j` (Java
+      // shifts are mod 64, merging plane bits) and planes <= 0 would give
+      // every row bucket 0, both wrong with no error at eval time.
+      right.eval() match {
+        case p: Int if p >= 1 && p <= 63 => TypeCheckResult.TypeCheckSuccess
+        case p => TypeCheckResult.TypeCheckFailure(
+          s"graft_hyperplane_bucket requires 1 <= planes <= 63, got $p")
+      }
+    } else TypeCheckResult.TypeCheckFailure(
       s"graft_hyperplane_bucket requires (array<float>, int literal), got " +
         s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
   }

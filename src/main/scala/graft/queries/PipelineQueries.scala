@@ -101,6 +101,19 @@ object PipelineQueries {
           emb(s, dir), "vec_id", "embedding", k = 4, iters = 2)
         .orderBy("vec_id")),
 
+    // --- trained-quantizer IVF: the k-means model (k=4, 2 Lloyd rounds)
+    //     IS the coarse quantizer — the production ANN path end-to-end
+    //     (train → broadcast model → map-side assign → nprobe probe) ---
+    "a_ann_ivf_trained" -> ((s, dir) => {
+      import s.implicits._
+      val e = emb(s, dir)
+      val cents = graft.operators.Vectors.kmeansTrain(
+        e, "vec_id", "embedding", k = 4, iters = 2)
+      Similarity.ivfTopKWithCentroids(e, e.filter(col("vec_id") % 50 === 0),
+          cents.toDF("cid", "cv"), "vec_id", "embedding", k = 5, nprobe = 2)
+        .orderBy("qid", "rk")
+    }),
+
     // --- hybrid retrieval: shingle-index candidates, lexical+dense score ---
     "a_hybrid_topk" -> ((s, dir) => {
       val corpus = docs(s, dir).join(
@@ -209,8 +222,9 @@ object PipelineQueries {
       TextAnalysis.fingerprints(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
 
-    // --- benchmark decontamination: training docs sharing >= 30% of
-    //     their shingles with the eval subset (doc_id % 97 == 0) ---
+    // --- benchmark decontamination: training docs sharing >= 5% (the
+    //     operator's default minFrac) of their shingles with the eval
+    //     subset (doc_id % 97 == 0) ---
     "t_decontaminate" -> ((s, dir) =>
       graft.operators.Decontamination.flagContaminated(
           docs(s, dir), "doc_id", "text",
@@ -440,7 +454,10 @@ object PipelineQueries {
           s"round(list_dot_product($a::DOUBLE[], $b::DOUBLE[]) / " +
             s"(sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) * " +
             s"sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[]))), 6)"
-        s"""WITH c0 AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id <= 4),
+        // rank-based seed (k lowest ids) — matches kmeansTrain's
+        // orderBy(id).limit(k); the earlier `vec_id <= 4` form silently
+        // took FIVE centroids on this 0-based id space.
+        s"""WITH c0 AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings ORDER BY vec_id LIMIT 4),
            |a1 AS (SELECT vec_id, cid FROM (
            |  SELECT e.vec_id, c.cid,
            |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cos("e.embedding", "c.cv")} DESC, c.cid) AS rk
@@ -461,6 +478,46 @@ object PipelineQueries {
            |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cos("e.embedding", "c.cv")} DESC, c.cid) AS rk
            |  FROM embeddings e CROSS JOIN c1 c) WHERE rk = 1
            |ORDER BY vec_id""".stripMargin
+      },
+
+      "a_ann_ivf_trained" -> {
+        def cos(a: String, b: String) =
+          s"round(list_dot_product($a::DOUBLE[], $b::DOUBLE[]) / " +
+            s"(sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) * " +
+            s"sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[]))), 6)"
+        // kmeans CTEs = a_kmeans_assign's training (rank-based seed), then
+        // the IVF probe of a_ann_ivf_topk with c1 as the centroid set.
+        s"""WITH c0 AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings ORDER BY vec_id LIMIT 4),
+           |a1 AS (SELECT vec_id, cid FROM (
+           |  SELECT e.vec_id, c.cid,
+           |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cos("e.embedding", "c.cv")} DESC, c.cid) AS rk
+           |  FROM embeddings e CROSS JOIN c0 c) WHERE rk = 1),
+           |m1 AS (SELECT a1.cid, d.dim,
+           |         CAST(sum(CAST(CAST(e.embedding[d.dim] AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE)
+           |           / count(*) AS mv
+           |       FROM a1 JOIN embeddings e USING (vec_id),
+           |            unnest(range(1, len(e.embedding) + 1)) AS d(dim)
+           |       GROUP BY a1.cid, d.dim),
+           |c1 AS (SELECT c0.cid,
+           |         CASE WHEN count(m1.mv) = 0 THEN any_value(c0.cv)
+           |              ELSE list(CAST(m1.mv AS FLOAT) ORDER BY m1.dim) END AS cv
+           |       FROM c0 LEFT JOIN m1 ON m1.cid = c0.cid
+           |       GROUP BY c0.cid),
+           |assign AS (SELECT nid, cid FROM (
+           |  SELECT nid, cid, row_number() OVER (PARTITION BY nid ORDER BY ccos DESC, cid) AS crk
+           |  FROM (SELECT e.vec_id AS nid, c.cid, ${cos("e.embedding", "c.cv")} AS ccos
+           |        FROM embeddings e CROSS JOIN c1 c)) WHERE crk = 1),
+           |probes AS (SELECT qid, cid FROM (
+           |  SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY ccos DESC, cid) AS crk
+           |  FROM (SELECT q.vec_id AS qid, c.cid, ${cos("q.embedding", "c.cv")} AS ccos
+           |        FROM embeddings q CROSS JOIN c1 c WHERE q.vec_id % 50 = 0)) WHERE crk <= 2),
+           |sc AS (SELECT DISTINCT p.qid, a.nid, ${cos("x.embedding", "y.embedding")} AS cos
+           |       FROM probes p JOIN assign a ON p.cid = a.cid AND a.nid <> p.qid
+           |       JOIN embeddings x ON x.vec_id = p.qid
+           |       JOIN embeddings y ON y.vec_id = a.nid)
+           |SELECT qid, nid, cos, CAST(rk AS BIGINT) AS rk FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk FROM sc)
+           |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
       },
 
       "a_hybrid_topk" ->

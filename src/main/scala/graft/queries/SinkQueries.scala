@@ -1,0 +1,151 @@
+package graft.queries
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.catalog.TableCatalog
+import graft.pipelines.Templates
+import graft.sinks.TFRecordSink
+
+/** File sinks (reference K1 text / K2 avro / K3 tfrecord / K8 notify)
+  * under the HARD oracle gate: each query runs the full §3.1 lifecycle —
+  * SQL source → converter → dynamic-destination sink writing REAL files —
+  * then reads the written files back into a DataFrame whose content (and
+  * the file each row landed in) DuckDB reproduces from the source tables
+  * alone. A hash match therefore certifies the write semantics end to
+  * end: split-key routing, exact `<prefix><key>.<type>` naming
+  * (`util/FixedFileNaming.java:27-34`), header emission
+  * (`transforms/sinks/TextDynamicSink.java:41-43`), line formatting,
+  * avro record encoding, TFRecord Example encoding, and the finish-pass
+  * listing (`transforms/WriteFilesFinishTransform.java:39-61`).
+  *
+  * Files land under the repo's target dir (absolute, wiped per run) —
+  * the oracle never reads them; it recomputes expected content + names
+  * from the tables, so the check is engine-independent.
+  */
+object SinkQueries {
+
+  private val base = "/root/repo/target/sinkgate"
+
+  private def clean(s: SparkSession, dir: String): Unit = {
+    val p = new Path(dir)
+    org.apache.hadoop.fs.FileSystem
+      .get(p.toUri, s.sparkContext.hadoopConfiguration)
+      .delete(p, true)
+  }
+
+  private def fileName(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_extract(c, "[^/]+$", 0)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // K1: text dynamic sink round-trip — CSV split by region key, header
+    // per file, exact single-file-per-key naming (withoutSharding).
+    "k1_text_sink_roundtrip" -> ((s, dir) => {
+      TableCatalog.register(s, dir)
+      clean(s, s"$base/k1")
+      val res = Templates.queryToText(s, Templates.QueryToTextConfig(
+        query = "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+        output = s"$base/k1/nation_",
+        format = "csv",
+        splitField = Some("n_regionkey"),
+        header = Some("n_nationkey,n_name,n_regionkey"),
+        withoutSharding = true))
+      s.read.text(res.files: _*)
+        .select(fileName(input_file_name()).as("file_name"),
+          col("value").as("line"))
+        .orderBy("file_name", "line")
+    }),
+
+    // K2: avro dynamic sink round-trip — one snappy container per split
+    // key, read back per file so row↔file routing is part of the hash.
+    "k2_avro_sink_roundtrip" -> ((s, dir) => {
+      TableCatalog.register(s, dir)
+      clean(s, s"$base/k2")
+      val res = Templates.queryToAvro(s, Templates.QueryToAvroConfig(
+        query = "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+        output = s"$base/k2/nation_",
+        splitField = Some("n_regionkey")))
+      res.files.map { p =>
+        graft.sources.AvroIO.read(s, p)
+          .withColumn("file_name", lit(p.substring(p.lastIndexOf('/') + 1)))
+      }.reduce(_ unionByName _)
+        .select(col("n_nationkey").cast("long").as("n_nationkey"),
+          col("n_name"), col("n_regionkey").cast("long").as("n_regionkey"),
+          col("file_name"))
+        .orderBy("n_nationkey")
+    }),
+
+    // K3: tfrecord sink round-trip — gzip'd Example protos split by
+    // region key, parsed back by the wire-format reader; `file_key`
+    // recovers which split file each row came from (the -pNNNNN shard
+    // index is partition-layout, not semantics, so it is stripped).
+    "k3_tfrecord_sink_roundtrip" -> ((s, dir) => {
+      TableCatalog.register(s, dir)
+      clean(s, s"$base/k3")
+      val files = Templates.queryToTFRecord(s, Templates.QueryToTFRecordConfig(
+        query = "SELECT n_nationkey, n_name, n_regionkey, " +
+          "CAST(n_nationkey AS DOUBLE) / 4 AS frac FROM nation",
+        output = s"$base/k3/nation_",
+        splitField = Some("n_regionkey")))
+      TFRecordSink.read(s, files, StructType(Seq(
+          StructField("n_nationkey", LongType),
+          StructField("n_name", StringType),
+          StructField("n_regionkey", LongType),
+          StructField("frac", FloatType))))
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+          col("frac"),
+          regexp_extract(col("file_name"),
+            "^nation_(.*)-p[0-9]+\\.tfrecord$", 1).as("file_key"))
+        .orderBy("n_nationkey")
+    }),
+
+    // K8: finish-pass notification — the sink's outputNotify file lists
+    // every written path; the listing itself becomes the checked frame.
+    "k8_notify_listing" -> ((s, dir) => {
+      TableCatalog.register(s, dir)
+      clean(s, s"$base/k8")
+      Templates.queryToText(s, Templates.QueryToTextConfig(
+        query = "SELECT r_regionkey, r_name FROM region",
+        output = s"$base/k8/region_",
+        format = "json",
+        splitField = Some("r_name"),
+        withoutSharding = true,
+        outputNotify = Some(s"$base/k8/notify.txt")))
+      s.read.text(s"$base/k8/notify.txt")
+        .select(fileName(col("value")).as("file_name"))
+        .orderBy("file_name")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "k1_text_sink_roundtrip" ->
+      """WITH lines AS (
+        |  SELECT 'nation_' || n_regionkey || '.csv' AS file_name,
+        |         n_nationkey || ',' || n_name || ',' || n_regionkey AS line
+        |  FROM nation
+        |  UNION ALL
+        |  SELECT DISTINCT 'nation_' || n_regionkey || '.csv',
+        |         'n_nationkey,n_name,n_regionkey'
+        |  FROM nation)
+        |SELECT file_name, line FROM lines ORDER BY file_name, line""".stripMargin,
+
+    "k2_avro_sink_roundtrip" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |  CAST(n_regionkey AS BIGINT) AS n_regionkey,
+        |  'nation_' || n_regionkey || '.avro' AS file_name
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "k3_tfrecord_sink_roundtrip" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |  CAST(n_regionkey AS BIGINT) AS n_regionkey,
+        |  (n_nationkey / 4.0)::FLOAT AS frac,
+        |  n_regionkey::VARCHAR AS file_key
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "k8_notify_listing" ->
+      """SELECT DISTINCT 'region_' || r_name || '.json' AS file_name
+        |FROM region ORDER BY file_name""".stripMargin
+  )
+}

@@ -215,4 +215,202 @@ object TFRecordSink {
     }
     files
   }
+
+  // ---- read path (inverse of write; also a TFRecord SOURCE) ----
+
+  /** Minimal protobuf wire-format reader over a shared byte array. */
+  private final class ProtoReader(b: Array[Byte], var pos: Int, val end: Int) {
+    def hasMore: Boolean = pos < end
+    def readVarint(): Long = {
+      var shift = 0; var v = 0L
+      while (true) {
+        val x = b(pos); pos += 1
+        v |= (x & 0x7fL) << shift
+        if ((x & 0x80) == 0) return v
+        shift += 7
+      }
+      v
+    }
+    /** (field, wire). */
+    def readTag(): (Int, Int) = { val t = readVarint().toInt; (t >>> 3, t & 7) }
+    /** Length-delimited slice bounds (start, end); advances past it. */
+    def readSlice(): (Int, Int) = {
+      val len = readVarint().toInt; val s = pos; pos += len; (s, s + len)
+    }
+    def skip(wire: Int): Unit = wire match {
+      case 0 => readVarint(); ()
+      case 1 => pos += 8
+      case 2 => readSlice(); ()
+      case 5 => pos += 4
+      case w => throw new IllegalArgumentException(s"unsupported wire type $w")
+    }
+  }
+
+  /** Decode one serialized Example into name → (Seq[Array[Byte]] |
+    * Seq[Float] | Seq[Long]) by feature kind. */
+  def parseExample(b: Array[Byte]): Map[String, Any] = {
+    var out = Map.empty[String, Any]
+    val ex = new ProtoReader(b, 0, b.length)
+    while (ex.hasMore) {
+      val (f, w) = ex.readTag()
+      if (f == 1 && w == 2) { // Features
+        val (fs, fe) = ex.readSlice()
+        val feats = new ProtoReader(b, fs, fe)
+        while (feats.hasMore) {
+          val (f2, w2) = feats.readTag()
+          if (f2 == 1 && w2 == 2) { // map<string, Feature> entry
+            val (es, ee) = feats.readSlice()
+            val entry = new ProtoReader(b, es, ee)
+            var key: String = null
+            var value: Any = Seq.empty[Long]
+            while (entry.hasMore) {
+              val (f3, w3) = entry.readTag()
+              if (f3 == 1 && w3 == 2) {
+                val (ks, ke) = entry.readSlice()
+                key = new String(b, ks, ke - ks, "UTF-8")
+              } else if (f3 == 2 && w3 == 2) {
+                val (vs, ve) = entry.readSlice()
+                value = parseFeature(b, vs, ve)
+              } else entry.skip(w3)
+            }
+            if (key != null) out += key -> value
+          } else feats.skip(w2)
+        }
+      } else ex.skip(w)
+    }
+    out
+  }
+
+  private def parseFeature(b: Array[Byte], s: Int, e: Int): Any = {
+    val r = new ProtoReader(b, s, e)
+    while (r.hasMore) {
+      val (f, w) = r.readTag()
+      (f, w) match {
+        case (1, 2) => // BytesList{ repeated bytes value = 1 }
+          val (ls, le) = r.readSlice()
+          val lr = new ProtoReader(b, ls, le)
+          val vs = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+          while (lr.hasMore) {
+            val (lf, lw) = lr.readTag()
+            if (lf == 1 && lw == 2) {
+              val (bs, be) = lr.readSlice()
+              vs += java.util.Arrays.copyOfRange(b, bs, be)
+            } else lr.skip(lw)
+          }
+          return vs.toSeq
+        case (2, 2) => // FloatList{ repeated float value = 1 } (packed or not)
+          val (ls, le) = r.readSlice()
+          val lr = new ProtoReader(b, ls, le)
+          val vs = scala.collection.mutable.ArrayBuffer[Float]()
+          while (lr.hasMore) {
+            val (lf, lw) = lr.readTag()
+            if (lf == 1 && lw == 2) {
+              val (ps, pe) = lr.readSlice()
+              var p = ps
+              while (p < pe) {
+                vs += java.nio.ByteBuffer.wrap(b, p, 4)
+                  .order(java.nio.ByteOrder.LITTLE_ENDIAN).getFloat
+                p += 4
+              }
+            } else if (lf == 1 && lw == 5) {
+              vs += java.nio.ByteBuffer.wrap(b, lr.pos, 4)
+                .order(java.nio.ByteOrder.LITTLE_ENDIAN).getFloat
+              lr.pos += 4
+            } else lr.skip(lw)
+          }
+          return vs.toSeq
+        case (3, 2) => // Int64List{ repeated int64 value = 1 } (packed or not)
+          val (ls, le) = r.readSlice()
+          val lr = new ProtoReader(b, ls, le)
+          val vs = scala.collection.mutable.ArrayBuffer[Long]()
+          while (lr.hasMore) {
+            val (lf, lw) = lr.readTag()
+            if (lf == 1 && lw == 2) {
+              val (ps, pe) = lr.readSlice()
+              val pr = new ProtoReader(b, ps, pe)
+              while (pr.hasMore) vs += pr.readVarint()
+            } else if (lf == 1 && lw == 0) {
+              vs += lr.readVarint()
+            } else lr.skip(lw)
+          }
+          return vs.toSeq
+        case (_, w2) => r.skip(w2)
+      }
+    }
+    Seq.empty[Long]
+  }
+
+  private def decodeRow(feats: Map[String, Any], schema: StructType): Seq[Any] =
+    schema.fields.toIndexedSeq.map { f =>
+      feats.get(f.name) match {
+        case None => null
+        case Some(v) => f.dataType match {
+          case StringType =>
+            v.asInstanceOf[Seq[Array[Byte]]].headOption
+              .map(new String(_, "UTF-8")).orNull
+          case BinaryType => v.asInstanceOf[Seq[Array[Byte]]].headOption.orNull
+          case LongType =>
+            v.asInstanceOf[Seq[Long]].headOption.map(java.lang.Long.valueOf).orNull
+          case IntegerType =>
+            v.asInstanceOf[Seq[Long]].headOption.map(x => java.lang.Integer.valueOf(x.toInt)).orNull
+          case BooleanType =>
+            v.asInstanceOf[Seq[Long]].headOption.map(x => java.lang.Boolean.valueOf(x == 1L)).orNull
+          case FloatType =>
+            v.asInstanceOf[Seq[Float]].headOption.map(java.lang.Float.valueOf).orNull
+          case DoubleType =>
+            v.asInstanceOf[Seq[Float]].headOption.map(x => java.lang.Double.valueOf(x.toDouble)).orNull
+          case ArrayType(StringType, _) =>
+            v.asInstanceOf[Seq[Array[Byte]]].map(new String(_, "UTF-8"))
+          case ArrayType(FloatType, _) => v.asInstanceOf[Seq[Float]]
+          case ArrayType(LongType, _) => v.asInstanceOf[Seq[Long]]
+          case other => throw new IllegalArgumentException(
+            s"tfrecord read: unsupported type ${other.simpleString} for '${f.name}'")
+        }
+      }
+    }
+
+  /** Read TFRecord Example files back into a DataFrame with the given
+    * FLAT schema (the inverse of [[write]]; timestamps/dates come back as
+    * the int64 micros/epoch-days the reference writes — request LongType).
+    * A `file_name` string column (the source file's basename) is appended
+    * — the round-trip gate checks rows landed in the right split file.
+    * Features absent from an Example (nulls are dropped on write) decode
+    * as null.
+    *
+    * Scale shape: files are the parallelism unit (TFRecord+gzip is not
+    * splittable, matching the write side's one-stream-per-key×partition);
+    * each task streams frame-by-frame, O(record) memory. */
+  def read(spark: org.apache.spark.sql.SparkSession, files: Seq[String],
+           schema: StructType, gzip: Boolean = true): DataFrame = {
+    require(files.nonEmpty, "tfrecord read: no files")
+    val outSchema = StructType(schema.fields :+ StructField("file_name", StringType))
+    val rdd = spark.sparkContext
+      .parallelize(files, math.min(files.size, 64))
+      .flatMap { f =>
+        val fs = FileSystem.get(new java.net.URI(f),
+          new org.apache.hadoop.conf.Configuration())
+        val raw = fs.open(new Path(f))
+        val in: java.io.InputStream =
+          if (gzip) new java.util.zip.GZIPInputStream(raw) else raw
+        val base = f.substring(f.lastIndexOf('/') + 1)
+        val rows = scala.collection.mutable.ArrayBuffer[Row]()
+        try {
+          var done = false
+          while (!done) {
+            val lenBytes = in.readNBytes(8)
+            if (lenBytes.length < 8) done = true
+            else {
+              val len = java.nio.ByteBuffer.wrap(lenBytes)
+                .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong.toInt
+              in.readNBytes(4) // length crc (trusted here; golden spec pins it)
+              val payload = in.readNBytes(len)
+              in.readNBytes(4) // payload crc
+              rows += Row.fromSeq(decodeRow(parseExample(payload), schema) :+ base)
+            }
+          }
+        } finally in.close()
+        rows
+      }
+    spark.createDataFrame(rdd, outSchema)
+  }
 }

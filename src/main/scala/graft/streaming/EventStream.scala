@@ -80,8 +80,9 @@ object EventStream {
     * state eviction: click state older than watermark + lookback is
     * dropped, so an unbounded stream holds bounded state. On batch
     * DataFrames `withWatermark` is a no-op and the same code is the
-    * backfill path (how the oracle checks it). */
-  /** `joinType` "inner" (default) or "left_outer": outer emits
+    * backfill path (how the oracle checks it).
+    *
+    * `joinType` "inner" (default) or "left_outer": outer emits
     * unattributed purchases with null click columns — in streaming mode
     * only once the watermark proves no matching click can still arrive
     * (the event-time bound is what makes the null decision provable). */

@@ -126,6 +126,37 @@ class CurationOpsSpec extends SparkSpec {
     assert(again === r)
   }
 
+  test("kmeans seeds by rank, not id value: non-contiguous ids still train k centroids") {
+    def blob(center: Array[Float], seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      center.map(c => c + (r.nextFloat() - 0.5f) * 0.1f)
+    }
+    val cA = Array(1.0f, 0.0f, 0.0f, 1.0f)
+    val cB = Array(-1.0f, 1.0f, 0.0f, -1.0f)
+    // content-hash-shaped ids: sparse, far above k — an `id <= k` seed
+    // filter would select ZERO rows here and train with no centroids.
+    val rows = Seq(1000003L -> blob(cA, 1), 2000003L -> blob(cB, 2)) ++
+      (3L to 40L).map(i => (i * 99991L + 5000000L) ->
+        blob(if (i % 2 == 1) cA else cB, i.toInt))
+    val df = rows.toDF("vec_id", "embedding")
+    val cents = Vectors.kmeansTrain(df, "vec_id", "embedding", k = 2, iters = 2)
+    assert(cents.size === 2)
+    // seeds are the two LOWEST ids (rank order), regardless of magnitude
+    val lowest2 = rows.map(_._1).sorted.take(2)
+    assert(cents.map(_._1).sorted === lowest2)
+    val r = Vectors.kmeansAssign(df, "vec_id", "embedding", k = 2, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(r.size === rows.size)
+    // the two planted blobs separate: every A-blob row shares doc 1000003's
+    // cluster and every B-blob row shares doc 2000003's
+    val aCl = r(1000003L); val bCl = r(2000003L)
+    assert(aCl !== bCl)
+    (3L to 40L).foreach { i =>
+      val id = i * 99991L + 5000000L
+      assert(r(id) === (if (i % 2 == 1) aCl else bCl))
+    }
+  }
+
   test("chunk: overlapping windows cover every token; short docs yield one chunk") {
     val docs = Seq(
       (1L, (1 to 50).map(i => s"t$i").mkString(" ")), // 50 tokens -> 2 chunks
