@@ -14,14 +14,20 @@ import org.apache.spark.sql.functions._
   * changed) is reached within the graph diameter — for dedup graphs,
   * clusters are small and dense, so a handful of rounds. Each round is
   * one keyed equi-join + one per-vertex min aggregate: all-shuffle-keyed
-  * work that AQE can plan, no driver-side graph state. (At web scale the
-  * same loop with the large-star/small-star edge rewriting of
-  * Kiveris et al. "Connected Components in MapReduce" converges in
-  * O(log n) rounds on adversarial diameters; plain propagation is the
-  * right default for dedup-shaped graphs.)
+  * work that AQE can plan, no driver-side graph state.
+  *
+  * Adversarial diameters (a chain of incrementally-edited near-dups
+  * longer than `maxIter`) FALL BACK to the alternating large-star/
+  * small-star edge rewriting of Kiveris et al. "Connected Components in
+  * MapReduce and Beyond" (SOCC'14), which contracts any graph to stars
+  * rooted at the component minimum in a poly-logarithmic number of
+  * rounds — so the operator never silently mislabels and never needs a
+  * diameter-sized round budget. Plain propagation stays the default
+  * path because on shallow dedup graphs it converges in fewer, cheaper
+  * rounds (two joins/round vs the star rewrite's four).
   *
   * Determinism: min over vertex ids — the fixpoint is unique regardless
-  * of partitioning or iteration interleaving.
+  * of partitioning or iteration interleaving, for both phases.
   *
   * `localCheckpoint` truncates the per-round lineage (otherwise the plan
   * doubles every round and analysis cost explodes); on a real cluster
@@ -30,7 +36,8 @@ import org.apache.spark.sql.functions._
 object ConnectedComponents {
 
   /** (v, component) for every vertex in `edges`; `component` = minimum
-    * vertex id reachable from v. */
+    * vertex id reachable from v. `maxIter` bounds the plain-propagation
+    * phase; beyond it the star-contraction fallback takes over. */
   def components(edges: DataFrame, srcCol: String, dstCol: String,
                  maxIter: Int = 25): DataFrame = {
     // symmetrize in ONE pass over the edge pipeline (a union of two
@@ -60,14 +67,68 @@ object ConnectedComponents {
       labels = next.drop("lold")
       i += 1
     }
+    // a graph with diameter > maxIter (e.g. a long chain of
+    // incrementally-edited near-dups) must not silently report one true
+    // cluster as several — switch to the O(log)-round star contraction.
+    // (both phases end in localCheckpointed frames, so releasing sym's
+    // cache here cannot trigger recomputation)
+    val out =
+      if (converged) labels.select(col("v"), col("l").as("component"))
+      else starContract(sym)
     sym.unpersist()
-    // fail fast rather than silently returning partially-propagated
-    // labels: a graph with diameter > maxIter (e.g. a long chain of
-    // incrementally-edited near-dups) would otherwise report one true
-    // cluster as several, with wrong representatives.
+    out
+  }
+
+  /** Alternating large-star/small-star contraction (Kiveris et al.,
+    * SOCC'14 §3): repeatedly rewrite the edge set until it is a star
+    * forest rooted at each component's minimum id.
+    *
+    *  - large-star: per vertex u over its full neighborhood, attach every
+    *    LARGER neighbor v > u to m = min(N(u) ∪ {u});
+    *  - small-star: per vertex u over its smaller neighbors (canonical
+    *    (u > v) orientation), attach them — and u itself — to their
+    *    minimum.
+    *
+    * Both steps preserve connectivity and only ever decrease the id a
+    * vertex points at, so the fixpoint is the unique min-rooted forest —
+    * same answer as label propagation, partitioning-invariant. Each round
+    * is groupBy-min + equi-join (shuffle-keyed, AQE-plannable); the round
+    * count is poly-log in component size rather than linear in diameter. */
+  private def starContract(sym: DataFrame, maxRounds: Int = 50): DataFrame = {
+    val verts = sym.select(col("a").as("v")).distinct().localCheckpoint()
+    var e = sym.filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+      .distinct().localCheckpoint()
+    var converged = false
+    var r = 0
+    while (!converged && r < maxRounds) {
+      // large-star over symmetric neighborhoods
+      val n = e.select(col("u").as("x"), col("v").as("y"))
+        .union(e.select(col("v").as("x"), col("u").as("y")))
+      val mins = n.groupBy("x").agg(min(col("y")).as("mn"))
+        .select(col("x"), least(col("mn"), col("x")).as("m"))
+      val ls = n.join(mins, "x").filter(col("y") > col("x"))
+        .select(col("y").as("u"), col("m").as("v")) // m <= x < y, canonical
+        .distinct()
+      // small-star over the canonical (u > v) orientation
+      val mins2 = ls.groupBy("u").agg(min(col("v")).as("m"))
+      val ss = ls.join(mins2, "u")
+        .select(col("v").as("child"), col("m"))
+        .filter(col("child") =!= col("m"))
+        .select(col("child").as("u"), col("m").as("v")) // child >= m, no loops
+        .union(mins2.select(col("u"), col("m").as("v"))) // m < u by minimality
+        .distinct()
+        .localCheckpoint()
+      converged = ss.except(e).isEmpty && e.except(ss).isEmpty
+      e = ss
+      r += 1
+    }
     if (!converged) throw new IllegalStateException(
-      s"connected components did not converge within $maxIter rounds — " +
-        "the edge graph has a longer diameter; raise maxIter")
-    labels.select(col("v"), col("l").as("component"))
+      s"star contraction did not converge within $maxRounds rounds")
+    // e is a star forest (child u -> root v); roots and edge-less
+    // vertices (self-loop-only) label themselves.
+    val stars = e.select(col("u").as("sv"), col("v").as("root"))
+    verts.join(stars, verts("v") === col("sv"), "left")
+      .select(col("v"), coalesce(col("root"), col("v")).as("component"))
   }
 }

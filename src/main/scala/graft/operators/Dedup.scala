@@ -72,11 +72,15 @@ object Dedup {
 
   /** Per-document MinHash signature as ONE array column (component i at
     * position i+1) — the layout banding and estimation consume without
-    * further shuffles. */
+    * further shuffles. `toksCol` optionally names a precomputed token
+    * array (e.g. one CACHED alongside the input by a pipeline that also
+    * quality-scores from it) so the regex tokenization is not re-run. */
   def minhashSignatureArray(df0: DataFrame, idCol: String, textCol: String,
-                            numHashes: Int = 16, k: Int = 3): DataFrame = {
+                            numHashes: Int = 16, k: Int = 3,
+                            toksCol: Option[String] = None): DataFrame = {
     val df = widen(df0)
-    val sh = df.select(col(idCol), tokens(col(textCol)).as("toks"))
+    val sh = df.select(col(idCol),
+        toksCol.map(col).getOrElse(tokens(col(textCol))).as("toks"))
       .filter(size(col("toks")) >= k)
       .select(col(idCol), explode(shingles(col("toks"), k)).as("s"))
     val sigCols = (0 until numHashes).map { h =>
@@ -236,20 +240,34 @@ object Dedup {
     * merge-walk intersect (graft_sorted_intersect_count) — zero
     * allocation vs array_intersect's per-row hash set, on the
     * millions-of-candidates hot path. */
+  /** Global-df-ranked postings of a [[hashedShingleSets]] frame:
+    * (id, s, rn, n) with `rn` = the shingle's 1-based rank within its doc
+    * by ascending corpus document frequency (ties by hash). The PREFIX of
+    * a doc under threshold `t` is `rn <= n - ceil(t*n) + 1`; with
+    * `prefixOnly = true` only prefix rows survive — the filter that drops
+    * corpus-hot shingles (max df ⇒ last rank) out of the candidate join
+    * entirely whenever ceil(t*n) > 1. Exposed for the planted-skew spec,
+    * which machine-checks that exclusion. */
+  private[operators] def rankedPostings(docSh: DataFrame, idCol: String,
+                                        t: Double, prefixOnly: Boolean): DataFrame = {
+    val ex = docSh.select(col(idCol), col("n"), explode(col("sh")).as("s"))
+    val dfreq = ex.groupBy("s").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("df"), col("s"))
+    val ranked = ex.join(dfreq, "s")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .select(col(idCol), col("s"), col("rn"), col("n"))
+    if (prefixOnly) ranked.filter(col("rn") <= col("n") - ceil(col("n") * t) + 1)
+    else ranked
+  }
+
   def ngramJaccard(df0: DataFrame, idCol: String, textCol: String,
                    k: Int = 3, minJaccard: Double = 0.2): DataFrame = {
     graft.plans.GraftFunctions.register(df0.sparkSession)
     val df = widen(df0)
     val t = minJaccard
     val docSh = hashedShingleSets(df, idCol, textCol, k)
-    val ex = docSh.select(col(idCol), col("n"), explode(col("sh")).as("s"))
-    val dfreq = ex.groupBy("s").agg(count(lit(1)).as("df"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(idCol).orderBy(col("df"), col("s"))
-    val prefix = ex.join(dfreq, "s")
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= col("n") - ceil(col("n") * t) + 1)
-      .select(col(idCol), col("s"), col("rn"), col("n"))
+    val prefix = rankedPostings(docSh, idCol, t, prefixOnly = true)
     // PPJoin candidate join: equi-join on prefix shingles plus the two
     // LOSSLESS pruning conditions — length filter (|B| >= t|A|) and
     // position filter (a match at ranks (i,j) can contribute at most
@@ -309,16 +327,10 @@ object Dedup {
     val df = widen(df0)
     val t = minContainment
     val docSh = hashedShingleSets(df, idCol, textCol, k)
-    val ex = docSh.select(col(idCol), col("n"), explode(col("sh")).as("s"))
-    val dfreq = ex.groupBy("s").agg(count(lit(1)).as("df"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(idCol).orderBy(col("df"), col("s"))
     // ranked is consumed by both join sides (prefix slice on a, full on
     // b) — exchange reuse shares the window shuffle; do not cache (see
     // ngramJaccard's note).
-    val ranked = ex.join(dfreq, "s")
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .select(col(idCol), col("s"), col("rn"), col("n"))
+    val ranked = rankedPostings(docSh, idCol, t, prefixOnly = false)
     val prefixA = ranked.filter(col("rn") <= col("n") - ceil(col("n") * t) + 1)
     val cand = prefixA.as("a").hint("shuffle_hash").join(ranked.as("b"),
         col("a.s") === col("b.s") && col(s"a.$idCol") =!= col(s"b.$idCol") &&

@@ -35,17 +35,23 @@ object TextAnalysis {
   /** Quality metrics: length, token stats, punctuation/uppercase/stopword
     * ratios, and a composite keep/drop flag with the usual curation
     * thresholds (enough tokens, sane mean token length, not mostly
-    * punctuation). Ratios are exact integer-count divisions in double. */
-  def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * punctuation). Ratios are exact integer-count divisions in double.
+    * `toksCol` optionally names a PRECOMPUTED token-array column so a
+    * pipeline that tokenizes once (e.g. the curation pipeline, which
+    * also feeds MinHash from the same tokens) avoids re-running the
+    * regex extraction here. */
+  def qualityScore(df: DataFrame, idCol: String, textCol: String,
+                   toksCol: Option[String] = None): DataFrame = {
     val t = col(textCol)
+    val tk = toksCol.map(col).getOrElse(tokens(t))
     val allStop = stopwords.values.flatten.toSeq.distinct.sorted
     df.select(col(idCol),
         length(t).cast("long").as("n_chars"),
-        size(tokens(t)).cast("long").as("n_tokens"),
-        aggregate(tokens(t), lit(0L), (a, x) => a + length(x)).as("n_token_chars"),
+        size(tk).cast("long").as("n_tokens"),
+        aggregate(tk, lit(0L), (a, x) => a + length(x)).as("n_token_chars"),
         punctCount(t).as("n_punct"),
         upperCount(t).as("n_upper"),
-        stopwordHits(tokens(t), allStop).as("n_stop"))
+        stopwordHits(tk, allStop).as("n_stop"))
       .withColumn("mean_token_len",
         when(col("n_tokens") > 0,
           round(col("n_token_chars").cast("double") / col("n_tokens"), 6))

@@ -169,15 +169,22 @@ object PipelineQueries {
     //     minhash near-dup removal (keep lowest doc_id) → stratified
     //     sample → per-lang corpus stats ---
     "d_curation_pipeline" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val quality = TextAnalysis.qualityScore(d, "doc_id", "text")
+      // tokens computed ONCE and carried through the pipeline: quality
+      // scoring reads them here, and the cached post-dedup intermediate
+      // stores them so the MinHash stage never re-runs the regex
+      // tokenization (the double-tokenize was the round-4 regression).
+      val d = docs(s, dir).withColumn("toks",
+        graft.functions.TextFunctions.tokens(col("text")))
+      val quality = TextAnalysis.qualityScore(d, "doc_id", "text",
+          toksCol = Some("toks"))
         .filter(col("keep")).select("doc_id")
       val kept = d.join(quality, "doc_id")
       val exactKeep = Dedup.exactDedup(kept, "doc_id", "text").select("doc_id")
-      val afterExact = kept.join(exactKeep, "doc_id").cache() // reused: LSH input + anti-join base
+      val afterExact = kept.join(exactKeep, "doc_id").cache() // reused: LSH input + anti-join base (carries toks)
       // signatures computed ONCE on the cached intermediate; banding
       // consumes them directly (no second tokenize pass inside the LSH)
-      val sigs = Dedup.minhashSignatureArray(afterExact, "doc_id", "text").cache()
+      val sigs = Dedup.minhashSignatureArray(afterExact, "doc_id", "text",
+        toksCol = Some("toks")).cache()
       val nearDupLosers = Dedup.minhashLshFromSignatures(sigs, "doc_id")
         .select(col("d2").as("doc_id")).distinct() // keep the lower id of each pair
       val afterNear = afterExact.join(nearDupLosers, Seq("doc_id"), "left_anti")

@@ -107,6 +107,21 @@ class CurationOpsSpec extends SparkSpec {
     assert(r.size === 8)
   }
 
+  test("connected components: chain longer than the propagation budget converges via star contraction") {
+    // a 61-vertex chain has diameter 60 > the default 25-round budget:
+    // plain propagation cannot finish, so the large-star/small-star
+    // fallback must label it — and must agree with the unique min fixpoint.
+    val edges = (1L until 61L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val r = ConnectedComponents.components(edges, "d1", "d2")
+      .as[(Long, Long)].collect().toMap
+    assert(r.size === 61)
+    assert((1L to 61L).forall(r(_) === 1L))
+    // and the fallback result matches plain propagation given enough rounds
+    val plain = ConnectedComponents.components(edges, "d1", "d2", maxIter = 100)
+      .as[(Long, Long)].collect().toMap
+    assert(plain === r)
+  }
+
   test("kmeansAssign clusters planted blobs and is deterministic under repartition") {
     def blob(center: Array[Float], seed: Int): Array[Float] = {
       val r = new scala.util.Random(seed)

@@ -39,6 +39,44 @@ class DedupSpec extends SparkSpec {
     assert(!r.contains((1L, 3L)))
   }
 
+  test("PPJoin prefix filter drops a corpus-hot shingle under planted skew") {
+    // adversarial corpus: HALF the docs open with the same phrase, so one
+    // shingle has df = 50 — a naive shared-shingle join would generate
+    // ~50² candidate pairs from it alone. Every doc also carries unique
+    // filler (no true near-dups among the skewed docs), plus one planted
+    // genuine near-dup pair to prove the filter is lossless.
+    val hotDocs = (1 to 100).map { i =>
+      val filler = (1 to 12).map(j => s"w${i}x$j").mkString(" ")
+      (i.toLong, if (i % 2 == 0) s"alpha beta gamma $filler" else filler)
+    }
+    val nearDup = Seq(
+      (101L, "planted pair shares nearly all of its shingle set verbatim"),
+      (102L, "planted pair shares nearly all of its shingle set verbatim too"))
+    val docs = (hotDocs ++ nearDup).toDF("doc_id", "text")
+
+    // machine-check the mechanism: the hot shingle (max df ⇒ last rank in
+    // every doc) appears in NO prefix, for both the jaccard (t=0.2) and
+    // containment (t=0.8) thresholds — candidate volume is then bounded
+    // by Σ df_prefix(s)², with the hot term contributing zero.
+    val docSh = Dedup.hashedShingleSets(docs, "doc_id", "text", 3)
+    val hotHash = spark.range(1)
+      .select(Dedup.shingleHash(lit("alpha beta gamma")).as("h"))
+      .as[Long].head()
+    val full = Dedup.rankedPostings(docSh, "doc_id", 0.2, prefixOnly = false)
+    assert(full.filter(col("s") === hotHash).count() === 50) // skew is real
+    Seq(0.2, 0.8).foreach { t =>
+      val prefix = Dedup.rankedPostings(docSh, "doc_id", t, prefixOnly = true)
+      assert(prefix.filter(col("s") === hotHash).count() === 0,
+        s"hot shingle leaked into a t=$t prefix")
+    }
+
+    // losslessness under skew: exactly the planted pair survives
+    val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", minJaccard = 0.2)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((101L, 102L)))
+    docSh.unpersist()
+  }
+
   test("minhashLshFromSignatures over precomputed signatures equals minhashLsh") {
     val fused = Dedup.minhashLsh(docs, "doc_id", "text")
       .select("d1", "d2", "est_jaccard").as[(Long, Long, Double)].collect().toSet
