@@ -52,13 +52,14 @@ object Templates {
       splitField: Option[String] = None,
       outputNotify: Option[String] = None,
       outputEmpty: Boolean = false,
+      perKeySchema: Boolean = false,
       params: Map[String, Any] = Map.empty)
 
   def queryToAvro(spark: SparkSession, c: QueryToAvroConfig): DynamicFileSink.Result = {
     val df = SqlRunner.run(spark, c.query, c.params)
     DynamicFileSink.write(df, DynamicFileSink.Config(
       c.output, "avro", c.splitField, None, withoutSharding = false,
-      c.outputNotify, c.outputEmpty))
+      c.outputNotify, c.outputEmpty, perKeySchema = c.perKeySchema))
   }
 
   /** SpannerToBigQuery (`templates/SpannerToBigQuery.java:69-99`): query →
@@ -136,6 +137,47 @@ object Templates {
       excludeFromIndexFields: Seq[String] = Seq.empty,
       params: Map[String, Any] = Map.empty)
 
+  /** Datastore value shaping, applied recursively to any depth
+    * (`RecordToEntityConverter.java:202-231`): MAP values become an ARRAY
+    * of {key, value} entities (the reference's MAP case builds exactly
+    * that entity list); nested records stay nested structs (a struct
+    * column IS the nested entity); array elements recurse. Entries are
+    * sorted by key — the reference iterates a HashMap's entrySet, which
+    * is order-unstable, so the deterministic order is the strictly safer
+    * contract. The 1500-byte auto-unindex rule intentionally stays
+    * TOP-LEVEL-ONLY: the reference applies it in `convert()`'s top-level
+    * field loop only, never inside `convertEntityValue` recursion. */
+  private def entityValue(c: org.apache.spark.sql.Column,
+                          dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case st: StructType =>
+        when(c.isNull, lit(null).cast(entityType(st))).otherwise(
+          struct(st.fields.toIndexedSeq.map(f =>
+            entityValue(c.getField(f.name), f.dataType).as(f.name)): _*))
+      case ArrayType(et, _) => transform(c, e => entityValue(e, et))
+      case MapType(_, vt, _) =>
+        transform(sort_array(map_entries(c)), e =>
+          struct(e.getField("key").cast("string").as("key"),
+            entityValue(e.getField("value"), vt).as("value")))
+      case _ => c
+    }
+  }
+
+  /** The post-shaping type of [[entityValue]] (for null casts). */
+  private def entityType(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case st: StructType =>
+        StructType(st.fields.map(f => f.copy(dataType = entityType(f.dataType))))
+      case ArrayType(et, n) => ArrayType(entityType(et), n)
+      case MapType(_, vt, _) => ArrayType(StructType(Seq(
+        StructField("key", StringType, nullable = false),
+        StructField("value", entityType(vt)))), containsNull = false)
+      case other => other
+    }
+  }
+
   def queryToDocuments(spark: SparkSession, c: QueryToDocumentsConfig): DataFrame = {
     import org.apache.spark.sql.types._
     val df = SqlRunner.run(spark, c.query, c.params)
@@ -159,7 +201,8 @@ object Templates {
     val configured = array(c.excludeFromIndexFields.map(lit): _*)
     val out = df.select(
       concat(lit(c.kind), lit("/"), col(c.keyField).cast("string")).as("__key__"),
-      struct(df.columns.map(col).toIndexedSeq: _*).as("doc"),
+      struct(df.schema.fields.toIndexedSeq.map(f =>
+        entityValue(col(f.name), f.dataType).as(f.name)): _*).as("doc"),
       array_union(configured, autoUnindexed).as("__unindexed__"))
     out.write.mode(SaveMode.Overwrite).parquet(c.output)
     spark.read.parquet(c.output)

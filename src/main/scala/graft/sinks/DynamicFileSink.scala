@@ -31,7 +31,17 @@ import graft.formats.RowFormats
   */
 object DynamicFileSink {
 
-  /** `output` is a path prefix like `/dir/out` → files `/dir/out<KEY>.<fmt>`. */
+  /** `output` is a path prefix like `/dir/out` → files `/dir/out<KEY>.<fmt>`.
+    *
+    * `perKeySchema` (avro only) re-expresses the reference's per-
+    * destination schema sampling (`transforms/StructToAvroTransform
+    * .java:95-108` samples one struct per key and derives that key's
+    * schema from it): each destination's record schema keeps only the
+    * columns OBSERVED (non-null on at least one row) for that key,
+    * computed in one aggregate pass over the keyed frame. Deterministic —
+    * unlike a sampled element, the observed-field set does not depend on
+    * which row a worker saw first. Off by default: one schema per query
+    * result (SURVEY §7.3.4). */
   final case class Config(
       output: String,
       format: String = "json", // json | csv | avro
@@ -39,7 +49,8 @@ object DynamicFileSink {
       header: Option[String] = None,
       withoutSharding: Boolean = false,
       outputNotify: Option[String] = None,
-      outputEmpty: Boolean = false)
+      outputEmpty: Boolean = false,
+      perKeySchema: Boolean = false)
 
   final case class Result(files: Seq[String])
 
@@ -65,10 +76,28 @@ object DynamicFileSink {
 
     conf.format.toLowerCase match {
       case "avro" =>
+        // Per-destination schemas: one aggregate pass counts non-null
+        // values per (key, column); a key's schema keeps the columns with
+        // count > 0. O(#keys × #cols) reaches the driver — destination
+        // metadata, not data.
+        val perKeyFields: Map[String, Seq[String]] =
+          if (!conf.perKeySchema) Map.empty
+          else {
+            val dataCols = keyed.schema.fieldNames.filter(_ != SplitCol).toSeq
+            keyed.groupBy(col(SplitCol))
+              .agg(count(lit(1)).as("__n"),
+                dataCols.map(c => count(col(c)).as(c)): _*)
+              .collect()
+              .map { r =>
+                r.getAs[String](SplitCol) ->
+                  dataCols.filter(c => r.getAs[Long](c) > 0L)
+              }.toMap
+          }
         // AvroIO writes final per-(key × partition) files; collapse the
         // single-file-per-key case to the exact <prefix><key>.avro name.
         val files = graft.sources.AvroIO.writeKeyed(
-          sharded, conf.output, conf.splitField.map(_ => SplitCol))
+          sharded, conf.output, conf.splitField.map(_ => SplitCol),
+          perKeyFields = perKeyFields)
         files.groupBy(_._1).foreach { case (key, paths) =>
           if (paths.size == 1) {
             val dest = new Path(s"${conf.output}$key.avro")

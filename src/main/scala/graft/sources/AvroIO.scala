@@ -32,40 +32,61 @@ object AvroIO {
 
   /** Keyed write for the dynamic sink: `df` must carry a string `__split`
     * column; one file `<prefix><key>-pNNNNN.avro` per (key × partition).
-    * Returns (key, path) pairs. */
+    * Returns (key, path) pairs.
+    *
+    * `perKeyFields` optionally narrows each key's record schema to the
+    * named columns (the per-destination heterogeneous-schema mode — see
+    * [[graft.sinks.DynamicFileSink]]); keys absent from the map write
+    * the full schema. The schemas are built ONCE on the driver and
+    * shipped as JSON (avro `Schema` is not serializable). */
   def writeKeyed(df: DataFrame, prefix: String, repartitionOn: Option[String],
-                 codec: String = "snappy"): Seq[(String, String)] = {
+                 codec: String = "snappy",
+                 perKeyFields: Map[String, Seq[String]] = Map.empty): Seq[(String, String)] = {
     val keyed = repartitionOn match {
       case Some(_) => df.repartition(col("__split")).sortWithinPartitions("__split")
       case None => df.sortWithinPartitions("__split")
     }
     val dataSchema = StructType(keyed.schema.fields.filter(_.name != "__split"))
     val avroJson = SchemaBridge.toAvro(dataSchema, "topLevelRecord").toString
+    val perKeyJson: Map[String, String] = perKeyFields.map { case (k, fields) =>
+      val kept = fields.toSet
+      k -> SchemaBridge.toAvro(
+        StructType(dataSchema.fields.filter(f => kept.contains(f.name))),
+        "topLevelRecord").toString
+    }
     val codecName = codec
     import df.sparkSession.implicits._
     keyed.mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
-      val avroSchema = new Schema.Parser().parse(avroJson)
+      val fullSchema = new Schema.Parser().parse(avroJson)
+      val keySchemas = perKeyJson.map { case (k, j) =>
+        k -> new Schema.Parser().parse(j)
+      }
       val fs = FileSystem.get(new Path(prefix).toUri,
         new org.apache.hadoop.conf.Configuration())
       val written = scala.collection.mutable.ArrayBuffer[(String, String)]()
       var curKey: String = null
       var w: DataFileWriter[GenericRecord] = null
+      var curAvro: Schema = fullSchema
+      var curStruct: StructType = dataSchema
       def roll(key: String): Unit = {
         if (w != null) w.close()
         val path = new Path(f"$prefix${key.replace("/", "%2F")}-p$pid%05d.avro")
-        w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](avroSchema))
+        curAvro = keySchemas.getOrElse(key, fullSchema)
+        val keptNames = curAvro.getFields.asScala.map(_.name).toSet
+        curStruct = StructType(dataSchema.fields.filter(f => keptNames.contains(f.name)))
+        w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](curAvro))
         w.setCodec(if (codecName == "snappy") CodecFactory.snappyCodec()
           else CodecFactory.fromString(codecName))
-        w.create(avroSchema, fs.create(path, true))
+        w.create(curAvro, fs.create(path, true))
         written += ((key, path.toUri.getPath))
         curKey = key
       }
       it.foreach { r =>
         val key = r.getAs[String]("__split")
         if (w == null || key != curKey) roll(key)
-        val slim = Row.fromSeq(dataSchema.fieldNames.toIndexedSeq.map(n => r.getAs[Any](n)))
-        w.append(SchemaBridge.rowToRecord(slim, dataSchema, avroSchema))
+        val slim = Row.fromSeq(curStruct.fieldNames.toIndexedSeq.map(n => r.getAs[Any](n)))
+        w.append(SchemaBridge.rowToRecord(slim, curStruct, curAvro))
       }
       if (w != null) w.close()
       written.iterator

@@ -93,6 +93,32 @@ class TemplatesSpec extends SparkSpec {
     assert(row.getAs[Seq[String]]("__unindexed__") === Seq("big"))
   }
 
+  test("Datastore nested shaping: maps expand to {key,value} entity arrays at any depth " +
+    "(RecordToEntityConverter.java:219-231)") {
+    import org.apache.spark.sql.Row
+    val dir = tmpDir("t_dsnest")
+    spark.sql(
+      """SELECT 1L AS id,
+        |  map('b', 2L, 'a', 1L) AS attrs,
+        |  named_struct('name', 'inner', 'tags', map('z', 'last', 'y', 'mid')) AS nested,
+        |  array(map('k', 9L)) AS arr_of_map""".stripMargin)
+      .createOrReplaceTempView("mapped")
+    val out = Templates.queryToDocuments(spark, Templates.QueryToDocumentsConfig(
+      "SELECT * FROM mapped", s"$dir/docs", kind = "M", keyField = "id"))
+    val doc = out.head.getAs[Row]("doc")
+    // top-level map -> entity array sorted by key
+    assert(doc.getAs[Seq[Row]]("attrs").map(r => (r.getString(0), r.getLong(1)))
+      === Seq("a" -> 1L, "b" -> 2L))
+    // map nested inside a struct expands too
+    val nested = doc.getAs[Row]("nested")
+    assert(nested.getAs[String]("name") === "inner")
+    assert(nested.getAs[Seq[Row]]("tags").map(r => (r.getString(0), r.getString(1)))
+      === Seq("y" -> "mid", "z" -> "last"))
+    // and inside array elements
+    assert(doc.getAs[Seq[Seq[Row]]]("arr_of_map").head
+      .map(r => (r.getString(0), r.getLong(1))) === Seq("k" -> 9L))
+  }
+
   test("Datastore key field must be STRING or INT64 — DOUBLE rejected " +
     "(RecordToEntityConverter.java:238-254)") {
     val dir = tmpDir("t_dskey")

@@ -32,6 +32,38 @@ class DynamicFileSinkSpec extends SparkSpec {
     assert(lines(s"$dir/r.csv") === Seq("a,b", "1,x"))
   }
 
+  test("perKeySchema: each avro destination keeps only its observed columns") {
+    import spark.implicits._
+    // key A rows never populate `extra`; key B rows do — with
+    // perKeySchema, A's file schema must omit `extra`, B's must keep it
+    // (the per-destination schema sampling of StructToAvroTransform
+    // .java:95-108, re-expressed as deterministic observed-field pruning).
+    val df = Seq(
+      ("A", 1L, Option.empty[String]),
+      ("A", 2L, Option.empty[String]),
+      ("B", 3L, Some("hello"))
+    ).toDF("k", "v", "extra")
+    val dir = tmpDir("dfs_perkey")
+    val res = DynamicFileSink.write(df, DynamicFileSink.Config(
+      s"$dir/out", "avro", splitField = Some("k"), perKeySchema = true))
+    val byKey = res.files.map(p => p.split('/').last -> p).toMap
+    assert(byKey.keySet === Set("outA.avro", "outB.avro"))
+    val a = graft.sources.AvroIO.read(spark, byKey("outA.avro"))
+    assert(a.schema.fieldNames.toSet === Set("k", "v"))
+    assert(a.orderBy("v").as[(String, Long)].collect().toSeq ===
+      Seq(("A", 1L), ("A", 2L)))
+    val b = graft.sources.AvroIO.read(spark, byKey("outB.avro"))
+    assert(b.schema.fieldNames.toSet === Set("k", "v", "extra"))
+    assert(b.as[(String, Long, String)].collect().toSeq === Seq(("B", 3L, "hello")))
+    // default mode is unchanged: one schema for every destination
+    val res2 = DynamicFileSink.write(df, DynamicFileSink.Config(
+      s"$dir/uni", "avro", splitField = Some("k")))
+    res2.files.foreach { p =>
+      assert(graft.sources.AvroIO.read(spark, p).schema.fieldNames.toSet ===
+        Set("k", "v", "extra"))
+    }
+  }
+
   test("null split key goes to empty-string destination") {
     import spark.implicits._
     val df = Seq((Option.empty[String], 1L), (Some("K"), 2L)).toDF("k", "v")
