@@ -133,6 +133,52 @@ object Dedup {
       .filter(col("est_jaccard") >= minEstJaccard)
   }
 
+  /** Cross-corpus near-duplicates: MinHash+LSH pairs BETWEEN a new batch
+    * and an existing corpus — the shape every INCREMENTAL ingest needs
+    * (is this new document a near-dup of anything already kept?). The
+    * band-bucket join is restricted to (batch × corpus): no corpus ×
+    * corpus pair ever forms, so ingesting B docs against an N-doc corpus
+    * costs O(B + N) signature work and a keyed join, not a full-corpus
+    * dedup rerun. Returns (batch_id, corpus_id, est_jaccard).
+    *
+    * At real scale the corpus side's signatures are computed once and
+    * STORED (they are 16 longs/doc); pass them via [[minhashLshAgainstSignatures]]
+    * and only the batch pays tokenization. */
+  def minhashLshAgainst(corpus: DataFrame, batch: DataFrame,
+                        idCol: String, textCol: String,
+                        numHashes: Int = 16, bands: Int = 4,
+                        minEstJaccard: Double = 0.5, k: Int = 3): DataFrame =
+    minhashLshAgainstSignatures(
+      minhashSignatureArray(corpus, idCol, textCol, numHashes, k),
+      minhashSignatureArray(batch, idCol, textCol, numHashes, k),
+      idCol, numHashes, bands, minEstJaccard)
+
+  /** Banding + estimation of [[minhashLshAgainst]] over precomputed
+    * signature frames (the stored-corpus path). */
+  def minhashLshAgainstSignatures(corpusSig: DataFrame, batchSig: DataFrame,
+                                  idCol: String, numHashes: Int = 16,
+                                  bands: Int = 4,
+                                  minEstJaccard: Double = 0.5): DataFrame = {
+    val rows = numHashes / bands
+    def banded(sig: DataFrame): DataFrame =
+      sig.select(col(idCol), col("sig"),
+          explode(transform(sequence(lit(0), lit(bands - 1)),
+            b => struct(b.as("band"),
+              md5(concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows)))).as("bh"))))
+            .as("bb"))
+        .select(col(idCol), col("sig"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val cand = banded(batchSig).as("a").join(banded(corpusSig).as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col(s"a.$idCol") =!= col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("batch_id"), col(s"b.$idCol").as("corpus_id"),
+        col("a.sig").as("sa"), col("b.sig").as("sb"))
+      .dropDuplicates("batch_id", "corpus_id")
+    cand.select(col("batch_id"), col("corpus_id"),
+        (size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y), b => b))
+          .cast("double") / numHashes).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minEstJaccard)
+  }
+
   /** Per-document SimHash (`bits`-bit, default 48 so the value and all
     * 2^b terms fit a signed long). Token-frequency weighted: bit b of the
     * fingerprint is the sign of Σ_tokens cnt * (±1) where the ±1 is bit b

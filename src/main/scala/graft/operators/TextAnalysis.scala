@@ -155,6 +155,32 @@ object TextAnalysis {
       .filter(col("rk") <= topK)
   }
 
+  /** BPE first-merge statistics: counts of ADJACENT CHARACTER pairs
+    * inside word tokens, per stratum — the pair-frequency table byte-pair
+    * encoding chooses its first merge from (tokenizer-training prep,
+    * complementing [[vocabTopK]]'s word-level table). Top `topK` pairs by
+    * count with a lexicographic tiebreak.
+    *
+    * Shape: map-only token explode → in-row pair fan-out → ONE keyed
+    * aggregate on (stratum, pair); pair keys are 2 chars, so the shuffle
+    * is bounded by the alphabet², not the corpus. Top-k prunes via
+    * WindowGroupLimit (filter on row_number, not a global sort). */
+  def bpeMergePairs(df: DataFrame, strataCol: String, textCol: String,
+                    topK: Int = 10): DataFrame = {
+    val counts = Dedup.widen(df)
+      .select(col(strataCol), explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(col(strataCol),
+        explode(transform(sequence(lit(1), length(col("w")) - 1),
+          i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy(col(strataCol), col("pair"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCol).orderBy(col("cnt").desc, col("pair").asc)
+    counts.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= topK)
+  }
+
   /** Corpus-relative novelty: the fraction of a document's distinct
     * k-shingles that appear in NO other document — high novelty marks
     * original content, low novelty marks boilerplate/template text (the

@@ -100,6 +100,21 @@ object CoreQueries {
         .orderBy("c_custkey")
     }),
 
+    // Full outer join over two partially-overlapping key sets (big
+    // spenders vs the AUTOMOBILE segment) — rows surviving from either
+    // side with nulls on the other.
+    "q_full_outer_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val big = c.filter(col("c_acctbal") > 9000)
+        .select(col("c_custkey").as("b_custkey"), col("c_acctbal"))
+      val auto = c.filter(col("c_mktsegment") === "AUTOMOBILE")
+        .select(col("c_custkey").as("a_custkey"), col("c_mktsegment"))
+      big.join(auto, col("b_custkey") === col("a_custkey"), "full_outer")
+        .select(coalesce(col("b_custkey"), col("a_custkey")).as("custkey"),
+          col("c_acctbal"), col("c_mktsegment"))
+        .orderBy("custkey")
+    }),
+
     // Anti join: customers with no orders (NOT EXISTS).
     "q_anti_join" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -326,6 +341,14 @@ object CoreQueries {
       """SELECT c_custkey, count(o_orderkey) AS n_orders
         |FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "q_full_outer_join" ->
+      """SELECT coalesce(b.c_custkey, a.c_custkey) AS custkey,
+        |  b.c_acctbal, a.c_mktsegment
+        |FROM (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 9000) b
+        |FULL JOIN (SELECT c_custkey, c_mktsegment FROM customer
+        |           WHERE c_mktsegment = 'AUTOMOBILE') a
+        |  ON b.c_custkey = a.c_custkey
+        |ORDER BY custkey""".stripMargin,
     "q_anti_join" ->
       """SELECT c_custkey, c_name FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)

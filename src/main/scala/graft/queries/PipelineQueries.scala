@@ -69,6 +69,17 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // --- incremental ingest: new batch (doc_id % 10 == 0) near-dup'd
+    //     AGAINST the existing corpus only — no corpus×corpus pairs ---
+    "d_incremental_neardup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.minhashLshAgainst(
+          d.filter(col("doc_id") % 10 =!= 0),
+          d.filter(col("doc_id") % 10 === 0),
+          "doc_id", "text")
+        .orderBy("batch_id", "corpus_id")
+    }),
+
     "d_embedding_neardup" -> ((s, dir) =>
       Dedup.embeddingNearDup(emb(s, dir), "vec_id", "embedding", "label")
         .orderBy("d1", "d2")),
@@ -274,6 +285,11 @@ object PipelineQueries {
       TextAnalysis.vocabTopK(docs(s, dir), "lang", "text", topK = 20)
         .orderBy("lang", "rk")),
 
+    // --- BPE first-merge pair statistics (tokenizer-training prep) ---
+    "t_bpe_merge" -> ((s, dir) =>
+      TextAnalysis.bpeMergePairs(docs(s, dir), "lang", "text", topK = 10)
+        .orderBy("lang", "rk")),
+
     // --- corpus-relative novelty (inverse boilerplate detector) ---
     "t_novelty" -> ((s, dir) =>
       TextAnalysis.noveltyScore(docs(s, dir), "doc_id", "text")
@@ -396,6 +412,25 @@ object PipelineQueries {
            |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.v)
            |SELECT v AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
            |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin,
+
+      "d_incremental_neardup" ->
+        s"""WITH sh AS (
+           |  SELECT doc_id, unnest($sh3) AS s
+           |  FROM (SELECT doc_id, $toks AS t FROM documents) WHERE len(t) >= 3),
+           |sig AS (SELECT doc_id, h, min(md5(h::VARCHAR || '|' || s)) AS mh
+           |        FROM sh CROSS JOIN (SELECT unnest(range(16)) AS h) GROUP BY doc_id, h),
+           |band AS (SELECT doc_id, h // 4 AS band, md5(string_agg(mh, ',' ORDER BY h)) AS bh
+           |         FROM sig GROUP BY doc_id, h // 4),
+           |cand AS (SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS corpus_id
+           |         FROM band a JOIN band b ON a.band = b.band AND a.bh = b.bh
+           |           AND a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0 AND a.doc_id <> b.doc_id)
+           |SELECT batch_id, corpus_id,
+           |  count(*) FILTER (x.mh = y.mh)::DOUBLE / 16 AS est_jaccard
+           |FROM cand JOIN sig x ON x.doc_id = batch_id
+           |          JOIN sig y ON y.doc_id = corpus_id AND y.h = x.h
+           |GROUP BY batch_id, corpus_id
+           |HAVING count(*) FILTER (x.mh = y.mh)::DOUBLE / 16 >= 0.5
+           |ORDER BY batch_id, corpus_id""".stripMargin,
 
       "d_embedding_neardup" ->
         s"""SELECT d1, d2, cos FROM (
@@ -752,6 +787,18 @@ object PipelineQueries {
            |  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token) AS rk
            |  FROM c)
            |WHERE rk <= 20 ORDER BY lang, rk""".stripMargin,
+
+      "t_bpe_merge" ->
+        s"""WITH tok AS (SELECT lang, unnest($toks) AS w FROM documents),
+           |p AS (SELECT lang, substring(w, i, 2) AS pair
+           |      FROM tok, unnest(range(1, length(w))) AS u(i)
+           |      WHERE length(w) >= 2),
+           |c AS (SELECT lang, pair, CAST(count(*) AS BIGINT) AS cnt
+           |      FROM p GROUP BY lang, pair)
+           |SELECT lang, pair, cnt, CAST(rk AS BIGINT) AS rk FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, pair) AS rk
+           |  FROM c)
+           |WHERE rk <= 10 ORDER BY lang, rk""".stripMargin,
 
       "t_novelty" ->
         s"""WITH sh AS (
