@@ -97,11 +97,16 @@ object Similarity {
         .filter(col("crk") <= n)
         .select(col(outId), col(outVec), col("cid"))
     }
+    // both sides descend from the same broadcast `cent`, so their `cid`
+    // attributes share ids — rename one side or the join condition
+    // degenerates into a same-attribute compare (Spark logs exactly that
+    // "trivially true equals predicate" warning before disambiguating)
     val assign = nearestCentroids(
       corpus.select(col(idCol).as("nid"), col(vecCol).as("nv")), "nid", "nv", 1)
+      .withColumnRenamed("cid", "n_cid")
     val probes = nearestCentroids(
       queries.select(col(idCol).as("qid"), col(vecCol).as("qv")), "qid", "qv", nprobe)
-    val scored = probes.join(assign, probes("cid") === assign("cid") &&
+    val scored = probes.join(assign, col("cid") === col("n_cid") &&
         col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
         Vectors.cosineNative(spark, col("qv"), col("nv")).as("cos"))

@@ -80,6 +80,25 @@ object PipelineQueries {
         .orderBy("batch_id", "corpus_id")
     }),
 
+    // --- canonical selection: per near-dup cluster keep the BEST doc
+    //     (most tokens, id tiebreak) rather than the lowest id — the
+    //     quality-aware representative choice curation actually wants ---
+    "d_cluster_best" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.minhashLsh(d, "doc_id", "text")
+      val clusters = graft.operators.ConnectedComponents.components(pairs, "d1", "d2")
+        .select(col("v").as("doc_id"), col("component").as("cluster_id"))
+      val toks = d.select(col("doc_id"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("cluster_id").orderBy(col("n_tokens").desc, col("doc_id").asc)
+      clusters.join(toks, "doc_id")
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") === 1)
+        .select("cluster_id", "doc_id", "n_tokens")
+        .orderBy("cluster_id")
+    }),
+
     "d_embedding_neardup" -> ((s, dir) =>
       Dedup.embeddingNearDup(emb(s, dir), "vec_id", "embedding", "label")
         .orderBy("d1", "d2")),
@@ -123,6 +142,27 @@ object PipelineQueries {
       Similarity.ivfTopKWithCentroids(e, e.filter(col("vec_id") % 50 === 0),
           cents.toDF("cid", "cv"), "vec_id", "embedding", k = 5, nprobe = 2)
         .orderBy("qid", "rk")
+    }),
+
+    // --- ANN evaluation: per-query recall of LSH top-k against the
+    //     brute-force exact top-k (the measurement that justifies an
+    //     index's planes/nprobe settings before a 100 TB rollout) ---
+    "a_ann_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") % 50 === 0)
+      val bf = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+        .select(col("qid"), col("nid"))
+      val lsh = Similarity.lshTopK(e, q, "vec_id", "embedding", k = 5, planes = 8)
+        .select(col("qid").as("lqid"), col("nid").as("lnid"))
+      val hit = bf.join(lsh,
+        col("qid") === col("lqid") && col("nid") === col("lnid"), "left_semi")
+      bf.groupBy("qid").agg(count(lit(1)).as("n_exact"))
+        .join(hit.groupBy("qid").agg(count(lit(1)).as("n_hit")), Seq("qid"), "left")
+        .select(col("qid"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"), col("n_exact"),
+          round(coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_exact"), 6)
+            .as("recall"))
+        .orderBy("qid")
     }),
 
     // --- hybrid retrieval: shingle-index candidates, lexical+dense score ---
@@ -285,6 +325,15 @@ object PipelineQueries {
       TextAnalysis.vocabTopK(docs(s, dir), "lang", "text", topK = 20)
         .orderBy("lang", "rk")),
 
+    // --- token-length histogram per language (corpus shape report) ---
+    "t_length_hist" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("lang"),
+          size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("n"))
+        .groupBy(col("lang"), (floor(col("n") / 32) * 32).cast("long").as("bucket_lo"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "bucket_lo")),
+
     // --- BPE first-merge pair statistics (tokenizer-training prep) ---
     "t_bpe_merge" -> ((s, dir) =>
       TextAnalysis.bpeMergePairs(docs(s, dir), "lang", "text", topK = 10)
@@ -412,6 +461,35 @@ object PipelineQueries {
            |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.v)
            |SELECT v AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
            |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin,
+
+      "d_cluster_best" ->
+        s"""WITH RECURSIVE sh AS (
+           |  SELECT doc_id, unnest($sh3) AS s
+           |  FROM (SELECT doc_id, $toks AS t FROM documents) WHERE len(t) >= 3),
+           |sig AS (SELECT doc_id, h, min(md5(h::VARCHAR || '|' || s)) AS mh
+           |        FROM sh CROSS JOIN (SELECT unnest(range(16)) AS h) GROUP BY doc_id, h),
+           |band AS (SELECT doc_id, h // 4 AS band, md5(string_agg(mh, ',' ORDER BY h)) AS bh
+           |         FROM sig GROUP BY doc_id, h // 4),
+           |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+           |         FROM band a JOIN band b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+           |est AS (SELECT d1, d2 FROM cand JOIN sig x ON x.doc_id = d1
+           |        JOIN sig y ON y.doc_id = d2 AND y.h = x.h
+           |        GROUP BY d1, d2
+           |        HAVING count(*) FILTER (x.mh = y.mh)::DOUBLE / 16 >= 0.5),
+           |edges AS (SELECT d1 AS a, d2 AS b FROM est UNION SELECT d2, d1 FROM est),
+           |reach(v, r) AS (
+           |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+           |  UNION
+           |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.v),
+           |cl AS (SELECT v AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+           |       FROM reach GROUP BY v),
+           |tk AS (SELECT doc_id, len($toks)::BIGINT AS n_tokens FROM documents)
+           |SELECT cluster_id, doc_id, n_tokens FROM (
+           |  SELECT cl.cluster_id, cl.doc_id, tk.n_tokens,
+           |    row_number() OVER (PARTITION BY cl.cluster_id
+           |      ORDER BY tk.n_tokens DESC, cl.doc_id) AS rk
+           |  FROM cl JOIN tk USING (doc_id))
+           |WHERE rk = 1 ORDER BY cluster_id""".stripMargin,
 
       "d_incremental_neardup" ->
         s"""WITH sh AS (
@@ -561,6 +639,42 @@ object PipelineQueries {
            |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk FROM sc)
            |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
       },
+
+      "a_ann_recall" ->
+        s"""WITH bf AS (
+           |  SELECT qid, nid FROM (
+           |    SELECT a.vec_id AS qid, b.vec_id AS nid,
+           |      row_number() OVER (PARTITION BY a.vec_id ORDER BY $cosAB DESC, b.vec_id) AS rk
+           |    FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+           |    WHERE a.vec_id % 50 = 0)
+           |  WHERE rk <= 5),
+           |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |proj AS (
+           |  SELECT vec_id, p,
+           |    sum(CASE WHEN (strpos('0123456789abcdef',
+           |          substring(md5(p::VARCHAR || '_' || d::VARCHAR), 1, 1)) - 1) % 2 = 1
+           |        THEN v[d+1] ELSE -v[d+1] END) AS dotp
+           |  FROM e CROSS JOIN (SELECT unnest(range(8)) AS p) CROSS JOIN (SELECT unnest(range(64)) AS d)
+           |  GROUP BY vec_id, p),
+           |bucket AS (SELECT vec_id, sum(CASE WHEN dotp > 0 THEN (2 ** p)::BIGINT ELSE 0 END)::BIGINT AS bk
+           |           FROM proj GROUP BY vec_id),
+           |lsh AS (
+           |  SELECT qid, nid FROM (
+           |    SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+           |    FROM (SELECT q.vec_id AS qid, c.vec_id AS nid,
+           |            ${cosAB.replace("a.embedding", "x.embedding").replace("b.embedding", "y.embedding")} AS cos
+           |          FROM bucket q JOIN bucket c ON q.bk = c.bk AND q.vec_id <> c.vec_id
+           |          JOIN embeddings x ON x.vec_id = q.vec_id
+           |          JOIN embeddings y ON y.vec_id = c.vec_id
+           |          WHERE q.vec_id % 50 = 0))
+           |  WHERE rk <= 5)
+           |SELECT qid, coalesce(h.n_hit, 0)::BIGINT AS n_hit, n.n_exact,
+           |  round(coalesce(h.n_hit, 0)::DOUBLE / n.n_exact, 6) AS recall
+           |FROM (SELECT qid, CAST(count(*) AS BIGINT) AS n_exact FROM bf GROUP BY qid) n
+           |LEFT JOIN (SELECT bf.qid, CAST(count(*) AS BIGINT) AS n_hit
+           |           FROM bf JOIN lsh ON bf.qid = lsh.qid AND bf.nid = lsh.nid
+           |           GROUP BY bf.qid) h USING (qid)
+           |ORDER BY qid""".stripMargin,
 
       "a_hybrid_topk" ->
         s"""WITH sh AS (
@@ -787,6 +901,12 @@ object PipelineQueries {
            |  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token) AS rk
            |  FROM c)
            |WHERE rk <= 20 ORDER BY lang, rk""".stripMargin,
+
+      "t_length_hist" ->
+        s"""SELECT lang, (len($toks)::BIGINT // 32 * 32)::BIGINT AS bucket_lo,
+           |  count(*) AS n_docs
+           |FROM documents GROUP BY lang, (len($toks)::BIGINT // 32 * 32)
+           |ORDER BY lang, bucket_lo""".stripMargin,
 
       "t_bpe_merge" ->
         s"""WITH tok AS (SELECT lang, unnest($toks) AS w FROM documents),
