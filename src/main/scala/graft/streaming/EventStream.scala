@@ -105,6 +105,61 @@ object EventStream {
 
   final case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class Session(user_id: Long, n_events: Long, total: Double, open: Boolean)
+  final case class SessionAcc(n_events: Long, total: Double,
+                              startMs: Long, lastMs: Long)
+  final case class ClosedSession(user_id: Long, n_events: Long, total: Double,
+                                 session_start: java.sql.Timestamp,
+                                 session_end: java.sql.Timestamp)
+
+  /** Event-time gap sessionization — the true streaming counterpart of
+    * [[sessionizeBatch]] (same gap semantics; that method is the replay/
+    * backfill path over identical data). A session CLOSES and is emitted
+    * exactly once, when either (a) a later event from the same user
+    * arrives more than `gapMs` after the session's last event (the
+    * in-batch straddle), or (b) the WATERMARK passes last_event + gap —
+    * `EventTimeTimeout` makes the no-more-events decision provable, so
+    * state is bounded by the watermark horizon, not by user count ×
+    * session age. Events within a batch are processed in event-time
+    * order, so the fold is deterministic. */
+  def sessionizeEventTime(events: Dataset[Event], gapMs: Long = 3600000L,
+                          watermark: String = "1 hour"): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    def close(uid: Long, a: SessionAcc): ClosedSession =
+      ClosedSession(uid, a.n_events, a.total,
+        new java.sql.Timestamp(a.startMs), new java.sql.Timestamp(a.lastMs))
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionAcc, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[SessionAcc]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(close(uid, s))
+          } else {
+            val out = scala.collection.mutable.ArrayBuffer[ClosedSession]()
+            var acc = state.getOption
+            rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+              val t = e.ts.getTime
+              acc match {
+                case Some(a) if t - a.lastMs > gapMs =>
+                  out += close(uid, a)
+                  acc = Some(SessionAcc(1L, e.value, t, t))
+                case Some(a) =>
+                  acc = Some(a.copy(n_events = a.n_events + 1L,
+                    total = a.total + e.value, lastMs = math.max(a.lastMs, t)))
+                case None =>
+                  acc = Some(SessionAcc(1L, e.value, t, t))
+              }
+            }
+            acc.foreach { a =>
+              state.update(a)
+              state.setTimeoutTimestamp(a.lastMs + gapMs)
+            }
+            out.iterator
+          }
+      }
+  }
 
   /** Per-user running session via flatMapGroupsWithState: accumulates
     * (count, sum) per user and emits the updated session on every batch.

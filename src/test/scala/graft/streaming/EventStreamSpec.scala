@@ -144,6 +144,38 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizeEventTime: sessions close on in-batch gap straddle AND on watermark timeout") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[EventStream.Event]
+    val q = EventStream.sessionizeEventTime(mem.toDS())
+      .writeStream.format("memory").queryName("et_sessions")
+      .outputMode("append").start()
+    try {
+      // session 1 for user 1: two events 10s apart
+      mem.addData(
+        EventStream.Event(1L, ts("2026-01-01T00:00:00Z"), 1.0),
+        EventStream.Event(1L, ts("2026-01-01T00:00:10Z"), 2.0))
+      q.processAllAvailable()
+      assert(spark.table("et_sessions").isEmpty) // still open — nothing emitted
+      // an event > 1h later straddles the gap in-handler: session 1 closes
+      mem.addData(EventStream.Event(1L, ts("2026-01-01T03:00:00Z"), 5.0))
+      q.processAllAvailable()
+      val closed1 = spark.table("et_sessions").as[EventStream.ClosedSession].collect()
+      assert(closed1.length === 1)
+      assert(closed1.head.n_events === 2L && closed1.head.total === 3.0)
+      assert(closed1.head.session_end === ts("2026-01-01T00:00:10Z"))
+      // advance the watermark past 03:00 + gap via another user's event:
+      // wm = 05:30 - 1h = 04:30 > 04:00 → user 1's open session times out
+      mem.addData(EventStream.Event(2L, ts("2026-01-01T05:30:00Z"), 9.0))
+      q.processAllAvailable()
+      mem.addData(EventStream.Event(2L, ts("2026-01-01T05:30:01Z"), 1.0))
+      q.processAllAvailable()
+      val closed2 = spark.table("et_sessions").as[EventStream.ClosedSession].collect()
+      assert(closed2.exists(s => s.user_id === 1L && s.n_events === 1L && s.total === 5.0))
+    } finally q.stop()
+  }
+
   test("sessionize: flatMapGroupsWithState accumulates per user") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
