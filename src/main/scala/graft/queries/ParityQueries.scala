@@ -107,6 +107,23 @@ object ParityQueries {
         .orderBy(col("p_event_id"), col("c_event_id").asc_nulls_first)
     }),
 
+    // Event-time sessionization (flatMapGroupsWithState, EventTimeTimeout)
+    // run in batch mode: emits every CLOSED session; each user's final
+    // still-open session is withheld exactly as the streaming run would
+    // withhold it at the same event-time point. total is asserted in the
+    // MemoryStream spec (a sequential double fold is not decimal-sum
+    // reproducible, so the oracle pins the integer/timestamp columns).
+    "st_session_closed" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("value"))
+        .as[graft.streaming.EventStream.Event]
+      graft.streaming.EventStream.sessionizeEventTime(ev)
+        .select(col("user_id"), col("n_events"),
+          col("session_start"), col("session_end"))
+        .orderBy("user_id", "session_start")
+    }),
+
     // ROLLUP over the pass-through SQL surface (delegated in the
     // reference, native Catalyst here).
     "q_rollup" -> ((s, dir) =>
@@ -202,6 +219,24 @@ object ParityQueries {
           |  ON c.user_id = p.user_id AND c.ts <= p.ts
           | AND c.ts >= p.ts - INTERVAL 1 HOUR
           |ORDER BY p_event_id, c_event_id NULLS FIRST""".stripMargin,
+
+      "st_session_closed" ->
+        """WITH s AS (
+          |  SELECT user_id, ts,
+          |    CASE WHEN lag(ts) OVER w IS NULL
+          |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 3600000000
+          |         THEN 1 ELSE 0 END AS ns
+          |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+          |g AS (SELECT user_id, ts,
+          |  sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+          |  FROM s),
+          |sess AS (SELECT user_id, sid, CAST(count(*) AS BIGINT) AS n_events,
+          |  min(ts) AS session_start, max(ts) AS session_end
+          |  FROM g GROUP BY user_id, sid),
+          |mx AS (SELECT user_id, max(sid) AS last_sid FROM sess GROUP BY user_id)
+          |SELECT s.user_id, s.n_events, s.session_start, s.session_end
+          |FROM sess s JOIN mx USING (user_id) WHERE s.sid < mx.last_sid
+          |ORDER BY s.user_id, s.session_start""".stripMargin,
 
       "q_rollup" ->
         """SELECT l_returnflag, l_linestatus, count(*) AS n,

@@ -106,27 +106,41 @@ object EventStream {
   final case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class Session(user_id: Long, n_events: Long, total: Double, open: Boolean)
   final case class SessionAcc(n_events: Long, total: Double,
-                              startMs: Long, lastMs: Long)
+                              start_ts: java.sql.Timestamp,
+                              last_ts: java.sql.Timestamp)
   final case class ClosedSession(user_id: Long, n_events: Long, total: Double,
                                  session_start: java.sql.Timestamp,
                                  session_end: java.sql.Timestamp)
+
+  /** Micros since epoch, preserving the sub-millisecond digits `getTime`
+    * drops (events carry micros precision; boundary comparisons and
+    * emitted session bounds must keep them). */
+  private def micros(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos % 1000000L) / 1000L
 
   /** Event-time gap sessionization — the true streaming counterpart of
     * [[sessionizeBatch]] (same gap semantics; that method is the replay/
     * backfill path over identical data). A session CLOSES and is emitted
     * exactly once, when either (a) a later event from the same user
-    * arrives more than `gapMs` after the session's last event (the
+    * arrives more than `gapMicros` after the session's last event (the
     * in-batch straddle), or (b) the WATERMARK passes last_event + gap —
     * `EventTimeTimeout` makes the no-more-events decision provable, so
     * state is bounded by the watermark horizon, not by user count ×
     * session age. Events within a batch are processed in event-time
-    * order, so the fold is deterministic. */
-  def sessionizeEventTime(events: Dataset[Event], gapMs: Long = 3600000L,
+    * order, so the fold is deterministic.
+    *
+    * Batch execution (backfill over the same code): timeouts cannot be
+    * registered without a streaming watermark, so the timeout
+    * registration is skipped there — each user's FINAL (still-open)
+    * session is simply not emitted, which is exactly the streaming
+    * semantics at the same point in event time. That batch behavior is
+    * oracle-checked (`st_session_closed`); original Timestamp objects
+    * ride through the state so session bounds keep micros precision. */
+  def sessionizeEventTime(events: Dataset[Event], gapMicros: Long = 3600000000L,
                           watermark: String = "1 hour"): Dataset[ClosedSession] = {
     import events.sparkSession.implicits._
     def close(uid: Long, a: SessionAcc): ClosedSession =
-      ClosedSession(uid, a.n_events, a.total,
-        new java.sql.Timestamp(a.startMs), new java.sql.Timestamp(a.lastMs))
+      ClosedSession(uid, a.n_events, a.total, a.start_ts, a.last_ts)
     events.withWatermark("ts", watermark)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionAcc, ClosedSession](
@@ -139,22 +153,24 @@ object EventStream {
           } else {
             val out = scala.collection.mutable.ArrayBuffer[ClosedSession]()
             var acc = state.getOption
-            rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
-              val t = e.ts.getTime
+            rows.toSeq.sortBy(e => micros(e.ts)).foreach { e =>
               acc match {
-                case Some(a) if t - a.lastMs > gapMs =>
+                case Some(a) if micros(e.ts) - micros(a.last_ts) > gapMicros =>
                   out += close(uid, a)
-                  acc = Some(SessionAcc(1L, e.value, t, t))
+                  acc = Some(SessionAcc(1L, e.value, e.ts, e.ts))
                 case Some(a) =>
                   acc = Some(a.copy(n_events = a.n_events + 1L,
-                    total = a.total + e.value, lastMs = math.max(a.lastMs, t)))
+                    total = a.total + e.value, last_ts = e.ts))
                 case None =>
-                  acc = Some(SessionAcc(1L, e.value, t, t))
+                  acc = Some(SessionAcc(1L, e.value, e.ts, e.ts))
               }
             }
             acc.foreach { a =>
               state.update(a)
-              state.setTimeoutTimestamp(a.lastMs + gapMs)
+              // batch runs have no watermark to time out against —
+              // registration is streaming-only (see Scaladoc)
+              try state.setTimeoutTimestamp(a.last_ts.getTime + gapMicros / 1000L)
+              catch { case _: UnsupportedOperationException => () }
             }
             out.iterator
           }
