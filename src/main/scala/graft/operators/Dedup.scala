@@ -411,4 +411,90 @@ object Dedup {
           col(s"a.$vecCol"), col(s"b.$vecCol")).as("cos"))
       .filter(col("cos") >= minCosine)
   }
+
+  /** CCNet-style common-segment removal: documents are cut into
+    * non-overlapping `segLen`-token segments; any segment whose hash
+    * occurs in >= `minDocs` DISTINCT documents is boilerplate and is
+    * dropped from every document that carries it; the survivors are
+    * re-joined in order. This is the line/paragraph-level dedup pass web
+    * curation runs before document-level near-dup (boilerplate headers,
+    * navigation, license blocks repeat across pages that are otherwise
+    * distinct documents).
+    *
+    * Scale shape: segmenting is in-row (`transform` over the token
+    * array — no explode of text); the corpus-wide frequency count and
+    * the dropped-index lookup shuffle only (id, idx, 32-char hash)
+    * triples, never segment text; the rebuild is an in-row `filter` over
+    * the original segment array keyed by the small per-doc dropped-index
+    * set. No assumption that the duplicated-segment set fits in memory —
+    * everything is equi-joins.
+    *
+    * Output: (idCol, n_segments, n_kept, kept_text). */
+  def commonSegmentRemoval(df0: DataFrame, idCol: String, textCol: String,
+                           segLen: Int = 10, minDocs: Int = 2): DataFrame = {
+    require(segLen > 0, s"segLen must be positive, got $segLen")
+    require(minDocs >= 2, s"minDocs < 2 would drop every segment, got $minDocs")
+    val df = widen(df0)
+    val segs = df.select(col(idCol), tokens(col(textCol)).as("t"))
+      .select(col(idCol),
+        // sequence(0, n-1) is DESCENDING for n = 0 (step defaults to -1),
+        // so empty docs need the explicit empty-array branch
+        when(size(col("t")) > 0,
+          transform(
+            sequence(lit(0), ceil(size(col("t")).cast("double") / segLen).cast("int") - 1),
+            i => struct(i.cast("long").as("idx"),
+              concat_ws(" ", slice(col("t"), i * segLen + 1, lit(segLen))).as("txt"))))
+          .otherwise(array().cast("array<struct<idx:bigint,txt:string>>"))
+          .as("segs"))
+    val ex = segs.select(col(idCol), explode(col("segs")).as("sg"))
+      .select(col(idCol), col("sg.idx").as("idx"), md5(col("sg.txt")).as("h"))
+    // distinct (doc, hash) first so a segment repeated WITHIN one doc
+    // counts that doc once toward the cross-document threshold
+    val dup = ex.select(col(idCol), col("h")).distinct()
+      .groupBy("h").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("h")
+    val dropped = ex.join(dup, "h")
+      .groupBy(col(idCol)).agg(collect_set(col("idx")).as("dropped"))
+    segs.join(dropped, Seq(idCol), "left")
+      .select(col(idCol),
+        size(col("segs")).cast("long").as("n_segments"),
+        filter(col("segs"), s =>
+          !coalesce(array_contains(col("dropped"), s.getField("idx")), lit(false)))
+          .as("kept"))
+      .select(col(idCol), col("n_segments"),
+        size(col("kept")).cast("long").as("n_kept"),
+        concat_ws(" ", transform(col("kept"), s => s.getField("txt"))).as("kept_text"))
+  }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup over
+    * an embedding column — k-means clusters the corpus, then a vector is
+    * dropped iff some LOWER-id vector in the SAME cluster has cosine >=
+    * `tau` (near-identical meaning, different surface form). Pairwise
+    * comparison happens only within a cluster: k grows with the corpus so
+    * the per-cluster candidate block stays bounded — the same
+    * blocked-candidate discipline as every other operator here (the paper
+    * runs exactly this shape at web scale).
+    *
+    * The quantizer is the deterministic [[Vectors.kmeansTrain]] (decimal-
+    * exact means, 6-dp cosine argmax), so the WHOLE operator — model,
+    * assignment, and keep/drop decisions — is reproducible across engines
+    * and partitionings.
+    *
+    * Output: (idCol, cluster_id, kept) — one row per input vector. */
+  def semanticDedup(df0: DataFrame, idCol: String, vecCol: String,
+                    k: Int = 4, iters: Int = 2, tau: Double = 0.45): DataFrame = {
+    val spark = df0.sparkSession
+    val withC = widen(df0).select(col(idCol), col(vecCol).as("v"))
+      .join(Vectors.kmeansAssign(df0, idCol, vecCol, k, iters), idCol)
+    val dropped = withC.select(col("cluster_id"), col(idCol).as("d1"), col("v").as("v1"))
+      .join(withC.select(col("cluster_id"), col(idCol).as("d2"), col("v").as("v2")),
+        "cluster_id")
+      .filter(col("d1") < col("d2"))
+      .filter(Vectors.cosineNative(spark, col("v1"), col("v2")) >= tau)
+      .select(col("d2").as(idCol)).distinct()
+      .withColumn("is_dropped", lit(true))
+    withC.join(dropped, Seq(idCol), "left")
+      .select(col(idCol), col("cluster_id"), col("is_dropped").isNull.as("kept"))
+  }
 }

@@ -164,6 +164,58 @@ object Similarity {
       .filter(col("rk") <= k)
   }
 
+  /** BM25 (Okapi) ranking of the corpus against a fixed term set — the
+    * lexical-retrieval baseline (and the sparse half a production hybrid
+    * ranker weights against [[hybridTopK]]'s dense score).
+    *
+    * Scale shape: per-document term frequencies are IN-ROW `filter`
+    * counts over the token array (the query term set is plan-time
+    * constant — no token explode, no shuffle of the corpus); the corpus
+    * statistics (N, avgdl, per-term document frequency) are ONE global
+    * aggregate whose single row joins back by broadcast; scoring is
+    * map-side arithmetic and the top-k is a TakeOrdered, so the whole
+    * plan shuffles one stats row plus k results regardless of corpus
+    * size.
+    *
+    * Cross-engine determinism: tf/dl/df are exact integers, avgdl
+    * accumulates in decimal, idf = ln((N - df + 0.5)/(df + 0.5) + 1)
+    * (the standard non-negative variant), per-term contributions sum
+    * left-to-right in the fixed `terms` order, score rounds to 6 dp.
+    *
+    * Output: (idCol, dl, score, rk) for the top `k` docs. */
+  def bm25TopK(corpus0: DataFrame, idCol: String, textCol: String,
+               terms: Seq[String], k: Int = 20,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25TopK needs at least one query term")
+    import graft.functions.TextFunctions.tokens
+    val corpus = widen(corpus0)
+    val base = corpus.select(col(idCol), tokens(col(textCol)).as("toks"))
+      .select(
+        col(idCol) +: size(col("toks")).cast("long").as("dl") +:
+          terms.indices.map { i =>
+            size(filter(col("toks"), x => x === terms(i)))
+              .cast("long").as(s"tf_$i") }: _*)
+    val statCols =
+      count(lit(1)).as("n_docs") +:
+        (sum(col("dl").cast("decimal(30,6)")).cast("double") / count(lit(1))).as("avgdl") +:
+        terms.indices.map(i =>
+          sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
+    val stats = base.agg(statCols.head, statCols.tail: _*)
+    val score = terms.indices.map { i =>
+      val tf = col(s"tf_$i").cast("double")
+      val idf = log((col("n_docs").cast("double") - col(s"df_$i") + 0.5) /
+        (col(s"df_$i") + 0.5) + 1.0)
+      idf * (tf * (lit(k1) + lit(1.0))) /
+        (tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl").cast("double") / col("avgdl")))
+    }.reduce(_ + _)
+    base.join(broadcast(stats))
+      .select(col(idCol), col("dl"), round(score, 6).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("score").desc, col(idCol).asc)).cast("long"))
+  }
+
   /** LSH-bucketed ANN: candidates share a bucket with the query, reranked
     * by exact cosine. Recall < 1 by construction; `planes` trades bucket
     * occupancy (shuffle width) against recall. */

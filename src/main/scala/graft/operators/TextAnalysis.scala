@@ -247,7 +247,17 @@ object TextAnalysis {
     * array end, matching the old `rowsBetween(currentRow, window-1)`
     * frame that shortened at the partition tail.) */
   def fingerprints(df0: DataFrame, idCol: String, textCol: String,
-                   k: Int = 3, window: Int = 4): DataFrame = {
+                   k: Int = 3, window: Int = 4): DataFrame =
+    winnowed(df0, idCol, textCol, k, window)
+      .select(col(idCol),
+        size(array_distinct(col("fps"))).cast("long").as("n_fp"),
+        array_min(col("fps")).as("min_fp"))
+
+  /** Shared winnowing core: (id, fps) with the per-window min-hash array
+    * still in-row — see [[fingerprints]] for the scheme and the map-only
+    * shape rationale. */
+  private def winnowed(df0: DataFrame, idCol: String, textCol: String,
+                       k: Int, window: Int): DataFrame = {
     val df = Dedup.widen(df0)
     df.select(col(idCol), tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= k)
@@ -256,8 +266,31 @@ object TextAnalysis {
         i => md5(concat_ws(" ", (0 until k).map(j => element_at(col("toks"), i + j + 1)): _*))))
       .withColumn("fps", transform(sequence(lit(1), size(col("hs"))),
         i => array_min(slice(col("hs"), i, lit(window)))))
-      .select(col(idCol),
-        size(array_distinct(col("fps"))).cast("long").as("n_fp"),
-        array_min(col("fps")).as("min_fp"))
+  }
+
+  /** Fingerprint-overlap candidate pairs: documents sharing >= `minShared`
+    * DISTINCT winnowing fingerprints. By the winnowing guarantee, any
+    * shared run of >= window+k-1 tokens yields a shared fingerprint, so
+    * this surfaces SUBSTRING-level overlap (quotation, template reuse,
+    * partial copies) that whole-document MinHash misses when the rest of
+    * the documents differ.
+    *
+    * Scale shape: same inverted-index discipline as the shingle dedup
+    * family — fingerprint selection is map-only ([[fingerprints]]), the
+    * pair space comes from an equi-join on the fingerprint hash (sparse
+    * by winnowing's density guarantee: ~2/(window+1) of positions), and
+    * only (id, 32-char fp) pairs ever shuffle.
+    *
+    * Output: (d1, d2, n_shared) with d1 < d2. */
+  def fingerprintOverlap(df0: DataFrame, idCol: String, textCol: String,
+                         k: Int = 3, window: Int = 4,
+                         minShared: Int = 2): DataFrame = {
+    val fps = winnowed(df0, idCol, textCol, k, window)
+      .select(col(idCol), explode(array_distinct(col("fps"))).as("fp"))
+    fps.select(col(idCol).as("d1"), col("fp"))
+      .join(fps.select(col(idCol).as("d2"), col("fp")), "fp")
+      .filter(col("d1") < col("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
   }
 }

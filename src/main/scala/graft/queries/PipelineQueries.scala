@@ -348,7 +348,34 @@ object PipelineQueries {
     "t_chunk" -> ((s, dir) =>
       TextAnalysis.chunk(docs(s, dir), "doc_id", "text",
           chunkSize = 32, stride = 24)
-        .orderBy("doc_id", "chunk_idx"))
+        .orderBy("doc_id", "chunk_idx")),
+
+    // --- CCNet-style common-segment removal (boilerplate lines shared
+    //     across >= 2 docs dropped, docs rebuilt from the survivors) ---
+    "d_segment_dedup" -> ((s, dir) =>
+      Dedup.commonSegmentRemoval(docs(s, dir), "doc_id", "text",
+          segLen = 10, minDocs = 2)
+        .orderBy("doc_id")),
+
+    // --- SemDeDup: k-means-blocked semantic near-dup removal over the
+    //     embedding column (trained quantizer; keep the lowest id) ---
+    "d_semantic_dedup" -> ((s, dir) =>
+      Dedup.semanticDedup(emb(s, dir), "vec_id", "embedding",
+          k = 4, iters = 2, tau = 0.45)
+        .orderBy("vec_id")),
+
+    // --- winnowing-fingerprint overlap pairs (substring-level reuse
+    //     detection — quotes/templates whole-doc MinHash misses) ---
+    "d_fingerprint_overlap" -> ((s, dir) =>
+      TextAnalysis.fingerprintOverlap(docs(s, dir), "doc_id", "text",
+          k = 3, window = 4, minShared = 2)
+        .orderBy("d1", "d2")),
+
+    // --- BM25 lexical retrieval (top-20 docs for a fixed term set) ---
+    "a_bm25_topk" -> ((s, dir) =>
+      Similarity.bm25TopK(docs(s, dir), "doc_id", "text",
+          terms = Seq("spark", "join", "window", "hash"), k = 20)
+        .orderBy("rk"))
   )
 
   /** DuckDB equivalents. Shared subexpressions are spelled out per query
@@ -958,7 +985,98 @@ object PipelineQueries {
            |  round(dup_tri::DOUBLE / n_tri, 6) AS dup_trigram_frac,
            |  (round(max_bi::DOUBLE / n_bi, 6) <= 0.1 AND
            |   round(dup_tri::DOUBLE / n_tri, 6) <= 0.2) AS keep
-           |FROM b JOIN tr USING (doc_id) ORDER BY doc_id""".stripMargin
+           |FROM b JOIN tr USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+      "d_segment_dedup" ->
+        s"""WITH base AS (SELECT doc_id, $toks AS t FROM documents),
+           |seg AS (SELECT doc_id, i AS idx,
+           |          array_to_string(t[i*10 + 1 : i*10 + 10], ' ') AS txt
+           |        FROM base, unnest(range(0, ((len(t) + 9) // 10)::INT)) AS u(i)),
+           |dup AS (SELECT md5(txt) AS h FROM seg
+           |        GROUP BY md5(txt) HAVING count(DISTINCT doc_id) >= 2),
+           |keep AS (SELECT doc_id, idx, txt FROM seg
+           |         WHERE md5(txt) NOT IN (SELECT h FROM dup))
+           |SELECT b.doc_id,
+           |  ((len(b.t) + 9) // 10)::BIGINT AS n_segments,
+           |  count(k.idx)::BIGINT AS n_kept,
+           |  coalesce(string_agg(k.txt, ' ' ORDER BY k.idx), '') AS kept_text
+           |FROM base b LEFT JOIN keep k USING (doc_id)
+           |GROUP BY b.doc_id, len(b.t) ORDER BY doc_id""".stripMargin,
+
+      "d_semantic_dedup" -> {
+        def cos(a: String, b: String) =
+          s"round(list_dot_product($a::DOUBLE[], $b::DOUBLE[]) / " +
+            s"(sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) * " +
+            s"sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[]))), 6)"
+        // kmeans CTEs = a_kmeans_assign's training (k=4, one mean update),
+        // then within-cluster pairs; a vec is dropped iff a lower-id
+        // cluster-mate has cosine >= 0.45.
+        s"""WITH c0 AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings ORDER BY vec_id LIMIT 4),
+           |a1 AS (SELECT vec_id, cid FROM (
+           |  SELECT e.vec_id, c.cid,
+           |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cos("e.embedding", "c.cv")} DESC, c.cid) AS rk
+           |  FROM embeddings e CROSS JOIN c0 c) WHERE rk = 1),
+           |m1 AS (SELECT a1.cid, d.dim,
+           |         CAST(sum(CAST(CAST(e.embedding[d.dim] AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE)
+           |           / count(*) AS mv
+           |       FROM a1 JOIN embeddings e USING (vec_id),
+           |            unnest(range(1, len(e.embedding) + 1)) AS d(dim)
+           |       GROUP BY a1.cid, d.dim),
+           |c1 AS (SELECT c0.cid,
+           |         CASE WHEN count(m1.mv) = 0 THEN any_value(c0.cv)
+           |              ELSE list(CAST(m1.mv AS FLOAT) ORDER BY m1.dim) END AS cv
+           |       FROM c0 LEFT JOIN m1 ON m1.cid = c0.cid
+           |       GROUP BY c0.cid),
+           |assign AS (SELECT vec_id, cid FROM (
+           |  SELECT e.vec_id, c.cid,
+           |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cos("e.embedding", "c.cv")} DESC, c.cid) AS crk
+           |  FROM embeddings e CROSS JOIN c1 c) WHERE crk = 1),
+           |dropped AS (SELECT DISTINCT b.vec_id
+           |  FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+           |  JOIN embeddings x ON x.vec_id = a.vec_id
+           |  JOIN embeddings y ON y.vec_id = b.vec_id
+           |  WHERE ${cos("x.embedding", "y.embedding")} >= 0.45)
+           |SELECT a.vec_id, a.cid AS cluster_id, d.vec_id IS NULL AS kept
+           |FROM assign a LEFT JOIN dropped d USING (vec_id)
+           |ORDER BY a.vec_id""".stripMargin
+      },
+
+      "d_fingerprint_overlap" ->
+        s"""WITH sh AS (
+           |  SELECT doc_id, i AS pos, md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS h
+           |  FROM (SELECT doc_id, $toks AS t FROM documents), unnest(range(1, len(t)-1)) AS u(i)
+           |  WHERE len(t) >= 3),
+           |win AS (SELECT doc_id, min(h) OVER (
+           |  PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp FROM sh),
+           |fps AS (SELECT DISTINCT doc_id, fp FROM win)
+           |SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_shared
+           |FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+           |GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2
+           |ORDER BY d1, d2""".stripMargin,
+
+      "a_bm25_topk" ->
+        s"""WITH base AS (SELECT doc_id, $toks AS t FROM documents),
+           |f AS (SELECT doc_id, len(t)::BIGINT AS dl,
+           |        len(list_filter(t, x -> x = 'spark'))::BIGINT AS tf_0,
+           |        len(list_filter(t, x -> x = 'join'))::BIGINT AS tf_1,
+           |        len(list_filter(t, x -> x = 'window'))::BIGINT AS tf_2,
+           |        len(list_filter(t, x -> x = 'hash'))::BIGINT AS tf_3
+           |      FROM base),
+           |s AS (SELECT count(*) AS n_docs,
+           |        CAST(sum(CAST(dl AS DECIMAL(30,6))) AS DOUBLE) / count(*) AS avgdl,
+           |        sum(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS df_0,
+           |        sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS df_1,
+           |        sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS df_2,
+           |        sum(CASE WHEN tf_3 > 0 THEN 1 ELSE 0 END) AS df_3
+           |      FROM f),
+           |scored AS (SELECT doc_id, dl, round(
+           |    ln((n_docs::DOUBLE - df_0 + 0.5) / (df_0 + 0.5) + 1.0) * (tf_0::DOUBLE * (1.2 + 1.0)) / (tf_0::DOUBLE + 1.2 * (1.0 - 0.75 + 0.75 * dl::DOUBLE / avgdl))
+           |  + ln((n_docs::DOUBLE - df_1 + 0.5) / (df_1 + 0.5) + 1.0) * (tf_1::DOUBLE * (1.2 + 1.0)) / (tf_1::DOUBLE + 1.2 * (1.0 - 0.75 + 0.75 * dl::DOUBLE / avgdl))
+           |  + ln((n_docs::DOUBLE - df_2 + 0.5) / (df_2 + 0.5) + 1.0) * (tf_2::DOUBLE * (1.2 + 1.0)) / (tf_2::DOUBLE + 1.2 * (1.0 - 0.75 + 0.75 * dl::DOUBLE / avgdl))
+           |  + ln((n_docs::DOUBLE - df_3 + 0.5) / (df_3 + 0.5) + 1.0) * (tf_3::DOUBLE * (1.2 + 1.0)) / (tf_3::DOUBLE + 1.2 * (1.0 - 0.75 + 0.75 * dl::DOUBLE / avgdl)), 6) AS score
+           |  FROM f CROSS JOIN s)
+           |SELECT doc_id, dl, score, row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS rk
+           |FROM scored ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
     )
   }
 }
