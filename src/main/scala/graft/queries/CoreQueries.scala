@@ -279,6 +279,24 @@ object CoreQueries {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // Z-order data layout: bit-interleaved (l_partkey, l_suppkey) key;
+    // per key-range bucket the min/max of BOTH dimensions stay tight —
+    // the per-file statistics a lakehouse write clustered by
+    // Layout.zOrderCluster would expose for two-column data skipping.
+    "q_zorder_layout" -> ((s, dir) => {
+      val z = graft.functions.Layout.zOrderKey(
+        Seq(col("l_partkey"), col("l_suppkey")), bits = 16)
+      t(s, dir, "lineitem")
+        .select(z.as("zkey"), col("l_partkey"), col("l_suppkey"))
+        .groupBy(shiftright(col("zkey"), 14).as("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          min("l_partkey").cast("long").as("min_part"),
+          max("l_partkey").cast("long").as("max_part"),
+          min("l_suppkey").cast("long").as("min_supp"),
+          max("l_suppkey").cast("long").as("max_supp"))
+        .orderBy("bucket")
+    }),
+
     // Arbitrary GROUPING SETS through the SQL pass-through surface.
     "q_grouping_sets" -> ((s, dir) => {
       TableCatalog.register(s, dir)
@@ -417,6 +435,20 @@ object CoreQueries {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_zorder_layout" -> {
+      // the same bit interleave, unrolled: bit i of l_partkey -> 2i,
+      // bit i of l_suppkey -> 2i+1
+      val zterms = (0 until 16).flatMap(i => Seq(
+        s"(((l_partkey >> $i) & 1) << ${2 * i})",
+        s"(((l_suppkey >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
+      s"""WITH z AS (SELECT ($zterms) AS zkey, l_partkey, l_suppkey FROM lineitem)
+         |SELECT (zkey >> 14) AS bucket, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(min(l_partkey) AS BIGINT) AS min_part,
+         |  CAST(max(l_partkey) AS BIGINT) AS max_part,
+         |  CAST(min(l_suppkey) AS BIGINT) AS min_supp,
+         |  CAST(max(l_suppkey) AS BIGINT) AS max_supp
+         |FROM z GROUP BY zkey >> 14 ORDER BY bucket""".stripMargin
+    },
     "q_pivot" ->
       """SELECT o_orderpriority,
         |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS F,

@@ -85,6 +85,14 @@ object ParityQueries {
       graft.streaming.EventStream.sessionizeBatch(t(s, dir, "events"))
         .orderBy("user_id", "session_id")),
 
+    // Stream-static enrichment join in batch mode: the stream side joins
+    // a broadcast dimension (customer → segment) with no stream shuffle;
+    // unmatched events keep flowing as "UNKNOWN".
+    "st_stream_static" -> ((s, dir) =>
+      graft.streaming.EventStream.enrichedWindowedCounts(
+          t(s, dir, "events"), t(s, dir, "customer"))
+        .orderBy("window_start", "segment")),
+
     // Stream-stream interval join (attribution) in batch mode: same
     // EventStream.intervalJoin code runs live with watermark-bounded
     // state; this entry pins its join semantics against the oracle.
@@ -201,6 +209,14 @@ object ParityQueries {
           |  count(*) AS n,
           |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
           |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+      "st_stream_static" ->
+        """SELECT date_trunc('day', ts) AS window_start,
+          |  coalesce(c_mktsegment, 'UNKNOWN') AS segment,
+          |  count(*) AS n,
+          |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+          |FROM events LEFT JOIN customer ON user_id = c_custkey
+          |GROUP BY 1, 2 ORDER BY window_start, segment""".stripMargin,
 
       "st_interval_join" ->
         """SELECT p.event_id AS p_event_id, p.user_id, p.ts AS p_ts,

@@ -73,6 +73,33 @@ object EventStream {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(idCol)
 
+  /** Stream-static enrichment: the event stream joined to a slowly-
+    * changing dimension table (customer → market segment) and aggregated
+    * per tumbling window. The static side is `broadcast` — in streaming
+    * mode Spark re-plans the static relation per micro-batch, so the
+    * stream side NEVER shuffles for the join (the only exchange is the
+    * windowed aggregate's), which is the shape an enrichment join must
+    * have when the stream is the 100 TB/day side. LEFT join: events
+    * without a dimension row keep flowing, bucketed under "UNKNOWN" —
+    * dropping unmatched telemetry silently is an outage-grade bug in an
+    * attribution pipeline.
+    *
+    * On batch DataFrames `withWatermark` is a no-op and the same code is
+    * the backfill path (how the oracle checks it). */
+  def enrichedWindowedCounts(events: DataFrame, dim: DataFrame,
+                             windowLen: String = "1 day",
+                             watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .join(broadcast(dim.select(col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") === col("c_custkey"), "left")
+      .groupBy(window(col("ts"), windowLen),
+        coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
+      .select(col("window.start").as("window_start"), col("segment"),
+        col("n"), col("total_value"))
+
   /** Stream-stream interval join: each purchase matches the same user's
     * clicks in the event-time window [p_ts - lookback, p_ts] — the
     * attribution join. Both sides carry watermarks and the join condition

@@ -196,4 +196,36 @@ class EventStreamSpec extends SparkSpec {
       assert(byUser(2L).map(_.total).max === 7.0)
     } finally q.stop()
   }
+
+  test("enrichedWindowedCounts: stream-static join matches batch, unmatched -> UNKNOWN") {
+    import spark.implicits._
+    val dim = Seq((1L, "BUILDING"), (2L, "MACHINERY"))
+      .toDF("c_custkey", "c_mktsegment")
+    val rows = Seq(
+      (ts("2026-01-01T00:10:00Z"), "click", 1L, 1.0),
+      (ts("2026-01-01T01:00:00Z"), "click", 2L, 2.0),
+      (ts("2026-01-01T02:00:00Z"), "view", 99L, 5.0)) // no dim row
+    val batch = EventStream.enrichedWindowedCounts(
+        rows.toDF("ts", "event_type", "user_id", "value"), dim)
+      .orderBy("segment")
+      .select("segment", "n", "total_value")
+      .as[(String, Long, Double)].collect()
+    assert(batch === Array(("BUILDING", 1L, 1.0),
+      ("MACHINERY", 1L, 2.0), ("UNKNOWN", 1L, 5.0)))
+
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Long, Double)]
+    val streamDf = mem.toDF.toDF("ts", "event_type", "user_id", "value")
+    val q = EventStream.enrichedWindowedCounts(streamDf, dim)
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("update").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val streamRes = spark.table("enriched").orderBy("segment")
+        .select("segment", "n", "total_value")
+        .as[(String, Long, Double)].collect()
+      assert(streamRes === batch)
+    } finally q.stop()
+  }
 }
