@@ -268,6 +268,60 @@ object TextAnalysis {
         i => array_min(slice(col("hs"), i, lit(window)))))
   }
 
+  /** Unigram-LM surprise (perplexity proxy): the corpus's own token
+    * frequencies are the language model; a document's score is the mean
+    * negative log-likelihood of its tokens under that model. Low surprise
+    * = stereotypical text (boilerplate, repeated templates), high
+    * surprise = rare-token-heavy text (noise, non-language) — CCNet-style
+    * curation keeps the middle of this distribution.
+    *
+    * Shape: one token explode + one vocab-keyed count, then a vocab-keyed
+    * join back and a per-doc aggregate — the standard LM-scoring plan
+    * (the frequency table is vocabulary-sized, so the join is AQE-
+    * broadcastable when the vocab is small, a plain shuffle join when it
+    * is not; neither side is ever O(corpus × vocab)).
+    *
+    * Cross-engine determinism: per-token surprise = -ln(cnt/total)
+    * rounded to 9 dp, accumulated as decimal (order-independent), mean
+    * rounded to 6 dp. Output: (id, n_tokens, mean_surprise). */
+  def unigramSurprise(df0: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val df = Dedup.widen(df0)
+    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("w"))
+    val freq = tok.groupBy("w").agg(count(lit(1)).as("cnt"))
+    val total = freq.agg(sum(col("cnt")).as("n_total"))
+    tok.join(freq, "w").crossJoin(broadcast(total))
+      .withColumn("s",
+        round(-log(col("cnt").cast("double") / col("n_total")), 9)
+          .cast("decimal(28,9)"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("s")).as("sum_s"))
+      .select(col(idCol), col("n_tokens"),
+        round(col("sum_s").cast("double") / col("n_tokens"), 6).as("mean_surprise"))
+  }
+
+  /** Per-document top-`topK` TF-IDF terms — the classic keyword/feature
+    * extraction pass (tf × ln(N/df), raw counts). One token explode, one
+    * (doc, token) count, one vocab-keyed document-frequency join, and a
+    * WindowGroupLimit-pruned per-doc rank — no driver-side vocabulary.
+    * Ties rank by token asc. Output: (id, token, tf, score, rk). */
+  def tfidfTopK(df0: DataFrame, idCol: String, textCol: String,
+                topK: Int = 3): DataFrame = {
+    val df = Dedup.widen(df0)
+    val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val nDocs = broadcast(df.agg(count_distinct(col(idCol)).as("n_docs")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("score").desc, col("token").asc)
+    tf.join(dfreq, "token").crossJoin(nDocs)
+      .withColumn("score",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= topK)
+      .select(col(idCol), col("token"), col("tf"), col("score"), col("rk"))
+  }
+
   /** Fingerprint-overlap candidate pairs: documents sharing >= `minShared`
     * DISTINCT winnowing fingerprints. By the winnowing guarantee, any
     * shared run of >= window+k-1 tokens yields a shared fingerprint, so

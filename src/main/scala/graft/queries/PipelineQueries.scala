@@ -375,7 +375,26 @@ object PipelineQueries {
     "a_bm25_topk" -> ((s, dir) =>
       Similarity.bm25TopK(docs(s, dir), "doc_id", "text",
           terms = Seq("spark", "join", "window", "hash"), k = 20)
-        .orderBy("rk"))
+        .orderBy("rk")),
+
+    // --- unigram-LM surprise (perplexity proxy; corpus is its own LM) ---
+    "t_surprise" -> ((s, dir) =>
+      TextAnalysis.unigramSurprise(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // --- per-doc top TF-IDF terms (keyword extraction) ---
+    "t_tfidf_topk" -> ((s, dir) =>
+      TextAnalysis.tfidfTopK(docs(s, dir), "doc_id", "text", topK = 3)
+        .orderBy("doc_id", "rk")),
+
+    // --- PageRank centrality over the MinHash near-dup graph (hub
+    //     documents = canonical/template sources) ---
+    "g_pagerank" -> ((s, dir) => {
+      val pairs = Dedup.minhashLsh(docs(s, dir), "doc_id", "text")
+      graft.operators.PageRank.ranks(pairs, "d1", "d2")
+        .select(col("v").as("doc_id"), col("pagerank"))
+        .orderBy("doc_id")
+    })
   )
 
   /** DuckDB equivalents. Shared subexpressions are spelled out per query
@@ -1053,6 +1072,65 @@ object PipelineQueries {
            |FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
            |GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2
            |ORDER BY d1, d2""".stripMargin,
+
+      "t_surprise" ->
+        s"""WITH tok AS (SELECT doc_id, unnest($toks) AS w FROM documents),
+           |freq AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY w),
+           |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM freq)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           |  round(CAST(sum(CAST(round(-ln(cnt::DOUBLE / n_total), 9) AS DECIMAL(28,9))) AS DOUBLE)
+           |        / count(*), 6) AS mean_surprise
+           |FROM tok JOIN freq USING (w) CROSS JOIN tot
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      "t_tfidf_topk" ->
+        s"""WITH tfc AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+           |       FROM (SELECT doc_id, unnest($toks) AS token FROM documents)
+           |       GROUP BY doc_id, token),
+           |dfc AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tfc GROUP BY token),
+           |nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM documents),
+           |s AS (SELECT doc_id, token, tf,
+           |        round(tf * ln(n_docs::DOUBLE / df), 6) AS score
+           |      FROM tfc JOIN dfc USING (token) CROSS JOIN nd)
+           |SELECT doc_id, token, tf, score, rk FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token)::BIGINT AS rk
+           |  FROM s)
+           |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+
+      "g_pagerank" ->
+        s"""WITH sh AS (
+           |  SELECT doc_id, unnest($sh3) AS s
+           |  FROM (SELECT doc_id, $toks AS t FROM documents) WHERE len(t) >= 3),
+           |sig AS (SELECT doc_id, h, min(md5(h::VARCHAR || '|' || s)) AS mh
+           |        FROM sh CROSS JOIN (SELECT unnest(range(16)) AS h) GROUP BY doc_id, h),
+           |band AS (SELECT doc_id, h // 4 AS band, md5(string_agg(mh, ',' ORDER BY h)) AS bh
+           |         FROM sig GROUP BY doc_id, h // 4),
+           |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+           |         FROM band a JOIN band b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+           |est AS (SELECT d1, d2 FROM cand JOIN sig x ON x.doc_id = d1
+           |        JOIN sig y ON y.doc_id = d2 AND y.h = x.h
+           |        GROUP BY d1, d2
+           |        HAVING count(*) FILTER (x.mh = y.mh)::DOUBLE / 16 >= 0.5),
+           |edges AS (SELECT d1 AS u, d2 AS v FROM est UNION SELECT d2, d1 FROM est),
+           |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY u),
+           |nn AS (SELECT count(*) AS n FROM deg),
+           |r0 AS (SELECT u AS rv, round(1.0::DOUBLE / n, 12) AS r FROM deg CROSS JOIN nn),
+           |r1 AS (SELECT e.v AS rv,
+           |         round((1.0::DOUBLE - 0.85::DOUBLE) / any_value(n)
+           |           + 0.85::DOUBLE * CAST(sum(CAST(round(r.r / d.deg, 12) AS DECIMAL(28,12))) AS DOUBLE), 12) AS r
+           |       FROM edges e JOIN deg d ON d.u = e.u JOIN r0 r ON r.rv = e.u CROSS JOIN nn
+           |       GROUP BY e.v),
+           |r2 AS (SELECT e.v AS rv,
+           |         round((1.0::DOUBLE - 0.85::DOUBLE) / any_value(n)
+           |           + 0.85::DOUBLE * CAST(sum(CAST(round(r.r / d.deg, 12) AS DECIMAL(28,12))) AS DOUBLE), 12) AS r
+           |       FROM edges e JOIN deg d ON d.u = e.u JOIN r1 r ON r.rv = e.u CROSS JOIN nn
+           |       GROUP BY e.v),
+           |r3 AS (SELECT e.v AS rv,
+           |         round((1.0::DOUBLE - 0.85::DOUBLE) / any_value(n)
+           |           + 0.85::DOUBLE * CAST(sum(CAST(round(r.r / d.deg, 12) AS DECIMAL(28,12))) AS DOUBLE), 12) AS r
+           |       FROM edges e JOIN deg d ON d.u = e.u JOIN r2 r ON r.rv = e.u CROSS JOIN nn
+           |       GROUP BY e.v)
+           |SELECT rv AS doc_id, r AS pagerank FROM r3 ORDER BY doc_id""".stripMargin,
 
       "a_bm25_topk" ->
         s"""WITH base AS (SELECT doc_id, $toks AS t FROM documents),
