@@ -412,6 +412,36 @@ object Dedup {
       .filter(col("cos") >= minCosine)
   }
 
+  /** LSH index health report: per band, the bucket count, occupancy, the
+    * largest bucket, and the candidate-pair volume the band generates
+    * (sum over buckets of c·(c−1)/2). THE tuning metric for the
+    * bands/rows trade at scale: candidate volume is the actual cost of
+    * the downstream verify join, and a hot bucket here is tomorrow's
+    * skewed task — operators read this report before running the O(n²)-
+    * risk stage, exactly like a query planner reads cardinality stats.
+    * One banding pass + two keyed aggregates; nothing corpus-sized
+    * leaves the executors. Output: (band, n_buckets, n_docs, max_bucket,
+    * n_cand_pairs). */
+  def lshBandStats(df0: DataFrame, idCol: String, textCol: String,
+                   numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    val sig = minhashSignatureArray(df0, idCol, textCol, numHashes)
+    val rows = numHashes / bands
+    val band = sig.select(col(idCol),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.cast("long").as("band"),
+            md5(concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows)))).as("bh"))))
+          .as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    band.groupBy("band", "bh").agg(count(lit(1)).as("c"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("c")).as("n_docs"),
+        max(col("c")).as("max_bucket"),
+        // c·(c−1) is even; shiftright keeps the arithmetic in longs
+        // (Spark's `/` would widen to double)
+        sum(shiftright(col("c") * (col("c") - 1), 1)).as("n_cand_pairs"))
+  }
+
   /** CCNet-style common-segment removal: documents are cut into
     * non-overlapping `segLen`-token segments; any segment whose hash
     * occurs in >= `minDocs` DISTINCT documents is boilerplate and is

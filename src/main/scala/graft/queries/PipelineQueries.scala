@@ -88,11 +88,13 @@ object PipelineQueries {
       val pairs = Dedup.minhashLsh(d, "doc_id", "text")
       val clusters = graft.operators.ConnectedComponents.components(pairs, "d1", "d2")
         .select(col("v").as("doc_id"), col("component").as("cluster_id"))
-      val toks = d.select(col("doc_id"),
-        size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("cluster_id").orderBy(col("n_tokens").desc, col("doc_id").asc)
-      clusters.join(toks, "doc_id")
+      // join FIRST, tokenize after: only cluster members (pair-graph
+      // vertices — a tiny fraction of the corpus) pay the regex pass
+      clusters.join(d.select(col("doc_id"), col("text")), "doc_id")
+        .withColumn("n_tokens",
+          size(graft.functions.TextFunctions.tokens(col("text"))).cast("long"))
         .withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") === 1)
         .select("cluster_id", "doc_id", "n_tokens")
@@ -376,6 +378,12 @@ object PipelineQueries {
       Similarity.bm25TopK(docs(s, dir), "doc_id", "text",
           terms = Seq("spark", "join", "window", "hash"), k = 20)
         .orderBy("rk")),
+
+    // --- LSH index health report (bucket occupancy / candidate volume
+    //     per band — the bands/rows tuning metric) ---
+    "d_lsh_index_stats" -> ((s, dir) =>
+      Dedup.lshBandStats(docs(s, dir), "doc_id", "text")
+        .orderBy("band")),
 
     // --- unigram-LM surprise (perplexity proxy; corpus is its own LM) ---
     "t_surprise" -> ((s, dir) =>
@@ -1072,6 +1080,21 @@ object PipelineQueries {
            |FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
            |GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2
            |ORDER BY d1, d2""".stripMargin,
+
+      "d_lsh_index_stats" ->
+        s"""WITH sh AS (
+           |  SELECT doc_id, unnest($sh3) AS s
+           |  FROM (SELECT doc_id, $toks AS t FROM documents) WHERE len(t) >= 3),
+           |sig AS (SELECT doc_id, h, min(md5(h::VARCHAR || '|' || s)) AS mh
+           |        FROM sh CROSS JOIN (SELECT unnest(range(16)) AS h) GROUP BY doc_id, h),
+           |band AS (SELECT doc_id, h // 4 AS band, md5(string_agg(mh, ',' ORDER BY h)) AS bh
+           |         FROM sig GROUP BY doc_id, h // 4),
+           |bk AS (SELECT band, bh, CAST(count(*) AS BIGINT) AS c FROM band GROUP BY band, bh)
+           |SELECT band, CAST(count(*) AS BIGINT) AS n_buckets,
+           |  CAST(sum(c) AS BIGINT) AS n_docs,
+           |  CAST(max(c) AS BIGINT) AS max_bucket,
+           |  CAST(sum(c * (c - 1) // 2) AS BIGINT) AS n_cand_pairs
+           |FROM bk GROUP BY band ORDER BY band""".stripMargin,
 
       "t_surprise" ->
         s"""WITH tok AS (SELECT doc_id, unnest($toks) AS w FROM documents),

@@ -98,6 +98,23 @@ class Round5OpsSpec extends SparkSpec {
     assert(r.head._3 >= 2L)
   }
 
+  test("lshBandStats: duplicate docs share buckets; candidate volume counted") {
+    val uniq = (1 to 20).map(j => (j.toLong, (1 to 12).map(i => s"w${j}x$i").mkString(" ")))
+    val dup = Seq((100L, uniq.head._2), (101L, uniq.head._2)) // 2 extra copies of doc 1
+    val docs = (uniq ++ dup).toDF("doc_id", "text")
+    val r = Dedup.lshBandStats(docs, "doc_id", "text")
+      .collect().map(x => x.getAs[Long]("band") ->
+        (x.getAs[Long]("n_buckets"), x.getAs[Long]("n_docs"),
+          x.getAs[Long]("max_bucket"), x.getAs[Long]("n_cand_pairs"))).toMap
+    assert(r.keySet === Set(0L, 1L, 2L, 3L))
+    r.values.foreach { case (nb, nd, mx, np) =>
+      assert(nd === 22L)        // every doc lands in exactly one bucket/band
+      assert(mx === 3L)         // the verbatim triplet shares its bucket
+      assert(np === 3L)         // 3 choose 2 — only the planted dups collide
+      assert(nb === 20L)        // 19 singletons + 1 triple bucket
+    }
+  }
+
   test("semanticDedup drops the higher id of a same-cluster near-identical pair") {
     // seeds are the two lowest ids (1, 2) — orthogonal, so the trained
     // clusters separate; 3 is a near-copy of 1, 4 is its own direction
