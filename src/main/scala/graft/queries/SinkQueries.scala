@@ -101,6 +101,24 @@ object SinkQueries {
         .orderBy("n_nationkey")
     }),
 
+    // Compaction under the gate: fragment the documents table into one
+    // file per row-group of 32 shards, compact to a single right-sized
+    // file, and hash-check that the physical rewrite is content-neutral.
+    // `n_files` carries the compaction invariant into the oracle row.
+    "k10_compact_roundtrip" -> ((s, dir) => {
+      clean(s, s"$base/k10")
+      TableCatalog.load(s, dir, "documents")
+        .select("doc_id", "text")
+        .repartition(32)
+        .write.parquet(s"$base/k10/t")
+      val r = graft.sinks.Compaction.compactParquet(
+        s, s"$base/k10/t", targetBytes = 1L << 30)
+      s.read.parquet(s"$base/k10/t")
+        .select(col("doc_id"), col("text"),
+          lit(r.filesAfter.toLong).as("n_files"))
+        .orderBy("doc_id")
+    }),
+
     // K8: finish-pass notification — the sink's outputNotify file lists
     // every written path; the listing itself becomes the checked frame.
     "k8_notify_listing" -> ((s, dir) => {
@@ -146,6 +164,10 @@ object SinkQueries {
 
     "k8_notify_listing" ->
       """SELECT DISTINCT 'region_' || r_name || '.json' AS file_name
-        |FROM region ORDER BY file_name""".stripMargin
+        |FROM region ORDER BY file_name""".stripMargin,
+
+    "k10_compact_roundtrip" ->
+      """SELECT doc_id, text, CAST(1 AS BIGINT) AS n_files
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -100,6 +100,27 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("segment"),
         col("n"), col("total_value"))
 
+  /** Streaming MERGE: per-micro-batch INSERT_OR_UPDATE into a parquet
+    * table through [[graft.mutate.UpsertWriter]] — the CDC-ingest shape
+    * (stream of keyed changes → continuously-current table). `foreachBatch`
+    * is the documented Spark seam for sinks with merge semantics that the
+    * streaming engine doesn't provide natively; each micro-batch is one
+    * keyed merge join + atomic directory swap, so readers of the table
+    * always see a complete snapshot no older than one batch. On a real
+    * deployment the writer seam is where a Delta/Iceberg `MERGE INTO`
+    * slots in (see UpsertWriter's Scaladoc); exactly-once then comes from
+    * the sink's idempotent merge + the source's replayed offsets. */
+  def streamUpsert(stream: DataFrame, path: String,
+                   keyFields: Seq[String]): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.mutate.UpsertWriter.write(batch, path,
+          graft.mutate.UpsertWriter.InsertOrUpdate, keyFields)
+        ()
+      }
+      .start()
+
   /** Stream-stream interval join: each purchase matches the same user's
     * clicks in the event-time window [p_ts - lookback, p_ts] — the
     * attribution join. Both sides carry watermarks and the join condition

@@ -197,6 +197,24 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamUpsert: per-micro-batch MERGE keeps the table continuously current") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val path = tmpDir("stream_upsert") + "/t"
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStream.streamUpsert(mem.toDF.toDF("k", "v"), path, Seq("k"))
+    try {
+      mem.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      assert(spark.read.parquet(path).as[(Long, String)].collect().sorted
+        === Array((1L, "a"), (2L, "b")))
+      mem.addData((1L, "a2"), (3L, "c")) // update existing key + insert new
+      q.processAllAvailable()
+      assert(spark.read.parquet(path).as[(Long, String)].collect().sorted
+        === Array((1L, "a2"), (2L, "b"), (3L, "c")))
+    } finally q.stop()
+  }
+
   test("enrichedWindowedCounts: stream-static join matches batch, unmatched -> UNKNOWN") {
     import spark.implicits._
     val dim = Seq((1L, "BUILDING"), (2L, "MACHINERY"))
