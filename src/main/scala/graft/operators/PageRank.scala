@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
   * `iters` is FIXED (not convergence-tested): deterministic output and
   * a bounded round count, which is what a production scoring pass wants.
   *
-  * Cross-engine determinism: contributions round to 12 dp and
+  * Cross-engine determinism: contributions round to 9 dp and
   * accumulate as decimal (order-independent); the damping constants are
   * computed symbolically (`1 - damping` in both engines — writing the
   * folded literal `0.15` would disagree with `1 - 0.85` in the last
@@ -42,16 +42,20 @@ object PageRank {
       .cache()
     val deg = edges.groupBy("u").agg(count(lit(1)).as("deg"))
     val n = deg.count() // vertex count — one scalar to the driver
+    if (n == 0) { // empty graph: 1/n below would be an ANSI divide-by-zero
+      edges.unpersist()
+      return deg.select(col("u").as("v"), lit(0.0).as("pagerank"))
+    }
     var rank = deg.select(col("u").as("rv"),
-      round(lit(1.0) / n, 12).as("r"))
+      round(lit(1.0) / n, 9).as("r"))
     for (_ <- 1 to iters) {
       val contribs = edges.join(deg, "u")
         .join(rank, col("u") === col("rv"))
         .select(col("v"),
-          round(col("r") / col("deg"), 12).cast("decimal(28,12)").as("c"))
+          round(col("r") / col("deg"), 9).cast("decimal(28,9)").as("c"))
       rank = contribs.groupBy("v")
         .agg(round((lit(1.0) - lit(damping)) / n +
-          lit(damping) * sum(col("c")).cast("double"), 12).as("r"))
+          lit(damping) * sum(col("c")).cast("double"), 9).as("r"))
         .select(col("v").as("rv"), col("r"))
     }
     // materialize before releasing the edge cache (localCheckpoint

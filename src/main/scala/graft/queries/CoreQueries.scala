@@ -297,6 +297,23 @@ object CoreQueries {
         .orderBy("bucket")
     }),
 
+    // SCD type-2 history construction: each customer's orders become
+    // validity intervals (valid_from = this order, valid_to = next, open
+    // interval = current row) — the standard warehouse pattern for
+    // turning a change stream into an as-of-queryable dimension. One
+    // window shuffle keyed by the dimension key.
+    "q_scd2_history" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      t(s, dir, "orders")
+        .filter(col("o_custkey") <= 50)
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").as("valid_from"),
+          lead(col("o_orderdate"), 1).over(w).as("valid_to"))
+        .withColumn("is_current", col("valid_to").isNull)
+        .orderBy("o_custkey", "valid_from", "o_orderkey")
+    }),
+
     // Arbitrary GROUPING SETS through the SQL pass-through surface.
     "q_grouping_sets" -> ((s, dir) => {
       TableCatalog.register(s, dir)
@@ -435,6 +452,12 @@ object CoreQueries {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_scd2_history" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate AS valid_from,
+        |  lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS valid_to,
+        |  lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) IS NULL AS is_current
+        |FROM orders WHERE o_custkey <= 50
+        |ORDER BY o_custkey, valid_from, o_orderkey""".stripMargin,
     "q_zorder_layout" -> {
       // the same bit interleave, unrolled: bit i of l_partkey -> 2i,
       // bit i of l_suppkey -> 2i+1

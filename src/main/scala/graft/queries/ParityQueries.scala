@@ -85,6 +85,24 @@ object ParityQueries {
       graft.streaming.EventStream.sessionizeBatch(t(s, dir, "events"))
         .orderBy("user_id", "session_id")),
 
+    // Spark-native session windows (`session_window` in groupBy — the
+    // declarative form of the lag/running-sum sessionization; merging
+    // gap-sessions is the engine's job, state eviction comes from the
+    // watermark in streaming mode). Window end = last event + gap, so
+    // the oracle derives it as max(ts) + 1h. Boundary note: an event at
+    // EXACTLY gap distance starts a new session here (strict <) while
+    // the lag formulation keeps it (> gap starts new) — the events data
+    // has no exact-gap pair at any SF, so both formulations agree.
+    "st_session_window" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withWatermark("ts", "1 hour")
+        .groupBy(col("user_id"), session_window(col("ts"), "1 hour").as("sw"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
+        .select(col("user_id"), col("sw.start").as("session_start"),
+          col("sw.end").as("session_end_excl"), col("n"), col("total_value"))
+        .orderBy("user_id", "session_start")),
+
     // Stream-static enrichment join in batch mode: the stream side joins
     // a broadcast dimension (customer → segment) with no stream shuffle;
     // unmatched events keep flowing as "UNKNOWN".
@@ -209,6 +227,22 @@ object ParityQueries {
           |  count(*) AS n,
           |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
           |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+      "st_session_window" ->
+        """WITH s AS (
+          |  SELECT user_id, ts, value,
+          |    CASE WHEN lag(ts) OVER w IS NULL
+          |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 3600000000
+          |         THEN 1 ELSE 0 END AS ns
+          |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+          |g AS (SELECT user_id, ts, value,
+          |  sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+          |  FROM s)
+          |SELECT user_id, min(ts) AS session_start,
+          |  max(ts) + INTERVAL 1 HOUR AS session_end_excl,
+          |  count(*) AS n,
+          |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+          |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
 
       "st_stream_static" ->
         """SELECT date_trunc('day', ts) AS window_start,

@@ -1137,20 +1137,20 @@ object PipelineQueries {
            |edges AS (SELECT d1 AS u, d2 AS v FROM est UNION SELECT d2, d1 FROM est),
            |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY u),
            |nn AS (SELECT count(*) AS n FROM deg),
-           |r0 AS (SELECT u AS rv, round(1.0::DOUBLE / n, 12) AS r FROM deg CROSS JOIN nn),
+           |r0 AS (SELECT u AS rv, round(1.0::DOUBLE / n, 9) AS r FROM deg CROSS JOIN nn),
            |r1 AS (SELECT e.v AS rv,
            |         round((1.0::DOUBLE - 0.85::DOUBLE) / any_value(n)
-           |           + 0.85::DOUBLE * CAST(sum(CAST(round(r.r / d.deg, 12) AS DECIMAL(28,12))) AS DOUBLE), 12) AS r
+           |           + 0.85::DOUBLE * CAST(sum(CAST(round(r.r / d.deg, 9) AS DECIMAL(28,9))) AS DOUBLE), 9) AS r
            |       FROM edges e JOIN deg d ON d.u = e.u JOIN r0 r ON r.rv = e.u CROSS JOIN nn
            |       GROUP BY e.v),
            |r2 AS (SELECT e.v AS rv,
            |         round((1.0::DOUBLE - 0.85::DOUBLE) / any_value(n)
-           |           + 0.85::DOUBLE * CAST(sum(CAST(round(r.r / d.deg, 12) AS DECIMAL(28,12))) AS DOUBLE), 12) AS r
+           |           + 0.85::DOUBLE * CAST(sum(CAST(round(r.r / d.deg, 9) AS DECIMAL(28,9))) AS DOUBLE), 9) AS r
            |       FROM edges e JOIN deg d ON d.u = e.u JOIN r1 r ON r.rv = e.u CROSS JOIN nn
            |       GROUP BY e.v),
            |r3 AS (SELECT e.v AS rv,
            |         round((1.0::DOUBLE - 0.85::DOUBLE) / any_value(n)
-           |           + 0.85::DOUBLE * CAST(sum(CAST(round(r.r / d.deg, 12) AS DECIMAL(28,12))) AS DOUBLE), 12) AS r
+           |           + 0.85::DOUBLE * CAST(sum(CAST(round(r.r / d.deg, 9) AS DECIMAL(28,9))) AS DOUBLE), 9) AS r
            |       FROM edges e JOIN deg d ON d.u = e.u JOIN r2 r ON r.rv = e.u CROSS JOIN nn
            |       GROUP BY e.v)
            |SELECT rv AS doc_id, r AS pagerank FROM r3 ORDER BY doc_id""".stripMargin,

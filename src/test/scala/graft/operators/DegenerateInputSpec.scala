@@ -57,6 +57,41 @@ class DegenerateInputSpec extends SparkSpec {
     assert(r.isEmpty) // no doc reaches 3 tokens
   }
 
+  test("commonSegmentRemoval on sub-shingle docs keeps every doc, drops nothing") {
+    val r = Dedup.commonSegmentRemoval(shortDocs, "doc_id", "text")
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_segments"), x.getAs[Long]("n_kept"))).toMap
+    assert(r.keySet === Set(1L, 2L, 3L))
+    assert(r(3L) === ((0L, 0L)))             // empty doc: zero segments, present
+    assert(r.forall { case (_, (ns, nk)) => ns === nk }) // nothing dropped
+  }
+
+  test("bm25TopK on an empty corpus is empty (no divide-by-zero on N=0)") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Similarity.bm25TopK(empty, "doc_id", "text", Seq("alpha")).isEmpty)
+  }
+
+  test("pagerank on an empty pair list is empty") {
+    val edges = Seq.empty[(Long, Long)].toDF("d1", "d2")
+    assert(PageRank.ranks(edges, "d1", "d2").isEmpty)
+  }
+
+  test("lshBandStats on sub-shingle docs is empty (no signatures to band)") {
+    assert(Dedup.lshBandStats(shortDocs, "doc_id", "text").isEmpty)
+  }
+
+  test("semanticDedup on an empty frame is empty") {
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Dedup.semanticDedup(empty, "vec_id", "embedding").isEmpty)
+  }
+
+  test("tfidf/surprise score only docs that have tokens") {
+    assert(TextAnalysis.tfidfTopK(shortDocs, "doc_id", "text")
+      .select("doc_id").distinct().as[Long].collect().toSet === Set(1L, 2L))
+    assert(TextAnalysis.unigramSurprise(shortDocs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet === Set(1L, 2L))
+  }
+
   test("temperatureSample on a single stratum keeps ~targetFrac") {
     val df = (1L to 200L).map(i => (i, "only")).toDF("id", "lang")
     val r = Sampling.temperatureSample(df, "id", "lang", targetFrac = 0.5)

@@ -73,4 +73,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Exchange"))
     assert(plan.contains("graft_hyperplane_bucket"))
   }
+
+  test("bm25TopK: broadcast stats row + TakeOrdered top-k, no corpus shuffle join") {
+    val corpus = spark.range(1, 201).select(col("id").as("doc_id"),
+      concat_ws(" ", lit("alpha"), col("id").cast("string"),
+        lit("beta gamma delta")).as("text"))
+    val plan = physicalPlan(graft.operators.Similarity.bm25TopK(
+      corpus, "doc_id", "text", terms = Seq("alpha", "beta")))
+    assert(plan.contains("TakeOrderedAndProject"))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"))
+  }
+
+  test("stream-static enrichment broadcasts the dimension (no stream-side shuffle for the join)") {
+    val events = spark.range(1, 201).select(
+      (lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))).as("ts"),
+      col("id").as("user_id"), (col("id") % 7.0).as("value"))
+    val dim = spark.range(1, 51).select(col("id").as("c_custkey"),
+      concat(lit("seg"), (col("id") % 3).cast("string")).as("c_mktsegment"))
+    val plan = physicalPlan(
+      graft.streaming.EventStream.enrichedWindowedCounts(events, dim))
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("zOrderCluster is exactly one range exchange (the global-sort cost, nothing more)") {
+    val df = spark.range(0, 1000).select(
+      (col("id") % 32).as("x"), (col("id") / 32).as("y"))
+    val plan = physicalPlan(graft.functions.Layout.zOrderCluster(
+      df, Seq(col("x"), col("y")), bits = 8, numRanges = 4))
+    assert("rangepartitioning".r.findAllIn(plan.toLowerCase).size === 1)
+    assert(!plan.contains("hashpartitioning"))
+  }
 }
