@@ -87,4 +87,41 @@ object Sampling {
     df.join(broadcast(rates), strataCol)
       .filter(hashUnit(col(keyCol), seed) < col("rate"))
   }
+
+  /** Explicit-target data mixing: sample each stratum so the KEPT corpus
+    * approaches the requested mixture (`targets`: stratum → fraction of
+    * the kept corpus). The binding stratum — the one whose full content
+    * is needed to satisfy its target share — keeps rate 1.0 and fixes
+    * the output size; every other stratum downsamples to match. This is
+    * the training-mixture knob (e.g. "40% code, 30% web, 30% books")
+    * stated as targets instead of [[temperatureSample]]'s α heuristic.
+    *
+    * rate_s = min(1, target_s / share_s) scaled so max over strata of
+    * (target adjusted by the binding stratum) is 1: equivalently
+    * rate_s = (target_s / n_s) / max_t(target_t / n_t) — exact-integer
+    * counts, one tiny aggregate broadcast back, one map-side filtered
+    * pass (same scale shape as temperatureSample). Unlisted strata are
+    * dropped (target 0). Rates round to 6 dp. Output: input columns +
+    * `rate`. */
+  def mixtureSample(df: DataFrame, keyCol: String, strataCol: String,
+                    targets: Map[String, Double],
+                    seed: String = ""): DataFrame = {
+    require(targets.nonEmpty, "mixtureSample needs at least one target")
+    require(targets.values.forall(_ > 0), "targets must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tgt = broadcast(targets.toSeq.toDF(strataCol, "target"))
+    val counts = df.join(tgt, strataCol)
+      .groupBy(col(strataCol), col("target"))
+      .agg(count(lit(1)).as("n_stratum"))
+    // the binding stratum maximizes target/n — its rate is exactly 1
+    val norm = counts.agg(max(
+      col("target") / col("n_stratum")).as("max_ratio"))
+    val rates = counts.crossJoin(broadcast(norm))
+      .withColumn("rate", round(
+        col("target") / col("n_stratum") / col("max_ratio"), 6))
+      .select(col(strataCol), col("rate"))
+    df.join(broadcast(rates), strataCol)
+      .filter(hashUnit(col(keyCol), seed) < col("rate"))
+  }
 }

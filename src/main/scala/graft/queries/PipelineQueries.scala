@@ -305,6 +305,26 @@ object PipelineQueries {
         .select("doc_id", "lang", "rate")
         .orderBy("doc_id")),
 
+    // --- explicit-target data mixing (the training-mixture knob): kept
+    //     corpus approaches en/de/fr/es = 50/20/20/10; zh unlisted → dropped ---
+    "t_mixture_sample" -> ((s, dir) =>
+      graft.operators.Sampling.mixtureSample(
+          docs(s, dir), "doc_id", "lang",
+          targets = Map("en" -> 0.5, "de" -> 0.2, "fr" -> 0.2, "es" -> 0.1))
+        .select("doc_id", "lang", "rate")
+        .orderBy("doc_id")),
+
+    // --- curriculum phases: ntile(4) by document length within language
+    //     (shortest docs first — the standard length-curriculum split) ---
+    "t_curriculum" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("n_chars").asc, col("doc_id").asc)
+      docs(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          ntile(4).over(w).cast("long").as("phase"))
+        .orderBy("doc_id")
+    }),
+
     // --- KMV distinct-shingle sketch per language (engine-portable
     //     cardinality estimate; see Sketches Scaladoc) ---
     "t_kmv_distinct" -> ((s, dir) => {
@@ -1095,6 +1115,29 @@ object PipelineQueries {
            |  CAST(max(c) AS BIGINT) AS max_bucket,
            |  CAST(sum(c * (c - 1) // 2) AS BIGINT) AS n_cand_pairs
            |FROM bk GROUP BY band ORDER BY band""".stripMargin,
+
+      "t_mixture_sample" -> {
+        val u = "(SELECT sum((strpos('0123456789abcdef', substring(h, i, 1)) - 1) * (16 ** (6 - i))) " +
+          "FROM range(1, 7) t(i))::DOUBLE / 16777216.0"
+        s"""WITH tgt(lang, target) AS (VALUES
+           |  ('en', 0.5::DOUBLE), ('de', 0.2::DOUBLE),
+           |  ('fr', 0.2::DOUBLE), ('es', 0.1::DOUBLE)),
+           |counts AS (SELECT d.lang, any_value(target) AS target,
+           |             CAST(count(*) AS BIGINT) AS n
+           |           FROM documents d JOIN tgt USING (lang) GROUP BY d.lang),
+           |norm AS (SELECT max(target / n) AS maxr FROM counts),
+           |rates AS (SELECT lang, round(target / n / maxr, 6) AS rate
+           |          FROM counts CROSS JOIN norm)
+           |SELECT doc_id, lang, rate FROM (
+           |  SELECT doc_id, d.lang, rate, md5(doc_id::VARCHAR) AS h
+           |  FROM documents d JOIN rates USING (lang))
+           |WHERE $u < rate ORDER BY doc_id""".stripMargin
+      },
+
+      "t_curriculum" ->
+        """SELECT doc_id, lang, n_chars,
+          |  ntile(4) OVER (PARTITION BY lang ORDER BY n_chars, doc_id)::BIGINT AS phase
+          |FROM documents ORDER BY doc_id""".stripMargin,
 
       "t_surprise" ->
         s"""WITH tok AS (SELECT doc_id, unnest($toks) AS w FROM documents),

@@ -98,6 +98,29 @@ class Round5OpsSpec extends SparkSpec {
     assert(r.head._3 >= 2L)
   }
 
+  test("mixtureSample: binding stratum keeps rate 1, others downsample toward targets") {
+    // 800 a / 100 b / 100 c, targets 50/25/25 (+unlisted d) — b and c are
+    // binding (target/n maximal), a downsamples to 2x b's kept size
+    val df = ((1L to 800L).map(i => (i, "a")) ++ (801L to 900L).map(i => (i, "b"))
+      ++ (901L to 1000L).map(i => (i, "c")) ++ (1001L to 1100L).map(i => (i, "d")))
+      .toDF("id", "lang")
+    val r = Sampling.mixtureSample(df, "id", "lang",
+      targets = Map("a" -> 0.5, "b" -> 0.25, "c" -> 0.25))
+    val rates = r.select("lang", "rate").distinct()
+      .collect().map(x => x.getAs[String]("lang") -> x.getAs[Double]("rate")).toMap
+    assert(rates("b") === 1.0 && rates("c") === 1.0)
+    assert(rates("a") === 0.25)              // (0.5/800)/(0.25/100)
+    assert(!rates.contains("d"))             // unlisted stratum dropped
+    val kept = r.groupBy("lang").count()
+      .collect().map(x => x.getAs[String]("lang") -> x.getAs[Long]("count")).toMap
+    assert(kept("b") === 100L && kept("c") === 100L)
+    assert(kept("a") > 150L && kept("a") < 250L) // ~200 expected (hash sampling)
+    // deterministic under repartitioning
+    val again = Sampling.mixtureSample(df.repartition(7), "id", "lang",
+      Map("a" -> 0.5, "b" -> 0.25, "c" -> 0.25)).select("id").as[Long].collect().toSet
+    assert(again === r.select("id").as[Long].collect().toSet)
+  }
+
   test("lshBandStats: duplicate docs share buckets; candidate volume counted") {
     val uniq = (1 to 20).map(j => (j.toLong, (1 to 12).map(i => s"w${j}x$i").mkString(" ")))
     val dup = Seq((100L, uniq.head._2), (101L, uniq.head._2)) // 2 extra copies of doc 1
