@@ -297,6 +297,43 @@ object CoreQueries {
         .orderBy("bucket")
     }),
 
+    // Ordered funnel analysis (view → click → purchase): each stage's
+    // timestamp is the first event AT OR AFTER the previous stage — the
+    // product-analytics staple. Three keyed aggregates on user_id; the
+    // stage frames are per-user (small) and join back broadcastable.
+    "q_funnel" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t_view"))
+      val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+        .filter(col("ts") >= col("t_view"))
+        .groupBy("user_id").agg(min("ts").as("t_click"))
+      val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+        .filter(col("ts") >= col("t_click"))
+        .groupBy("user_id").agg(min("ts").as("t_purchase"))
+      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+        .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
+          when(col("t_purchase").isNotNull, 3L)
+            .when(col("t_click").isNotNull, 2L)
+            .otherwise(1L).as("stage"))
+        .orderBy("user_id")
+    }),
+
+    // Cohort retention: users grouped by first-seen day, activity counted
+    // per day offset — the (cohort × offset) retention triangle.
+    "q_cohort_retention" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val first = ev.groupBy("user_id").agg(to_date(min("ts")).as("cohort_day"))
+      ev.join(first, "user_id")
+        .select(col("cohort_day"),
+          datediff(to_date(col("ts")), col("cohort_day")).cast("long").as("day_offset"),
+          col("user_id"))
+        .distinct()
+        .groupBy("cohort_day", "day_offset")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    }),
+
     // SCD type-2 history construction: each customer's orders become
     // validity intervals (valid_from = this order, valid_to = next, open
     // interval = current row) — the standard warehouse pattern for
@@ -452,6 +489,30 @@ object CoreQueries {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+        |           WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS t_click
+        |      FROM events e JOIN v USING (user_id)
+        |      WHERE event_type = 'click' AND e.ts >= v.t_view GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+        |      FROM events e JOIN c USING (user_id)
+        |      WHERE event_type = 'purchase' AND e.ts >= c.t_click GROUP BY e.user_id)
+        |SELECT v.user_id, t_view, t_click, t_purchase,
+        |  CAST(CASE WHEN t_purchase IS NOT NULL THEN 3
+        |            WHEN t_click IS NOT NULL THEN 2 ELSE 1 END AS BIGINT) AS stage
+        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+    "q_cohort_retention" ->
+      """WITH f AS (SELECT user_id, min(ts)::DATE AS cohort_day
+        |           FROM events GROUP BY user_id),
+        |a AS (SELECT DISTINCT cohort_day,
+        |        (ts::DATE - cohort_day) AS day_offset, user_id
+        |      FROM events JOIN f USING (user_id))
+        |SELECT cohort_day, CAST(day_offset AS BIGINT) AS day_offset,
+        |  count(*) AS n_users
+        |FROM a GROUP BY cohort_day, day_offset
+        |ORDER BY cohort_day, day_offset""".stripMargin,
     "q_scd2_history" ->
       """SELECT o_custkey, o_orderkey, o_orderdate AS valid_from,
         |  lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS valid_to,
