@@ -155,6 +155,30 @@ object TextAnalysis {
       .filter(col("rk") <= topK)
   }
 
+  /** Per-stratum top-`topK` word n-grams WITH multiplicity (every
+    * occurrence counts — unlike the distinct shingle sets the dedup
+    * family uses) — the collocation table between [[vocabTopK]]'s
+    * unigrams and [[bpeMergePairs]]'s character pairs. Same shape: in-row
+    * gram fan-out, one keyed count, WindowGroupLimit-pruned rank.
+    * Output: (stratum, gram, cnt, rk); ties rank by gram asc. */
+  def ngramTopK(df: DataFrame, strataCol: String, textCol: String,
+                n: Int = 2, topK: Int = 10): DataFrame = {
+    require(n >= 2, s"ngramTopK needs n >= 2 (use vocabTopK for unigrams), got $n")
+    val grams = transform(
+      sequence(lit(0), size(col("toks")) - n),
+      i => concat_ws(" ", (0 until n).map(j => element_at(col("toks"), i + j + 1)): _*))
+    val counts = Dedup.widen(df)
+      .select(col(strataCol), tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col(strataCol), explode(grams).as("gram"))
+      .groupBy(col(strataCol), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCol).orderBy(col("cnt").desc, col("gram").asc)
+    counts.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= topK)
+  }
+
   /** BPE first-merge statistics: counts of ADJACENT CHARACTER pairs
     * inside word tokens, per stratum — the pair-frequency table byte-pair
     * encoding chooses its first merge from (tokenizer-training prep,

@@ -361,6 +361,36 @@ object PipelineQueries {
       TextAnalysis.bpeMergePairs(docs(s, dir), "lang", "text", topK = 10)
         .orderBy("lang", "rk")),
 
+    // --- per-language bigram collocations (between vocab unigrams and
+    //     BPE char pairs) ---
+    "t_ngram_topk" -> ((s, dir) =>
+      TextAnalysis.ngramTopK(docs(s, dir), "lang", "text", n = 2, topK = 10)
+        .orderBy("lang", "rk")),
+
+    // --- IVF recall vs brute-force ground truth (the nprobe/k tuning
+    //     measurement for the TRAINED quantizer path) ---
+    "a_ann_ivf_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") % 50 === 0)
+      val bf = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+        .select("qid", "nid")
+      import s.implicits._
+      val cents = graft.operators.Vectors
+        .kmeansTrain(e, "vec_id", "embedding", k = 4, iters = 2)
+      val ivf = Similarity.ivfTopKWithCentroids(e, q, cents.toDF("cid", "cv"),
+          "vec_id", "embedding", k = 5, nprobe = 2)
+        .select(col("qid").as("iqid"), col("nid").as("inid"))
+      val hit = bf.join(ivf,
+        col("qid") === col("iqid") && col("nid") === col("inid"), "left_semi")
+      bf.groupBy("qid").agg(count(lit(1)).as("n_exact"))
+        .join(hit.groupBy("qid").agg(count(lit(1)).as("n_hit")), Seq("qid"), "left")
+        .select(col("qid"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"), col("n_exact"),
+          round(coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_exact"), 6)
+            .as("recall"))
+        .orderBy("qid")
+    }),
+
     // --- corpus-relative novelty (inverse boilerplate detector) ---
     "t_novelty" -> ((s, dir) =>
       TextAnalysis.noveltyScore(docs(s, dir), "doc_id", "text")
@@ -1100,6 +1130,67 @@ object PipelineQueries {
            |FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
            |GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2
            |ORDER BY d1, d2""".stripMargin,
+
+      "t_ngram_topk" ->
+        s"""WITH g AS (
+           |  SELECT lang, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS gram
+           |  FROM (SELECT lang, $toks AS t FROM documents) WHERE len(t) >= 2),
+           |c AS (SELECT lang, gram, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY lang, gram)
+           |SELECT lang, gram, cnt, rk FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, gram)::BIGINT AS rk
+           |  FROM c)
+           |WHERE rk <= 10 ORDER BY lang, rk""".stripMargin,
+
+      "a_ann_ivf_recall" -> {
+        def cos(a: String, b: String) =
+          s"round(list_dot_product($a::DOUBLE[], $b::DOUBLE[]) / " +
+            s"(sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) * " +
+            s"sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[]))), 6)"
+        s"""WITH bf AS (
+           |  SELECT qid, nid FROM (
+           |    SELECT a.vec_id AS qid, b.vec_id AS nid,
+           |      row_number() OVER (PARTITION BY a.vec_id ORDER BY $cosAB DESC, b.vec_id) AS rk
+           |    FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+           |    WHERE a.vec_id % 50 = 0)
+           |  WHERE rk <= 5),
+           |c0 AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings ORDER BY vec_id LIMIT 4),
+           |a1 AS (SELECT vec_id, cid FROM (
+           |  SELECT e.vec_id, c.cid,
+           |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cos("e.embedding", "c.cv")} DESC, c.cid) AS rk
+           |  FROM embeddings e CROSS JOIN c0 c) WHERE rk = 1),
+           |m1 AS (SELECT a1.cid, d.dim,
+           |         CAST(sum(CAST(CAST(e.embedding[d.dim] AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE)
+           |           / count(*) AS mv
+           |       FROM a1 JOIN embeddings e USING (vec_id),
+           |            unnest(range(1, len(e.embedding) + 1)) AS d(dim)
+           |       GROUP BY a1.cid, d.dim),
+           |c1 AS (SELECT c0.cid,
+           |         CASE WHEN count(m1.mv) = 0 THEN any_value(c0.cv)
+           |              ELSE list(CAST(m1.mv AS FLOAT) ORDER BY m1.dim) END AS cv
+           |       FROM c0 LEFT JOIN m1 ON m1.cid = c0.cid
+           |       GROUP BY c0.cid),
+           |assign AS (SELECT nid, cid FROM (
+           |  SELECT nid, cid, row_number() OVER (PARTITION BY nid ORDER BY ccos DESC, cid) AS crk
+           |  FROM (SELECT e.vec_id AS nid, c.cid, ${cos("e.embedding", "c.cv")} AS ccos
+           |        FROM embeddings e CROSS JOIN c1 c)) WHERE crk = 1),
+           |probes AS (SELECT qid, cid FROM (
+           |  SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY ccos DESC, cid) AS crk
+           |  FROM (SELECT q.vec_id AS qid, c.cid, ${cos("q.embedding", "c.cv")} AS ccos
+           |        FROM embeddings q CROSS JOIN c1 c WHERE q.vec_id % 50 = 0)) WHERE crk <= 2),
+           |sc AS (SELECT DISTINCT p.qid, a.nid, ${cos("x.embedding", "y.embedding")} AS cos
+           |       FROM probes p JOIN assign a ON p.cid = a.cid AND a.nid <> p.qid
+           |       JOIN embeddings x ON x.vec_id = p.qid
+           |       JOIN embeddings y ON y.vec_id = a.nid),
+           |ivf AS (SELECT qid, nid FROM (
+           |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk FROM sc)
+           |  WHERE rk <= 5),
+           |hit AS (SELECT bf.qid, CAST(count(*) AS BIGINT) AS n_hit
+           |        FROM bf JOIN ivf ON bf.qid = ivf.qid AND bf.nid = ivf.nid GROUP BY bf.qid),
+           |ex AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_exact FROM bf GROUP BY qid)
+           |SELECT ex.qid, CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit, n_exact,
+           |  round(coalesce(n_hit, 0)::DOUBLE / n_exact, 6) AS recall
+           |FROM ex LEFT JOIN hit USING (qid) ORDER BY ex.qid""".stripMargin
+      },
 
       "d_lsh_index_stats" ->
         s"""WITH sh AS (
