@@ -66,8 +66,17 @@ object UpsertWriter {
       .write.mode(SaveMode.Overwrite).parquet(staging)
     val n = obs.get("n").asInstanceOf[Long]
     val fs = FileSystem.get(new Path(path).toUri, spark.sparkContext.hadoopConfiguration)
-    fs.delete(new Path(path), true)
-    fs.rename(new Path(staging), new Path(path))
+    // two checked renames (retire -> promote) instead of delete-then-
+    // rename: the previous snapshot survives at a recoverable path until
+    // the promote succeeds, and a failed rename raises instead of
+    // silently dropping the table (same discipline as sinks.Compaction)
+    val p = new Path(path)
+    val retired = new Path(path + "__old")
+    fs.delete(retired, true)
+    if (fs.exists(p))
+      require(fs.rename(p, retired), s"could not retire $p")
+    require(fs.rename(new Path(staging), p), s"could not promote $staging to $p")
+    fs.delete(retired, true)
     n
   }
 

@@ -424,6 +424,9 @@ object Dedup {
     * n_cand_pairs). */
   def lshBandStats(df0: DataFrame, idCol: String, textCol: String,
                    numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    require(bands >= 1 && numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes) — a ragged split " +
+        "would band on empty/partial slices and report garbage candidate volumes")
     val sig = minhashSignatureArray(df0, idCol, textCol, numHashes)
     val rows = numHashes / bands
     val band = sig.select(col(idCol),
@@ -515,8 +518,13 @@ object Dedup {
   def semanticDedup(df0: DataFrame, idCol: String, vecCol: String,
                     k: Int = 4, iters: Int = 2, tau: Double = 0.45): DataFrame = {
     val spark = df0.sparkSession
+    // cached: the assignment pipeline (centroid fan-out + argmax window)
+    // feeds three consumers (both self-join sides and the final output) —
+    // uncached it would run three times per action. Cache lifetime: until
+    // session end or catalog.clearCache(), as with hashedShingleSets.
     val withC = widen(df0).select(col(idCol), col(vecCol).as("v"))
       .join(Vectors.kmeansAssign(df0, idCol, vecCol, k, iters), idCol)
+      .cache()
     val dropped = withC.select(col("cluster_id"), col(idCol).as("d1"), col("v").as("v1"))
       .join(withC.select(col("cluster_id"), col(idCol).as("d2"), col("v").as("v2")),
         "cluster_id")

@@ -284,8 +284,13 @@ object CoreQueries {
     // the per-file statistics a lakehouse write clustered by
     // Layout.zOrderCluster would expose for two-column data skipping.
     "q_zorder_layout" -> ((s, dir) => {
+      // inputs are masked to the key width EXPLICITLY (zOrderKey samples
+      // bits 0..15, so unmasked values beyond 65535 would silently
+      // collide keys — the caller-side rescale the Layout Scaladoc
+      // requires); identity at every shipped SF (partkey < 20k·sf)
       val z = graft.functions.Layout.zOrderKey(
-        Seq(col("l_partkey"), col("l_suppkey")), bits = 16)
+        Seq(pmod(col("l_partkey"), lit(65536L)),
+          pmod(col("l_suppkey"), lit(65536L))), bits = 16)
       t(s, dir, "lineitem")
         .select(z.as("zkey"), col("l_partkey"), col("l_suppkey"))
         .groupBy(shiftright(col("zkey"), 14).as("bucket"))
@@ -523,8 +528,8 @@ object CoreQueries {
       // the same bit interleave, unrolled: bit i of l_partkey -> 2i,
       // bit i of l_suppkey -> 2i+1
       val zterms = (0 until 16).flatMap(i => Seq(
-        s"(((l_partkey >> $i) & 1) << ${2 * i})",
-        s"(((l_suppkey >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
+        s"((((l_partkey % 65536) >> $i) & 1) << ${2 * i})",
+        s"((((l_suppkey % 65536) >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
       s"""WITH z AS (SELECT ($zterms) AS zkey, l_partkey, l_suppkey FROM lineitem)
          |SELECT (zkey >> 14) AS bucket, CAST(count(*) AS BIGINT) AS n_rows,
          |  CAST(min(l_partkey) AS BIGINT) AS min_part,

@@ -111,8 +111,10 @@ object SinkQueries {
         .select("doc_id", "text")
         .repartition(32)
         .write.parquet(s"$base/k10/t")
+      // targetBytes far above any SF's table size -> want is always
+      // exactly 1 file, so the oracle's n_files = 1 pin is scale-proof
       val r = graft.sinks.Compaction.compactParquet(
-        s, s"$base/k10/t", targetBytes = 1L << 30)
+        s, s"$base/k10/t", targetBytes = 1L << 60)
       s.read.parquet(s"$base/k10/t")
         .select(col("doc_id"), col("text"),
           lit(r.filesAfter.toLong).as("n_files"))

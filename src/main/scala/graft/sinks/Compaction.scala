@@ -14,12 +14,16 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
   * Shape: one read of the directory coalesced to
   * `ceil(totalBytes / targetBytes)` output files — `coalesce` (not
   * `repartition`) so compaction is a NARROW rewrite, no shuffle of the
-  * data — staged to a sibling directory and swapped in by rename, the
-  * same atomic-swap discipline as [[graft.mutate.UpsertWriter]]: readers
-  * never observe a partial table. Row content/order within files is
-  * whatever the coalesced scan yields; compaction is a physical-layout
-  * operation and must be content-neutral (spec-asserted, and the sink
-  * gate's oracle hash-checks the round-trip).
+  * data — staged to a sibling directory and swapped in by two CHECKED
+  * renames (retire live → promote staging), so the data always exists at
+  * a recoverable path and readers can never observe a HALF-written
+  * table; the retire-to-promote instant is the residual non-atomic
+  * window a plain filesystem cannot close (a lakehouse format's
+  * transactional commit is the production replacement for this seam).
+  * Row content/order within files is whatever the coalesced scan yields;
+  * compaction is a physical-layout operation and must be content-neutral
+  * (spec-asserted, and the sink gate's oracle hash-checks the
+  * round-trip).
   */
 object Compaction {
 
@@ -32,18 +36,33 @@ object Compaction {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     val p = new Path(dir)
     val fs = FileSystem.get(p.toUri, spark.sparkContext.hadoopConfiguration)
-    val parts = fs.listStatus(p).filter { st =>
+    val entries = fs.listStatus(p)
+    // a partitionBy layout nests files in subdirectories; compacting it
+    // needs per-partition rewrites — reject loudly rather than silently
+    // reporting the table "already compact"
+    require(!entries.exists(_.isDirectory),
+      s"$dir has nested partition directories; compactParquet handles flat layouts only")
+    val parts = entries.filter { st =>
       st.isFile && st.getPath.getName.endsWith(".parquet")
     }
     val total = parts.map(_.getLen).sum
-    val want = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
+    // overflow-safe ceiling: (total-1)/target + 1 (total = 0 -> 1)
+    val want = math.max(1L, if (total == 0) 1L else (total - 1) / targetBytes + 1).toInt
     if (parts.length <= want)
       return Result(parts.length, parts.length, total, skipped = true)
-    val staging = dir + "__compacting"
+    val staging = new Path(dir + "__compacting")
+    val retired = new Path(dir + "__old")
     spark.read.parquet(dir).coalesce(want)
-      .write.mode(SaveMode.Overwrite).parquet(staging)
-    fs.delete(p, true)
-    fs.rename(new Path(staging), p)
+      .write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    // two checked renames instead of delete-then-rename: the data always
+    // exists at a recoverable path, and the no-table window shrinks to
+    // the instant between the renames. A plain filesystem has no
+    // transactional commit — on a real deployment a table format's
+    // atomic snapshot swap replaces this seam.
+    fs.delete(retired, true)
+    require(fs.rename(p, retired), s"could not retire $p")
+    require(fs.rename(staging, p), s"could not promote $staging to $p")
+    fs.delete(retired, true)
     val after = fs.listStatus(p)
       .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
     Result(parts.length, after, total, skipped = false)

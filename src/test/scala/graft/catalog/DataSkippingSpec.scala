@@ -28,16 +28,19 @@ class DataSkippingSpec extends SparkSpec {
   test("static partition pruning: filtered scan reads only matching directories") {
     val fact = spark.read.parquet(s"$dir/fact")
     val pruned = fact.filter(col("part") === "p3")
-    assert(pruned.count() === 100L)
     // (inputFiles is relation-level metadata and ignores filters — the
     // evidence lives in the scan node's partition filters + file metric)
     val plan = pruned.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("= p3"),
       s"expected a partition filter in:\n$plan")
+    // execute THIS QueryExecution (count() would plan a fresh one and
+    // leave these metrics unpopulated, passing vacuously as 0 < n)
+    assert(pruned.queryExecution.executedPlan.execute().count() === 100L)
     val scan = pruned.queryExecution.executedPlan.collectLeaves().collectFirst {
       case f: org.apache.spark.sql.execution.FileSourceScanExec => f
     }.get
-    assert(scan.metrics("numFiles").value < fact.inputFiles.length)
+    val scanned = scan.metrics("numFiles").value
+    assert(scanned > 0 && scanned < fact.inputFiles.length)
   }
 
   test("dynamic partition pruning fires for a join against a filtered dimension") {

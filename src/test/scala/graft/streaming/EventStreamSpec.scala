@@ -197,6 +197,26 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session_window parity precondition: no exact-gap event pair in the gate data") {
+    // st_session_window's oracle (lag formulation, > gap starts new) and
+    // Spark's session_window (strict <, exact-gap starts new) disagree
+    // ONLY for two events exactly 1 h apart. Assert that holds for the
+    // data the driver gates on, so a generator change fails HERE with an
+    // explanation instead of as an opaque oracle hash mismatch.
+    import org.apache.spark.sql.expressions.Window
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val ev = graft.catalog.TableCatalog.load(spark, s"/root/testdata/$sf", "events")
+      val w = Window.partitionBy("user_id").orderBy("ts")
+      val exact = ev
+        .withColumn("gap", unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+        .filter(col("gap") === 3600000000L)
+        .count()
+      assert(exact === 0L,
+        s"$sf has $exact exact-1h-gap event pairs; st_session_window's oracle " +
+          "and session_window diverge at that boundary — re-pin the semantics")
+    }
+  }
+
   test("streamUpsert: per-micro-batch MERGE keeps the table continuously current") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
