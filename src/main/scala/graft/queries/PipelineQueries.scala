@@ -429,6 +429,49 @@ object PipelineQueries {
           terms = Seq("spark", "join", "window", "hash"), k = 20)
         .orderBy("rk")),
 
+    // --- LSH quality evaluation: banded-MinHash pairs scored against
+    //     exact-Jaccard ground truth at the same threshold — the
+    //     precision/recall measurement that justifies numHashes/bands
+    //     before trusting the index on a corpus 1000x larger ---
+    "d_lsh_eval" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val lsh = Dedup.minhashLsh(d, "doc_id", "text").select("d1", "d2")
+      val exact = Dedup.ngramJaccard(d, "doc_id", "text", minJaccard = 0.5)
+        .select("d1", "d2")
+      val nBoth = lsh.join(exact, Seq("d1", "d2"), "left_semi")
+        .agg(count(lit(1)).as("n_both"))
+      lsh.agg(count(lit(1)).as("n_lsh"))
+        .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+        .crossJoin(nBoth)
+        .select(col("n_lsh"), col("n_exact"), col("n_both"),
+          when(col("n_lsh") > 0,
+            round(col("n_both").cast("double") / col("n_lsh"), 6)).as("precision"),
+          when(col("n_exact") > 0,
+            round(col("n_both").cast("double") / col("n_exact"), 6)).as("recall"))
+    }),
+
+    // --- Zipf slope per language: OLS fit of ln(cnt) ~ ln(rank) over
+    //     the top-50 vocabulary (the corpus-health statistic — natural
+    //     language sits near -1; templated/synthetic text drifts off) ---
+    "t_zipf_slope" -> ((s, dir) => {
+      val v = TextAnalysis.vocabTopK(docs(s, dir), "lang", "text", topK = 50)
+        .select(col("lang"),
+          round(log(col("rk").cast("double")), 9).as("x"),
+          round(log(col("cnt").cast("double")), 9).as("y"))
+      val means = v.groupBy("lang").agg(
+        (sum(col("x").cast("decimal(28,9)")).cast("double") / count(lit(1))).as("xbar"),
+        (sum(col("y").cast("decimal(28,9)")).cast("double") / count(lit(1))).as("ybar"))
+      v.join(means, "lang")
+        .groupBy("lang")
+        .agg(
+          sum(round((col("x") - col("xbar")) * (col("y") - col("ybar")), 9)
+            .cast("decimal(28,9)")).cast("double").as("sxy"),
+          sum(round((col("x") - col("xbar")) * (col("x") - col("xbar")), 9)
+            .cast("decimal(28,9)")).cast("double").as("sxx"))
+        .select(col("lang"), round(col("sxy") / col("sxx"), 6).as("zipf_slope"))
+        .orderBy("lang")
+    }),
+
     // --- LSH index health report (bucket occupancy / candidate volume
     //     per band — the bands/rows tuning metric) ---
     "d_lsh_index_stats" -> ((s, dir) =>
@@ -1191,6 +1234,53 @@ object PipelineQueries {
            |  round(coalesce(n_hit, 0)::DOUBLE / n_exact, 6) AS recall
            |FROM ex LEFT JOIN hit USING (qid) ORDER BY ex.qid""".stripMargin
       },
+
+      "d_lsh_eval" ->
+        s"""WITH sh AS (
+           |  SELECT doc_id, unnest($sh3) AS s
+           |  FROM (SELECT doc_id, $toks AS t FROM documents) WHERE len(t) >= 3),
+           |sig AS (SELECT doc_id, h, min(md5(h::VARCHAR || '|' || s)) AS mh
+           |        FROM sh CROSS JOIN (SELECT unnest(range(16)) AS h) GROUP BY doc_id, h),
+           |band AS (SELECT doc_id, h // 4 AS band, md5(string_agg(mh, ',' ORDER BY h)) AS bh
+           |         FROM sig GROUP BY doc_id, h // 4),
+           |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+           |         FROM band a JOIN band b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+           |lsh AS (SELECT d1, d2 FROM cand JOIN sig x ON x.doc_id = d1
+           |        JOIN sig y ON y.doc_id = d2 AND y.h = x.h
+           |        GROUP BY d1, d2
+           |        HAVING count(*) FILTER (x.mh = y.mh)::DOUBLE / 16 >= 0.5),
+           |jsh AS (SELECT doc_id, len($sh3)::BIGINT AS n, unnest($sh3) AS s
+           |        FROM (SELECT doc_id, $toks AS t FROM documents) WHERE len(t) >= 3),
+           |exact AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+           |          FROM jsh a JOIN jsh b ON a.s = b.s AND a.doc_id < b.doc_id
+           |          GROUP BY a.doc_id, b.doc_id
+           |          HAVING count(*)::DOUBLE / (any_value(a.n) + any_value(b.n) - count(*)) >= 0.5),
+           |nl AS (SELECT CAST(count(*) AS BIGINT) AS n_lsh FROM lsh),
+           |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM exact),
+           |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_both
+           |       FROM lsh JOIN exact USING (d1, d2))
+           |SELECT n_lsh, n_exact, n_both,
+           |  CASE WHEN n_lsh > 0 THEN round(n_both::DOUBLE / n_lsh, 6) END AS precision,
+           |  CASE WHEN n_exact > 0 THEN round(n_both::DOUBLE / n_exact, 6) END AS recall
+           |FROM nl CROSS JOIN ne CROSS JOIN nb""".stripMargin,
+
+      "t_zipf_slope" ->
+        s"""WITH tok AS (SELECT lang, unnest($toks) AS token FROM documents),
+           |c AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS cnt
+           |      FROM tok GROUP BY lang, token),
+           |v AS (SELECT lang, round(ln(rk::DOUBLE), 9) AS x, round(ln(cnt::DOUBLE), 9) AS y FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token) AS rk
+           |  FROM c)
+           |  WHERE rk <= 50),
+           |means AS (SELECT lang,
+           |    CAST(sum(CAST(x AS DECIMAL(28,9))) AS DOUBLE) / count(*) AS xbar,
+           |    CAST(sum(CAST(y AS DECIMAL(28,9))) AS DOUBLE) / count(*) AS ybar
+           |  FROM v GROUP BY lang)
+           |SELECT lang, round(
+           |  CAST(sum(CAST(round((x - xbar) * (y - ybar), 9) AS DECIMAL(28,9))) AS DOUBLE) /
+           |  CAST(sum(CAST(round((x - xbar) * (x - xbar), 9) AS DECIMAL(28,9))) AS DOUBLE), 6) AS zipf_slope
+           |FROM v JOIN means USING (lang)
+           |GROUP BY lang ORDER BY lang""".stripMargin,
 
       "d_lsh_index_stats" ->
         s"""WITH sh AS (
