@@ -24,6 +24,7 @@ import graft.catalog.TableCatalog
   *   avro-to-upsert:     --input --outputTable --keyFields [--mutationOp]
   *   avro-to-documents:  --input --output --kind --keyField
   *   dummy-to-upsert:    --config=<yaml> --outputDir [--tablesDir] [--parallelNum] [--seed]
+  *   compact:            --dir [--targetBytes]   (table maintenance)
   * }}}
   * Full reference-parameter → graft mapping: docs/PARAMETERS.md.
   */
@@ -96,6 +97,14 @@ object Main {
           yaml, req("outputDir"), schemas,
           o.getOrElse("parallelNum", "1").toInt,
           o.getOrElse("seed", "42").toLong))
+      case "compact" =>
+        // table maintenance: small-files compaction (no reference
+        // equivalent — Beam templates never rewrite their own output;
+        // a long-lived Spark table needs it, see sinks.Compaction)
+        val r = graft.sinks.Compaction.compactParquet(spark, req("dir"),
+          o.get("targetBytes").map(_.toLong).getOrElse(128L << 20))
+        println(s"compact: ${r.filesBefore} -> ${r.filesAfter} files " +
+          s"(${r.bytes} bytes${if (r.skipped) ", skipped" else ""})")
       case other =>
         throw new IllegalArgumentException(s"unknown template: $other")
     }

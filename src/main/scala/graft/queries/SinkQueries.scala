@@ -121,6 +121,33 @@ object SinkQueries {
         .orderBy("doc_id")
     }),
 
+    // K5 under the gate: the MERGE-shaped mutation writer's semantics
+    // hash-checked end to end — seed a table, INSERT_OR_UPDATE a batch
+    // that half-updates/half-inserts, DELETE a key slice, read the final
+    // table back; DuckDB recomputes the same three-step state from the
+    // source table alone.
+    "k5_upsert_roundtrip" -> ((s, dir) => {
+      TableCatalog.register(s, dir)
+      clean(s, s"$base/k5")
+      val table = s"$base/k5/t"
+      // seed: customers 0..99 as the current table state
+      Templates.queryToUpsert(s, Templates.QueryToUpsertConfig(
+        query = "SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer WHERE c_custkey < 100",
+        outputTable = table, keyFields = Seq("c_custkey")))
+      // upsert: 50..149 with shifted balances (50..99 update, 100..149 insert)
+      Templates.queryToUpsert(s, Templates.QueryToUpsertConfig(
+        query = "SELECT c_custkey, c_name, c_nationkey, c_acctbal + 1000.0 AS c_acctbal " +
+          "FROM customer WHERE c_custkey BETWEEN 50 AND 149",
+        outputTable = table, keyFields = Seq("c_custkey")))
+      // delete every 10th key
+      Templates.queryToDelete(s, Templates.QueryToDeleteConfig(
+        query = "SELECT c_custkey FROM customer WHERE c_custkey < 150 AND c_custkey % 10 = 0",
+        outputTable = table, keyFields = Seq("c_custkey")))
+      s.read.parquet(table)
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+        .orderBy("c_custkey")
+    }),
+
     // K8: finish-pass notification — the sink's outputNotify file lists
     // every written path; the listing itself becomes the checked frame.
     "k8_notify_listing" -> ((s, dir) => {
@@ -170,6 +197,18 @@ object SinkQueries {
 
     "k10_compact_roundtrip" ->
       """SELECT doc_id, text, CAST(1 AS BIGINT) AS n_files
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "k5_upsert_roundtrip" ->
+      """WITH cur AS (SELECT c_custkey, c_name, c_nationkey, c_acctbal
+        |             FROM customer WHERE c_custkey < 100),
+        |batch AS (SELECT c_custkey, c_name, c_nationkey, c_acctbal + 1000.0 AS c_acctbal
+        |          FROM customer WHERE c_custkey BETWEEN 50 AND 149),
+        |merged AS (
+        |  SELECT * FROM batch
+        |  UNION ALL
+        |  SELECT * FROM cur WHERE c_custkey NOT IN (SELECT c_custkey FROM batch))
+        |SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM merged
+        |WHERE c_custkey % 10 <> 0 ORDER BY c_custkey""".stripMargin
   )
 }

@@ -42,6 +42,16 @@ class MainSpec extends SparkSpec {
       spark.read.parquet("/root/testdata/sf0.001/region.parquet").columns.toSet)
   }
 
+  test("compact through the CLI: fragmented table rewritten in place") {
+    import spark.implicits._
+    val dir = tmpDir("cli_compact")
+    (1L to 500L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartition(8).write.parquet(s"$dir/t")
+    Main.run(spark, "compact", Map("dir" -> s"$dir/t"))
+    assert(spark.read.parquet(s"$dir/t").inputFiles.length === 1)
+    assert(spark.read.parquet(s"$dir/t").count() === 500L)
+  }
+
   test("unknown template rejected") {
     intercept[IllegalArgumentException](Main.run(spark, "nope", Map.empty))
   }
