@@ -197,6 +197,39 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermark drops late data: an event older than the watermark never surfaces") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Long, Double)]
+    val streamDf = mem.toDF.toDF("ts", "event_type", "user_id", "value")
+    // 10-minute windows, 10-minute watermark, APPEND mode: a window only
+    // emits once the watermark passes its end, and later rows below the
+    // watermark must be discarded — the state-bounding contract that
+    // keeps a 100 TB/day stream's store finite.
+    val q = EventStream.windowedCounts(streamDf,
+        windowLen = "10 minutes", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("late_drop")
+      .outputMode("append").start()
+    try {
+      mem.addData((ts("2026-01-01T00:01:00Z"), "click", 1L, 1.0))
+      q.processAllAvailable()
+      // advance event time far past 00:10 + watermark -> first window closes
+      mem.addData((ts("2026-01-01T01:00:00Z"), "click", 1L, 1.0))
+      q.processAllAvailable()
+      val closed = spark.table("late_drop")
+        .filter(col("window_start") === ts("2026-01-01T00:00:00Z"))
+        .select("n").as[Long].collect()
+      assert(closed === Array(1L))
+      // a late event inside the CLOSED window (far below the watermark)
+      mem.addData((ts("2026-01-01T00:02:00Z"), "click", 1L, 99.0))
+      q.processAllAvailable()
+      val after = spark.table("late_drop")
+        .filter(col("window_start") === ts("2026-01-01T00:00:00Z"))
+        .select("n").as[Long].collect()
+      assert(after === Array(1L), "late row must be dropped, not re-emitted")
+    } finally q.stop()
+  }
+
   test("session_window parity precondition: no exact-gap event pair in the gate data") {
     // st_session_window's oracle (lag formulation, > gap starts new) and
     // Spark's session_window (strict <, exact-gap starts new) disagree
