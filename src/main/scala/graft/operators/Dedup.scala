@@ -177,26 +177,30 @@ object Dedup {
     * fingerprint is the sign of Σ_tokens cnt * (±1) where the ±1 is bit b
     * of the token's md5.
     *
-    * Shape: ONE aggregation over (doc, token) rows with `bits` parallel
-    * sum columns — the bit index is unrolled into the aggregate list
-    * instead of cross-joined into a bits× row blowup (the naive form
-    * shuffles 48× the token rows; this shuffles them once). Integer sums,
-    * so the result is exactly the same. */
+    * Shape: ENTIRELY IN-ROW — md5 once per token instance (`transform`),
+    * then one fold per bit over the in-row hash array. Folding ±1 over
+    * token INSTANCES equals the frequency-weighted sum over distinct
+    * tokens (cnt·(±1) is just ±1 repeated cnt times, and integer sums
+    * are order-free), so the values are bit-identical to the earlier
+    * (doc, token) count + 48-way sum aggregate while shuffling NOTHING
+    * (that form exchanged every distinct token row; same per-token bit
+    * arithmetic either way). */
   def simhash(df0: DataFrame, idCol: String, textCol: String,
               bits: Int = 48): DataFrame = {
     require(bits <= 48, "bits must fit pigeonhole chunks in a signed long")
     val df = widen(df0)
-    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("w"))
-      .groupBy(col(idCol), col("w"))
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("h", md5(col("w")))
-    // b is a compile-time constant per column → the hex-digit arithmetic
-    // constant-folds (substring position and power are literals).
-    val scoreCols = (0 until bits).map { b =>
-      sum(when(expr(md5BitSql("h", b.toString) + " = 1"), col("cnt"))
-        .otherwise(-col("cnt"))).as(s"s$b")
+    // bit b of hex-digit 1 + b/4 (positions are compile-time literals,
+    // so the substring/conv arithmetic constant-folds per column)
+    def contrib(h: Column, b: Int): Column = {
+      val digit = conv(h.substr(lit(1 + b / 4), lit(1)), 16, 10).cast("int")
+      when(shiftright(digit, b % 4).bitwiseAND(lit(1)) === 1, 1L).otherwise(-1L)
     }
-    val scored = tok.groupBy(col(idCol)).agg(scoreCols.head, scoreCols.tail: _*)
+    val scored = df
+      .select(col(idCol), transform(tokens(col(textCol)), w => md5(w)).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col(idCol) +: (0 until bits).map { b =>
+        aggregate(col("hs"), lit(0L), (acc, h) => acc + contrib(h, b)).as(s"s$b")
+      }: _*)
     val sim = (0 until bits).map { b =>
       when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
