@@ -74,6 +74,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("graft_hyperplane_bucket"))
   }
 
+  test("minhash signatures are exchange-free (in-row array_min folds)") {
+    val plan = physicalPlan(
+      graft.operators.Dedup.minhashSignatureArray(docs, "doc_id", "text"))
+    assert(!plan.contains("Exchange"))
+  }
+
+  test("simhash is exchange-free (in-row per-bit folds)") {
+    val plan = physicalPlan(
+      graft.operators.Dedup.simhash(docs, "doc_id", "text"))
+    assert(!plan.contains("Exchange"))
+  }
+
   test("bm25TopK: broadcast stats row + TakeOrdered top-k, no corpus shuffle join") {
     val corpus = spark.range(1, 201).select(col("id").as("doc_id"),
       concat_ws(" ", lit("alpha"), col("id").cast("string"),
