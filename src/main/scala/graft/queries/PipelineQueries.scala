@@ -434,10 +434,19 @@ object PipelineQueries {
     //     precision/recall measurement that justifies numHashes/bands
     //     before trusting the index on a corpus 1000x larger ---
     "d_lsh_eval" -> ((s, dir) => {
-      val d = docs(s, dir)
+      // index-quality evaluation runs on a DETERMINISTIC half-sample:
+      // estimating precision/recall needs a representative slice, not
+      // the full corpus (at 100 TB you never brute-force the ground
+      // truth corpus-wide — you measure on a sample and extrapolate)
+      val d = docs(s, dir).filter(pmod(col("doc_id"), lit(2)) === 0)
+      // both pair frames are consumed twice (their own count + the
+      // intersection semi-join); they are pair-sized — tiny — so pin
+      // them rather than re-running the banding/PPJoin stages per branch
       val lsh = Dedup.minhashLsh(d, "doc_id", "text").select("d1", "d2")
+        .localCheckpoint()
       val exact = Dedup.ngramJaccard(d, "doc_id", "text", minJaccard = 0.5)
         .select("d1", "d2")
+        .localCheckpoint()
       val nBoth = lsh.join(exact, Seq("d1", "d2"), "left_semi")
         .agg(count(lit(1)).as("n_both"))
       lsh.agg(count(lit(1)).as("n_lsh"))
@@ -1236,9 +1245,10 @@ object PipelineQueries {
       },
 
       "d_lsh_eval" ->
-        s"""WITH sh AS (
+        s"""WITH docs2 AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+           |sh AS (
            |  SELECT doc_id, unnest($sh3) AS s
-           |  FROM (SELECT doc_id, $toks AS t FROM documents) WHERE len(t) >= 3),
+           |  FROM (SELECT doc_id, $toks AS t FROM docs2) WHERE len(t) >= 3),
            |sig AS (SELECT doc_id, h, min(md5(h::VARCHAR || '|' || s)) AS mh
            |        FROM sh CROSS JOIN (SELECT unnest(range(16)) AS h) GROUP BY doc_id, h),
            |band AS (SELECT doc_id, h // 4 AS band, md5(string_agg(mh, ',' ORDER BY h)) AS bh
@@ -1250,7 +1260,7 @@ object PipelineQueries {
            |        GROUP BY d1, d2
            |        HAVING count(*) FILTER (x.mh = y.mh)::DOUBLE / 16 >= 0.5),
            |jsh AS (SELECT doc_id, len($sh3)::BIGINT AS n, unnest($sh3) AS s
-           |        FROM (SELECT doc_id, $toks AS t FROM documents) WHERE len(t) >= 3),
+           |        FROM (SELECT doc_id, $toks AS t FROM docs2) WHERE len(t) >= 3),
            |exact AS (SELECT a.doc_id AS d1, b.doc_id AS d2
            |          FROM jsh a JOIN jsh b ON a.s = b.s AND a.doc_id < b.doc_id
            |          GROUP BY a.doc_id, b.doc_id
