@@ -302,6 +302,59 @@ object CoreQueries {
         .orderBy("bucket")
     }),
 
+    // Peak concurrent sessions per day — a DISTRIBUTED sweep-line: the
+    // global running-count sweep would serialize into one partition, so
+    // the sweep is partitioned by day with a straddle-correction base
+    // (sessions already open at each day's start), and each day's peak =
+    // base + max intra-day running delta. +1 points order before -1 at
+    // the same instant, so touching sessions count as concurrent and the
+    // max is permutation-independent.
+    "q_peak_concurrency" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val sess = graft.streaming.EventStream.sessionizeBatch(t(s, dir, "events"))
+        .select(col("user_id"), col("session_start"), col("session_end"))
+      val pts = sess.select(explode(array(
+          struct(col("session_start").as("ts"), lit(1L).as("delta")),
+          struct(col("session_end").as("ts"), lit(-1L).as("delta")))).as("p"))
+        .select(to_date(col("p.ts")).as("day"), col("p.ts").as("ts"),
+          col("p.delta").as("delta"))
+      val days = pts.select("day").distinct()
+      val base = days.join(sess,
+          col("session_start") < col("day").cast("timestamp") &&
+            col("session_end") >= col("day").cast("timestamp"), "left")
+        .groupBy("day")
+        .agg(count(col("user_id")).as("base"))
+      val w = Window.partitionBy("day").orderBy(col("ts").asc, col("delta").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      pts.withColumn("run", sum(col("delta")).over(w))
+        .groupBy("day").agg(max(col("run")).as("max_run"))
+        .join(base, "day")
+        .select(col("day"), (col("base") + col("max_run")).as("peak"))
+        .orderBy("day")
+    }),
+
+    // Calendar gap-filling + forward fill: every day in each user's
+    // active range exists in the output, missing days carry the last
+    // observed value forward — the densification step before any
+    // time-series model sees the data. Day generation is an in-row
+    // `sequence` explode; the fill is one window pass.
+    "q_gap_fill" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = t(s, dir, "events")
+        .filter(col("user_id") <= 20)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(sum(col("value").cast("decimal(18,6)")).cast("double").as("day_value"))
+      val days = daily.groupBy("user_id")
+        .agg(min("day").as("d0"), max("day").as("d1"))
+        .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+      val w = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      days.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"), col("day_value"),
+          last(col("day_value"), ignoreNulls = true).over(w).as("filled"))
+        .orderBy("user_id", "day")
+    }),
+
     // Ordered funnel analysis (view → click → purchase): each stage's
     // timestamp is the first event AT OR AFTER the previous stage — the
     // product-analytics staple. Three keyed aggregates on user_id; the
@@ -494,6 +547,49 @@ object CoreQueries {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_peak_concurrency" ->
+      """WITH s AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 3600000000
+        |         THEN 1 ELSE 0 END AS ns
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |g AS (SELECT user_id, ts,
+        |  sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM s),
+        |sess AS (SELECT user_id, min(ts) AS session_start, max(ts) AS session_end
+        |         FROM g GROUP BY user_id, sid),
+        |pts AS (
+        |  SELECT session_start::DATE AS day, session_start AS ts, 1 AS delta FROM sess
+        |  UNION ALL
+        |  SELECT session_end::DATE, session_end, -1 FROM sess),
+        |days AS (SELECT DISTINCT day FROM pts),
+        |base AS (SELECT day, count(se.user_id) AS base
+        |         FROM days LEFT JOIN sess se
+        |           ON se.session_start < day::TIMESTAMP AND se.session_end >= day::TIMESTAMP
+        |         GROUP BY day),
+        |runs AS (SELECT day, sum(delta) OVER (
+        |    PARTITION BY day ORDER BY ts, delta DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |  FROM pts)
+        |SELECT r.day, CAST(b.base + max(r.run) AS BIGINT) AS peak
+        |FROM runs r JOIN base b ON b.day = r.day
+        |GROUP BY r.day, b.base ORDER BY r.day""".stripMargin,
+    "q_gap_fill" ->
+      """WITH daily AS (
+        |  SELECT user_id, ts::DATE AS day,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS day_value
+        |  FROM events WHERE user_id <= 20 GROUP BY user_id, ts::DATE),
+        |span AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+        |         FROM daily GROUP BY user_id),
+        |days AS (SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+        |         FROM span)
+        |SELECT d.user_id, d.day, dv.day_value,
+        |  last_value(dv.day_value IGNORE NULLS) OVER (
+        |    PARTITION BY d.user_id ORDER BY d.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        |FROM days d LEFT JOIN daily dv USING (user_id, day)
+        |ORDER BY user_id, day""".stripMargin,
     "q_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
         |           WHERE event_type = 'view' GROUP BY user_id),
