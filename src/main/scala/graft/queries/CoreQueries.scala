@@ -329,7 +329,11 @@ object CoreQueries {
       pts.withColumn("run", sum(col("delta")).over(w))
         .groupBy("day").agg(max(col("run")).as("max_run"))
         .join(base, "day")
-        .select(col("day"), (col("base") + col("max_run")).as("peak"))
+        // max_run can be NEGATIVE (a day whose only points are the ends
+        // of straddling sessions); the day's peak then occurs AT day
+        // start, before any point — hence the floor at 0
+        .select(col("day"),
+          (col("base") + greatest(col("max_run"), lit(0L))).as("peak"))
         .orderBy("day")
     }),
 
@@ -572,7 +576,7 @@ object CoreQueries {
         |    PARTITION BY day ORDER BY ts, delta DESC
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
         |  FROM pts)
-        |SELECT r.day, CAST(b.base + max(r.run) AS BIGINT) AS peak
+        |SELECT r.day, CAST(b.base + greatest(max(r.run), 0) AS BIGINT) AS peak
         |FROM runs r JOIN base b ON b.day = r.day
         |GROUP BY r.day, b.base ORDER BY r.day""".stripMargin,
     "q_gap_fill" ->
