@@ -391,6 +391,29 @@ object PipelineQueries {
         .orderBy("qid")
     }),
 
+    // --- k-NN label classification over embeddings: majority label of
+    //     the 5 exact nearest neighbors (vote count desc, label asc
+    //     tiebreak), scored against the true label — the standard
+    //     embedding-quality probe ---
+    "a_knn_classify" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") % 25 === 0)
+      val nn = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+      val votes = nn.join(
+          e.select(col("vec_id").as("nid"), col("label").as("n_label")), "nid")
+        .groupBy(col("qid"), col("n_label"))
+        .agg(count(lit(1)).as("n_votes"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("n_votes").desc, col("n_label").asc)
+      votes.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .join(e.select(col("vec_id").as("qid"), col("label").as("true_label")), "qid")
+        .select(col("qid"), col("n_label").as("pred_label"), col("n_votes"),
+          col("true_label"),
+          (col("n_label") === col("true_label")).as("correct"))
+        .orderBy("qid")
+    }),
+
     // --- corpus-relative novelty (inverse boilerplate detector) ---
     "t_novelty" -> ((s, dir) =>
       TextAnalysis.noveltyScore(docs(s, dir), "doc_id", "text")
@@ -1306,6 +1329,25 @@ object PipelineQueries {
            |  CAST(max(c) AS BIGINT) AS max_bucket,
            |  CAST(sum(c * (c - 1) // 2) AS BIGINT) AS n_cand_pairs
            |FROM bk GROUP BY band ORDER BY band""".stripMargin,
+
+      "a_knn_classify" ->
+        s"""WITH nn AS (
+           |  SELECT qid, nid FROM (
+           |    SELECT a.vec_id AS qid, b.vec_id AS nid,
+           |      row_number() OVER (PARTITION BY a.vec_id ORDER BY $cosAB DESC, b.vec_id) AS rk
+           |    FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+           |    WHERE a.vec_id % 25 = 0)
+           |  WHERE rk <= 5),
+           |votes AS (SELECT qid, e.label AS n_label, CAST(count(*) AS BIGINT) AS n_votes
+           |          FROM nn JOIN embeddings e ON e.vec_id = nn.nid
+           |          GROUP BY qid, e.label),
+           |top AS (SELECT qid, n_label, n_votes FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY n_votes DESC, n_label) AS rk
+           |  FROM votes) WHERE rk = 1)
+           |SELECT t.qid, t.n_label AS pred_label, t.n_votes, q.label AS true_label,
+           |  t.n_label = q.label AS correct
+           |FROM top t JOIN embeddings q ON q.vec_id = t.qid
+           |ORDER BY t.qid""".stripMargin,
 
       "t_mixture_sample" -> {
         val u = "(SELECT sum((strpos('0123456789abcdef', substring(h, i, 1)) - 1) * (16 ** (6 - i))) " +

@@ -78,6 +78,33 @@ class AnalyticsSpec extends SparkSpec {
     assert(peaks("2026-01-02") === 1L) // D alone, carried by the base
   }
 
+  test("cohort retention counts DISTINCT users per (cohort, offset)") {
+    val ev = Seq(
+      // user 1 first seen Jan 1, active Jan 1 (twice) and Jan 3
+      (1L, ts("2026-01-01 10:00:00")), (1L, ts("2026-01-01 11:00:00")),
+      (1L, ts("2026-01-03 10:00:00")),
+      // user 2 same cohort, active Jan 1 only
+      (2L, ts("2026-01-01 12:00:00")),
+      // user 3 later cohort Jan 2, active Jan 2 and Jan 3
+      (3L, ts("2026-01-02 09:00:00")), (3L, ts("2026-01-03 09:00:00"))
+    ).toDF("user_id", "ts")
+    val first = ev.groupBy("user_id").agg(to_date(min("ts")).as("cohort_day"))
+    val r = ev.join(first, "user_id")
+      .select(col("cohort_day"),
+        datediff(to_date(col("ts")), col("cohort_day")).cast("long").as("day_offset"),
+        col("user_id"))
+      .distinct()
+      .groupBy("cohort_day", "day_offset")
+      .agg(count(lit(1)).as("n_users"))
+      .collect().map(r => (r.getAs[java.sql.Date]("cohort_day").toString,
+        r.getAs[Long]("day_offset")) -> r.getAs[Long]("n_users")).toMap
+    assert(r === Map(
+      ("2026-01-01", 0L) -> 2L, // users 1+2 on day 0; user 1's double-visit counts once
+      ("2026-01-01", 2L) -> 1L, // user 1 returns on offset 2
+      ("2026-01-02", 0L) -> 1L,
+      ("2026-01-02", 1L) -> 1L))
+  }
+
   test("gap fill: missing days materialize and carry the last value forward") {
     val daily = Seq(
       (1L, java.sql.Date.valueOf("2026-01-01"), 5.0),
