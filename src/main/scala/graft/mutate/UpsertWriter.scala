@@ -60,22 +60,25 @@ object UpsertWriter {
     * read of the staged table just to count it would be a full extra scan
     * of the output per merge at scale. */
   private def swap(spark: SparkSession, path: String, next: DataFrame): Long = {
-    val staging = path + "__staging"
+    // siblings derive from the normalized Path (Hadoop strips trailing
+    // slashes) so a trailing-slash `path` cannot nest them inside the
+    // live table (same discipline as sinks.Compaction)
+    val p = new Path(path)
+    val staging = new Path(p.toString + "__staging")
     val obs = new org.apache.spark.sql.Observation()
     next.observe(obs, count(lit(1)).as("n"))
-      .write.mode(SaveMode.Overwrite).parquet(staging)
+      .write.mode(SaveMode.Overwrite).parquet(staging.toString)
     val n = obs.get("n").asInstanceOf[Long]
-    val fs = FileSystem.get(new Path(path).toUri, spark.sparkContext.hadoopConfiguration)
+    val fs = FileSystem.get(p.toUri, spark.sparkContext.hadoopConfiguration)
     // two checked renames (retire -> promote) instead of delete-then-
     // rename: the previous snapshot survives at a recoverable path until
     // the promote succeeds, and a failed rename raises instead of
-    // silently dropping the table (same discipline as sinks.Compaction)
-    val p = new Path(path)
-    val retired = new Path(path + "__old")
+    // silently dropping the table
+    val retired = new Path(p.toString + "__old")
     fs.delete(retired, true)
     if (fs.exists(p))
       require(fs.rename(p, retired), s"could not retire $p")
-    require(fs.rename(new Path(staging), p), s"could not promote $staging to $p")
+    require(fs.rename(staging, p), s"could not promote $staging to $p")
     fs.delete(retired, true)
     n
   }

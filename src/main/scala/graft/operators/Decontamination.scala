@@ -24,38 +24,35 @@ object Decontamination {
     * with ANY benchmark doc reaches `minFrac`:
     * (id, n_contaminated, n_shingles, contamination).
     *
-    * Cache lifetime: the internal shingle frame is `cache()`d (three join
-    * branches consume it) and, like [[Dedup.hashedShingleSets]], lives
-    * until session end — the bench harness clears caches between queries;
-    * a long-lived pipeline should `spark.catalog.clearCache()` (or scope
-    * a session) once the returned frame is materialized. */
+    * One pass over the training corpus, no cache: the eval branch filters
+    * `evalPred` BEFORE tokenizing (benchmark data is KBs-to-MBs, so that
+    * scan is negligible), and the totals + overlap counts fold into a
+    * single left-outer join against the broadcast eval set followed by
+    * one conditional aggregate — `count(*)` for the doc's shingles,
+    * `count(hit)` for the contaminated ones. */
   def flagContaminated(df0: DataFrame, idCol: String, textCol: String,
                        evalPred: Column, k: Int = 3,
                        minFrac: Double = 0.05): DataFrame = {
     val df = Dedup.widen(df0)
     // 8-byte hashed shingles (see Dedup.shingleHash): the overlap join
     // keys and the broadcast eval set carry longs, not shingle strings
-    // cached: three branches consume sh (eval set, per-doc totals, and
-    // the overlap join) and none share an exchange — uncached, the
-    // tokenize→shingle→hash pipeline would run three times
-    val sh = df.select(col(idCol), evalPred.as("is_eval"),
-        tokens(col(textCol)).as("toks"))
+    def shingleStream(d: DataFrame): DataFrame = d
+      .select(col(idCol), tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= k)
-      .select(col(idCol), col("is_eval"),
-        explode(array_distinct(transform(
-          shingles(col("toks"), k), Dedup.shingleHash(_)))).as("s"))
-      .cache()
-    val evalSh = broadcast(sh.filter(col("is_eval")).select("s").distinct())
-    val train = sh.filter(!col("is_eval"))
+      .select(col(idCol), explode(array_distinct(transform(
+        shingles(col("toks"), k), Dedup.shingleHash(_)))).as("s"))
+    val evalSh = broadcast(shingleStream(df.filter(evalPred))
+      .select("s").distinct().withColumn("hit", lit(1)))
     // shingles() emits DISTINCT shingles per doc, so count(*) counts the
-    // doc's distinct shingles (total) and its distinct contaminated ones.
-    val n = train.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
-    val bad = train.join(evalSh, "s")
-      .groupBy(col(idCol)).agg(count(lit(1)).as("n_contaminated"))
-    bad.join(n, idCol)
+    // doc's distinct shingles and count(hit) its distinct contaminated
+    // ones (the eval set is distinct — no row multiplication).
+    shingleStream(df.filter(!evalPred))
+      .join(evalSh, Seq("s"), "left_outer")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_contaminated"))
       .withColumn("contamination",
         round(col("n_contaminated").cast("double") / col("n_shingles"), 6))
-      .filter(col("contamination") >= minFrac)
+      .filter(col("n_contaminated") > 0 && col("contamination") >= minFrac)
       .select(idCol, "n_contaminated", "n_shingles", "contamination")
   }
 }

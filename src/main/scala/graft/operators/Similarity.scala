@@ -205,8 +205,13 @@ object Similarity {
       val tf = col(s"tf_$i").cast("double")
       val idf = log((col("n_docs").cast("double") - col(s"df_$i") + 0.5) /
         (col(s"df_$i") + 0.5) + 1.0)
+      // avgdl = 0 (every doc tokenizes empty) would make dl/avgdl 0/0 →
+      // NaN scores driving the top-k; guard to 0 so token-free corpora
+      // rank all-zero deterministically
       idf * (tf * (lit(k1) + lit(1.0))) /
-        (tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl").cast("double") / col("avgdl")))
+        (tf + lit(k1) * (lit(1.0) - lit(b) +
+          when(col("avgdl") > 0, lit(b) * col("dl").cast("double") / col("avgdl"))
+            .otherwise(lit(0.0))))
     }.reduce(_ + _)
     base.join(broadcast(stats))
       .select(col(idCol), col("dl"), round(score, 6).as("score"))

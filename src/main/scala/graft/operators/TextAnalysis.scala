@@ -359,16 +359,40 @@ object TextAnalysis {
     * by winnowing's density guarantee: ~2/(window+1) of positions), and
     * only (id, 32-char fp) pairs ever shuffle.
     *
+    * The self-join on `fp` is quadratic in a fingerprint's document
+    * frequency — a boilerplate fingerprint shared by 10^5 docs would
+    * yield 10^10 candidate pairs. `maxDf` is the CCNet-style posting-list
+    * cap that kills that blow-up: fingerprints with corpus df > maxDf
+    * (by definition boilerplate, not meaningful overlap signal) are
+    * dropped from the index BEFORE the join, mirroring the corpus-hot
+    * shingle exclusion of [[Dedup.rankedPostings]]. The default keeps
+    * every posting (exact semantics); any 100 TB run should set it.
+    *
     * Output: (d1, d2, n_shared) with d1 < d2. */
   def fingerprintOverlap(df0: DataFrame, idCol: String, textCol: String,
                          k: Int = 3, window: Int = 4,
-                         minShared: Int = 2): DataFrame = {
-    val fps = winnowed(df0, idCol, textCol, k, window)
-      .select(col(idCol), explode(array_distinct(col("fps"))).as("fp"))
+                         minShared: Int = 2,
+                         maxDf: Long = Long.MaxValue): DataFrame = {
+    val fps = fingerprintPostings(df0, idCol, textCol, k, window, maxDf)
     fps.select(col(idCol).as("d1"), col("fp"))
       .join(fps.select(col(idCol).as("d2"), col("fp")), "fp")
       .filter(col("d1") < col("d2"))
       .groupBy("d1", "d2").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+  }
+
+  /** (id, fp) posting list feeding [[fingerprintOverlap]], after the
+    * `maxDf` hot-fingerprint cap. Exposed for the planted hot-fp spec,
+    * which machine-checks that a boilerplate fingerprint present in half
+    * the corpus is excluded from the candidate join. */
+  private[graft] def fingerprintPostings(df0: DataFrame, idCol: String,
+                                         textCol: String, k: Int, window: Int,
+                                         maxDf: Long): DataFrame = {
+    val fps = winnowed(df0, idCol, textCol, k, window)
+      .select(col(idCol), explode(array_distinct(col("fps"))).as("fp"))
+    if (maxDf == Long.MaxValue) fps
+    else fps.join(
+      fps.groupBy("fp").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf).select("fp"), "fp")
   }
 }

@@ -19,6 +19,51 @@ object CoreQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     TableCatalog.load(s, dir, name)
 
+  /** Peak concurrent sessions per day — a DISTRIBUTED sweep-line over
+    * (user_id, session_start, session_end) rows. A single global
+    * running-count sweep would serialize into one partition, so the
+    * sweep is partitioned by day with a straddle-correction base
+    * (sessions already open at each day's start), and each day's peak =
+    * base + max intra-day running delta. +1 points order before -1 at
+    * the same instant, so touching sessions count as concurrent and the
+    * max is permutation-independent.
+    *
+    * The base is NOT an inequality join of days × sessions (which plans
+    * as a BroadcastNestedLoopJoin — O(sessions × days) comparisons): a
+    * session is open at day-start D iff it starts on a day < D and ends
+    * on a day >= D (a timestamp >= midnight(D) iff its date >= D), so
+    * Base(D) = Σ_{day < D} (starts(day) − ends(day)) — a per-day delta
+    * aggregate (one row per active day) followed by an
+    * exclusive-running-sum window over that tiny day frame. The spec
+    * machine-checks the executed plan contains no nested-loop join. */
+  def peakConcurrency(sessions: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sess = sessions.select(col("user_id"), col("session_start"), col("session_end"))
+    val pts = sess.select(explode(array(
+        struct(col("session_start").as("ts"), lit(1L).as("delta")),
+        struct(col("session_end").as("ts"), lit(-1L).as("delta")))).as("p"))
+      .select(to_date(col("p.ts")).as("day"), col("p.ts").as("ts"),
+        col("p.delta").as("delta"))
+    // every session start/end day is a point day, so the day frame covers
+    // all days whose prior deltas matter; the single-partition window is
+    // over one row per day (~3.7k rows for ten years), not over sessions
+    val wd = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    val base = pts.groupBy("day").agg(sum(col("delta")).as("net"))
+      .withColumn("base", coalesce(sum(col("net")).over(wd), lit(0L)))
+      .select("day", "base")
+    val w = Window.partitionBy("day").orderBy(col("ts").asc, col("delta").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pts.withColumn("run", sum(col("delta")).over(w))
+      .groupBy("day").agg(max(col("run")).as("max_run"))
+      .join(base, "day")
+      // max_run can be NEGATIVE (a day whose only points are the ends
+      // of straddling sessions); the day's peak then occurs AT day
+      // start, before any point — hence the floor at 0
+      .select(col("day"),
+        (col("base") + greatest(col("max_run"), lit(0L))).as("peak"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // S1/P14: --SPLITTER-- manual parallelism → unionByName.
@@ -302,40 +347,8 @@ object CoreQueries {
         .orderBy("bucket")
     }),
 
-    // Peak concurrent sessions per day — a DISTRIBUTED sweep-line: the
-    // global running-count sweep would serialize into one partition, so
-    // the sweep is partitioned by day with a straddle-correction base
-    // (sessions already open at each day's start), and each day's peak =
-    // base + max intra-day running delta. +1 points order before -1 at
-    // the same instant, so touching sessions count as concurrent and the
-    // max is permutation-independent.
-    "q_peak_concurrency" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val sess = graft.streaming.EventStream.sessionizeBatch(t(s, dir, "events"))
-        .select(col("user_id"), col("session_start"), col("session_end"))
-      val pts = sess.select(explode(array(
-          struct(col("session_start").as("ts"), lit(1L).as("delta")),
-          struct(col("session_end").as("ts"), lit(-1L).as("delta")))).as("p"))
-        .select(to_date(col("p.ts")).as("day"), col("p.ts").as("ts"),
-          col("p.delta").as("delta"))
-      val days = pts.select("day").distinct()
-      val base = days.join(sess,
-          col("session_start") < col("day").cast("timestamp") &&
-            col("session_end") >= col("day").cast("timestamp"), "left")
-        .groupBy("day")
-        .agg(count(col("user_id")).as("base"))
-      val w = Window.partitionBy("day").orderBy(col("ts").asc, col("delta").desc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      pts.withColumn("run", sum(col("delta")).over(w))
-        .groupBy("day").agg(max(col("run")).as("max_run"))
-        .join(base, "day")
-        // max_run can be NEGATIVE (a day whose only points are the ends
-        // of straddling sessions); the day's peak then occurs AT day
-        // start, before any point — hence the floor at 0
-        .select(col("day"),
-          (col("base") + greatest(col("max_run"), lit(0L))).as("peak"))
-        .orderBy("day")
-    }),
+    "q_peak_concurrency" -> ((s, dir) =>
+      peakConcurrency(graft.streaming.EventStream.sessionizeBatch(t(s, dir, "events")))),
 
     // Calendar gap-filling + forward fill: every day in each user's
     // active range exists in the output, missing days carry the last

@@ -50,8 +50,12 @@ object Compaction {
     val want = math.max(1L, if (total == 0) 1L else (total - 1) / targetBytes + 1).toInt
     if (parts.length <= want)
       return Result(parts.length, parts.length, total, skipped = true)
-    val staging = new Path(dir + "__compacting")
-    val retired = new Path(dir + "__old")
+    // siblings derive from the normalized Path (Hadoop strips trailing
+    // slashes): raw `dir + suffix` with a trailing-slash dir would NEST
+    // both inside the live table, and the retire rename would then move
+    // the staging data with the old files
+    val staging = new Path(p.toString + "__compacting")
+    val retired = new Path(p.toString + "__old")
     spark.read.parquet(dir).coalesce(want)
       .write.mode(SaveMode.Overwrite).parquet(staging.toString)
     // two checked renames instead of delete-then-rename: the data always

@@ -31,6 +31,17 @@ class DegenerateInputSpec extends SparkSpec {
     assert(r.isEmpty)
   }
 
+  test("bm25TopK on a corpus where every doc tokenizes empty yields finite zero scores") {
+    // avgdl = 0 here; unguarded, dl/avgdl is 0/0 -> NaN scores and a
+    // NaN-driven top-k whose order diverges from DuckDB's
+    val empties = Seq((1L, ""), (2L, "   "), (3L, "")).toDF("doc_id", "text")
+    val r = Similarity.bm25TopK(empties, "doc_id", "text", terms = Seq("alpha"))
+      .collect()
+    assert(r.length === 3)
+    assert(r.forall(x => x.getAs[Double]("score") == 0.0))
+    assert(r.map(_.getAs[Long]("doc_id")).toSeq === Seq(1L, 2L, 3L))
+  }
+
   test("connected components on an empty edge list returns no vertices") {
     val edges = Seq.empty[(Long, Long)].toDF("d1", "d2")
     assert(ConnectedComponents.components(edges, "d1", "d2").isEmpty)

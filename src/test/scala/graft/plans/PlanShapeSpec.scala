@@ -108,6 +108,49 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"))
   }
 
+  test("peakConcurrency's day-start base is a delta aggregate, not a days×sessions nested loop") {
+    val ts = (h: Long) => new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime + h * 3600 * 1000L)
+    val sessions = (1L to 50L)
+      .map(i => (i, ts(i), ts(i + 30))) // 30h sessions straddle day starts
+      .toDF("user_id", "session_start", "session_end")
+    val df = graft.queries.CoreQueries.peakConcurrency(sessions)
+    val rows = df.collect() // drive the SAME QueryExecution the assertion reads
+    assert(rows.nonEmpty)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoopJoin"), "base must not plan as a BNLJ")
+    // semantic anchor: with 30h sessions starting hourly, day 2 opens
+    // with sessions 1..24 minus those ended before hour 24 (+30h ends ⇒
+    // none) — base correctness is fully oracle-gated; here we just pin
+    // that straddlers are counted at all
+    assert(rows.map(_.getAs[Long]("peak")).max >= 24L)
+  }
+
+  test("fingerprintOverlap's maxDf cap drops a boilerplate fingerprint shared by half the corpus") {
+    // half the docs open with the same 7-token boilerplate run (>=
+    // window+k-1 = 6 tokens guarantees a shared winnowing fingerprint);
+    // unguarded, that fingerprint alone would contribute ~50² candidate
+    // pairs to the self-join
+    val boiler = (1 to 7).map(i => s"b$i").mkString(" ")
+    val hotDocs = (1 to 100).map { i =>
+      val filler = (1 to 12).map(j => s"w${i}x$j").mkString(" ")
+      (i.toLong, if (i % 2 == 0) s"$boiler $filler" else filler)
+    }.toDF("doc_id", "text")
+    val full = TextAnalysis.fingerprintPostings(
+      hotDocs, "doc_id", "text", k = 3, window = 4, maxDf = Long.MaxValue)
+    val hotDf = full.groupBy("fp").count().agg(max("count")).as[Long].head()
+    assert(hotDf >= 50L, "planted boilerplate fingerprint must be corpus-hot")
+    val capped = TextAnalysis.fingerprintPostings(
+      hotDocs, "doc_id", "text", k = 3, window = 4, maxDf = 10L)
+    val cappedMax = capped.groupBy("fp").count().agg(max("count")).as[Long].head()
+    assert(cappedMax <= 10L, "no posting list may exceed maxDf after the cap")
+    // candidate volume Σ df(fp)² is now bounded by maxDf · |postings|;
+    // with the boilerplate fps gone the overlap join yields no pairs
+    // among the planted docs (their filler is unique)
+    assert(TextAnalysis.fingerprintOverlap(
+      hotDocs, "doc_id", "text", maxDf = 10L).isEmpty)
+  }
+
   test("zOrderCluster is exactly one range exchange (the global-sort cost, nothing more)") {
     val df = spark.range(0, 1000).select(
       (col("id") % 32).as("x"), (col("id") / 32).as("y"))
