@@ -497,6 +497,59 @@ object Dedup {
         concat_ws(" ", transform(col("kept"), s => s.getField("txt"))).as("kept_text"))
   }
 
+  /** Exact substring dedup (Lee et al. 2022, arXiv:2107.06499 §ExactSubstr)
+    * at token granularity via the n-gram formulation: any repeated span of
+    * >= `n` tokens contains a repeated n-gram at every offset, and a
+    * repeated n-gram IS a repeated n-token span — so removing every token
+    * covered by an n-gram whose TOTAL corpus occurrence count exceeds 1
+    * (within-doc repeats included, as in the paper) removes exactly the
+    * corpus-wide repeated >= n-token spans. The paper builds a suffix
+    * array; on Spark the equivalent is three keyed equi-joins, which
+    * shard naturally:
+    *  - n-gram hashing is IN-ROW (`transform` over the token array);
+    *  - the corpus-wide occurrence count shuffles only 32-char hashes;
+    *  - the join-back shuffles (id, pos, hash) triples, never text;
+    *  - coverage + rebuild are in-row folds over the per-doc start list
+    *    (`filter((tok, i) => !exists(starts, ...))` — no token explode).
+    * No assumption that the repeated-gram set fits in memory.
+    *
+    * Output: (idCol, n_tokens, n_removed, kept_text) — kept_text is the
+    * surviving tokens re-joined (normalized token stream, as with
+    * [[commonSegmentRemoval]]). */
+  def exactSubstringDedup(df0: DataFrame, idCol: String, textCol: String,
+                          n: Int = 50): DataFrame = {
+    require(n > 0, s"span length must be positive, got $n")
+    val df = widen(df0)
+    val base = df.select(col(idCol), tokens(col(textCol)).as("t"))
+    val grams = base.select(col(idCol),
+      when(size(col("t")) >= n,
+        transform(sequence(lit(1), size(col("t")) - n + 1),
+          p => struct(p.as("pos"),
+            md5(concat_ws(" ", slice(col("t"), p, lit(n)))).as("h"))))
+        .otherwise(array().cast("array<struct<pos:int,h:string>>"))
+        .as("gs"))
+    val ex = grams.select(col(idCol), explode(col("gs")).as("g"))
+      .select(col(idCol), col("g.pos").as("pos"), col("g.h").as("h"))
+    // total occurrences, NOT distinct docs: a passage repeated inside one
+    // document is a repeated span too (Lee et al. remove those as well)
+    val dup = ex.groupBy("h").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select("h")
+    val starts = ex.join(dup, "h")
+      .groupBy(col(idCol)).agg(sort_array(collect_set(col("pos"))).as("starts"))
+    base.join(starts, Seq(idCol), "left")
+      .select(col(idCol), col("t"),
+        coalesce(col("starts"), array().cast("array<int>")).as("ss"))
+      // token at 1-based q is covered iff some repeated gram starts in
+      // (q-n, q] — i.e. exists s: s <= q < s + n
+      .withColumn("kept", filter(col("t"),
+        (tok, i) => !exists(col("ss"),
+          s => s <= i + 1 && i + 1 < s + n)))
+      .select(col(idCol),
+        size(col("t")).cast("long").as("n_tokens"),
+        (size(col("t")) - size(col("kept"))).cast("long").as("n_removed"),
+        concat_ws(" ", col("kept")).as("kept_text"))
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup over
     * an embedding column — k-means clusters the corpus, then a vector is
     * dropped iff some LOWER-id vector in the SAME cluster has cosine >=

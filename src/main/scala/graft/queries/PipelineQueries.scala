@@ -432,6 +432,12 @@ object PipelineQueries {
           segLen = 10, minDocs = 2)
         .orderBy("doc_id")),
 
+    // --- exact substring dedup (Lee et al. 2022): tokens covered by any
+    //     corpus-wide repeated 8-gram removed, docs rebuilt ---
+    "d_substring_dedup" -> ((s, dir) =>
+      Dedup.exactSubstringDedup(docs(s, dir), "doc_id", "text", n = 8)
+        .orderBy("doc_id")),
+
     // --- SemDeDup: k-means-blocked semantic near-dup removal over the
     //     embedding column (trained quantizer; keep the lowest id) ---
     "d_semantic_dedup" -> ((s, dir) =>
@@ -1153,6 +1159,24 @@ object PipelineQueries {
            |  count(k.idx)::BIGINT AS n_kept,
            |  coalesce(string_agg(k.txt, ' ' ORDER BY k.idx), '') AS kept_text
            |FROM base b LEFT JOIN keep k USING (doc_id)
+           |GROUP BY b.doc_id, len(b.t) ORDER BY doc_id""".stripMargin,
+
+      "d_substring_dedup" ->
+        s"""WITH base AS (SELECT doc_id, $toks AS t FROM documents),
+           |g AS (SELECT doc_id, p, md5(array_to_string(t[p : p + 7], ' ')) AS h
+           |      FROM base, unnest(range(1, len(t) - 6)) AS u(p)),
+           |dup AS (SELECT h FROM g GROUP BY h HAVING count(*) > 1),
+           |tok AS (SELECT doc_id, i AS q, t[i] AS w
+           |        FROM base, unnest(range(1, len(t) + 1)) AS u(i)),
+           |cov AS (SELECT DISTINCT g.doc_id, q
+           |        FROM g JOIN dup USING (h), unnest(range(g.p, g.p + 8)) AS u(q)),
+           |kept AS (SELECT tok.doc_id, tok.q AS q, w FROM tok
+           |         LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.q = cov.q
+           |         WHERE cov.q IS NULL)
+           |SELECT b.doc_id, len(b.t)::BIGINT AS n_tokens,
+           |  (len(b.t) - count(k.q))::BIGINT AS n_removed,
+           |  coalesce(string_agg(k.w, ' ' ORDER BY k.q), '') AS kept_text
+           |FROM base b LEFT JOIN kept k USING (doc_id)
            |GROUP BY b.doc_id, len(b.t) ORDER BY doc_id""".stripMargin,
 
       "d_semantic_dedup" -> {
