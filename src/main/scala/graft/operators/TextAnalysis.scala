@@ -205,6 +205,71 @@ object TextAnalysis {
       .filter(col("rk") <= topK)
   }
 
+  /** Iterative BPE merge training (Sennrich et al. 2016, arXiv:1508.07909):
+    * `rounds` rounds of (count adjacent symbol pairs weighted by word
+    * frequency → take the most frequent pair, ties broken
+    * lexicographically → greedily merge its non-overlapping occurrences
+    * left-to-right in every word). Completes the tokenizer-prep story
+    * [[bpeMergePairs]] (first merge only) gestures at.
+    *
+    * Scale shape: the corpus collapses ONCE to the distinct
+    * word-frequency table (one shuffle keyed by word — the same reduction
+    * every real BPE trainer performs, since merge decisions depend only
+    * on (word, freq)); each round then runs one keyed pair-count
+    * aggregate over that table, collects exactly ONE row (the argmax —
+    * model-sized driver data), and applies the merge as an in-row
+    * `aggregate` fold over each word's symbol array. The fold IS greedy
+    * left-to-right: a just-merged symbol a||b can never re-match the
+    * round's left side a (a||b = a would need b empty). The word table is
+    * `localCheckpoint`ed per round so lineage stays flat across rounds
+    * (same discipline as [[ConnectedComponents]]).
+    *
+    * Output: (rk, lhs, rhs, cnt) — merge table in training order,
+    * rk 1-based; may stop short of `rounds` if no pair repeats. */
+  def bpeTrain(df0: DataFrame, textCol: String, rounds: Int = 5): DataFrame = {
+    require(rounds > 0, s"rounds must be positive, got $rounds")
+    val spark = df0.sparkSession
+    import spark.implicits._
+    var cur = Dedup.widen(df0)
+      .select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(col("freq"),
+        transform(sequence(lit(1), length(col("w"))),
+          i => col("w").substr(i, lit(1))).as("sy"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val top = cur
+        .filter(size(col("sy")) >= 2)
+        .select(col("freq"), explode(transform(
+          sequence(lit(1), size(col("sy")) - 1),
+          i => struct(element_at(col("sy"), i).as("a"),
+            element_at(col("sy"), i + 1).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, cnt) = (top(0).getAs[String]("a"),
+          top(0).getAs[String]("b"), top(0).getAs[Long]("cnt"))
+        merges += ((r.toLong, a, b, cnt))
+        cur = cur.withColumn("sy",
+          aggregate(col("sy"), array().cast("array<string>"),
+            (acc, x) => when(
+              size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
+              concat(slice(acc, lit(1), size(acc) - 1),
+                array(concat(element_at(acc, -1), x))))
+              .otherwise(concat(acc, array(x)))))
+          .localCheckpoint()
+        r += 1
+      }
+    }
+    merges.toSeq.toDF("rk", "lhs", "rhs", "cnt")
+  }
+
   /** Corpus-relative novelty: the fraction of a document's distinct
     * k-shingles that appear in NO other document — high novelty marks
     * original content, low novelty marks boilerplate/template text (the

@@ -361,6 +361,12 @@ object PipelineQueries {
       TextAnalysis.bpeMergePairs(docs(s, dir), "lang", "text", topK = 10)
         .orderBy("lang", "rk")),
 
+    // --- iterative BPE trainer: first 5 merges over the corpus word-
+    //     frequency table (greedy left-to-right merge application) ---
+    "t_bpe_train" -> ((s, dir) =>
+      TextAnalysis.bpeTrain(docs(s, dir), "text", rounds = 5)
+        .orderBy("rk")),
+
     // --- per-language bigram collocations (between vocab unigrams and
     //     BPE char pairs) ---
     "t_ngram_topk" -> ((s, dir) =>
@@ -550,6 +556,46 @@ object PipelineQueries {
     val cosAB = "round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / " +
       "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * " +
       "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6)"
+
+    // t_bpe_train: one CTE block per training round. The greedy
+    // left-to-right merge is the gaps-and-islands parity selection —
+    // selected(i) = match(i) && !selected(i-1) resolves to "even offset
+    // within each maximal run of consecutive match positions" (runs
+    // longer than 1 only occur for self-pairs like (a,a)); consumed
+    // rows (right partner of a selected merge) are lag(sel).
+    def bpeRound(r: Int): String = {
+      val prev = s"w${r - 1}"
+      s"""p$r AS (SELECT sy[i] AS a, sy[i+1] AS b, sum(freq) AS cnt
+         |      FROM $prev, unnest(range(1, len(sy))) AS u(i) GROUP BY 1, 2),
+         |m$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+         |e$r AS (SELECT w, freq, i, sy[i] AS s,
+         |      (i < len(sy) AND sy[i] = (SELECT a FROM m$r)
+         |        AND sy[i+1] = (SELECT b FROM m$r)) AS mt
+         |      FROM $prev, unnest(range(1, len(sy) + 1)) AS u(i)),
+         |g$r AS (SELECT *, sum(CASE WHEN mt THEN 0 ELSE 1 END)
+         |        OVER (PARTITION BY w ORDER BY i) AS grp FROM e$r),
+         |s$r AS (SELECT *, mt AND ((i - min(CASE WHEN mt THEN i END)
+         |        OVER (PARTITION BY w, grp)) % 2 = 0) AS sel FROM g$r),
+         |w$r AS (SELECT w, freq, list(sym ORDER BY i) AS sy FROM (
+         |        SELECT w, freq, i,
+         |          CASE WHEN sel THEN s || (SELECT b FROM m$r) ELSE s END AS sym,
+         |          coalesce(lag(sel) OVER (PARTITION BY w ORDER BY i), false) AS consumed
+         |        FROM s$r)
+         |      WHERE NOT consumed GROUP BY w, freq)""".stripMargin
+    }
+    val bpeTrainSql = {
+      val rounds = 5
+      s"""WITH w0 AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS freq,
+         |    list_transform(range(1, length(w) + 1), i -> substring(w, i, 1)) AS sy
+         |  FROM (SELECT unnest($toks) AS w FROM documents) GROUP BY w),
+         |""".stripMargin +
+        (1 to rounds).map(bpeRound).mkString(",\n") + "\n" +
+        (1 to rounds).map(r =>
+          s"SELECT $r::BIGINT AS rk, a AS lhs, b AS rhs, cnt::BIGINT AS cnt FROM m$r")
+          .mkString("\nUNION ALL ") +
+        "\nORDER BY rk"
+    }
 
     Map(
       "d_exact_dedup" ->
@@ -1092,6 +1138,8 @@ object PipelineQueries {
            |  count(*) AS n_docs
            |FROM documents GROUP BY lang, (len($toks)::BIGINT // 32 * 32)
            |ORDER BY lang, bucket_lo""".stripMargin,
+
+      "t_bpe_train" -> bpeTrainSql,
 
       "t_bpe_merge" ->
         s"""WITH tok AS (SELECT lang, unnest($toks) AS w FROM documents),

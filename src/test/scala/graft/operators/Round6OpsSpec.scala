@@ -34,6 +34,32 @@ class Round6OpsSpec extends SparkSpec {
     assert(byId(5L) === ((4L, 0L, "too short to gram")))
   }
 
+  test("bpeTrain reproduces the hand-derived merge sequence on the classic low/lower/lowest corpus") {
+    // words: low x3, lower x1, lowest x1. Round-by-round by hand:
+    // 1: (l,o)=5 ties (o,w)=5, lex tiebreak -> (l,o)   2: (lo,w)=5
+    // 3: (low,e)=2   4: all-1 tie -> lex (lowe,r)      5: (lowe,s)
+    val docs = Seq((1L, "low low lower"), (2L, "low lowest")).toDF("doc_id", "text")
+    val r = TextAnalysis.bpeTrain(docs, "text", rounds = 5)
+      .orderBy("rk").collect()
+      .map(x => (x.getAs[Long]("rk"), x.getAs[String]("lhs"),
+        x.getAs[String]("rhs"), x.getAs[Long]("cnt")))
+    assert(r.toSeq === Seq(
+      (1L, "l", "o", 5L), (2L, "lo", "w", 5L), (3L, "low", "e", 2L),
+      (4L, "lowe", "r", 1L), (5L, "lowe", "s", 1L)))
+  }
+
+  test("bpeTrain merges self-pairs greedily left-to-right and stops when no pair repeats") {
+    // aaaa x2: (a,a) has 3 adjacent occurrences per word but greedy
+    // merges positions (1,2) and (3,4) -> [aa,aa]; next round (aa,aa);
+    // then single-symbol words end training at round 2 of 5
+    val docs = Seq((1L, "aaaa"), (2L, "aaaa")).toDF("doc_id", "text")
+    val r = TextAnalysis.bpeTrain(docs, "text", rounds = 5)
+      .orderBy("rk").collect()
+      .map(x => (x.getAs[Long]("rk"), x.getAs[String]("lhs"),
+        x.getAs[String]("rhs"), x.getAs[Long]("cnt")))
+    assert(r.toSeq === Seq((1L, "a", "a", 6L), (2L, "aa", "aa", 2L)))
+  }
+
   test("exactSubstringDedup removes a passage repeated WITHIN one document") {
     // Lee et al. count total occurrences, not distinct docs: a doc that
     // repeats its own 8-token block twice loses both occurrences
