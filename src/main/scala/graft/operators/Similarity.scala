@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions.md5BitSql
@@ -112,6 +112,100 @@ object Similarity {
         Vectors.cosineNative(spark, col("qv"), col("nv")).as("cos"))
       .distinct() // a neighbor can surface via multiple probed centroids
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
+  /** Product-quantization codebooks (Jégou et al. 2011, TPAMI "Product
+    * Quantization for Nearest Neighbor Search"): the vector space splits
+    * into `m` contiguous subspaces and each gets its own `ks`-centroid
+    * quantizer, trained with the deterministic
+    * [[graft.operators.Vectors.kmeansTrain]] on the corpus subvectors
+    * (raw vectors, not coarse residuals — faiss's by_residual=false
+    * variant — which keeps the trained model independent of the coarse
+    * quantizer and oracle-checkable on its own). Model size: m × ks ×
+    * (dims/m) floats — driver/model-sized by construction. */
+  def pqTrain(corpus0: DataFrame, idCol: String, vecCol: String,
+              dims: Int, m: Int = 4, ks: Int = 4, iters: Int = 2)
+      : Seq[Seq[(Long, Array[Float])]] = {
+    require(m > 0 && dims % m == 0, s"dims=$dims must split into m=$m subspaces")
+    val sub = dims / m
+    val corpus = widen(corpus0)
+    (0 until m).map { s =>
+      Vectors.kmeansTrain(
+        corpus.select(col(idCol),
+          slice(col(vecCol), lit(s * sub + 1), lit(sub)).as("sv")),
+        idCol, "sv", ks, iters)
+    }
+  }
+
+  /** PQ reconstruction expression: per subspace, the in-row argmax of
+    * the subvector against the LITERAL codebook (6-dp cosine, lowest
+    * centroid id on ties — the same contract as every assignment in the
+    * ANN family), concatenated back to a dims-wide array. Codebooks are
+    * literals, not a broadcast join: encoding is pure projection inside
+    * whole-stage codegen — zero joins, zero shuffles on the corpus. */
+  private def pqRecon(v: Column, cbs: Seq[Seq[(Long, Array[Float])]],
+                      sub: Int): Column =
+    concat(cbs.zipWithIndex.map { case (cb, s) =>
+      val sv = slice(v, lit(s * sub + 1), lit(sub))
+      // max(struct(cos, -cid)) = highest cosine, then LOWEST cid
+      val best = array_max(array(cb.map { case (cid, cv) =>
+        struct(Vectors.cosine(sv, typedLit(cv.toSeq)).as("c"),
+          lit(-cid).as("nc"))
+      }: _*))
+      coalesce(cb.map { case (cid, cv) =>
+        when(best.getField("nc") === lit(-cid), typedLit(cv.toSeq))
+      }: _*)
+    }: _*)
+
+  /** IVF-PQ ANN: the [[ivfTopK]] inverted-list probe with candidates
+    * scored ASYMMETRICALLY — exact query vector against the candidate's
+    * PQ reconstruction (cosine decomposes over subspaces, so this equals
+    * the classic per-subspace ADC lookup-table sum; the reconstruction
+    * form stays in one codegen'd expression). This is what makes a
+    * 100 TB embedding store searchable: stored codes are m × log2(ks)
+    * bits per vector instead of dims × 32, and scoring never touches the
+    * original candidate vectors.
+    *
+    * Recall < 1 by construction (coarse probe misses + quantization
+    * error) — a_ann_ivfpq_recall measures it against the brute-force
+    * ground truth, the same harness the LSH and IVF paths carry. */
+  def ivfPqTopK(corpus0: DataFrame, queries: DataFrame,
+                idCol: String, vecCol: String, k: Int = 5,
+                nprobe: Int = 2, centroidEvery: Int = 100,
+                m: Int = 4, ks: Int = 4, iters: Int = 2): DataFrame = {
+    val corpus = widen(corpus0)
+    val dims = corpus.select(size(col(vecCol))).head.getInt(0)
+    require(m > 0 && dims % m == 0, s"dims=$dims must split into m=$m subspaces")
+    val sub = dims / m
+    val cbs = pqTrain(corpus, idCol, vecCol, dims, m, ks, iters)
+    val cent = broadcast(corpus.filter(col(idCol) % centroidEvery === 1)
+      .select(col(idCol).as("cid"), col(vecCol).as("cv")))
+    def nearestCentroids(df: DataFrame, outId: String, outVec: String, n: Int): DataFrame = {
+      val w = Window.partitionBy(outId)
+        .orderBy(col("ccos").desc, col("cid").asc)
+      df.crossJoin(cent)
+        .withColumn("ccos", Vectors.cosineNative(corpus0.sparkSession,
+          col(outVec), col("cv")))
+        .withColumn("crk", row_number().over(w))
+        .filter(col("crk") <= n)
+        .select(col(outId), col(outVec), col("cid"))
+    }
+    // candidate side carries ONLY its reconstruction forward (at real
+    // scale: only its codes) — the exact vector is dropped after encode
+    val assign = nearestCentroids(
+      corpus.select(col(idCol).as("nid"), col(vecCol).as("nv")), "nid", "nv", 1)
+      .withColumnRenamed("cid", "n_cid")
+      .select(col("nid"), col("n_cid"), pqRecon(col("nv"), cbs, sub).as("rv"))
+    val probes = nearestCentroids(
+      queries.select(col(idCol).as("qid"), col(vecCol).as("qv")), "qid", "qv", nprobe)
+    val scored = probes.join(assign, col("cid") === col("n_cid") &&
+        col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        Vectors.cosine(col("qv"), col("rv")).as("score_pq"))
+      .distinct()
+    val w = Window.partitionBy("qid").orderBy(col("score_pq").desc, col("nid").asc)
     scored.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
   }

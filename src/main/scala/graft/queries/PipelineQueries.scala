@@ -146,6 +146,38 @@ object PipelineQueries {
         .orderBy("qid", "rk")
     }),
 
+    // --- IVF-PQ: inverted-list probe + product-quantized candidates
+    //     (4 subspaces x 4 centroids), asymmetric exact-query-vs-
+    //     reconstruction scoring ---
+    "a_ann_ivfpq_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.ivfPqTopK(e, e.filter(col("vec_id") % 50 === 0),
+          "vec_id", "embedding", k = 5, nprobe = 2, centroidEvery = 100,
+          m = 4, ks = 4, iters = 2)
+        .orderBy("qid", "rk")
+    }),
+
+    // --- IVF-PQ recall vs brute-force ground truth (quantization-error
+    //     measurement alongside the LSH and IVF recall probes) ---
+    "a_ann_ivfpq_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") % 50 === 0)
+      val bf = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+        .select("qid", "nid")
+      val pq = Similarity.ivfPqTopK(e, q, "vec_id", "embedding", k = 5,
+          nprobe = 2, centroidEvery = 100, m = 4, ks = 4, iters = 2)
+        .select(col("qid").as("pqid"), col("nid").as("pnid"))
+      val hit = bf.join(pq,
+        col("qid") === col("pqid") && col("nid") === col("pnid"), "left_semi")
+      bf.groupBy("qid").agg(count(lit(1)).as("n_exact"))
+        .join(hit.groupBy("qid").agg(count(lit(1)).as("n_hit")), Seq("qid"), "left")
+        .select(col("qid"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"), col("n_exact"),
+          round(coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_exact"), 6)
+            .as("recall"))
+        .orderBy("qid")
+    }),
+
     // --- ANN evaluation: per-query recall of LSH top-k against the
     //     brute-force exact top-k (the measurement that justifies an
     //     index's planes/nprobe settings before a 100 TB rollout) ---
@@ -557,6 +589,82 @@ object PipelineQueries {
       "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * " +
       "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6)"
 
+    // a_ann_ivfpq_*: one codebook-CTE block per PQ subspace (train =
+    // a_kmeans_assign's rank-seeded kmeans on the 16-dim slice, one mean
+    // update), r{s} = per-vector nearest codebook entry, enc = the
+    // concatenated reconstruction the asymmetric scoring runs against.
+    def cosSql(a: String, b: String): String =
+      s"round(list_dot_product($a::DOUBLE[], $b::DOUBLE[]) / " +
+        s"(sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) * " +
+        s"sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[]))), 6)"
+    def pqCbCte(s: Int): String = {
+      val sub = 16
+      val (lo, hi) = (s * sub + 1, (s + 1) * sub)
+      s"""sv$s AS (SELECT vec_id, embedding[$lo:$hi] AS sv FROM embeddings),
+         |cb${s}c0 AS (SELECT vec_id AS cid, sv AS cv FROM sv$s ORDER BY vec_id LIMIT 4),
+         |cb${s}a1 AS (SELECT vec_id, cid FROM (
+         |  SELECT e.vec_id, c.cid,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosSql("e.sv", "c.cv")} DESC, c.cid) AS rk
+         |  FROM sv$s e CROSS JOIN cb${s}c0 c) WHERE rk = 1),
+         |cb${s}m1 AS (SELECT a.cid, d.dim,
+         |    CAST(sum(CAST(CAST(e.sv[d.dim] AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE) / count(*) AS mv
+         |  FROM cb${s}a1 a JOIN sv$s e USING (vec_id),
+         |       unnest(range(1, $sub + 1)) AS d(dim)
+         |  GROUP BY a.cid, d.dim),
+         |cb${s}c1 AS (SELECT c0.cid,
+         |    CASE WHEN count(m.mv) = 0 THEN any_value(c0.cv)
+         |         ELSE list(CAST(m.mv AS FLOAT) ORDER BY m.dim) END AS cv
+         |  FROM cb${s}c0 c0 LEFT JOIN cb${s}m1 m ON m.cid = c0.cid GROUP BY c0.cid),
+         |r$s AS (SELECT vec_id, cv FROM (
+         |  SELECT e.vec_id, c.cv,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosSql("e.sv", "c.cv")} DESC, c.cid) AS rk
+         |  FROM sv$s e CROSS JOIN cb${s}c1 c) WHERE rk = 1)""".stripMargin
+    }
+    val pqScoredCtes = {
+      "WITH " + (0 until 4).map(pqCbCte).mkString(",\n") +
+        s""",
+           |enc AS (SELECT e.vec_id, r0.cv || r1.cv || r2.cv || r3.cv AS recon
+           |  FROM embeddings e JOIN r0 USING (vec_id) JOIN r1 USING (vec_id)
+           |  JOIN r2 USING (vec_id) JOIN r3 USING (vec_id)),
+           |cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 100 = 1),
+           |assign AS (SELECT nid, cid FROM (
+           |  SELECT nid, cid, row_number() OVER (PARTITION BY nid ORDER BY ccos DESC, cid) AS crk
+           |  FROM (SELECT e.vec_id AS nid, c.cid, ${cosSql("e.embedding", "c.cv")} AS ccos
+           |        FROM embeddings e CROSS JOIN cent c)) WHERE crk = 1),
+           |probes AS (SELECT qid, cid FROM (
+           |  SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY ccos DESC, cid) AS crk
+           |  FROM (SELECT q.vec_id AS qid, c.cid, ${cosSql("q.embedding", "c.cv")} AS ccos
+           |        FROM embeddings q CROSS JOIN cent c WHERE q.vec_id % 50 = 0)) WHERE crk <= 2),
+           |sc AS (SELECT DISTINCT p.qid, a.nid, ${cosSql("x.embedding", "n.recon")} AS score_pq
+           |       FROM probes p JOIN assign a ON p.cid = a.cid AND a.nid <> p.qid
+           |       JOIN embeddings x ON x.vec_id = p.qid
+           |       JOIN enc n ON n.vec_id = a.nid)""".stripMargin
+    }
+    val pqTopkSql = pqScoredCtes +
+      s"""
+         |SELECT qid, nid, score_pq, CAST(rk AS BIGINT) AS rk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score_pq DESC, nid) AS rk FROM sc)
+         |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
+    val pqRecallSql = pqScoredCtes +
+      s""",
+         |pq AS (SELECT qid, nid FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score_pq DESC, nid) AS rk FROM sc)
+         |  WHERE rk <= 5),
+         |bf AS (
+         |  SELECT qid, nid FROM (
+         |    SELECT a.vec_id AS qid, b.vec_id AS nid,
+         |      row_number() OVER (PARTITION BY a.vec_id ORDER BY $cosAB DESC, b.vec_id) AS rk
+         |    FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+         |    WHERE a.vec_id % 50 = 0)
+         |  WHERE rk <= 5),
+         |hit AS (SELECT bf.qid, count(*) AS n_hit FROM bf
+         |        JOIN pq ON pq.qid = bf.qid AND pq.nid = bf.nid GROUP BY bf.qid)
+         |SELECT b.qid, coalesce(h.n_hit, 0)::BIGINT AS n_hit,
+         |  count(*)::BIGINT AS n_exact,
+         |  round(coalesce(h.n_hit, 0)::DOUBLE / count(*), 6) AS recall
+         |FROM bf b LEFT JOIN hit h ON h.qid = b.qid
+         |GROUP BY b.qid, h.n_hit ORDER BY b.qid""".stripMargin
+
     // t_bpe_train: one CTE block per training round. The greedy
     // left-to-right merge is the gaps-and-islands parity selection —
     // selected(i) = match(i) && !selected(i-1) resolves to "even offset
@@ -870,6 +978,10 @@ object PipelineQueries {
            |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk FROM sc)
            |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
       },
+
+      "a_ann_ivfpq_topk" -> pqTopkSql,
+
+      "a_ann_ivfpq_recall" -> pqRecallSql,
 
       "a_ann_recall" ->
         s"""WITH bf AS (

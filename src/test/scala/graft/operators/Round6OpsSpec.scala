@@ -60,6 +60,33 @@ class Round6OpsSpec extends SparkSpec {
     assert(r.toSeq === Seq((1L, "a", "a", 6L), (2L, "aa", "aa", 2L)))
   }
 
+  test("ivfPqTopK: PQ-scored neighbors of a clustered corpus stay in the query's cluster") {
+    // two interleaved DIRECTION clusters in 8 dims (odd ids spike even
+    // dims, even ids spike odd dims, id-dependent magnitude jitter) — the
+    // direction difference is visible inside EVERY 4-dim subspace slice,
+    // which is what a cosine-metric codebook can quantize (a
+    // magnitude-only split would be invisible to it). 40 vectors,
+    // queries 10 and 25.
+    val vecs = (1L to 40L).map { i =>
+      val scale = 1.0f + 0.01f * (i % 5)
+      val v = Array.tabulate(8)(d =>
+        (if ((d + i % 2) % 2 == 0) 1.0f else 0.02f) * scale)
+      (i, v)
+    }.toDF("vec_id", "embedding")
+    val r = Similarity.ivfPqTopK(vecs,
+        vecs.filter(col("vec_id") === 10L || col("vec_id") === 25L),
+        "vec_id", "embedding", k = 3, nprobe = 2, centroidEvery = 10,
+        m = 2, ks = 2, iters = 2)
+      .collect()
+    assert(r.nonEmpty)
+    r.foreach { x =>
+      val (q, n) = (x.getAs[Long]("qid"), x.getAs[Long]("nid"))
+      assert(q % 2 === n % 2,
+        s"neighbor $n of query $q crossed the direction-cluster boundary")
+      assert(x.getAs[Long]("rk") <= 3L)
+    }
+  }
+
   test("exactSubstringDedup removes a passage repeated WITHIN one document") {
     // Lee et al. count total occurrences, not distinct docs: a doc that
     // repeats its own 8-token block twice loses both occurrences
