@@ -148,6 +148,22 @@ object SinkQueries {
         .orderBy("c_custkey")
     }),
 
+    // Deterministic fixed-shard export under the gate: seeded md5 shuffle
+    // of the documents table into 8 exactly-named shard files; the line
+    // carries (doc_id, content hash, shard_key) so shard membership, file
+    // naming, AND content all sit under the DuckDB hash.
+    "k11_shard_export" -> ((s, dir) => {
+      clean(s, s"$base/k11")
+      val docs = TableCatalog.load(s, dir, "documents")
+        .select(col("doc_id"), md5(col("text")).as("content_hash"))
+      val res = graft.sinks.ShardExport.write(docs, "doc_id",
+        s"$base/k11/docs_", numShards = 8, seed = "r6", format = "csv")
+      s.read.text(res.files: _*)
+        .select(fileName(input_file_name()).as("file_name"),
+          col("value").as("line"))
+        .orderBy("file_name", "line")
+    }),
+
     // K8: finish-pass notification — the sink's outputNotify file lists
     // every written path; the listing itself becomes the checked frame.
     "k8_notify_listing" -> ((s, dir) => {
@@ -194,6 +210,17 @@ object SinkQueries {
     "k8_notify_listing" ->
       """SELECT DISTINCT 'region_' || r_name || '.json' AS file_name
         |FROM region ORDER BY file_name""".stripMargin,
+
+    "k11_shard_export" ->
+      """WITH a AS (
+        |  SELECT doc_id, md5(text) AS content_hash,
+        |    ((strpos('0123456789abcdef', substring(md5('r6_' || doc_id), 1, 1)) - 1) * 16 +
+        |     (strpos('0123456789abcdef', substring(md5('r6_' || doc_id), 2, 1)) - 1)) % 8 AS shard
+        |  FROM documents)
+        |SELECT 'docs_shard-' || lpad(shard::VARCHAR, 5, '0') || '-of-00008.csv' AS file_name,
+        |  doc_id || ',' || content_hash || ',shard-' ||
+        |    lpad(shard::VARCHAR, 5, '0') || '-of-00008' AS line
+        |FROM a ORDER BY file_name, line""".stripMargin,
 
     "k10_compact_roundtrip" ->
       """SELECT doc_id, text, CAST(1 AS BIGINT) AS n_files

@@ -23,6 +23,36 @@ class DynamicFileSinkSpec extends SparkSpec {
     assert(lines(s"$dir/notify.txt").mkString("\n").split("\n").length === 2)
   }
 
+  test("shardExport: exact shard names, every row carries its shard, two runs agree byte-for-byte") {
+    import spark.implicits._
+    val df = (1L to 200L).map(i => (i, s"doc$i")).toDF("id", "payload")
+    val d1 = tmpDir("shard1"); val d2 = tmpDir("shard2")
+    val r1 = ShardExport.write(df, "id", s"$d1/x_", numShards = 4,
+      seed = "s", format = "csv")
+    val r2 = ShardExport.write(df, "id", s"$d2/x_", numShards = 4,
+      seed = "s", format = "csv")
+    val names = r1.files.map(_.split('/').last).sorted
+    assert(names === (0 until 4).map(i => f"x_shard-$i%05d-of-00004.csv"))
+    // determinism: independent runs produce identical per-shard content
+    names.foreach { n =>
+      assert(lines(s"$d1/$n") === lines(s"$d2/$n"), s"shard $n diverged")
+    }
+    // completeness + embedded shard key matches the file the row landed in
+    val all = names.flatMap(n => lines(s"$d1/$n").map(l => (n, l)))
+    assert(all.length === 200)
+    all.foreach { case (n, l) =>
+      assert(l.endsWith(n.stripPrefix("x_").stripSuffix(".csv")),
+        s"row '$l' embeds a shard key unlike its file $n")
+    }
+    // a different seed moves at least one row (the shuffle is seeded)
+    val r3 = ShardExport.write(df, "id", s"${tmpDir("shard3")}/x_",
+      numShards = 4, seed = "other", format = "csv")
+    val moved = r3.files.map(_.split('/').last).sorted.zip(names).exists {
+      case (n3, n1) => lines(r3.files.find(_.endsWith(n3)).get) != lines(s"$d1/$n1")
+    }
+    assert(moved, "seed change did not alter any shard content")
+  }
+
   test("csv with header line") {
     import spark.implicits._
     val df = Seq((1L, "x")).toDF("a", "b")
