@@ -129,14 +129,60 @@ object Similarity {
               dims: Int, m: Int = 4, ks: Int = 4, iters: Int = 2)
       : Seq[Seq[(Long, Array[Float])]] = {
     require(m > 0 && dims % m == 0, s"dims=$dims must split into m=$m subspaces")
+    require(iters >= 1, s"pqTrain needs iters >= 1, got $iters")
     val sub = dims / m
+    val spark = corpus0.sparkSession
+    import spark.implicits._
     val corpus = widen(corpus0)
-    (0 until m).map { s =>
-      Vectors.kmeansTrain(
-        corpus.select(col(idCol),
-          slice(col(vecCol), lit(s * sub + 1), lit(sub)).as("sv")),
-        idCol, "sv", ks, iters)
+    // All m quantizers train FUSED — per Lloyd round, ONE corpus pass
+    // computes every subspace's in-row argmax (6-dp cosine vs literal
+    // centroids, lowest cid on ties — bit-identical to
+    // [[Vectors.kmeansTrain]]'s crossJoin+window assignment) and one
+    // keyed decimal-mean aggregate updates all m × ks centroids. m
+    // separate kmeansTrain calls would scan the corpus m times per round
+    // and schedule ~3m driver jobs; the fused pass costs the same
+    // |corpus| × dims explode ONCE. Decimal sums keep the means
+    // order-independent, so the trained model is unchanged.
+    val seeds = corpus.select(col(idCol), col(vecCol).as("v"))
+      .orderBy(col(idCol).asc).limit(ks)
+      .as[(Long, Array[Float])].collect().sortBy(_._1).toSeq
+    var cbs: Seq[Seq[(Long, Array[Float])]] = (0 until m).map(s =>
+      seeds.map { case (cid, v) => (cid, v.slice(s * sub, (s + 1) * sub)) })
+    for (_ <- 1 until iters) {
+      val assigns = (0 until m).map { s =>
+        val sv = slice(col("v"), lit(s * sub + 1), lit(sub))
+        val best = array_max(array(cbs(s).map { case (cid, cv) =>
+          struct(Vectors.cosine(sv, typedLit(cv.toSeq)).as("c"),
+            lit(-cid).as("nc"))
+        }: _*))
+        (-best.getField("nc")).cast("long").as(s"c$s")
+      }
+      // assigns materialize as plain columns BEFORE the array wrap:
+      // array()'s type coercion strips struct field names, so the
+      // argmax's getField must resolve in its own projection
+      val means = corpus.select(col(vecCol).as("v"))
+        .select(col("v") +: assigns: _*)
+        .select(array((0 until m).map(s => col(s"c$s")): _*).as("cids"),
+          posexplode(col("v")).as(Seq("dim", "x")))
+        .select((col("dim") / lit(sub)).cast("int").as("s"),
+          element_at(col("cids"), (col("dim") / lit(sub)).cast("int") + 1).as("cid"),
+          col("dim"), col("x"))
+        .groupBy("s", "cid", "dim")
+        .agg((sum(col("x").cast("double").cast("decimal(30,15)")).cast("double")
+          / count(lit(1))).as("mv"))
+        .as[(Int, Long, Int, Double)].collect()
+      val bySub = means.groupBy(_._1)
+      cbs = (0 until m).map { s =>
+        val byCid = bySub.getOrElse(s, Array.empty).groupBy(_._2)
+        cbs(s).map { case (cid, old) =>
+          byCid.get(cid) match {
+            case Some(rs) => (cid, rs.sortBy(_._3).map(_._4.toFloat).toArray)
+            case None => (cid, old) // empty cluster keeps its centroid
+          }
+        }
+      }
     }
+    cbs
   }
 
   /** PQ reconstruction expression: per subspace, the in-row argmax of

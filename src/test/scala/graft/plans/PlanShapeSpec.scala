@@ -151,6 +151,19 @@ class PlanShapeSpec extends SparkSpec {
       hotDocs, "doc_id", "text", maxDf = 10L).isEmpty)
   }
 
+  test("exactSubstringDedup is equi-joins only (no nested loop, no cartesian) and grams stay in-row") {
+    val passage = (1 to 10).map(i => s"p$i").mkString(" ")
+    val many = (1L to 100L).map(i =>
+      (i, s"${(1 to 12).map(j => s"u${i}x$j").mkString(" ")} ${if (i % 3 == 0) passage else ""}"))
+      .toDF("doc_id", "text")
+    val df = graft.operators.Dedup.exactSubstringDedup(many, "doc_id", "text", n = 8)
+    val rows = df.collect() // drive the SAME QueryExecution the assertion reads
+    assert(rows.length === 100)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "substring dedup must stay keyed equi-joins at any corpus size")
+  }
+
   test("zOrderCluster is exactly one range exchange (the global-sort cost, nothing more)") {
     val df = spark.range(0, 1000).select(
       (col("id") % 32).as("x"), (col("id") / 32).as("y"))
