@@ -185,6 +185,28 @@ object Similarity {
     cbs
   }
 
+  /** PQ code assignment — the artifact a 100 TB embedding store actually
+    * persists: each vector compresses to m centroid ids (m × log2(ks)
+    * bits instead of dims × 32). Pure in-row projection against the
+    * LITERAL codebooks (no joins, no shuffle); same 6-dp-cosine /
+    * lowest-cid argmax as [[pqRecon]], so decode(encode(v)) is exactly
+    * the reconstruction the ADC scoring uses.
+    * Output: (idCol, code_0 .. code_{m-1}). */
+  def pqEncode(corpus0: DataFrame, idCol: String, vecCol: String,
+               cbs: Seq[Seq[(Long, Array[Float])]], dims: Int): DataFrame = {
+    val m = cbs.length
+    val sub = dims / m
+    val codes = (0 until m).map { s =>
+      val sv = slice(col(vecCol), lit(s * sub + 1), lit(sub))
+      val best = array_max(array(cbs(s).map { case (cid, cv) =>
+        struct(Vectors.cosine(sv, typedLit(cv.toSeq)).as("c"),
+          lit(-cid).as("nc"))
+      }: _*))
+      (-best.getField("nc")).cast("long").as(s"code_$s")
+    }
+    widen(corpus0).select(col(idCol) +: codes: _*)
+  }
+
   /** PQ reconstruction expression: per subspace, the in-row argmax of
     * the subvector against the LITERAL codebook (6-dp cosine, lowest
     * centroid id on ties — the same contract as every assignment in the

@@ -270,6 +270,41 @@ object TextAnalysis {
     merges.toSeq.toDF("rk", "lhs", "rhs", "cnt")
   }
 
+  /** BPE encoding with a trained merge table ([[bpeTrain]]'s output,
+    * collected driver-side — model-sized): per document, the word count
+    * and the BPE token count after applying the merges in training order,
+    * each application the same greedy left-to-right fold the trainer
+    * used — so encode(corpus) under the trained table reproduces the
+    * trainer's final segmentation exactly.
+    *
+    * Entirely MAP-ONLY: per word, |merges| nested in-row folds over the
+    * char array; per doc, one in-row sum over words. Zero shuffles —
+    * tokenizer application at 100 TB is a pure scan, which is the whole
+    * point of shipping a merge TABLE instead of a tokenizer service.
+    * Output: (idCol, n_words, n_bpe_tokens). */
+  def bpeEncode(df0: DataFrame, idCol: String, textCol: String,
+                merges: Seq[(String, String)]): DataFrame = {
+    def applyMerges(word: Column): Column = {
+      val chars = transform(sequence(lit(1), length(word)),
+        i => word.substr(i, lit(1)))
+      merges.foldLeft(chars) { case (syms, (a, b)) =>
+        aggregate(syms, array().cast("array<string>"),
+          (acc, x) => when(
+            size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
+            concat(slice(acc, lit(1), size(acc) - 1),
+              array(concat(element_at(acc, -1), x))))
+            .otherwise(concat(acc, array(x))))
+      }
+    }
+    Dedup.widen(df0)
+      .select(col(idCol), tokens(col(textCol)).as("toks"))
+      .select(col(idCol),
+        size(col("toks")).cast("long").as("n_words"),
+        aggregate(
+          transform(col("toks"), w => size(applyMerges(w)).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("n_bpe_tokens"))
+  }
+
   /** Corpus-relative novelty: the fraction of a document's distinct
     * k-shingles that appear in NO other document — high novelty marks
     * original content, low novelty marks boilerplate/template text (the

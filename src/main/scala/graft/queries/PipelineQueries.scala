@@ -157,6 +157,16 @@ object PipelineQueries {
         .orderBy("qid", "rk")
     }),
 
+    // --- PQ code assignment: the compressed-store artifact itself
+    //     (m x log2(ks) bits per vector), map-only vs literal codebooks ---
+    "a_pq_codes" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cbs = Similarity.pqTrain(e, "vec_id", "embedding",
+        dims = 64, m = 4, ks = 4, iters = 2)
+      Similarity.pqEncode(e, "vec_id", "embedding", cbs, dims = 64)
+        .orderBy("vec_id")
+    }),
+
     // --- IVF-PQ recall vs brute-force ground truth (quantization-error
     //     measurement alongside the LSH and IVF recall probes) ---
     "a_ann_ivfpq_recall" -> ((s, dir) => {
@@ -399,6 +409,17 @@ object PipelineQueries {
       TextAnalysis.bpeTrain(docs(s, dir), "text", rounds = 5)
         .orderBy("rk")),
 
+    // --- BPE encoding under the trained merge table: per-doc word and
+    //     BPE token counts, map-only application of the 5 merges ---
+    "t_bpe_encode" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val merges = TextAnalysis.bpeTrain(d, "text", rounds = 5)
+        .orderBy("rk").collect()
+        .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"))).toSeq
+      TextAnalysis.bpeEncode(d, "doc_id", "text", merges)
+        .orderBy("doc_id")
+    }),
+
     // --- per-language bigram collocations (between vocab unigrams and
     //     BPE char pairs) ---
     "t_ngram_topk" -> ((s, dir) =>
@@ -615,8 +636,8 @@ object PipelineQueries {
          |    CASE WHEN count(m.mv) = 0 THEN any_value(c0.cv)
          |         ELSE list(CAST(m.mv AS FLOAT) ORDER BY m.dim) END AS cv
          |  FROM cb${s}c0 c0 LEFT JOIN cb${s}m1 m ON m.cid = c0.cid GROUP BY c0.cid),
-         |r$s AS (SELECT vec_id, cv FROM (
-         |  SELECT e.vec_id, c.cv,
+         |r$s AS (SELECT vec_id, cid, cv FROM (
+         |  SELECT e.vec_id, c.cid, c.cv,
          |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosSql("e.sv", "c.cv")} DESC, c.cid) AS rk
          |  FROM sv$s e CROSS JOIN cb${s}c1 c) WHERE rk = 1)""".stripMargin
     }
@@ -640,6 +661,14 @@ object PipelineQueries {
            |       JOIN embeddings x ON x.vec_id = p.qid
            |       JOIN enc n ON n.vec_id = a.nid)""".stripMargin
     }
+    val pqCodesSql =
+      "WITH " + (0 until 4).map(pqCbCte).mkString(",\n") +
+        s"""
+           |SELECT e.vec_id, r0.cid::BIGINT AS code_0, r1.cid::BIGINT AS code_1,
+           |  r2.cid::BIGINT AS code_2, r3.cid::BIGINT AS code_3
+           |FROM embeddings e JOIN r0 USING (vec_id) JOIN r1 USING (vec_id)
+           |JOIN r2 USING (vec_id) JOIN r3 USING (vec_id)
+           |ORDER BY e.vec_id""".stripMargin
     val pqTopkSql = pqScoredCtes +
       s"""
          |SELECT qid, nid, score_pq, CAST(rk AS BIGINT) AS rk FROM (
@@ -691,19 +720,33 @@ object PipelineQueries {
          |        FROM s$r)
          |      WHERE NOT consumed GROUP BY w, freq)""".stripMargin
     }
-    val bpeTrainSql = {
-      val rounds = 5
+    val bpeRounds = 5
+    val bpeCtes =
       s"""WITH w0 AS (
          |  SELECT w, CAST(count(*) AS BIGINT) AS freq,
          |    list_transform(range(1, length(w) + 1), i -> substring(w, i, 1)) AS sy
          |  FROM (SELECT unnest($toks) AS w FROM documents) GROUP BY w),
          |""".stripMargin +
-        (1 to rounds).map(bpeRound).mkString(",\n") + "\n" +
-        (1 to rounds).map(r =>
-          s"SELECT $r::BIGINT AS rk, a AS lhs, b AS rhs, cnt::BIGINT AS cnt FROM m$r")
-          .mkString("\nUNION ALL ") +
-        "\nORDER BY rk"
-    }
+        (1 to bpeRounds).map(bpeRound).mkString(",\n")
+    val bpeTrainSql = bpeCtes + "\n" +
+      (1 to bpeRounds).map(r =>
+        s"SELECT $r::BIGINT AS rk, a AS lhs, b AS rhs, cnt::BIGINT AS cnt FROM m$r")
+        .mkString("\nUNION ALL ") +
+      "\nORDER BY rk"
+    // t_bpe_encode: the final round's word table w{N} IS the trained
+    // segmentation — per-doc BPE token counts are one join of the doc
+    // word stream against it.
+    val bpeEncodeSql = bpeCtes +
+      s""",
+         |wl AS (SELECT w, len(sy)::BIGINT AS bl FROM w$bpeRounds),
+         |tok AS (SELECT doc_id, unnest($toks) AS w FROM documents),
+         |agg AS (SELECT doc_id, count(*)::BIGINT AS n_words,
+         |          sum(bl)::BIGINT AS n_bpe_tokens
+         |        FROM tok JOIN wl USING (w) GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(a.n_words, 0)::BIGINT AS n_words,
+         |  coalesce(a.n_bpe_tokens, 0)::BIGINT AS n_bpe_tokens
+         |FROM documents d LEFT JOIN agg a USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
 
     Map(
       "d_exact_dedup" ->
@@ -1252,6 +1295,10 @@ object PipelineQueries {
            |ORDER BY lang, bucket_lo""".stripMargin,
 
       "t_bpe_train" -> bpeTrainSql,
+
+      "t_bpe_encode" -> bpeEncodeSql,
+
+      "a_pq_codes" -> pqCodesSql,
 
       "t_bpe_merge" ->
         s"""WITH tok AS (SELECT lang, unnest($toks) AS w FROM documents),

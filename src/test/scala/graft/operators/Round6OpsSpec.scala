@@ -87,6 +87,43 @@ class Round6OpsSpec extends SparkSpec {
     }
   }
 
+  test("bpeEncode under the trained table reproduces the trainer's segmentation counts") {
+    // after the 5 hand-derived merges ((l,o),(lo,w),(low,e),(lowe,r),
+    // (lowe,s)): low -> [low] (1), lower -> [lower] (1, round 4 merges
+    // it fully), lowest -> [lowes, t] (2)
+    val docs = Seq((1L, "low low lower"), (2L, "low lowest")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(docs, "text", rounds = 5)
+      .orderBy("rk").collect()
+      .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"))).toSeq
+    val r = TextAnalysis.bpeEncode(docs, "doc_id", "text", merges)
+      .orderBy("doc_id").collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[Long]("n_words"),
+        x.getAs[Long]("n_bpe_tokens")))
+    assert(r.toSeq === Seq((1L, 3L, 3L), (2L, 2L, 3L)))
+  }
+
+  test("pqEncode: same-direction-cluster vectors share codes, opposite clusters differ") {
+    val vecs = (1L to 40L).map { i =>
+      val scale = 1.0f + 0.01f * (i % 5)
+      val v = Array.tabulate(8)(d =>
+        (if ((d + i % 2) % 2 == 0) 1.0f else 0.02f) * scale)
+      (i, v)
+    }.toDF("vec_id", "embedding")
+    val cbs = Similarity.pqTrain(vecs, "vec_id", "embedding",
+      dims = 8, m = 2, ks = 2, iters = 2)
+    val rows = Similarity.pqEncode(vecs, "vec_id", "embedding", cbs, dims = 8)
+      .collect()
+      .map(x => (x.getAs[Long]("vec_id"),
+        (x.getAs[Long]("code_0"), x.getAs[Long]("code_1"))))
+    val byParity = rows.groupBy(_._1 % 2).view.mapValues(_.map(_._2).distinct).toMap
+    // within a direction cluster every vector quantizes identically...
+    assert(byParity(0L).length === 1 && byParity(1L).length === 1)
+    // ...and the two clusters land on different codebook entries in BOTH
+    // subspaces (the direction difference is visible in each slice)
+    assert(byParity(0L).head._1 !== byParity(1L).head._1)
+    assert(byParity(0L).head._2 !== byParity(1L).head._2)
+  }
+
   test("exactSubstringDedup removes a passage repeated WITHIN one document") {
     // Lee et al. count total occurrences, not distinct docs: a doc that
     // repeats its own 8-token block twice loses both occurrences
