@@ -148,6 +148,25 @@ object SinkQueries {
         .orderBy("c_custkey")
     }),
 
+    // Partitioned-layout compaction under the gate: fragment each lang
+    // partition into 8 files, compact every partition independently to
+    // one right-sized file, hash-check the rewrite is content-neutral
+    // (n_files pins one-file-per-partition via count(DISTINCT lang)).
+    "k12_compact_partitioned" -> ((s, dir) => {
+      clean(s, s"$base/k12")
+      TableCatalog.load(s, dir, "documents")
+        .select("doc_id", "lang", "text")
+        .repartition(8)
+        .write.partitionBy("lang").parquet(s"$base/k12/t")
+      val rs = graft.sinks.Compaction.compactPartitioned(
+        s, s"$base/k12/t", targetBytes = 1L << 60)
+      val totalAfter = rs.map(_._2.filesAfter).sum.toLong
+      s.read.parquet(s"$base/k12/t")
+        .select(col("doc_id"), col("lang"), col("text"),
+          lit(totalAfter).as("n_files"))
+        .orderBy("doc_id")
+    }),
+
     // Deterministic fixed-shard export under the gate: seeded md5 shuffle
     // of the documents table into 8 exactly-named shard files; the line
     // carries (doc_id, content hash, shard_key) so shard membership, file
@@ -210,6 +229,11 @@ object SinkQueries {
     "k8_notify_listing" ->
       """SELECT DISTINCT 'region_' || r_name || '.json' AS file_name
         |FROM region ORDER BY file_name""".stripMargin,
+
+    "k12_compact_partitioned" ->
+      """SELECT doc_id, lang, text,
+        |  (SELECT count(DISTINCT lang) FROM documents)::BIGINT AS n_files
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "k11_shard_export" ->
       """WITH a AS (

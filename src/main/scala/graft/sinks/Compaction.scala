@@ -31,6 +31,36 @@ object Compaction {
   final case class Result(filesBefore: Int, filesAfter: Int,
                           bytes: Long, skipped: Boolean)
 
+  /** Per-partition compaction of a `partitionBy` (hive-layout) table:
+    * every `key=value` leaf directory is compacted independently with
+    * [[compactParquet]] — the unit of rewrite IS the partition, so a
+    * 100 TB table compacts as thousands of independent narrow jobs and a
+    * failure leaves every other partition untouched. One partition level
+    * (the common case); deeper nesting recurses naturally through the
+    * same listing rule. Transient seam: a leaf's `__compacting`/`__old`
+    * staging siblings live inside the table root during its swap — a
+    * concurrent lister can observe them (same plain-filesystem window as
+    * [[compactParquet]]; a table format's atomic snapshot closes it).
+    * Returns (partitionDirName → Result) in listing order. */
+  def compactPartitioned(spark: SparkSession, dir: String,
+                         targetBytes: Long = 128L << 20): Seq[(String, Result)] = {
+    val p = new Path(dir)
+    val fs = FileSystem.get(p.toUri, spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(p)
+      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+      .sortBy(_.getPath.getName)
+    require(parts.nonEmpty,
+      s"$dir has no key=value partition directories; use compactParquet for flat layouts")
+    parts.toSeq.map { st =>
+      val sub = st.getPath
+      if (fs.listStatus(sub).exists(_.isDirectory))
+        sub.getName -> compactPartitioned(spark, sub.toString, targetBytes)
+          .map(_._2).reduce((a, b) => Result(a.filesBefore + b.filesBefore,
+            a.filesAfter + b.filesAfter, a.bytes + b.bytes, a.skipped && b.skipped))
+      else sub.getName -> compactParquet(spark, sub.toString, targetBytes)
+    }
+  }
+
   def compactParquet(spark: SparkSession, dir: String,
                      targetBytes: Long = 128L << 20): Result = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")

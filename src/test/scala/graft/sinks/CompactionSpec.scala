@@ -23,6 +23,32 @@ class CompactionSpec extends SparkSpec {
     assert(again.skipped && again.filesAfter === 1)
   }
 
+  test("compactPartitioned compacts every key=value leaf independently, content-neutral") {
+    val dir = tmpDir("compact_part") + "/t"
+    val data = (1L to 600L).map(i => (i, s"k${i % 3}", s"row$i"))
+    data.toDF("id", "k", "v").repartition(8).write.partitionBy("k").parquet(dir)
+    assert(spark.read.parquet(dir).inputFiles.length === 24) // 8 per partition
+
+    val rs = Compaction.compactPartitioned(spark, dir, targetBytes = 1L << 30)
+    assert(rs.map(_._1).sorted === Seq("k=k0", "k=k1", "k=k2"))
+    rs.foreach { case (part, r) =>
+      assert(!r.skipped && r.filesBefore === 8 && r.filesAfter === 1, part)
+    }
+    val after = spark.read.parquet(dir)
+    assert(after.inputFiles.length === 3)
+    assert(after.select("id", "k", "v").as[(Long, String, String)]
+      .collect().sorted === data.sorted.toArray)
+
+    // second pass: every partition already compact
+    assert(Compaction.compactPartitioned(spark, dir, targetBytes = 1L << 30)
+      .forall(_._2.skipped))
+    // flat layout is rejected loudly (and vice versa is already covered
+    // by compactParquet's nested-directory require)
+    intercept[IllegalArgumentException] {
+      Compaction.compactPartitioned(spark, tmpDir("flat_cp"), targetBytes = 1)
+    }
+  }
+
   test("compactParquet respects the target size (multiple output files)") {
     val dir = tmpDir("compact_sz") + "/t"
     // ~payload large enough that total bytes exceed one tiny target
