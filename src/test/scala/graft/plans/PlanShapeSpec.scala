@@ -151,6 +151,12 @@ class PlanShapeSpec extends SparkSpec {
       hotDocs, "doc_id", "text", maxDf = 10L).isEmpty)
   }
 
+  test("bpeEncode is exchange-free (tokenizer application is a pure scan)") {
+    val plan = physicalPlan(TextAnalysis.bpeEncode(
+      docs, "doc_id", "text", Seq("a" -> "l", "al" -> "p")))
+    assert(!plan.contains("Exchange"))
+  }
+
   test("exactSubstringDedup is equi-joins only (no nested loop, no cartesian) and grams stay in-row") {
     val passage = (1 to 10).map(i => s"p$i").mkString(" ")
     val many = (1L to 100L).map(i =>
