@@ -42,6 +42,20 @@ class DegenerateInputSpec extends SparkSpec {
     assert(r.map(_.getAs[Long]("doc_id")).toSeq === Seq(1L, 2L, 3L))
   }
 
+  test("bpeTrain on a pairless corpus (single-char words) returns an empty merge table") {
+    // no word has an adjacent pair -> round 1 finds no argmax -> the
+    // trainer stops immediately instead of looping or throwing
+    val docs = Seq((1L, "a b c"), (2L, "d e")).toDF("doc_id", "text")
+    assert(TextAnalysis.bpeTrain(docs, "text", rounds = 3).isEmpty)
+  }
+
+  test("exactSubstringDedup on sub-n docs removes nothing and preserves every row") {
+    val r = Dedup.exactSubstringDedup(shortDocs, "doc_id", "text", n = 8)
+      .collect()
+    assert(r.length === 3)
+    assert(r.forall(_.getAs[Long]("n_removed") === 0L))
+  }
+
   test("connected components on an empty edge list returns no vertices") {
     val edges = Seq.empty[(Long, Long)].toDF("d1", "d2")
     assert(ConnectedComponents.components(edges, "d1", "d2").isEmpty)
