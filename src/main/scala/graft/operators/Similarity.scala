@@ -116,6 +116,20 @@ object Similarity {
       .filter(col("rk") <= k)
   }
 
+  /** Zero-safe 6-dp cosine for the PQ family: a zero-norm side scores
+    * 0.0 instead of dividing by zero. Residual quantization makes zero
+    * vectors ROUTINE (a coarse centroid's own residual is exactly 0⃗,
+    * and an all-zero-cluster codebook entry is too) — under ANSI mode
+    * the plain quotient throws, and DuckDB's NaN ordering would diverge
+    * from any non-throwing engine, so both sides pin the same defined
+    * value: all-tie → lowest-cid assignment. Identical to
+    * [[Vectors.cosine]] whenever both norms are nonzero. */
+  private def cosineSafe(a: Column, b: Column): Column = {
+    val prod = Vectors.norm(a) * Vectors.norm(b)
+    when(prod === 0.0, 0.0)
+      .otherwise(round(Vectors.dot(a, b) / prod, 6))
+  }
+
   /** Product-quantization codebooks (Jégou et al. 2011, TPAMI "Product
     * Quantization for Nearest Neighbor Search"): the vector space splits
     * into `m` contiguous subspaces and each gets its own `ks`-centroid
@@ -152,7 +166,7 @@ object Similarity {
       val assigns = (0 until m).map { s =>
         val sv = slice(col("v"), lit(s * sub + 1), lit(sub))
         val best = array_max(array(cbs(s).map { case (cid, cv) =>
-          struct(Vectors.cosine(sv, typedLit(cv.toSeq)).as("c"),
+          struct(cosineSafe(sv, typedLit(cv.toSeq)).as("c"),
             lit(-cid).as("nc"))
         }: _*))
         (-best.getField("nc")).cast("long").as(s"c$s")
@@ -199,7 +213,7 @@ object Similarity {
     val codes = (0 until m).map { s =>
       val sv = slice(col(vecCol), lit(s * sub + 1), lit(sub))
       val best = array_max(array(cbs(s).map { case (cid, cv) =>
-        struct(Vectors.cosine(sv, typedLit(cv.toSeq)).as("c"),
+        struct(cosineSafe(sv, typedLit(cv.toSeq)).as("c"),
           lit(-cid).as("nc"))
       }: _*))
       (-best.getField("nc")).cast("long").as(s"code_$s")
@@ -219,7 +233,7 @@ object Similarity {
       val sv = slice(v, lit(s * sub + 1), lit(sub))
       // max(struct(cos, -cid)) = highest cosine, then LOWEST cid
       val best = array_max(array(cb.map { case (cid, cv) =>
-        struct(Vectors.cosine(sv, typedLit(cv.toSeq)).as("c"),
+        struct(cosineSafe(sv, typedLit(cv.toSeq)).as("c"),
           lit(-cid).as("nc"))
       }: _*))
       coalesce(cb.map { case (cid, cv) =>
@@ -272,6 +286,67 @@ object Similarity {
         col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
         Vectors.cosine(col("qv"), col("rv")).as("score_pq"))
+      .distinct()
+    val w = Window.partitionBy("qid").orderBy(col("score_pq").desc, col("nid").asc)
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
+  /** Residual IVF-PQ (faiss's default `by_residual=true`): the PQ
+    * codebooks quantize each vector's RESIDUAL from its coarse centroid
+    * (v − c), and a candidate reconstructs as c + decode(codes). Residual
+    * energy is much smaller than vector energy, so the same ks buys a
+    * finer quantization grid — the faithful Jégou et al. construction,
+    * alongside [[ivfPqTopK]]'s coarse-independent variant.
+    *
+    * Cross-engine exactness: the residual is a float32 subtract (Spark
+    * `float − float → float`; DuckDB `FLOAT − FLOAT → FLOAT` — both IEEE
+    * single ops, bit-identical), and the reconstruction is a float32 add
+    * of the coarse centroid and codebook entries, so the whole model is
+    * hash-checkable like the rest of the ANN family. Plan shape: one
+    * broadcast centroid join for residuals (map-side), fused residual
+    * codebook training ([[pqTrain]]), in-row encode, inverted-list probe. */
+  def ivfPqResidualTopK(corpus0: DataFrame, queries: DataFrame,
+                        idCol: String, vecCol: String, k: Int = 5,
+                        nprobe: Int = 2, centroidEvery: Int = 100,
+                        m: Int = 4, ks: Int = 4, iters: Int = 2): DataFrame = {
+    val spark = corpus0.sparkSession
+    val corpus = widen(corpus0)
+    val dims = corpus.select(size(col(vecCol))).head.getInt(0)
+    require(m > 0 && dims % m == 0, s"dims=$dims must split into m=$m subspaces")
+    val sub = dims / m
+    val cent = broadcast(corpus.filter(col(idCol) % centroidEvery === 1)
+      .select(col(idCol).as("cid"), col(vecCol).as("cv")))
+    def nearestCentroids(df: DataFrame, outId: String, outVec: String, n: Int): DataFrame = {
+      val w = Window.partitionBy(outId)
+        .orderBy(col("ccos").desc, col("cid").asc)
+      df.crossJoin(cent)
+        .withColumn("ccos", Vectors.cosineNative(spark, col(outVec), col("cv")))
+        .withColumn("crk", row_number().over(w))
+        .filter(col("crk") <= n)
+        .select(col(outId), col(outVec), col("cid"))
+    }
+    // residual frame: one broadcast join back to the assigned centroid,
+    // float32 subtract in-row
+    val assigned = nearestCentroids(
+      corpus.select(col(idCol).as("nid"), col(vecCol).as("nv")), "nid", "nv", 1)
+      .withColumnRenamed("cid", "n_cid")
+      .join(cent.withColumnRenamed("cid", "n_cid"), "n_cid")
+      .select(col("nid"), col("n_cid"), col("nv"), col("cv"),
+        zip_with(col("nv"), col("cv"), (x, y) => (x - y).cast("float")).as("rv"))
+    val cbs = pqTrain(assigned.select(col("nid"), col("rv")), "nid", "rv",
+      dims, m, ks, iters)
+    // candidate carries c + decode(codes) forward — at real scale the
+    // store holds (n_cid, codes); both are recoverable from that pair
+    val cand = assigned.select(col("nid"), col("n_cid"),
+      zip_with(col("cv"), pqRecon(col("rv"), cbs, sub),
+        (x, y) => (x + y).cast("float")).as("recon"))
+    val probes = nearestCentroids(
+      queries.select(col(idCol).as("qid"), col(vecCol).as("qv")), "qid", "qv", nprobe)
+    val scored = probes.join(cand, col("cid") === col("n_cid") &&
+        col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        Vectors.cosine(col("qv"), col("recon")).as("score_pq"))
       .distinct()
     val w = Window.partitionBy("qid").orderBy(col("score_pq").desc, col("nid").asc)
     scored.withColumn("rk", row_number().over(w).cast("long"))

@@ -157,6 +157,16 @@ object PipelineQueries {
         .orderBy("qid", "rk")
     }),
 
+    // --- residual IVF-PQ (faiss by_residual=true): codebooks quantize
+    //     coarse residuals; candidate reconstructs as centroid + decode ---
+    "a_ann_ivfpq_res_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.ivfPqResidualTopK(e, e.filter(col("vec_id") % 50 === 0),
+          "vec_id", "embedding", k = 5, nprobe = 2, centroidEvery = 100,
+          m = 4, ks = 4, iters = 2)
+        .orderBy("qid", "rk")
+    }),
+
     // --- PQ code assignment: the compressed-store artifact itself
     //     (m x log2(ks) bits per vector), map-only vs literal codebooks ---
     "a_pq_codes" -> ((s, dir) => {
@@ -618,14 +628,20 @@ object PipelineQueries {
       s"round(list_dot_product($a::DOUBLE[], $b::DOUBLE[]) / " +
         s"(sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) * " +
         s"sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[]))), 6)"
-    def pqCbCte(s: Int): String = {
+    // zero-safe variant mirroring Similarity.cosineSafe: zero-norm side
+    // scores 0.0 (residual quantization makes zero vectors routine)
+    def cosSqlSafe(a: String, b: String): String =
+      s"CASE WHEN sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) * " +
+        s"sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[])) = 0 THEN 0.0 " +
+        s"ELSE ${cosSql(a, b)} END"
+    def pqCbCte(s: Int, src: String = "embeddings", vec: String = "embedding"): String = {
       val sub = 16
       val (lo, hi) = (s * sub + 1, (s + 1) * sub)
-      s"""sv$s AS (SELECT vec_id, embedding[$lo:$hi] AS sv FROM embeddings),
+      s"""sv$s AS (SELECT vec_id, $vec[$lo:$hi] AS sv FROM $src),
          |cb${s}c0 AS (SELECT vec_id AS cid, sv AS cv FROM sv$s ORDER BY vec_id LIMIT 4),
          |cb${s}a1 AS (SELECT vec_id, cid FROM (
          |  SELECT e.vec_id, c.cid,
-         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosSql("e.sv", "c.cv")} DESC, c.cid) AS rk
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosSqlSafe("e.sv", "c.cv")} DESC, c.cid) AS rk
          |  FROM sv$s e CROSS JOIN cb${s}c0 c) WHERE rk = 1),
          |cb${s}m1 AS (SELECT a.cid, d.dim,
          |    CAST(sum(CAST(CAST(e.sv[d.dim] AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE) / count(*) AS mv
@@ -638,11 +654,11 @@ object PipelineQueries {
          |  FROM cb${s}c0 c0 LEFT JOIN cb${s}m1 m ON m.cid = c0.cid GROUP BY c0.cid),
          |r$s AS (SELECT vec_id, cid, cv FROM (
          |  SELECT e.vec_id, c.cid, c.cv,
-         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosSql("e.sv", "c.cv")} DESC, c.cid) AS rk
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosSqlSafe("e.sv", "c.cv")} DESC, c.cid) AS rk
          |  FROM sv$s e CROSS JOIN cb${s}c1 c) WHERE rk = 1)""".stripMargin
     }
     val pqScoredCtes = {
-      "WITH " + (0 until 4).map(pqCbCte).mkString(",\n") +
+      "WITH " + (0 until 4).map(pqCbCte(_)).mkString(",\n") +
         s""",
            |enc AS (SELECT e.vec_id, r0.cv || r1.cv || r2.cv || r3.cv AS recon
            |  FROM embeddings e JOIN r0 USING (vec_id) JOIN r1 USING (vec_id)
@@ -661,8 +677,45 @@ object PipelineQueries {
            |       JOIN embeddings x ON x.vec_id = p.qid
            |       JOIN enc n ON n.vec_id = a.nid)""".stripMargin
     }
+    // a_ann_ivfpq_res_topk: faiss-default by_residual=true — codebooks
+    // trained on float32 coarse residuals (FLOAT − FLOAT is the same
+    // IEEE single op in both engines), reconstruction = coarse centroid
+    // + decoded residual, same probe/score skeleton.
+    val pqResTopkSql = {
+      val coarse =
+        s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 100 = 1),
+           |assign AS (SELECT nid, cid FROM (
+           |  SELECT nid, cid, row_number() OVER (PARTITION BY nid ORDER BY ccos DESC, cid) AS crk
+           |  FROM (SELECT e.vec_id AS nid, c.cid, ${cosSql("e.embedding", "c.cv")} AS ccos
+           |        FROM embeddings e CROSS JOIN cent c)) WHERE crk = 1),
+           |res AS (SELECT a.nid AS vec_id,
+           |        list_transform(range(1, 65), i -> (e.embedding[i] - c.cv[i])::FLOAT) AS rv
+           |        FROM assign a JOIN embeddings e ON e.vec_id = a.nid
+           |        JOIN cent c ON c.cid = a.cid),
+           |""".stripMargin
+      coarse + (0 until 4).map(pqCbCte(_, "res", "rv")).mkString(",\n") +
+        s""",
+           |enc AS (SELECT pr.vec_id,
+           |        list_transform(range(1, 65), i -> (c.cv[i] + pr.pq[i])::FLOAT) AS recon
+           |        FROM (SELECT r0.vec_id, r0.cv || r1.cv || r2.cv || r3.cv AS pq
+           |              FROM r0 JOIN r1 USING (vec_id) JOIN r2 USING (vec_id)
+           |              JOIN r3 USING (vec_id)) pr
+           |        JOIN assign a ON a.nid = pr.vec_id
+           |        JOIN cent c ON c.cid = a.cid),
+           |probes AS (SELECT qid, cid FROM (
+           |  SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY ccos DESC, cid) AS crk
+           |  FROM (SELECT q.vec_id AS qid, c.cid, ${cosSql("q.embedding", "c.cv")} AS ccos
+           |        FROM embeddings q CROSS JOIN cent c WHERE q.vec_id % 50 = 0)) WHERE crk <= 2),
+           |sc AS (SELECT DISTINCT p.qid, a.nid, ${cosSql("x.embedding", "n.recon")} AS score_pq
+           |       FROM probes p JOIN assign a ON p.cid = a.cid AND a.nid <> p.qid
+           |       JOIN embeddings x ON x.vec_id = p.qid
+           |       JOIN enc n ON n.vec_id = a.nid)
+           |SELECT qid, nid, score_pq, CAST(rk AS BIGINT) AS rk FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score_pq DESC, nid) AS rk FROM sc)
+           |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
+    }
     val pqCodesSql =
-      "WITH " + (0 until 4).map(pqCbCte).mkString(",\n") +
+      "WITH " + (0 until 4).map(pqCbCte(_)).mkString(",\n") +
         s"""
            |SELECT e.vec_id, r0.cid::BIGINT AS code_0, r1.cid::BIGINT AS code_1,
            |  r2.cid::BIGINT AS code_2, r3.cid::BIGINT AS code_3
@@ -1299,6 +1352,8 @@ object PipelineQueries {
       "t_bpe_encode" -> bpeEncodeSql,
 
       "a_pq_codes" -> pqCodesSql,
+
+      "a_ann_ivfpq_res_topk" -> pqResTopkSql,
 
       "t_bpe_merge" ->
         s"""WITH tok AS (SELECT lang, unnest($toks) AS w FROM documents),

@@ -124,6 +124,33 @@ class Round6OpsSpec extends SparkSpec {
     assert(byParity(0L).head._2 !== byParity(1L).head._2)
   }
 
+  test("ivfPqResidualTopK: residual codebooks keep neighbors in-cluster; zero residuals don't throw") {
+    // same direction-clustered corpus as the by_residual=false spec.
+    // centroidEvery = 5 puts coarse centroids in BOTH clusters — the
+    // residual-PQ premise is that residuals are small, which requires a
+    // coarse quantizer that actually covers the data (with odd-only
+    // centroids the even cluster's giant residuals pollute the shared
+    // codebooks — quantization behavior, not a bug). The centroid rows
+    // (ids 1,6,11,...) have exactly-zero residuals, exercising the
+    // zero-safe cosine path end to end
+    val vecs = (1L to 40L).map { i =>
+      val scale = 1.0f + 0.01f * (i % 5)
+      val v = Array.tabulate(8)(d =>
+        (if ((d + i % 2) % 2 == 0) 1.0f else 0.02f) * scale)
+      (i, v)
+    }.toDF("vec_id", "embedding")
+    val r = Similarity.ivfPqResidualTopK(vecs,
+        vecs.filter(col("vec_id") === 10L || col("vec_id") === 25L),
+        "vec_id", "embedding", k = 3, nprobe = 2, centroidEvery = 5,
+        m = 2, ks = 2, iters = 2)
+      .collect()
+    assert(r.nonEmpty)
+    r.foreach { x =>
+      assert(x.getAs[Long]("qid") % 2 === x.getAs[Long]("nid") % 2,
+        "residual-PQ neighbor crossed the direction-cluster boundary")
+    }
+  }
+
   test("exactSubstringDedup removes a passage repeated WITHIN one document") {
     // Lee et al. count total occurrences, not distinct docs: a doc that
     // repeats its own 8-token block twice loses both occurrences
