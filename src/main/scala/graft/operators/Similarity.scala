@@ -327,13 +327,17 @@ object Similarity {
         .select(col(outId), col(outVec), col("cid"))
     }
     // residual frame: one broadcast join back to the assigned centroid,
-    // float32 subtract in-row
+    // float32 subtract in-row. CACHED — three consumers (codebook seed
+    // collect, the per-round means aggregate, and the candidate scan)
+    // would otherwise each re-run the coarse-assignment window; lifetime
+    // follows the session/clearCache contract of [[Dedup.semanticDedup]].
     val assigned = nearestCentroids(
       corpus.select(col(idCol).as("nid"), col(vecCol).as("nv")), "nid", "nv", 1)
       .withColumnRenamed("cid", "n_cid")
       .join(cent.withColumnRenamed("cid", "n_cid"), "n_cid")
       .select(col("nid"), col("n_cid"), col("nv"), col("cv"),
         zip_with(col("nv"), col("cv"), (x, y) => (x - y).cast("float")).as("rv"))
+      .cache()
     val cbs = pqTrain(assigned.select(col("nid"), col("rv")), "nid", "rv",
       dims, m, ks, iters)
     // candidate carries c + decode(codes) forward — at real scale the
