@@ -167,6 +167,27 @@ object PipelineQueries {
         .orderBy("qid", "rk")
     }),
 
+    // --- residual IVF-PQ recall vs brute-force ground truth (the
+    //     by_residual accuracy gain is measurable, not asserted) ---
+    "a_ann_ivfpq_res_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") % 50 === 0)
+      val bf = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+        .select("qid", "nid")
+      val pq = Similarity.ivfPqResidualTopK(e, q, "vec_id", "embedding",
+          k = 5, nprobe = 2, centroidEvery = 100, m = 4, ks = 4, iters = 2)
+        .select(col("qid").as("pqid"), col("nid").as("pnid"))
+      val hit = bf.join(pq,
+        col("qid") === col("pqid") && col("nid") === col("pnid"), "left_semi")
+      bf.groupBy("qid").agg(count(lit(1)).as("n_exact"))
+        .join(hit.groupBy("qid").agg(count(lit(1)).as("n_hit")), Seq("qid"), "left")
+        .select(col("qid"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"), col("n_exact"),
+          round(coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_exact"), 6)
+            .as("recall"))
+        .orderBy("qid")
+    }),
+
     // --- PQ code assignment: the compressed-store artifact itself
     //     (m x log2(ks) bits per vector), map-only vs literal codebooks ---
     "a_pq_codes" -> ((s, dir) => {
@@ -681,7 +702,7 @@ object PipelineQueries {
     // trained on float32 coarse residuals (FLOAT − FLOAT is the same
     // IEEE single op in both engines), reconstruction = coarse centroid
     // + decoded residual, same probe/score skeleton.
-    val pqResTopkSql = {
+    val pqResScoredCtes = {
       val coarse =
         s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 100 = 1),
            |assign AS (SELECT nid, cid FROM (
@@ -709,11 +730,32 @@ object PipelineQueries {
            |sc AS (SELECT DISTINCT p.qid, a.nid, ${cosSql("x.embedding", "n.recon")} AS score_pq
            |       FROM probes p JOIN assign a ON p.cid = a.cid AND a.nid <> p.qid
            |       JOIN embeddings x ON x.vec_id = p.qid
-           |       JOIN enc n ON n.vec_id = a.nid)
-           |SELECT qid, nid, score_pq, CAST(rk AS BIGINT) AS rk FROM (
-           |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score_pq DESC, nid) AS rk FROM sc)
-           |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
+           |       JOIN enc n ON n.vec_id = a.nid)""".stripMargin
     }
+    val pqResTopkSql = pqResScoredCtes +
+      s"""
+         |SELECT qid, nid, score_pq, CAST(rk AS BIGINT) AS rk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score_pq DESC, nid) AS rk FROM sc)
+         |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
+    val pqResRecallSql = pqResScoredCtes +
+      s""",
+         |pq AS (SELECT qid, nid FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score_pq DESC, nid) AS rk FROM sc)
+         |  WHERE rk <= 5),
+         |bf AS (
+         |  SELECT qid, nid FROM (
+         |    SELECT a.vec_id AS qid, b.vec_id AS nid,
+         |      row_number() OVER (PARTITION BY a.vec_id ORDER BY $cosAB DESC, b.vec_id) AS rk
+         |    FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+         |    WHERE a.vec_id % 50 = 0)
+         |  WHERE rk <= 5),
+         |hit AS (SELECT bf.qid, count(*) AS n_hit FROM bf
+         |        JOIN pq ON pq.qid = bf.qid AND pq.nid = bf.nid GROUP BY bf.qid)
+         |SELECT b.qid, coalesce(h.n_hit, 0)::BIGINT AS n_hit,
+         |  count(*)::BIGINT AS n_exact,
+         |  round(coalesce(h.n_hit, 0)::DOUBLE / count(*), 6) AS recall
+         |FROM bf b LEFT JOIN hit h ON h.qid = b.qid
+         |GROUP BY b.qid, h.n_hit ORDER BY b.qid""".stripMargin
     val pqCodesSql =
       "WITH " + (0 until 4).map(pqCbCte(_)).mkString(",\n") +
         s"""
@@ -1354,6 +1396,8 @@ object PipelineQueries {
       "a_pq_codes" -> pqCodesSql,
 
       "a_ann_ivfpq_res_topk" -> pqResTopkSql,
+
+      "a_ann_ivfpq_res_recall" -> pqResRecallSql,
 
       "t_bpe_merge" ->
         s"""WITH tok AS (SELECT lang, unnest($toks) AS w FROM documents),
