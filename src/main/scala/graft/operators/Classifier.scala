@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deterministic quality-classifier training — the fastText/DCLM-style
+  * filtering step modern curation pipelines run FIRST: a linear model
+  * over cheap document features decides what enters the expensive dedup/
+  * decontamination stages. Batch gradient-descent logistic regression
+  * with fixed iterations, built on the same cross-engine-reproducible
+  * recipe as [[Vectors.kmeansTrain]] and PageRank:
+  *
+  *  - each iteration is ONE map-side aggregate over the corpus (d
+  *    decimal(30,15) gradient sums — order-independent, so the trained
+  *    model is partitioning-invariant) + a driver-side weight update of
+  *    d doubles (model-sized);
+  *  - the sigmoid is rounded to 6 dp before the residual: `exp()` is the
+  *    one libm-dependent step, and 6-dp pinning puts any ulp divergence
+  *    between engines far below the rounding grid (same treatment as the
+  *    BM25/surprise log() scores);
+  *  - the dot product is an explicit left-associated sum of literal
+  *    weights (identical evaluation order in any engine), and the weight
+  *    update itself is computed through Spark's `round(…, 9)` so the
+  *    rounding semantics are the SQL ones, not the JVM's.
+  *
+  * `feats` must carry `xCol: array<double>` (include the bias 1.0 as
+  * x[0]) and `yCol: double` in {0.0, 1.0}. Weights start at zero, so
+  * iteration 1's sigmoid is exactly 0.5 everywhere. */
+object Classifier {
+
+  def logregTrain(feats: DataFrame, xCol: String, yCol: String,
+                  dims: Int, iters: Int = 3, lr: Double = 0.5): Seq[Double] = {
+    require(dims > 0 && iters >= 1, s"need dims > 0, iters >= 1; got $dims, $iters")
+    val spark = feats.sparkSession
+    var w: Seq[Double] = Seq.fill(dims)(0.0)
+    for (_ <- 1 to iters) {
+      val p = sigmoid(xCol, w)
+      val aggs = (0 until dims).map { j =>
+        (sum(((col(yCol) - p) * element_at(col(xCol), j + 1))
+          .cast("decimal(30,15)")).cast("double") / count(lit(1))).as(s"g$j")
+      }
+      val g = feats.agg(aggs.head, aggs.tail: _*).head
+      val wRow = spark.range(1).select((0 until dims).map(j =>
+        round(lit(w(j)) + lit(lr) * lit(g.getDouble(j)), 9).as(s"w$j")): _*).head
+      w = (0 until dims).map(wRow.getDouble)
+    }
+    w
+  }
+
+  /** Per-row score under a trained model: (idCol, p, pred, y) with p the
+    * 6-dp sigmoid and pred = p >= 0.5 on the ROUNDED value. Map-only. */
+  def logregScore(feats: DataFrame, idCol: String, xCol: String,
+                  yCol: String, w: Seq[Double]): DataFrame =
+    feats
+      .withColumn("p", sigmoid(xCol, w))
+      .select(col(idCol), col("p"), (col("p") >= 0.5).as("pred"),
+        col(yCol).as("y"))
+
+  private def sigmoid(xCol: String, w: Seq[Double]) =
+    round(lit(1.0) / (lit(1.0) + exp(-w.indices
+      .map(j => element_at(col(xCol), j + 1) * lit(w(j)))
+      .reduce(_ + _))), 6)
+}

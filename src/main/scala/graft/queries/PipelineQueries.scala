@@ -364,6 +364,22 @@ object PipelineQueries {
           evalPred = col("doc_id") % 97 === 0)
         .orderBy("doc_id")),
 
+    // --- quality-classifier training (fastText/DCLM-style filtering
+    //     prep): 3 batch-GD logistic-regression iterations over cheap
+    //     doc features, label = lang=='en'; per-doc 6-dp scores ---
+    "t_quality_classifier" -> ((s, dir) => {
+      val f = docs(s, dir).select(col("doc_id"),
+        array(lit(1.0),
+          size(graft.functions.TextFunctions.tokens(col("text"))).cast("double") / lit(100.0),
+          length(col("text")).cast("double") / lit(1000.0)).as("x"),
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+        .cache() // 3 training scans + the scoring pass share one tokenize
+      val w = graft.operators.Classifier.logregTrain(
+        f, "x", "y", dims = 3, iters = 3, lr = 0.5)
+      graft.operators.Classifier.logregScore(f, "doc_id", "x", "y", w)
+        .orderBy("doc_id")
+    }),
+
     // --- per-domain cap: at most 20 docs per source, content-hash order ---
     "t_domain_cap" -> ((s, dir) =>
       graft.operators.Sampling.capPerGroup(
@@ -788,6 +804,39 @@ object PipelineQueries {
          |  round(coalesce(h.n_hit, 0)::DOUBLE / count(*), 6) AS recall
          |FROM bf b LEFT JOIN hit h ON h.qid = b.qid
          |GROUP BY b.qid, h.n_hit ORDER BY b.qid""".stripMargin
+
+    // t_quality_classifier: one CTE block per gradient iteration —
+    // p{i} 6-dp sigmoid under the prior weights, g{i} decimal gradient
+    // means, w{i} 9-dp weight update. Weights start at 0 (p1 = 0.5).
+    val logregSql = {
+      val feat =
+        s"""f AS (SELECT doc_id,
+           |  [1.0, len($toks)/100.0, length(text)/1000.0] AS x,
+           |  CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+           |  FROM documents)""".stripMargin
+      def iterCte(i: Int, w: Seq[String]): String =
+        s"""p$i AS (SELECT doc_id, x, y,
+           |  round(1.0/(1.0 + exp(-(x[1]*${w(0)} + x[2]*${w(1)} + x[3]*${w(2)}))), 6) AS p
+           |  FROM f${if (i == 1) "" else s", w${i - 1}"}),
+           |g$i AS (SELECT
+           |  CAST(sum(CAST((y - p) * x[1] AS DECIMAL(30,15))) AS DOUBLE)/count(*) AS g0,
+           |  CAST(sum(CAST((y - p) * x[2] AS DECIMAL(30,15))) AS DOUBLE)/count(*) AS g1,
+           |  CAST(sum(CAST((y - p) * x[3] AS DECIMAL(30,15))) AS DOUBLE)/count(*) AS g2
+           |  FROM p$i),
+           |w$i AS (SELECT round(${w(0)} + 0.5*g0, 9) AS w0,
+           |  round(${w(1)} + 0.5*g1, 9) AS w1, round(${w(2)} + 0.5*g2, 9) AS w2
+           |  FROM g$i${if (i == 1) "" else s", w${i - 1}"})""".stripMargin
+      "WITH " + feat + ",\n" +
+        iterCte(1, Seq("0.0", "0.0", "0.0")) + ",\n" +
+        iterCte(2, Seq("w0", "w1", "w2")) + ",\n" +
+        iterCte(3, Seq("w0", "w1", "w2")) +
+        s"""
+           |SELECT doc_id,
+           |  round(1.0/(1.0 + exp(-(x[1]*w0 + x[2]*w1 + x[3]*w2))), 6) AS p,
+           |  (round(1.0/(1.0 + exp(-(x[1]*w0 + x[2]*w1 + x[3]*w2))), 6) >= 0.5) AS pred,
+           |  y
+           |FROM f, w3 ORDER BY doc_id""".stripMargin
+    }
 
     // t_bpe_train: one CTE block per training round. The greedy
     // left-to-right merge is the gaps-and-islands parity selection —
@@ -1388,6 +1437,8 @@ object PipelineQueries {
            |  count(*) AS n_docs
            |FROM documents GROUP BY lang, (len($toks)::BIGINT // 32 * 32)
            |ORDER BY lang, bucket_lo""".stripMargin,
+
+      "t_quality_classifier" -> logregSql,
 
       "t_bpe_train" -> bpeTrainSql,
 

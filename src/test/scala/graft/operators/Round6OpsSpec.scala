@@ -151,6 +151,24 @@ class Round6OpsSpec extends SparkSpec {
     }
   }
 
+  test("logregTrain learns a separable quality boundary and is partitioning-invariant") {
+    // class 1 = "long" docs (x ~ 2), class 0 = "short" docs (x ~ 0.05);
+    // with enough iterations the trained boundary must separate them
+    val feats = (1L to 40L).map { i =>
+      val long = i % 2 == 0
+      (i, Array(1.0, (if (long) 2.0 else 0.05) + 0.001 * (i % 5)),
+        if (long) 1.0 else 0.0)
+    }.toDF("id", "x", "y")
+    val w = Classifier.logregTrain(feats, "x", "y", dims = 2, iters = 25, lr = 1.0)
+    val scored = Classifier.logregScore(feats, "id", "x", "y", w).collect()
+    val acc = scored.count(r => r.getAs[Boolean]("pred") == (r.getAs[Double]("y") == 1.0))
+    assert(acc >= 38, s"separable data must classify; got $acc/40")
+    // decimal gradient sums make training partition-order independent
+    val w2 = Classifier.logregTrain(feats.repartition(7), "x", "y",
+      dims = 2, iters = 25, lr = 1.0)
+    assert(w === w2)
+  }
+
   test("exactSubstringDedup removes a passage repeated WITHIN one document") {
     // Lee et al. count total occurrences, not distinct docs: a doc that
     // repeats its own 8-token block twice loses both occurrences
