@@ -423,6 +423,50 @@ object TextAnalysis {
         round(col("sum_s").cast("double") / col("n_tokens"), 6).as("mean_surprise"))
   }
 
+  /** Bigram-LM surprise — the CONDITIONAL upgrade of [[unigramSurprise]]
+    * and the scalable sketch of CCNet's KenLM-perplexity filter: a
+    * document's score is the mean negative log-likelihood of its bigrams
+    * under the corpus's own add-k-smoothed bigram model,
+    * P(w2|w1) = (c(w1,w2) + k) / (c(w1) + k·V), with c(w1) the token's
+    * corpus occurrence count and V the corpus vocabulary size.
+    *
+    * Shape: one in-row bigram fan-out (with multiplicity — not the
+    * distinct shingle set), one bigram-keyed count, one unigram-keyed
+    * count, a two-key join back and a per-doc aggregate; the two scalar
+    * frames (V) broadcast. Same keyed-equi-join-only discipline as the
+    * unigram version — nothing is O(corpus × vocab).
+    *
+    * Cross-engine determinism: per-bigram surprise rounded to 9 dp,
+    * decimal accumulation, mean rounded to 6 dp (the
+    * [[unigramSurprise]] contract). Output: (id, n_bigrams, mean_surprise). */
+  def bigramSurprise(df0: DataFrame, idCol: String, textCol: String,
+                     k: Double = 0.5): DataFrame = {
+    require(k > 0, s"add-k smoothing needs k > 0, got $k")
+    val df = Dedup.widen(df0)
+    val toks = df.select(col(idCol), tokens(col(textCol)).as("toks"))
+    val bg = toks.filter(size(col("toks")) >= 2)
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), size(col("toks")) - 1),
+        i => struct(element_at(col("toks"), i).as("w1"),
+          element_at(col("toks"), i + 1).as("w2")))).as("b"))
+      .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val tok = toks.select(col(idCol), explode(col("toks")).as("w"))
+    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = tok.groupBy("w").agg(count(lit(1)).as("c1"))
+    val v = broadcast(c1.agg(count(lit(1)).as("v")))
+    bg.join(c2, Seq("w1", "w2"))
+      .join(c1.withColumnRenamed("w", "w1"), "w1")
+      .crossJoin(v)
+      .withColumn("s",
+        round(-log((col("c2").cast("double") + lit(k)) /
+          (col("c1").cast("double") + lit(k) * col("v"))), 9)
+          .cast("decimal(28,9)"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("s")).as("sum_s"))
+      .select(col(idCol), col("n_bigrams"),
+        round(col("sum_s").cast("double") / col("n_bigrams"), 6).as("mean_surprise"))
+  }
+
   /** Per-document top-`topK` TF-IDF terms — the classic keyword/feature
     * extraction pass (tf × ln(N/df), raw counts). One token explode, one
     * (doc, token) count, one vocab-keyed document-frequency join, and a

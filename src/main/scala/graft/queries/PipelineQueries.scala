@@ -627,6 +627,12 @@ object PipelineQueries {
       TextAnalysis.unigramSurprise(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // --- bigram-LM surprise (add-k conditional model — the scalable
+    //     sketch of CCNet's KenLM perplexity filter) ---
+    "t_bigram_surprise" -> ((s, dir) =>
+      TextAnalysis.bigramSurprise(docs(s, dir), "doc_id", "text", k = 0.5)
+        .orderBy("doc_id")),
+
     // --- per-doc top TF-IDF terms (keyword extraction) ---
     "t_tfidf_topk" -> ((s, dir) =>
       TextAnalysis.tfidfTopK(docs(s, dir), "doc_id", "text", topK = 3)
@@ -1761,6 +1767,20 @@ object PipelineQueries {
            |  round(CAST(sum(CAST(round(-ln(cnt::DOUBLE / n_total), 9) AS DECIMAL(28,9))) AS DOUBLE)
            |        / count(*), 6) AS mean_surprise
            |FROM tok JOIN freq USING (w) CROSS JOIN tot
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      "t_bigram_surprise" ->
+        s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+           |bg AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+           |       FROM t, unnest(range(1, len(tk))) AS u(i) WHERE len(tk) >= 2),
+           |tok AS (SELECT doc_id, unnest(tk) AS w FROM t),
+           |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY w1, w2),
+           |c1 AS (SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM tok GROUP BY w),
+           |vv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM c1)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           |  round(CAST(sum(CAST(round(-ln((c2::DOUBLE + 0.5) / (c1::DOUBLE + 0.5 * v)), 9)
+           |        AS DECIMAL(28,9))) AS DOUBLE) / count(*), 6) AS mean_surprise
+           |FROM bg JOIN c2 USING (w1, w2) JOIN c1 ON c1.w = bg.w1 CROSS JOIN vv
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
       "t_tfidf_topk" ->

@@ -169,6 +169,22 @@ class Round6OpsSpec extends SparkSpec {
     assert(w === w2)
   }
 
+  test("bigramSurprise ranks template-like docs below novel-bigram docs") {
+    // docs 1-3 repeat the same bigram chain (corpus-frequent bigrams →
+    // low conditional surprise); doc 4's bigrams occur once each
+    val boiler = "alpha beta gamma delta alpha beta gamma delta"
+    val docs = Seq(
+      (1L, boiler), (2L, boiler), (3L, boiler),
+      (4L, "zeta eta theta iota kappa lambda mu nu")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.bigramSurprise(docs, "doc_id", "text")
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        x.getAs[Double]("mean_surprise")).toMap
+    assert(r(1L) === r(2L))
+    assert(r(4L) > r(1L),
+      s"novel bigrams must surprise more: ${r(4L)} vs ${r(1L)}")
+  }
+
   test("exactSubstringDedup removes a passage repeated WITHIN one document") {
     // Lee et al. count total occurrences, not distinct docs: a doc that
     // repeats its own 8-token block twice loses both occurrences
