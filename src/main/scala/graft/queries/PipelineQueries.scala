@@ -380,6 +380,35 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // --- classifier operating-point sweep: precision/recall at five
+    //     thresholds over the trained quality scores ---
+    "t_classifier_pr" -> ((s, dir) => {
+      import s.implicits._
+      val f = docs(s, dir).select(col("doc_id"),
+        array(lit(1.0),
+          size(graft.functions.TextFunctions.tokens(col("text"))).cast("double") / lit(100.0),
+          length(col("text")).cast("double") / lit(1000.0)).as("x"),
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+        .cache()
+      val w = graft.operators.Classifier.logregTrain(
+        f, "x", "y", dims = 3, iters = 3, lr = 0.5)
+      val scored = graft.operators.Classifier.logregScore(f, "doc_id", "x", "y", w)
+      scored.crossJoin(Seq(0.3, 0.4, 0.5, 0.6, 0.7).toDF("t"))
+        .groupBy("t").agg(
+          sum(when(col("p") >= col("t") && col("y") === 1.0, 1L).otherwise(0L)).as("tp"),
+          sum(when(col("p") >= col("t") && col("y") === 0.0, 1L).otherwise(0L)).as("fp"),
+          sum(when(col("p") < col("t") && col("y") === 1.0, 1L).otherwise(0L)).as("fn"),
+          sum(when(col("p") < col("t") && col("y") === 0.0, 1L).otherwise(0L)).as("tn"))
+        .select(col("t"), col("tp"), col("fp"), col("fn"), col("tn"),
+          when(col("tp") + col("fp") === 0L, 0.0)
+            .otherwise(round(col("tp").cast("double") / (col("tp") + col("fp")), 6))
+            .as("precision"),
+          when(col("tp") + col("fn") === 0L, 0.0)
+            .otherwise(round(col("tp").cast("double") / (col("tp") + col("fn")), 6))
+            .as("recall"))
+        .orderBy("t")
+    }),
+
     // --- per-domain cap: at most 20 docs per source, content-hash order ---
     "t_domain_cap" -> ((s, dir) =>
       graft.operators.Sampling.capPerGroup(
@@ -814,7 +843,7 @@ object PipelineQueries {
     // t_quality_classifier: one CTE block per gradient iteration —
     // p{i} 6-dp sigmoid under the prior weights, g{i} decimal gradient
     // means, w{i} 9-dp weight update. Weights start at 0 (p1 = 0.5).
-    val logregSql = {
+    val logregCtes = {
       val feat =
         s"""f AS (SELECT doc_id,
            |  [1.0, len($toks)/100.0, length(text)/1000.0] AS x,
@@ -836,13 +865,30 @@ object PipelineQueries {
         iterCte(1, Seq("0.0", "0.0", "0.0")) + ",\n" +
         iterCte(2, Seq("w0", "w1", "w2")) + ",\n" +
         iterCte(3, Seq("w0", "w1", "w2")) +
-        s"""
-           |SELECT doc_id,
-           |  round(1.0/(1.0 + exp(-(x[1]*w0 + x[2]*w1 + x[3]*w2))), 6) AS p,
-           |  (round(1.0/(1.0 + exp(-(x[1]*w0 + x[2]*w1 + x[3]*w2))), 6) >= 0.5) AS pred,
-           |  y
-           |FROM f, w3 ORDER BY doc_id""".stripMargin
+        s""",
+           |scored AS (SELECT doc_id,
+           |  round(1.0/(1.0 + exp(-(x[1]*w0 + x[2]*w1 + x[3]*w2))), 6) AS p, y
+           |  FROM f, w3)""".stripMargin
     }
+    val logregSql = logregCtes +
+      """
+        |SELECT doc_id, p, (p >= 0.5) AS pred, y
+        |FROM scored ORDER BY doc_id""".stripMargin
+    // threshold sweep over the same trained scores — the operating-point
+    // eval that decides where a quality filter cuts
+    val logregPrSql = logregCtes +
+      """,
+        |th AS (SELECT unnest([0.3, 0.4, 0.5, 0.6, 0.7]) AS t),
+        |cm AS (SELECT t,
+        |  CAST(sum(CASE WHEN p >= t AND y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |  CAST(sum(CASE WHEN p >= t AND y = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |  CAST(sum(CASE WHEN p < t AND y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |  CAST(sum(CASE WHEN p < t AND y = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        |  FROM scored CROSS JOIN th GROUP BY t)
+        |SELECT t, tp, fp, fn, tn,
+        |  CASE WHEN tp + fp = 0 THEN 0.0 ELSE round(tp::DOUBLE / (tp + fp), 6) END AS precision,
+        |  CASE WHEN tp + fn = 0 THEN 0.0 ELSE round(tp::DOUBLE / (tp + fn), 6) END AS recall
+        |FROM cm ORDER BY t""".stripMargin
 
     // t_bpe_train: one CTE block per training round. The greedy
     // left-to-right merge is the gaps-and-islands parity selection —
@@ -1445,6 +1491,8 @@ object PipelineQueries {
            |ORDER BY lang, bucket_lo""".stripMargin,
 
       "t_quality_classifier" -> logregSql,
+
+      "t_classifier_pr" -> logregPrSql,
 
       "t_bpe_train" -> bpeTrainSql,
 
