@@ -380,6 +380,29 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // --- round-6 curation composition: quality-classifier filter
+    //     (p >= 0.45) -> exact substring dedup over the survivors —
+    //     the modern two-stage front of a pretraining pipeline,
+    //     end-to-end under one hash ---
+    "d_curation_v2" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val f = d.select(col("doc_id"),
+        array(lit(1.0),
+          size(graft.functions.TextFunctions.tokens(col("text"))).cast("double") / lit(100.0),
+          length(col("text")).cast("double") / lit(1000.0)).as("x"),
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+        .cache()
+      val w = graft.operators.Classifier.logregTrain(
+        f, "x", "y", dims = 3, iters = 10, lr = 2.0)
+      val kept = graft.operators.Classifier.logregScore(f, "doc_id", "x", "y", w)
+        .filter(col("p") >= 0.435).select("doc_id")
+      graft.operators.Dedup.exactSubstringDedup(
+          d.join(kept, "doc_id"), "doc_id", "text", n = 8)
+        .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+          md5(col("kept_text")).as("kept_hash"))
+        .orderBy("doc_id")
+    }),
+
     // --- classifier operating-point sweep: precision/recall at five
     //     thresholds over the trained quality scores ---
     "t_classifier_pr" -> ((s, dir) => {
@@ -843,7 +866,7 @@ object PipelineQueries {
     // t_quality_classifier: one CTE block per gradient iteration —
     // p{i} 6-dp sigmoid under the prior weights, g{i} decimal gradient
     // means, w{i} 9-dp weight update. Weights start at 0 (p1 = 0.5).
-    val logregCtes = {
+    def logregChain(iters: Int, lr: String): String = {
       val feat =
         s"""f AS (SELECT doc_id,
            |  [1.0, len($toks)/100.0, length(text)/1000.0] AS x,
@@ -858,18 +881,18 @@ object PipelineQueries {
            |  CAST(sum(CAST((y - p) * x[2] AS DECIMAL(30,15))) AS DOUBLE)/count(*) AS g1,
            |  CAST(sum(CAST((y - p) * x[3] AS DECIMAL(30,15))) AS DOUBLE)/count(*) AS g2
            |  FROM p$i),
-           |w$i AS (SELECT round(${w(0)} + 0.5*g0, 9) AS w0,
-           |  round(${w(1)} + 0.5*g1, 9) AS w1, round(${w(2)} + 0.5*g2, 9) AS w2
+           |w$i AS (SELECT round(${w(0)} + $lr*g0, 9) AS w0,
+           |  round(${w(1)} + $lr*g1, 9) AS w1, round(${w(2)} + $lr*g2, 9) AS w2
            |  FROM g$i${if (i == 1) "" else s", w${i - 1}"})""".stripMargin
       "WITH " + feat + ",\n" +
         iterCte(1, Seq("0.0", "0.0", "0.0")) + ",\n" +
-        iterCte(2, Seq("w0", "w1", "w2")) + ",\n" +
-        iterCte(3, Seq("w0", "w1", "w2")) +
+        (2 to iters).map(i => iterCte(i, Seq("w0", "w1", "w2"))).mkString(",\n") +
         s""",
            |scored AS (SELECT doc_id,
            |  round(1.0/(1.0 + exp(-(x[1]*w0 + x[2]*w1 + x[3]*w2))), 6) AS p, y
-           |  FROM f, w3)""".stripMargin
+           |  FROM f, w$iters)""".stripMargin
     }
+    val logregCtes = logregChain(3, "0.5")
     val logregSql = logregCtes +
       """
         |SELECT doc_id, p, (p >= 0.5) AS pred, y
@@ -1493,6 +1516,30 @@ object PipelineQueries {
       "t_quality_classifier" -> logregSql,
 
       "t_classifier_pr" -> logregPrSql,
+
+      // classifier filter feeding the substring-dedup SQL: `base` is the
+      // kept subset (10 rounds, lr 2.0 — enough spread that the 0.435
+      // threshold is a real cut), the rest is d_substring_dedup's oracle
+      "d_curation_v2" -> (logregChain(10, "2.0") +
+        s""",
+           |base AS (SELECT d.doc_id, $toks AS t
+           |         FROM documents d JOIN scored sc ON sc.doc_id = d.doc_id
+           |         WHERE sc.p >= 0.435),
+           |g AS (SELECT doc_id, p, md5(array_to_string(t[p : p + 7], ' ')) AS h
+           |      FROM base, unnest(range(1, len(t) - 6)) AS u(p)),
+           |dup AS (SELECT h FROM g GROUP BY h HAVING count(*) > 1),
+           |tok AS (SELECT doc_id, i AS q, t[i] AS w
+           |        FROM base, unnest(range(1, len(t) + 1)) AS u(i)),
+           |cov AS (SELECT DISTINCT g.doc_id, q
+           |        FROM g JOIN dup USING (h), unnest(range(g.p, g.p + 8)) AS u(q)),
+           |kept AS (SELECT tok.doc_id, tok.q AS q, w FROM tok
+           |         LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.q = cov.q
+           |         WHERE cov.q IS NULL)
+           |SELECT b.doc_id, len(b.t)::BIGINT AS n_tokens,
+           |  (len(b.t) - count(k.q))::BIGINT AS n_removed,
+           |  md5(coalesce(string_agg(k.w, ' ' ORDER BY k.q), '')) AS kept_hash
+           |FROM base b LEFT JOIN kept k USING (doc_id)
+           |GROUP BY b.doc_id, len(b.t) ORDER BY doc_id""".stripMargin),
 
       "t_bpe_train" -> bpeTrainSql,
 
