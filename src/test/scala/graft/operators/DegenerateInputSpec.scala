@@ -42,6 +42,11 @@ class DegenerateInputSpec extends SparkSpec {
     assert(r.map(_.getAs[Long]("doc_id")).toSeq === Seq(1L, 2L, 3L))
   }
 
+  test("bigramSurprise on sub-bigram docs returns empty (nothing to condition on)") {
+    assert(TextAnalysis.bigramSurprise(shortDocs.filter(col("doc_id") > 1),
+      "doc_id", "text").isEmpty)
+  }
+
   test("bpeTrain on a pairless corpus (single-char words) returns an empty merge table") {
     // no word has an adjacent pair -> round 1 finds no argmax -> the
     // trainer stops immediately instead of looping or throwing

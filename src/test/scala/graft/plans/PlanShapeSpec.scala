@@ -151,6 +151,15 @@ class PlanShapeSpec extends SparkSpec {
       hotDocs, "doc_id", "text", maxDf = 10L).isEmpty)
   }
 
+  test("logregScore is exchange-free (scoring under a trained model is a pure scan)") {
+    val feats = docs.select(col("doc_id"),
+      array(lit(1.0), (col("doc_id") % 7).cast("double")).as("x"),
+      (col("doc_id") % 2).cast("double").as("y"))
+    val plan = physicalPlan(graft.operators.Classifier.logregScore(
+      feats, "doc_id", "x", "y", Seq(0.1, -0.2)))
+    assert(!plan.contains("Exchange"))
+  }
+
   test("bpeEncode is exchange-free (tokenizer application is a pure scan)") {
     val plan = physicalPlan(TextAnalysis.bpeEncode(
       docs, "doc_id", "text", Seq("a" -> "l", "al" -> "p")))
