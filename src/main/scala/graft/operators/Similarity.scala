@@ -64,10 +64,12 @@ object Similarity {
     * nearest centroid; a query probes its `nprobe` nearest centroids and
     * reranks only the vectors in those inverted lists by exact cosine.
     *
-    * Scale shape: the centroid set is tiny and broadcast (assignment is a
-    * map-side pass over the corpus — no shuffle of the vectors); the
-    * probe join is an equi-join on centroid id, so the candidate volume
-    * is nprobe/K of the corpus per query instead of all of it. */
+    * Scale shape: the centroid set is model-sized and ships as a plan
+    * literal (assignment is a pure in-row argmax over the corpus — zero
+    * joins, zero shuffles, zero row fan-out; see
+    * [[Vectors.nearestCidExpr]]); the probe join is an equi-join on
+    * centroid id with the (small) probe side broadcast, so the candidate
+    * volume is nprobe/K of the corpus per query instead of all of it. */
   def ivfTopK(corpus0: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int = 5,
               nprobe: Int = 2, centroidEvery: Int = 100): DataFrame =
@@ -79,34 +81,29 @@ object Similarity {
   /** IVF ANN over a TRAINED coarse quantizer: `centroids` is a (cid, cv)
     * frame — in production the k-means model from
     * [[graft.operators.Vectors.kmeansTrain]] (`cents.toDF("cid", "cv")`).
-    * Same plan shape as [[ivfTopK]]: centroids broadcast, corpus
-    * assignment is map-side, probe join is an equi-join on centroid id. */
+    * Same plan shape as [[ivfTopK]]: the model collects to the driver
+    * (model-sized, the same budget class as [[Vectors.kmeansTrain]]'s
+    * centroid collect) and corpus assignment is a pure in-row argmax;
+    * the probe join is a broadcast equi-join on centroid id. */
   def ivfTopKWithCentroids(corpus0: DataFrame, queries: DataFrame,
                            centroids: DataFrame,
                            idCol: String, vecCol: String, k: Int = 5,
                            nprobe: Int = 2): DataFrame = {
     val spark = corpus0.sparkSession
+    import spark.implicits._
     val corpus = widen(corpus0)
-    val cent = broadcast(centroids.select(col("cid"), col("cv")))
-    def nearestCentroids(df: DataFrame, outId: String, outVec: String, n: Int): DataFrame = {
-      val w = Window.partitionBy(outId)
-        .orderBy(col("ccos").desc, col("cid").asc)
-      df.crossJoin(cent)
-        .withColumn("ccos", Vectors.cosineNative(spark, col(outVec), col("cv")))
-        .withColumn("crk", row_number().over(w))
-        .filter(col("crk") <= n)
-        .select(col(outId), col(outVec), col("cid"))
-    }
-    // both sides descend from the same broadcast `cent`, so their `cid`
-    // attributes share ids — rename one side or the join condition
-    // degenerates into a same-attribute compare (Spark logs exactly that
-    // "trivially true equals predicate" warning before disambiguating)
-    val assign = nearestCentroids(
-      corpus.select(col(idCol).as("nid"), col(vecCol).as("nv")), "nid", "nv", 1)
-      .withColumnRenamed("cid", "n_cid")
-    val probes = nearestCentroids(
-      queries.select(col(idCol).as("qid"), col(vecCol).as("qv")), "qid", "qv", nprobe)
-    val scored = probes.join(assign, col("cid") === col("n_cid") &&
+    val cents = centroids.select(col("cid"), col("cv"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1).toSeq
+    require(cents.nonEmpty, "ivfTopKWithCentroids needs a non-empty centroid model")
+    // corpus side: in-row n=1 assignment (zero shuffle); query side:
+    // in-row top-nprobe probe list, exploded to one row per probed list —
+    // the fan-out is nprobe × |queries|, never k × |corpus|
+    val assign = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"))
+      .withColumn("n_cid", Vectors.nearestCidExpr(spark, col("nv"), cents))
+    val probes = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .withColumn("cid",
+        explode(Vectors.nearestCidsExpr(spark, col("qv"), cents, nprobe)))
+    val scored = broadcast(probes).join(assign, col("cid") === col("n_cid") &&
         col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
         Vectors.cosineNative(spark, col("qv"), col("nv")).as("cos"))
@@ -257,32 +254,29 @@ object Similarity {
                 idCol: String, vecCol: String, k: Int = 5,
                 nprobe: Int = 2, centroidEvery: Int = 100,
                 m: Int = 4, ks: Int = 4, iters: Int = 2): DataFrame = {
+    val spark = corpus0.sparkSession
+    import spark.implicits._
     val corpus = widen(corpus0)
     val dims = corpus.select(size(col(vecCol))).head.getInt(0)
     require(m > 0 && dims % m == 0, s"dims=$dims must split into m=$m subspaces")
     val sub = dims / m
     val cbs = pqTrain(corpus, idCol, vecCol, dims, m, ks, iters)
-    val cent = broadcast(corpus.filter(col(idCol) % centroidEvery === 1)
-      .select(col(idCol).as("cid"), col(vecCol).as("cv")))
-    def nearestCentroids(df: DataFrame, outId: String, outVec: String, n: Int): DataFrame = {
-      val w = Window.partitionBy(outId)
-        .orderBy(col("ccos").desc, col("cid").asc)
-      df.crossJoin(cent)
-        .withColumn("ccos", Vectors.cosineNative(corpus0.sparkSession,
-          col(outVec), col("cv")))
-        .withColumn("crk", row_number().over(w))
-        .filter(col("crk") <= n)
-        .select(col(outId), col(outVec), col("cid"))
-    }
+    val cents = corpus.filter(col(idCol) % centroidEvery === 1)
+      .select(col(idCol), col(vecCol))
+      .as[(Long, Array[Float])].collect().sortBy(_._1).toSeq
+    require(cents.nonEmpty, "ivfPqTopK found no coarse centroids")
     // candidate side carries ONLY its reconstruction forward (at real
-    // scale: only its codes) — the exact vector is dropped after encode
-    val assign = nearestCentroids(
-      corpus.select(col(idCol).as("nid"), col(vecCol).as("nv")), "nid", "nv", 1)
-      .withColumnRenamed("cid", "n_cid")
-      .select(col("nid"), col("n_cid"), pqRecon(col("nv"), cbs, sub).as("rv"))
-    val probes = nearestCentroids(
-      queries.select(col(idCol).as("qid"), col(vecCol).as("qv")), "qid", "qv", nprobe)
-    val scored = probes.join(assign, col("cid") === col("n_cid") &&
+    // scale: only its codes) — the exact vector is dropped after encode.
+    // Coarse assignment is the in-row literal-model argmax (zero shuffle);
+    // the query side explodes its in-row top-nprobe probe list.
+    val assign = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"))
+      .select(col("nid"),
+        Vectors.nearestCidExpr(spark, col("nv"), cents).as("n_cid"),
+        pqRecon(col("nv"), cbs, sub).as("rv"))
+    val probes = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .withColumn("cid",
+        explode(Vectors.nearestCidsExpr(spark, col("qv"), cents, nprobe)))
+    val scored = broadcast(probes).join(assign, col("cid") === col("n_cid") &&
         col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
         Vectors.cosine(col("qv"), col("rv")).as("score_pq"))
@@ -303,41 +297,38 @@ object Similarity {
     * `float − float → float`; DuckDB `FLOAT − FLOAT → FLOAT` — both IEEE
     * single ops, bit-identical), and the reconstruction is a float32 add
     * of the coarse centroid and codebook entries, so the whole model is
-    * hash-checkable like the rest of the ANN family. Plan shape: one
-    * broadcast centroid join for residuals (map-side), fused residual
-    * codebook training ([[pqTrain]]), in-row encode, inverted-list probe. */
+    * hash-checkable like the rest of the ANN family. Plan shape: in-row
+    * literal-model coarse argmax + map-literal residual (pure projection),
+    * fused residual codebook training ([[pqTrain]]), in-row encode,
+    * inverted-list probe with the probe side broadcast. */
   def ivfPqResidualTopK(corpus0: DataFrame, queries: DataFrame,
                         idCol: String, vecCol: String, k: Int = 5,
                         nprobe: Int = 2, centroidEvery: Int = 100,
                         m: Int = 4, ks: Int = 4, iters: Int = 2): DataFrame = {
     val spark = corpus0.sparkSession
+    import spark.implicits._
     val corpus = widen(corpus0)
     val dims = corpus.select(size(col(vecCol))).head.getInt(0)
     require(m > 0 && dims % m == 0, s"dims=$dims must split into m=$m subspaces")
     val sub = dims / m
-    val cent = broadcast(corpus.filter(col(idCol) % centroidEvery === 1)
-      .select(col(idCol).as("cid"), col(vecCol).as("cv")))
-    def nearestCentroids(df: DataFrame, outId: String, outVec: String, n: Int): DataFrame = {
-      val w = Window.partitionBy(outId)
-        .orderBy(col("ccos").desc, col("cid").asc)
-      df.crossJoin(cent)
-        .withColumn("ccos", Vectors.cosineNative(spark, col(outVec), col("cv")))
-        .withColumn("crk", row_number().over(w))
-        .filter(col("crk") <= n)
-        .select(col(outId), col(outVec), col("cid"))
-    }
-    // residual frame: one broadcast join back to the assigned centroid,
-    // float32 subtract in-row. CACHED — three consumers (codebook seed
-    // collect, the per-round means aggregate, and the candidate scan)
-    // would otherwise each re-run the coarse-assignment window; lifetime
-    // follows the session/clearCache contract of [[Dedup.semanticDedup]].
-    val assigned = nearestCentroids(
-      corpus.select(col(idCol).as("nid"), col(vecCol).as("nv")), "nid", "nv", 1)
-      .withColumnRenamed("cid", "n_cid")
-      .join(cent.withColumnRenamed("cid", "n_cid"), "n_cid")
+    val cents = corpus.filter(col(idCol) % centroidEvery === 1)
+      .select(col(idCol), col(vecCol))
+      .as[(Long, Array[Float])].collect().sortBy(_._1).toSeq
+    require(cents.nonEmpty, "ivfPqResidualTopK found no coarse centroids")
+    // residual frame: in-row literal-model argmax for the coarse id, then
+    // an in-row map-literal lookup of the assigned centroid's vector and
+    // a float32 subtract — a pure projection end to end, so the three
+    // consumers (codebook seed collect, per-round means aggregate,
+    // candidate scan) each RE-SCAN instead of caching: re-running a
+    // map-side projection is the 100 TB-safe trade vs pinning the corpus
+    // in executor memory. (The earlier crossJoin+window form cached here
+    // to amortize its per-id ranking Exchange.)
+    val cvMap = typedLit(cents.map { case (cid, cv) => (cid, cv.toSeq) }.toMap)
+    val assigned = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"))
+      .withColumn("n_cid", Vectors.nearestCidExpr(spark, col("nv"), cents))
+      .withColumn("cv", element_at(cvMap, col("n_cid")))
       .select(col("nid"), col("n_cid"), col("nv"), col("cv"),
         zip_with(col("nv"), col("cv"), (x, y) => (x - y).cast("float")).as("rv"))
-      .cache()
     val cbs = pqTrain(assigned.select(col("nid"), col("rv")), "nid", "rv",
       dims, m, ks, iters)
     // candidate carries c + decode(codes) forward — at real scale the
@@ -345,9 +336,10 @@ object Similarity {
     val cand = assigned.select(col("nid"), col("n_cid"),
       zip_with(col("cv"), pqRecon(col("rv"), cbs, sub),
         (x, y) => (x + y).cast("float")).as("recon"))
-    val probes = nearestCentroids(
-      queries.select(col(idCol).as("qid"), col(vecCol).as("qv")), "qid", "qv", nprobe)
-    val scored = probes.join(cand, col("cid") === col("n_cid") &&
+    val probes = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .withColumn("cid",
+        explode(Vectors.nearestCidsExpr(spark, col("qv"), cents, nprobe)))
+    val scored = broadcast(probes).join(cand, col("cid") === col("n_cid") &&
         col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
         Vectors.cosine(col("qv"), col("recon")).as("score_pq"))

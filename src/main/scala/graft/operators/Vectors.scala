@@ -36,6 +36,47 @@ object Vectors {
     round(call_function("graft_cosine", a, b), 6)
   }
 
+  /** Centroid model as ONE plan literal: `array<struct<_1: cid, _2: cv>>`,
+    * sorted by cid for a deterministic literal. One literal + higher-order
+    * transforms keeps the expression tree O(1) in k (an unrolled
+    * k-struct `array(...)` would Janino-compile O(k·dims) code), and the
+    * model ships with the plan exactly like any broadcast model — the
+    * driver-side budget is k × dims floats either way. */
+  private def centroidsLit(cents: Seq[(Long, Array[Float])]): Column =
+    typedLit(cents.sortBy(_._1).map { case (cid, cv) => (cid, cv.toSeq) })
+
+  /** In-row scored-centroid array: per centroid, `struct(c, nc)` where
+    * `c` is the 6-dp [[cosineNative]] score of `v` against the literal
+    * centroid and `nc = -cid`. Struct ordering then encodes the
+    * assignment contract everywhere: max = (highest cosine, lowest cid);
+    * descending sort = (cosine desc, cid asc) — bit-identical to the
+    * `Window.orderBy(ccos.desc, cid.asc)` ranking it replaces. */
+  private def centroidScores(spark: org.apache.spark.sql.SparkSession,
+                             v: Column, cents: Seq[(Long, Array[Float])]): Column = {
+    graft.plans.GraftFunctions.register(spark)
+    transform(centroidsLit(cents), c =>
+      struct(round(call_function("graft_cosine", v, c.getField("_2")), 6).as("c"),
+        (-c.getField("_1")).as("nc")))
+  }
+
+  /** Nearest-centroid id of `v` as a pure in-row expression (zero joins,
+    * zero shuffles, zero row fan-out): `array_max` over the literal-model
+    * scores. 6-dp cosine, lowest cid on ties — the assignment contract of
+    * the whole ANN family ([[Similarity.pqTrain]] is the template). */
+  private[graft] def nearestCidExpr(spark: org.apache.spark.sql.SparkSession,
+                                    v: Column, cents: Seq[(Long, Array[Float])]): Column =
+    (-array_max(centroidScores(spark, v, cents)).getField("nc")).cast("long")
+
+  /** Top-`n` nearest-centroid ids of `v`, ordered (cosine desc, cid asc),
+    * as a pure in-row expression: sort the literal-model scores
+    * descending, slice `n`, strip to cids. The row fan-out downstream is
+    * the caller's explode — n rows per query, never k per corpus row. */
+  private[graft] def nearestCidsExpr(spark: org.apache.spark.sql.SparkSession,
+                                     v: Column, cents: Seq[(Long, Array[Float])],
+                                     n: Int): Column =
+    transform(slice(sort_array(centroidScores(spark, v, cents), asc = false), 1, n),
+      s => (-s.getField("nc")).cast("long"))
+
   /** Deterministic distributed k-means training (cosine metric) — the
     * trained coarse quantizer for
     * [[graft.operators.Similarity.ivfTopKWithCentroids]]. Returns the
@@ -50,8 +91,9 @@ object Vectors {
     * space, and coincides with `id <= k` on dense ids (so existing
     * oracle hashes are unchanged).
     *
-    * Scale shape: each round is one broadcast of k centroids + a
-    * map-side argmax over the corpus (no corpus shuffle) + one keyed
+    * Scale shape: each round is one in-row argmax over the corpus
+    * against the literal centroid model (a pure projection — no join,
+    * no shuffle, no row fan-out; see [[nearestCidExpr]]) + one keyed
     * mean aggregate; only k×dims means ever reach the driver (config-
     * sized, like any trained-model broadcast).
     *
@@ -75,9 +117,12 @@ object Vectors {
       .as[(Long, Array[Float])].collect().sortBy(_._1).toSeq
     // iters Lloyd rounds = (iters - 1) centroid updates; the final
     // assignment pass happens in assignToCentroids against this model.
+    // Assignment is a pure in-row expression, so the round keeps v in the
+    // same projection — no join back to recover the vectors.
     for (_ <- 1 until iters) {
-      val assign = assignToCentroids(df, idCol, vecCol, cents)
-      val means = assign.join(base, idCol)
+      val assign = base.select(
+        nearestCidExpr(spark, col("v"), cents).as("cluster_id"), col("v"))
+      val means = assign
         .select(col("cluster_id"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy(col("cluster_id"), col("dim"))
         .agg((sum(col("x").cast("double").cast("decimal(30,15)")).cast("double")
@@ -92,22 +137,22 @@ object Vectors {
     cents
   }
 
-  /** Map-side argmax of `df`'s vectors against a broadcast centroid
-    * model: (idCol, cluster_id). One pass over the corpus, no shuffle of
-    * the vectors (the per-id window runs inside the k-wide fan-out). */
+  /** In-row argmax of `df`'s vectors against the literal centroid model:
+    * (idCol, cluster_id). A pure projection — zero joins, zero shuffles,
+    * zero row fan-out; ONE pass over the corpus at any k. (The earlier
+    * crossJoin+window form computed the same assignment but hash-
+    * exchanged k copies of every corpus vector for the per-id ranking —
+    * k × corpus of network for an argmax at 100 TB.) Same 6-dp-cosine /
+    * lowest-cid contract, so assignments are bit-identical. */
   def assignToCentroids(df: org.apache.spark.sql.DataFrame, idCol: String,
                         vecCol: String, cents: Seq[(Long, Array[Float])])
       : org.apache.spark.sql.DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val centDf = broadcast(cents.toDF("cid", "cv"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(idCol).orderBy(col("ccos").desc, col("cid").asc)
-    df.select(col(idCol), col(vecCol).as("v")).crossJoin(centDf)
-      .withColumn("ccos", cosineNative(spark, col("v"), col("cv")))
-      .withColumn("crk", row_number().over(w))
-      .filter(col("crk") === 1)
-      .select(col(idCol), col("cid").as("cluster_id"))
+    // empty model (e.g. an empty training frame) assigns nothing — the
+    // same zero-row result the crossJoin form produced
+    if (cents.isEmpty)
+      df.select(col(idCol), lit(null).cast("long").as("cluster_id")).limit(0)
+    else df.select(col(idCol),
+      nearestCidExpr(df.sparkSession, col(vecCol), cents).as("cluster_id"))
   }
 
   /** Train + final assignment: (id, cluster_id) after `iters` rounds —

@@ -52,13 +52,50 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"))
   }
 
-  test("kmeans assignment is a broadcast of centroids, not a corpus shuffle") {
+  test("kmeans assignment is a pure in-row projection — no Exchange, no join, at any k") {
     val vecs = spark.range(1, 101).select(col("id").as("vec_id"),
       transform(sequence(lit(1), lit(8)), i => (col("id") % i).cast("float")).as("embedding"))
-    val plan = physicalPlan(graft.operators.Vectors.kmeansAssign(
-      vecs, "vec_id", "embedding", k = 2, iters = 1))
-    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"))
-    assert(!plan.contains("SortMergeJoin"))
+    val df = graft.operators.Vectors.kmeansAssign(
+      vecs, "vec_id", "embedding", k = 2, iters = 1)
+    val rows = df.collect() // drive the SAME QueryExecution the assertion reads
+    assert(rows.length === 100)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      "centroid assignment must not shuffle the corpus (k× vectors through a window Exchange)")
+    assert(!plan.contains("Join"), "centroid model is a plan literal, not a joined frame")
+  }
+
+  test("ivf probe side is an in-row literal-model top-n (explode fan-out is nprobe×queries, not k×corpus)") {
+    val vecs = spark.range(1, 101).select(col("id").as("vec_id"),
+      transform(sequence(lit(1), lit(8)), i => (col("id") % i).cast("float")).as("embedding"))
+    val cents = (1L to 5L).map(c =>
+      (c, (1 to 8).map(d => (c % d).toFloat).toArray)).toSeq
+    val probes = vecs.select(col("vec_id"),
+      explode(graft.operators.Vectors.nearestCidsExpr(
+        spark, col("embedding"), cents, 2)).as("cid"))
+    val plan = physicalPlan(probes)
+    assert(!plan.contains("Exchange") && !plan.contains("Join"))
+    assert(plan.contains("Generate")) // the nprobe explode, nothing wider
+  }
+
+  test("ivfTopKWithCentroids: corpus assignment subplan has no window over nid and the probe join broadcasts") {
+    import spark.implicits._
+    val vecs = spark.range(1, 101).select(col("id").as("vec_id"),
+      transform(sequence(lit(1), lit(8)), i => (col("id") % i).cast("float")).as("embedding"))
+    val cents = (1L to 5L).map(c =>
+      (c, (1 to 8).map(d => (c % d).toFloat).toArray)).toDF("cid", "cv")
+    val df = graft.operators.Similarity.ivfTopKWithCentroids(
+      vecs, vecs.filter(col("vec_id") % 20 === 0), cents,
+      "vec_id", "embedding", k = 3, nprobe = 2)
+    val rows = df.collect() // drive the SAME QueryExecution the assertion reads
+    assert(rows.nonEmpty)
+    val plan = df.queryExecution.executedPlan.toString
+    // the only permissible window is the final per-QUERY top-k rerank;
+    // a window partitioned by the corpus id is the k×corpus Exchange
+    assert(!"windowspecdefinition\\(nid".r.findFirstIn(plan).isDefined,
+      "no per-corpus-row window — assignment must be in-row")
+    assert(plan.contains("BroadcastHashJoin"), "probe join must broadcast the probe side")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"))
   }
 
   test("lshBuckets is a single map-side projection (no shuffle, no driver job)") {
