@@ -381,7 +381,7 @@ object PipelineQueries {
     }),
 
     // --- round-6 curation composition: quality-classifier filter
-    //     (p >= 0.45) -> exact substring dedup over the survivors —
+    //     (p >= 0.435) -> exact substring dedup over the survivors —
     //     the modern two-stage front of a pretraining pipeline,
     //     end-to-end under one hash ---
     "d_curation_v2" -> ((s, dir) => {

@@ -49,6 +49,52 @@ class CompactionSpec extends SparkSpec {
     }
   }
 
+  test("crashed swap state recovers: __old/__compacting are never partitions, sole-copy __old restores") {
+    import org.apache.hadoop.fs.Path
+    val dir = tmpDir("compact_crash") + "/t"
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val data = (1L to 300L).map(i => (i, s"k${i % 3}", s"row$i"))
+    data.toDF("id", "k", "v").repartition(4).write.partitionBy("k").parquet(dir)
+    // crash flavor 1: promote succeeded but the old copy survived — its
+    // name still parses as a partition (k='k0__old') and would silently
+    // duplicate k0's rows on the next read of the table root
+    fs.rename(new Path(s"$dir/k=k0"), new Path(s"$dir/k=k0__old"))
+    data.filter(_._2 == "k0").map(t => (t._1, t._3)).toDF("id", "v")
+      .coalesce(1).write.parquet(s"$dir/k=k0")
+    // crash flavor 2: staging written, swap never started
+    data.filter(_._2 == "k1").map(t => (t._1, t._3)).toDF("id", "v")
+      .coalesce(1).write.parquet(s"$dir/k=k1__compacting")
+    // crash flavor 3: retired but never promoted — __old is the ONLY copy
+    fs.rename(new Path(s"$dir/k=k2"), new Path(s"$dir/k=k2__old"))
+
+    val rs = Compaction.compactPartitioned(spark, dir, targetBytes = 1L << 30)
+    assert(rs.map(_._1).sorted === Seq("k=k0", "k=k1", "k=k2"),
+      "staging-suffixed directories must never be listed as partitions")
+    assert(!fs.exists(new Path(s"$dir/k=k0__old")) &&
+      !fs.exists(new Path(s"$dir/k=k1__compacting")) &&
+      !fs.exists(new Path(s"$dir/k=k2__old")), "stale swap state must be cleared")
+    // content: every row exactly once — no duplicates from k=k0__old,
+    // k=k2 restored from its sole __old copy
+    val after = spark.read.parquet(dir)
+    assert(after.select("id", "k", "v").as[(Long, String, String)]
+      .collect().sorted === data.sorted.toArray)
+    // re-run is clean
+    assert(Compaction.compactPartitioned(spark, dir, targetBytes = 1L << 30)
+      .forall(_._2.skipped))
+  }
+
+  test("a stray non-partition subdirectory fails that leaf with compactParquet's clear error, not the table-level require") {
+    val dir = tmpDir("compact_stray") + "/t"
+    val data = (1L to 200L).map(i => (i, s"k${i % 2}", s"row$i"))
+    data.toDF("id", "k", "v").repartition(4).write.partitionBy("k").parquet(dir)
+    new java.io.File(s"$dir/k=k0/_temporary").mkdirs()
+    val e = intercept[IllegalArgumentException] {
+      Compaction.compactPartitioned(spark, dir, targetBytes = 1L << 30)
+    }
+    assert(e.getMessage.contains("k=k0") && e.getMessage.contains("flat layouts"),
+      s"leaf must fall through to compactParquet's nested-dir error, got: ${e.getMessage}")
+  }
+
   test("compactParquet respects the target size (multiple output files)") {
     val dir = tmpDir("compact_sz") + "/t"
     // ~payload large enough that total bytes exceed one tiny target
