@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deterministic quality-classifier training — the fastText/DCLM-style
@@ -27,6 +27,50 @@ import org.apache.spark.sql.functions._
   * x[0]) and `yCol: double` in {0.0, 1.0}. Weights start at zero, so
   * iteration 1's sigmoid is exactly 0.5 everywhere. */
 object Classifier {
+
+  /** fastText-style hashed character-n-gram features computed IN-ROW from
+    * raw text — the frame a real quality filter actually starts from
+    * (fastText's bag-of-char-ngrams; DCLM's hashed n-gram features), so
+    * [[logregTrain]] can train from `documents.text` alone instead of
+    * caller-built features.
+    *
+    * Per doc: lowercase, slide every `n`-char gram, hash each gram to one
+    * of `buckets` slots by its md5's leading hex digit (the same
+    * md5-as-uniform-hash convention as the MinHash/KMV family — both
+    * engines agree on md5 of UTF-8 bytes), and emit
+    * `x = [1.0 (bias), share of grams in bucket 0, …, bucket B-1]`
+    * (count-normalized; an empty gram set scores all-zero). At real
+    * vocab sizes the same plan widens to more md5 digits (2^20 buckets);
+    * the plan SHAPE — one projection, no explode survives the fold, no
+    * join, no shuffle — is independent of B.
+    *
+    * Everything is a pure projection (machine-checked in PlanShapeSpec):
+    * the gram array, bucket ids, and per-bucket counts fold in-row via
+    * transform/filter/size — no explode+groupBy, no corpus shuffle.
+    * `keep` columns (e.g. a label) are evaluated against the full input
+    * row and carried through. */
+  def hashedCharNgramFeatures(df: DataFrame, idCol: String, textCol: String,
+                              n: Int = 3, buckets: Int = 16,
+                              keep: Seq[Column] = Nil): DataFrame = {
+    require(n >= 1, s"gram size must be >= 1, got $n")
+    require(buckets >= 1 && buckets <= 16,
+      s"one md5 hex digit addresses up to 16 buckets, got $buckets")
+    val t = lower(col(textCol))
+    // sequence(1, m) DESCENDS for m < 1, so short docs guard to empty
+    val grams = when(length(t) < n, typedLit(Seq.empty[String]))
+      .otherwise(transform(sequence(lit(1), length(t) - (n - 1)),
+        i => t.substr(i, lit(n))))
+    val bks = transform(grams,
+      g => (conv(substring(md5(g), 1, 1), 16, 10).cast("int") % buckets).cast("int"))
+    val total = size(col("graft_bks"))
+    val x = array(lit(1.0) +: (0 until buckets).map { j =>
+      when(total > 0,
+        size(filter(col("graft_bks"), b => b === j)).cast("double") / total.cast("double"))
+        .otherwise(lit(0.0))
+    }: _*)
+    df.withColumn("graft_bks", bks)
+      .select(col(idCol) +: x.as("x") +: keep: _*)
+  }
 
   def logregTrain(feats: DataFrame, xCol: String, yCol: String,
                   dims: Int, iters: Int = 3, lr: Double = 0.5): Seq[Double] = {

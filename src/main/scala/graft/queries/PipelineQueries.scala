@@ -380,6 +380,21 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // --- classifier from RAW TEXT: fastText-style hashed char-3-gram
+    //     features (16 md5-digit buckets + bias, in-row) -> 3 batch-GD
+    //     iterations -> per-doc 6-dp scores. No caller-built features:
+    //     the frame a real quality filter starts from ---
+    "t_classifier_features" -> ((s, dir) => {
+      val f = graft.operators.Classifier.hashedCharNgramFeatures(
+          docs(s, dir), "doc_id", "text", n = 3, buckets = 16,
+          keep = Seq(when(col("lang") === "en", 1.0).otherwise(0.0).as("y")))
+        .cache() // 3 training scans + the scoring pass share one gram-hash pass
+      val w = graft.operators.Classifier.logregTrain(
+        f, "x", "y", dims = 17, iters = 3, lr = 0.5)
+      graft.operators.Classifier.logregScore(f, "doc_id", "x", "y", w)
+        .orderBy("doc_id")
+    }),
+
     // --- round-6 curation composition: quality-classifier filter
     //     (p >= 0.435) -> exact substring dedup over the survivors —
     //     the modern two-stage front of a pretraining pipeline,
@@ -892,6 +907,53 @@ object PipelineQueries {
            |  round(1.0/(1.0 + exp(-(x[1]*w0 + x[2]*w1 + x[3]*w2))), 6) AS p, y
            |  FROM f, w$iters)""".stripMargin
     }
+    // generalized D-dim variant of logregChain for feature frames built
+    // by their own CTE (`featCte` must yield f(doc_id, x, y)); identical
+    // numeric recipe (6-dp sigmoid, decimal gradient means, 9-dp weights)
+    def logregChainD(featCte: String, dims: Int, iters: Int, lr: String): String = {
+      def dot(w: Int => String) =
+        (1 to dims).map(j => s"x[$j]*${w(j - 1)}").mkString(" + ")
+      def iterCte(i: Int, w: Int => String): String =
+        s"""p$i AS (SELECT doc_id, x, y,
+           |  round(1.0/(1.0 + exp(-(${dot(w)}))), 6) AS p
+           |  FROM f${if (i == 1) "" else s", w${i - 1}"}),
+           |g$i AS (SELECT
+           |  ${(0 until dims).map(j =>
+                s"CAST(sum(CAST((y - p) * x[${j + 1}] AS DECIMAL(30,15))) AS DOUBLE)/count(*) AS g$j")
+               .mkString(",\n  ")}
+           |  FROM p$i),
+           |w$i AS (SELECT ${(0 until dims).map(j =>
+                s"round(${w(j)} + $lr*g$j, 9) AS w$j").mkString(", ")}
+           |  FROM g$i${if (i == 1) "" else s", w${i - 1}"})""".stripMargin
+      "WITH " + featCte + ",\n" + iterCte(1, _ => "0.0") + ",\n" +
+        (2 to iters).map(i => iterCte(i, j => s"w$j")).mkString(",\n") +
+        s""",
+           |scored AS (SELECT doc_id,
+           |  round(1.0/(1.0 + exp(-(${dot(j => s"w$j")}))), 6) AS p, y
+           |  FROM f, w$iters)""".stripMargin
+    }
+    // hashed char-3-gram feature CTE (16 md5-leading-digit buckets +
+    // bias): in-list gram slide, per-bucket count share — the DuckDB
+    // mirror of Classifier.hashedCharNgramFeatures
+    val charNgramFeatCte =
+      """f AS (SELECT doc_id,
+        |  [1.0] || list_transform(range(0, 16), j ->
+        |    CASE WHEN len(bks) > 0
+        |      THEN len(list_filter(bks, b -> b = j))::DOUBLE / len(bks)
+        |      ELSE 0.0 END) AS x,
+        |  CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+        |  FROM (SELECT doc_id, lang,
+        |    CASE WHEN length(lower(text)) < 3 THEN []
+        |      ELSE list_transform(range(1, length(lower(text)) - 1), i ->
+        |        strpos('0123456789abcdef',
+        |          substring(md5(substring(lower(text), i, 3)), 1, 1)) - 1)
+        |      END AS bks
+        |    FROM documents))""".stripMargin
+    val classifierFeaturesSql =
+      logregChainD(charNgramFeatCte, 17, 3, "0.5") +
+        """
+          |SELECT doc_id, p, (p >= 0.5) AS pred, y
+          |FROM scored ORDER BY doc_id""".stripMargin
     val logregCtes = logregChain(3, "0.5")
     val logregSql = logregCtes +
       """
@@ -1514,6 +1576,7 @@ object PipelineQueries {
            |ORDER BY lang, bucket_lo""".stripMargin,
 
       "t_quality_classifier" -> logregSql,
+      "t_classifier_features" -> classifierFeaturesSql,
 
       "t_classifier_pr" -> logregPrSql,
 

@@ -188,6 +188,15 @@ class PlanShapeSpec extends SparkSpec {
       hotDocs, "doc_id", "text", maxDf = 10L).isEmpty)
   }
 
+  test("hashedCharNgramFeatures is exchange-free (gram hash + bucket counts fold in-row)") {
+    val df = graft.operators.Classifier.hashedCharNgramFeatures(
+      docs, "doc_id", "text",
+      keep = Seq((col("doc_id") % 2).cast("double").as("y")))
+    val plan = physicalPlan(df)
+    assert(!plan.contains("Exchange"), "feature extraction must not shuffle the corpus")
+    assert(!plan.contains("Generate"), "no explode may survive the in-row fold")
+  }
+
   test("logregScore is exchange-free (scoring under a trained model is a pure scan)") {
     val feats = docs.select(col("doc_id"),
       array(lit(1.0), (col("doc_id") % 7).cast("double")).as("x"),
