@@ -215,14 +215,18 @@ object TextAnalysis {
     * Scale shape: the corpus collapses ONCE to the distinct
     * word-frequency table (one shuffle keyed by word — the same reduction
     * every real BPE trainer performs, since merge decisions depend only
-    * on (word, freq)); each round then runs one keyed pair-count
-    * aggregate over that table, collects exactly ONE row (the argmax —
-    * model-sized driver data), and applies the merge as an in-row
-    * `aggregate` fold over each word's symbol array. The fold IS greedy
-    * left-to-right: a just-merged symbol a||b can never re-match the
-    * round's left side a (a||b = a would need b empty). The word table is
-    * `localCheckpoint`ed per round so lineage stays flat across rounds
-    * (same discipline as [[ConnectedComponents]]).
+    * on (word, freq)); that table is VOCAB-sized, not corpus-sized, so it
+    * is collected (the same model-budget collect as the k-means/PQ
+    * trainers) and every merge round runs driver-side on it — ONE Spark
+    * job total, where the per-round Spark form scheduled 3 jobs and a
+    * localCheckpoint materialization per merge (~100k jobs at a real 32k
+    * vocab). The driver loop reproduces the distributed rounds exactly:
+    * pair counts sum word frequencies over every adjacent index
+    * (overlaps included), the argmax tie-breaks (cnt desc, lhs asc,
+    * rhs asc) with UTF-8-byte string order (what `orderBy` on a string
+    * column compares), and each merge applies greedily left-to-right —
+    * a just-merged symbol a||b can never re-match the round's left side
+    * a (a||b = a would need b empty).
     *
     * Output: (rk, lhs, rhs, cnt) — merge table in training order,
     * rk 1-based; may stop short of `rounds` if no pair repeats. */
@@ -230,40 +234,52 @@ object TextAnalysis {
     require(rounds > 0, s"rounds must be positive, got $rounds")
     val spark = df0.sparkSession
     import spark.implicits._
-    var cur = Dedup.widen(df0)
+    val wordFreq = Dedup.widen(df0)
       .select(explode(tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
-      .select(col("freq"),
-        transform(sequence(lit(1), length(col("w"))),
-          i => col("w").substr(i, lit(1))).as("sy"))
-      .localCheckpoint()
+      .as[(String, Long)].collect()
+    // UTF-8-byte ordering = Spark's UTF8String/DuckDB string comparison;
+    // Java String.compareTo differs on supplementary characters
+    def utf8Lt(x: String, y: String): Boolean = {
+      val (a, b) = (x.getBytes("UTF-8"), y.getBytes("UTF-8"))
+      var i = 0
+      while (i < a.length && i < b.length) {
+        val d = (a(i) & 0xff) - (b(i) & 0xff)
+        if (d != 0) return d < 0
+        i += 1
+      }
+      a.length < b.length
+    }
+    var words: Array[(Array[String], Long)] =
+      wordFreq.map { case (w, f) =>
+        // symbols = Unicode code points, as substr(i, 1) yields... for BMP
+        // text; tokens() is [a-z0-9]+ so symbols are single ASCII chars
+        (w.map(_.toString).toArray, f)
+      }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var r = 1
     var exhausted = false
     while (r <= rounds && !exhausted) {
-      val top = cur
-        .filter(size(col("sy")) >= 2)
-        .select(col("freq"), explode(transform(
-          sequence(lit(1), size(col("sy")) - 1),
-          i => struct(element_at(col("sy"), i).as("a"),
-            element_at(col("sy"), i + 1).as("b")))).as("p"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(sum(col("freq")).as("cnt"))
-        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
-        .limit(1).collect()
-      if (top.isEmpty) exhausted = true
+      val cnt = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      for ((sy, f) <- words; i <- 0 until sy.length - 1)
+        cnt.updateWith((sy(i), sy(i + 1)))(c => Some(c.getOrElse(0L) + f))
+      if (cnt.isEmpty) exhausted = true
       else {
-        val (a, b, cnt) = (top(0).getAs[String]("a"),
-          top(0).getAs[String]("b"), top(0).getAs[Long]("cnt"))
-        merges += ((r.toLong, a, b, cnt))
-        cur = cur.withColumn("sy",
-          aggregate(col("sy"), array().cast("array<string>"),
-            (acc, x) => when(
-              size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
-              concat(slice(acc, lit(1), size(acc) - 1),
-                array(concat(element_at(acc, -1), x))))
-              .otherwise(concat(acc, array(x)))))
-          .localCheckpoint()
+        val ((a, b), c) = cnt.reduceLeft { (x, y) =>
+          if (y._2 > x._2 ||
+            (y._2 == x._2 && (utf8Lt(y._1._1, x._1._1) ||
+              (y._1._1 == x._1._1 && utf8Lt(y._1._2, x._1._2))))) y else x
+        }
+        merges += ((r.toLong, a, b, c))
+        words = words.map { case (sy, f) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          for (x <- sy) {
+            if (out.nonEmpty && out.last == a && x == b)
+              out(out.length - 1) = a + b
+            else out += x
+          }
+          (out.toArray, f)
+        }
         r += 1
       }
     }
