@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -65,6 +65,146 @@ object Multimodal {
       (b - 128) / 128.0f
     }
   }
+
+  /** Real BMP container encode: wrap payload bytes as an uncompressed
+    * 24-bpp bottom-up BMP (BITMAPFILEHEADER + BITMAPINFOHEADER, rows
+    * padded to the 4-byte stride the format mandates) of the given pixel
+    * width — payload byte j becomes the j-th pixel-channel byte in
+    * top-down row-major order, short images zero-pad the last row. This
+    * gives the pipeline REAL media bytes to decode (the container format
+    * is public and bit-stable), synthesized deterministically since no
+    * media files exist in the test data. Map-side mapPartitions, same
+    * seam as [[decodeStub]]. */
+  def encodeBmp(df: DataFrame, bytesCol: String = "bytes",
+                width: Int = 4): DataFrame = {
+    require(width > 0, s"width must be positive, got $width")
+    val schema = StructType(df.schema.fields.toIndexedSeq :+
+      StructField("bmp", BinaryType, nullable = false))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = df.schema.fieldIndex(bytesCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val payload = if (r.isNullAt(idx)) Array.empty[Byte]
+          else r.getAs[Array[Byte]](idx)
+        Row.fromSeq(r.toSeq :+ bmpBytes(payload, width))
+      }
+    }(enc)
+  }
+
+  private[operators] def bmpBytes(payload: Array[Byte], width: Int): Array[Byte] = {
+    val rowBytes = 3 * width
+    val stride = ((rowBytes + 3) / 4) * 4
+    val h = math.max(1, (payload.length + rowBytes - 1) / rowBytes)
+    val size = 54 + stride * h
+    val out = new Array[Byte](size) // zero-filled: pixel padding + row pad
+    def le32(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+      out(off + 2) = ((v >> 16) & 0xff).toByte; out(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    def le16(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+    }
+    out(0) = 'B'.toByte; out(1) = 'M'.toByte
+    le32(2, size)            // file size
+    le32(10, 54)             // pixel-array offset
+    le32(14, 40)             // BITMAPINFOHEADER size
+    le32(18, width); le32(22, h) // positive height = bottom-up
+    le16(26, 1); le16(28, 24)    // planes, bpp
+    le32(30, 0)              // BI_RGB (uncompressed)
+    le32(34, stride * h)     // image size
+    le32(38, 2835); le32(42, 2835) // 72 dpi in px/m
+    var j = 0
+    while (j < payload.length) {
+      val ir = j / rowBytes // image row, 0 = top
+      // bottom-up storage: top image row is the LAST file row
+      out(54 + (h - 1 - ir) * stride + j % rowBytes) = payload(j)
+      j += 1
+    }
+    out
+  }
+
+  private def rdLe32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+  private def rdLe16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+  /** REAL BMP decode: parse the magic, pixel-array offset, dimensions,
+    * bit depth and compression from the headers; walk the pixel array
+    * respecting bottom-up vs top-down storage (height sign) and the
+    * 4-byte row stride; emit per-band per-channel pixel SUMS as exact
+    * integers (image rows split into `bands` horizontal bands by
+    * `band = row * bands / h`; feature slot = band * 3 + channel).
+    * Exact sums instead of float means keep the mapPartitions output
+    * engine-portable — the 6-dp mean happens downstream in expression
+    * land ([[bandMeanFeatures]]). Rejects non-BMP payloads and
+    * unsupported encodings loudly rather than decoding garbage. */
+  def decodeBmp(df: DataFrame, bmpCol: String = "bmp",
+                bands: Int = 4): DataFrame = {
+    require(bands > 0, s"bands must be positive, got $bands")
+    val schema = StructType(df.schema.fields.toIndexedSeq ++ Seq(
+      StructField("img_w", IntegerType, nullable = false),
+      StructField("img_h", IntegerType, nullable = false),
+      StructField("band_sums", ArrayType(LongType, containsNull = false)),
+      StructField("band_counts", ArrayType(LongType, containsNull = false))))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = df.schema.fieldIndex(bmpCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val bytes = if (r.isNullAt(idx)) Array.empty[Byte]
+          else r.getAs[Array[Byte]](idx)
+        val (w, h, sums, cnts) = parseBmp(bytes, bands)
+        Row.fromSeq(r.toSeq ++ Seq(w, h, sums.toSeq, cnts.toSeq))
+      }
+    }(enc)
+  }
+
+  private[operators] def parseBmp(b: Array[Byte], bands: Int)
+      : (Int, Int, Array[Long], Array[Long]) = {
+    require(b.length >= 54 && b(0) == 'B'.toByte && b(1) == 'M'.toByte,
+      s"not a BMP payload (${b.length} bytes)")
+    val off = rdLe32(b, 10)
+    val dib = rdLe32(b, 14)
+    val w = rdLe32(b, 18)
+    val hRaw = rdLe32(b, 22)
+    val bpp = rdLe16(b, 28)
+    val comp = rdLe32(b, 30)
+    require(dib >= 40, s"unsupported DIB header size $dib")
+    require(bpp == 24 && comp == 0,
+      s"only uncompressed 24-bpp supported, got bpp=$bpp compression=$comp")
+    require(w > 0 && hRaw != 0, s"bad dimensions ${w}x$hRaw")
+    val topDown = hRaw < 0
+    val h = math.abs(hRaw)
+    val rowBytes = 3 * w
+    val stride = ((rowBytes + 3) / 4) * 4
+    require(off >= 54 && off + stride.toLong * h <= b.length,
+      s"truncated pixel array (need ${off + stride.toLong * h}, have ${b.length})")
+    val sums = new Array[Long](bands * 3)
+    val cnts = new Array[Long](bands * 3)
+    var ir = 0 // image row, 0 = top
+    while (ir < h) {
+      val band = (ir.toLong * bands / h).toInt
+      val fileRow = if (topDown) ir else h - 1 - ir
+      val base = off + fileRow * stride
+      var o = 0
+      while (o < rowBytes) {
+        val k = band * 3 + o % 3
+        sums(k) += (b(base + o) & 0xff)
+        cnts(k) += 1
+        o += 1
+      }
+      ir += 1
+    }
+    (w, h, sums, cnts)
+  }
+
+  /** 6-dp banded per-channel mean features over [[decodeBmp]]'s exact
+    * sums — pure expressions (zip_with), so the only non-SQL step in the
+    * decode pipeline is the byte-level parse itself. Empty bands (more
+    * bands than rows) score 0.0. */
+  def bandMeanFeatures(sums: Column, counts: Column): Column =
+    zip_with(sums, counts, (s, c) =>
+      when(c > lit(0L), round(s.cast("double") / c, 6)).otherwise(lit(0.0)))
 
   /** Frame-sample: cut `n` evenly spaced slices of `frameLen` bytes from
     * the payload (the video-frame-sampling shape: keep samples, drop the

@@ -6,26 +6,36 @@ import graft.catalog.TableCatalog
 import graft.operators.Multimodal
 
 /** Multimodal pipeline as a driver-contract query. Media payloads are
-  * synthesized from the documents table (text bytes play the opaque
-  * binary role — no real media exists in the test data), then run
-  * through the full plumbing: content stats (expressions) → stub decode
-  * (mapPartitions batch fn → feature vector) → frame sampling.
+  * synthesized from the documents table (text bytes become REAL BMP
+  * images via [[Multimodal.encodeBmp]] — no media files exist in the
+  * test data, but the container bytes are genuine, public-format BMP),
+  * then run through the full plumbing: content stats (expressions) →
+  * REAL header+pixel decode (mapPartitions batch fn → banded channel
+  * features) → frame sampling.
   *
-  * `m_media_pipeline` has no DuckDB oracle (the mapPartitions decode is
-  * not SQL-expressible) → the driver records the rows-only check, per
-  * contract. `m_media_stats` is the expression-only subset and IS
-  * oracle-checked.
+  * Every entry here is oracle-checked: the BMP layout is deterministic
+  * (payload byte j = pixel-channel byte j in top-down row-major order,
+  * width 4 → 12-byte stride, zero pixel padding in the last row), so
+  * DuckDB reproduces the decoded dimensions and band means with integer
+  * arithmetic over the same text bytes.
   */
 object MediaQueries {
 
+  /** documents → (media_id, bytes, bmp): the shared real-media source. */
+  private def bmpMedia(s: SparkSession, dir: String): DataFrame =
+    Multimodal.encodeBmp(
+      TableCatalog.load(s, dir, "documents")
+        .select(col("doc_id").as("media_id"),
+          col("text").cast("binary").as("bytes")),
+      width = 4)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // payload stats (expressions) + decoded image dimensions (REAL BMP
+    // header parse) — the media-catalog row a curation run starts from
     "m_media_stats" -> ((s, dir) => {
-      val media = TableCatalog.load(s, dir, "documents")
-        .select(col("doc_id").as("media_id"), lit("text").as("kind"),
-          col("text").cast("binary").as("bytes"))
-      Multimodal.withContentStats(media)
-        .select("media_id", "n_bytes", "content_sha")
+      Multimodal.decodeBmp(Multimodal.withContentStats(bmpMedia(s, dir)))
+        .select("media_id", "n_bytes", "content_sha", "img_w", "img_h")
         .orderBy("media_id")
     }),
 
@@ -43,16 +53,16 @@ object MediaQueries {
         .orderBy("media_id")
     }),
 
-    // multimodal → similarity composition: stub-decoded feature vectors
-    // (mapPartitions — the REAL plumbing) feed ANN top-k. Because the
-    // stub derives features from sha256 of the payload, DuckDB can
-    // replicate them exactly — so unlike m_media_pipeline this
-    // composition is fully hash-checked end to end.
+    // multimodal → similarity composition: REAL BMP decode → banded
+    // channel-mean feature vectors (4 bands × 3 channels) → ANN top-k.
+    // The features are integer pixel sums / counts rounded at 6 dp, so
+    // DuckDB replicates them exactly and the composition is fully
+    // hash-checked end to end.
     "m_media_ann" -> ((s, dir) => {
-      val media = TableCatalog.load(s, dir, "documents")
-        .select(col("doc_id").as("media_id"), col("text").cast("binary").as("bytes"))
-      val feats = Multimodal.decodeStub(media, dims = 8)
-        .select("media_id", "features")
+      val feats = Multimodal.decodeBmp(bmpMedia(s, dir), bands = 4)
+        .select(col("media_id"),
+          Multimodal.bandMeanFeatures(col("band_sums"), col("band_counts"))
+            .cast("array<float>").as("features"))
       graft.operators.Similarity.bruteForceTopK(
           feats, feats.filter(col("media_id") % 97 === 0),
           "media_id", "features", k = 3)
@@ -78,18 +88,47 @@ object MediaQueries {
         .orderBy("media_id")
     }),
 
+    // the full pipeline: encode → content stats → REAL decode → frame
+    // sampling, every emitted value DuckDB-replicable (n_bytes is the
+    // BMP file size 54 + 12·h; f0..f11 the banded channel means)
     "m_media_pipeline" -> ((s, dir) => {
-      val media = TableCatalog.load(s, dir, "documents")
-        .select(col("doc_id").as("media_id"), lit("text").as("kind"),
-          col("text").cast("binary").as("bytes"))
-      val decoded = Multimodal.decodeStub(Multimodal.withContentStats(media), dims = 8)
-      Multimodal.frameSample(decoded, n = 4, frameLen = 16)
-        .select(col("media_id"), col("n_bytes"),
-          size(col("features")).as("n_features"),
-          size(col("frames")).as("n_frames"))
+      val decoded = Multimodal.decodeBmp(
+        Multimodal.withContentStats(bmpMedia(s, dir), bytesCol = "bmp"),
+        bands = 4)
+      val sampled = Multimodal.frameSample(decoded, n = 4, frameLen = 16,
+        bytesCol = "bmp")
+      val feats = (0 until 12).map(i =>
+        element_at(Multimodal.bandMeanFeatures(
+          col("band_sums"), col("band_counts")), i + 1).as(s"f$i"))
+      sampled.select(Seq(col("media_id"), col("n_bytes"), col("img_w"),
+          col("img_h")) ++ feats :+ size(col("frames")).as("n_frames"): _*)
         .orderBy("media_id")
     })
   )
+
+  /** Banded channel-mean feature CTEs shared by the real-decode oracles:
+    * the BMP layout is payload byte (p-1) → image row (p-1)/12, channel
+    * (p-1)%3; band = row*4/h; per-(band, channel) count = 4 bytes per
+    * row over ALL h rows (zero pixel padding included, exactly as the
+    * decoder sees it). */
+  private val featureCtes: String =
+    """d AS (SELECT doc_id AS media_id, text, strlen(text) AS len,
+      |       -- ::INT inside AND out: DuckDB's greatest() promotes to BIGINT
+      |       greatest(1, CAST(ceil(strlen(text) / 12.0) AS INT))::INT AS h
+      |     FROM documents),
+      |bybyte AS (SELECT media_id, h, (((p - 1) // 12) * 4) // h AS band,
+      |        (p - 1) % 3 AS ch, ord(substring(text, p, 1)) AS v
+      |      FROM d, unnest(range(1, len + 1)) AS u(p)),
+      |bs AS (SELECT media_id, band, ch, sum(v) AS s
+      |       FROM bybyte GROUP BY media_id, band, ch),
+      |rc AS (SELECT media_id, (r * 4) // h AS band, 4 * count(*) AS cnt
+      |       FROM d, unnest(range(0, h)) AS u(r)
+      |       GROUP BY media_id, (r * 4) // h),
+      |f AS (SELECT rc.media_id, rc.band, c.ch,
+      |        round(CAST(coalesce(bs.s, 0) AS DOUBLE) / rc.cnt, 6) AS fv
+      |      FROM rc CROSS JOIN (SELECT unnest(range(0, 3)) AS ch) c
+      |      LEFT JOIN bs ON bs.media_id = rc.media_id
+      |        AND bs.band = rc.band AND bs.ch = c.ch)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "m_media_dedup" ->
@@ -105,14 +144,11 @@ object MediaQueries {
       val cos = "round(list_dot_product(a.v::DOUBLE[], b.v::DOUBLE[]) / " +
         "(sqrt(list_dot_product(a.v::DOUBLE[], a.v::DOUBLE[])) * " +
         "sqrt(list_dot_product(b.v::DOUBLE[], b.v::DOUBLE[]))), 6)"
-      s"""WITH f AS (SELECT doc_id AS media_id,
-         |  list_transform(range(0, 8), j -> CAST((
-         |    (strpos('0123456789abcdef', substring(sha256(text), 2*j + 1, 1)) - 1) * 16 +
-         |    (strpos('0123456789abcdef', substring(sha256(text), 2*j + 2, 1)) - 1) - 128
-         |  ) / 128.0 AS FLOAT)) AS v
-         |  FROM documents),
+      s"""WITH $featureCtes,
+         |fl AS (SELECT media_id, list(CAST(fv AS FLOAT) ORDER BY band, ch) AS v
+         |       FROM f GROUP BY media_id),
          |sc AS (SELECT a.media_id AS qid, b.media_id AS nid, $cos AS cos
-         |       FROM f a JOIN f b ON b.media_id <> a.media_id
+         |       FROM fl a JOIN fl b ON b.media_id <> a.media_id
          |       WHERE a.media_id % 97 = 0)
          |SELECT qid, nid, cos, CAST(rk AS BIGINT) AS rk FROM (
          |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
@@ -122,8 +158,22 @@ object MediaQueries {
 
     "m_media_stats" ->
       """SELECT doc_id AS media_id, strlen(text)::BIGINT AS n_bytes,
-        |  sha256(text) AS content_sha
+        |  sha256(text) AS content_sha, 4 AS img_w,
+        |  greatest(1, CAST(ceil(strlen(text) / 12.0) AS INT))::INT AS img_h
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    "m_media_pipeline" -> {
+      val fcols = (0 until 12).map { i =>
+        s"coalesce(max(CASE WHEN band = ${i / 3} AND ch = ${i % 3} THEN fv END), 0.0) AS f$i"
+      }.mkString(",\n  ")
+      s"""WITH $featureCtes
+         |SELECT d.media_id, (54 + 12 * d.h)::BIGINT AS n_bytes,
+         |  4 AS img_w, d.h AS img_h,
+         |  $fcols,
+         |  4 AS n_frames
+         |FROM d JOIN f USING (media_id)
+         |GROUP BY d.media_id, d.h ORDER BY d.media_id""".stripMargin
+    },
 
     "m_media_semantic_dedup" -> {
       def cos(a: String, b: String) =
