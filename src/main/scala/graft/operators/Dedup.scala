@@ -517,7 +517,24 @@ object Dedup {
     * surviving tokens re-joined (normalized token stream, as with
     * [[commonSegmentRemoval]]). */
   def exactSubstringDedup(df0: DataFrame, idCol: String, textCol: String,
-                          n: Int = 50): DataFrame = {
+                          n: Int = 50): DataFrame =
+    substringStarts(df0, idCol, textCol, n)
+      // token at 1-based q is covered iff some repeated gram starts in
+      // (q-n, q] — i.e. exists s: s <= q < s + n
+      .withColumn("kept", filter(col("t"),
+        (tok, i) => !exists(col("ss"),
+          s => s <= i + 1 && i + 1 < s + n)))
+      .select(col(idCol),
+        size(col("t")).cast("long").as("n_tokens"),
+        (size(col("t")) - size(col("kept"))).cast("long").as("n_removed"),
+        concat_ws(" ", col("kept")).as("kept_text"))
+
+  /** Shared candidate stage of the ExactSubstr family: per doc, the token
+    * array `t` plus the SORTED 1-based start positions `ss` of every
+    * corpus-wide repeated n-gram in it (empty array when none). Same
+    * three-equi-join shape documented on [[exactSubstringDedup]]. */
+  private def substringStarts(df0: DataFrame, idCol: String, textCol: String,
+                              n: Int): DataFrame = {
     require(n > 0, s"span length must be positive, got $n")
     val df = widen(df0)
     val base = df.select(col(idCol), tokens(col(textCol)).as("t"))
@@ -539,15 +556,72 @@ object Dedup {
     base.join(starts, Seq(idCol), "left")
       .select(col(idCol), col("t"),
         coalesce(col("starts"), array().cast("array<int>")).as("ss"))
-      // token at 1-based q is covered iff some repeated gram starts in
-      // (q-n, q] — i.e. exists s: s <= q < s + n
-      .withColumn("kept", filter(col("t"),
-        (tok, i) => !exists(col("ss"),
-          s => s <= i + 1 && i + 1 < s + n)))
+  }
+
+  /** [[exactSubstringDedup]] with the doc-drop policy knob from Lee et
+    * al.'s deployed tool: a document whose duplicate-token coverage
+    * reaches `dropPct` percent dies whole (kept_text = "", every token
+    * counted removed) instead of being stitched back together from the
+    * fragments between repeated spans — a 90%-duplicate doc's survivors
+    * are rarely coherent text. The threshold compares in exact integer
+    * arithmetic (`n_removed * 100 >= dropPct * n_tokens`), so the
+    * decision is partitioning- and engine-independent; empty docs are
+    * never dropped (nothing was removed from them).
+    *
+    * Output: (idCol, n_tokens, n_removed, dropped, kept_text) — one row
+    * per input doc, `dropped` marking the policy kills. */
+  def exactSubstringDedupPolicy(df0: DataFrame, idCol: String, textCol: String,
+                                n: Int = 50, dropPct: Int = 80): DataFrame = {
+    require(dropPct >= 0 && dropPct <= 100,
+      s"dropPct must be a percentage in [0, 100], got $dropPct")
+    val raw = exactSubstringDedup(df0, idCol, textCol, n)
+    raw
+      .withColumn("dropped",
+        col("n_tokens") > 0 &&
+          col("n_removed") * 100 >= lit(dropPct.toLong) * col("n_tokens"))
+      .select(col(idCol), col("n_tokens"),
+        when(col("dropped"), col("n_tokens")).otherwise(col("n_removed"))
+          .as("n_removed"),
+        col("dropped"),
+        when(col("dropped"), lit("")).otherwise(col("kept_text"))
+          .as("kept_text"))
+  }
+
+  /** Maximal repeated spans per document (the other deployed ExactSubstr
+    * variant): the per-token coverage intervals of repeated n-grams
+    * ([s, s+n-1] per start) merged into maximal contiguous spans — the
+    * span inventory a user inspects (span length distribution, worst
+    * offenders) before picking `n` or a drop threshold. The merge is an
+    * in-row fold over the sorted start list (starts ascending, so
+    * a start s extends the open span iff s <= end + 1 and each extension's
+    * new end is s + n - 1); no token explode, no extra shuffle beyond
+    * the shared candidate stage.
+    *
+    * Output: (idCol, span_start, span_end, n_span_tokens, span_text) —
+    * one row per maximal span (docs without repeats emit nothing),
+    * positions 1-based inclusive. */
+  def substringSpans(df0: DataFrame, idCol: String, textCol: String,
+                     n: Int = 50): DataFrame = {
+    val emptySpans = array().cast("array<struct<st:int,en:int>>")
+    substringStarts(df0, idCol, textCol, n)
+      .select(col(idCol), col("t"),
+        aggregate(col("ss"), emptySpans,
+          (acc, s) => when(
+            size(acc) > 0 && s <= element_at(acc, -1).getField("en") + 1,
+            concat(slice(acc, lit(1), size(acc) - 1),
+              array(struct(element_at(acc, -1).getField("st").as("st"),
+                (s + n - 1).as("en")))))
+            .otherwise(concat(acc,
+              array(struct(s.as("st"), (s + n - 1).as("en"))))))
+          .as("spans"))
+      .select(col(idCol), col("t"), explode(col("spans")).as("sp"))
       .select(col(idCol),
-        size(col("t")).cast("long").as("n_tokens"),
-        (size(col("t")) - size(col("kept"))).cast("long").as("n_removed"),
-        concat_ws(" ", col("kept")).as("kept_text"))
+        col("sp.st").as("span_start"),
+        col("sp.en").as("span_end"),
+        (col("sp.en") - col("sp.st") + 1).cast("long").as("n_span_tokens"),
+        concat_ws(" ",
+          slice(col("t"), col("sp.st"), col("sp.en") - col("sp.st") + 1))
+          .as("span_text"))
   }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup over

@@ -611,6 +611,21 @@ object PipelineQueries {
       Dedup.exactSubstringDedup(docs(s, dir), "doc_id", "text", n = 8)
         .orderBy("doc_id")),
 
+    // --- substring-dedup drop policy (Lee et al. deployed variant):
+    //     a doc >= 95% duplicate-covered dies whole instead of being
+    //     stitched back together from the inter-span fragments ---
+    "d_substring_drop" -> ((s, dir) =>
+      Dedup.exactSubstringDedupPolicy(docs(s, dir), "doc_id", "text",
+          n = 8, dropPct = 95)
+        .orderBy("doc_id")),
+
+    // --- maximal repeated spans: covered-token intervals merged into
+    //     contiguous spans — the inventory inspected before picking n
+    //     or a drop threshold ---
+    "d_substring_spans" -> ((s, dir) =>
+      Dedup.substringSpans(docs(s, dir), "doc_id", "text", n = 8)
+        .orderBy("doc_id", "span_start")),
+
     // --- SemDeDup: k-means-blocked semantic near-dup removal over the
     //     embedding column (trained quantizer; keep the lowest id) ---
     "d_semantic_dedup" -> ((s, dir) =>
@@ -1699,6 +1714,51 @@ object PipelineQueries {
            |  coalesce(string_agg(k.w, ' ' ORDER BY k.q), '') AS kept_text
            |FROM base b LEFT JOIN kept k USING (doc_id)
            |GROUP BY b.doc_id, len(b.t) ORDER BY doc_id""".stripMargin,
+
+      // d_substring_dedup's CTEs + the integer-arithmetic drop decision
+      // (nr*100 >= 95*nt, never on empty docs)
+      "d_substring_drop" ->
+        s"""WITH base AS (SELECT doc_id, $toks AS t FROM documents),
+           |g AS (SELECT doc_id, p, md5(array_to_string(t[p : p + 7], ' ')) AS h
+           |      FROM base, unnest(range(1, len(t) - 6)) AS u(p)),
+           |dup AS (SELECT h FROM g GROUP BY h HAVING count(*) > 1),
+           |tok AS (SELECT doc_id, i AS q, t[i] AS w
+           |        FROM base, unnest(range(1, len(t) + 1)) AS u(i)),
+           |cov AS (SELECT DISTINCT g.doc_id, q
+           |        FROM g JOIN dup USING (h), unnest(range(g.p, g.p + 8)) AS u(q)),
+           |kept AS (SELECT tok.doc_id, tok.q AS q, w FROM tok
+           |         LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.q = cov.q
+           |         WHERE cov.q IS NULL),
+           |r AS (SELECT b.doc_id, len(b.t)::BIGINT AS n_tokens,
+           |        (len(b.t) - count(k.q))::BIGINT AS nr,
+           |        coalesce(string_agg(k.w, ' ' ORDER BY k.q), '') AS kt
+           |      FROM base b LEFT JOIN kept k USING (doc_id)
+           |      GROUP BY b.doc_id, len(b.t))
+           |SELECT doc_id, n_tokens,
+           |  CASE WHEN n_tokens > 0 AND nr * 100 >= 95 * n_tokens
+           |       THEN n_tokens ELSE nr END AS n_removed,
+           |  (n_tokens > 0 AND nr * 100 >= 95 * n_tokens) AS dropped,
+           |  CASE WHEN n_tokens > 0 AND nr * 100 >= 95 * n_tokens
+           |       THEN '' ELSE kt END AS kept_text
+           |FROM r ORDER BY doc_id""".stripMargin,
+
+      // covered positions -> gaps-and-islands -> maximal spans
+      "d_substring_spans" ->
+        s"""WITH base AS (SELECT doc_id, $toks AS t FROM documents),
+           |g AS (SELECT doc_id, p, md5(array_to_string(t[p : p + 7], ' ')) AS h
+           |      FROM base, unnest(range(1, len(t) - 6)) AS u(p)),
+           |dup AS (SELECT h FROM g GROUP BY h HAVING count(*) > 1),
+           |cov AS (SELECT DISTINCT g.doc_id, q
+           |        FROM g JOIN dup USING (h), unnest(range(g.p, g.p + 8)) AS u(q)),
+           |isl AS (SELECT doc_id, q,
+           |          q - row_number() OVER (PARTITION BY doc_id ORDER BY q) AS grp
+           |        FROM cov),
+           |sp AS (SELECT doc_id, min(q)::INT AS span_start, max(q)::INT AS span_end,
+           |         count(*)::BIGINT AS n_span_tokens
+           |       FROM isl GROUP BY doc_id, grp)
+           |SELECT sp.doc_id, span_start, span_end, n_span_tokens,
+           |  array_to_string(b.t[span_start : span_end], ' ') AS span_text
+           |FROM sp JOIN base b USING (doc_id) ORDER BY doc_id, span_start""".stripMargin,
 
       "d_semantic_dedup" -> {
         def cos(a: String, b: String) =
