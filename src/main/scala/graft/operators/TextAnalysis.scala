@@ -328,20 +328,29 @@ object TextAnalysis {
     * rather than within the document).
     *
     * Shape: one hashed-shingle explode (8-byte keys, see
-    * [[Dedup.shingleHash]]), one df aggregate, one broadcast-size join
-    * back — the same inverted-index scaffolding as the dedup family.
+    * [[Dedup.shingleHash]]) and one keyed aggregate. A df = 1 shingle
+    * has exactly ONE owning document, so ownership rides the frequency
+    * aggregate as `min(id)` and the per-doc unique count is a second,
+    * doc-keyed aggregate over just the df = 1 survivors — the exploded
+    * corpus is never joined back to itself (the earlier form re-shuffled
+    * every exploded shingle row through an `ex JOIN dfreq` plus a
+    * doc-keyed aggregate over the fan-out; per-doc totals are in-row:
+    * n_shingles = size(sh)).
     * Output: (id, n_shingles, n_unique, novelty). */
   def noveltyScore(df0: DataFrame, idCol: String, textCol: String,
                    k: Int = 3): DataFrame = {
     val docSh = Dedup.hashedShingleSets(Dedup.widen(df0), idCol, textCol, k)
-    val ex = docSh.select(col(idCol), explode(col("sh")).as("s"))
-    val dfreq = ex.groupBy("s").agg(count(lit(1)).as("df"))
-    ex.join(dfreq, "s")
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_shingles"),
-        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
-      .withColumn("novelty",
-        round(col("n_unique").cast("double") / col("n_shingles"), 6))
+    val uniq = docSh.select(col(idCol), explode(col("sh")).as("s"))
+      .groupBy("s")
+      .agg(count(lit(1)).as("df"), min(col(idCol)).as("owner"))
+      .filter(col("df") === 1)
+      .groupBy("owner").agg(count(lit(1)).as("n_unique"))
+    docSh.select(col(idCol), col("n").as("n_shingles"))
+      .join(uniq, col(idCol) === col("owner"), "left")
+      .select(col(idCol), col("n_shingles"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+        round(coalesce(col("n_unique"), lit(0L)).cast("double")
+          / col("n_shingles"), 6).as("novelty"))
   }
 
   /** Fixed-size token-window chunking with overlap — the context-prep
