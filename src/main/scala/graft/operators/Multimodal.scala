@@ -198,6 +198,131 @@ object Multimodal {
     (w, h, sums, cnts)
   }
 
+  /** Real WAV container encode: wrap payload bytes as a canonical RIFF/
+    * WAVE file — 8-bit unsigned PCM mono (payload byte j = sample j,
+    * the historical 8-bit PCM convention with silence at 0x80), `fmt `
+    * then `data` chunks, even-byte chunk padding per the RIFF spec.
+    * Same deterministic-synthesis role as [[encodeBmp]], audio flavor. */
+  def encodeWav(df: DataFrame, bytesCol: String = "bytes",
+                sampleRate: Int = 8000): DataFrame = {
+    require(sampleRate > 0, s"sampleRate must be positive, got $sampleRate")
+    val schema = StructType(df.schema.fields.toIndexedSeq :+
+      StructField("wav", BinaryType, nullable = false))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = df.schema.fieldIndex(bytesCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val payload = if (r.isNullAt(idx)) Array.empty[Byte]
+          else r.getAs[Array[Byte]](idx)
+        Row.fromSeq(r.toSeq :+ wavBytes(payload, sampleRate))
+      }
+    }(enc)
+  }
+
+  private[operators] def wavBytes(payload: Array[Byte], sampleRate: Int): Array[Byte] = {
+    val dataLen = payload.length
+    val pad = dataLen % 2 // RIFF chunks are word-aligned
+    val riffLen = 4 + (8 + 16) + (8 + dataLen + pad)
+    val out = new Array[Byte](8 + riffLen)
+    def le32(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+      out(off + 2) = ((v >> 16) & 0xff).toByte; out(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    def le16(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def tag(off: Int, s: String): Unit = s.getBytes("US-ASCII")
+      .copyToArray(out, off)
+    tag(0, "RIFF"); le32(4, riffLen); tag(8, "WAVE")
+    tag(12, "fmt "); le32(16, 16)
+    le16(20, 1)             // PCM
+    le16(22, 1)             // mono
+    le32(24, sampleRate)
+    le32(28, sampleRate)    // byte rate = rate * channels * bytesPerSample
+    le16(32, 1)             // block align
+    le16(34, 8)             // bits per sample
+    tag(36, "data"); le32(40, dataLen)
+    System.arraycopy(payload, 0, out, 44, dataLen)
+    out
+  }
+
+  /** REAL WAV decode: walk the RIFF chunk list (not fixed offsets — a
+    * real file may carry LIST/fact chunks before `data`), validate the
+    * `fmt ` contents (PCM, mono, 8-bit), and emit per-segment sample
+    * statistics as exact integers: samples split into `segs` segments by
+    * `seg = index * segs / n`; per segment the COUNT and the SUM OF
+    * SQUARED amplitudes (sample − 128, the 8-bit PCM zero line). The
+    * 6-dp RMS happens downstream in expression land ([[segRmsFeatures]]).
+    * Output adds: sample_rate, n_samples, seg_sumsq, seg_counts. */
+  def decodeWav(df: DataFrame, wavCol: String = "wav",
+                segs: Int = 4): DataFrame = {
+    require(segs > 0, s"segs must be positive, got $segs")
+    val schema = StructType(df.schema.fields.toIndexedSeq ++ Seq(
+      StructField("sample_rate", IntegerType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("seg_sumsq", ArrayType(LongType, containsNull = false)),
+      StructField("seg_counts", ArrayType(LongType, containsNull = false))))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = df.schema.fieldIndex(wavCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val bytes = if (r.isNullAt(idx)) Array.empty[Byte]
+          else r.getAs[Array[Byte]](idx)
+        val (rate, n, sumsq, cnts) = parseWav(bytes, segs)
+        Row.fromSeq(r.toSeq ++ Seq(rate, n, sumsq.toSeq, cnts.toSeq))
+      }
+    }(enc)
+  }
+
+  private[operators] def parseWav(b: Array[Byte], segs: Int)
+      : (Int, Long, Array[Long], Array[Long]) = {
+    def tagAt(off: Int): String =
+      new String(b.slice(off, off + 4), "US-ASCII")
+    require(b.length >= 12 && tagAt(0) == "RIFF" && tagAt(8) == "WAVE",
+      s"not a RIFF/WAVE payload (${b.length} bytes)")
+    var off = 12
+    var rate = -1
+    var dataOff = -1
+    var dataLen = -1
+    while (off + 8 <= b.length && (rate < 0 || dataOff < 0)) {
+      val id = tagAt(off)
+      val len = rdLe32(b, off + 4)
+      require(len >= 0 && off + 8 + len <= b.length,
+        s"chunk '$id' overruns the file")
+      if (id == "fmt ") {
+        require(len >= 16, s"fmt chunk too short ($len)")
+        val codec = rdLe16(b, off + 8)
+        val channels = rdLe16(b, off + 10)
+        val bits = rdLe16(b, off + 22)
+        require(codec == 1 && channels == 1 && bits == 8,
+          s"only 8-bit mono PCM supported, got codec=$codec channels=$channels bits=$bits")
+        rate = rdLe32(b, off + 12)
+      } else if (id == "data") {
+        dataOff = off + 8; dataLen = len
+      }
+      off += 8 + len + (len % 2) // chunks are word-aligned
+    }
+    require(rate > 0, "missing fmt chunk")
+    require(dataOff >= 0, "missing data chunk")
+    val sumsq = new Array[Long](segs)
+    val cnts = new Array[Long](segs)
+    var i = 0
+    while (i < dataLen) {
+      val seg = (i.toLong * segs / dataLen).toInt
+      val amp = (b(dataOff + i) & 0xff) - 128
+      sumsq(seg) += amp.toLong * amp
+      cnts(seg) += 1
+      i += 1
+    }
+    (rate, dataLen.toLong, sumsq, cnts)
+  }
+
+  /** 6-dp per-segment RMS amplitude over [[decodeWav]]'s exact sums —
+    * round(sqrt(sumsq / count), 6); silent (empty) segments score 0. */
+  def segRmsFeatures(sumsq: Column, counts: Column): Column =
+    zip_with(sumsq, counts, (s, c) =>
+      when(c > lit(0L), round(sqrt(s.cast("double") / c), 6)).otherwise(lit(0.0)))
+
   /** 6-dp banded per-channel mean features over [[decodeBmp]]'s exact
     * sums — pure expressions (zip_with), so the only non-SQL step in the
     * decode pipeline is the byte-level parse itself. Empty bands (more

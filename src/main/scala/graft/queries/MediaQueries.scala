@@ -88,6 +88,23 @@ object MediaQueries {
         .orderBy("media_id")
     }),
 
+    // the audio flavor: payload → real RIFF/WAVE container → real chunk-
+    // walking decode → per-segment RMS loudness profile (the
+    // silence-trim / loudness-filter shape of an audio curation pass)
+    "m_media_wav" -> ((s, dir) => {
+      val media = TableCatalog.load(s, dir, "documents")
+        .select(col("doc_id").as("media_id"),
+          col("text").cast("binary").as("bytes"))
+      val decoded = Multimodal.decodeWav(
+        Multimodal.encodeWav(media, sampleRate = 8000), segs = 4)
+      val rms = (0 until 4).map(i =>
+        element_at(Multimodal.segRmsFeatures(
+          col("seg_sumsq"), col("seg_counts")), i + 1).as(s"rms$i"))
+      decoded.select(Seq(col("media_id"), col("sample_rate"),
+          col("n_samples")) ++ rms: _*)
+        .orderBy("media_id")
+    }),
+
     // the full pipeline: encode → content stats → REAL decode → frame
     // sampling, every emitted value DuckDB-replicable (n_bytes is the
     // BMP file size 54 + 12·h; f0..f11 the banded channel means)
@@ -161,6 +178,27 @@ object MediaQueries {
         |  sha256(text) AS content_sha, 4 AS img_w,
         |  greatest(1, CAST(ceil(strlen(text) / 12.0) AS INT))::INT AS img_h
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    // 8-bit PCM: sample value = text byte, amplitude = value - 128;
+    // segment of (1-based) sample p = ((p-1) * 4) // n
+    "m_media_wav" -> {
+      val rmsCols = (0 until 4).map { i =>
+        s"coalesce(max(CASE WHEN seg = $i THEN rms END), 0.0) AS rms$i"
+      }.mkString(",\n  ")
+      s"""WITH d AS (SELECT doc_id AS media_id, text, strlen(text) AS n FROM documents),
+         |sq AS (SELECT media_id, ((p - 1) * 4) // n AS seg,
+         |         sum((ord(substring(text, p, 1)) - 128)
+         |           * (ord(substring(text, p, 1)) - 128)) AS ss,
+         |         count(*) AS cnt
+         |       FROM d, unnest(range(1, n + 1)) AS u(p)
+         |       GROUP BY media_id, ((p - 1) * 4) // n),
+         |r AS (SELECT media_id, seg,
+         |        round(sqrt(CAST(ss AS DOUBLE) / cnt), 6) AS rms FROM sq)
+         |SELECT d.media_id, 8000 AS sample_rate, n::BIGINT AS n_samples,
+         |  $rmsCols
+         |FROM d LEFT JOIN r USING (media_id)
+         |GROUP BY d.media_id, n ORDER BY d.media_id""".stripMargin
+    },
 
     "m_media_pipeline" -> {
       val fcols = (0 until 12).map { i =>

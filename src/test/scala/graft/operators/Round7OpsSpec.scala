@@ -184,6 +184,63 @@ class Round7OpsSpec extends SparkSpec {
       "empty payload still encodes one all-zero row")
   }
 
+  test("wavBytes writes a canonical RIFF/WAVE 8-bit mono PCM file, golden bytes") {
+    val payload = Array[Byte](0x80.toByte, 0x81.toByte, 0x7f.toByte) // 3 samples -> odd, padded
+    val b = Multimodal.wavBytes(payload, sampleRate = 8000)
+    assert(b.length === 48, "44-byte header + 3 data bytes + 1 pad")
+    assert(new String(b.slice(0, 4), "US-ASCII") === "RIFF")
+    assert(new String(b.slice(8, 12), "US-ASCII") === "WAVE")
+    assert(new String(b.slice(12, 16), "US-ASCII") === "fmt ")
+    assert((b(20) & 0xff) === 1 && (b(22) & 0xff) === 1 && (b(34) & 0xff) === 8,
+      "PCM, mono, 8-bit")
+    assert(((b(24) & 0xff) | ((b(25) & 0xff) << 8)) === 8000)
+    assert(new String(b.slice(36, 40), "US-ASCII") === "data")
+    assert((b(40) & 0xff) === 3 && b(44) === 0x80.toByte && b(47) === 0,
+      "data length excludes the alignment pad; pad byte is zero")
+  }
+
+  test("parseWav walks the chunk list past extra chunks and computes segment sums") {
+    val payload = (0 until 8).map(v => (128 + v).toByte).toArray
+    val plain = Multimodal.wavBytes(payload, 8000)
+    // splice a LIST chunk between fmt and data, as real recorders emit
+    val list = "LIST".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0, 0) ++
+      "INFO".getBytes("US-ASCII")
+    val spliced = plain.slice(0, 36) ++ list ++ plain.drop(36)
+    // fix the RIFF size field (+12)
+    val riffLen = ((spliced(4) & 0xff) | ((spliced(5) & 0xff) << 8)) + 12
+    spliced(4) = (riffLen & 0xff).toByte; spliced(5) = ((riffLen >> 8) & 0xff).toByte
+    val (rate, n, sumsq, cnts) = Multimodal.parseWav(spliced, segs = 4)
+    assert(rate === 8000 && n === 8L)
+    assert(cnts.toSeq === Seq(2L, 2L, 2L, 2L))
+    // amplitudes 0,1 | 2,3 | 4,5 | 6,7
+    assert(sumsq.toSeq === Seq(1L, 13L, 41L, 85L))
+  }
+
+  test("parseWav rejects non-WAV and unsupported formats loudly") {
+    intercept[IllegalArgumentException] {
+      Multimodal.parseWav("RIFFxxxxJUNK".getBytes("US-ASCII"), 4)
+    }
+    val stereo = Multimodal.wavBytes((1 to 4).map(_.toByte).toArray, 8000)
+    stereo(22) = 2 // claim 2 channels
+    intercept[IllegalArgumentException] { Multimodal.parseWav(stereo, 4) }
+  }
+
+  test("encodeWav -> decodeWav distributed round-trip matches local parse") {
+    val docs = Seq((1L, "an audio payload of sorts"), (2L, "x"))
+      .toDF("media_id", "text")
+      .select(col("media_id"), col("text").cast("binary").as("bytes"))
+    val r = Multimodal.decodeWav(Multimodal.encodeWav(docs), segs = 4)
+      .select("media_id", "sample_rate", "n_samples", "seg_sumsq", "seg_counts")
+      .orderBy("media_id")
+      .as[(Long, Int, Long, Seq[Long], Seq[Long])].collect()
+    val local = Multimodal.parseWav(
+      Multimodal.wavBytes("an audio payload of sorts".getBytes("UTF-8"), 8000), 4)
+    assert(r(0)._2 === 8000 && r(0)._3 === local._2)
+    assert(r(0)._4 === local._3.toSeq && r(0)._5 === local._4.toSeq)
+    assert(r(1)._3 === 1L && r(1)._5.toSeq === Seq(1L, 0L, 0L, 0L),
+      "a 1-sample clip lands wholly in segment 0")
+  }
+
   test("bandMeanFeatures: 6-dp means, empty bands score zero") {
     val df = Seq((Seq(10L, 0L, 300L), Seq(3L, 0L, 7L))).toDF("s", "c")
     val f = df.select(Multimodal.bandMeanFeatures(col("s"), col("c")).as("f"))
