@@ -225,6 +225,54 @@ class PlanShapeSpec extends SparkSpec {
       "substring dedup must stay keyed equi-joins at any corpus size")
   }
 
+  test("substringSpans and the drop policy inherit the equi-joins-only candidate stage") {
+    val passage = (1 to 10).map(i => s"p$i").mkString(" ")
+    val many = (1L to 60L).map(i =>
+      (i, s"${(1 to 12).map(j => s"u${i}x$j").mkString(" ")} ${if (i % 3 == 0) passage else ""}"))
+      .toDF("doc_id", "text")
+    for (df <- Seq(
+      graft.operators.Dedup.substringSpans(many, "doc_id", "text", n = 8),
+      graft.operators.Dedup.exactSubstringDedupPolicy(many, "doc_id", "text",
+        n = 8, dropPct = 50))) {
+      df.collect() // drive the SAME QueryExecution the assertion reads
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("NestedLoopJoin") && !plan.contains("CartesianProduct"),
+        "policy variants must not change the join discipline")
+      assert(!plan.contains("Window"),
+        "span merging is an in-row fold, not a window rank")
+    }
+  }
+
+  test("noveltyScore never joins the exploded corpus back to itself") {
+    val df = TextAnalysis.noveltyScore(docs, "doc_id", "text")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoopJoin") && !plan.contains("CartesianProduct"))
+    // the shingle-keyed aggregate feeds a doc-keyed aggregate; the only
+    // join is doc-table vs per-doc counts — shingle-keyed joins are gone.
+    // An adaptive plan prints Final AND Initial sections; count the
+    // final one only.
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val joins = "SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin".r
+      .findAllIn(finalPlan).size
+    assert(joins === 1, s"exactly one doc-level join expected, saw $joins")
+  }
+
+  test("media decode pipelines are map-only around the codec seam (no Exchange)") {
+    val media = docs.select(col("doc_id").as("media_id"),
+      col("text").cast("binary").as("bytes"))
+    val bmp = graft.operators.Multimodal.decodeBmp(
+      graft.operators.Multimodal.encodeBmp(media, width = 4), bands = 4)
+    val wav = graft.operators.Multimodal.decodeWav(
+      graft.operators.Multimodal.encodeWav(media), segs = 4)
+    for (df <- Seq(bmp, wav)) {
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        "payload bytes must never cross a shuffle in the decode path")
+    }
+  }
+
   test("zOrderCluster is exactly one range exchange (the global-sort cost, nothing more)") {
     val df = spark.range(0, 1000).select(
       (col("id") % 32).as("x"), (col("id") / 32).as("y"))
