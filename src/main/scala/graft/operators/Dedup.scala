@@ -504,11 +504,13 @@ object Dedup {
     * covered by an n-gram whose TOTAL corpus occurrence count exceeds 1
     * (within-doc repeats included, as in the paper) removes exactly the
     * corpus-wide repeated >= n-token spans. The paper builds a suffix
-    * array; on Spark the equivalent is three keyed equi-joins, which
-    * shard naturally:
+    * array; on Spark the equivalent is keyed shuffles that shard
+    * naturally:
     *  - n-gram hashing is IN-ROW (`transform` over the token array);
-    *  - the corpus-wide occurrence count shuffles only 32-char hashes;
-    *  - the join-back shuffles (id, pos, hash) triples, never text;
+    *  - the corpus-wide occurrence count is a window over the gram hash
+    *    — ONE shuffle of (id, pos, hash) triples, never text, and the
+    *    gram stage is computed once (a groupBy+join-back form would
+    *    plan it as two subtrees);
     *  - coverage + rebuild are in-row folds over the per-doc start list
     *    (`filter((tok, i) => !exists(starts, ...))` — no token explode).
     * No assumption that the repeated-gram set fits in memory.
@@ -531,27 +533,41 @@ object Dedup {
 
   /** Shared candidate stage of the ExactSubstr family: per doc, the token
     * array `t` plus the SORTED 1-based start positions `ss` of every
-    * corpus-wide repeated n-gram in it (empty array when none). Same
-    * three-equi-join shape documented on [[exactSubstringDedup]]. */
+    * corpus-wide repeated n-gram in it (empty array when none).
+    *
+    * The corpus-wide occurrence count rides a WINDOW over the gram hash
+    * rather than a groupBy+join-back: the earlier `ex JOIN dup` form
+    * planned the md5 gram fan-out as TWO physical subtrees (one per join
+    * branch) — the entire slice+md5 stage computed twice per action
+    * (measured 2× the stage cost on every unpruned consumer). The window
+    * shuffles the same (id, pos, h) triples once, keyed exactly like the
+    * join's build side would have been (hot-gram skew lands on the same
+    * key either way; AQE splits it). The doc-keyed aggregate after it is
+    * unchanged. */
   private def substringStarts(df0: DataFrame, idCol: String, textCol: String,
                               n: Int): DataFrame = {
     require(n > 0, s"span length must be positive, got $n")
     val df = widen(df0)
     val base = df.select(col(idCol), tokens(col(textCol)).as("t"))
+    // 60-bit md5-derived gram keys (the round-5 hashed-shingle-index
+    // discipline): the occurrence-count shuffle carries 8-byte longs,
+    // not 32-char hex strings — the key never surfaces in output, so
+    // oracles keep joining on gram text with identical results
     val grams = base.select(col(idCol),
       when(size(col("t")) >= n,
         transform(sequence(lit(1), size(col("t")) - n + 1),
           p => struct(p.as("pos"),
-            md5(concat_ws(" ", slice(col("t"), p, lit(n)))).as("h"))))
-        .otherwise(array().cast("array<struct<pos:int,h:string>>"))
+            shingleHash(concat_ws(" ", slice(col("t"), p, lit(n)))).as("h"))))
+        .otherwise(array().cast("array<struct<pos:int,h:bigint>>"))
         .as("gs"))
     val ex = grams.select(col(idCol), explode(col("gs")).as("g"))
       .select(col(idCol), col("g.pos").as("pos"), col("g.h").as("h"))
     // total occurrences, NOT distinct docs: a passage repeated inside one
     // document is a repeated span too (Lee et al. remove those as well)
-    val dup = ex.groupBy("h").agg(count(lit(1)).as("c"))
-      .filter(col("c") > 1).select("h")
-    val starts = ex.join(dup, "h")
+    val starts = ex
+      .withColumn("c", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("h")))
+      .filter(col("c") > 1)
       .groupBy(col(idCol)).agg(sort_array(collect_set(col("pos"))).as("starts"))
     base.join(starts, Seq(idCol), "left")
       .select(col(idCol), col("t"),
@@ -591,28 +607,44 @@ object Dedup {
     * variant): the per-token coverage intervals of repeated n-grams
     * ([s, s+n-1] per start) merged into maximal contiguous spans — the
     * span inventory a user inspects (span length distribution, worst
-    * offenders) before picking `n` or a drop threshold. The merge is an
-    * in-row fold over the sorted start list (starts ascending, so
-    * a start s extends the open span iff s <= end + 1 and each extension's
-    * new end is s + n - 1); no token explode, no extra shuffle beyond
-    * the shared candidate stage.
+    * offenders) before picking `n` or a drop threshold. The merge is
+    * in-row over the sorted start list: every interval is n wide, so
+    * span ends are monotone and a start opens a NEW span iff it exceeds
+    * its predecessor by more than n; each span then closes at the last
+    * start before the next opener. Two O(|starts|) array filters zipped
+    * pairwise — NOT a fold that rebuilds the accumulator array per
+    * element (O(|starts|²) copying on a heavily-duplicated doc), and
+    * each filter is referenced exactly once so projection collapse
+    * cannot duplicate it into a per-element lambda. No token explode,
+    * no extra shuffle beyond the shared candidate stage (whose unpruned
+    * cost dominates this query end-to-end — see substringStarts).
     *
     * Output: (idCol, span_start, span_end, n_span_tokens, span_text) —
     * one row per maximal span (docs without repeats emit nothing),
     * positions 1-based inclusive. */
   def substringSpans(df0: DataFrame, idCol: String, textCol: String,
                      n: Int = 50): DataFrame = {
-    val emptySpans = array().cast("array<struct<st:int,en:int>>")
+    // openers/closers are each referenced EXACTLY once (zip_with), so
+    // Catalyst's projection collapse cannot duplicate the O(|ss|) filter
+    // into a per-element lambda (which would be O(|ss|²) per row again,
+    // from the other direction). sequence(1, 0) is DESCENDING — the
+    // outer when() guards the no-repeats case.
+    def spansOf(ss: Column): Column = {
+      val idxs = sequence(lit(1), size(ss))
+      val opens = filter(idxs, i =>
+        when(i === 1, lit(true))
+          .otherwise(element_at(ss, i) > element_at(ss, i - 1) + n))
+      val closes = filter(idxs, i =>
+        when(i === size(ss), lit(true))
+          .otherwise(element_at(ss, i + 1) > element_at(ss, i) + n))
+      zip_with(opens, closes, (o, c) =>
+        struct(element_at(ss, o).as("st"),
+          (element_at(ss, c) + n - 1).as("en")))
+    }
     substringStarts(df0, idCol, textCol, n)
       .select(col(idCol), col("t"),
-        aggregate(col("ss"), emptySpans,
-          (acc, s) => when(
-            size(acc) > 0 && s <= element_at(acc, -1).getField("en") + 1,
-            concat(slice(acc, lit(1), size(acc) - 1),
-              array(struct(element_at(acc, -1).getField("st").as("st"),
-                (s + n - 1).as("en")))))
-            .otherwise(concat(acc,
-              array(struct(s.as("st"), (s + n - 1).as("en"))))))
+        when(size(col("ss")) > 0, spansOf(col("ss")))
+          .otherwise(array().cast("array<struct<st:int,en:int>>"))
           .as("spans"))
       .select(col(idCol), col("t"), explode(col("spans")).as("sp"))
       .select(col(idCol),
