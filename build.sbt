@@ -30,4 +30,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // A 126-query pass generates thousands of whole-stage-codegen classes;
+  // the JDK default 240 MB code cache fills mid-suite, silently disabling
+  // the JIT for whichever queries run last (measured: late-alphabet
+  // queries 2-4x slower in-suite than isolated, same plans — t_surprise
+  // 4.6 s in-suite vs 1.3 s isolated). A long-lived cluster JVM sizes
+  // its code cache for exactly this reason. (Enlarging Spark's 100-entry
+  // generated-class cache was also tried and REVERTED: pinning thousands
+  // of generated classes traded the Janino recompiles for GC/metaspace
+  // pressure that cost more than it saved.)
+  "-XX:ReservedCodeCacheSize=1g",
 )
