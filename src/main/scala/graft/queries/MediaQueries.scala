@@ -70,19 +70,22 @@ object MediaQueries {
         .orderBy("qid", "rk")
     }),
 
-    // full near-dup composition for media: stub decode → trained k-means
-    // quantizer → SemDeDup. Exact copies (planted, id-shifted) have
-    // identical feature vectors, co-cluster by construction, and the
-    // higher id drops at tau = 0.99 — the whole image-dedup pipeline
-    // shape, hash-checked end to end because the stub features are
-    // sha256-derived and engine-replicable.
+    // full near-dup composition for media: REAL BMP decode → trained
+    // k-means quantizer → SemDeDup. Exact copies (planted, id-shifted)
+    // have identical feature vectors, co-cluster by construction, and
+    // the higher id drops at tau = 0.99 — the whole image-dedup pipeline
+    // shape, hash-checked end to end because the band-mean features are
+    // integer arithmetic over the payload bytes.
     "m_media_semantic_dedup" -> ((s, dir) => {
       val media = TableCatalog.load(s, dir, "documents")
         .select(col("doc_id").as("media_id"), col("text").cast("binary").as("bytes"))
       val all = media.unionByName(media.select(
         (col("media_id") + 1000000L).as("media_id"), col("bytes")))
-      val feats = Multimodal.decodeStub(all, dims = 8)
-        .select("media_id", "features")
+      val feats = Multimodal.decodeBmp(
+          Multimodal.encodeBmp(all, width = 4), bands = 4)
+        .select(col("media_id"),
+          Multimodal.bandMeanFeatures(col("band_sums"), col("band_counts"))
+            .cast("array<float>").as("features"))
       graft.operators.Dedup.semanticDedup(
           feats, "media_id", "features", k = 4, iters = 2, tau = 0.99)
         .orderBy("media_id")
@@ -218,29 +221,26 @@ object MediaQueries {
         s"round(list_dot_product($a::DOUBLE[], $b::DOUBLE[]) / " +
           s"(sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) * " +
           s"sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[]))), 6)"
-      // same sha256-feature CTE as m_media_ann (over originals + planted
-      // copies), then the d_semantic_dedup kmeans/drop logic over it
-      s"""WITH m AS (
-         |  SELECT doc_id AS media_id, text FROM documents
-         |  UNION ALL
-         |  SELECT doc_id + 1000000, text FROM documents),
-         |f AS (SELECT media_id,
-         |  list_transform(range(0, 8), j -> CAST((
-         |    (strpos('0123456789abcdef', substring(sha256(text), 2*j + 1, 1)) - 1) * 16 +
-         |    (strpos('0123456789abcdef', substring(sha256(text), 2*j + 2, 1)) - 1) - 128
-         |  ) / 128.0 AS FLOAT)) AS v
-         |  FROM m),
-         |c0 AS (SELECT media_id AS cid, v AS cv FROM f ORDER BY media_id LIMIT 4),
+      // band-mean features over originals + planted id-shifted copies
+      // (identical bytes -> identical vectors), then the d_semantic_dedup
+      // kmeans/drop logic over them
+      s"""WITH $featureCtes,
+         |fl AS (SELECT media_id, list(CAST(fv AS FLOAT) ORDER BY band, ch) AS v
+         |       FROM f GROUP BY media_id),
+         |fm AS (SELECT media_id, v FROM fl
+         |       UNION ALL
+         |       SELECT media_id + 1000000, v FROM fl),
+         |c0 AS (SELECT media_id AS cid, v AS cv FROM fm ORDER BY media_id LIMIT 4),
          |a1 AS (SELECT media_id, cid FROM (
          |  SELECT e.media_id, c.cid,
          |    row_number() OVER (PARTITION BY e.media_id ORDER BY ${cos("e.v", "c.cv")} DESC, c.cid) AS rk
-         |  FROM f e CROSS JOIN c0 c) WHERE rk = 1),
-         |m1 AS (SELECT a1.cid, d.dim,
-         |         CAST(sum(CAST(CAST(e.v[d.dim] AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE)
+         |  FROM fm e CROSS JOIN c0 c) WHERE rk = 1),
+         |m1 AS (SELECT a1.cid, dm.dim,
+         |         CAST(sum(CAST(CAST(e.v[dm.dim] AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE)
          |           / count(*) AS mv
-         |       FROM a1 JOIN f e USING (media_id),
-         |            unnest(range(1, len(e.v) + 1)) AS d(dim)
-         |       GROUP BY a1.cid, d.dim),
+         |       FROM a1 JOIN fm e USING (media_id),
+         |            unnest(range(1, len(e.v) + 1)) AS dm(dim)
+         |       GROUP BY a1.cid, dm.dim),
          |c1 AS (SELECT c0.cid,
          |         CASE WHEN count(m1.mv) = 0 THEN any_value(c0.cv)
          |              ELSE list(CAST(m1.mv AS FLOAT) ORDER BY m1.dim) END AS cv
@@ -249,14 +249,14 @@ object MediaQueries {
          |assign AS (SELECT media_id, cid FROM (
          |  SELECT e.media_id, c.cid,
          |    row_number() OVER (PARTITION BY e.media_id ORDER BY ${cos("e.v", "c.cv")} DESC, c.cid) AS crk
-         |  FROM f e CROSS JOIN c1 c) WHERE crk = 1),
+         |  FROM fm e CROSS JOIN c1 c) WHERE crk = 1),
          |dropped AS (SELECT DISTINCT b.media_id
          |  FROM assign a JOIN assign b ON a.cid = b.cid AND a.media_id < b.media_id
-         |  JOIN f x ON x.media_id = a.media_id
-         |  JOIN f y ON y.media_id = b.media_id
+         |  JOIN fm x ON x.media_id = a.media_id
+         |  JOIN fm y ON y.media_id = b.media_id
          |  WHERE ${cos("x.v", "y.v")} >= 0.99)
-         |SELECT a.media_id, a.cid AS cluster_id, d.media_id IS NULL AS kept
-         |FROM assign a LEFT JOIN dropped d USING (media_id)
+         |SELECT a.media_id, a.cid AS cluster_id, dr.media_id IS NULL AS kept
+         |FROM assign a LEFT JOIN dropped dr USING (media_id)
          |ORDER BY a.media_id""".stripMargin
     }
   )
