@@ -215,12 +215,23 @@ object TextAnalysis {
     * Scale shape: the corpus collapses ONCE to the distinct
     * word-frequency table (one shuffle keyed by word — the same reduction
     * every real BPE trainer performs, since merge decisions depend only
-    * on (word, freq)); that table is VOCAB-sized, not corpus-sized, so it
-    * is collected (the same model-budget collect as the k-means/PQ
-    * trainers) and every merge round runs driver-side on it — ONE Spark
-    * job total, where the per-round Spark form scheduled 3 jobs and a
-    * localCheckpoint materialization per merge (~100k jobs at a real 32k
-    * vocab). The driver loop reproduces the distributed rounds exactly:
+    * on (word, freq)). That table is DISTINCT-WORD-sized, NOT vocab-sized
+    * — distinct `[a-z0-9]+` tokens grow with the corpus (Heaps' law; web
+    * corpora carry 10^8+ distinct alphanumeric strings: typos, ids,
+    * hashes, urls) — so it is bounded BEFORE it reaches the driver, the
+    * same discipline real trainers apply at exactly this step:
+    * `minFreq` drops sub-threshold words inside the distributed
+    * aggregate, and `maxWords` rank-caps the survivors (freq desc, word
+    * asc — a distributed TakeOrdered, the fingerprintOverlap maxDf
+    * discipline). The collect is then min(surviving words, maxWords)
+    * rows ≤ ~100 MB at the 2^22 default — a model-budget collect like
+    * the k-means/PQ trainers, and the knobs default so the historical
+    * unbounded behavior (and its oracle hashes) are unchanged wherever
+    * the corpus fits the cap. Every merge round runs driver-side on the
+    * bounded table — ONE Spark job total, where the per-round Spark form
+    * scheduled 3 jobs and a localCheckpoint materialization per merge
+    * (~100k jobs at a real 32k vocab).
+    * The driver loop reproduces the distributed rounds exactly:
     * pair counts sum word frequencies over every adjacent index
     * (overlaps included), the argmax tie-breaks (cnt desc, lhs asc,
     * rhs asc) with UTF-8-byte string order (what `orderBy` on a string
@@ -230,13 +241,22 @@ object TextAnalysis {
     *
     * Output: (rk, lhs, rhs, cnt) — merge table in training order,
     * rk 1-based; may stop short of `rounds` if no pair repeats. */
-  def bpeTrain(df0: DataFrame, textCol: String, rounds: Int = 5): DataFrame = {
+  def bpeTrain(df0: DataFrame, textCol: String, rounds: Int = 5,
+               minFreq: Long = 1, maxWords: Int = 1 << 22): DataFrame = {
     require(rounds > 0, s"rounds must be positive, got $rounds")
+    require(minFreq >= 1, s"minFreq must be >= 1, got $minFreq")
+    require(maxWords >= 1, s"maxWords must be >= 1, got $maxWords")
     val spark = df0.sparkSession
     import spark.implicits._
+    // minFreq rides the aggregate (map-side combined, so the filter sees
+    // exact totals); the cap is a distributed TakeOrdered — only the top
+    // maxWords rows by (freq desc, w asc: Spark's binary-UTF8 string
+    // order) ever reach the driver. Defaults pass everything through.
     val wordFreq = Dedup.widen(df0)
       .select(explode(tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= minFreq)
+      .orderBy(col("freq").desc, col("w").asc).limit(maxWords)
       .as[(String, Long)].collect()
     // UTF-8-byte ordering = Spark's UTF8String/DuckDB string comparison;
     // Java String.compareTo differs on supplementary characters
@@ -252,9 +272,11 @@ object TextAnalysis {
     }
     var words: Array[(Array[String], Long)] =
       wordFreq.map { case (w, f) =>
-        // symbols = Unicode code points, as substr(i, 1) yields... for BMP
-        // text; tokens() is [a-z0-9]+ so symbols are single ASCII chars
-        (w.map(_.toString).toArray, f)
+        // symbols = Unicode CODE POINTS (what SQL substr(i, 1) yields),
+        // not UTF-16 code units — tokens() is [a-z0-9]+ today so the two
+        // coincide, but iterating code points keeps the invariant true
+        // if tokens() ever widens past the BMP
+        (w.codePoints().toArray.map(cp => new String(Character.toChars(cp))), f)
       }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var r = 1

@@ -523,6 +523,13 @@ object PipelineQueries {
       TextAnalysis.bpeTrain(docs(s, dir), "text", rounds = 5)
         .orderBy("rk")),
 
+    // --- BPE trainer with the frequency threshold real trainers apply
+    //     before the word table is bounded: words seen < 3 times never
+    //     contribute to a merge decision ---
+    "t_bpe_train_minfreq" -> ((s, dir) =>
+      TextAnalysis.bpeTrain(docs(s, dir), "text", rounds = 5, minFreq = 3)
+        .orderBy("rk")),
+
     // --- BPE encoding under the trained merge table: per-doc word and
     //     BPE token counts, map-only application of the 5 merges ---
     "t_bpe_encode" -> ((s, dir) => {
@@ -1017,18 +1024,24 @@ object PipelineQueries {
          |      WHERE NOT consumed GROUP BY w, freq)""".stripMargin
     }
     val bpeRounds = 5
-    val bpeCtes =
+    // minFreq thresholds the word-frequency table exactly where bpeTrain
+    // does — inside the aggregate, before any merge round sees it
+    def bpeCtesOf(minFreq: Long): String =
       s"""WITH w0 AS (
          |  SELECT w, CAST(count(*) AS BIGINT) AS freq,
          |    list_transform(range(1, length(w) + 1), i -> substring(w, i, 1)) AS sy
-         |  FROM (SELECT unnest($toks) AS w FROM documents) GROUP BY w),
+         |  FROM (SELECT unnest($toks) AS w FROM documents) GROUP BY w
+         |  HAVING count(*) >= $minFreq),
          |""".stripMargin +
         (1 to bpeRounds).map(bpeRound).mkString(",\n")
-    val bpeTrainSql = bpeCtes + "\n" +
+    val bpeCtes = bpeCtesOf(1)
+    def bpeTrainSqlOf(minFreq: Long): String = bpeCtesOf(minFreq) + "\n" +
       (1 to bpeRounds).map(r =>
         s"SELECT $r::BIGINT AS rk, a AS lhs, b AS rhs, cnt::BIGINT AS cnt FROM m$r")
         .mkString("\nUNION ALL ") +
       "\nORDER BY rk"
+    val bpeTrainSql = bpeTrainSqlOf(1)
+    val bpeTrainMinFreqSql = bpeTrainSqlOf(3)
     // t_bpe_encode: the final round's word table w{N} IS the trained
     // segmentation — per-doc BPE token counts are one join of the doc
     // word stream against it.
@@ -1620,6 +1633,7 @@ object PipelineQueries {
            |GROUP BY b.doc_id, len(b.t) ORDER BY doc_id""".stripMargin),
 
       "t_bpe_train" -> bpeTrainSql,
+      "t_bpe_train_minfreq" -> bpeTrainMinFreqSql,
 
       "t_bpe_encode" -> bpeEncodeSql,
 

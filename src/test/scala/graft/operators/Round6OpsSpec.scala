@@ -60,6 +60,31 @@ class Round6OpsSpec extends SparkSpec {
     assert(r.toSeq === Seq((1L, "a", "a", 6L), (2L, "aa", "aa", 2L)))
   }
 
+  test("bpeTrain minFreq: a sub-threshold word cannot contribute to or win a merge") {
+    // low x3, lower x1, lowest x1. minFreq=2 leaves ONLY "low" in the
+    // word table: (l,o) and (lo,w) count 3 (not 5 — the dropped words'
+    // occurrences are gone from the counts too), and the rounds-3..5
+    // merges of the unfiltered run ((low,e), (lowe,r), (lowe,s)) never
+    // happen because every pair containing e/r/s/t lived in dropped words
+    val docs = Seq((1L, "low low lower"), (2L, "low lowest")).toDF("doc_id", "text")
+    val r = TextAnalysis.bpeTrain(docs, "text", rounds = 5, minFreq = 2)
+      .orderBy("rk").collect()
+      .map(x => (x.getAs[Long]("rk"), x.getAs[String]("lhs"),
+        x.getAs[String]("rhs"), x.getAs[Long]("cnt")))
+    assert(r.toSeq === Seq((1L, "l", "o", 3L), (2L, "lo", "w", 3L)))
+  }
+
+  test("bpeTrain maxWords rank-caps by (freq desc, word asc) before any merge") {
+    // bb x3, aa x2, cc x1 — maxWords=2 keeps bb and aa; (c,c) can never
+    // appear in a merge even though cc's pair would count 1
+    val docs = Seq((1L, "bb bb bb aa"), (2L, "aa cc")).toDF("doc_id", "text")
+    val r = TextAnalysis.bpeTrain(docs, "text", rounds = 5, maxWords = 2)
+      .orderBy("rk").collect()
+      .map(x => (x.getAs[Long]("rk"), x.getAs[String]("lhs"),
+        x.getAs[String]("rhs"), x.getAs[Long]("cnt")))
+    assert(r.toSeq === Seq((1L, "b", "b", 3L), (2L, "a", "a", 2L)))
+  }
+
   test("ivfPqTopK: PQ-scored neighbors of a clustered corpus stay in the query's cluster") {
     // two interleaved DIRECTION clusters in 8 dims (odd ids spike even
     // dims, even ids spike odd dims, id-dependent magnitude jitter) — the
