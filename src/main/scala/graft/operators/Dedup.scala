@@ -540,33 +540,48 @@ object Dedup {
     * planned the md5 gram fan-out as TWO physical subtrees (one per join
     * branch) — the entire slice+md5 stage computed twice per action
     * (measured 2× the stage cost on every unpruned consumer). The window
-    * shuffles the same (id, pos, h) triples once, keyed exactly like the
-    * join's build side would have been (hot-gram skew lands on the same
-    * key either way; AQE splits it). The doc-keyed aggregate after it is
-    * unchanged. */
+    * shuffles the same (id, pos, key) tuples once, keyed exactly like
+    * the join's build side would have been. Skew caveat, honestly: AQE's
+    * skew mitigation splits JOIN and AGGREGATE partitions only, never
+    * window partitions, so a pathologically hot gram (boilerplate
+    * repeated millions of times) lands whole in one task under this
+    * form — whereas a two-level count aggregate would be splittable.
+    * The window keeps the gram fan-out a single physical subtree (the
+    * property the join-back form lost); boilerplate-heavy corpora should
+    * pre-strip the boilerplate (commonSegmentRemoval) before this stage.
+    * The doc-keyed aggregate after it is unchanged. */
   private def substringStarts(df0: DataFrame, idCol: String, textCol: String,
                               n: Int): DataFrame = {
     require(n > 0, s"span length must be positive, got $n")
     val df = widen(df0)
     val base = df.select(col(idCol), tokens(col(textCol)).as("t"))
-    // 60-bit md5-derived gram keys (the round-5 hashed-shingle-index
-    // discipline): the occurrence-count shuffle carries 8-byte longs,
-    // not 32-char hex strings — the key never surfaces in output, so
-    // oracles keep joining on gram text with identical results
+    // 120-bit gram keys — TWO longs from md5 hex halves (chars 1-15 and
+    // 16-30). ExactSubstr (Lee et al.) is an EXACT algorithm: the 60-bit
+    // shingleHash discipline the approximate operators use would reach
+    // its birthday bound near ~1.5B grams — well inside a 100 TB corpus
+    // — and a collision falsely marks two distinct n-grams as repeated,
+    // silently deleting non-duplicate spans. At 120 bits the expected
+    // collision count stays <<1 past 10^15 grams. md5 is computed ONCE
+    // per gram (the hex rides the map-side explode; the longs are
+    // projected out before the shuffle, which carries fixed-width ints,
+    // not 32-char hex strings). The key never surfaces in output, so
+    // oracles keep joining on gram text with identical results.
     val grams = base.select(col(idCol),
       when(size(col("t")) >= n,
         transform(sequence(lit(1), size(col("t")) - n + 1),
           p => struct(p.as("pos"),
-            shingleHash(concat_ws(" ", slice(col("t"), p, lit(n)))).as("h"))))
-        .otherwise(array().cast("array<struct<pos:int,h:bigint>>"))
+            md5(concat_ws(" ", slice(col("t"), p, lit(n)))).as("m"))))
+        .otherwise(array().cast("array<struct<pos:int,m:string>>"))
         .as("gs"))
     val ex = grams.select(col(idCol), explode(col("gs")).as("g"))
-      .select(col(idCol), col("g.pos").as("pos"), col("g.h").as("h"))
+      .select(col(idCol), col("g.pos").as("pos"),
+        conv(substring(col("g.m"), 1, 15), 16, 10).cast("long").as("h1"),
+        conv(substring(col("g.m"), 16, 15), 16, 10).cast("long").as("h2"))
     // total occurrences, NOT distinct docs: a passage repeated inside one
     // document is a repeated span too (Lee et al. remove those as well)
     val starts = ex
       .withColumn("c", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("h")))
+        org.apache.spark.sql.expressions.Window.partitionBy("h1", "h2")))
       .filter(col("c") > 1)
       .groupBy(col(idCol)).agg(sort_array(collect_set(col("pos"))).as("starts"))
     base.join(starts, Seq(idCol), "left")
