@@ -174,11 +174,24 @@ object Multimodal {
       s"only uncompressed 24-bpp supported, got bpp=$bpp compression=$comp")
     require(w > 0 && hRaw != 0, s"bad dimensions ${w}x$hRaw")
     val topDown = hRaw < 0
-    val h = math.abs(hRaw)
+    // abs/stride in LONG: hRaw = Int.MinValue survives abs, and a crafted
+    // header width near Int.MaxValue overflows 3*w to a negative stride —
+    // the pixel loop would then silently run zero iterations and return
+    // all-zero sums for a "valid" parse instead of rejecting loudly
+    val hL = math.abs(hRaw.toLong)
+    val strideL = ((3L * w + 3) / 4) * 4
+    // bound each factor by the file size BEFORE multiplying — the
+    // product of two adversarial near-2^31 dimensions overflows even
+    // Long (2^32.6 * 2^31 > 2^63) back to a small/negative value that
+    // would sail through the extent check below
+    require(strideL <= b.length && hL <= b.length,
+      s"dimensions ${w}x$hL exceed the ${b.length}-byte payload")
+    require(off >= 54 && off + strideL * hL <= b.length,
+      s"truncated pixel array (need ${off + strideL * hL}, have ${b.length})")
+    // the require bounds strideL*hL by b.length (an Int), so these fit
+    val h = hL.toInt
     val rowBytes = 3 * w
-    val stride = ((rowBytes + 3) / 4) * 4
-    require(off >= 54 && off + stride.toLong * h <= b.length,
-      s"truncated pixel array (need ${off + stride.toLong * h}, have ${b.length})")
+    val stride = strideL.toInt
     val sums = new Array[Long](bands * 3)
     val cnts = new Array[Long](bands * 3)
     var ir = 0 // image row, 0 = top
@@ -287,7 +300,11 @@ object Multimodal {
     while (off + 8 <= b.length && (rate < 0 || dataOff < 0)) {
       val id = tagAt(off)
       val len = rdLe32(b, off + 4)
-      require(len >= 0 && off + 8 + len <= b.length,
+      // extent check in LONG: a crafted length near Int.MaxValue makes
+      // off + 8 + len wrap negative in Int arithmetic, passing the
+      // bound — the sample loop would then AIOOBE (or the walk would
+      // mis-step) instead of the documented loud reject
+      require(len >= 0 && off.toLong + 8 + len <= b.length,
         s"chunk '$id' overruns the file")
       if (id == "fmt ") {
         require(len >= 16, s"fmt chunk too short ($len)")
