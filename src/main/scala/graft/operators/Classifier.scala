@@ -35,41 +35,38 @@ object Classifier {
     * caller-built features.
     *
     * Per doc: lowercase, slide every `n`-char gram, hash each gram to one
-    * of `buckets` slots by its md5's leading hex digit (the same
-    * md5-as-uniform-hash convention as the MinHash/KMV family — both
-    * engines agree on md5 of UTF-8 bytes), and emit
-    * `x = [1.0 (bias), share of grams in bucket 0, …, bucket B-1]`
-    * (count-normalized; an empty gram set scores all-zero). At real
-    * vocab sizes the same plan widens to more md5 digits (2^20 buckets);
-    * the plan SHAPE — one projection, no explode survives the fold, no
-    * join, no shuffle — is independent of B.
+    * of `buckets` slots by its md5's leading hex digits (k digits, the
+    * smallest count with 16^k >= buckets — ONE digit at the historical
+    * B=16, so those hashes are unchanged; the same md5-as-uniform-hash
+    * convention as the MinHash/KMV family, and SQL-expressible as
+    * `conv(substring(md5(g), 1, k), 16, 10) % B` for the oracle), and
+    * emit `x = [1.0 (bias), share of grams in bucket 0, …, bucket B-1]`
+    * (count-normalized; an empty gram set scores all-zero).
     *
-    * Everything is a pure projection (machine-checked in PlanShapeSpec):
-    * the gram array, bucket ids, and per-bucket counts fold in-row via
-    * transform/filter/size — no explode+groupBy, no corpus shuffle.
-    * `keep` columns (e.g. a label) are evaluated against the full input
-    * row and carried through. */
+    * The gram slide, hashing, and bucket counting run in the native
+    * [[graft.plans.GramBucketShares]] kernel — ONE codegen'd pass over
+    * the UTF-8 bytes, O(L + B) per row with constant compile cost at
+    * any B, so real fastText-scale bucket counts (2^18–2^21) run the
+    * same plan. (The previous column form paid B+1 filter+size passes
+    * over a materialized gram array — O(L*B) and a B-branch Janino
+    * compile — which is why it was capped at B=16.) The plan stays a
+    * pure projection (machine-checked in PlanShapeSpec): no explode, no
+    * join, no corpus shuffle. `keep` columns (e.g. a label) are
+    * evaluated against the full input row and carried through. */
   def hashedCharNgramFeatures(df: DataFrame, idCol: String, textCol: String,
                               n: Int = 3, buckets: Int = 16,
                               keep: Seq[Column] = Nil): DataFrame = {
     require(n >= 1, s"gram size must be >= 1, got $n")
-    require(buckets >= 1 && buckets <= 16,
-      s"one md5 hex digit addresses up to 16 buckets, got $buckets")
-    val t = lower(col(textCol))
-    // sequence(1, m) DESCENDS for m < 1, so short docs guard to empty
-    val grams = when(length(t) < n, typedLit(Seq.empty[String]))
-      .otherwise(transform(sequence(lit(1), length(t) - (n - 1)),
-        i => t.substr(i, lit(n))))
-    val bks = transform(grams,
-      g => (conv(substring(md5(g), 1, 1), 16, 10).cast("int") % buckets).cast("int"))
-    val total = size(col("graft_bks"))
-    val x = array(lit(1.0) +: (0 until buckets).map { j =>
-      when(total > 0,
-        size(filter(col("graft_bks"), b => b === j)).cast("double") / total.cast("double"))
-        .otherwise(lit(0.0))
-    }: _*)
-    df.withColumn("graft_bks", bks)
-      .select(col(idCol) +: x.as("x") +: keep: _*)
+    require(buckets >= 1 && buckets <= graft.plans.GramBucketShares.MaxBuckets,
+      s"buckets must be in [1, ${graft.plans.GramBucketShares.MaxBuckets}], got $buckets")
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    // coalesce('') keeps the historical null contract: null text scored
+    // all-zero shares (the old when-chain's otherwise branch), and the
+    // empty string has no grams — same all-zero result
+    val shares = call_function("graft_gram_bucket_shares",
+      lower(coalesce(col(textCol), lit(""))), lit(n), lit(buckets))
+    val x = concat(array(lit(1.0)), shares)
+    df.select(col(idCol) +: x.as("x") +: keep: _*)
   }
 
   def logregTrain(feats: DataFrame, xCol: String, yCol: String,

@@ -103,6 +103,8 @@ object GraftFunctions {
     classOf[SortedIntersectCount].getName, "graft_sorted_intersect_count")
   val hyperplaneInfo = new ExpressionInfo(
     classOf[HyperplaneBuckets].getName, "graft_hyperplane_bucket")
+  val gramSharesInfo = new ExpressionInfo(
+    classOf[GramBucketShares].getName, "graft_gram_bucket_shares")
 
   private val builders: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_cosine"), cosineInfo,
@@ -110,7 +112,9 @@ object GraftFunctions {
     (FunctionIdentifier("graft_sorted_intersect_count"), intersectInfo,
       (c: Seq[Expression]) => SortedIntersectCount(c.head, c(1))),
     (FunctionIdentifier("graft_hyperplane_bucket"), hyperplaneInfo,
-      (c: Seq[Expression]) => HyperplaneBuckets(c.head, c(1))))
+      (c: Seq[Expression]) => HyperplaneBuckets(c.head, c(1))),
+    (FunctionIdentifier("graft_gram_bucket_shares"), gramSharesInfo,
+      (c: Seq[Expression]) => GramBucketShares(c.head, c(1), c(2))))
 
   def register(spark: SparkSession): Unit =
     builders.foreach { case (id, info, b) =>

@@ -1,10 +1,66 @@
 package graft.operators
 
+import org.apache.spark.sql.functions._
 import graft.SparkSpec
 
 /** Round-8 operators: codec bounds hardening (overflow-crafted headers
-  * must reject loudly, never mis-parse silently). */
+  * must reject loudly, never mis-parse silently) and the native
+  * GramBucketShares kernel behind hashedCharNgramFeatures. */
 class Round8OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference bucket-share computation, straight from the documented
+    * contract: k leading md5 hex digits of each n-code-point gram of the
+    * lowercased text, % buckets, count-normalized. */
+  private def refShares(text: String, n: Int, buckets: Int): Seq[Double] = {
+    val t = text.toLowerCase
+    val cps = t.codePoints().toArray
+    val k = graft.plans.GramBucketShares.hexDigits(buckets)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val grams = (0 to cps.length - n).map { i =>
+      new String(cps, i, n).getBytes("UTF-8")
+    }
+    val counts = new Array[Long](buckets)
+    grams.foreach { g =>
+      val hex = md.digest(g).map(b => f"$b%02x").mkString
+      val v = java.lang.Long.parseLong(hex.take(k), 16)
+      counts((v % buckets).toInt) += 1
+    }
+    if (grams.isEmpty) Seq.fill(buckets)(0.0)
+    else counts.map(_.toDouble / grams.length).toSeq
+  }
+
+  test("hashedCharNgramFeatures at B=256 matches the documented k-hex-digit contract") {
+    val texts = Seq((1L, "The quick brown fox jumps over the lazy dog"),
+      (2L, "abcdefgh"), (3L, ""), (4L, "ab"))
+    val f = Classifier.hashedCharNgramFeatures(
+      texts.toDF("doc_id", "text"), "doc_id", "text", n = 3, buckets = 256)
+      .orderBy("doc_id").as[(Long, Seq[Double])].collect()
+    texts.zip(f).foreach { case ((_, t), (_, x)) =>
+      assert(x.length === 257 && x.head === 1.0)
+      assert(x.tail === refShares(t, 3, 256))
+    }
+  }
+
+  test("hashedCharNgramFeatures at wide B (2^16) keeps the single-kernel plan") {
+    val docs = Seq((1L, "wide bucket spaces must not blow up the plan")).toDF("doc_id", "text")
+    val df = Classifier.hashedCharNgramFeatures(docs, "doc_id", "text", buckets = 1 << 16)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Generate"))
+    val x = df.as[(Long, Seq[Double])].collect().head._2
+    assert(x.length === (1 << 16) + 1)
+    assert(math.abs(x.tail.sum - 1.0) < 1e-9, "shares still sum to 1")
+  }
+
+  test("GramBucketShares slides grams by code point, not UTF-16 unit or byte") {
+    // 𝐀 (U+1D400, 4 UTF-8 bytes, 2 UTF-16 units) between ASCII letters:
+    // "a𝐀b" has exactly one 3-code-point gram
+    val docs = Seq((1L, "a𝐀b")).toDF("doc_id", "text")
+    val x = Classifier.hashedCharNgramFeatures(docs, "doc_id", "text", n = 3, buckets = 16)
+      .as[(Long, Seq[Double])].collect().head._2
+    assert(x.tail.sum === 1.0, "exactly one gram -> one bucket holds share 1.0")
+    assert(x.tail === refShares("a𝐀b", 3, 16))
+  }
 
   private def le32(b: Array[Byte], off: Int, v: Int): Unit = {
     b(off) = (v & 0xff).toByte; b(off + 1) = ((v >> 8) & 0xff).toByte
