@@ -45,37 +45,31 @@ object Vectors {
   private def centroidsLit(cents: Seq[(Long, Array[Float])]): Column =
     typedLit(cents.sortBy(_._1).map { case (cid, cv) => (cid, cv.toSeq) })
 
-  /** In-row scored-centroid array: per centroid, `struct(c, nc)` where
-    * `c` is the 6-dp [[cosineNative]] score of `v` against the literal
-    * centroid and `nc = -cid`. Struct ordering then encodes the
-    * assignment contract everywhere: max = (highest cosine, lowest cid);
-    * descending sort = (cosine desc, cid asc) — bit-identical to the
-    * `Window.orderBy(ccos.desc, cid.asc)` ranking it replaces. */
-  private def centroidScores(spark: org.apache.spark.sql.SparkSession,
-                             v: Column, cents: Seq[(Long, Array[Float])]): Column = {
+  /** Nearest-centroid id of `v` as a pure in-row expression (zero joins,
+    * zero shuffles, zero row fan-out), via the native
+    * [[graft.plans.NearestCentroids]] kernel. 6-dp cosine, lowest cid on
+    * ties — the assignment contract of the whole ANN family
+    * ([[Similarity.pqTrain]] is the template). (The earlier column form
+    * — transform + graft_cosine + array_max over the literal — computed
+    * the same values but paid a fresh multi-second Janino compile per
+    * query; the kernel is one compiled loop, constant compile cost.) */
+  private[graft] def nearestCidExpr(spark: org.apache.spark.sql.SparkSession,
+                                    v: Column, cents: Seq[(Long, Array[Float])]): Column = {
     graft.plans.GraftFunctions.register(spark)
-    transform(centroidsLit(cents), c =>
-      struct(round(call_function("graft_cosine", v, c.getField("_2")), 6).as("c"),
-        (-c.getField("_1")).as("nc")))
+    element_at(
+      call_function("graft_nearest_centroids", v, centroidsLit(cents), lit(1)), 1)
   }
 
-  /** Nearest-centroid id of `v` as a pure in-row expression (zero joins,
-    * zero shuffles, zero row fan-out): `array_max` over the literal-model
-    * scores. 6-dp cosine, lowest cid on ties — the assignment contract of
-    * the whole ANN family ([[Similarity.pqTrain]] is the template). */
-  private[graft] def nearestCidExpr(spark: org.apache.spark.sql.SparkSession,
-                                    v: Column, cents: Seq[(Long, Array[Float])]): Column =
-    (-array_max(centroidScores(spark, v, cents)).getField("nc")).cast("long")
-
   /** Top-`n` nearest-centroid ids of `v`, ordered (cosine desc, cid asc),
-    * as a pure in-row expression: sort the literal-model scores
-    * descending, slice `n`, strip to cids. The row fan-out downstream is
-    * the caller's explode — n rows per query, never k per corpus row. */
+    * as a pure in-row expression (same native kernel). The row fan-out
+    * downstream is the caller's explode — n rows per query, never k per
+    * corpus row. */
   private[graft] def nearestCidsExpr(spark: org.apache.spark.sql.SparkSession,
                                      v: Column, cents: Seq[(Long, Array[Float])],
-                                     n: Int): Column =
-    transform(slice(sort_array(centroidScores(spark, v, cents), asc = false), 1, n),
-      s => (-s.getField("nc")).cast("long"))
+                                     n: Int): Column = {
+    graft.plans.GraftFunctions.register(spark)
+    call_function("graft_nearest_centroids", v, centroidsLit(cents), lit(n))
+  }
 
   /** Deterministic distributed k-means training (cosine metric) — the
     * trained coarse quantizer for

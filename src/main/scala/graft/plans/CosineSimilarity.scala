@@ -105,6 +105,8 @@ object GraftFunctions {
     classOf[HyperplaneBuckets].getName, "graft_hyperplane_bucket")
   val gramSharesInfo = new ExpressionInfo(
     classOf[GramBucketShares].getName, "graft_gram_bucket_shares")
+  val nearestCentroidsInfo = new ExpressionInfo(
+    classOf[NearestCentroids].getName, "graft_nearest_centroids")
 
   private val builders: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_cosine"), cosineInfo,
@@ -114,7 +116,9 @@ object GraftFunctions {
     (FunctionIdentifier("graft_hyperplane_bucket"), hyperplaneInfo,
       (c: Seq[Expression]) => HyperplaneBuckets(c.head, c(1))),
     (FunctionIdentifier("graft_gram_bucket_shares"), gramSharesInfo,
-      (c: Seq[Expression]) => GramBucketShares(c.head, c(1), c(2))))
+      (c: Seq[Expression]) => GramBucketShares(c.head, c(1), c(2))),
+    (FunctionIdentifier("graft_nearest_centroids"), nearestCentroidsInfo,
+      (c: Seq[Expression]) => NearestCentroids(c.head, c(1), c(2))))
 
   def register(spark: SparkSession): Unit =
     builders.foreach { case (id, info, b) =>

@@ -88,6 +88,62 @@ class Round8OpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Multimodal.parseBmp(b3, 4) }
   }
 
+  test("graft_nearest_centroids is bit-identical to the column form it replaced") {
+    // the round-7 column form: transform over the centroid literal to
+    // struct(round(graft_cosine, 6), -cid), array_max / sort_array desc
+    // — rebuilt here verbatim as the parity reference
+    graft.plans.GraftFunctions.register(spark)
+    val cents: Seq[(Long, Array[Float])] = (0L until 7L).map { c =>
+      c -> Array.tabulate(16)(d =>
+        (math.sin(c * 31 + d * 7) * (1 + (c % 3))).toFloat)
+    }
+    val centsLit = typedLit(cents.map { case (cid, cv) => (cid, cv.toSeq) })
+    def columnScores(v: org.apache.spark.sql.Column) =
+      transform(centsLit, c =>
+        struct(round(call_function("graft_cosine", v, c.getField("_2")), 6).as("c"),
+          (-c.getField("_1")).as("nc")))
+    val vecs = (1L to 500L).map { i =>
+      i -> Array.tabulate(16)(d => (math.cos(i * 13 + d * 3) * (i % 5 + 1)).toFloat).toSeq
+    }.toDF("id", "v").select(col("id"), col("v").cast("array<float>").as("v"))
+    val both = vecs.select(col("id"),
+      (-array_max(columnScores(col("v"))).getField("nc")).cast("long").as("old1"),
+      transform(slice(sort_array(columnScores(col("v")), asc = false), 1, 3),
+        s => (-s.getField("nc")).cast("long")).as("old3"),
+      element_at(call_function("graft_nearest_centroids", col("v"), centsLit, lit(1)), 1).as("new1"),
+      call_function("graft_nearest_centroids", col("v"), centsLit, lit(3)).as("new3"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getAs[Long]("old1") === r.getAs[Long]("new1"))
+      assert(r.getSeq[Long](r.fieldIndex("old3")).toList
+        === r.getSeq[Long](r.fieldIndex("new3")).toList)
+    }
+  }
+
+  test("graft_nearest_centroids handles ties (lowest cid), zero-norm vectors, and n > k") {
+    graft.plans.GraftFunctions.register(spark)
+    // duplicate centroids -> identical 6-dp scores -> lowest cid wins
+    val cv = Array.tabulate(4)(_.toFloat + 1f).toSeq
+    val dupLit = typedLit(Seq((5L, cv), (2L, cv), (9L, cv)))
+    val df = Seq((1L, cv)).toDF("id", "v")
+      .select(col("id"), col("v").cast("array<float>").as("v"))
+    val r = df.select(
+      call_function("graft_nearest_centroids", col("v"), dupLit, lit(5)).as("top"))
+      .as[Seq[Long]].collect().head
+    assert(r === Seq(2L, 5L, 9L), "ties break to lowest cid; n > k returns all k")
+    // zero-norm vector: cosine NaN, which SQL ordering puts ABOVE any
+    // finite score — parity with the column form's struct array_max
+    val zdf = Seq((1L, Seq(0f, 0f, 0f, 0f))).toDF("id", "v")
+      .select(col("id"), col("v").cast("array<float>").as("v"))
+    val mixLit = typedLit(Seq((1L, cv), (3L, Seq(0f, 0f, 0f, 0f))))
+    val z = zdf.select(
+      element_at(call_function("graft_nearest_centroids", col("v"), mixLit, lit(1)), 1).as("c"),
+      (-array_max(transform(mixLit, c =>
+        struct(round(call_function("graft_cosine", col("v"), c.getField("_2")), 6).as("c"),
+          (-c.getField("_1")).as("nc")))).getField("nc")).cast("long").as("old"))
+      .collect().head
+    assert(z.getAs[Long]("c") === z.getAs[Long]("old"), "NaN ordering parity")
+  }
+
   test("parseWav rejects a chunk length that wraps the Int extent check") {
     // len near Int.MaxValue: off + 8 + len wraps negative in Int
     // arithmetic and passed the bound pre-fix; the sample loop then blew
