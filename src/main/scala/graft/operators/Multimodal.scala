@@ -348,6 +348,210 @@ object Multimodal {
     zip_with(sums, counts, (s, c) =>
       when(c > lit(0L), round(s.cast("double") / c, 6)).otherwise(lit(0.0)))
 
+  /** Real AVI (RIFF) video container encode: wrap payload bytes as an
+    * uncompressed 24-bpp 'DIB ' video — RIFF('AVI ' LIST('hdrl' avih
+    * LIST('strl' strh strf)) LIST('movi' '00db'×n)) — of `width`-pixel
+    * by `frameRows`-row frames. Payload byte j becomes pixel-channel
+    * byte j in (frame, top-down row, channel) order; each frame chunk
+    * stores its rows bottom-up on the 4-byte stride, exactly like the
+    * BMP pixel array (an AVI DIB frame IS a BMP pixel array without the
+    * file header). The last frame zero-pads. Completes the image (BMP) /
+    * audio (WAV) / video (AVI) triad of real, public, bit-stable
+    * containers synthesized deterministically — no media files exist in
+    * the test data. Map-side mapPartitions, same seam as [[encodeBmp]]. */
+  def encodeAvi(df: DataFrame, bytesCol: String = "bytes",
+                width: Int = 4, frameRows: Int = 4): DataFrame = {
+    require(width > 0 && frameRows > 0,
+      s"width and frameRows must be positive, got $width x $frameRows")
+    val schema = StructType(df.schema.fields.toIndexedSeq :+
+      StructField("avi", BinaryType, nullable = false))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = df.schema.fieldIndex(bytesCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val payload = if (r.isNullAt(idx)) Array.empty[Byte]
+          else r.getAs[Array[Byte]](idx)
+        Row.fromSeq(r.toSeq :+ aviBytes(payload, width, frameRows))
+      }
+    }(enc)
+  }
+
+  private[operators] def aviBytes(payload: Array[Byte], width: Int,
+                                  frameRows: Int): Array[Byte] = {
+    val rowBytes = 3 * width
+    val stride = ((rowBytes + 3) / 4) * 4
+    val frameBytes = rowBytes * frameRows // payload bytes per frame
+    val frameChunk = stride * frameRows   // stored bytes per frame
+    val nFrames = math.max(1, (payload.length + frameBytes - 1) / frameBytes)
+    // sizes: avih 56, strh 56, strf 40; LIST bodies carry a 4-byte type
+    val strlLen = 4 + (8 + 56) + (8 + 40)
+    val hdrlLen = 4 + (8 + 56) + (8 + strlLen)
+    val moviLen = 4 + nFrames * (8 + frameChunk)
+    val riffLen = 4 + (8 + hdrlLen) + (8 + moviLen)
+    val out = new Array[Byte](8 + riffLen)
+    def le32(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+      out(off + 2) = ((v >> 16) & 0xff).toByte; out(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    def le16(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def tag(off: Int, s: String): Unit =
+      s.getBytes("US-ASCII").copyToArray(out, off)
+    tag(0, "RIFF"); le32(4, riffLen); tag(8, "AVI ")
+    var o = 12
+    tag(o, "LIST"); le32(o + 4, hdrlLen); tag(o + 8, "hdrl"); o += 12
+    tag(o, "avih"); le32(o + 4, 56); o += 8
+    le32(o, 40000)          // dwMicroSecPerFrame (25 fps)
+    le32(o + 16, nFrames)   // dwTotalFrames
+    le32(o + 24, 1)         // dwStreams
+    le32(o + 32, width); le32(o + 36, frameRows) // dwWidth, dwHeight
+    o += 56
+    tag(o, "LIST"); le32(o + 4, strlLen); tag(o + 8, "strl"); o += 12
+    tag(o, "strh"); le32(o + 4, 56); o += 8
+    tag(o, "vids"); tag(o + 4, "DIB ")
+    le32(o + 20, 1)         // dwScale
+    le32(o + 24, 25)        // dwRate (25 fps)
+    le32(o + 32, nFrames)   // dwLength
+    le16(o + 52, width); le16(o + 54, frameRows) // rcFrame right/bottom
+    o += 56
+    tag(o, "strf"); le32(o + 4, 40); o += 8
+    le32(o, 40)             // biSize
+    le32(o + 4, width); le32(o + 8, frameRows) // positive = bottom-up
+    le16(o + 12, 1); le16(o + 14, 24)          // planes, bpp
+    le32(o + 16, 0)         // BI_RGB
+    le32(o + 20, frameChunk) // biSizeImage
+    o += 40
+    tag(o, "LIST"); le32(o + 4, moviLen); tag(o + 8, "movi"); o += 12
+    var fr = 0
+    while (fr < nFrames) {
+      tag(o, "00db"); le32(o + 4, frameChunk); o += 8
+      var j = 0
+      while (j < frameBytes) {
+        val p = fr * frameBytes + j
+        if (p < payload.length) {
+          val ir = j / rowBytes // top-down row within the frame
+          out(o + (frameRows - 1 - ir) * stride + j % rowBytes) = payload(p)
+        }
+        j += 1
+      }
+      o += frameChunk
+      fr += 1
+    }
+    out
+  }
+
+  /** REAL AVI decode: walk the RIFF chunk tree (nested LISTs — hdrl for
+    * the headers, movi for the frames), validate strf (uncompressed
+    * 24-bpp BI_RGB) with the same Long-arithmetic bounds discipline as
+    * [[parseBmp]]/[[parseWav]], then walk every '00db' frame's bottom-up
+    * strided pixel rows and emit PER-FRAME per-band per-channel pixel
+    * sums/counts as exact integers (band = rowInFrame * bands / h,
+    * feature slot = band * 3 + channel — the [[parseBmp]] layout, per
+    * frame). Rejects non-AVI payloads and unsupported encodings loudly.
+    * Output adds: n_frames, frame_w, frame_h,
+    * frame_sums/frame_counts: array<array<long>> (one inner array per
+    * frame). Downstream stages explode the per-frame arrays and finish
+    * in expression land ([[bandMeanFeatures]]) — payload bytes never
+    * pass through a shuffle. */
+  def decodeAvi(df: DataFrame, aviCol: String = "avi",
+                bands: Int = 4): DataFrame = {
+    require(bands > 0, s"bands must be positive, got $bands")
+    val schema = StructType(df.schema.fields.toIndexedSeq ++ Seq(
+      StructField("n_frames", IntegerType, nullable = false),
+      StructField("frame_w", IntegerType, nullable = false),
+      StructField("frame_h", IntegerType, nullable = false),
+      StructField("frame_sums",
+        ArrayType(ArrayType(LongType, containsNull = false), containsNull = false)),
+      StructField("frame_counts",
+        ArrayType(ArrayType(LongType, containsNull = false), containsNull = false))))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = df.schema.fieldIndex(aviCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val bytes = if (r.isNullAt(idx)) Array.empty[Byte]
+          else r.getAs[Array[Byte]](idx)
+        val (w, h, sums, cnts) = parseAvi(bytes, bands)
+        Row.fromSeq(r.toSeq ++ Seq(sums.length, w, h,
+          sums.map(_.toSeq).toSeq, cnts.map(_.toSeq).toSeq))
+      }
+    }(enc)
+  }
+
+  private[operators] def parseAvi(b: Array[Byte], bands: Int)
+      : (Int, Int, Array[Array[Long]], Array[Array[Long]]) = {
+    def tagAt(off: Int): String =
+      new String(b.slice(off, off + 4), "US-ASCII")
+    require(b.length >= 12 && tagAt(0) == "RIFF" && tagAt(8) == "AVI ",
+      s"not a RIFF/AVI payload (${b.length} bytes)")
+    var w = -1; var h = -1
+    var stride = -1
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Int] // frame data offsets
+    // walk a chunk run [off, end); LISTs recurse (hdrl/strl for headers,
+    // movi for frames); all extent checks in Long — a crafted length
+    // near Int.MaxValue must reject, not wrap (the parseWav discipline)
+    def walk(off0: Int, end: Int): Unit = {
+      var off = off0
+      while (off + 8 <= end) {
+        val id = tagAt(off)
+        val len = rdLe32(b, off + 4)
+        require(len >= 0 && off.toLong + 8 + len <= end,
+          s"chunk '$id' overruns its parent")
+        if (id == "LIST") {
+          require(len >= 4, s"LIST chunk too short ($len)")
+          walk(off + 12, off + 8 + len)
+        } else if (id == "strf") {
+          require(len >= 40, s"strf chunk too short ($len)")
+          val base = off + 8
+          val ww = rdLe32(b, base + 4)
+          val hh = rdLe32(b, base + 8)
+          val bpp = rdLe16(b, base + 14)
+          val comp = rdLe32(b, base + 16)
+          require(bpp == 24 && comp == 0,
+            s"only uncompressed 24-bpp supported, got bpp=$bpp compression=$comp")
+          require(ww > 0 && hh > 0, s"bad frame dimensions ${ww}x$hh")
+          val strideL = ((3L * ww + 3) / 4) * 4
+          require(strideL <= b.length && hh <= b.length,
+            s"frame dimensions ${ww}x$hh exceed the ${b.length}-byte payload")
+          require(strideL * hh <= b.length,
+            s"frame extent ${strideL * hh} exceeds the ${b.length}-byte payload")
+          w = ww; h = hh; stride = strideL.toInt
+        } else if (id == "00db") {
+          require(stride > 0, "frame chunk before the strf header")
+          require(len == stride * h,
+            s"frame chunk length $len != stride*h = ${stride * h}")
+          frames += (off + 8)
+        }
+        off += 8 + len + (len % 2) // RIFF chunks are word-aligned
+      }
+    }
+    walk(12, b.length)
+    require(w > 0, "missing strf header")
+    require(frames.nonEmpty, "missing movi frames")
+    val rowBytes = 3 * w
+    val sums = Array.ofDim[Long](frames.length, bands * 3)
+    val cnts = Array.ofDim[Long](frames.length, bands * 3)
+    var f = 0
+    while (f < frames.length) {
+      val base0 = frames(f)
+      var ir = 0 // top-down row within the frame
+      while (ir < h) {
+        val band = (ir.toLong * bands / h).toInt
+        val base = base0 + (h - 1 - ir) * stride // bottom-up storage
+        var o = 0
+        while (o < rowBytes) {
+          val k = band * 3 + o % 3
+          sums(f)(k) += (b(base + o) & 0xff)
+          cnts(f)(k) += 1
+          o += 1
+        }
+        ir += 1
+      }
+      f += 1
+    }
+    (w, h, sums, cnts)
+  }
+
   /** Frame-sample: cut `n` evenly spaced slices of `frameLen` bytes from
     * the payload (the video-frame-sampling shape: keep samples, drop the
     * payload). Pure expressions — `substring` on binary is codegen'd. */

@@ -108,6 +108,29 @@ object MediaQueries {
         .orderBy("media_id")
     }),
 
+    // the video flavor: payload → real RIFF/AVI container (uncompressed
+    // 24-bpp DIB frames in a movi LIST) → real nested-LIST chunk walk →
+    // PER-FRAME banded channel means. Frame f covers payload bytes
+    // [f*48, f*48+48) (width 4 × 4 rows × 3 channels); 2 bands × 3
+    // channels, 8 bytes per slot (zero padding counted, exactly as the
+    // decoder sees the stored frame) — all integer arithmetic, fully
+    // hash-checked.
+    "m_media_video" -> ((s, dir) => {
+      val media = TableCatalog.load(s, dir, "documents")
+        .select(col("doc_id").as("media_id"),
+          col("text").cast("binary").as("bytes"))
+      val decoded = Multimodal.decodeAvi(
+        Multimodal.encodeAvi(media, width = 4, frameRows = 4), bands = 2)
+      val ex = decoded.select(col("media_id"), col("n_frames"),
+        col("frame_counts"), posexplode(col("frame_sums")).as(Seq("fidx", "sums")))
+      val feats = (0 until 6).map(i =>
+        element_at(Multimodal.bandMeanFeatures(col("sums"),
+          element_at(col("frame_counts"), col("fidx") + 1)), i + 1).as(s"f$i"))
+      ex.select(Seq(col("media_id"), col("n_frames"),
+          col("fidx").cast("int").as("fidx")) ++ feats: _*)
+        .orderBy("media_id", "fidx")
+    }),
+
     // the full pipeline: encode → content stats → REAL decode → frame
     // sampling, every emitted value DuckDB-replicable (n_bytes is the
     // BMP file size 54 + 12·h; f0..f11 the banded channel means)
@@ -201,6 +224,35 @@ object MediaQueries {
          |  $rmsCols
          |FROM d LEFT JOIN r USING (media_id)
          |GROUP BY d.media_id, n ORDER BY d.media_id""".stripMargin
+    },
+
+    // payload byte p (1-based, q = p-1): frame q//48, row-in-frame
+    // (q//12)%4, band = row//2 (2 bands over 4 rows), channel q%3;
+    // every (frame, band, ch) slot counts exactly 8 stored bytes
+    "m_media_video" -> {
+      val fcols = (0 until 6).map { i =>
+        s"coalesce(max(CASE WHEN band = ${i / 3} AND ch = ${i % 3} THEN fv END), 0.0) AS f$i"
+      }.mkString(",\n  ")
+      s"""WITH d AS (SELECT doc_id AS media_id, text, strlen(text) AS len,
+         |       greatest(1, CAST(ceil(strlen(text) / 48.0) AS INT))::INT AS nf
+         |     FROM documents),
+         |bybyte AS (SELECT media_id, (p - 1) // 48 AS fidx,
+         |        (((p - 1) // 12) % 4) // 2 AS band, (p - 1) % 3 AS ch,
+         |        ord(substring(text, p, 1)) AS v
+         |      FROM d, unnest(range(1, len + 1)) AS u(p)),
+         |slots AS (SELECT d.media_id, d.nf, fr.fidx, bd.band, c.ch
+         |      FROM d, unnest(range(0, d.nf)) AS fr(fidx),
+         |           unnest(range(0, 2)) AS bd(band),
+         |           unnest(range(0, 3)) AS c(ch)),
+         |bs AS (SELECT media_id, fidx, band, ch, sum(v) AS sv
+         |       FROM bybyte GROUP BY media_id, fidx, band, ch),
+         |f AS (SELECT sl.media_id, sl.nf, sl.fidx, sl.band, sl.ch,
+         |        round(CAST(coalesce(bs.sv, 0) AS DOUBLE) / 8, 6) AS fv
+         |      FROM slots sl LEFT JOIN bs ON bs.media_id = sl.media_id
+         |        AND bs.fidx = sl.fidx AND bs.band = sl.band AND bs.ch = sl.ch)
+         |SELECT media_id, nf AS n_frames, fidx::INT AS fidx,
+         |  $fcols
+         |FROM f GROUP BY media_id, nf, fidx ORDER BY media_id, fidx""".stripMargin
     },
 
     "m_media_pipeline" -> {

@@ -153,4 +153,73 @@ class Round8OpsSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException] { Multimodal.parseWav(b, 4) }
     assert(e.getMessage.contains("overruns"), s"got: ${e.getMessage}")
   }
+
+  // --- real AVI video container ---------------------------------------
+
+  test("aviBytes writes a canonical RIFF/AVI container, golden structure") {
+    // 50 payload bytes, 48 per frame -> 2 frames, second zero-padded
+    val payload = (1 to 50).map(_.toByte).toArray
+    val b = Multimodal.aviBytes(payload, width = 4, frameRows = 4)
+    assert(new String(b.slice(0, 4), "US-ASCII") === "RIFF")
+    assert(new String(b.slice(8, 12), "US-ASCII") === "AVI ")
+    assert(new String(b.slice(12, 16), "US-ASCII") === "LIST")
+    assert(new String(b.slice(20, 24), "US-ASCII") === "hdrl")
+    assert(new String(b.slice(24, 28), "US-ASCII") === "avih")
+    // dwTotalFrames at avih body + 16
+    assert((b(32 + 16) & 0xff) === 2, "two frames")
+    // file size: 12 + LIST hdrl (8 + 4+64+8+56+48... ) — trust the RIFF
+    // length field to equal the remaining byte count
+    val riffLen = (b(4) & 0xff) | ((b(5) & 0xff) << 8) |
+      ((b(6) & 0xff) << 16) | ((b(7) & 0xff) << 24)
+    assert(riffLen === b.length - 8)
+    // payload byte 0 (value 1) is frame 0, top row, first channel —
+    // bottom-up storage puts it at the LAST stored row of frame 0
+    val moviData = b.indexOfSlice("00db".getBytes("US-ASCII"))
+    assert(moviData > 0)
+    assert(b(moviData + 8 + 3 * 12) === 1.toByte)
+  }
+
+  test("encodeAvi -> decodeAvi distributed round-trip matches local parse") {
+    val docs = Seq((1L, "a video payload long enough to span multiple frames!"),
+      (2L, "x"), (3L, ""))
+      .toDF("media_id", "text")
+      .select(col("media_id"), col("text").cast("binary").as("bytes"))
+    val r = Multimodal.decodeAvi(Multimodal.encodeAvi(docs, width = 4, frameRows = 4),
+        bands = 2)
+      .select("media_id", "n_frames", "frame_w", "frame_h", "frame_sums", "frame_counts")
+      .orderBy("media_id")
+      .as[(Long, Int, Int, Int, Seq[Seq[Long]], Seq[Seq[Long]])].collect()
+    val local = Multimodal.parseAvi(
+      Multimodal.aviBytes(
+        "a video payload long enough to span multiple frames!".getBytes("UTF-8"), 4, 4), 2)
+    assert(r(0)._2 === 2 && r(0)._3 === 4 && r(0)._4 === 4, "53 bytes -> 2 frames of 4x4")
+    assert(r(0)._5 === local._3.map(_.toSeq).toSeq)
+    assert(r(0)._6 === local._4.map(_.toSeq).toSeq)
+    assert(r(0)._6.forall(_.forall(_ === 8L)), "every (band, ch) slot counts 8 stored bytes")
+    assert(r(2)._2 === 1 && r(2)._5.head.forall(_ === 0L),
+      "empty payload still encodes one all-zero frame")
+  }
+
+  test("parseAvi rejects garbage, bad compression, and overflow-crafted headers") {
+    intercept[IllegalArgumentException] {
+      Multimodal.parseAvi("not an avi container".getBytes("UTF-8"), 2)
+    }
+    val good = Multimodal.aviBytes((1 to 50).map(_.toByte).toArray, 4, 4)
+    // strf biCompression lives at strf body + 16; find strf
+    val strf = good.indexOfSlice("strf".getBytes("US-ASCII"))
+    val bad1 = good.clone(); bad1(strf + 8 + 16) = 1 // BI_RLE8
+    intercept[IllegalArgumentException] { Multimodal.parseAvi(bad1, 2) }
+    // width near Int.MaxValue: stride math must reject in Long, not wrap
+    val bad2 = good.clone(); le32(bad2, strf + 8 + 4, Int.MaxValue - 2)
+    val e2 = intercept[IllegalArgumentException] { Multimodal.parseAvi(bad2, 2) }
+    assert(e2.getMessage.contains("exceed"), s"got: ${e2.getMessage}")
+    // frame chunk length that disagrees with stride*h
+    val f0 = good.indexOfSlice("00db".getBytes("US-ASCII"))
+    val bad3 = good.clone(); le32(bad3, f0 + 4, 47)
+    intercept[IllegalArgumentException] { Multimodal.parseAvi(bad3, 2) }
+    // truncated mid-frame
+    intercept[IllegalArgumentException] {
+      Multimodal.parseAvi(good.dropRight(4), 2)
+    }
+  }
 }

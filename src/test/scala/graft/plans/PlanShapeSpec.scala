@@ -267,7 +267,9 @@ class PlanShapeSpec extends SparkSpec {
       graft.operators.Multimodal.encodeBmp(media, width = 4), bands = 4)
     val wav = graft.operators.Multimodal.decodeWav(
       graft.operators.Multimodal.encodeWav(media), segs = 4)
-    for (df <- Seq(bmp, wav)) {
+    val avi = graft.operators.Multimodal.decodeAvi(
+      graft.operators.Multimodal.encodeAvi(media, width = 4, frameRows = 4), bands = 2)
+    for (df <- Seq(bmp, wav, avi)) {
       df.collect()
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"),
