@@ -474,4 +474,89 @@ object Similarity {
     scored.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
   }
+
+  // --- SQ8 scalar quantization (faiss ScalarQuantizer QT_8bit) ---------
+
+  /** SQ8 training: per-dimension (min, max) over the corpus — the 4×
+    * compression tier of an embedding store (uint8 per dimension vs
+    * float32) above PQ's 32–64×; the store that wants cheap compression
+    * WITHOUT codebook training uses this. ONE partial-aggregate-friendly
+    * shuffle of per-task (dim, min, max) triples; float min/max is exact
+    * and order-independent, so the model is partitioning-invariant and
+    * engine-portable. Model = dims × 2 floats (model-budget collect). */
+  def sqTrain(corpus0: DataFrame, vecCol: String, dims: Int): Seq[(Float, Float)] = {
+    val spark = corpus0.sparkSession
+    import spark.implicits._
+    val mm = widen(corpus0).select(posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .groupBy("dim").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .as[(Int, Float, Float)].collect()
+    require(mm.length == dims,
+      s"expected $dims dims in $vecCol, saw ${mm.length}")
+    val byDim = mm.map(r => r._1 -> (r._2, r._3)).toMap
+    (0 until dims).map(byDim)
+  }
+
+  /** Per-dimension uint8 code: floor((x - min) * 255 / (max - min))
+    * clamped to [0, 255]; degenerate dimensions (max == min) code 0.
+    * floor instead of faiss's round: floor of a double is unambiguous in
+    * every engine, where round-half behavior on binary doubles is not —
+    * the whole SQ8 surface stays bit-reproducible cross-engine. Pure
+    * in-row projection against the LITERAL model — zero joins, zero
+    * shuffles on the corpus. */
+  private[operators] def sqCodeExpr(v: Column, model: Seq[(Float, Float)]): Column = {
+    val mins = typedLit(model.map(_._1.toDouble))
+    val maxs = typedLit(model.map(_._2.toDouble))
+    zip_with(v, sequence(lit(0), lit(model.length - 1)), (x, d) => {
+      val mn = element_at(mins, d + 1)
+      val mx = element_at(maxs, d + 1)
+      when(mx > mn,
+        least(lit(255L), greatest(lit(0L),
+          floor((x.cast("double") - mn) * lit(255.0) / (mx - mn)))).cast("int"))
+        .otherwise(lit(0))
+    })
+  }
+
+  /** SQ8 reconstruction from codes: min + (code + 0.5) * (max - min) /
+    * 256 (the faiss QT_8bit midpoint decode); degenerate dims
+    * reconstruct to min. Same in-row literal-model shape as the
+    * encode. */
+  private[operators] def sqReconExpr(codes: Column, model: Seq[(Float, Float)]): Column = {
+    val mins = typedLit(model.map(_._1.toDouble))
+    val maxs = typedLit(model.map(_._2.toDouble))
+    zip_with(codes, sequence(lit(0), lit(model.length - 1)), (c, d) => {
+      val mn = element_at(mins, d + 1)
+      val mx = element_at(maxs, d + 1)
+      when(mx > mn,
+        mn + (c.cast("double") + lit(0.5)) * (mx - mn) / lit(256.0))
+        .otherwise(mn)
+    })
+  }
+
+  /** SQ8 code store — the persisted artifact: (idCol, dim, code), one
+    * uint8 per dimension. Map-only projection + in-row explode. */
+  def sqEncode(corpus0: DataFrame, idCol: String, vecCol: String,
+               model: Seq[(Float, Float)]): DataFrame =
+    widen(corpus0).select(col(idCol),
+        posexplode(sqCodeExpr(col(vecCol), model)).as(Seq("dim", "code")))
+
+  /** SQ8 ANN: brute-force top-k with candidates scored ASYMMETRICALLY —
+    * exact query vector against the candidate's SQ8 reconstruction, so
+    * scoring touches only what the compressed store holds (the
+    * [[ivfPqTopK]] ADC discipline at the SQ tier). Queries broadcast;
+    * encode∘decode is a pure in-row projection on the corpus side;
+    * per-query top-k ranks (cosine desc, id asc) like every ANN
+    * operator here. */
+  def sqTopK(corpus0: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, k: Int, model: Seq[(Float, Float)]): DataFrame = {
+    val corpus = widen(corpus0)
+    val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv")))
+    val scored = corpus.select(col(idCol).as("nid"),
+        sqReconExpr(sqCodeExpr(col(vecCol), model), model).as("rv"))
+      .join(q, col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        Vectors.cosine(col("qv"), col("rv")).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
 }

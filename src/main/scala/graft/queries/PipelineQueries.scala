@@ -198,6 +198,25 @@ object PipelineQueries {
         .orderBy("vec_id")
     }),
 
+    // --- SQ8 scalar-quantizer code store: per-dimension min/max train,
+    //     one uint8 per dimension — the 4x compression tier above PQ ---
+    "a_sq_codes" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val model = Similarity.sqTrain(e, "embedding", dims = 64)
+      Similarity.sqEncode(e, "vec_id", "embedding", model)
+        .orderBy("vec_id", "dim")
+    }),
+
+    // --- SQ8 ANN: exact query vs SQ8 reconstruction (asymmetric
+    //     scoring over the compressed store) ---
+    "a_ann_sq_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val model = Similarity.sqTrain(e, "embedding", dims = 64)
+      Similarity.sqTopK(e, e.filter(col("vec_id") % 50 === 0),
+          "vec_id", "embedding", k = 5, model)
+        .orderBy("qid", "rk")
+    }),
+
     // --- IVF-PQ recall vs brute-force ground truth (quantization-error
     //     measurement alongside the LSH and IVF recall probes) ---
     "a_ann_ivfpq_recall" -> ((s, dir) => {
@@ -1638,6 +1657,40 @@ object PipelineQueries {
       "t_bpe_encode" -> bpeEncodeSql,
 
       "a_pq_codes" -> pqCodesSql,
+
+      // per-dimension min/max over DOUBLE-cast floats is exact, so the
+      // code/recon arithmetic ((x-mn)*255/(mx-mn) floored; midpoint
+      // decode) is the identical IEEE sequence in both engines
+      "a_sq_codes" ->
+        """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          |mm AS (SELECT d, min(v[d + 1]) AS mn, max(v[d + 1]) AS mx
+          |       FROM e CROSS JOIN (SELECT unnest(range(64)) AS d) GROUP BY d)
+          |SELECT e.vec_id, mm.d::INT AS dim,
+          |  CASE WHEN mm.mx > mm.mn THEN
+          |    least(255, greatest(0, floor((v[mm.d + 1] - mm.mn) * 255.0 / (mm.mx - mm.mn))))::INT
+          |  ELSE 0 END AS code
+          |FROM e CROSS JOIN mm ORDER BY vec_id, dim""".stripMargin,
+
+      "a_ann_sq_topk" ->
+        """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          |mm AS (SELECT d, min(v[d + 1]) AS mn, max(v[d + 1]) AS mx
+          |       FROM e CROSS JOIN (SELECT unnest(range(64)) AS d) GROUP BY d),
+          |r AS (SELECT e.vec_id,
+          |        list(CASE WHEN mm.mx > mm.mn THEN
+          |               mm.mn + (least(255, greatest(0,
+          |                 floor((v[mm.d + 1] - mm.mn) * 255.0 / (mm.mx - mm.mn)))) + 0.5)
+          |                 * (mm.mx - mm.mn) / 256.0
+          |             ELSE mm.mn END ORDER BY mm.d) AS rv
+          |      FROM e CROSS JOIN mm GROUP BY e.vec_id),
+          |sc AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+          |         round(list_dot_product(a.v, br.rv) /
+          |           (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(br.rv, br.rv))), 6) AS cos
+          |       FROM e a JOIN e b ON b.vec_id <> a.vec_id
+          |       JOIN r br ON br.vec_id = b.vec_id
+          |       WHERE a.vec_id % 50 = 0)
+          |SELECT qid, nid, cos, CAST(rk AS BIGINT) AS rk FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk FROM sc)
+          |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
 
       "a_ann_ivfpq_res_topk" -> pqResTopkSql,
 

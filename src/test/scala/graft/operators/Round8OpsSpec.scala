@@ -200,6 +200,61 @@ class Round8OpsSpec extends SparkSpec {
       "empty payload still encodes one all-zero frame")
   }
 
+  // --- SQ8 scalar quantization ----------------------------------------
+
+  test("SQ8: codes hit the planted extremes, recon stays in [min, max], model is partitioning-invariant") {
+    // dim 0 spans [0, 10], dim 1 spans [-4, 4], dim 2 degenerate (all 7)
+    val vecs = Seq(
+      (1L, Seq(0f, -4f, 7f)), (2L, Seq(10f, 4f, 7f)),
+      (3L, Seq(5f, 0f, 7f)), (4L, Seq(2.5f, 2f, 7f)))
+    val df = vecs.toDF("vec_id", "v")
+      .select(col("vec_id"), col("v").cast("array<float>").as("v"))
+    val m = Similarity.sqTrain(df, "v", dims = 3)
+    assert(m === Seq((0f, 10f), (-4f, 4f), (7f, 7f)))
+    val m2 = Similarity.sqTrain(df.repartition(3), "v", dims = 3)
+    assert(m2 === m, "float min/max is exact and order-independent")
+    val codes = Similarity.sqEncode(df, "vec_id", "v", m)
+      .orderBy("vec_id", "dim")
+      .as[(Long, Int, Int)].collect()
+    val byVec = codes.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(byVec(1L) === Seq(0, 0, 0), "min maps to code 0; degenerate dim codes 0")
+    assert(byVec(2L) === Seq(255, 255, 0), "max maps to code 255")
+    assert(byVec(3L)(0) === 127, "midpoint: floor(5*255/10)")
+    // reconstruction: midpoint decode stays strictly inside (min, max)
+    // for interior codes, and degenerate dims decode to min
+    val recon = df.select(col("vec_id"),
+        Similarity.sqReconExpr(Similarity.sqCodeExpr(col("v"), m), m).as("r"))
+      .orderBy("vec_id").as[(Long, Seq[Double])].collect()
+    recon.foreach { case (_, r) =>
+      assert(r(0) >= 0.0 && r(0) <= 10.0 && r(1) >= -4.0 && r(1) <= 4.0)
+      assert(r(2) === 7.0, "degenerate dim reconstructs to min")
+    }
+    // quantization error bound: half a quantization step
+    val step0 = 10.0 / 256.0
+    vecs.zip(recon).foreach { case ((_, v), (_, r)) =>
+      assert(math.abs(v(0) - r(0)) <= step0 / 2 + 1e-9,
+        s"recon error ${math.abs(v(0) - r(0))} exceeds half-step ${step0 / 2}")
+    }
+  }
+
+  test("sqTopK ranks the SQ8-reconstructed neighbors; identical vectors tie to lowest id") {
+    val base = Seq.tabulate(8)(d => math.sin(d * 3).toFloat)
+    val vecs = (1L to 40L).map { i =>
+      val scale = 1f + (i % 4)
+      (i, base.zipWithIndex.map { case (x, d) =>
+        if (i % 2 == 0) x * scale else (if (d % 2 == 0) x else -x) * scale })
+    }
+    val df = vecs.toDF("vec_id", "v")
+      .select(col("vec_id"), col("v").cast("array<float>").as("v"))
+    val m = Similarity.sqTrain(df, "v", dims = 8)
+    val top = Similarity.sqTopK(df, df.filter(col("vec_id") === 2L), "vec_id", "v", 5, m)
+      .orderBy("rk").as[(Long, Long, Double, Long)].collect()
+    assert(top.length === 5)
+    // even ids share vector DIRECTION with the query (id 2); top
+    // neighbors must all be even despite SQ8 quantization
+    assert(top.forall(_._2 % 2 == 0), s"odd-direction id leaked into ${top.toSeq}")
+  }
+
   test("parseAvi rejects garbage, bad compression, and overflow-crafted headers") {
     intercept[IllegalArgumentException] {
       Multimodal.parseAvi("not an avi container".getBytes("UTF-8"), 2)
