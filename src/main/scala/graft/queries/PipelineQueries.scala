@@ -414,6 +414,18 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // --- wide-bucket variant of the feature extractor: 256 buckets via
+    //     TWO md5 hex digits — the multi-digit addressing path a real
+    //     fastText-scale space (2^18+) runs, under the oracle gate at a
+    //     size DuckDB can still mirror ---
+    "t_classifier_features_wide" -> ((s, dir) => {
+      val f = graft.operators.Classifier.hashedCharNgramFeatures(
+        docs(s, dir), "doc_id", "text", n = 3, buckets = 256)
+      f.select(col("doc_id"),
+          posexplode(slice(col("x"), 2, 256)).as(Seq("dim", "share")))
+        .orderBy("doc_id", "dim")
+    }),
+
     // --- round-6 curation composition: quality-classifier filter
     //     (p >= 0.435) -> exact substring dedup over the survivors —
     //     the modern two-stage front of a pretraining pipeline,
@@ -1624,6 +1636,29 @@ object PipelineQueries {
 
       "t_quality_classifier" -> logregSql,
       "t_classifier_features" -> classifierFeaturesSql,
+
+      // two md5 hex digits address 256 buckets (16*d1 + d2) — the
+      // k-digit rule the kernel generalizes; counts grouped once, not
+      // filtered per bucket
+      "t_classifier_features_wide" ->
+        """WITH g AS (SELECT doc_id,
+          |  CASE WHEN length(lower(text)) < 3 THEN []
+          |    ELSE list_transform(range(1, length(lower(text)) - 1), i ->
+          |      16 * (strpos('0123456789abcdef',
+          |             substring(md5(substring(lower(text), i, 3)), 1, 1)) - 1)
+          |        + (strpos('0123456789abcdef',
+          |             substring(md5(substring(lower(text), i, 3)), 2, 1)) - 1))
+          |    END AS bks
+          |  FROM documents),
+          |counts AS (SELECT doc_id, b AS dim, count(*) AS c
+          |           FROM g, unnest(bks) AS u(b) GROUP BY doc_id, b),
+          |tot AS (SELECT doc_id, len(bks) AS t FROM g)
+          |SELECT tot.doc_id, j.j::INT AS dim,
+          |  CASE WHEN tot.t > 0 THEN coalesce(counts.c, 0)::DOUBLE / tot.t
+          |       ELSE 0.0 END AS share
+          |FROM tot CROSS JOIN (SELECT unnest(range(0, 256)) AS j) j
+          |LEFT JOIN counts ON counts.doc_id = tot.doc_id AND counts.dim = j.j
+          |ORDER BY tot.doc_id, dim""".stripMargin,
 
       "t_classifier_pr" -> logregPrSql,
 
