@@ -539,6 +539,39 @@ object Similarity {
     widen(corpus0).select(col(idCol),
         posexplode(sqCodeExpr(col(vecCol), model)).as(Seq("dim", "code")))
 
+  /** IVF-SQ ANN (the faiss IVFScalarQuantizer shape — the index most
+    * stores actually run at the 4× tier): coarse assignment on the
+    * ORIGINAL vectors against the trained centroid model (in-row native
+    * kernel, zero shuffle), inverted-list probe exactly as
+    * [[ivfTopKWithCentroids]], and candidates scored ASYMMETRICALLY —
+    * exact query vector vs the candidate's SQ8 reconstruction, so the
+    * probe never touches the original candidate vectors (what the
+    * compressed store holds is all it reads). */
+  def ivfSqTopK(corpus0: DataFrame, queries: DataFrame, centroids: DataFrame,
+                idCol: String, vecCol: String, k: Int, nprobe: Int,
+                model: Seq[(Float, Float)]): DataFrame = {
+    val spark = corpus0.sparkSession
+    import spark.implicits._
+    val corpus = widen(corpus0)
+    val cents = centroids.select(col("cid"), col("cv"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1).toSeq
+    require(cents.nonEmpty, "ivfSqTopK needs a non-empty centroid model")
+    val assign = corpus.select(col(idCol).as("nid"),
+        Vectors.nearestCidExpr(spark, col(vecCol), cents).as("n_cid"),
+        sqReconExpr(sqCodeExpr(col(vecCol), model), model).as("rv"))
+    val probes = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .withColumn("cid",
+        explode(Vectors.nearestCidsExpr(spark, col("qv"), cents, nprobe)))
+    val scored = broadcast(probes).join(assign, col("cid") === col("n_cid") &&
+        col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        Vectors.cosine(col("qv"), col("rv")).as("cos"))
+      .distinct() // a neighbor can surface via multiple probed centroids
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
   /** SQ8 ANN: brute-force top-k with candidates scored ASYMMETRICALLY —
     * exact query vector against the candidate's SQ8 reconstruction, so
     * scoring touches only what the compressed store holds (the

@@ -207,6 +207,20 @@ object PipelineQueries {
         .orderBy("vec_id", "dim")
     }),
 
+    // --- IVF-SQ ANN: trained coarse quantizer + SQ8-compressed lists,
+    //     asymmetric scoring — the faiss IVFScalarQuantizer shape ---
+    "a_ann_ivfsq_topk" -> ((s, dir) => {
+      import s.implicits._
+      val e = emb(s, dir)
+      val cents = graft.operators.Vectors.kmeansTrain(
+        e, "vec_id", "embedding", k = 4, iters = 2)
+      val model = Similarity.sqTrain(e, "embedding", dims = 64)
+      Similarity.ivfSqTopK(e, e.filter(col("vec_id") % 50 === 0),
+          cents.toDF("cid", "cv"), "vec_id", "embedding",
+          k = 5, nprobe = 2, model)
+        .orderBy("qid", "rk")
+    }),
+
     // --- SQ8 ANN: exact query vs SQ8 reconstruction (asymmetric
     //     scoring over the compressed store) ---
     "a_ann_sq_topk" -> ((s, dir) => {
@@ -1357,6 +1371,59 @@ object PipelineQueries {
            |       FROM probes p JOIN assign a ON p.cid = a.cid AND a.nid <> p.qid
            |       JOIN embeddings x ON x.vec_id = p.qid
            |       JOIN embeddings y ON y.vec_id = a.nid)
+           |SELECT qid, nid, cos, CAST(rk AS BIGINT) AS rk FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk FROM sc)
+           |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
+      },
+
+      // a_ann_ivf_trained's kmeans+probe chain with candidates scored
+      // against the SQ8 reconstruction (a_ann_sq_topk's r CTE) instead
+      // of the raw vectors
+      "a_ann_ivfsq_topk" -> {
+        def cos(a: String, b: String) =
+          s"round(list_dot_product($a::DOUBLE[], $b::DOUBLE[]) / " +
+            s"(sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) * " +
+            s"sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[]))), 6)"
+        s"""WITH c0 AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings ORDER BY vec_id LIMIT 4),
+           |a1 AS (SELECT vec_id, cid FROM (
+           |  SELECT e.vec_id, c.cid,
+           |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cos("e.embedding", "c.cv")} DESC, c.cid) AS rk
+           |  FROM embeddings e CROSS JOIN c0 c) WHERE rk = 1),
+           |m1 AS (SELECT a1.cid, d.dim,
+           |         CAST(sum(CAST(CAST(e.embedding[d.dim] AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE)
+           |           / count(*) AS mv
+           |       FROM a1 JOIN embeddings e USING (vec_id),
+           |            unnest(range(1, len(e.embedding) + 1)) AS d(dim)
+           |       GROUP BY a1.cid, d.dim),
+           |c1 AS (SELECT c0.cid,
+           |         CASE WHEN count(m1.mv) = 0 THEN any_value(c0.cv)
+           |              ELSE list(CAST(m1.mv AS FLOAT) ORDER BY m1.dim) END AS cv
+           |       FROM c0 LEFT JOIN m1 ON m1.cid = c0.cid
+           |       GROUP BY c0.cid),
+           |ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |mm AS (SELECT d, min(v[d + 1]) AS mn, max(v[d + 1]) AS mx
+           |       FROM ev CROSS JOIN (SELECT unnest(range(64)) AS d) GROUP BY d),
+           |r AS (SELECT ev.vec_id,
+           |        list(CASE WHEN mm.mx > mm.mn THEN
+           |               mm.mn + (least(255, greatest(0,
+           |                 floor((v[mm.d + 1] - mm.mn) * 255.0 / (mm.mx - mm.mn)))) + 0.5)
+           |                 * (mm.mx - mm.mn) / 256.0
+           |             ELSE mm.mn END ORDER BY mm.d) AS rv
+           |      FROM ev CROSS JOIN mm GROUP BY ev.vec_id),
+           |assign AS (SELECT nid, cid FROM (
+           |  SELECT nid, cid, row_number() OVER (PARTITION BY nid ORDER BY ccos DESC, cid) AS crk
+           |  FROM (SELECT e.vec_id AS nid, c.cid, ${cos("e.embedding", "c.cv")} AS ccos
+           |        FROM embeddings e CROSS JOIN c1 c)) WHERE crk = 1),
+           |probes AS (SELECT qid, cid FROM (
+           |  SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY ccos DESC, cid) AS crk
+           |  FROM (SELECT q.vec_id AS qid, c.cid, ${cos("q.embedding", "c.cv")} AS ccos
+           |        FROM embeddings q CROSS JOIN c1 c WHERE q.vec_id % 50 = 0)) WHERE crk <= 2),
+           |sc AS (SELECT DISTINCT p.qid, a.nid,
+           |         round(list_dot_product(x.v, y.rv) /
+           |           (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.rv, y.rv))), 6) AS cos
+           |       FROM probes p JOIN assign a ON p.cid = a.cid AND a.nid <> p.qid
+           |       JOIN ev x ON x.vec_id = p.qid
+           |       JOIN r y ON y.vec_id = a.nid)
            |SELECT qid, nid, cos, CAST(rk AS BIGINT) AS rk FROM (
            |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk FROM sc)
            |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin

@@ -255,6 +255,27 @@ class Round8OpsSpec extends SparkSpec {
     assert(top.forall(_._2 % 2 == 0), s"odd-direction id leaked into ${top.toSeq}")
   }
 
+  test("ivfSqTopK: probed-list candidates ranked by SQ8 reconstruction stay in the query's direction cluster") {
+    // two DIRECTION clusters (the ivfPqTopK spec's corpus shape): even
+    // ids spike even dims, odd ids flip sign on odd dims; scale jitter
+    val vecs = (1L to 60L).map { i =>
+      val scale = 1f + (i % 3)
+      (i, Seq.tabulate(8)(d =>
+        (if (i % 2 == 0) math.sin(d * 3) else (if (d % 2 == 0) math.sin(d * 3) else -math.sin(d * 3)))
+          .toFloat * scale))
+    }
+    val df = vecs.toDF("vec_id", "v")
+      .select(col("vec_id"), col("v").cast("array<float>").as("v"))
+    val cents = graft.operators.Vectors.kmeansTrain(df, "vec_id", "v", k = 2, iters = 2)
+    val m = Similarity.sqTrain(df, "v", dims = 8)
+    val top = Similarity.ivfSqTopK(df, df.filter(col("vec_id") === 4L),
+        cents.toDF("cid", "cv"), "vec_id", "v", k = 5, nprobe = 1, m)
+      .orderBy("rk").as[(Long, Long, Double, Long)].collect()
+    assert(top.length === 5)
+    assert(top.forall(_._2 % 2 == 0),
+      s"SQ8 quantization must not leak the opposite direction cluster into ${top.toSeq}")
+  }
+
   test("parseAvi rejects garbage, bad compression, and overflow-crafted headers") {
     intercept[IllegalArgumentException] {
       Multimodal.parseAvi("not an avi container".getBytes("UTF-8"), 2)
