@@ -616,6 +616,32 @@ object PipelineQueries {
         .orderBy("qid")
     }),
 
+    // --- IVF-SQ recall vs brute-force ground truth: what the 4x
+    //     compression tier costs in recall, same harness as every other
+    //     ANN path ---
+    "a_ann_ivfsq_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") % 50 === 0)
+      val bf = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+        .select("qid", "nid")
+      import s.implicits._
+      val cents = graft.operators.Vectors
+        .kmeansTrain(e, "vec_id", "embedding", k = 4, iters = 2)
+      val model = Similarity.sqTrain(e, "embedding", dims = 64)
+      val ivfsq = Similarity.ivfSqTopK(e, q, cents.toDF("cid", "cv"),
+          "vec_id", "embedding", k = 5, nprobe = 2, model)
+        .select(col("qid").as("iqid"), col("nid").as("inid"))
+      val hit = bf.join(ivfsq,
+        col("qid") === col("iqid") && col("nid") === col("inid"), "left_semi")
+      bf.groupBy("qid").agg(count(lit(1)).as("n_exact"))
+        .join(hit.groupBy("qid").agg(count(lit(1)).as("n_hit")), Seq("qid"), "left")
+        .select(col("qid"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"), col("n_exact"),
+          round(coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_exact"), 6)
+            .as("recall"))
+        .orderBy("qid")
+    }),
+
     // --- k-NN label classification over embeddings: majority label of
     //     the 5 exact nearest neighbors (vote count desc, label asc
     //     tiebreak), scored against the true label — the standard
@@ -1102,6 +1128,80 @@ object PipelineQueries {
          |FROM documents d LEFT JOIN agg a USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin
 
+    // IVF-SQ: a_ann_ivf_trained's kmeans+probe chain with candidates
+    // scored against the SQ8 reconstruction (a_ann_sq_topk's r CTE)
+    // instead of the raw vectors; recall shares the scored chain
+    val ivfSqScoredCtes = {
+      def cos(a: String, b: String) =
+        s"round(list_dot_product($a::DOUBLE[], $b::DOUBLE[]) / " +
+          s"(sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) * " +
+          s"sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[]))), 6)"
+      s"""WITH c0 AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings ORDER BY vec_id LIMIT 4),
+         |a1 AS (SELECT vec_id, cid FROM (
+         |  SELECT e.vec_id, c.cid,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cos("e.embedding", "c.cv")} DESC, c.cid) AS rk
+         |  FROM embeddings e CROSS JOIN c0 c) WHERE rk = 1),
+         |m1 AS (SELECT a1.cid, d.dim,
+         |         CAST(sum(CAST(CAST(e.embedding[d.dim] AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE)
+         |           / count(*) AS mv
+         |       FROM a1 JOIN embeddings e USING (vec_id),
+         |            unnest(range(1, len(e.embedding) + 1)) AS d(dim)
+         |       GROUP BY a1.cid, d.dim),
+         |c1 AS (SELECT c0.cid,
+         |         CASE WHEN count(m1.mv) = 0 THEN any_value(c0.cv)
+         |              ELSE list(CAST(m1.mv AS FLOAT) ORDER BY m1.dim) END AS cv
+         |       FROM c0 LEFT JOIN m1 ON m1.cid = c0.cid
+         |       GROUP BY c0.cid),
+         |ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |mm AS (SELECT d, min(v[d + 1]) AS mn, max(v[d + 1]) AS mx
+         |       FROM ev CROSS JOIN (SELECT unnest(range(64)) AS d) GROUP BY d),
+         |r AS (SELECT ev.vec_id,
+         |        list(CASE WHEN mm.mx > mm.mn THEN
+         |               mm.mn + (least(255, greatest(0,
+         |                 floor((v[mm.d + 1] - mm.mn) * 255.0 / (mm.mx - mm.mn)))) + 0.5)
+         |                 * (mm.mx - mm.mn) / 256.0
+         |             ELSE mm.mn END ORDER BY mm.d) AS rv
+         |      FROM ev CROSS JOIN mm GROUP BY ev.vec_id),
+         |assign AS (SELECT nid, cid FROM (
+         |  SELECT nid, cid, row_number() OVER (PARTITION BY nid ORDER BY ccos DESC, cid) AS crk
+         |  FROM (SELECT e.vec_id AS nid, c.cid, ${cos("e.embedding", "c.cv")} AS ccos
+         |        FROM embeddings e CROSS JOIN c1 c)) WHERE crk = 1),
+         |probes AS (SELECT qid, cid FROM (
+         |  SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY ccos DESC, cid) AS crk
+         |  FROM (SELECT q.vec_id AS qid, c.cid, ${cos("q.embedding", "c.cv")} AS ccos
+         |        FROM embeddings q CROSS JOIN c1 c WHERE q.vec_id % 50 = 0)) WHERE crk <= 2),
+         |sc AS (SELECT DISTINCT p.qid, a.nid,
+         |         round(list_dot_product(x.v, y.rv) /
+         |           (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.rv, y.rv))), 6) AS cos
+         |       FROM probes p JOIN assign a ON p.cid = a.cid AND a.nid <> p.qid
+         |       JOIN ev x ON x.vec_id = p.qid
+         |       JOIN r y ON y.vec_id = a.nid)""".stripMargin
+    }
+    val ivfSqTopkSql = ivfSqScoredCtes +
+      """
+        |SELECT qid, nid, cos, CAST(rk AS BIGINT) AS rk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk FROM sc)
+        |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
+    val ivfSqRecallSql = ivfSqScoredCtes +
+      s""",
+         |ivfsq AS (SELECT qid, nid FROM (
+         |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk FROM sc)
+         |  WHERE rk <= 5),
+         |bf AS (
+         |  SELECT qid, nid FROM (
+         |    SELECT a.vec_id AS qid, b.vec_id AS nid,
+         |      row_number() OVER (PARTITION BY a.vec_id ORDER BY $cosAB DESC, b.vec_id) AS rk
+         |    FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+         |    WHERE a.vec_id % 50 = 0)
+         |  WHERE rk <= 5),
+         |hit AS (SELECT bf.qid, CAST(count(*) AS BIGINT) AS n_hit
+         |        FROM bf JOIN ivfsq ON ivfsq.qid = bf.qid AND ivfsq.nid = bf.nid GROUP BY bf.qid),
+         |ex AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_exact FROM bf GROUP BY qid)
+         |SELECT ex.qid, CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit, n_exact,
+         |  round(coalesce(n_hit, 0)::DOUBLE / n_exact, 6) AS recall
+         |FROM ex LEFT JOIN hit USING (qid) ORDER BY ex.qid""".stripMargin
+
+
     Map(
       "d_exact_dedup" ->
         """SELECT min(doc_id) AS doc_id, md5(text) AS content_hash, count(*) AS n_copies
@@ -1376,58 +1476,9 @@ object PipelineQueries {
            |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
       },
 
-      // a_ann_ivf_trained's kmeans+probe chain with candidates scored
-      // against the SQ8 reconstruction (a_ann_sq_topk's r CTE) instead
-      // of the raw vectors
-      "a_ann_ivfsq_topk" -> {
-        def cos(a: String, b: String) =
-          s"round(list_dot_product($a::DOUBLE[], $b::DOUBLE[]) / " +
-            s"(sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) * " +
-            s"sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[]))), 6)"
-        s"""WITH c0 AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings ORDER BY vec_id LIMIT 4),
-           |a1 AS (SELECT vec_id, cid FROM (
-           |  SELECT e.vec_id, c.cid,
-           |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cos("e.embedding", "c.cv")} DESC, c.cid) AS rk
-           |  FROM embeddings e CROSS JOIN c0 c) WHERE rk = 1),
-           |m1 AS (SELECT a1.cid, d.dim,
-           |         CAST(sum(CAST(CAST(e.embedding[d.dim] AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE)
-           |           / count(*) AS mv
-           |       FROM a1 JOIN embeddings e USING (vec_id),
-           |            unnest(range(1, len(e.embedding) + 1)) AS d(dim)
-           |       GROUP BY a1.cid, d.dim),
-           |c1 AS (SELECT c0.cid,
-           |         CASE WHEN count(m1.mv) = 0 THEN any_value(c0.cv)
-           |              ELSE list(CAST(m1.mv AS FLOAT) ORDER BY m1.dim) END AS cv
-           |       FROM c0 LEFT JOIN m1 ON m1.cid = c0.cid
-           |       GROUP BY c0.cid),
-           |ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-           |mm AS (SELECT d, min(v[d + 1]) AS mn, max(v[d + 1]) AS mx
-           |       FROM ev CROSS JOIN (SELECT unnest(range(64)) AS d) GROUP BY d),
-           |r AS (SELECT ev.vec_id,
-           |        list(CASE WHEN mm.mx > mm.mn THEN
-           |               mm.mn + (least(255, greatest(0,
-           |                 floor((v[mm.d + 1] - mm.mn) * 255.0 / (mm.mx - mm.mn)))) + 0.5)
-           |                 * (mm.mx - mm.mn) / 256.0
-           |             ELSE mm.mn END ORDER BY mm.d) AS rv
-           |      FROM ev CROSS JOIN mm GROUP BY ev.vec_id),
-           |assign AS (SELECT nid, cid FROM (
-           |  SELECT nid, cid, row_number() OVER (PARTITION BY nid ORDER BY ccos DESC, cid) AS crk
-           |  FROM (SELECT e.vec_id AS nid, c.cid, ${cos("e.embedding", "c.cv")} AS ccos
-           |        FROM embeddings e CROSS JOIN c1 c)) WHERE crk = 1),
-           |probes AS (SELECT qid, cid FROM (
-           |  SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY ccos DESC, cid) AS crk
-           |  FROM (SELECT q.vec_id AS qid, c.cid, ${cos("q.embedding", "c.cv")} AS ccos
-           |        FROM embeddings q CROSS JOIN c1 c WHERE q.vec_id % 50 = 0)) WHERE crk <= 2),
-           |sc AS (SELECT DISTINCT p.qid, a.nid,
-           |         round(list_dot_product(x.v, y.rv) /
-           |           (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.rv, y.rv))), 6) AS cos
-           |       FROM probes p JOIN assign a ON p.cid = a.cid AND a.nid <> p.qid
-           |       JOIN ev x ON x.vec_id = p.qid
-           |       JOIN r y ON y.vec_id = a.nid)
-           |SELECT qid, nid, cos, CAST(rk AS BIGINT) AS rk FROM (
-           |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk FROM sc)
-           |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
-      },
+      "a_ann_ivfsq_topk" -> ivfSqTopkSql,
+
+      "a_ann_ivfsq_recall" -> ivfSqRecallSql,
 
       "a_ann_ivfpq_topk" -> pqTopkSql,
 
