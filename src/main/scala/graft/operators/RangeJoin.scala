@@ -34,4 +34,34 @@ object RangeJoin {
     p.join(i, cond)
       .drop("__bin")
   }
+
+  /** Interval-OVERLAP join (both sides are intervals; inclusive
+    * `s1 <= e2 && s2 <= e1`) with the same bin discipline: each side
+    * explodes to its covered bins, the join is an equi-join on the bin
+    * id, and the exact predicate filters within the bin. A pair sharing
+    * several bins would match once per shared bin, so the join keeps a
+    * pair only in its FIRST shared bin (`max(bin(s1), bin(s2))`) — the
+    * standard dedup-free form: no `distinct`, so no second shuffle of
+    * the matched pairs.
+    *
+    * Cost: Σ span/bin exploded rows per side through one hash shuffle —
+    * pick `binMicros` on the order of typical interval length, exactly
+    * as [[rangeJoin]]. */
+  def overlapJoin(left: DataFrame, right: DataFrame,
+                  lStart: String, lEnd: String,
+                  rStart: String, rEnd: String,
+                  binMicros: Long = 86400000000L, // 1 day
+                  extraCond: Option[Column] = None): DataFrame = {
+    def bin(c: Column): Column = (unix_micros(c) / binMicros).cast("long")
+    val l = left.withColumn("__bin",
+      explode(sequence(bin(col(lStart)), bin(col(lEnd)))))
+    val r = right.withColumn("__bin",
+      explode(sequence(bin(col(rStart)), bin(col(rEnd)))))
+    val cond = l("__bin") === r("__bin") &&
+      l(lStart) <= r(rEnd) && r(rStart) <= l(lEnd) &&
+      l("__bin") === greatest(bin(l(lStart)), bin(r(rStart))) &&
+      extraCond.getOrElse(lit(true))
+    l.join(r, cond)
+      .drop(l("__bin")).drop(r("__bin"))
+  }
 }

@@ -309,6 +309,29 @@ object PipelineQueries {
         .orderBy("event_id")
     }),
 
+    // --- interval-OVERLAP join: per sampled user's daily activity span,
+    //     how many other users' same-period spans overlap it (the
+    //     co-presence / concurrency-pair shape); bin-blocked equi-join,
+    //     pair kept only in its first shared bin — no distinct, no BNLJ ---
+    "q_overlap_join" -> ((s, dir) => {
+      val ev = TableCatalog.load(s, dir, "events")
+      val spans = ev
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .agg(min(col("ts")).as("s"), max(col("ts")).as("e"))
+        .cache() // both join branches read it — one physical aggregate
+      val left = spans.filter(col("user_id") % 97 === 0)
+        .select(col("user_id").as("a_user"), col("day").as("a_day"),
+          col("s").as("a_s"), col("e").as("a_e"))
+      val right = spans.select(col("user_id").as("b_user"),
+        col("s").as("b_s"), col("e").as("b_e"))
+      graft.operators.RangeJoin.overlapJoin(left, right,
+          "a_s", "a_e", "b_s", "b_e",
+          binMicros = 21600000000L, // 6 h: spans cross bins, pairs dedup-free
+          extraCond = Some(col("a_user") =!= col("b_user")))
+        .groupBy("a_user", "a_day").agg(count(lit(1)).as("n_overlap"))
+        .orderBy("a_user", "a_day")
+    }),
+
     // --- deterministic stratified sampling (curation downsampling) ---
     "t_stratified_sample" -> ((s, dir) =>
       graft.operators.Sampling.stratifiedHashSample(
@@ -1566,6 +1589,17 @@ object PipelineQueries {
           |JOIN sessions s ON p.user_id = s.user_id
           |  AND p.ts BETWEEN s.session_start AND s.session_end
           |ORDER BY p.event_id""".stripMargin,
+
+      "q_overlap_join" ->
+        """WITH spans AS (
+          |  SELECT user_id, date_trunc('day', ts) AS day, min(ts) AS s, max(ts) AS e
+          |  FROM events GROUP BY user_id, date_trunc('day', ts))
+          |SELECT a.user_id AS a_user, a.day AS a_day,
+          |  CAST(count(*) AS BIGINT) AS n_overlap
+          |FROM spans a JOIN spans b
+          |  ON a.user_id <> b.user_id AND a.s <= b.e AND b.s <= a.e
+          |WHERE a.user_id % 97 = 0
+          |GROUP BY a.user_id, a.day ORDER BY a_user, a_day""".stripMargin,
 
       "t_stratified_sample" -> {
         // u = first 6 md5 hex digits / 16^6; DuckDB hex->int via digit fold

@@ -137,6 +137,29 @@ class RangeJoinSpec extends SparkSpec {
       .select("pid", "iid").as[(Long, Long)].collect().toSet
     assert(r === Set((1L, 10L), (2L, 10L), (2L, 20L))) // point 3 unmatched
   }
+
+  test("overlapJoin: inclusive overlap, multi-shared-bin pairs emitted ONCE, no BNLJ") {
+    val a = Seq(
+      (1L, ts("2026-01-01T00:00:00Z"), ts("2026-01-05T00:00:00Z")), // 5-day span
+      (2L, ts("2026-01-08T00:00:00Z"), ts("2026-01-08T12:00:00Z")),
+      (3L, ts("2026-01-20T00:00:00Z"), ts("2026-01-21T00:00:00Z"))
+    ).toDF("aid", "as_", "ae")
+    val b = Seq(
+      (10L, ts("2026-01-02T00:00:00Z"), ts("2026-01-04T00:00:00Z")), // 3 shared days with aid 1
+      (20L, ts("2026-01-05T00:00:00Z"), ts("2026-01-06T00:00:00Z")), // touches aid 1 endpoint
+      (30L, ts("2026-01-08T11:00:00Z"), ts("2026-01-09T00:00:00Z")),
+      (40L, ts("2026-02-01T00:00:00Z"), ts("2026-02-02T00:00:00Z"))  // no overlap
+    ).toDF("bid", "bs", "be")
+    val df = RangeJoin.overlapJoin(a, b, "as_", "ae", "bs", "be")
+    val rows = df.select("aid", "bid").as[(Long, Long)].collect()
+    assert(rows.length === rows.toSet.size,
+      "a pair sharing several bins must be emitted exactly once")
+    assert(rows.toSet === Set((1L, 10L), (1L, 20L), (2L, 30L)),
+      "inclusive endpoints overlap; disjoint intervals do not")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "the bin equi-join must not degrade to a nested loop")
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
