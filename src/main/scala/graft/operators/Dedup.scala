@@ -46,6 +46,25 @@ object Dedup {
         count(lit(1)).as("n_copies"))
       .select(idCol, "content_hash", "n_copies")
 
+  /** Corpus snapshot diff by content hash — the version-management step
+    * every re-crawled / re-curated corpus needs before deciding what to
+    * reprocess: one row per doc id present in EITHER snapshot, with
+    * status ∈ added | removed | changed | unchanged. One hash-shuffle
+    * full-outer join of narrow (id, md5) projections — document text
+    * never crosses the shuffle, so the cost is id-cardinality, not
+    * corpus bytes. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+                   idCol: String, textCol: String): DataFrame = {
+    val h1 = oldDf.select(col(idCol).as("old_id"), md5(col(textCol)).as("old_h"))
+    val h2 = newDf.select(col(idCol).as("new_id"), md5(col(textCol)).as("new_h"))
+    h1.join(h2, col("old_id") === col("new_id"), "full_outer")
+      .select(coalesce(col("old_id"), col("new_id")).as(idCol),
+        when(col("old_id").isNull, "added")
+          .when(col("new_id").isNull, "removed")
+          .when(col("old_h") =!= col("new_h"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
   /** Per-document MinHash signature, exploded as (id, hash_idx, sig) rows.
     * `numHashes` independent hash functions h_i(s) = md5(i || '|' || s),
     * each minimized lexicographically over the distinct k-shingle set.

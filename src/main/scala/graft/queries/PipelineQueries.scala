@@ -309,6 +309,21 @@ object PipelineQueries {
         .orderBy("event_id")
     }),
 
+    // --- snapshot diff: what changed between two corpus versions (v2 is
+    //     a deterministic mutation of v1: every 7th doc dropped, every
+    //     11th edited, every 101st re-added under a new id) ---
+    "d_snapshot_diff" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val v1 = d.select(col("doc_id"), col("text"))
+      val v2 = d.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 11 === 0, concat(col("text"), lit(" [rev2]")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(d.filter(col("doc_id") % 101 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Dedup.snapshotDiff(v1, v2, "doc_id", "text").orderBy("doc_id")
+    }),
+
     // --- interval-OVERLAP join: per sampled user's daily activity span,
     //     how many other users' same-period spans overlap it (the
     //     co-presence / concurrency-pair shape); bin-blocked equi-join,
@@ -1589,6 +1604,23 @@ object PipelineQueries {
           |JOIN sessions s ON p.user_id = s.user_id
           |  AND p.ts BETWEEN s.session_start AND s.session_end
           |ORDER BY p.event_id""".stripMargin,
+
+      "d_snapshot_diff" ->
+        """WITH v1 AS (SELECT doc_id, text FROM documents),
+          |v2 AS (SELECT doc_id,
+          |         CASE WHEN doc_id % 11 = 0 THEN text || ' [rev2]' ELSE text END AS text
+          |       FROM documents WHERE doc_id % 7 <> 0
+          |       UNION ALL
+          |       SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 101 = 0),
+          |h1 AS (SELECT doc_id, md5(text) AS h FROM v1),
+          |h2 AS (SELECT doc_id, md5(text) AS h FROM v2)
+          |SELECT coalesce(h1.doc_id, h2.doc_id) AS doc_id,
+          |  CASE WHEN h1.doc_id IS NULL THEN 'added'
+          |       WHEN h2.doc_id IS NULL THEN 'removed'
+          |       WHEN h1.h <> h2.h THEN 'changed'
+          |       ELSE 'unchanged' END AS status
+          |FROM h1 FULL OUTER JOIN h2 ON h1.doc_id = h2.doc_id
+          |ORDER BY doc_id""".stripMargin,
 
       "q_overlap_join" ->
         """WITH spans AS (

@@ -200,6 +200,15 @@ class Round8OpsSpec extends SparkSpec {
       "empty payload still encodes one all-zero frame")
   }
 
+  test("snapshotDiff classifies added/removed/changed/unchanged by content hash") {
+    val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val v2 = Seq((1L, "a"), (2L, "B!"), (4L, "d")).toDF("doc_id", "text")
+    val r = Dedup.snapshotDiff(v1, v2, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, String)].collect()
+    assert(r.toSeq === Seq((1L, "unchanged"), (2L, "changed"),
+      (3L, "removed"), (4L, "added")))
+  }
+
   // --- SQ8 scalar quantization ----------------------------------------
 
   test("SQ8: codes hit the planted extremes, recon stays in [min, max], model is partitioning-invariant") {
