@@ -539,7 +539,14 @@ object Dedup {
     * [[commonSegmentRemoval]]). */
   def exactSubstringDedup(df0: DataFrame, idCol: String, textCol: String,
                           n: Int = 50): DataFrame =
-    substringStarts(df0, idCol, textCol, n)
+    dedupFromStarts(substringStarts(df0, idCol, textCol, n), idCol, n)
+
+  /** Coverage fold + rebuild shared by the ExactSubstr variants: from
+    * (idCol, t, ss) — token array + sorted repeated-gram start
+    * positions — to (idCol, n_tokens, n_removed, kept_text). */
+  private def dedupFromStarts(withStarts: DataFrame, idCol: String,
+                              n: Int): DataFrame =
+    withStarts
       // token at 1-based q is covered iff some repeated gram starts in
       // (q-n, q] — i.e. exists s: s <= q < s + n
       .withColumn("kept", filter(col("t"),
@@ -549,6 +556,53 @@ object Dedup {
         size(col("t")).cast("long").as("n_tokens"),
         (size(col("t")) - size(col("kept"))).cast("long").as("n_removed"),
         concat_ws(" ", col("kept")).as("kept_text"))
+
+  /** Incremental ExactSubstr — the INGEST-time variant (the
+    * [[minhashLshAgainst]] shape for substring dedup): rebuild only the
+    * BATCH documents, removing tokens covered by an n-gram whose total
+    * occurrence count across batch + corpus exceeds 1 — exactly the
+    * "repeated" definition [[exactSubstringDedup]] applies to the union,
+    * without rescanning or rebuilding the corpus per ingest.
+    *
+    * Scale shape: the corpus contributes ONE map-side-combined gram-count
+    * aggregate (shuffles partial counts per distinct gram, never (id,
+    * pos) rows — and at real scale that aggregate is computed once and
+    * STORED as the gram index, so an ingest pays batch-sized work plus
+    * one join against it). The batch gram frame is persisted — it feeds
+    * both its own count and the coverage semi-join, and the persist
+    * keeps the md5 fan-out a single physical computation (the
+    * double-subtree trap substringStarts' window avoids). */
+  def exactSubstringDedupAgainst(corpus: DataFrame, batch: DataFrame,
+                                 idCol: String, textCol: String,
+                                 n: Int = 50): DataFrame = {
+    require(n > 0, s"span length must be positive, got $n")
+    def gramExplode(base: DataFrame, keep: Seq[Column]): DataFrame =
+      base.select(keep :+ (when(size(col("t")) >= n,
+          transform(sequence(lit(1), size(col("t")) - n + 1),
+            p => struct(p.as("pos"),
+              md5(concat_ws(" ", slice(col("t"), p, lit(n)))).as("m"))))
+          .otherwise(array().cast("array<struct<pos:int,m:string>>"))
+          .as("gs")): _*)
+        .select(keep :+ explode(col("gs")).as("g"): _*)
+        .select(keep ++ Seq(col("g.pos").as("pos"),
+          conv(substring(col("g.m"), 1, 15), 16, 10).cast("long").as("h1"),
+          conv(substring(col("g.m"), 16, 15), 16, 10).cast("long").as("h2")): _*)
+    val bBase = widen(batch).select(col(idCol), tokens(col(textCol)).as("t"))
+    val cBase = widen(corpus).select(tokens(col(textCol)).as("t"))
+    val bg = gramExplode(bBase, Seq(col(idCol))).persist()
+    val cCnt = gramExplode(cBase, Seq.empty)
+      .groupBy(col("h1"), col("h2")).agg(count(lit(1)).as("cc"))
+    val bCnt = bg.groupBy(col("h1"), col("h2")).agg(count(lit(1)).as("bc"))
+    val dup = bCnt.join(cCnt, Seq("h1", "h2"), "left")
+      .filter(col("bc") + coalesce(col("cc"), lit(0L)) > 1)
+      .select(col("h1"), col("h2"))
+    val starts = bg.join(dup, Seq("h1", "h2"), "leftsemi")
+      .groupBy(col(idCol)).agg(sort_array(collect_set(col("pos"))).as("starts"))
+    val withStarts = bBase.join(starts, Seq(idCol), "left")
+      .select(col(idCol), col("t"),
+        coalesce(col("starts"), array().cast("array<int>")).as("ss"))
+    dedupFromStarts(withStarts, idCol, n)
+  }
 
   /** Shared candidate stage of the ExactSubstr family: per doc, the token
     * array `t` plus the SORTED 1-based start positions `ss` of every

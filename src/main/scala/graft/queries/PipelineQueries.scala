@@ -727,6 +727,17 @@ object PipelineQueries {
       Dedup.exactSubstringDedup(docs(s, dir), "doc_id", "text", n = 8)
         .orderBy("doc_id")),
 
+    // --- incremental ExactSubstr: odd-id docs ingest against the even-id
+    //     corpus — only the batch is rebuilt; a batch token dies iff its
+    //     covering 8-gram repeats across batch + corpus ---
+    "d_substring_against" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.exactSubstringDedupAgainst(
+          d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", n = 8)
+        .orderBy("doc_id")
+    }),
+
     // --- substring-dedup drop policy (Lee et al. deployed variant):
     //     a doc >= 95% duplicate-covered dies whole instead of being
     //     stitched back together from the inter-span fragments ---
@@ -1999,6 +2010,32 @@ object PipelineQueries {
            |  (len(b.t) - count(k.q))::BIGINT AS n_removed,
            |  coalesce(string_agg(k.w, ' ' ORDER BY k.q), '') AS kept_text
            |FROM base b LEFT JOIN kept k USING (doc_id)
+           |GROUP BY b.doc_id, len(b.t) ORDER BY doc_id""".stripMargin,
+
+      // incremental variant: corpus grams contribute counts, only the
+      // batch rebuilds; repeated iff batch count + corpus count > 1
+      "d_substring_against" ->
+        s"""WITH c AS (SELECT doc_id, $toks AS t FROM documents WHERE doc_id % 2 = 0),
+           |b AS (SELECT doc_id, $toks AS t FROM documents WHERE doc_id % 2 = 1),
+           |cg AS (SELECT md5(array_to_string(t[p : p + 7], ' ')) AS h
+           |       FROM c, unnest(range(1, len(t) - 6)) AS u(p)),
+           |bg AS (SELECT doc_id, p, md5(array_to_string(t[p : p + 7], ' ')) AS h
+           |       FROM b, unnest(range(1, len(t) - 6)) AS u(p)),
+           |cc AS (SELECT h, count(*) AS c FROM cg GROUP BY h),
+           |bc AS (SELECT h, count(*) AS c FROM bg GROUP BY h),
+           |dup AS (SELECT bc.h FROM bc LEFT JOIN cc USING (h)
+           |        WHERE bc.c + coalesce(cc.c, 0) > 1),
+           |tok AS (SELECT doc_id, i AS q, t[i] AS w
+           |        FROM b, unnest(range(1, len(t) + 1)) AS u(i)),
+           |cov AS (SELECT DISTINCT bg.doc_id, q
+           |        FROM bg JOIN dup USING (h), unnest(range(bg.p, bg.p + 8)) AS u(q)),
+           |kept AS (SELECT tok.doc_id, tok.q AS q, w FROM tok
+           |         LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.q = cov.q
+           |         WHERE cov.q IS NULL)
+           |SELECT b.doc_id, len(b.t)::BIGINT AS n_tokens,
+           |  (len(b.t) - count(k.q))::BIGINT AS n_removed,
+           |  coalesce(string_agg(k.w, ' ' ORDER BY k.q), '') AS kept_text
+           |FROM b LEFT JOIN kept k USING (doc_id)
            |GROUP BY b.doc_id, len(b.t) ORDER BY doc_id""".stripMargin,
 
       // d_substring_dedup's CTEs + the integer-arithmetic drop decision

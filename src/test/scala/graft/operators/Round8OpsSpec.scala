@@ -209,6 +209,27 @@ class Round8OpsSpec extends SparkSpec {
       (3L, "removed"), (4L, "added")))
   }
 
+  test("exactSubstringDedupAgainst: corpus passages die in the batch, corpus is never rebuilt") {
+    // an 8-token passage lives in corpus doc 100; batch doc 1 embeds it
+    // once (batch-internally unique — only the corpus makes it repeated);
+    // batch doc 3 has a batch-internal repeat; batch doc 5 is clean
+    val passage = "one two three four five six seven eight"
+    val corpus = Seq((100L, s"corpus prefix $passage corpus suffix")).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, s"alpha $passage omega"),
+      (3L, s"x1 x2 x3 x4 x5 x6 x7 x8 mid x1 x2 x3 x4 x5 x6 x7 x8"),
+      (5L, "totally unique words nine ten eleven twelve thirteen")
+    ).toDF("doc_id", "text")
+    val r = Dedup.exactSubstringDedupAgainst(corpus, batch, "doc_id", "text", n = 8)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect()
+    assert(r.map(_._1).toSeq === Seq(1L, 3L, 5L), "only batch docs are rebuilt")
+    assert(r(0)._3 === 8L && r(0)._4 === "alpha omega",
+      "the corpus-repeated passage dies in the batch doc")
+    assert(r(1)._3 === 16L, "batch-internal repeats die too")
+    assert(r(2)._3 === 0L && r(2)._4.startsWith("totally"),
+      "clean batch docs pass through untouched")
+  }
+
   // --- SQ8 scalar quantization ----------------------------------------
 
   test("SQ8: codes hit the planted extremes, recon stays in [min, max], model is partitioning-invariant") {
