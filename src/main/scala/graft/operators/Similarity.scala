@@ -121,11 +121,21 @@ object Similarity {
     * from any non-throwing engine, so both sides pin the same defined
     * value: all-tie → lowest-cid assignment. Identical to
     * [[Vectors.cosine]] whenever both norms are nonzero. */
-  private def cosineSafe(a: Column, b: Column): Column = {
-    val prod = Vectors.norm(a) * Vectors.norm(b)
-    when(prod === 0.0, 0.0)
-      .otherwise(round(Vectors.dot(a, b) / prod, 6))
-  }
+  /** Zero-safe nearest-codebook-entry id of `sv` against a LITERAL
+    * per-subspace codebook, via the native kernel's `zeroSafe` mode: a
+    * zero-norm side scores exactly 0.0 instead of dividing by zero.
+    * Residual quantization makes zero vectors ROUTINE (a coarse
+    * centroid's own residual is exactly 0⃗, and an all-zero-cluster
+    * codebook entry is too); under ANSI mode the plain quotient would
+    * throw, and NaN ordering diverges between engines, so both sides
+    * pin the same defined value — all-tie → lowest-cid assignment.
+    * Bit-identical to the `array_max(struct(cosineSafe, -cid))` column
+    * form it replaced at the three PQ argmax sites, but constant
+    * compile cost instead of an O(ks·sub) unrolled tree per subspace
+    * per query. Caller must have run `GraftFunctions.register`. */
+  private def bestCidZs(sv: Column, cb: Seq[(Long, Array[Float])]): Column =
+    element_at(call_function("graft_nearest_centroids_zs", sv,
+      typedLit(cb.map { case (cid, cv) => (cid, cv.toSeq) }), lit(1)), 1)
 
   /** Product-quantization codebooks (Jégou et al. 2011, TPAMI "Product
     * Quantization for Nearest Neighbor Search"): the vector space splits
@@ -144,6 +154,7 @@ object Similarity {
     val sub = dims / m
     val spark = corpus0.sparkSession
     import spark.implicits._
+    graft.plans.GraftFunctions.register(spark)
     val corpus = widen(corpus0)
     // All m quantizers train FUSED — per Lloyd round, ONE corpus pass
     // computes every subspace's in-row argmax (6-dp cosine vs literal
@@ -162,11 +173,7 @@ object Similarity {
     for (_ <- 1 until iters) {
       val assigns = (0 until m).map { s =>
         val sv = slice(col("v"), lit(s * sub + 1), lit(sub))
-        val best = array_max(array(cbs(s).map { case (cid, cv) =>
-          struct(cosineSafe(sv, typedLit(cv.toSeq)).as("c"),
-            lit(-cid).as("nc"))
-        }: _*))
-        (-best.getField("nc")).cast("long").as(s"c$s")
+        bestCidZs(sv, cbs(s)).as(s"c$s")
       }
       // assigns materialize as plain columns BEFORE the array wrap:
       // array()'s type coercion strips struct field names, so the
@@ -207,13 +214,10 @@ object Similarity {
                cbs: Seq[Seq[(Long, Array[Float])]], dims: Int): DataFrame = {
     val m = cbs.length
     val sub = dims / m
+    graft.plans.GraftFunctions.register(corpus0.sparkSession)
     val codes = (0 until m).map { s =>
       val sv = slice(col(vecCol), lit(s * sub + 1), lit(sub))
-      val best = array_max(array(cbs(s).map { case (cid, cv) =>
-        struct(cosineSafe(sv, typedLit(cv.toSeq)).as("c"),
-          lit(-cid).as("nc"))
-      }: _*))
-      (-best.getField("nc")).cast("long").as(s"code_$s")
+      bestCidZs(sv, cbs(s)).as(s"code_$s")
     }
     widen(corpus0).select(col(idCol) +: codes: _*)
   }
@@ -228,13 +232,10 @@ object Similarity {
                       sub: Int): Column =
     concat(cbs.zipWithIndex.map { case (cb, s) =>
       val sv = slice(v, lit(s * sub + 1), lit(sub))
-      // max(struct(cos, -cid)) = highest cosine, then LOWEST cid
-      val best = array_max(array(cb.map { case (cid, cv) =>
-        struct(cosineSafe(sv, typedLit(cv.toSeq)).as("c"),
-          lit(-cid).as("nc"))
-      }: _*))
+      // kernel argmax = highest zero-safe cosine, then LOWEST cid
+      val best = bestCidZs(sv, cb)
       coalesce(cb.map { case (cid, cv) =>
-        when(best.getField("nc") === lit(-cid), typedLit(cv.toSeq))
+        when(best === lit(cid), typedLit(cv.toSeq))
       }: _*)
     }: _*)
 

@@ -107,6 +107,8 @@ object GraftFunctions {
     classOf[GramBucketShares].getName, "graft_gram_bucket_shares")
   val nearestCentroidsInfo = new ExpressionInfo(
     classOf[NearestCentroids].getName, "graft_nearest_centroids")
+  val nearestCentroidsZsInfo = new ExpressionInfo(
+    classOf[NearestCentroids].getName, "graft_nearest_centroids_zs")
 
   private val builders: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_cosine"), cosineInfo,
@@ -118,7 +120,9 @@ object GraftFunctions {
     (FunctionIdentifier("graft_gram_bucket_shares"), gramSharesInfo,
       (c: Seq[Expression]) => GramBucketShares(c.head, c(1), c(2))),
     (FunctionIdentifier("graft_nearest_centroids"), nearestCentroidsInfo,
-      (c: Seq[Expression]) => NearestCentroids(c.head, c(1), c(2))))
+      (c: Seq[Expression]) => NearestCentroids(c.head, c(1), c(2))),
+    (FunctionIdentifier("graft_nearest_centroids_zs"), nearestCentroidsZsInfo,
+      (c: Seq[Expression]) => NearestCentroids(c.head, c(1), c(2), zeroSafe = true)))
 
   def register(spark: SparkSession): Unit =
     builders.foreach { case (id, info, b) =>

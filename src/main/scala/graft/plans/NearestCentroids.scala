@@ -35,7 +35,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType, 
   * is that instance's plan constant, so the guard never decodes a stale
   * model). Null vector → null; null vector ELEMENT → null (the
   * graft_cosine poison contract). */
-case class NearestCentroids(first: Expression, second: Expression, third: Expression)
+case class NearestCentroids(first: Expression, second: Expression, third: Expression,
+                            zeroSafe: Boolean = false)
     extends TernaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = {
@@ -74,7 +75,8 @@ case class NearestCentroids(first: Expression, second: Expression, third: Expres
     NearestCentroids.decode(second.eval().asInstanceOf[ArrayData])
 
   override def nullSafeEval(v: Any, cents: Any, n: Any): Any =
-    NearestCentroids.topCids(v.asInstanceOf[ArrayData], model, n.asInstanceOf[Int])
+    NearestCentroids.topCids(v.asInstanceOf[ArrayData], model,
+      n.asInstanceOf[Int], zeroSafe)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (v, cents, n) => {
@@ -85,12 +87,13 @@ case class NearestCentroids(first: Expression, second: Expression, third: Expres
       val m = ctx.addMutableState(modelCls, "ncModel")
       s"""
          |if ($m == null) $m = $cls.decode($cents);
-         |${ev.value} = $cls.topCids($v, $m, $n);
+         |${ev.value} = $cls.topCids($v, $m, $n, $zeroSafe);
          |if (${ev.value} == null) ${ev.isNull} = true;
        """.stripMargin
     })
 
-  override def prettyName: String = "graft_nearest_centroids"
+  override def prettyName: String =
+    if (zeroSafe) "graft_nearest_centroids_zs" else "graft_nearest_centroids"
 }
 
 object NearestCentroids {
@@ -113,8 +116,11 @@ object NearestCentroids {
   }
 
   /** Top-n cids by (6-dp cosine desc, cid asc); null on a null vector
-    * element (the graft_cosine poison contract). */
-  def topCids(v: ArrayData, m: Model, n: Int): ArrayData = {
+    * element (the graft_cosine poison contract). `zeroSafe` switches to
+    * the PQ family's contract: a zero-norm side scores exactly 0.0
+    * (tested on the sqrt(na)*sqrt(nb) product, the same expression the
+    * column form's `cosineSafe` compares to 0.0) instead of NaN. */
+  def topCids(v: ArrayData, m: Model, n: Int, zeroSafe: Boolean = false): ArrayData = {
     val k = m.cids.length
     val vn = v.numElements()
     val vd = new Array[Double](vn)
@@ -137,13 +143,15 @@ object NearestCentroids {
         dot += xv * yv; na += xv * xv; nb += yv * yv
         i += 1
       }
-      val cos = dot / (math.sqrt(na) * math.sqrt(nb))
+      val prod = math.sqrt(na) * math.sqrt(nb)
+      val cos = dot / prod
       // SQL round(double, 6): shortest-decimal BigDecimal, HALF_UP, with
       // NaN/Infinity passed through — exactly what Spark's RoundBase
       // does for the column form's round(…, 6) (BigDecimal.valueOf
       // would throw on the non-finite cases a zero-norm vector yields)
       scores(c) =
-        if (java.lang.Double.isNaN(cos) || java.lang.Double.isInfinite(cos)) cos
+        if (zeroSafe && prod == 0.0) 0.0
+        else if (java.lang.Double.isNaN(cos) || java.lang.Double.isInfinite(cos)) cos
         else java.math.BigDecimal.valueOf(cos)
           .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
       c += 1
