@@ -124,4 +124,37 @@ object Sampling {
     df.join(broadcast(rates), strataCol)
       .filter(hashUnit(col(keyCol), seed) < col("rate"))
   }
+
+  /** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis 2006,
+    * "Weighted random sampling with a reservoir"): keep the `k` rows
+    * with the smallest exponential keys skey = -ln(u)/w, which draws a
+    * size-k sample where each row's inclusion odds are proportional to
+    * its weight — the knob curation uses to sample a fixed-size corpus
+    * biased toward quality scores rather than flat-rate [[hashSample]].
+    *
+    * Determinism: u is content-hashed ((first 6 md5 hex digits of
+    * key+seed + 0.5) / 16^6 — the [[hashUnit]] grid shifted half a step
+    * so u is strictly inside (0,1) and ln(u) is always finite), skey is
+    * rounded to 9 dp (the established log()-score discipline: libm ulp
+    * differences between engines sit far below the grid), and ties on
+    * the rounded key break by `keyCol`. The same row therefore wins or
+    * loses its slot identically across runs, engines, and partitionings.
+    *
+    * Scale shape: one map-side projection + a distributed TakeOrdered
+    * (orderBy + limit — per-partition top-k, then a k-sized merge on the
+    * driver; nothing global is sorted). Rows with null or non-positive
+    * weight cannot be sampled and are filtered out (a zero-weight row
+    * has skey = +inf; excluding it is the limit behavior).
+    *
+    * Output: input columns + `skey`. */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+                     k: Int, seed: String = ""): DataFrame = {
+    require(k >= 1, s"sample size must be >= 1, got $k")
+    val u = (conv(substring(md5(concat(col(keyCol).cast("string"), lit(seed))),
+        1, 6), 16, 10).cast("long").cast("double") + lit(0.5)) / lit(16777216.0)
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("skey", round(-log(u) / col(weightCol).cast("double"), 9))
+      .orderBy(col("skey").asc, col(keyCol).asc)
+      .limit(k)
+  }
 }

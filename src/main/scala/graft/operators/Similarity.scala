@@ -41,6 +41,45 @@ object Similarity {
       .filter(col("rk") <= k)
   }
 
+  /** Hard-negative mining for contrastive training: for each query, the
+    * top-`k` most-similar corpus vectors that sit in a DIFFERENT coarse
+    * cluster — high-cosine neighbors the quantizer calls unrelated,
+    * exactly the pairs embedding-model training wants as negatives
+    * (in-cluster neighbors are presumed positives/duplicates and are
+    * excluded). `centroids` is a (cid, cv) frame, normally the
+    * [[graft.operators.Vectors.kmeansTrain]] model.
+    *
+    * Scale shape: the model collects to the driver (model-sized) and
+    * BOTH sides take their cluster id as a pure in-row argmax against
+    * the centroid literal — zero assignment shuffles (the
+    * [[ivfTopKWithCentroids]] discipline); queries broadcast, the
+    * corpus streams through one scoring pass, and the per-query top-k
+    * is a WindowGroupLimit-pruned rank. For corpora too big to
+    * brute-force score, swap the scored frame for any ANN candidate
+    * stage — the cluster-exclusion filter composes unchanged. */
+  def hardNegatives(corpus0: DataFrame, queries: DataFrame,
+                    centroids: DataFrame, idCol: String, vecCol: String,
+                    k: Int = 5): DataFrame = {
+    val spark = corpus0.sparkSession
+    import spark.implicits._
+    val corpus = widen(corpus0)
+    val cents = centroids.select(col("cid"), col("cv"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1).toSeq
+    require(cents.nonEmpty, "hardNegatives needs a non-empty centroid model")
+    val q = broadcast(queries
+      .select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .withColumn("q_cid", Vectors.nearestCidExpr(spark, col("qv"), cents)))
+    val scored = corpus
+      .select(col(idCol).as("nid"), col(vecCol).as("nv"))
+      .withColumn("n_cid", Vectors.nearestCidExpr(spark, col("nv"), cents))
+      .join(q, col("qid") =!= col("nid") && col("q_cid") =!= col("n_cid"))
+      .select(col("qid"), col("nid"),
+        Vectors.cosineNative(spark, col("qv"), col("nv")).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
   /** Random-hyperplane LSH bucket id (one `planes`-bit integer per row).
     * dot(v, r_j) where r_jd = ±1 from md5(j,"_",d) parity; bit j = sign.
     *

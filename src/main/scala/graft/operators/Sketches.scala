@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -49,5 +49,83 @@ object Sketches {
         round(coalesce(lit((k - 1).toDouble) / col("uk"),
           col("n_exact").cast("double")), 4))
       .select(strataCol, "n_exact", "kmv_estimate")
+  }
+
+  /** The `k` Bloom bit positions of a key, double-hashed
+    * (Kirsch & Mitzenmacher 2006, "Less hashing, same performance":
+    * pos_i = (h1 + i·h2) mod m needs only two base hashes for k
+    * independent-enough probes). h1/h2 are the two 60-bit halves of the
+    * key's md5 (the engine-portable hash convention every sketch here
+    * uses); h2 is forced odd so it is coprime with a power-of-two m and
+    * the probe sequence cannot collapse onto a short cycle. All
+    * arithmetic is non-negative bigint mod — identical in any engine. */
+  private def bloomPositions(key: Column, mBits: Int, k: Int): Column = {
+    val hex = md5(key.cast("string"))
+    val h1 = conv(substring(hex, 1, 15), 16, 10).cast("long") % mBits
+    val h2raw = conv(substring(hex, 16, 15), 16, 10).cast("long") % mBits
+    val h2 = h2raw + lit(1L) - (h2raw % 2) // odd: +1 if even, +1-1 if odd
+    transform(sequence(lit(0), lit(k - 1)),
+      i => (h1 + i.cast("long") * h2) % mBits)
+  }
+
+  /** Bloom filter over the distinct values of `keyCol`, as a SPARSE
+    * bitmap frame (word_idx, bits): 32 bits per word, stored in a
+    * bigint so the mask arithmetic (2^bit, bitwise OR/AND) is exact and
+    * portable — no engine-specific 64-bit shift-into-sign-bit edge.
+    * Absent words are all-zero.
+    *
+    * This is the at-scale ingest primitive: a corpus of ANY size
+    * compresses to mBits/32 rows (model-sized — 2^26 bits is 0.25M
+    * words ≈ 2 MB), built by ONE map-side k-explode + a
+    * map-side-combined bit_or aggregate. No false negatives ever; false
+    * positives at the standard (1-e^{-kn/m})^k rate, and
+    * deterministically so — both engines compute identical positions,
+    * so a probe's outcome (including any false positive) hash-matches.
+    *
+    * `numHashes` must keep k·(mBits-1) + 2^60 inside a long: mBits is
+    * capped at 2^30 and numHashes at 64, far past any useful point. */
+  def bloomBuild(df: DataFrame, keyCol: String, mBits: Int,
+                 numHashes: Int = 5): DataFrame = {
+    require(mBits >= 32 && mBits % 32 == 0 && mBits <= (1 << 30),
+      s"mBits must be a multiple of 32 in [32, 2^30], got $mBits")
+    require(numHashes >= 1 && numHashes <= 64,
+      s"numHashes must be in [1, 64], got $numHashes")
+    df.select(explode(bloomPositions(col(keyCol), mBits, numHashes)).as("pos"))
+      .select(floor(col("pos") / 32).cast("long").as("word_idx"),
+        pow(lit(2.0), col("pos") % 32).cast("long").as("mask"))
+      .groupBy("word_idx")
+      .agg(expr("bit_or(mask)").as("bits"))
+  }
+
+  /** Membership probe against a DENSE collected bloom (the
+    * [[bloomBuild]] frame materialized to an Array of mBits/32 words —
+    * a model-budget collect, the k-means-centroid class). The probe is
+    * a pure in-row expression against the array literal: ZERO shuffles,
+    * zero joins — the whole point of carrying a Bloom filter at 100 TB
+    * is that ingest pre-filtering costs one map pass, not a join against
+    * the corpus. Adds `maybeCol`: true iff all `numHashes` probed bits
+    * are set (so false ⇒ definitely not in the built set, and the
+    * expensive dedup join downstream runs only on the `true` sliver).
+    *
+    * `mBits`/`numHashes` must match the build call. */
+  def bloomProbe(df: DataFrame, keyCol: String, words: Array[Long],
+                 mBits: Int, numHashes: Int = 5,
+                 maybeCol: String = "maybe_present"): DataFrame = {
+    require(words.length == mBits / 32,
+      s"dense bloom must have mBits/32 = ${mBits / 32} words, got ${words.length}")
+    val wordsLit = typedLit(words)
+    val hit = forall(bloomPositions(col(keyCol), mBits, numHashes), p =>
+      element_at(wordsLit, (floor(p / 32) + 1).cast("int"))
+        .bitwiseAND(pow(lit(2.0), p % 32).cast("long")) =!= 0L)
+    df.withColumn(maybeCol, hit)
+  }
+
+  /** [[bloomBuild]]'s sparse frame densified to the probe-side model:
+    * Array of mBits/32 bigint words, absent words zero. */
+  def bloomCollect(sparse: DataFrame, mBits: Int): Array[Long] = {
+    val words = new Array[Long](mBits / 32)
+    for (r <- sparse.select(col("word_idx"), col("bits")).collect())
+      words(r.getLong(0).toInt) = r.getLong(1)
+    words
   }
 }

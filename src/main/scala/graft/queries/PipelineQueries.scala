@@ -133,6 +133,19 @@ object PipelineQueries {
           emb(s, dir), "vec_id", "embedding", k = 4, iters = 2)
         .orderBy("vec_id")),
 
+    // --- hard-negative mining: top-5 high-cosine neighbors OUTSIDE the
+    //     query's trained k-means cluster (contrastive-training pairs;
+    //     in-cluster neighbors are presumed positives and excluded) ---
+    "a_hard_negatives" -> ((s, dir) => {
+      import s.implicits._
+      val e = emb(s, dir)
+      val cents = graft.operators.Vectors.kmeansTrain(
+        e, "vec_id", "embedding", k = 4, iters = 2)
+      Similarity.hardNegatives(e, e.filter(col("vec_id") % 50 === 0),
+          cents.toDF("cid", "cv"), "vec_id", "embedding", k = 5)
+        .orderBy("qid", "rk")
+    }),
+
     // --- trained-quantizer IVF: the k-means model (k=4, 2 Lloyd rounds)
     //     IS the coarse quantizer — the production ANN path end-to-end
     //     (train → broadcast model → map-side assign → nprobe probe) ---
@@ -322,6 +335,25 @@ object PipelineQueries {
         .unionByName(d.filter(col("doc_id") % 101 === 0)
           .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
       Dedup.snapshotDiff(v1, v2, "doc_id", "text").orderBy("doc_id")
+    }),
+
+    // --- Bloom-filter ingest pre-filter: batch (odd ids, plus every
+    //     50th even id re-ingested — recrawled known docs, which MUST
+    //     probe true: no false negatives) against the corpus (even ids)
+    //     content bloom — false ⇒ definitely new, so the expensive dedup
+    //     join runs only on the true sliver; probe is a ZERO-shuffle
+    //     in-row check vs the collected bitmap ---
+    "d_bloom_ingest" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val m = 1 << 16
+      val words = graft.operators.Sketches.bloomCollect(
+        graft.operators.Sketches.bloomBuild(
+          d.filter(col("doc_id") % 2 === 0), "text", m, numHashes = 5), m)
+      graft.operators.Sketches.bloomProbe(
+          d.filter(col("doc_id") % 2 =!= 0 || col("doc_id") % 50 === 0),
+          "text", words, m, numHashes = 5, maybeCol = "maybe_dup")
+        .select("doc_id", "maybe_dup")
+        .orderBy("doc_id")
     }),
 
     // --- interval-OVERLAP join: per sampled user's daily activity span,
@@ -575,6 +607,21 @@ object PipelineQueries {
       graft.operators.Sketches.kmvDistinct(sh, "lang", "s", k = 64)
         .orderBy("lang")
     }),
+
+    // --- weighted sampling without replacement (Efraimidis-Spirakis):
+    //     100 docs, inclusion odds proportional to n_chars ---
+    "t_weighted_sample" -> ((s, dir) =>
+      graft.operators.Sampling.weightedSample(
+          docs(s, dir), "doc_id", "n_chars", k = 100)
+        .select("doc_id", "n_chars", "skey")
+        .orderBy("doc_id")),
+
+    // --- Bloom filter over document content (2^16 bits, 5 hashes):
+    //     the corpus-membership sketch as a model-sized bitmap frame ---
+    "t_bloom_build" -> ((s, dir) =>
+      graft.operators.Sketches.bloomBuild(
+          docs(s, dir), "text", mBits = 1 << 16, numHashes = 5)
+        .orderBy("word_idx")),
 
     // --- Gopher-style repetition quality gates ---
     "t_repetition" -> ((s, dir) =>
@@ -1525,6 +1572,44 @@ object PipelineQueries {
            |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
       },
 
+      "a_hard_negatives" -> {
+        def cos(a: String, b: String) =
+          s"round(list_dot_product($a::DOUBLE[], $b::DOUBLE[]) / " +
+            s"(sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) * " +
+            s"sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[]))), 6)"
+        // kmeans CTEs = a_kmeans_assign's training (rank-based seed);
+        // assign covers queries too (queries ⊆ embeddings), and the
+        // scored pairs keep only cross-cluster neighbors.
+        s"""WITH c0 AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings ORDER BY vec_id LIMIT 4),
+           |a1 AS (SELECT vec_id, cid FROM (
+           |  SELECT e.vec_id, c.cid,
+           |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cos("e.embedding", "c.cv")} DESC, c.cid) AS rk
+           |  FROM embeddings e CROSS JOIN c0 c) WHERE rk = 1),
+           |m1 AS (SELECT a1.cid, d.dim,
+           |         CAST(sum(CAST(CAST(e.embedding[d.dim] AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE)
+           |           / count(*) AS mv
+           |       FROM a1 JOIN embeddings e USING (vec_id),
+           |            unnest(range(1, len(e.embedding) + 1)) AS d(dim)
+           |       GROUP BY a1.cid, d.dim),
+           |c1 AS (SELECT c0.cid,
+           |         CASE WHEN count(m1.mv) = 0 THEN any_value(c0.cv)
+           |              ELSE list(CAST(m1.mv AS FLOAT) ORDER BY m1.dim) END AS cv
+           |       FROM c0 LEFT JOIN m1 ON m1.cid = c0.cid
+           |       GROUP BY c0.cid),
+           |assign AS (SELECT nid, cid FROM (
+           |  SELECT nid, cid, row_number() OVER (PARTITION BY nid ORDER BY ccos DESC, cid) AS crk
+           |  FROM (SELECT e.vec_id AS nid, c.cid, ${cos("e.embedding", "c.cv")} AS ccos
+           |        FROM embeddings e CROSS JOIN c1 c)) WHERE crk = 1),
+           |sc AS (SELECT q.vec_id AS qid, e.vec_id AS nid, ${cos("q.embedding", "e.embedding")} AS cos
+           |       FROM embeddings q JOIN assign aq ON aq.nid = q.vec_id
+           |       JOIN embeddings e ON e.vec_id <> q.vec_id
+           |       JOIN assign ae ON ae.nid = e.vec_id
+           |       WHERE q.vec_id % 50 = 0 AND aq.cid <> ae.cid)
+           |SELECT qid, nid, cos, CAST(rk AS BIGINT) AS rk FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk FROM sc)
+           |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
+      },
+
       "a_ann_ivfsq_topk" -> ivfSqTopkSql,
 
       "a_ann_ivfsq_recall" -> ivfSqRecallSql,
@@ -1632,6 +1717,28 @@ object PipelineQueries {
           |       ELSE 'unchanged' END AS status
           |FROM h1 FULL OUTER JOIN h2 ON h1.doc_id = h2.doc_id
           |ORDER BY doc_id""".stripMargin,
+
+      "d_bloom_ingest" ->
+        """WITH ck AS (SELECT md5(text) AS h FROM documents WHERE doc_id % 2 = 0),
+          |chh AS (SELECT ('0x' || substring(h, 1, 15))::BIGINT % 65536 AS h1,
+          |               ('0x' || substring(h, 16, 15))::BIGINT % 65536 AS h2r FROM ck),
+          |bloom AS (SELECT pos // 32 AS word_idx,
+          |            bit_or(CAST(2 ** (pos % 32) AS BIGINT)) AS bits
+          |          FROM (SELECT (h1 + i * (h2r + 1 - (h2r % 2))) % 65536 AS pos
+          |                FROM chh, range(0, 5) t(i))
+          |          GROUP BY word_idx),
+          |bhh AS (SELECT doc_id,
+          |          ('0x' || substring(h, 1, 15))::BIGINT % 65536 AS h1,
+          |          ('0x' || substring(h, 16, 15))::BIGINT % 65536 AS h2r
+          |        FROM (SELECT doc_id, md5(text) AS h FROM documents
+          |              WHERE doc_id % 2 <> 0 OR doc_id % 50 = 0)),
+          |bp AS (SELECT doc_id, (h1 + i * (h2r + 1 - (h2r % 2))) % 65536 AS pos
+          |       FROM bhh, range(0, 5) t(i)),
+          |probe AS (SELECT doc_id,
+          |            (coalesce(b.bits, 0) & CAST(2 ** (bp.pos % 32) AS BIGINT)) <> 0 AS hit
+          |          FROM bp LEFT JOIN bloom b ON b.word_idx = bp.pos // 32)
+          |SELECT doc_id, bool_and(hit) AS maybe_dup FROM probe
+          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
       "q_overlap_join" ->
         """WITH spans AS (
@@ -1797,6 +1904,26 @@ object PipelineQueries {
            |SELECT doc_id, lang, rate FROM documents JOIN r USING (lang)
            |WHERE $u6 < rate ORDER BY doc_id""".stripMargin
       },
+
+      "t_weighted_sample" -> {
+        val u6 = "(SELECT sum((strpos('0123456789abcdef', substring(md5(doc_id::VARCHAR), i, 1)) - 1) * (16 ** (6 - i))) " +
+          "FROM range(1, 7) t(i))"
+        s"""WITH s AS (SELECT doc_id, n_chars,
+           |    round(-ln(($u6 + 0.5) / 16777216.0) / n_chars, 9) AS skey
+           |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+           |top AS (SELECT * FROM s ORDER BY skey, doc_id LIMIT 100)
+           |SELECT doc_id, n_chars, skey FROM top ORDER BY doc_id""".stripMargin
+      },
+
+      "t_bloom_build" ->
+        """WITH k AS (SELECT md5(text) AS h FROM documents),
+          |hh AS (SELECT ('0x' || substring(h, 1, 15))::BIGINT % 65536 AS h1,
+          |              ('0x' || substring(h, 16, 15))::BIGINT % 65536 AS h2r FROM k),
+          |p AS (SELECT (h1 + i * (h2r + 1 - (h2r % 2))) % 65536 AS pos
+          |      FROM hh, range(0, 5) t(i)),
+          |w AS (SELECT pos // 32 AS word_idx, CAST(2 ** (pos % 32) AS BIGINT) AS mask FROM p)
+          |SELECT word_idx, bit_or(mask) AS bits FROM w
+          |GROUP BY word_idx ORDER BY word_idx""".stripMargin,
 
       "t_kmv_distinct" -> {
         val u6v = "(SELECT sum((strpos('0123456789abcdef', substring(md5(v), i, 1)) - 1) * (16 ** (6 - i))) " +
