@@ -90,7 +90,14 @@ object Bench {
     val ej = es.toSeq.sortBy(_._1).map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = ts.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$ej,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$ej,"sf":"$sfDir"}"""
+    println(json)
+    // Also persist to a file: the driver's stdout tail capture is bounded
+    // (2000 chars) and has truncated this line two rounds running — the
+    // file artifact keeps the full per-query record parseable regardless.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_LOCAL.json"), json + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -24,15 +24,23 @@ object TableCatalog {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, table: String): DataFrame = {
-    // The events table carries TIMESTAMP(NANOS) which parquet-mr surfaces
-    // only via nanosAsLong (Spark timestamps are micros). Read nanos as
-    // long and truncate to micros — same value DuckDB sees after its own
-    // ns→us cast, so oracle comparisons stay exact.
+    // The events table's `ts` physical encoding has varied across testdata
+    // generations: TIMESTAMP(NANOS) (readable only via nanosAsLong, as a
+    // long) vs timestamp[us] without timezone (read as TIMESTAMP_NTZ).
+    // Branch on the RESOLVED type so either encoding yields the same
+    // session-UTC TimestampType frame downstream (watermarks, oracle
+    // hashes): nanos-long → truncate to micros; NTZ → cast (the session
+    // timezone is UTC everywhere, so the underlying micros are unchanged).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$table.parquet")
-    if (table == "events")
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else df
+    if (table == "events") {
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+      df.schema("ts").dataType match {
+        case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+        case _                => df
+      }
+    } else df
   }
 
   /** Register every table under `dir` as a temp view named after the table. */
