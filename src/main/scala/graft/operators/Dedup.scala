@@ -536,10 +536,24 @@ object Dedup {
     *
     * Output: (idCol, n_tokens, n_removed, kept_text) — kept_text is the
     * surviving tokens re-joined (normalized token stream, as with
-    * [[commonSegmentRemoval]]). */
+    * [[commonSegmentRemoval]]).
+    *
+    * `skewSafe` selects the candidate-stage physical shape (results are
+    * hash-identical; spec-asserted on the gate corpus):
+    *  - false (default): corpus-wide gram counts ride a WINDOW over the
+    *    gram key — one shuffle, one physical subtree for the md5 gram
+    *    fan-out. Fastest when gram frequencies are benign, but AQE
+    *    cannot split window partitions, so a pathologically hot gram
+    *    (boilerplate repeated millions of times) lands whole in one task.
+    *  - true: two-level count AGGREGATE + semi-join back — partial
+    *    aggregation absorbs hot grams map-side and AQE can split both
+    *    the aggregate and the join, at the cost of materializing the
+    *    gram fan-out once (persist) to keep it a single computation.
+    *    Choose this on boilerplate-heavy corpora (or pre-strip with
+    *    [[commonSegmentRemoval]]). */
   def exactSubstringDedup(df0: DataFrame, idCol: String, textCol: String,
-                          n: Int = 50): DataFrame =
-    dedupFromStarts(substringStarts(df0, idCol, textCol, n), idCol, n)
+                          n: Int = 50, skewSafe: Boolean = false): DataFrame =
+    dedupFromStarts(substringStarts(df0, idCol, textCol, n, skewSafe), idCol, n)
 
   /** Coverage fold + rebuild shared by the ExactSubstr variants: from
     * (idCol, t, ss) — token array + sorted repeated-gram start
@@ -618,13 +632,14 @@ object Dedup {
     * skew mitigation splits JOIN and AGGREGATE partitions only, never
     * window partitions, so a pathologically hot gram (boilerplate
     * repeated millions of times) lands whole in one task under this
-    * form — whereas a two-level count aggregate would be splittable.
-    * The window keeps the gram fan-out a single physical subtree (the
-    * property the join-back form lost); boilerplate-heavy corpora should
-    * pre-strip the boilerplate (commonSegmentRemoval) before this stage.
-    * The doc-keyed aggregate after it is unchanged. */
+    * form — whereas a two-level count aggregate is splittable. That
+    * aggregate shape is available via `skewSafe = true`: it persists the
+    * gram fan-out (keeping it ONE physical computation — the property
+    * the unpersisted join-back form lost, measured 2× stage cost) and
+    * counts via groupBy + leftsemi join-back, both AQE-splittable. The
+    * doc-keyed aggregate after either branch is unchanged. */
   private def substringStarts(df0: DataFrame, idCol: String, textCol: String,
-                              n: Int): DataFrame = {
+                              n: Int, skewSafe: Boolean = false): DataFrame = {
     require(n > 0, s"span length must be positive, got $n")
     val df = widen(df0)
     val base = df.select(col(idCol), tokens(col(textCol)).as("t"))
@@ -652,7 +667,14 @@ object Dedup {
         conv(substring(col("g.m"), 16, 15), 16, 10).cast("long").as("h2"))
     // total occurrences, NOT distinct docs: a passage repeated inside one
     // document is a repeated span too (Lee et al. remove those as well)
-    val starts = ex
+    val starts = if (skewSafe) {
+      val exP = ex.persist()
+      val dup = exP.groupBy(col("h1"), col("h2"))
+        .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+        .select(col("h1"), col("h2"))
+      exP.join(dup, Seq("h1", "h2"), "leftsemi")
+        .groupBy(col(idCol)).agg(sort_array(collect_set(col("pos"))).as("starts"))
+    } else ex
       .withColumn("c", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("h1", "h2")))
       .filter(col("c") > 1)

@@ -774,6 +774,14 @@ object PipelineQueries {
       Dedup.exactSubstringDedup(docs(s, dir), "doc_id", "text", n = 8)
         .orderBy("doc_id")),
 
+    // --- same operator under the skew-safe physical shape (aggregate +
+    //     semi-join instead of a window; AQE-splittable on hot grams).
+    //     Same oracle: the shapes are semantically identical ---
+    "d_substring_skewsafe" -> ((s, dir) =>
+      Dedup.exactSubstringDedup(docs(s, dir), "doc_id", "text", n = 8,
+          skewSafe = true)
+        .orderBy("doc_id")),
+
     // --- incremental ExactSubstr: odd-id docs ingest against the even-id
     //     corpus — only the batch is rebuilt; a batch token dies iff its
     //     covering 8-gram repeats across batch + corpus ---
@@ -1298,7 +1306,7 @@ object PipelineQueries {
          |FROM ex LEFT JOIN hit USING (qid) ORDER BY ex.qid""".stripMargin
 
 
-    Map(
+    val m = Map(
       "d_exact_dedup" ->
         """SELECT min(doc_id) AS doc_id, md5(text) AS content_hash, count(*) AS n_copies
           |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
@@ -2524,5 +2532,8 @@ object PipelineQueries {
            |SELECT doc_id, dl, score, row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS rk
            |FROM scored ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
     )
+    // skewSafe is a physical-shape knob on the same operator: the
+    // aggregate+semi-join form must hash-match the window form's oracle
+    m + ("d_substring_skewsafe" -> m("d_substring_dedup"))
   }
 }
