@@ -128,4 +128,56 @@ object Sketches {
       words(r.getLong(0).toInt) = r.getLong(1)
     words
   }
+
+  /** The `depth` Count-Min bucket positions of a key — same
+    * Kirsch-Mitzenmacher double-hash discipline as [[bloomPositions]]
+    * (two md5 halves, odd stride), one bucket per sketch row. */
+  private def cmsPositions(key: Column, width: Int, depth: Int): Column = {
+    val hex = md5(key.cast("string"))
+    val h1 = conv(substring(hex, 1, 15), 16, 10).cast("long") % width
+    val h2raw = conv(substring(hex, 16, 15), 16, 10).cast("long") % width
+    val h2 = h2raw + lit(1L) - (h2raw % 2)
+    transform(sequence(lit(0), lit(depth - 1)),
+      r => (h1 + r.cast("long") * h2) % width)
+  }
+
+  /** Count-Min sketch (Cormode & Muthukrishnan 2005) over the occurrence
+    * stream of `keyCol`, as a SPARSE (row_idx, bucket, cnt) frame —
+    * depth×width cells max, i.e. model-sized regardless of stream size.
+    * Each occurrence increments one bucket per row; the build is ONE
+    * map-side posexplode + a map-side-combined count aggregate, and
+    * sketches from separate partitions/epochs MERGE by adding cells —
+    * the mergeability that makes it the 100 TB running-frequency answer
+    * (HLL-class infrastructure, but for point frequencies, and — unlike
+    * approx_count_distinct — a pure function of md5, so any engine
+    * reproduces it bit-for-bit). */
+  def cmsBuild(df: DataFrame, keyCol: String, width: Int = 1 << 12,
+               depth: Int = 4): DataFrame = {
+    require(width >= 2 && width <= (1 << 24), s"width out of range: $width")
+    require(depth >= 1 && depth <= 16, s"depth out of range: $depth")
+    df.select(posexplode(cmsPositions(col(keyCol), width, depth)))
+      .groupBy(col("pos").as("row_idx"), col("col").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-frequency estimates from a [[cmsBuild]] sketch: adds
+    * `estCol` = min over rows of the key's bucket count — an upper bound
+    * on the true frequency (never under; over only on hash collision,
+    * with the standard (e/width)-scale error at depth-exponential
+    * probability). The probe is a posexplode + equi-join on the
+    * model-sized sketch (AQE broadcasts it) + a key-grouped min: no
+    * full-stream rescan, which is the point — the sketch answers
+    * frequency queries after the stream is gone. */
+  def cmsEstimate(df: DataFrame, keyCol: String, sketch: DataFrame,
+                  width: Int = 1 << 12, depth: Int = 4,
+                  estCol: String = "cms_count"): DataFrame = {
+    val probes = df.select(col(keyCol),
+        posexplode(cmsPositions(col(keyCol), width, depth)))
+      .select(col(keyCol), col("pos").as("row_idx"), col("col").as("bucket"))
+    probes
+      .join(sketch, Seq("row_idx", "bucket"), "left")
+      .groupBy(col(keyCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as(estCol))
+      .join(df, Seq(keyCol), "right")
+  }
 }

@@ -586,4 +586,70 @@ object TextAnalysis {
       fps.groupBy("fp").agg(count(lit(1)).as("df"))
         .filter(col("df") <= maxDf).select("fp"), "fp")
   }
+
+  /** CCNet-style n-gram LM perplexity scoring (Wenzek et al. 2020): train
+    * a Laplace-smoothed bigram language model on a reference corpus, then
+    * score each target document by its perplexity under that model — the
+    * classic "does this crawl text read like the clean corpus" quality
+    * filter (low perplexity = in-distribution; the curation decision
+    * thresholds or buckets on it).
+    *
+    * Model (add-one smoothing, V = train unigram vocabulary size,
+    * N = train token count; all counts exact integers):
+    *   p(w_1)          = (c1(w_1) + 1) / (N + V + 1)
+    *   p(w_i | w_i-1)  = (c2(w_i-1, w_i) + 1) / (c1(w_i-1) + V + 1)
+    *   ppl(doc)        = exp(-(1/M) * sum_i ln p_i)   over M = doc tokens
+    *
+    * Cross-engine determinism: each per-token log-likelihood is
+    * round(·, 9) then summed as DECIMAL — order-invariant exact
+    * arithmetic, so partitioning cannot perturb the sum (the "aggregate
+    * over decimals, cast at the end" float discipline). ln is applied
+    * only to integer-derived doubles, where engines agree bitwise.
+    *
+    * Scale shape: the model is two count AGGREGATES over the train
+    * corpus (map-side combined; at real scale trained once and stored).
+    * Scoring explodes targets to narrow (id, pos, prev, w) rows — token
+    * arrays never shuffle — and equi-joins the model frames (AQE
+    * broadcasts them when small; the N/V scalars ride an explicit
+    * 1-row broadcast). One doc-keyed aggregate closes.
+    *
+    * Output: (idCol, n_tokens, ppl), ppl NULL for empty docs. */
+  def ngramLmPerplexity(train: DataFrame, target: DataFrame,
+                        idCol: String, textCol: String): DataFrame = {
+    val trTok = train.select(tokens(col(textCol)).as("t"))
+    val uni = trTok.select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val bi = trTok.select(explode(when(size(col("t")) >= 2,
+        transform(sequence(lit(1), size(col("t")) - 1),
+          i => struct(element_at(col("t"), i).as("w1"),
+            element_at(col("t"), i + 1).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("g"))
+      .select(col("g.w1"), col("g.w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val stats = uni.agg(count(lit(1)).as("v"), sum(col("c1")).as("n"))
+    val tok = target.select(col(idCol), tokens(col(textCol)).as("t"))
+      .select(col(idCol), col("t"), posexplode(col("t")))
+      .select(col(idCol), col("pos"),
+        when(col("pos") > 0, element_at(col("t"), col("pos"))).as("prev"),
+        col("col").as("w"))
+    val ll = tok
+      .join(uni.select(col("w"), col("c1").as("cw")), Seq("w"), "left")
+      .join(uni.select(col("w").as("prev"), col("c1").as("cp")), Seq("prev"), "left")
+      .join(bi.select(col("w1").as("prev"), col("w2").as("w"), col("c2")),
+        Seq("prev", "w"), "left")
+      .crossJoin(broadcast(stats))
+      .select(col(idCol),
+        round(when(col("pos") === 0,
+            log(coalesce(col("cw"), lit(0L)) + 1) - log(col("n") + col("v") + 1))
+          .otherwise(
+            log(coalesce(col("c2"), lit(0L)) + 1)
+              - log(coalesce(col("cp"), lit(0L)) + col("v") + 1)), 9)
+          .cast("decimal(28,9)").as("l"))
+    val agg = ll.groupBy(col(idCol))
+      .agg(count(lit(1)).as("m"), sum(col("l")).as("s"))
+    target.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("m"), lit(0L)).as("n_tokens"),
+        round(exp(-(col("s").cast("double")) / col("m")), 6).as("ppl"))
+  }
 }

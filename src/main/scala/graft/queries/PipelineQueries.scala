@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.catalog.TableCatalog
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Similarity, Sketches, TextAnalysis}
 
 /** Training-data pipeline operators (dedup / similarity / text analysis)
   * as driver-contract queries over the `documents` and `embeddings`
@@ -901,6 +901,35 @@ object PipelineQueries {
     "t_tfidf_topk" -> ((s, dir) =>
       TextAnalysis.tfidfTopK(docs(s, dir), "doc_id", "text", topK = 3)
         .orderBy("doc_id", "rk")),
+
+    // --- CCNet-style cross-corpus perplexity: Laplace bigram LM trained
+    //     on the even-id half, odd-id docs scored under it (unseen
+    //     tokens/bigrams smoothed — the reference-LM quality filter) ---
+    "t_perplexity" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextAnalysis.ngramLmPerplexity(
+          d.filter(col("doc_id") % 2 === 0),
+          d.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // --- Count-Min heavy-hitter eval: CMS over the token stream, exact
+    //     top-50 tokens probed against it (estimate >= exact always;
+    //     the exact side is the eval oracle the sketch replaces at
+    //     scale) ---
+    "t_cms_heavy" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = docs(s, dir)
+        .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
+      val sketch = Sketches.cmsBuild(toks, "token", width = 4096, depth = 4)
+      // exact top-50: distributed TakeOrdered, then rank the 50 survivors
+      val top = toks.groupBy("token").agg(count(lit(1)).as("exact_count"))
+        .orderBy(col("exact_count").desc, col("token")).limit(50)
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("exact_count").desc, col("token"))).cast("long"))
+      Sketches.cmsEstimate(top, "token", sketch, width = 4096, depth = 4)
+        .orderBy("rk")
+    }),
 
     // --- PageRank centrality over the MinHash near-dup graph (hub
     //     documents = canonical/template sources) ---
@@ -2458,6 +2487,58 @@ object PipelineQueries {
            |        AS DECIMAL(28,9))) AS DOUBLE) / count(*), 6) AS mean_surprise
            |FROM bg JOIN c2 USING (w1, w2) JOIN c1 ON c1.w = bg.w1 CROSS JOIN vv
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      "t_perplexity" ->
+        s"""WITH tr AS (SELECT $toks AS t FROM documents WHERE doc_id % 2 = 0),
+           |tg AS (SELECT doc_id, $toks AS t FROM documents WHERE doc_id % 2 = 1),
+           |u AS (SELECT t[i] AS w, CAST(count(*) AS BIGINT) AS c1
+           |      FROM tr, unnest(range(1, len(t) + 1)) AS x(i) GROUP BY t[i]),
+           |b AS (SELECT t[i] AS w1, t[i+1] AS w2, CAST(count(*) AS BIGINT) AS c2
+           |      FROM tr, unnest(range(1, len(t))) AS x(i) GROUP BY t[i], t[i+1]),
+           |st AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM u) AS v,
+           |              (SELECT CAST(sum(c1) AS BIGINT) FROM u) AS n),
+           |tok AS (SELECT doc_id, i, CASE WHEN i > 1 THEN t[i-1] END AS prev, t[i] AS w
+           |        FROM tg, unnest(range(1, len(t) + 1)) AS x(i)),
+           |ll AS (SELECT doc_id,
+           |         CAST(round(CASE WHEN i = 1
+           |           THEN ln((coalesce(uw.c1, 0) + 1)::DOUBLE) - ln((st.n + st.v + 1)::DOUBLE)
+           |           ELSE ln((coalesce(b.c2, 0) + 1)::DOUBLE)
+           |                - ln((coalesce(up.c1, 0) + st.v + 1)::DOUBLE) END, 9)
+           |           AS DECIMAL(28,9)) AS l
+           |       FROM tok CROSS JOIN st
+           |       LEFT JOIN u uw ON uw.w = tok.w
+           |       LEFT JOIN u up ON up.w = tok.prev
+           |       LEFT JOIN b ON b.w1 = tok.prev AND b.w2 = tok.w),
+           |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS m, sum(l) AS s2
+           |        FROM ll GROUP BY doc_id)
+           |SELECT t.doc_id, coalesce(m, 0)::BIGINT AS n_tokens,
+           |  round(exp(-(s2::DOUBLE) / m), 6) AS ppl
+           |FROM tg t LEFT JOIN agg ON agg.doc_id = t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+      "t_cms_heavy" ->
+        s"""WITH tok AS (SELECT unnest($toks) AS token FROM documents),
+           |hh AS (SELECT token,
+           |         ('0x' || substring(md5(token), 1, 15))::BIGINT % 4096 AS h1,
+           |         ('0x' || substring(md5(token), 16, 15))::BIGINT % 4096 AS h2r
+           |       FROM tok),
+           |cells AS (SELECT r.i AS row_idx,
+           |            (h1 + r.i * (h2r + 1 - (h2r % 2))) % 4096 AS bucket,
+           |            CAST(count(*) AS BIGINT) AS cnt
+           |          FROM hh CROSS JOIN range(0, 4) r(i) GROUP BY 1, 2),
+           |top AS (SELECT token, CAST(count(*) AS BIGINT) AS exact_count,
+           |          row_number() OVER (ORDER BY count(*) DESC, token)::BIGINT AS rk
+           |        FROM tok GROUP BY token ORDER BY exact_count DESC, token LIMIT 50),
+           |probe AS (SELECT t.token, t.exact_count, t.rk,
+           |            r.i AS row_idx,
+           |            (('0x' || substring(md5(t.token), 1, 15))::BIGINT % 4096
+           |             + r.i * ((('0x' || substring(md5(t.token), 16, 15))::BIGINT % 4096)
+           |                      + 1 - (('0x' || substring(md5(t.token), 16, 15))::BIGINT % 4096 % 2)))
+           |            % 4096 AS bucket
+           |          FROM top t CROSS JOIN range(0, 4) r(i))
+           |SELECT p.token, p.exact_count, p.rk,
+           |  CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS cms_count
+           |FROM probe p LEFT JOIN cells c USING (row_idx, bucket)
+           |GROUP BY p.token, p.exact_count, p.rk ORDER BY p.rk""".stripMargin,
 
       "t_tfidf_topk" ->
         s"""WITH tfc AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf

@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.functions._
+
 import graft.SparkSpec
 import graft.catalog.TableCatalog
 
@@ -28,5 +30,77 @@ class Round9OpsSpec extends SparkSpec {
     assert(window.exceptAll(agg).isEmpty && agg.exceptAll(window).isEmpty)
     // the boilerplate tokens must actually have been removed
     assert(agg.filter($"n_removed" > 0).count() == 40L)
+  }
+
+  test("ngramLmPerplexity: hand-computed Laplace bigram scores, unseen tokens smoothed") {
+    import spark.implicits._
+    // train: "a b a b"  ->  c1: a=2 b=2 (V=2, N=4); c2: (a,b)=2, (b,a)=1
+    val train = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    val target = Seq(
+      (10L, "a b"),   // p(a)=(2+1)/(4+2+1)=3/7 ; p(b|a)=(2+1)/(2+2+1)=3/5
+      (11L, "z"),     // unseen unigram: p(z)=(0+1)/7
+      (12L, "a z"),   // unseen bigram after seen a: p(z|a)=(0+1)/5
+      (13L, "")       // empty -> n_tokens 0, ppl null
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.ngramLmPerplexity(train, target, "doc_id", "text")
+      .orderBy("doc_id")
+      .select($"doc_id", $"n_tokens", $"ppl").as[(Long, Long, Option[Double])]
+      .collect()
+    def ppl(ps: Double*): Double = {
+      val s = ps.map(p => BigDecimal(math.log(p)).setScale(9, BigDecimal.RoundingMode.HALF_UP)).sum
+      math.rint(math.exp(-(s.toDouble) / ps.size) * 1e6) / 1e6
+    }
+    assert(r(0) == ((10L, 2L, Some(ppl(3.0 / 7, 3.0 / 5)))))
+    assert(r(1) == ((11L, 1L, Some(ppl(1.0 / 7)))))
+    assert(r(2) == ((12L, 2L, Some(ppl(3.0 / 7, 1.0 / 5)))))
+    assert(r(3) == ((13L, 0L, None)))
+  }
+
+  test("ngramLmPerplexity: in-distribution text scores lower than scrambled text on the gate corpus") {
+    val d = TableCatalog.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    val train = d.filter(col("doc_id") % 2 === 0)
+    val target = d.filter(col("doc_id") % 2 === 1)
+    val real = TextAnalysis.ngramLmPerplexity(train, target, "doc_id", "text")
+      .agg(avg("ppl")).head.getDouble(0)
+    // reversing the token order destroys the bigram structure but keeps
+    // the unigram distribution -> perplexity must rise
+    val scrambled = target.withColumn("text",
+      concat_ws(" ", reverse(graft.functions.TextFunctions.tokens(col("text")))))
+    val rev = TextAnalysis.ngramLmPerplexity(train, scrambled, "doc_id", "text")
+      .agg(avg("ppl")).head.getDouble(0)
+    assert(real > 0 && rev > real,
+      s"expected scrambled ppl > real ppl, got real=$real scrambled=$rev")
+  }
+
+  test("cmsBuild/cmsEstimate: estimate is exact without collisions, never under with them") {
+    import spark.implicits._
+    val stream = (Seq.fill(100)("hot") ++ Seq.fill(7)("warm") ++ Seq("cold"))
+      .toDF("k")
+    // wide sketch: 3 distinct keys in 1024 buckets x 4 rows -> no collision
+    val wide = Sketches.cmsBuild(stream, "k", width = 1024, depth = 4)
+    assert(wide.agg(sum("cnt")).head.getLong(0) == 108L * 4)
+    val est = Sketches.cmsEstimate(
+        Seq("hot", "warm", "cold", "absent").toDF("k"), "k", wide,
+        width = 1024, depth = 4)
+      .select($"k", $"cms_count").as[(String, Long)].collect().toMap
+    assert(est == Map("hot" -> 100L, "warm" -> 7L, "cold" -> 1L, "absent" -> 0L))
+    // pathological width 2: collisions force overestimates, never under
+    val tiny = Sketches.cmsBuild(stream, "k", width = 2, depth = 2)
+    val tEst = Sketches.cmsEstimate(
+        Seq("hot", "warm", "cold").toDF("k"), "k", tiny, width = 2, depth = 2)
+      .select($"k", $"cms_count").as[(String, Long)].collect().toMap
+    assert(tEst("hot") >= 100L && tEst("warm") >= 7L && tEst("cold") >= 1L)
+  }
+
+  test("cms sketches merge by adding cells: merged estimate equals whole-stream estimate") {
+    import spark.implicits._
+    val a = Seq.fill(10)("x").toDF("k")
+    val b = (Seq.fill(5)("x") ++ Seq.fill(3)("y")).toDF("k")
+    val whole = Sketches.cmsBuild(a.union(b), "k", width = 64, depth = 3)
+    val merged = Sketches.cmsBuild(a, "k", width = 64, depth = 3)
+      .union(Sketches.cmsBuild(b, "k", width = 64, depth = 3))
+      .groupBy("row_idx", "bucket").agg(sum("cnt").as("cnt"))
+    assert(whole.exceptAll(merged).isEmpty && merged.exceptAll(whole).isEmpty)
   }
 }
