@@ -652,4 +652,34 @@ object TextAnalysis {
         coalesce(col("m"), lit(0L)).as("n_tokens"),
         round(exp(-(col("s").cast("double")) / col("m")), 6).as("ppl"))
   }
+
+  /** CCNet's head/middle/tail split over a perplexity-scored frame
+    * (Wenzek et al. 2020 §4.3): docs at or below the `lo` quantile of
+    * `pplCol` are "head" (most in-distribution), between `lo` and `hi`
+    * "middle", above "tail"; NULL scores (empty docs) bucket as "empty".
+    * CCNet trains on the middle (head is boilerplate-like, tail noise) —
+    * downstream sampling keys on this label.
+    *
+    * The two boundaries are ONE exact-percentile aggregate (interpolated,
+    * nulls skipped — the q_percentile-proven cross-engine idiom)
+    * broadcast back over the frame; the label is a map-side CASE. Exact
+    * percentile sorts the score column at 100 TB — swap in stored
+    * boundaries from a sample epoch there; the label pass itself is
+    * shuffle-free either way.
+    *
+    * Output: input columns + `bucket`. */
+  def perplexityBuckets(scored: DataFrame, pplCol: String = "ppl",
+                        lo: Double = 1.0 / 3, hi: Double = 2.0 / 3): DataFrame = {
+    require(0 < lo && lo < hi && hi < 1, s"need 0 < lo < hi < 1, got ($lo, $hi)")
+    val bounds = scored.agg(
+      expr(s"percentile($pplCol, $lo)").as("b_lo"),
+      expr(s"percentile($pplCol, $hi)").as("b_hi"))
+    scored.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        when(col(pplCol).isNull, "empty")
+          .when(col(pplCol) <= col("b_lo"), "head")
+          .when(col(pplCol) <= col("b_hi"), "middle")
+          .otherwise("tail"))
+      .drop("b_lo", "b_hi")
+  }
 }

@@ -913,6 +913,18 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // --- CCNet head/middle/tail split over the perplexity scores
+    //     (terciles; train on middle is the CCNet recipe) ---
+    "t_perplexity_buckets" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val scored = TextAnalysis.ngramLmPerplexity(
+        d.filter(col("doc_id") % 2 === 0),
+        d.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+      TextAnalysis.perplexityBuckets(scored)
+        .select("doc_id", "ppl", "bucket")
+        .orderBy("doc_id")
+    }),
+
     // --- Count-Min heavy-hitter eval: CMS over the token stream, exact
     //     top-50 tokens probed against it (estimate >= exact always;
     //     the exact side is the eval oracle the sketch replaces at
@@ -2514,6 +2526,40 @@ object PipelineQueries {
            |SELECT t.doc_id, coalesce(m, 0)::BIGINT AS n_tokens,
            |  round(exp(-(s2::DOUBLE) / m), 6) AS ppl
            |FROM tg t LEFT JOIN agg ON agg.doc_id = t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+      "t_perplexity_buckets" ->
+        s"""WITH tr AS (SELECT $toks AS t FROM documents WHERE doc_id % 2 = 0),
+           |tg AS (SELECT doc_id, $toks AS t FROM documents WHERE doc_id % 2 = 1),
+           |u AS (SELECT t[i] AS w, CAST(count(*) AS BIGINT) AS c1
+           |      FROM tr, unnest(range(1, len(t) + 1)) AS x(i) GROUP BY t[i]),
+           |b AS (SELECT t[i] AS w1, t[i+1] AS w2, CAST(count(*) AS BIGINT) AS c2
+           |      FROM tr, unnest(range(1, len(t))) AS x(i) GROUP BY t[i], t[i+1]),
+           |st AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM u) AS v,
+           |              (SELECT CAST(sum(c1) AS BIGINT) FROM u) AS n),
+           |tok AS (SELECT doc_id, i, CASE WHEN i > 1 THEN t[i-1] END AS prev, t[i] AS w
+           |        FROM tg, unnest(range(1, len(t) + 1)) AS x(i)),
+           |ll AS (SELECT doc_id,
+           |         CAST(round(CASE WHEN i = 1
+           |           THEN ln((coalesce(uw.c1, 0) + 1)::DOUBLE) - ln((st.n + st.v + 1)::DOUBLE)
+           |           ELSE ln((coalesce(b.c2, 0) + 1)::DOUBLE)
+           |                - ln((coalesce(up.c1, 0) + st.v + 1)::DOUBLE) END, 9)
+           |           AS DECIMAL(28,9)) AS l
+           |       FROM tok CROSS JOIN st
+           |       LEFT JOIN u uw ON uw.w = tok.w
+           |       LEFT JOIN u up ON up.w = tok.prev
+           |       LEFT JOIN b ON b.w1 = tok.prev AND b.w2 = tok.w),
+           |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS m, sum(l) AS s2
+           |        FROM ll GROUP BY doc_id),
+           |pp AS (SELECT t.doc_id, round(exp(-(s2::DOUBLE) / m), 6) AS ppl
+           |       FROM tg t LEFT JOIN agg ON agg.doc_id = t.doc_id),
+           |qs AS (SELECT quantile_cont(ppl, 1.0/3) AS b_lo,
+           |              quantile_cont(ppl, 2.0/3) AS b_hi FROM pp)
+           |SELECT doc_id, ppl,
+           |  CASE WHEN ppl IS NULL THEN 'empty'
+           |       WHEN ppl <= b_lo THEN 'head'
+           |       WHEN ppl <= b_hi THEN 'middle'
+           |       ELSE 'tail' END AS bucket
+           |FROM pp CROSS JOIN qs ORDER BY doc_id""".stripMargin,
 
       "t_cms_heavy" ->
         s"""WITH tok AS (SELECT unnest($toks) AS token FROM documents),

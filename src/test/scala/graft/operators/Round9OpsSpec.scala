@@ -93,6 +93,19 @@ class Round9OpsSpec extends SparkSpec {
     assert(tEst("hot") >= 100L && tEst("warm") >= 7L && tEst("cold") >= 1L)
   }
 
+  test("perplexityBuckets: tercile labels with interpolated boundaries, null scores bucket as empty") {
+    import spark.implicits._
+    // ppl 1..9 -> boundaries at 1/3 and 2/3 interpolate to 3.667 / 6.333
+    val scored = ((1 to 9).map(i => (i.toLong, Some(i.toDouble))) :+ (10L, None))
+      .toDF("doc_id", "ppl")
+    val r = TextAnalysis.perplexityBuckets(scored)
+      .select($"doc_id", $"bucket").as[(Long, String)].collect().toMap
+    assert((1 to 3).forall(i => r(i.toLong) == "head"))
+    assert((4 to 6).forall(i => r(i.toLong) == "middle"))
+    assert((7 to 9).forall(i => r(i.toLong) == "tail"))
+    assert(r(10L) == "empty")
+  }
+
   test("cms sketches merge by adding cells: merged estimate equals whole-stream estimate") {
     import spark.implicits._
     val a = Seq.fill(10)("x").toDF("k")
