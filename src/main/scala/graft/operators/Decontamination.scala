@@ -36,11 +36,13 @@ object Decontamination {
     val df = Dedup.widen(df0)
     // 8-byte hashed shingles (see Dedup.shingleHash): the overlap join
     // keys and the broadcast eval set carry longs, not shingle strings
-    def shingleStream(d: DataFrame): DataFrame = d
-      .select(col(idCol), tokens(col(textCol)).as("toks"))
-      .filter(size(col("toks")) >= k)
-      .select(col(idCol), explode(array_distinct(transform(
-        shingles(col("toks"), k), Dedup.shingleHash(_)))).as("s"))
+    def shingleStream(d: DataFrame): DataFrame =
+      graft.functions.SafeExplode.explodeSelect(
+        d.select(col(idCol), tokens(col(textCol)).as("toks"))
+          .filter(size(col("toks")) >= k),
+        Seq(col(idCol)),
+        array_distinct(transform(shingles(col("toks"), k), Dedup.shingleHash(_))),
+        "s")
     val evalSh = broadcast(shingleStream(df.filter(evalPred))
       .select("s").distinct().withColumn("hit", lit(1)))
     // shingles() emits DISTINCT shingles per doc, so count(*) counts the

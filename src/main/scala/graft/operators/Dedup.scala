@@ -74,7 +74,10 @@ object Dedup {
   def minhashSignatures(df0: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 16, k: Int = 3): DataFrame =
     minhashSignatureArray(df0, idCol, textCol, numHashes, k)
-      .select(col(idCol), posexplode(col("sig")).as(Seq("h", "sig")))
+      // outer + null-filter: see SafeExplode (the inferred size() filter
+      // would re-run the whole minhash signature computation)
+      .select(col(idCol), posexplode_outer(col("sig")).as(Seq("h", "sig")))
+      .filter(col("h").isNotNull)
       .select(col(idCol), col("h").cast("long").as("h"), col("sig"))
 
   /** Per-document MinHash signature as ONE array column (component i at
@@ -128,10 +131,11 @@ object Dedup {
                                minEstJaccard: Double = 0.5): DataFrame = {
     val rows = numHashes / bands
     val band = sig.select(col(idCol), col("sig"),
-        explode(transform(sequence(lit(0), lit(bands - 1)),
+        explode_outer(transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.as("band"),
             md5(concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows)))).as("bh"))))
           .as("bb"))
+      .filter(col("bb").isNotNull) // outer+filter: see SafeExplode
       .select(col(idCol), col("sig"), col("bb.band").as("band"), col("bb.bh").as("bh"))
     val cand = band.as("a").join(band.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -174,10 +178,11 @@ object Dedup {
     val rows = numHashes / bands
     def banded(sig: DataFrame): DataFrame =
       sig.select(col(idCol), col("sig"),
-          explode(transform(sequence(lit(0), lit(bands - 1)),
+          explode_outer(transform(sequence(lit(0), lit(bands - 1)),
             b => struct(b.as("band"),
               md5(concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows)))).as("bh"))))
             .as("bb"))
+        .filter(col("bb").isNotNull) // outer+filter: see SafeExplode
         .select(col(idCol), col("sig"), col("bb.band").as("band"), col("bb.bh").as("bh"))
     val cand = banded(batchSig).as("a").join(banded(corpusSig).as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -312,7 +317,8 @@ object Dedup {
     * which machine-checks that exclusion. */
   private[operators] def rankedPostings(docSh: DataFrame, idCol: String,
                                         t: Double, prefixOnly: Boolean): DataFrame = {
-    val ex = docSh.select(col(idCol), col("n"), explode(col("sh")).as("s"))
+    val ex = graft.functions.SafeExplode.explodeSelect(
+      docSh, Seq(col(idCol), col("n")), col("sh"), "s")
     val dfreq = ex.groupBy("s").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(idCol).orderBy(col("df"), col("s"))
@@ -446,10 +452,11 @@ object Dedup {
     val sig = minhashSignatureArray(df0, idCol, textCol, numHashes)
     val rows = numHashes / bands
     val band = sig.select(col(idCol),
-        explode(transform(sequence(lit(0), lit(bands - 1)),
+        explode_outer(transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.cast("long").as("band"),
             md5(concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows)))).as("bh"))))
           .as("bb"))
+      .filter(col("bb").isNotNull) // outer+filter: see SafeExplode
       .select(col(idCol), col("bb.band").as("band"), col("bb.bh").as("bh"))
     band.groupBy("band", "bh").agg(count(lit(1)).as("c"))
       .groupBy("band")
@@ -495,7 +502,8 @@ object Dedup {
               concat_ws(" ", slice(col("t"), i * segLen + 1, lit(segLen))).as("txt"))))
           .otherwise(array().cast("array<struct<idx:bigint,txt:string>>"))
           .as("segs"))
-    val ex = segs.select(col(idCol), explode(col("segs")).as("sg"))
+    val ex = graft.functions.SafeExplode
+      .explodeSelect(segs, Seq(col(idCol)), col("segs"), "sg")
       .select(col(idCol), col("sg.idx").as("idx"), md5(col("sg.txt")).as("h"))
     // distinct (doc, hash) first so a segment repeated WITHIN one doc
     // counts that doc once toward the cross-document threshold
@@ -591,13 +599,14 @@ object Dedup {
                                  n: Int = 50): DataFrame = {
     require(n > 0, s"span length must be positive, got $n")
     def gramExplode(base: DataFrame, keep: Seq[Column]): DataFrame =
-      base.select(keep :+ (when(size(col("t")) >= n,
-          transform(sequence(lit(1), size(col("t")) - n + 1),
-            p => struct(p.as("pos"),
-              md5(concat_ws(" ", slice(col("t"), p, lit(n)))).as("m"))))
-          .otherwise(array().cast("array<struct<pos:int,m:string>>"))
-          .as("gs")): _*)
-        .select(keep :+ explode(col("gs")).as("g"): _*)
+      graft.functions.SafeExplode.explodeSelect(
+          base.select(keep :+ (when(size(col("t")) >= n,
+            transform(sequence(lit(1), size(col("t")) - n + 1),
+              p => struct(p.as("pos"),
+                md5(concat_ws(" ", slice(col("t"), p, lit(n)))).as("m"))))
+            .otherwise(array().cast("array<struct<pos:int,m:string>>"))
+            .as("gs")): _*),
+          keep, col("gs"), "g")
         .select(keep ++ Seq(col("g.pos").as("pos"),
           conv(substring(col("g.m"), 1, 15), 16, 10).cast("long").as("h1"),
           conv(substring(col("g.m"), 16, 15), 16, 10).cast("long").as("h2")): _*)
@@ -638,7 +647,7 @@ object Dedup {
     * the unpersisted join-back form lost, measured 2× stage cost) and
     * counts via groupBy + leftsemi join-back, both AQE-splittable. The
     * doc-keyed aggregate after either branch is unchanged. */
-  private def substringStarts(df0: DataFrame, idCol: String, textCol: String,
+  private[graft] def substringStarts(df0: DataFrame, idCol: String, textCol: String,
                               n: Int, skewSafe: Boolean = false): DataFrame = {
     require(n > 0, s"span length must be positive, got $n")
     val df = widen(df0)
@@ -661,7 +670,11 @@ object Dedup {
             md5(concat_ws(" ", slice(col("t"), p, lit(n)))).as("m"))))
         .otherwise(array().cast("array<struct<pos:int,m:string>>"))
         .as("gs"))
-    val ex = grams.select(col(idCol), explode(col("gs")).as("g"))
+    // explode_outer + null-filter, NOT explode: see SafeExplode — the
+    // inferred size()>0 filter would re-evaluate the whole gram fan-out
+    // (with the tokenize regex inlined per element) below the Generate.
+    val ex = graft.functions.SafeExplode
+      .explodeSelect(grams, Seq(col(idCol)), col("gs"), "g")
       .select(col(idCol), col("g.pos").as("pos"),
         conv(substring(col("g.m"), 1, 15), 16, 10).cast("long").as("h1"),
         conv(substring(col("g.m"), 16, 15), 16, 10).cast("long").as("h2"))
@@ -756,7 +769,8 @@ object Dedup {
         when(size(col("ss")) > 0, spansOf(col("ss")))
           .otherwise(array().cast("array<struct<st:int,en:int>>"))
           .as("spans"))
-      .select(col(idCol), col("t"), explode(col("spans")).as("sp"))
+      .select(col(idCol), col("t"), explode_outer(col("spans")).as("sp"))
+      .filter(col("sp").isNotNull) // outer+filter: see SafeExplode
       .select(col(idCol),
         col("sp.st").as("span_start"),
         col("sp.en").as("span_end"),

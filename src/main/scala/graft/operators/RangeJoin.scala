@@ -25,9 +25,10 @@ object RangeJoin {
                 extraCond: Option[Column] = None): DataFrame = {
     val p = points.withColumn("__bin", (unix_micros(col(pointTs)) / binMicros).cast("long"))
     val i = intervals
-      .withColumn("__bin", explode(sequence(
+      .withColumn("__bin", explode_outer(sequence(
         (unix_micros(col(startTs)) / binMicros).cast("long"),
         (unix_micros(col(endTs)) / binMicros).cast("long"))))
+      .filter(col("__bin").isNotNull) // outer+filter: see SafeExplode
     val cond = p("__bin") === i("__bin") &&
       p(pointTs) >= i(startTs) && p(pointTs) <= i(endTs) &&
       extraCond.getOrElse(lit(true))
@@ -54,9 +55,11 @@ object RangeJoin {
                   extraCond: Option[Column] = None): DataFrame = {
     def bin(c: Column): Column = (unix_micros(c) / binMicros).cast("long")
     val l = left.withColumn("__bin",
-      explode(sequence(bin(col(lStart)), bin(col(lEnd)))))
+        explode_outer(sequence(bin(col(lStart)), bin(col(lEnd)))))
+      .filter(col("__bin").isNotNull) // outer+filter: see SafeExplode
     val r = right.withColumn("__bin",
-      explode(sequence(bin(col(rStart)), bin(col(rEnd)))))
+        explode_outer(sequence(bin(col(rStart)), bin(col(rEnd)))))
+      .filter(col("__bin").isNotNull)
     val cond = l("__bin") === r("__bin") &&
       l(lStart) <= r(rEnd) && r(rStart) <= l(lEnd) &&
       l("__bin") === greatest(bin(l(lStart)), bin(r(rStart))) &&

@@ -141,7 +141,8 @@ object Similarity {
       .withColumn("n_cid", Vectors.nearestCidExpr(spark, col("nv"), cents))
     val probes = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
       .withColumn("cid",
-        explode(Vectors.nearestCidsExpr(spark, col("qv"), cents, nprobe)))
+        explode_outer(Vectors.nearestCidsExpr(spark, col("qv"), cents, nprobe)))
+      .filter(col("cid").isNotNull) // outer+filter: see SafeExplode
     val scored = broadcast(probes).join(assign, col("cid") === col("n_cid") &&
         col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
@@ -315,7 +316,8 @@ object Similarity {
         pqRecon(col("nv"), cbs, sub).as("rv"))
     val probes = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
       .withColumn("cid",
-        explode(Vectors.nearestCidsExpr(spark, col("qv"), cents, nprobe)))
+        explode_outer(Vectors.nearestCidsExpr(spark, col("qv"), cents, nprobe)))
+      .filter(col("cid").isNotNull) // outer+filter: see SafeExplode
     val scored = broadcast(probes).join(assign, col("cid") === col("n_cid") &&
         col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
@@ -378,7 +380,8 @@ object Similarity {
         (x, y) => (x + y).cast("float")).as("recon"))
     val probes = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
       .withColumn("cid",
-        explode(Vectors.nearestCidsExpr(spark, col("qv"), cents, nprobe)))
+        explode_outer(Vectors.nearestCidsExpr(spark, col("qv"), cents, nprobe)))
+      .filter(col("cid").isNotNull) // outer+filter: see SafeExplode
     val scored = broadcast(probes).join(cand, col("cid") === col("n_cid") &&
         col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
@@ -416,7 +419,8 @@ object Similarity {
     // appear in it) and carried as a flag into the shingle index.
     val docSh = Dedup.hashedShingleSets(df, idCol, textCol, shingleK,
       keep = Seq(col(vecCol).as("vec"), queryPred.as("is_query")))
-    val ex = docSh.select(col(idCol), col("is_query"), explode(col("sh")).as("s"))
+    val ex = graft.functions.SafeExplode.explodeSelect(
+      docSh, Seq(col(idCol), col("is_query")), col("sh"), "s")
     val qSh = broadcast(ex.filter(col("is_query"))
       .select(col(idCol).as("qid"), col("s")))
     val cand = ex.join(qSh, "s")
@@ -577,7 +581,8 @@ object Similarity {
   def sqEncode(corpus0: DataFrame, idCol: String, vecCol: String,
                model: Seq[(Float, Float)]): DataFrame =
     widen(corpus0).select(col(idCol),
-        posexplode(sqCodeExpr(col(vecCol), model)).as(Seq("dim", "code")))
+        posexplode_outer(sqCodeExpr(col(vecCol), model)).as(Seq("dim", "code")))
+      .filter(col("dim").isNotNull) // outer+filter: see SafeExplode
 
   /** IVF-SQ ANN (the faiss IVFScalarQuantizer shape — the index most
     * stores actually run at the 4× tier): coarse assignment on the
@@ -601,7 +606,8 @@ object Similarity {
         sqReconExpr(sqCodeExpr(col(vecCol), model), model).as("rv"))
     val probes = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
       .withColumn("cid",
-        explode(Vectors.nearestCidsExpr(spark, col("qv"), cents, nprobe)))
+        explode_outer(Vectors.nearestCidsExpr(spark, col("qv"), cents, nprobe)))
+      .filter(col("cid").isNotNull) // outer+filter: see SafeExplode
     val scored = broadcast(probes).join(assign, col("cid") === col("n_cid") &&
         col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),

@@ -90,7 +90,8 @@ object Sketches {
       s"mBits must be a multiple of 32 in [32, 2^30], got $mBits")
     require(numHashes >= 1 && numHashes <= 64,
       s"numHashes must be in [1, 64], got $numHashes")
-    df.select(explode(bloomPositions(col(keyCol), mBits, numHashes)).as("pos"))
+    graft.functions.SafeExplode.explodeSelect(
+        df, Seq.empty, bloomPositions(col(keyCol), mBits, numHashes), "pos")
       .select(floor(col("pos") / 32).cast("long").as("word_idx"),
         pow(lit(2.0), col("pos") % 32).cast("long").as("mask"))
       .groupBy("word_idx")
@@ -155,7 +156,8 @@ object Sketches {
                depth: Int = 4): DataFrame = {
     require(width >= 2 && width <= (1 << 24), s"width out of range: $width")
     require(depth >= 1 && depth <= 16, s"depth out of range: $depth")
-    df.select(posexplode(cmsPositions(col(keyCol), width, depth)))
+    graft.functions.SafeExplode.posexplodeSelect(
+        df, Seq.empty, cmsPositions(col(keyCol), width, depth))
       .groupBy(col("pos").as("row_idx"), col("col").as("bucket"))
       .agg(count(lit(1)).as("cnt"))
   }
@@ -171,8 +173,8 @@ object Sketches {
   def cmsEstimate(df: DataFrame, keyCol: String, sketch: DataFrame,
                   width: Int = 1 << 12, depth: Int = 4,
                   estCol: String = "cms_count"): DataFrame = {
-    val probes = df.select(col(keyCol),
-        posexplode(cmsPositions(col(keyCol), width, depth)))
+    val probes = graft.functions.SafeExplode.posexplodeSelect(
+        df, Seq(col(keyCol)), cmsPositions(col(keyCol), width, depth))
       .select(col(keyCol), col("pos").as("row_idx"), col("col").as("bucket"))
     probes
       .join(sketch, Seq("row_idx", "bucket"), "left")

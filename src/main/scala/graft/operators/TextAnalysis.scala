@@ -145,8 +145,11 @@ object TextAnalysis {
     * Output: (stratum, token, cnt, rk); ties rank by token asc. */
   def vocabTopK(df: DataFrame, strataCol: String, textCol: String,
                 topK: Int = 20): DataFrame = {
-    val counts = Dedup.widen(df)
-      .select(col(strataCol), explode(tokens(col(textCol))).as("token"))
+    // all explodes of COMPUTED arrays below go through SafeExplode
+    // (outer + null-filter) — plain explode would re-run the generator
+    // expression (often the tokenize regex) inside an inferred filter
+    val counts = graft.functions.SafeExplode.explodeSelect(
+        Dedup.widen(df), Seq(col(strataCol)), tokens(col(textCol)), "token")
       .groupBy(col(strataCol), col("token"))
       .agg(count(lit(1)).as("cnt"))
     val w = org.apache.spark.sql.expressions.Window
@@ -167,10 +170,11 @@ object TextAnalysis {
     val grams = transform(
       sequence(lit(0), size(col("toks")) - n),
       i => concat_ws(" ", (0 until n).map(j => element_at(col("toks"), i + j + 1)): _*))
-    val counts = Dedup.widen(df)
-      .select(col(strataCol), tokens(col(textCol)).as("toks"))
-      .filter(size(col("toks")) >= n)
-      .select(col(strataCol), explode(grams).as("gram"))
+    val counts = graft.functions.SafeExplode.explodeSelect(
+        Dedup.widen(df)
+          .select(col(strataCol), tokens(col(textCol)).as("toks"))
+          .filter(size(col("toks")) >= n),
+        Seq(col(strataCol)), grams, "gram")
       .groupBy(col(strataCol), col("gram"))
       .agg(count(lit(1)).as("cnt"))
     val w = org.apache.spark.sql.expressions.Window
@@ -191,12 +195,13 @@ object TextAnalysis {
     * WindowGroupLimit (filter on row_number, not a global sort). */
   def bpeMergePairs(df: DataFrame, strataCol: String, textCol: String,
                     topK: Int = 10): DataFrame = {
-    val counts = Dedup.widen(df)
-      .select(col(strataCol), explode(tokens(col(textCol))).as("w"))
-      .filter(length(col("w")) >= 2)
-      .select(col(strataCol),
-        explode(transform(sequence(lit(1), length(col("w")) - 1),
-          i => col("w").substr(i, lit(2)))).as("pair"))
+    val counts = graft.functions.SafeExplode.explodeSelect(
+        graft.functions.SafeExplode.explodeSelect(
+            Dedup.widen(df), Seq(col(strataCol)), tokens(col(textCol)), "w")
+          .filter(length(col("w")) >= 2),
+        Seq(col(strataCol)),
+        transform(sequence(lit(1), length(col("w")) - 1),
+          i => col("w").substr(i, lit(2))), "pair")
       .groupBy(col(strataCol), col("pair"))
       .agg(count(lit(1)).as("cnt"))
     val w = org.apache.spark.sql.expressions.Window
@@ -252,8 +257,8 @@ object TextAnalysis {
     // exact totals); the cap is a distributed TakeOrdered — only the top
     // maxWords rows by (freq desc, w asc: Spark's binary-UTF8 string
     // order) ever reach the driver. Defaults pass everything through.
-    val wordFreq = Dedup.widen(df0)
-      .select(explode(tokens(col(textCol))).as("w"))
+    val wordFreq = graft.functions.SafeExplode.explodeSelect(
+        Dedup.widen(df0), Seq.empty, tokens(col(textCol)), "w")
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .filter(col("freq") >= minFreq)
       .orderBy(col("freq").desc, col("w").asc).limit(maxWords)
@@ -362,7 +367,8 @@ object TextAnalysis {
   def noveltyScore(df0: DataFrame, idCol: String, textCol: String,
                    k: Int = 3): DataFrame = {
     val docSh = Dedup.hashedShingleSets(Dedup.widen(df0), idCol, textCol, k)
-    val uniq = docSh.select(col(idCol), explode(col("sh")).as("s"))
+    val uniq = graft.functions.SafeExplode
+      .explodeSelect(docSh, Seq(col(idCol)), col("sh"), "s")
       .groupBy("s")
       .agg(count(lit(1)).as("df"), min(col(idCol)).as("owner"))
       .filter(col("df") === 1)
@@ -393,7 +399,8 @@ object TextAnalysis {
     df.select(col(idCol), tokens(col(textCol)).as("toks"))
       .filter(n > 0)
       .select(col(idCol), col("toks"),
-        explode(sequence(lit(0), nChunks - 1)).as("chunk_idx"))
+        explode_outer(sequence(lit(0), nChunks - 1)).as("chunk_idx"))
+      .filter(col("chunk_idx").isNotNull) // outer+filter: see SafeExplode
       .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
         slice(col("toks"), col("chunk_idx") * stride + 1, lit(chunkSize)).as("ct"))
       .select(col(idCol), col("chunk_idx"),
@@ -457,7 +464,8 @@ object TextAnalysis {
     * rounded to 6 dp. Output: (id, n_tokens, mean_surprise). */
   def unigramSurprise(df0: DataFrame, idCol: String, textCol: String): DataFrame = {
     val df = Dedup.widen(df0)
-    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("w"))
+    val tok = graft.functions.SafeExplode.explodeSelect(
+      df, Seq(col(idCol)), tokens(col(textCol)), "w")
     val freq = tok.groupBy("w").agg(count(lit(1)).as("cnt"))
     val total = freq.agg(sum(col("cnt")).as("n_total"))
     tok.join(freq, "w").crossJoin(broadcast(total))
@@ -491,13 +499,15 @@ object TextAnalysis {
     require(k > 0, s"add-k smoothing needs k > 0, got $k")
     val df = Dedup.widen(df0)
     val toks = df.select(col(idCol), tokens(col(textCol)).as("toks"))
-    val bg = toks.filter(size(col("toks")) >= 2)
-      .select(col(idCol), explode(transform(
-        sequence(lit(1), size(col("toks")) - 1),
-        i => struct(element_at(col("toks"), i).as("w1"),
-          element_at(col("toks"), i + 1).as("w2")))).as("b"))
+    val bg = graft.functions.SafeExplode.explodeSelect(
+        toks.filter(size(col("toks")) >= 2), Seq(col(idCol)),
+        transform(
+          sequence(lit(1), size(col("toks")) - 1),
+          i => struct(element_at(col("toks"), i).as("w1"),
+            element_at(col("toks"), i + 1).as("w2"))), "b")
       .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val tok = toks.select(col(idCol), explode(col("toks")).as("w"))
+    val tok = graft.functions.SafeExplode.explodeSelect(
+      toks, Seq(col(idCol)), col("toks"), "w")
     val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
     val c1 = tok.groupBy("w").agg(count(lit(1)).as("c1"))
     val v = broadcast(c1.agg(count(lit(1)).as("v")))
@@ -522,7 +532,8 @@ object TextAnalysis {
   def tfidfTopK(df0: DataFrame, idCol: String, textCol: String,
                 topK: Int = 3): DataFrame = {
     val df = Dedup.widen(df0)
-    val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    val tf = graft.functions.SafeExplode.explodeSelect(
+        df, Seq(col(idCol)), tokens(col(textCol)), "token")
       .groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
@@ -579,8 +590,9 @@ object TextAnalysis {
   private[graft] def fingerprintPostings(df0: DataFrame, idCol: String,
                                          textCol: String, k: Int, window: Int,
                                          maxDf: Long): DataFrame = {
-    val fps = winnowed(df0, idCol, textCol, k, window)
-      .select(col(idCol), explode(array_distinct(col("fps"))).as("fp"))
+    val fps = graft.functions.SafeExplode.explodeSelect(
+      winnowed(df0, idCol, textCol, k, window),
+      Seq(col(idCol)), array_distinct(col("fps")), "fp")
     if (maxDf == Long.MaxValue) fps
     else fps.join(
       fps.groupBy("fp").agg(count(lit(1)).as("df"))
@@ -617,18 +629,22 @@ object TextAnalysis {
   def ngramLmPerplexity(train: DataFrame, target: DataFrame,
                         idCol: String, textCol: String): DataFrame = {
     val trTok = train.select(tokens(col(textCol)).as("t"))
-    val uni = trTok.select(explode(col("t")).as("w"))
+    val uni = graft.functions.SafeExplode
+      .explodeSelect(trTok, Seq.empty, col("t"), "w")
       .groupBy("w").agg(count(lit(1)).as("c1"))
-    val bi = trTok.select(explode(when(size(col("t")) >= 2,
-        transform(sequence(lit(1), size(col("t")) - 1),
-          i => struct(element_at(col("t"), i).as("w1"),
-            element_at(col("t"), i + 1).as("w2"))))
-        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("g"))
+    val bi = graft.functions.SafeExplode.explodeSelect(
+        trTok, Seq.empty,
+        when(size(col("t")) >= 2,
+          transform(sequence(lit(1), size(col("t")) - 1),
+            i => struct(element_at(col("t"), i).as("w1"),
+              element_at(col("t"), i + 1).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>")), "g")
       .select(col("g.w1"), col("g.w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
     val stats = uni.agg(count(lit(1)).as("v"), sum(col("c1")).as("n"))
-    val tok = target.select(col(idCol), tokens(col(textCol)).as("t"))
-      .select(col(idCol), col("t"), posexplode(col("t")))
+    val tok = graft.functions.SafeExplode.posexplodeSelect(
+        target.select(col(idCol), tokens(col(textCol)).as("t")),
+        Seq(col(idCol), col("t")), col("t"))
       .select(col(idCol), col("pos"),
         when(col("pos") > 0, element_at(col("t"), col("pos"))).as("prev"),
         col("col").as("w"))

@@ -363,7 +363,8 @@ object CoreQueries {
         .agg(sum(col("value").cast("decimal(18,6)")).cast("double").as("day_value"))
       val days = daily.groupBy("user_id")
         .agg(min("day").as("d0"), max("day").as("d1"))
-        .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+        .select(col("user_id"), explode_outer(sequence(col("d0"), col("d1"))).as("day"))
+        .filter(col("day").isNotNull) // outer+filter: see SafeExplode
       val w = Window.partitionBy("user_id").orderBy("day")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       days.join(daily, Seq("user_id", "day"), "left")

@@ -506,7 +506,8 @@ object PipelineQueries {
       val f = graft.operators.Classifier.hashedCharNgramFeatures(
         docs(s, dir), "doc_id", "text", n = 3, buckets = 256)
       f.select(col("doc_id"),
-          posexplode(slice(col("x"), 2, 256)).as(Seq("dim", "share")))
+          posexplode_outer(slice(col("x"), 2, 256)).as(Seq("dim", "share")))
+        .filter(col("dim").isNotNull) // outer+filter: see SafeExplode
         .orderBy("doc_id", "dim")
     }),
 
@@ -601,9 +602,10 @@ object PipelineQueries {
     "t_kmv_distinct" -> ((s, dir) => {
       val d = docs(s, dir)
       import graft.functions.TextFunctions._
-      val sh = d.select(col("lang"), tokens(col("text")).as("toks"))
-        .filter(size(col("toks")) >= 3)
-        .select(col("lang"), explode(shingles(col("toks"), 3)).as("s"))
+      val sh = graft.functions.SafeExplode.explodeSelect(
+        d.select(col("lang"), tokens(col("text")).as("toks"))
+          .filter(size(col("toks")) >= 3),
+        Seq(col("lang")), shingles(col("toks"), 3), "s")
       graft.operators.Sketches.kmvDistinct(sh, "lang", "s", k = 64)
         .orderBy("lang")
     }),
@@ -931,8 +933,9 @@ object PipelineQueries {
     //     scale) ---
     "t_cms_heavy" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val toks = docs(s, dir)
-        .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
+      val toks = graft.functions.SafeExplode.explodeSelect(
+        docs(s, dir), Seq.empty,
+        graft.functions.TextFunctions.tokens(col("text")), "token")
       val sketch = Sketches.cmsBuild(toks, "token", width = 4096, depth = 4)
       // exact top-50: distributed TakeOrdered, then rank the 50 survivors
       val top = toks.groupBy("token").agg(count(lit(1)).as("exact_count"))

@@ -285,4 +285,28 @@ class PlanShapeSpec extends SparkSpec {
     assert("rangepartitioning".r.findAllIn(plan.toLowerCase).size === 1)
     assert(!plan.contains("hashpartitioning"))
   }
+
+  test("explode stages never re-evaluate their generator in an inferred filter (SafeExplode guard)") {
+    // InferFiltersFromGenerate + pushdown + projection collapse used to
+    // substitute the whole gram fan-out (with the tokenize regex inlined
+    // PER ARRAY ELEMENT) into a filter below each Generate — measured
+    // 16x on the ExactSubstr gram stage. The tokenize regex appearing
+    // exactly once per source branch in the optimized plan is the
+    // machine check that the explode_outer rewrite holds.
+    def regexCount(df: DataFrame): Int =
+      "regexp_extract_all".r
+        .findAllIn(df.queryExecution.optimizedPlan.toString).size
+    // repartition barrier keeps ConvertToLocalRelation from folding the
+    // projection into the local fixture (which would hide the regex)
+    val d = docs.repartition(2)
+    // spans has two deliberate branches (doc rebuild + gram window),
+    // one tokenize each; the inferred-filter bug made it 3-4
+    assert(regexCount(graft.operators.Dedup.substringSpans(d, "doc_id", "text", n = 3)) === 2)
+    // tf branch + df-frequency branch (exchange reuse merges them at
+    // runtime); the bug added a third/fourth occurrence per branch
+    assert(regexCount(graft.operators.TextAnalysis.tfidfTopK(d, "doc_id", "text")) === 2)
+    assert(regexCount(graft.operators.TextAnalysis.unigramSurprise(d, "doc_id", "text")) === 3) // tok + freq + total branches
+    // minhash LSH: tokenize once per candidate-join side
+    assert(regexCount(graft.operators.Dedup.minhashLsh(d, "doc_id", "text")) <= 4)
+  }
 }
