@@ -25,6 +25,36 @@ object Sampling {
                  seed: String = ""): DataFrame =
     df.filter(hashUnit(col(keyCol), seed) < rate)
 
+  /** Deterministic train/val/test assignment: the hash unit of `keyCol`
+    * lands each row in one bucket of `fractions` (cumulative-threshold
+    * CASE, map-side only). Content-addressed — a document's split never
+    * changes when the corpus grows, shrinks, or repartitions, which is
+    * the property that keeps eval sets stable across dataset rebuilds
+    * (a rand() split reshuffles leakage into train on every rerun).
+    * Adds `splitCol`. Thresholds are the exact IEEE partial sums of the
+    * fractions, so any engine reproducing the arithmetic agrees. */
+  def hashSplit(df: DataFrame, keyCol: String,
+                fractions: Seq[(String, Double)] =
+                  Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+                seed: String = "", splitCol: String = "split"): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(_._2 > 0),
+      s"fractions must be positive, got $fractions")
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must sum to 1, got ${fractions.map(_._2).sum}")
+    val u = hashUnit(col(keyCol), seed)
+    val cum = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
+    val label = fractions.init.zip(cum.init).foldRight(
+      lit(fractions.last._1): Column) { case (((name, _), hi), acc) =>
+      when(u < hi, name).otherwise(acc)
+    }
+    df.withColumn(splitCol, label)
+  }
+
+  /** The exact cumulative thresholds [[hashSplit]] uses — exposed so an
+    * oracle can embed the same IEEE partial sums. */
+  def splitThresholds(fractions: Seq[(String, Double)]): Seq[Double] =
+    fractions.map(_._2).scanLeft(0.0)(_ + _).tail
+
   /** Per-stratum rates (e.g. downsample dominant languages): strata not
     * listed keep everything. */
   def stratifiedHashSample(df: DataFrame, keyCol: String, strataCol: String,

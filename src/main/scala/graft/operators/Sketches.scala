@@ -130,6 +130,47 @@ object Sketches {
     words
   }
 
+  /** Quantile estimation from a deterministic hash-rank sample — the
+    * KMV trick pointed at quantiles instead of cardinality: per stratum,
+    * keep the `k` rows with the SMALLEST hash unit of their row key (a
+    * content-addressed uniform sample: the same rows at any parallelism,
+    * on any engine), then take exact interpolated percentiles over the
+    * sample. MERGEABLE like every sketch here: the k smallest of a union
+    * is the k smallest of the per-partition k-smallest, so per-epoch
+    * samples combine without rescanning (the t-digest role, with
+    * bit-reproducibility the digest can't give).
+    *
+    * The rank is a per-stratum window with the `rn <= k` filter kept
+    * directly above it, so WindowGroupLimit prunes each stratum to k
+    * rows BEFORE the sort (the kmvDistinct discipline). `exact = true`
+    * columns are the full-data percentiles for error inspection — at
+    * 100 TB you would drop them (that sort is what the sample replaces).
+    *
+    * Output: (strataCol, n_rows, p<NN>_exact, p<NN>_est per quantile). */
+  def quantileSample(df: DataFrame, strataCol: String, valueCol: String,
+                     idCol: String, k: Int = 64,
+                     quantiles: Seq[Double] = Seq(0.5, 0.9)): DataFrame = {
+    require(k >= 1, s"sample size must be positive, got $k")
+    require(quantiles.nonEmpty && quantiles.forall(q => q > 0 && q < 1),
+      s"quantiles must be in (0,1), got $quantiles")
+    def name(q: Double) = s"p${(q * 100).round}"
+    val h = df.select(col(strataCol).as("s"), col(valueCol).as("v"),
+        col(idCol).as("rid"))
+      .withColumn("u", Sampling.hashUnit(col("rid")))
+    val w = Window.partitionBy("s").orderBy(col("u"), col("rid"))
+    val estAggs = quantiles.map(q =>
+      round(expr(s"percentile(v, $q)"), 6).as(s"${name(q)}_est"))
+    val samp = h.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .groupBy("s").agg(estAggs.head, estAggs.tail: _*)
+    val exactAggs = count(lit(1)).as("n_rows") +:
+      quantiles.map(q =>
+        round(expr(s"percentile(v, $q)"), 6).as(s"${name(q)}_exact"))
+    val exact = h.groupBy("s").agg(exactAggs.head, exactAggs.tail: _*)
+    exact.join(samp, "s")
+      .withColumnRenamed("s", strataCol)
+  }
+
   /** The `depth` Count-Min bucket positions of a key — same
     * Kirsch-Mitzenmacher double-hash discipline as [[bloomPositions]]
     * (two md5 halves, odd stride), one bucket per sketch row. */

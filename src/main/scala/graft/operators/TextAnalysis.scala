@@ -669,6 +669,42 @@ object TextAnalysis {
         round(exp(-(col("s").cast("double")) / col("m")), 6).as("ppl"))
   }
 
+  /** Per-document Shannon entropy of the (lowercased) character
+    * distribution — the classic gibberish/binary-noise quality signal:
+    * natural text sits in a narrow entropy band; base64 blobs and
+    * binary-as-text score high, single-char padding scores near zero.
+    *
+    * Computed as H = ln(n) − (Σ c·ln c)/n over per-char counts c — the
+    * algebraic form keeps every ln over an INTEGER argument (engines
+    * agree bitwise) and the sum rides the 9-dp/decimal accumulation
+    * contract. Shape: one in-row char fan-out (SafeExplode), a
+    * (doc, char)-keyed count, a doc-keyed fold — both aggregates
+    * map-side combined, keys are splittable doc ids.
+    *
+    * Output: (idCol, n_chars, entropy), NULL entropy for empty docs. */
+  def charEntropy(df0: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val df = Dedup.widen(df0)
+    val base = df.select(col(idCol), lower(col(textCol)).as("txt"))
+    val chars = graft.functions.SafeExplode.explodeSelect(
+      base, Seq(col(idCol)),
+      when(length(col("txt")) > 0,
+        transform(sequence(lit(1), length(col("txt"))),
+          i => col("txt").substr(i, lit(1))))
+        .otherwise(array().cast("array<string>")),
+      "ch")
+    val counts = chars.groupBy(col(idCol), col("ch"))
+      .agg(count(lit(1)).as("cnt"))
+    val agg = counts.groupBy(col(idCol)).agg(
+      sum(col("cnt")).as("n"),
+      sum(round(col("cnt") * log(col("cnt").cast("double")), 9)
+        .cast("decimal(28,9)")).as("s"))
+    df.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n"), lit(0L)).as("n_chars"),
+        round(log(col("n").cast("double")) - col("s").cast("double") / col("n"), 6)
+          .as("entropy"))
+  }
+
   /** CCNet's head/middle/tail split over a perplexity-scored frame
     * (Wenzek et al. 2020 §4.3): docs at or below the `lo` quantile of
     * `pplCol` are "head" (most in-distribution), between `lo` and `hi`

@@ -927,6 +927,27 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // --- char-distribution Shannon entropy (gibberish / binary-noise
+    //     quality signal; integer-ln algebraic form) ---
+    "t_char_entropy" -> ((s, dir) =>
+      TextAnalysis.charEntropy(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // --- deterministic train/val/test split (content-hash thresholds:
+    //     a doc's split survives corpus rebuilds) ---
+    "t_hash_split" -> ((s, dir) =>
+      graft.operators.Sampling.hashSplit(
+          docs(s, dir).select("doc_id", "lang"), "doc_id")
+        .orderBy("doc_id")),
+
+    // --- hash-rank-sample quantile sketch vs exact percentiles (the
+    //     mergeable t-digest role, bit-reproducible) ---
+    "t_quantile_sample" -> ((s, dir) =>
+      Sketches.quantileSample(
+          TableCatalog.load(s, dir, "orders"),
+          "o_orderpriority", "o_totalprice", "o_orderkey", k = 64)
+        .orderBy("o_orderpriority")),
+
     // --- Count-Min heavy-hitter eval: CMS over the token stream, exact
     //     top-50 tokens probed against it (estimate >= exact always;
     //     the exact side is the eval oracle the sketch replaces at
@@ -2563,6 +2584,49 @@ object PipelineQueries {
            |       WHEN ppl <= b_hi THEN 'middle'
            |       ELSE 'tail' END AS bucket
            |FROM pp CROSS JOIN qs ORDER BY doc_id""".stripMargin,
+
+      "t_char_entropy" ->
+        s"""WITH ch AS (SELECT doc_id, substring(lower(text), i, 1) AS ch
+           |            FROM documents, unnest(range(1, len(lower(text)) + 1)) u(i)),
+           |c AS (SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS cnt
+           |      FROM ch GROUP BY doc_id, ch),
+           |a AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n,
+           |        sum(CAST(round(cnt * ln(cnt::DOUBLE), 9) AS DECIMAL(28,9))) AS s2
+           |      FROM c GROUP BY doc_id)
+           |SELECT d.doc_id, coalesce(n, 0)::BIGINT AS n_chars,
+           |  round(ln(n::DOUBLE) - (s2::DOUBLE) / n, 6) AS entropy
+           |FROM documents d LEFT JOIN a USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+      "t_hash_split" -> {
+        val u = "(SELECT sum((strpos('0123456789abcdef', substring(h, i, 1)) - 1) * (16 ** (6 - i))) " +
+          "FROM range(1, 7) t(i))::DOUBLE / 16777216.0"
+        val cum = graft.operators.Sampling.splitThresholds(
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        s"""SELECT doc_id, lang,
+           |  CASE WHEN $u < ${cum(0)} THEN 'train'
+           |       WHEN $u < ${cum(1)} THEN 'val'
+           |       ELSE 'test' END AS split
+           |FROM (SELECT doc_id, lang, md5(doc_id::VARCHAR) AS h FROM documents)
+           |ORDER BY doc_id""".stripMargin
+      },
+
+      "t_quantile_sample" -> {
+        val u = "(SELECT sum((strpos('0123456789abcdef', substring(h, i, 1)) - 1) * (16 ** (6 - i))) " +
+          "FROM range(1, 7) t(i))::DOUBLE / 16777216.0"
+        s"""WITH h AS (SELECT o_orderpriority AS s, o_totalprice AS v, o_orderkey AS rid,
+           |             $u AS u
+           |           FROM (SELECT *, md5(o_orderkey::VARCHAR) AS h FROM orders)),
+           |r AS (SELECT *, row_number() OVER (PARTITION BY s ORDER BY u, rid) AS rn FROM h),
+           |samp AS (SELECT s, round(quantile_cont(v, 0.5), 6) AS p50_est,
+           |           round(quantile_cont(v, 0.9), 6) AS p90_est
+           |         FROM r WHERE rn <= 64 GROUP BY s),
+           |ex AS (SELECT s, CAST(count(*) AS BIGINT) AS n_rows,
+           |         round(quantile_cont(v, 0.5), 6) AS p50_exact,
+           |         round(quantile_cont(v, 0.9), 6) AS p90_exact
+           |       FROM h GROUP BY s)
+           |SELECT ex.s AS o_orderpriority, n_rows, p50_exact, p90_exact, p50_est, p90_est
+           |FROM ex JOIN samp ON ex.s = samp.s ORDER BY o_orderpriority""".stripMargin
+      },
 
       "t_cms_heavy" ->
         s"""WITH tok AS (SELECT unnest($toks) AS token FROM documents),

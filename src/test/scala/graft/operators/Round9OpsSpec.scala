@@ -106,6 +106,84 @@ class Round9OpsSpec extends SparkSpec {
     assert(r(10L) == "empty")
   }
 
+  test("charEntropy: hand-computed distributions, empty doc yields null") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aaaa"),        // single symbol -> H = 0
+      (2L, "abab"),        // two equiprobable -> H = ln 2
+      (3L, "AaBb"),        // lowercased first -> same as doc 2
+      (4L, "")             // empty -> null
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.charEntropy(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .select($"doc_id", $"n_chars", $"entropy").as[(Long, Long, Option[Double])]
+      .collect()
+    val ln2 = math.rint(math.log(2) * 1e6) / 1e6
+    assert(rows(0) == ((1L, 4L, Some(0.0))))
+    assert(rows(1) == ((2L, 4L, Some(ln2))))
+    assert(rows(2) == ((3L, 4L, Some(ln2))))
+    assert(rows(3) == ((4L, 0L, None)))
+  }
+
+  test("charEntropy separates natural text from base64-ish noise and padding on the gate corpus") {
+    import spark.implicits._
+    val d = TableCatalog.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text").limit(50)
+    val natural = TextAnalysis.charEntropy(d, "doc_id", "text")
+      .agg(avg("entropy")).head.getDouble(0)
+    val padded = TextAnalysis.charEntropy(
+        d.withColumn("text", concat(col("text"), lit("x" * 2000))),
+        "doc_id", "text")
+      .agg(avg("entropy")).head.getDouble(0)
+    assert(natural > padded, s"padding must lower entropy: $natural vs $padded")
+  }
+
+  test("hashSplit: deterministic content-addressed assignment, stable under corpus growth") {
+    import spark.implicits._
+    val small = (1L to 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val big = (1L to 400L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val s1 = graft.operators.Sampling.hashSplit(small, "doc_id")
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    val s2 = graft.operators.Sampling.hashSplit(big, "doc_id")
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    // every doc keeps its split when the corpus doubles
+    assert(s1.forall { case (id, sp) => s2(id) == sp })
+    // all three buckets populated, roughly proportioned
+    val frac = s2.values.groupBy(identity).view.mapValues(_.size / 400.0).toMap
+    assert(frac.keySet == Set("train", "val", "test"))
+    assert(frac("train") > 0.7 && frac("train") < 0.9)
+    // repartitioning cannot move a doc
+    val s3 = graft.operators.Sampling.hashSplit(big.repartition(7), "doc_id")
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    assert(s2 == s3)
+  }
+
+  test("quantileSample: sample quantiles track exact ones; k-smallest-hash sample is mergeable") {
+    import spark.implicits._
+    val rows = (1L to 2000L).map(i => (i, s"g${i % 2}", i.toDouble)).toDF("id", "g", "v")
+    val r = Sketches.quantileSample(rows, "g", "v", "id", k = 200)
+      .orderBy("g").collect()
+    assert(r.length == 2)
+    for (row <- r) {
+      val (p50e, p50s) = (row.getAs[Double]("p50_exact"), row.getAs[Double]("p50_est"))
+      // a 200-of-1000 uniform sample's median should land within ~15%
+      assert(math.abs(p50s - p50e) / p50e < 0.15, s"p50 $p50s vs $p50e")
+    }
+    // mergeability: k smallest hashes of two halves, merged, equal the
+    // whole-data sample (set equality of the sampled ids)
+    val u = graft.operators.Sampling.hashUnit(col("id"))
+    def topIds(df: org.apache.spark.sql.DataFrame, k: Int) =
+      df.withColumn("u", u).orderBy("u", "id").limit(k)
+        .select($"id".as[Long]).collect().toSet
+    val whole = topIds(rows, 100)
+    val merged = (topIds(rows.filter($"id" <= 1000), 100) ++
+      topIds(rows.filter($"id" > 1000), 100))
+      .toSeq.map(id => (id, 1)).sortBy(_._1)
+    // merge = k smallest of the union of per-part k-smallest
+    val mergedTop = topIds(rows.filter($"id".isin(merged.map(_._1): _*)), 100)
+    assert(mergedTop == whole)
+  }
+
   test("cms sketches merge by adding cells: merged estimate equals whole-stream estimate") {
     import spark.implicits._
     val a = Seq.fill(10)("x").toDF("k")
