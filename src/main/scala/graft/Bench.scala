@@ -108,9 +108,12 @@ object Bench {
     // Also persist to a file: the driver's stdout tail capture is bounded
     // (2000 chars) and has truncated this line two rounds running — the
     // file artifact keeps the full per-query record parseable regardless.
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_LOCAL.json"), json + "\n")
-    catch { case _: Throwable => () }
+    // Restricted (SPARK_GRAFT_ONLY) iteration runs must not clobber the
+    // full-surface record.
+    if (only.isEmpty)
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_LOCAL.json"), json + "\n")
+      catch { case _: Throwable => () }
     spark.stop()
   }
 }

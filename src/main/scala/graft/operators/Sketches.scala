@@ -91,7 +91,8 @@ object Sketches {
     require(numHashes >= 1 && numHashes <= 64,
       s"numHashes must be in [1, 64], got $numHashes")
     graft.functions.SafeExplode.explodeSelect(
-        df, Seq.empty, bloomPositions(col(keyCol), mBits, numHashes), "pos")
+        Dedup.widen(df), Seq.empty,
+        bloomPositions(col(keyCol), mBits, numHashes), "pos")
       .select(floor(col("pos") / 32).cast("long").as("word_idx"),
         pow(lit(2.0), col("pos") % 32).cast("long").as("mask"))
       .groupBy("word_idx")
@@ -197,8 +198,10 @@ object Sketches {
                depth: Int = 4): DataFrame = {
     require(width >= 2 && width <= (1 << 24), s"width out of range: $width")
     require(depth >= 1 && depth <= 16, s"depth out of range: $depth")
+    // widen: the depth-way md5 fan-out must not serialize into the one
+    // task a compact parquet scan yields (the r2 fan-out-guard lesson)
     graft.functions.SafeExplode.posexplodeSelect(
-        df, Seq.empty, cmsPositions(col(keyCol), width, depth))
+        Dedup.widen(df), Seq.empty, cmsPositions(col(keyCol), width, depth))
       .groupBy(col("pos").as("row_idx"), col("col").as("bucket"))
       .agg(count(lit(1)).as("cnt"))
   }

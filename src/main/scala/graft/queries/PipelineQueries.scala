@@ -958,11 +958,16 @@ object PipelineQueries {
         docs(s, dir), Seq.empty,
         graft.functions.TextFunctions.tokens(col("text")), "token")
       val sketch = Sketches.cmsBuild(toks, "token", width = 4096, depth = 4)
-      // exact top-50: distributed TakeOrdered, then rank the 50 survivors
+      // exact top-50: distributed TakeOrdered, then rank the 50 survivors.
+      // persist: the 50-row frame feeds BOTH the probe fan-out and the
+      // estimate's join-back — without it each reference recomputes the
+      // full exact-count subtree (token explode + groupBy), measured 2x
+      // the query. Model-budget cache (50 rows), cleared by the harness.
       val top = toks.groupBy("token").agg(count(lit(1)).as("exact_count"))
         .orderBy(col("exact_count").desc, col("token")).limit(50)
         .withColumn("rk", row_number().over(
           Window.orderBy(col("exact_count").desc, col("token"))).cast("long"))
+        .persist()
       Sketches.cmsEstimate(top, "token", sketch, width = 4096, depth = 4)
         .orderBy("rk")
     }),
