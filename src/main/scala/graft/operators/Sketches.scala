@@ -174,8 +174,9 @@ object Sketches {
 
   /** The `depth` Count-Min bucket positions of a key — same
     * Kirsch-Mitzenmacher double-hash discipline as [[bloomPositions]]
-    * (two md5 halves, odd stride), one bucket per sketch row. */
-  private def cmsPositions(key: Column, width: Int, depth: Int): Column = {
+    * (two md5 halves, odd stride), one bucket per sketch row. Exposed
+    * package-wide for the streaming windowed-CMS builder. */
+  private[graft] def cmsPositions(key: Column, width: Int, depth: Int): Column = {
     val hex = md5(key.cast("string"))
     val h1 = conv(substring(hex, 1, 15), 16, 10).cast("long") % width
     val h2raw = conv(substring(hex, 16, 15), 16, 10).cast("long") % width

@@ -78,6 +78,13 @@ object ParityQueries {
       graft.streaming.EventStream.windowedCounts(t(s, dir, "events"))
         .orderBy("window_start", "event_type")),
 
+    // Windowed Count-Min cells in batch mode: per-day heavy-hitter
+    // sketch over user_id — model-sized state per window regardless of
+    // cardinality; same code runs the live stream (append mode).
+    "st_cms_window" -> ((s, dir) =>
+      graft.streaming.EventStream.windowedCmsCells(t(s, dir, "events"))
+        .orderBy("window_start", "row_idx", "bucket")),
+
     // Gap-based sessionization in batch mode (1-hour gap): lag + running
     // sum over one user_id shuffle; deterministic since (user_id, ts) is
     // unique.
@@ -227,6 +234,17 @@ object ParityQueries {
           |  count(*) AS n,
           |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
           |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+      "st_cms_window" ->
+        """WITH hh AS (SELECT date_trunc('day', ts) AS window_start,
+          |  ('0x' || substring(md5(user_id::VARCHAR), 1, 15))::BIGINT % 1024 AS h1,
+          |  ('0x' || substring(md5(user_id::VARCHAR), 16, 15))::BIGINT % 1024 AS h2r
+          |FROM events)
+          |SELECT window_start, r.i AS row_idx,
+          |  (h1 + r.i * (h2r + 1 - (h2r % 2))) % 1024 AS bucket,
+          |  CAST(count(*) AS BIGINT) AS cnt
+          |FROM hh CROSS JOIN range(0, 4) r(i)
+          |GROUP BY 1, 2, 3 ORDER BY window_start, row_idx, bucket""".stripMargin,
 
       "st_session_window" ->
         """WITH s AS (

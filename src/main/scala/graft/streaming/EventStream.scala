@@ -39,6 +39,36 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Windowed Count-Min sketch cells over a key column — streaming
+    * heavy-hitter infrastructure: per tumbling window, the (row, bucket)
+    * occurrence counts of the Kirsch-Mitzenmacher md5 positions
+    * ([[graft.operators.Sketches.cmsPositions]]). The state per window
+    * is model-sized (≤ depth×width cells) REGARDLESS of key cardinality
+    * or event volume — the property that keeps a 100 TB/day stream's
+    * store finite where a per-key count table would not be — and cells
+    * from separate windows/streams MERGE by adding, so backfill and
+    * live sketches combine. Same code runs batch (backfill) and
+    * `readStream` (append mode after the watermark closes a window);
+    * probe with [[graft.operators.Sketches.cmsEstimate]] against any
+    * window's cells.
+    *
+    * Output: (window_start, row_idx, bucket, cnt). */
+  def windowedCmsCells(events: DataFrame, keyCol: String = "user_id",
+                       width: Int = 1024, depth: Int = 4,
+                       windowLen: String = "1 day",
+                       watermark: String = "1 hour"): DataFrame =
+    graft.functions.SafeExplode.posexplodeSelect(
+        events.withWatermark("ts", watermark)
+          .select(col("ts"),
+            graft.operators.Sketches.cmsPositions(col(keyCol), width, depth)
+              .as("cells")),
+        Seq(col("ts")), col("cells"))
+      .groupBy(window(col("ts"), windowLen),
+        col("pos").as("row_idx"), col("col").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"),
+        col("row_idx").cast("long").as("row_idx"), col("bucket"), col("cnt"))
+
   /** Batch (backfill) sessionization: gap-based sessions per user via
     * lag + running sum — the standard windowed formulation, fully
     * deterministic because (user_id, ts) is unique in the events schema.

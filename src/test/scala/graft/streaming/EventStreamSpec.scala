@@ -72,6 +72,41 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedCmsCells: stream (append, watermark-closed windows) matches the batch sketch") {
+    import spark.implicits._
+    val rows = Seq(
+      (ts("2026-01-01T00:10:00Z"), 1L), (ts("2026-01-01T00:20:00Z"), 1L),
+      (ts("2026-01-01T01:00:00Z"), 2L), (ts("2026-01-01T05:00:00Z"), 1L))
+    val batch = EventStream.windowedCmsCells(
+        rows.toDF("ts", "user_id"), width = 64, depth = 3)
+      .select("window_start", "row_idx", "bucket", "cnt")
+    // per-window cell mass = depth × window events (each event lands in
+    // exactly one bucket per row)
+    val mass = batch.filter(col("window_start") === ts("2026-01-01T00:00:00Z"))
+      .agg(sum("cnt")).head.getLong(0)
+    assert(mass === 3L * 4) // 4 events on day one × depth 3... per-row: 3 rows × 4 events
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val q = EventStream.windowedCmsCells(
+        mem.toDF.toDF("ts", "user_id"), width = 64, depth = 3)
+      .writeStream.format("memory").queryName("cms_win")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      // advance the watermark far past the first day so its windows close
+      mem.addData((ts("2026-01-03T00:00:00Z"), 9L))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val streamed = spark.table("cms_win")
+        .select("window_start", "row_idx", "bucket", "cnt")
+      val closedBatch = batch.filter(col("window_start") < ts("2026-01-02T00:00:00Z"))
+      assert(closedBatch.exceptAll(streamed).isEmpty,
+        "every closed-window batch cell must be emitted by the stream")
+      assert(closedBatch.count() > 0)
+    } finally q.stop()
+  }
+
   test("dedupStream drops redelivered event ids within the watermark") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
