@@ -6,13 +6,14 @@ import org.apache.spark.sql.functions._
 
 /** Deterministic cardinality sketches for corpus statistics.
   *
-  * HyperLogLog (`approx_count_distinct`) is the usual answer, but its
-  * estimates are implementation-specific — two engines (or two versions)
-  * disagree, which breaks the cross-engine reproducibility contract every
-  * operator here keeps. KMV (k-minimum-values) has none of that: the
-  * estimate is a pure function of the k smallest md5-derived hash values
-  * of the distinct elements, so any engine that agrees on md5 agrees on
-  * the estimate bit-for-bit, at any parallelism.
+  * Built-in HyperLogLog (`approx_count_distinct`) is the usual answer,
+  * but its estimates are implementation-specific — two engines (or two
+  * versions) disagree, which breaks the cross-engine reproducibility
+  * contract every operator here keeps. Both cardinality sketches below
+  * avoid that by deriving everything from md5: KMV's estimate is a pure
+  * function of the k smallest hash values, and [[hllRegisters]] is a
+  * from-scratch HLL whose register contents (and hence estimate) any
+  * engine that agrees on md5 reproduces bit-for-bit, at any parallelism.
   */
 object Sketches {
 
@@ -170,6 +171,94 @@ object Sketches {
     val exact = h.groupBy("s").agg(exactAggs.head, exactAggs.tail: _*)
     exact.join(samp, "s")
       .withColumnRenamed("s", strataCol)
+  }
+
+  /** HyperLogLog registers (Flajolet et al. 2007) per stratum over the
+    * values of `valueCol`, as a SPARSE (stratum, j, m_j) frame — at most
+    * m = 2^p rows per stratum regardless of input size. Unlike
+    * `approx_count_distinct`, whose estimate is implementation-specific,
+    * these registers are a pure function of md5 (the engine-portable
+    * hash convention of every sketch here): h = the first 60 bits of the
+    * value's md5; register j = the low p bits; m_j = max over the
+    * stratum's values of rho(w), the 1-based position of the highest set
+    * bit counted from the top of the remaining (60-p)-bit word — so any
+    * engine that agrees on md5 reproduces the registers, and therefore
+    * the estimate, bit-for-bit.
+    *
+    * MERGEABLE by per-register max (the HLL union law): per-epoch /
+    * per-partition register frames combine without rescanning, which is
+    * the whole reason to carry HLL instead of exact counts at 100 TB.
+    * The build is one distinct + one model-sized max aggregate, both
+    * map-side combined. */
+  def hllRegisters(df: DataFrame, strataCol: String, valueCol: String,
+                   p: Int = 6): DataFrame = {
+    require(p >= 4 && p <= 14, s"p must be in [4, 14], got $p")
+    val m = 1 << p
+    val maxRho = 60 - p + 1
+    val dv = df.select(col(strataCol), col(valueCol).cast("string").as("v"))
+      .distinct()
+    val h = conv(substring(md5(col("v")), 1, 15), 16, 10).cast("long")
+    // shiftright/bitwiseAND, NOT `/` — Column `/` is DOUBLE division and
+    // a 60-bit hash does not survive the 53-bit mantissa round-trip
+    dv.select(col(strataCol),
+        h.bitwiseAND(lit((m - 1).toLong)).as("j"),
+        shiftright(h, p).as("w"))
+      .withColumn("rho",
+        when(col("w") === 0L, lit(maxRho.toLong))
+          .otherwise(lit(maxRho.toLong) - length(bin(col("w")))))
+      .groupBy(col(strataCol), col("j"))
+      .agg(max(col("rho")).as("m_j"))
+  }
+
+  /** Cardinality estimates from [[hllRegisters]]: (stratum, hll_estimate).
+    * Standard HLL estimator with the small-range linear-counting branch;
+    * the harmonic-mean denominator sum(2^-M_j) is computed EXACTLY as a
+    * scaled 64-bit integer (every term is the dyadic rational
+    * 2^(maxRho-M_j) / 2^maxRho; the scaled sum is at most
+    * 2^p · 2^maxRho = 2^61), so the only floating-point steps are one
+    * division, one multiply chain, and the ln of a small integer ratio —
+    * identical in any IEEE engine at the 4-dp rounding. */
+  def hllEstimate(registers: DataFrame, strataCol: String,
+                  p: Int = 6): DataFrame = {
+    require(p >= 4 && p <= 14, s"p must be in [4, 14], got $p")
+    val m = 1 << p
+    val maxRho = 60 - p + 1
+    val alpha = p match {
+      case 4 => 0.673
+      case 5 => 0.697
+      case 6 => 0.709
+      case _ => 0.7213 / (1 + 1.079 / m)
+    }
+    registers.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_nz"),
+        // 2^(maxRho - m_j) is exact in double for exponents <= 57,
+        // and exact again after the cast — both engines agree bitwise
+        sum(pow(lit(2.0), lit(maxRho.toLong) - col("m_j")).cast("long"))
+          .as("s_present"))
+      .withColumn("v0", lit(m.toLong) - col("n_nz"))
+      .withColumn("s_tot",
+        col("s_present") + col("v0") * lit(1L << maxRho))
+      .withColumn("e_raw",
+        lit(alpha) * lit((m.toDouble) * m) * lit((1L << maxRho).toDouble) /
+          col("s_tot"))
+      .withColumn("hll_estimate",
+        round(when(col("e_raw") <= lit(2.5 * m) && col("v0") > 0,
+            lit(m.toDouble) * log(lit(m.toDouble) / col("v0")))
+          .otherwise(col("e_raw")), 4))
+      .select(strataCol, "hll_estimate")
+  }
+
+  /** HLL distinct-count per stratum with the exact count alongside:
+    * (stratum, n_exact, hll_estimate) — the [[kmvDistinct]] shape, HLL
+    * flavor. As there, `n_exact` is for error inspection; at 100 TB you
+    * would drop it (the exact distinct is what the sketch replaces). */
+  def hllDistinct(df: DataFrame, strataCol: String, valueCol: String,
+                  p: Int = 6): DataFrame = {
+    val dv = df.select(col(strataCol), col(valueCol).cast("string").as("v"))
+      .distinct()
+    val exact = dv.groupBy(col(strataCol)).agg(count(lit(1)).as("n_exact"))
+    val est = hllEstimate(hllRegisters(df, strataCol, valueCol, p), strataCol, p)
+    exact.join(est, strataCol).select(strataCol, "n_exact", "hll_estimate")
   }
 
   /** The `depth` Count-Min bucket positions of a key — same

@@ -610,6 +610,20 @@ object PipelineQueries {
         .orderBy("lang")
     }),
 
+    // --- HyperLogLog distinct-shingle sketch per language (p=6, 64
+    //     registers) — same input as t_kmv_distinct, the other portable
+    //     cardinality sketch; registers merge by max across epochs ---
+    "t_hll_distinct" -> ((s, dir) => {
+      val d = docs(s, dir)
+      import graft.functions.TextFunctions._
+      val sh = graft.functions.SafeExplode.explodeSelect(
+        d.select(col("lang"), tokens(col("text")).as("toks"))
+          .filter(size(col("toks")) >= 3),
+        Seq(col("lang")), shingles(col("toks"), 3), "s")
+      graft.operators.Sketches.hllDistinct(sh, "lang", "s", p = 6)
+        .orderBy("lang")
+    }),
+
     // --- weighted sampling without replacement (Efraimidis-Spirakis):
     //     100 docs, inclusion odds proportional to n_chars ---
     "t_weighted_sample" -> ((s, dir) =>
@@ -2018,6 +2032,33 @@ object PipelineQueries {
            |  round(coalesce(63.0 / uk, n_exact::DOUBLE), 4) AS kmv_estimate
            |FROM ex LEFT JOIN kth USING (lang) ORDER BY lang""".stripMargin
       },
+
+      // HLL p=6: h = first 60 md5 bits; j = low 6 bits, w = high 54;
+      // rho = 55 - bitlength(w) (55 when w = 0); registers = max rho;
+      // harmonic sum scaled by 2^55 so it is EXACT 64-bit integer math
+      "t_hll_distinct" ->
+        s"""WITH dv AS (SELECT DISTINCT lang, s AS v FROM (
+           |    SELECT lang, unnest($sh3) AS s
+           |    FROM (SELECT lang, $toks AS t FROM documents) WHERE len(t) >= 3)),
+           |h AS (SELECT lang, ('0x' || substring(md5(v), 1, 15))::BIGINT AS hv FROM dv),
+           |r AS (SELECT lang, hv & 63 AS j,
+           |             CASE WHEN hv >> 6 = 0 THEN 55
+           |                  ELSE 55 - length(bin(hv >> 6)) END AS rho FROM h),
+           |reg AS (SELECT lang, j, max(rho) AS m_j FROM r GROUP BY lang, j),
+           |agg AS (SELECT lang, count(*) AS n_nz,
+           |        sum(CAST(2 ** (55 - m_j) AS BIGINT)) AS s_present
+           |        FROM reg GROUP BY lang),
+           |est AS (SELECT lang, 64 - n_nz AS v0,
+           |        s_present + (64 - n_nz) * CAST(2 ** 55 AS BIGINT) AS s_tot FROM agg),
+           |ex AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_exact FROM dv GROUP BY lang)
+           |SELECT lang, n_exact,
+           |  round(CASE WHEN 0.709::DOUBLE * 4096::DOUBLE * 36028797018963968::DOUBLE
+           |                    / s_tot <= 160.0 AND v0 > 0
+           |             THEN 64::DOUBLE * ln(64::DOUBLE / v0)
+           |             ELSE 0.709::DOUBLE * 4096::DOUBLE * 36028797018963968::DOUBLE
+           |                    / s_tot END, 4)
+           |    AS hll_estimate
+           |FROM ex JOIN est USING (lang) ORDER BY lang""".stripMargin,
 
       "t_vocab_topk" ->
         s"""WITH tok AS (SELECT lang, unnest($toks) AS token FROM documents),

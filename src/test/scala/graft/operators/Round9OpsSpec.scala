@@ -194,4 +194,44 @@ class Round9OpsSpec extends SparkSpec {
       .groupBy("row_idx", "bucket").agg(sum("cnt").as("cnt"))
     assert(whole.exceptAll(merged).isEmpty && merged.exceptAll(whole).isEmpty)
   }
+
+  test("hll registers merge by max: merged estimate equals whole-set estimate") {
+    import spark.implicits._
+    val rows = (1 to 5000).map(i => ("s", s"v$i")).toDF("g", "v")
+    val whole = Sketches.hllEstimate(Sketches.hllRegisters(rows, "g", "v"), "g")
+    val merged = Sketches.hllEstimate(
+      Sketches.hllRegisters(rows.filter($"v" < "v3"), "g", "v")
+        .union(Sketches.hllRegisters(rows.filter($"v" >= "v3"), "g", "v"))
+        .groupBy("g", "j").agg(max("m_j").as("m_j")),
+      "g")
+    assert(whole.exceptAll(merged).isEmpty && merged.exceptAll(whole).isEmpty)
+  }
+
+  test("hll estimate: within the p=6 error envelope on 5000 distinct; small sets use linear counting") {
+    import spark.implicits._
+    val rows = (1 to 5000).map(i => ("s", s"v$i")).toDF("g", "v")
+    val est = Sketches.hllDistinct(rows, "g", "v")
+      .select($"hll_estimate").as[Double].head()
+    // p=6 standard error is 1.04/sqrt(64) = 13%; allow 3 sigma
+    assert(math.abs(est - 5000) / 5000 < 0.39, s"estimate $est")
+    // 3 distinct values -> linear counting branch: 64 * ln(64/61), and
+    // duplicate values must not move the registers
+    val tiny = Seq(("s", "a"), ("s", "b"), ("s", "c"), ("s", "a")).toDF("g", "v")
+    val tinyEst = Sketches.hllDistinct(tiny, "g", "v")
+      .select($"hll_estimate").as[Double].head()
+    assert(tinyEst == math.rint(64.0 * math.log(64.0 / 61.0) * 1e4) / 1e4)
+  }
+
+  test("hll registers: values land where the md5 arithmetic says (hand check)") {
+    import spark.implicits._
+    // md5("a") = 0cc175b9c0f1b6a831c399e269772661; first 15 hex =
+    // 0cc175b9c0f1b6a -> h; j = h & 63, w = h >> 6, rho = 55 - bitlen(w)
+    val h = java.lang.Long.parseLong("0cc175b9c0f1b6a", 16)
+    val expectJ = h & 63L
+    val w = h >>> 6
+    val expectRho = 55L - (64 - java.lang.Long.numberOfLeadingZeros(w))
+    val r = Sketches.hllRegisters(Seq(("s", "a")).toDF("g", "v"), "g", "v")
+      .select($"j", $"m_j").as[(Long, Long)].collect()
+    assert(r.toSeq == Seq((expectJ, expectRho)))
+  }
 }
