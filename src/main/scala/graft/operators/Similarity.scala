@@ -41,6 +41,55 @@ object Similarity {
       .filter(col("rk") <= k)
   }
 
+  /** Two-stage retrieval with prefix-dimension pruning — the Matryoshka
+    * recipe (Kusupati et al. 2022, "Matryoshka Representation Learning"):
+    * stage 1 scores each (query, corpus) pair on only the FIRST
+    * `prefixDims` components and keeps the `candidates` best per query;
+    * stage 2 reranks that bounded pool by full-vector cosine and keeps
+    * top-k. With MRL-trained embeddings the prefix is itself a faithful
+    * low-dim embedding, so the coarse pass loses little recall while
+    * doing dims/prefixDims less multiply work per pair.
+    *
+    * Scale shape: queries broadcast; stage 1 emits ONLY
+    * (qid, nid, coarse score) — the per-query candidate rank (a
+    * WindowGroupLimit-pruned window) shuffles 20-byte rows, never the
+    * vectors. Full vectors re-enter by joining the candidate pool
+    * (queries × candidates rows — tiny, AQE broadcasts it) back to the
+    * corpus, so each corpus vector crosses the wire only if it made some
+    * query's pool. At 100 TB the prefix would also be STORED as its own
+    * column so the stage-1 scan reads prefixDims/dims of the bytes —
+    * parquet column pruning does the rest.
+    *
+    * Output: (qid, nid, cos, rk), rk over full-vector cosine desc /
+    * nid asc — same contract as [[bruteForceTopK]]. */
+  def prefixRerankTopK(corpus0: DataFrame, queries: DataFrame,
+                       idCol: String, vecCol: String, k: Int = 5,
+                       prefixDims: Int = 16, candidates: Int = 50): DataFrame = {
+    require(prefixDims >= 1, s"prefixDims must be positive, got $prefixDims")
+    require(candidates >= k, s"candidate pool $candidates smaller than k $k")
+    val spark = corpus0.sparkSession
+    val corpus = widen(corpus0)
+    val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv")))
+    val coarse = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"))
+      .join(q, col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        Vectors.cosineNative(spark,
+          slice(col("qv"), 1, prefixDims),
+          slice(col("nv"), 1, prefixDims)).as("ccos"))
+    val wc = Window.partitionBy("qid").orderBy(col("ccos").desc, col("nid").asc)
+    val pool = coarse.withColumn("crk", row_number().over(wc))
+      .filter(col("crk") <= candidates)
+      .select("qid", "nid")
+    val rescored = pool
+      .join(q, "qid")
+      .join(corpus.select(col(idCol).as("nid"), col(vecCol).as("nv")), "nid")
+      .select(col("qid"), col("nid"),
+        Vectors.cosineNative(spark, col("qv"), col("nv")).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
+    rescored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
   /** Hard-negative mining for contrastive training: for each query, the
     * top-`k` most-similar corpus vectors that sit in a DIFFERENT coarse
     * cluster — high-cosine neighbors the quantizer calls unrelated,

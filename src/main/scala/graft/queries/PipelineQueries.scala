@@ -120,6 +120,36 @@ object PipelineQueries {
         .orderBy("qid", "rk")
     }),
 
+    // --- Matryoshka-style two-stage retrieval: 16-dim prefix coarse
+    //     pass -> 50-candidate pool -> full-vector rerank ---
+    "a_ann_prefix_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.prefixRerankTopK(e, e.filter(col("vec_id") % 50 === 0),
+          "vec_id", "embedding", k = 5, prefixDims = 16, candidates = 50)
+        .orderBy("qid", "rk")
+    }),
+
+    // --- prefix-rerank recall vs exact brute force (the eval that
+    //     justifies the prefix cut before trusting it at scale) ---
+    "a_ann_prefix_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") % 50 === 0)
+      val bf = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+        .select(col("qid"), col("nid"))
+      val pr = Similarity.prefixRerankTopK(e, q, "vec_id", "embedding",
+          k = 5, prefixDims = 16, candidates = 50)
+        .select(col("qid").as("pqid"), col("nid").as("pnid"))
+      val hit = bf.join(pr,
+        col("qid") === col("pqid") && col("nid") === col("pnid"), "left_semi")
+      bf.groupBy("qid").agg(count(lit(1)).as("n_exact"))
+        .join(hit.groupBy("qid").agg(count(lit(1)).as("n_hit")), Seq("qid"), "left")
+        .select(col("qid"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"), col("n_exact"),
+          round(coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_exact"), 6)
+            .as("recall"))
+        .orderBy("qid")
+    }),
+
     "a_ann_ivf_topk" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.ivfTopK(e, e.filter(col("vec_id") % 50 === 0),
@@ -1010,6 +1040,10 @@ object PipelineQueries {
     val cosAB = "round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / " +
       "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * " +
       "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6)"
+    // cosAB restricted to the first 16 dims (the Matryoshka coarse pass)
+    val cosPre = "round(list_dot_product(a.embedding[1:16]::DOUBLE[], b.embedding[1:16]::DOUBLE[]) / " +
+      "(sqrt(list_dot_product(a.embedding[1:16]::DOUBLE[], a.embedding[1:16]::DOUBLE[])) * " +
+      "sqrt(list_dot_product(b.embedding[1:16]::DOUBLE[], b.embedding[1:16]::DOUBLE[]))), 6)"
 
     // a_ann_ivfpq_*: one codebook-CTE block per PQ subspace (train =
     // a_kmeans_assign's rank-seeded kmeans on the 16-dim slice, one mean
@@ -1549,6 +1583,52 @@ object PipelineQueries {
            |SELECT qid, nid, cos, CAST(rk AS BIGINT) AS rk FROM (
            |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk FROM sc)
            |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+
+      // 16-dim-prefix coarse pass (Matryoshka): prefix cosine ranks a
+      // 50-candidate pool per query, full cosine reranks the pool
+      "a_ann_prefix_topk" ->
+        s"""WITH sc AS (
+           |  SELECT a.vec_id AS qid, b.vec_id AS nid, $cosPre AS ccos
+           |  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+           |  WHERE a.vec_id % 50 = 0),
+           |pool AS (SELECT qid, nid FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY ccos DESC, nid) AS crk FROM sc)
+           |  WHERE crk <= 50),
+           |re AS (SELECT qid, nid, $cosAB AS cos
+           |       FROM pool JOIN embeddings a ON a.vec_id = qid JOIN embeddings b ON b.vec_id = nid)
+           |SELECT qid, nid, cos, CAST(rk AS BIGINT) AS rk FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk FROM re)
+           |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+
+      "a_ann_prefix_recall" ->
+        s"""WITH bf AS (
+           |  SELECT qid, nid FROM (
+           |    SELECT a.vec_id AS qid, b.vec_id AS nid,
+           |      row_number() OVER (PARTITION BY a.vec_id ORDER BY $cosAB DESC, b.vec_id) AS rk
+           |    FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+           |    WHERE a.vec_id % 50 = 0)
+           |  WHERE rk <= 5),
+           |sc AS (
+           |  SELECT a.vec_id AS qid, b.vec_id AS nid, $cosPre AS ccos
+           |  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+           |  WHERE a.vec_id % 50 = 0),
+           |pool AS (SELECT qid, nid FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY ccos DESC, nid) AS crk FROM sc)
+           |  WHERE crk <= 50),
+           |pr AS (
+           |  SELECT qid, nid FROM (
+           |    SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+           |    FROM (SELECT qid, nid, $cosAB AS cos
+           |          FROM pool JOIN embeddings a ON a.vec_id = qid
+           |          JOIN embeddings b ON b.vec_id = nid))
+           |  WHERE rk <= 5)
+           |SELECT qid, coalesce(h.n_hit, 0)::BIGINT AS n_hit, n.n_exact,
+           |  round(coalesce(h.n_hit, 0)::DOUBLE / n.n_exact, 6) AS recall
+           |FROM (SELECT qid, CAST(count(*) AS BIGINT) AS n_exact FROM bf GROUP BY qid) n
+           |LEFT JOIN (SELECT bf.qid, CAST(count(*) AS BIGINT) AS n_hit
+           |           FROM bf JOIN pr ON bf.qid = pr.qid AND bf.nid = pr.nid
+           |           GROUP BY bf.qid) h USING (qid)
+           |ORDER BY qid""".stripMargin,
 
       "a_ann_lsh_topk" ->
         s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -222,6 +222,28 @@ class Round9OpsSpec extends SparkSpec {
     assert(tinyEst == math.rint(64.0 * math.log(64.0 / 61.0) * 1e4) / 1e4)
   }
 
+  test("prefixRerankTopK: with a corpus-sized candidate pool it IS brute force; recall sane at 16 dims") {
+    val e = TableCatalog.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.filter(col("vec_id") % 100 === 0)
+    val bf = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 3)
+    // pool >= corpus size -> stage 1 prunes nothing -> exact equality
+    val all = Similarity.prefixRerankTopK(e, q, "vec_id", "embedding",
+      k = 3, prefixDims = 16, candidates = 100000)
+    assert(bf.exceptAll(all).isEmpty && all.exceptAll(bf).isEmpty)
+    // a real pool cut still returns k rows per query and keeps some of
+    // the exact set — these embeddings are synthetic (NOT Matryoshka-
+    // trained), so the 16-dim prefix carries only ~1/4 of the signal and
+    // recall is modest by construction; assert it is nonzero and the
+    // output contract holds, not a trained-embedding recall level
+    val pr = Similarity.prefixRerankTopK(e, q, "vec_id", "embedding",
+      k = 3, prefixDims = 16, candidates = 100)
+    val nq = q.count()
+    assert(pr.count() == 3 * nq)
+    val hits = bf.select("qid", "nid")
+      .join(pr.select("qid", "nid"), Seq("qid", "nid"), "left_semi").count()
+    assert(hits >= nq / 2, s"prefix recall collapsed: $hits of ${3 * nq}")
+  }
+
   test("hll registers: values land where the md5 arithmetic says (hand check)") {
     import spark.implicits._
     // md5("a") = 0cc175b9c0f1b6a831c399e269772661; first 15 hex =
