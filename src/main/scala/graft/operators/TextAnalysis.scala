@@ -137,6 +137,101 @@ object TextAnalysis {
           col("dup_trigram_frac") <= maxDupTrigramFrac)
   }
 
+  /** The Gopher document-quality rule set (Rae et al. 2021, "Scaling
+    * Language Models: ... Gopher", Appendix A1.1) as explicit per-rule
+    * metrics plus the conjunction `keep` flag: word count in
+    * [minWords, maxWords]; mean word length in [3, 10]; symbol-to-word
+    * ratio (# and "..." occurrences) <= 0.1; bullet-started lines
+    * <= 90%; ellipsis-ended lines <= 30%; >= 80% of words contain an
+    * alphabetic character; >= 2 distinct English stopwords present.
+    * Complements [[qualityScore]] (generic ratios) and
+    * [[repetitionMetrics]] (the Gopher repetition half): this is the
+    * named filter bar web-scale curation pipelines quote.
+    *
+    * MAP-ONLY like the rest of the scoring tier: words and lines are
+    * in-row arrays, every metric an `aggregate`/`filter` fold — zero
+    * shuffles, scan-bound at any corpus size. Words here are WHITESPACE
+    * tokens (the rule set inspects raw words, e.g. "word has an
+    * alphabetic char" — the lowercase-alnum `tokens` would erase what
+    * the rules measure). */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+                  minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val t = col(textCol)
+    val words = filter(split(t, "\\s+"), w => w =!= "")
+    val lines = split(t, "\n")
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    def fracOf(arr: Column, pred: Column => Column): Column =
+      size(filter(arr, pred)).cast("double") / size(arr)
+    val nSymbols =
+      (length(t) - length(regexp_replace(t, "#", ""))) +
+        (length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3
+    df.select(col(idCol),
+        size(words).cast("long").as("n_words"),
+        aggregate(words, lit(0L), (a, w) => a + length(w)).as("n_word_chars"),
+        nSymbols.cast("long").as("n_symbols"),
+        round(fracOf(lines, l => ltrim(l).startsWith("-") ||
+          ltrim(l).startsWith("*") || ltrim(l).startsWith("•")), 6)
+          .as("bullet_frac"),
+        round(fracOf(lines, l => rtrim(l).endsWith("...") ||
+          rtrim(l).endsWith("…")), 6).as("ellipsis_frac"),
+        when(size(words) > 0,
+          round(fracOf(words, w => w.rlike("[a-zA-Z]")), 6))
+          .otherwise(0.0).as("alpha_word_frac"),
+        stops.map(sw => array_contains(transform(words, w => lower(w)), sw)
+          .cast("long")).reduce(_ + _).as("n_stop_hits"))
+      .withColumn("mean_word_len",
+        when(col("n_words") > 0,
+          round(col("n_word_chars").cast("double") / col("n_words"), 6))
+          .otherwise(0.0))
+      .withColumn("symbol_ratio",
+        when(col("n_words") > 0,
+          round(col("n_symbols").cast("double") / col("n_words"), 6))
+          .otherwise(0.0))
+      .withColumn("keep",
+        col("n_words") >= minWords && col("n_words") <= maxWords &&
+          col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+          col("symbol_ratio") <= 0.1 &&
+          col("bullet_frac") <= 0.9 && col("ellipsis_frac") <= 0.3 &&
+          col("alpha_word_frac") >= 0.8 && col("n_stop_hits") >= 2)
+      .drop("n_word_chars")
+  }
+
+  /** C4-style line-level cleaning (Raffel et al. 2020, §2.2): keep only
+    * lines that end in terminal punctuation (. ! ? ") and have >= 5
+    * words, drop lines mentioning javascript or cookie/privacy/terms
+    * boilerplate; drop the whole document if it contains "{" (code) or
+    * "lorem ipsum", or fewer than `minKeptLines` lines survive. Emits
+    * the retained line counts, the doc-drop triggers, and the md5 of the
+    * cleaned text (kept lines re-joined with newlines) — the compact
+    * cross-engine witness that the reconstruction is byte-identical.
+    *
+    * MAP-ONLY: one in-row line split + filter folds; the cleaned text
+    * never leaves the row. */
+  def c4Filters(df: DataFrame, idCol: String, textCol: String,
+                minKeptLines: Int = 3): DataFrame = {
+    val t = col(textCol)
+    val lines = split(t, "\n")
+    val badPhrases = Seq("javascript", "cookie policy", "privacy policy",
+      "terms of use")
+    def lineKeep(l: Column): Column = {
+      val r = rtrim(l)
+      val nw = size(filter(split(l, "\\s+"), w => w =!= ""))
+      nw >= 5 &&
+        (r.endsWith(".") || r.endsWith("!") || r.endsWith("?") ||
+          r.endsWith("\"")) &&
+        badPhrases.map(p => !lower(l).contains(p)).reduce(_ && _)
+    }
+    df.select(col(idCol),
+        size(lines).cast("long").as("n_lines"),
+        size(filter(lines, lineKeep _)).cast("long").as("n_kept"),
+        t.contains("{").as("has_brace"),
+        lower(t).contains("lorem ipsum").as("has_lorem"),
+        md5(array_join(filter(lines, lineKeep _), "\n")).as("clean_md5"))
+      .withColumn("keep",
+        !col("has_brace") && !col("has_lorem") &&
+          col("n_kept") >= minKeptLines)
+  }
+
   /** Per-stratum vocabulary induction: the `topK` most frequent word
     * tokens per stratum (language), with occurrence counts — the corpus
     * statistic tokenizer training starts from. One token-explode +

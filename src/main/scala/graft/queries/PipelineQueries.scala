@@ -654,6 +654,17 @@ object PipelineQueries {
         .orderBy("lang")
     }),
 
+    // --- the Gopher quality rule set, per-rule metrics + keep flag ---
+    "t_gopher_rules" -> ((s, dir) =>
+      TextAnalysis.gopherRules(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // --- C4 line-level cleaning: kept-line counts, doc-drop triggers,
+    //     md5 witness of the reconstructed clean text ---
+    "t_c4_filters" -> ((s, dir) =>
+      TextAnalysis.c4Filters(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // --- weighted sampling without replacement (Efraimidis-Spirakis):
     //     100 docs, inclusion odds proportional to n_chars ---
     "t_weighted_sample" -> ((s, dir) =>
@@ -2139,6 +2150,71 @@ object PipelineQueries {
            |                    / s_tot END, 4)
            |    AS hll_estimate
            |FROM ex JOIN est USING (lang) ORDER BY lang""".stripMargin,
+
+      // Gopher rule set: whitespace words / newline lines, all metrics
+      // in-row; symbol count = '#' chars + non-overlapping '...' runs
+      "t_gopher_rules" ->
+        s"""WITH w AS (SELECT doc_id, text,
+           |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS words,
+           |    string_split(text, chr(10)) AS lines FROM documents),
+           |m AS (SELECT doc_id,
+           |  CAST(len(words) AS BIGINT) AS n_words,
+           |  CAST((length(text) - length(replace(text, '#', ''))) +
+           |       (length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_symbols,
+           |  round(len(list_filter(lines, l -> ltrim(l) LIKE '-%' OR ltrim(l) LIKE '*%'
+           |      OR ltrim(l) LIKE '•%'))::DOUBLE / len(lines), 6) AS bullet_frac,
+           |  round(len(list_filter(lines, l -> rtrim(l) LIKE '%...' OR rtrim(l) LIKE '%…'))::DOUBLE
+           |      / len(lines), 6) AS ellipsis_frac,
+           |  CASE WHEN len(words) > 0 THEN round(len(list_filter(words,
+           |      x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE / len(words), 6)
+           |    ELSE 0.0 END AS alpha_word_frac,
+           |  (list_contains(list_transform(words, x -> lower(x)), 'the')::BIGINT +
+           |   list_contains(list_transform(words, x -> lower(x)), 'be')::BIGINT +
+           |   list_contains(list_transform(words, x -> lower(x)), 'to')::BIGINT +
+           |   list_contains(list_transform(words, x -> lower(x)), 'of')::BIGINT +
+           |   list_contains(list_transform(words, x -> lower(x)), 'and')::BIGINT +
+           |   list_contains(list_transform(words, x -> lower(x)), 'that')::BIGINT +
+           |   list_contains(list_transform(words, x -> lower(x)), 'have')::BIGINT +
+           |   list_contains(list_transform(words, x -> lower(x)), 'with')::BIGINT) AS n_stop_hits,
+           |  CASE WHEN len(words) > 0 THEN
+           |      round(list_sum(list_transform(words, x -> length(x)))::DOUBLE / len(words), 6)
+           |    ELSE 0.0 END AS mean_word_len
+           |  FROM w)
+           |SELECT doc_id, n_words, n_symbols, bullet_frac, ellipsis_frac,
+           |  alpha_word_frac, n_stop_hits, mean_word_len,
+           |  CASE WHEN n_words > 0 THEN round(n_symbols::DOUBLE / n_words, 6)
+           |    ELSE 0.0 END AS symbol_ratio,
+           |  (n_words >= 50 AND n_words <= 100000 AND
+           |   mean_word_len >= 3.0 AND mean_word_len <= 10.0 AND
+           |   (CASE WHEN n_words > 0 THEN round(n_symbols::DOUBLE / n_words, 6)
+           |     ELSE 0.0 END) <= 0.1 AND
+           |   bullet_frac <= 0.9 AND ellipsis_frac <= 0.3 AND
+           |   alpha_word_frac >= 0.8 AND n_stop_hits >= 2) AS keep
+           |FROM m ORDER BY doc_id""".stripMargin,
+
+      // C4 cleaning: per-line keep predicate, doc-drop triggers, md5 of
+      // the kept lines re-joined with newlines
+      "t_c4_filters" ->
+        s"""WITH base AS (SELECT doc_id, text,
+           |    string_split(text, chr(10)) AS lines FROM documents),
+           |k AS (SELECT doc_id, text, lines,
+           |    list_filter(lines, l ->
+           |      len(list_filter(regexp_split_to_array(l, '\\s+'), x -> x <> '')) >= 5
+           |      AND (ends_with(rtrim(l), '.') OR ends_with(rtrim(l), '!')
+           |        OR ends_with(rtrim(l), '?') OR ends_with(rtrim(l), '"'))
+           |      AND NOT contains(lower(l), 'javascript')
+           |      AND NOT contains(lower(l), 'cookie policy')
+           |      AND NOT contains(lower(l), 'privacy policy')
+           |      AND NOT contains(lower(l), 'terms of use')) AS kept
+           |  FROM base)
+           |SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
+           |  CAST(len(kept) AS BIGINT) AS n_kept,
+           |  contains(text, '{') AS has_brace,
+           |  contains(lower(text), 'lorem ipsum') AS has_lorem,
+           |  md5(coalesce(array_to_string(kept, chr(10)), '')) AS clean_md5,
+           |  (NOT contains(text, '{') AND NOT contains(lower(text), 'lorem ipsum')
+           |   AND len(kept) >= 3) AS keep
+           |FROM k ORDER BY doc_id""".stripMargin,
 
       "t_vocab_topk" ->
         s"""WITH tok AS (SELECT lang, unnest($toks) AS token FROM documents),

@@ -244,6 +244,52 @@ class Round9OpsSpec extends SparkSpec {
     assert(hits >= nq / 2, s"prefix recall collapsed: $hits of ${3 * nq}")
   }
 
+  test("gopherRules: each rule trips on its planted document") {
+    import spark.implicits._
+    val good = (1 to 60).map(i => s"the and of word$i").mkString(" ") // 240 words, stopwords present
+    val docs = Seq(
+      (1L, good),                                            // passes
+      (2L, "too short to keep."),                            // word count < min
+      (3L, good + " " + Seq.fill(40)("####### #######").mkString(" ")), // symbol ratio
+      (4L, (1 to 60).map(i => s"- the and of bullet$i").mkString("\n")), // 100% bullet lines
+      (5L, good.replaceAll("word", "123"))                   // digits: alpha frac tanks? no — 'the and of' alpha
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(r(0).getAs[Boolean]("keep"))
+    assert(!r(1).getAs[Boolean]("keep"))
+    assert(!r(2).getAs[Boolean]("keep") &&
+      r(2).getAs[Double]("symbol_ratio") > 0.1)
+    assert(!r(3).getAs[Boolean]("keep") &&
+      r(3).getAs[Double]("bullet_frac") == 1.0)
+    // doc 5: words are 'the and of 123' repeating -> alpha frac = 0.75 < 0.8
+    assert(!r(4).getAs[Boolean]("keep") &&
+      r(4).getAs[Double]("alpha_word_frac") < 0.8)
+  }
+
+  test("c4Filters: line predicate, doc-drop triggers, and clean-text reconstruction") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "This is a fine first sentence.\nshort line\nAnother good long sentence here!\nA third proper keeper sentence stands here.\nno terminal punctuation on this line"),
+      (2L, "Check our cookie policy for details on this site.\nVisit the javascript page for more of it.\nOnly this one long line survives the filters."),
+      (3L, "Some code follows { int x = 0; } in this document sentence.\nMore fine text in a long sentence.\nYet more fine text in a long sentence."),
+      (4L, "We present lorem ipsum filler text in this sentence.\nMore fine text in a long sentence.\nYet more fine text in a long sentence.")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.c4Filters(docs, "doc_id", "text", minKeptLines = 3)
+      .orderBy("doc_id").collect()
+    // doc 1: lines 1, 3, 4 kept (line 2 too short, line 5 no punct)
+    assert(r(0).getAs[Long]("n_kept") == 3L && r(0).getAs[Boolean]("keep"))
+    val expectClean = "This is a fine first sentence.\nAnother good long sentence here!\nA third proper keeper sentence stands here."
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(expectClean.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(r(0).getAs[String]("clean_md5") == md)
+    // doc 2: boilerplate phrases drop two lines -> n_kept 1 < 3
+    assert(r(1).getAs[Long]("n_kept") == 1L && !r(1).getAs[Boolean]("keep"))
+    // docs 3/4: brace and lorem-ipsum doc-level drops
+    assert(r(2).getAs[Boolean]("has_brace") && !r(2).getAs[Boolean]("keep"))
+    assert(r(3).getAs[Boolean]("has_lorem") && !r(3).getAs[Boolean]("keep"))
+  }
+
   test("hll registers: values land where the md5 arithmetic says (hand check)") {
     import spark.implicits._
     // md5("a") = 0cc175b9c0f1b6a831c399e269772661; first 15 hex =
