@@ -373,6 +373,21 @@ object CoreQueries {
         .orderBy("user_id", "day")
     }),
 
+    // --- trailing-window z-score anomaly flags on the daily
+    //     per-event-type series. Mean/variance come from EXACT integer
+    //     window sums (n·Σx² − (Σx)², the textbook identity), so the
+    //     only float steps are two divisions and a sqrt over exact
+    //     integers — bitwise engine-agreement at 6 dp, with none of the
+    //     engine-specific streaming-variance accumulation `stddev` has.
+    //     Zero-variance and short histories yield NULL z (no flag). ---
+    "q_anomaly_zscore" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.operators.Series.trailingZscore(daily, "event_type", "day", "cnt")
+        .orderBy("event_type", "day")
+    }),
+
     // Ordered funnel analysis (view → click → purchase): each stage's
     // timestamp is the first event AT OR AFTER the previous stage — the
     // product-analytics staple. Three keyed aggregates on user_id; the
@@ -608,6 +623,23 @@ object CoreQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
         |FROM days d LEFT JOIN daily dv USING (user_id, day)
         |ORDER BY user_id, day""".stripMargin,
+    "q_anomaly_zscore" ->
+      """WITH daily AS (
+        |  SELECT event_type, ts::DATE AS day, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY event_type, ts::DATE),
+        |st AS (SELECT event_type, day, cnt,
+        |    count(cnt) OVER w AS n, sum(cnt) OVER w AS sx,
+        |    sum(cnt * cnt) OVER w AS sxx
+        |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, day, cnt, z,
+        |  coalesce(abs(z) > 3.0, false) AS is_anomaly
+        |FROM (SELECT event_type, day, cnt,
+        |    CASE WHEN n >= 3 AND n * sxx - sx * sx > 0
+        |      THEN round((cnt::DOUBLE - sx::DOUBLE / n) /
+        |        sqrt((n * sxx - sx * sx)::DOUBLE / (n * (n - 1))), 6) END AS z
+        |  FROM st)
+        |ORDER BY event_type, day""".stripMargin,
     "q_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
         |           WHERE event_type = 'view' GROUP BY user_id),

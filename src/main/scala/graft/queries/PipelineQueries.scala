@@ -654,6 +654,25 @@ object PipelineQueries {
         .orderBy("lang")
     }),
 
+    // --- dynamic quality thresholding: per-language MEDIAN stopword
+    //     density as the cutoff (adapts to each stratum's distribution
+    //     instead of one global constant — the usual way quality bars
+    //     are actually set). One exact-percentile aggregate broadcast
+    //     back; scoring stays map-only. ---
+    "t_quality_threshold" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val q = TextAnalysis.qualityScore(d, "doc_id", "text")
+        .join(d.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", "stop_ratio")
+      val med = q.groupBy("lang")
+        .agg(round(expr("percentile(stop_ratio, 0.5)"), 6).as("lang_median"))
+      q.join(broadcast(med), "lang")
+        .select(col("doc_id"), col("lang"), col("stop_ratio"),
+          col("lang_median"),
+          (col("stop_ratio") >= col("lang_median")).as("kept"))
+        .orderBy("doc_id")
+    }),
+
     // --- the Gopher quality rule set, per-rule metrics + keep flag ---
     "t_gopher_rules" -> ((s, dir) =>
       TextAnalysis.gopherRules(docs(s, dir), "doc_id", "text")
@@ -2150,6 +2169,26 @@ object PipelineQueries {
            |                    / s_tot END, 4)
            |    AS hll_estimate
            |FROM ex JOIN est USING (lang) ORDER BY lang""".stripMargin,
+
+      "t_quality_threshold" -> {
+        val allStop = (Seq("the", "and", "of", "to", "in", "is", "that", "for") ++
+          Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein") ++
+          Seq("le", "la", "les", "et", "est", "pas", "pour", "une") ++
+          Seq("el", "la", "los", "y", "es", "no", "por", "una"))
+          .distinct.sorted.map(w => s"'$w'").mkString("[", ",", "]")
+        s"""WITH m AS (SELECT doc_id, lang,
+           |    len($toks)::BIGINT AS n_tokens,
+           |    len(list_filter($toks, x -> list_contains($allStop, x)))::BIGINT AS n_stop
+           |  FROM documents),
+           |r AS (SELECT doc_id, lang,
+           |    CASE WHEN n_tokens > 0 THEN round(n_stop::DOUBLE / n_tokens, 6)
+           |      ELSE 0.0 END AS stop_ratio FROM m),
+           |med AS (SELECT lang, round(quantile_cont(stop_ratio, 0.5), 6) AS lang_median
+           |        FROM r GROUP BY lang)
+           |SELECT doc_id, lang, stop_ratio, lang_median,
+           |  stop_ratio >= lang_median AS kept
+           |FROM r JOIN med USING (lang) ORDER BY doc_id""".stripMargin
+      },
 
       // Gopher rule set: whitespace words / newline lines, all metrics
       // in-row; symbol count = '#' chars + non-overlapping '...' runs

@@ -290,6 +290,31 @@ class Round9OpsSpec extends SparkSpec {
     assert(r(3).getAs[Boolean]("has_lorem") && !r(3).getAs[Boolean]("keep"))
   }
 
+  test("trailingZscore: planted spike flags, short history and zero variance stay null") {
+    import spark.implicits._
+    // 9 flat days then a spike; flat baseline -> zero variance -> null z
+    // until variance appears, spike day z computed from the 7 trailing
+    val flat = (1 to 9).map(d => ("a", d, 10L))
+    val rows = (flat :+ (("a", 10, 100L))) ++ Seq(("b", 1, 5L), ("b", 2, 6L))
+    val r = Series.trailingZscore(rows.toDF("k", "d", "cnt"), "k", "d", "cnt")
+      .orderBy("k", "d").collect()
+    // day 10 of key a: trailing 7 all 10 -> zero variance -> z null
+    assert(r(9).isNullAt(3) && !r(9).getAs[Boolean]("is_anomaly"))
+    // key b has only 2 points -> never enough history
+    assert(r.drop(10).forall(_.isNullAt(3)))
+    // perturb the baseline so variance exists: day 10 must flag
+    val rows2 = (1 to 9).map(d => ("a", d, 10L + (d % 2))) :+ (("a", 10, 100L))
+    val r2 = Series.trailingZscore(rows2.toDF("k", "d", "cnt"), "k", "d", "cnt")
+      .orderBy("d").collect()
+    val z = r2(9).getAs[Double]("z")
+    // trailing 7 (days 3..9) = {11,10,11,10,11,10,11}: mean 74/7, exact
+    // variance via (n·Σxx − Σx²)/(n(n−1))
+    val (n, sx, sxx) = (7.0, 74.0, 784.0)
+    val expect = math.rint((100.0 - sx / n) /
+      math.sqrt((n * sxx - sx * sx) / (n * (n - 1))) * 1e6) / 1e6
+    assert(z == expect && r2(9).getAs[Boolean]("is_anomaly"))
+  }
+
   test("hll registers: values land where the md5 arithmetic says (hand check)") {
     import spark.implicits._
     // md5("a") = 0cc175b9c0f1b6a831c399e269772661; first 15 hex =
