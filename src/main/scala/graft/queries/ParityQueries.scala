@@ -85,6 +85,13 @@ object ParityQueries {
       graft.streaming.EventStream.windowedCmsCells(t(s, dir, "events"))
         .orderBy("window_start", "row_idx", "bucket")),
 
+    // Windowed HLL registers in batch mode: distinct-users-per-day
+    // sketch, <= 64 register rows per window at any cardinality; same
+    // code runs the live stream (one aggregation, append mode).
+    "st_hll_window" -> ((s, dir) =>
+      graft.streaming.EventStream.windowedHllRegisters(t(s, dir, "events"))
+        .orderBy("window_start", "j")),
+
     // Gap-based sessionization in batch mode (1-hour gap): lag + running
     // sum over one user_id shuffle; deterministic since (user_id, ts) is
     // unique.
@@ -245,6 +252,17 @@ object ParityQueries {
           |  CAST(count(*) AS BIGINT) AS cnt
           |FROM hh CROSS JOIN range(0, 4) r(i)
           |GROUP BY 1, 2, 3 ORDER BY window_start, row_idx, bucket""".stripMargin,
+
+      // HLL p=6 register arithmetic as in t_hll_distinct, keyed by the
+      // tumbling day window; duplicates cannot move a max-rho register
+      "st_hll_window" ->
+        """WITH h AS (SELECT date_trunc('day', ts) AS window_start,
+          |  ('0x' || substring(md5(user_id::VARCHAR), 1, 15))::BIGINT AS hv
+          |FROM events)
+          |SELECT window_start, hv & 63 AS j,
+          |  max(CASE WHEN hv >> 6 = 0 THEN 55
+          |           ELSE 55 - length(bin(hv >> 6)) END) AS m_j
+          |FROM h GROUP BY 1, 2 ORDER BY window_start, j""".stripMargin,
 
       "st_session_window" ->
         """WITH s AS (

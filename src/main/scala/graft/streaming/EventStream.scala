@@ -69,6 +69,42 @@ object EventStream {
       .select(col("window.start").as("window_start"),
         col("row_idx").cast("long").as("row_idx"), col("bucket"), col("cnt"))
 
+  /** Windowed HyperLogLog registers over a key column — streaming
+    * distinct-count infrastructure (how many UNIQUE users per window,
+    * without a per-user state table): per tumbling window, the max-rho
+    * registers of [[graft.operators.Sketches.hllRegisters]]. State per
+    * window is ≤ 2^p rows regardless of key cardinality, and registers
+    * from separate windows / streams / backfills MERGE by per-register
+    * max (the HLL union law), so live and replayed sketches combine.
+    *
+    * Streaming-safe by construction: max(rho) over DUPLICATED keys
+    * equals max(rho) over distinct keys, so no dedup aggregation is
+    * needed and the whole sketch is ONE groupBy — Spark's single-
+    * aggregation streaming limit is never touched. Same code runs batch
+    * (the oracle) and `readStream` (append mode after the watermark);
+    * estimate any window with [[graft.operators.Sketches.hllEstimate]]
+    * keyed by `window_start`.
+    *
+    * Output: (window_start, j, m_j). */
+  def windowedHllRegisters(events: DataFrame, keyCol: String = "user_id",
+                           p: Int = 6, windowLen: String = "1 day",
+                           watermark: String = "1 hour"): DataFrame = {
+    val m = 1 << p
+    val maxRho = 60 - p + 1
+    val h = conv(substring(md5(col(keyCol).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    events.withWatermark("ts", watermark)
+      .select(col("ts"),
+        h.bitwiseAND(lit((m - 1).toLong)).as("j"),
+        shiftright(h, p).as("w"))
+      .withColumn("rho",
+        when(col("w") === 0L, lit(maxRho.toLong))
+          .otherwise(lit(maxRho.toLong) - length(bin(col("w")))))
+      .groupBy(window(col("ts"), windowLen), col("j"))
+      .agg(max(col("rho")).as("m_j"))
+      .select(col("window.start").as("window_start"), col("j"), col("m_j"))
+  }
+
   /** Batch (backfill) sessionization: gap-based sessions per user via
     * lag + running sum — the standard windowed formulation, fully
     * deterministic because (user_id, ts) is unique in the events schema.

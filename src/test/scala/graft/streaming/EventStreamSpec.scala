@@ -107,6 +107,40 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedHllRegisters: stream matches batch; duplicate keys cannot move a register") {
+    import spark.implicits._
+    val rows = Seq(
+      (ts("2026-01-01T00:10:00Z"), 1L), (ts("2026-01-01T00:20:00Z"), 1L),
+      (ts("2026-01-01T01:00:00Z"), 2L), (ts("2026-01-01T05:00:00Z"), 3L))
+    val batch = EventStream.windowedHllRegisters(rows.toDF("ts", "user_id"))
+      .select("window_start", "j", "m_j")
+    // duplicates are absorbed by max: day one has 3 DISTINCT users -> at
+    // most 3 register rows, and re-sending user 1 changes nothing
+    val day1 = batch.filter(col("window_start") === ts("2026-01-01T00:00:00Z"))
+    assert(day1.count() <= 3)
+    val withDup = EventStream.windowedHllRegisters(
+        (rows :+ ((ts("2026-01-01T07:00:00Z"), 1L))).toDF("ts", "user_id"))
+      .select("window_start", "j", "m_j")
+    assert(batch.exceptAll(withDup).isEmpty && withDup.exceptAll(batch).isEmpty)
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val q = EventStream.windowedHllRegisters(mem.toDF.toDF("ts", "user_id"))
+      .writeStream.format("memory").queryName("hll_win")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      mem.addData((ts("2026-01-03T00:00:00Z"), 9L))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val streamed = spark.table("hll_win").select("window_start", "j", "m_j")
+      val closedBatch = batch.filter(col("window_start") < ts("2026-01-02T00:00:00Z"))
+      assert(closedBatch.exceptAll(streamed).isEmpty,
+        "every closed-window batch register must be emitted by the stream")
+      assert(closedBatch.count() > 0)
+    } finally q.stop()
+  }
+
   test("dedupStream drops redelivered event ids within the watermark") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
