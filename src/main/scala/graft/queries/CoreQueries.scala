@@ -347,6 +347,25 @@ object CoreQueries {
         .orderBy("bucket")
     }),
 
+    // Hilbert-curve layout stats — same shape as q_zorder_layout but on
+    // the higher-locality curve (every walk step is grid-adjacent, so
+    // equal-width key ranges cover tighter boxes than Z's diagonal
+    // jumps). Key = one in-row codegen'd fold; see Layout.hilbertKey.
+    "q_hilbert_layout" -> ((s, dir) => {
+      val h = graft.functions.Layout.hilbertKey(
+        pmod(col("l_partkey"), lit(65536L)),
+        pmod(col("l_suppkey"), lit(65536L)), bits = 16)
+      t(s, dir, "lineitem")
+        .select(h.as("hkey"), col("l_partkey"), col("l_suppkey"))
+        .groupBy(shiftright(col("hkey"), 14).as("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          min("l_partkey").cast("long").as("min_part"),
+          max("l_partkey").cast("long").as("max_part"),
+          min("l_suppkey").cast("long").as("min_supp"),
+          max("l_suppkey").cast("long").as("max_supp"))
+        .orderBy("bucket")
+    }),
+
     "q_peak_concurrency" -> ((s, dir) =>
       peakConcurrency(graft.streaming.EventStream.sessionizeBatch(t(s, dir, "events")))),
 
@@ -684,6 +703,38 @@ object CoreQueries {
          |  CAST(max(l_suppkey) AS BIGINT) AS max_supp
          |FROM z GROUP BY zkey >> 14 ORDER BY bucket""".stripMargin
     },
+    "q_hilbert_layout" ->
+      // the same top-down quadrant walk as Layout.hilbertKey, replayed
+      // per DISTINCT (x, y) pair by a 16-level recursive CTE
+      """WITH RECURSIVE pts AS (
+        |  SELECT DISTINCT l_partkey % 65536 AS x0, l_suppkey % 65536 AS y0
+        |  FROM lineitem),
+        |walk AS (
+        |  SELECT x0, y0, x0::BIGINT AS cx, y0::BIGINT AS cy,
+        |         0::BIGINT AS d, 15 AS e
+        |  FROM pts
+        |  UNION ALL
+        |  SELECT x0, y0,
+        |    CASE WHEN (cy & s) = 0
+        |         THEN CASE WHEN (cx & s) > 0 THEN s - 1 - cy ELSE cy END
+        |         ELSE cx END,
+        |    CASE WHEN (cy & s) = 0
+        |         THEN CASE WHEN (cx & s) > 0 THEN s - 1 - cx ELSE cx END
+        |         ELSE cy END,
+        |    d + s * s * xor(3 * (CASE WHEN (cx & s) > 0 THEN 1 ELSE 0 END)::BIGINT,
+        |                    (CASE WHEN (cy & s) > 0 THEN 1 ELSE 0 END)::BIGINT),
+        |    e - 1
+        |  FROM (SELECT *, (2 ** e)::BIGINT AS s FROM walk WHERE e >= 0) t),
+        |fin AS (SELECT x0, y0, d AS hkey FROM walk WHERE e = -1),
+        |hk AS (SELECT hkey, l_partkey, l_suppkey
+        |       FROM lineitem JOIN fin
+        |         ON l_partkey % 65536 = fin.x0 AND l_suppkey % 65536 = fin.y0)
+        |SELECT (hkey >> 14) AS bucket, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(min(l_partkey) AS BIGINT) AS min_part,
+        |  CAST(max(l_partkey) AS BIGINT) AS max_part,
+        |  CAST(min(l_suppkey) AS BIGINT) AS min_supp,
+        |  CAST(max(l_suppkey) AS BIGINT) AS max_supp
+        |FROM hk GROUP BY hkey >> 14 ORDER BY bucket""".stripMargin,
     "q_pivot" ->
       """SELECT o_orderpriority,
         |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS F,

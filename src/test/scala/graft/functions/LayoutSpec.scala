@@ -57,4 +57,28 @@ class LayoutSpec extends SparkSpec {
         s"partition box $r covers too much of the domain")
     }
   }
+
+  test("hilbertKey: 2x2 hand values, 8x8 bijectivity, and every curve step is grid-adjacent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // bits=1 U-walk: (0,0)=0, (0,1)=1, (1,1)=2, (1,0)=3
+    val tiny = Seq((0, 0), (0, 1), (1, 1), (1, 0)).toDF("x", "y")
+      .select(col("x"), col("y"),
+        Layout.hilbertKey(col("x"), col("y"), bits = 1).as("d"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    assert(tiny == Map((0, 0) -> 0L, (0, 1) -> 1L, (1, 1) -> 2L, (1, 0) -> 3L))
+    // 8x8 grid: keys are a permutation of 0..63, and sorting by key
+    // yields a walk where EVERY step moves to a Manhattan-adjacent cell
+    // (the locality property Z-order's diagonal jumps lack)
+    val grid = (for { x <- 0 until 8; y <- 0 until 8 } yield (x, y)).toDF("x", "y")
+      .select(col("x"), col("y"),
+        Layout.hilbertKey(col("x"), col("y"), bits = 3).as("d"))
+      .collect().map(r => (r.getLong(2), (r.getInt(0), r.getInt(1))))
+      .sortBy(_._1)
+    assert(grid.map(_._1).toSeq == (0L until 64L).toSeq, "keys must be 0..63 exactly")
+    grid.sliding(2).foreach { case Array((_, (x1, y1)), (_, (x2, y2))) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"curve step ($x1,$y1)->($x2,$y2) is not grid-adjacent")
+    }
+  }
 }
