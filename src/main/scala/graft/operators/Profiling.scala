@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** ANALYZE-style column profiling — the statistics side-channel a query
+  * planner (and a data-quality monitor) reads instead of the data:
+  * per-column row/null/distinct counts and min/max, as a frame.
+  *
+  * The reference delegates this to its warehouse backends; here it is
+  * one distributed aggregate over ONE scan: all per-column statistics
+  * are computed in a single `agg` (Spark plans the multi-countDistinct
+  * via one Expand — still one pass over the input), then the 1-row
+  * result is melted to a per-column frame with an in-row explode. At
+  * 100 TB the scan is the whole cost, so one pass for every column's
+  * stats is the shape that matters; for approximate n_distinct at even
+  * lower cost, swap in [[Sketches.hllDistinct]] per column.
+  *
+  * min/max are cast to string AFTER the typed aggregation (so ordering
+  * is native — numeric, not lexicographic) purely to fit one output
+  * column. Callers profile stable-rendering types (ints, strings,
+  * dates); raw doubles render engine-specifically and belong in typed
+  * consumers, not a stringly stats row.
+  */
+object Profiling {
+
+  /** (column_name, n_rows, n_null, n_distinct, min_value, max_value)
+    * for each of `cols` — `n_distinct` excludes nulls (the SQL
+    * `count(DISTINCT ...)` convention both engines share). */
+  def tableStats(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "tableStats needs at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"cnt_$c"),
+        countDistinct(col(c)).as(s"nd_$c"),
+        min(col(c)).cast("string").as(s"min_$c"),
+        max(col(c)).cast("string").as(s"max_$c"))
+    }
+    val one = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val entries = array(cols.map(c => struct(
+      lit(c).as("column_name"),
+      col("n_rows"),
+      (col("n_rows") - col(s"cnt_$c")).as("n_null"),
+      col(s"nd_$c").as("n_distinct"),
+      col(s"min_$c").as("min_value"),
+      col(s"max_$c").as("max_value"))): _*)
+    one.select(explode(entries).as("e")).select("e.*")
+  }
+}

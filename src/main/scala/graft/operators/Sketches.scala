@@ -296,6 +296,28 @@ object Sketches {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Equi-join cardinality estimate from two [[cmsBuild]] sketches over
+    * the join key (the AMS/CMS inner-product estimator, Alon-Matias-
+    * Szegedy 1996 / Cormode-Muthukrishnan 2005 §4.2): |A ⋈ B| =
+    * Σ_key cntA(key)·cntB(key), estimated per sketch row as the bucket
+    * inner product Σ_b rowA[b]·rowB[b] and tightened by taking the MIN
+    * over rows — an upper bound that collapses to the exact join size
+    * when no keys collide. This is the query-planning primitive that
+    * prices a join BEFORE running it (reorder, broadcast-vs-shuffle,
+    * skew alarms) from two model-sized sketches — no corpus access.
+    *
+    * Input frames are sparse (row_idx, bucket, cnt); the product join
+    * is sketch-sized (AQE broadcasts it). Output: one row,
+    * (join_size_est). Width/depth must match between the sketches. */
+  def cmsJoinSizeEstimate(sketchA: DataFrame, sketchB: DataFrame): DataFrame = {
+    val a = sketchA.select(col("row_idx"), col("bucket"), col("cnt").as("ca"))
+    val b = sketchB.select(col("row_idx"), col("bucket"), col("cnt").as("cb"))
+    a.join(b, Seq("row_idx", "bucket"))
+      .groupBy("row_idx")
+      .agg(sum(col("ca") * col("cb")).as("ip"))
+      .agg(min(col("ip")).as("join_size_est"))
+  }
+
   /** Point-frequency estimates from a [[cmsBuild]] sketch: adds
     * `estCol` = min over rows of the key's bucket count — an upper bound
     * on the true frequency (never under; over only on hash collision,

@@ -347,6 +347,17 @@ object CoreQueries {
         .orderBy("bucket")
     }),
 
+    // ANALYZE-style column profile of orders: one scan, all columns'
+    // row/null/distinct/min/max stats (the planner's side-channel).
+    // o_orderdate profiles as a DATE projection (stable rendering).
+    "q_table_stats" -> ((s, dir) =>
+      graft.operators.Profiling.tableStats(
+          t(s, dir, "orders").withColumn("o_orderdate",
+            to_date(col("o_orderdate"))),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus",
+            "o_orderpriority", "o_orderdate"))
+        .orderBy("column_name")),
+
     // Hilbert-curve layout stats — same shape as q_zorder_layout but on
     // the higher-locality curve (every walk step is grid-adjacent, so
     // equal-width key ranges cover tighter boxes than Z's diagonal
@@ -702,6 +713,19 @@ object CoreQueries {
          |  CAST(min(l_suppkey) AS BIGINT) AS min_supp,
          |  CAST(max(l_suppkey) AS BIGINT) AS max_supp
          |FROM z GROUP BY zkey >> 14 ORDER BY bucket""".stripMargin
+    },
+    "q_table_stats" -> {
+      def one(c: String, expr: String) =
+        s"""SELECT '$c' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(count(*) - count($expr) AS BIGINT) AS n_null,
+           |  CAST(count(DISTINCT $expr) AS BIGINT) AS n_distinct,
+           |  min($expr)::VARCHAR AS min_value, max($expr)::VARCHAR AS max_value
+           |FROM orders""".stripMargin
+      Seq(one("o_orderkey", "o_orderkey"), one("o_custkey", "o_custkey"),
+        one("o_orderstatus", "o_orderstatus"),
+        one("o_orderpriority", "o_orderpriority"),
+        one("o_orderdate", "o_orderdate::DATE"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
     },
     "q_hilbert_layout" ->
       // the same top-down quadrant walk as Layout.hilbertKey, replayed

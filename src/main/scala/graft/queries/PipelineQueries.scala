@@ -654,6 +654,26 @@ object PipelineQueries {
         .orderBy("lang")
     }),
 
+    // --- join-size estimation from two CMS sketches (AMS inner
+    //     product): price the token equi-join between the even-id and
+    //     odd-id halves WITHOUT running it; exact size alongside as the
+    //     eval. The planning primitive for reorder/broadcast decisions
+    //     at 100 TB — two model-sized sketches, no corpus access. ---
+    "t_cms_join_size" -> ((s, dir) => {
+      val toks = graft.functions.SafeExplode.explodeSelect(
+        docs(s, dir), Seq(col("doc_id")),
+        graft.functions.TextFunctions.tokens(col("text")), "token")
+      val a = toks.filter(col("doc_id") % 2 === 0)
+      val b = toks.filter(col("doc_id") % 2 =!= 0)
+      val est = Sketches.cmsJoinSizeEstimate(
+        Sketches.cmsBuild(a, "token", width = 8192, depth = 4),
+        Sketches.cmsBuild(b, "token", width = 8192, depth = 4))
+      val exact = a.groupBy("token").agg(count(lit(1)).as("na"))
+        .join(b.groupBy("token").agg(count(lit(1)).as("nb")), "token")
+        .agg(sum(col("na") * col("nb")).as("join_size_exact"))
+      est.crossJoin(exact)
+    }),
+
     // --- dynamic quality thresholding: per-language MEDIAN stopword
     //     density as the cutoff (adapts to each stratum's distribution
     //     instead of one global constant — the usual way quality bars
@@ -2169,6 +2189,33 @@ object PipelineQueries {
            |                    / s_tot END, 4)
            |    AS hll_estimate
            |FROM ex JOIN est USING (lang) ORDER BY lang""".stripMargin,
+
+      // CMS inner product per sketch row, min over rows = join-size
+      // upper bound; identical Kirsch-Mitzenmacher position arithmetic
+      "t_cms_join_size" ->
+        s"""WITH tok AS (SELECT doc_id, unnest($toks) AS token FROM documents),
+           |a AS (SELECT token FROM tok WHERE doc_id % 2 = 0),
+           |b AS (SELECT token FROM tok WHERE doc_id % 2 <> 0),
+           |ha AS (SELECT ('0x' || substring(md5(token), 1, 15))::BIGINT % 8192 AS h1,
+           |              ('0x' || substring(md5(token), 16, 15))::BIGINT % 8192 AS h2r FROM a),
+           |ca AS (SELECT r.i AS row_idx,
+           |              (h1 + r.i * (h2r + 1 - (h2r % 2))) % 8192 AS bucket,
+           |              CAST(count(*) AS BIGINT) AS ca
+           |       FROM ha CROSS JOIN range(0, 4) r(i) GROUP BY 1, 2),
+           |hb AS (SELECT ('0x' || substring(md5(token), 1, 15))::BIGINT % 8192 AS h1,
+           |              ('0x' || substring(md5(token), 16, 15))::BIGINT % 8192 AS h2r FROM b),
+           |cb AS (SELECT r.i AS row_idx,
+           |              (h1 + r.i * (h2r + 1 - (h2r % 2))) % 8192 AS bucket,
+           |              CAST(count(*) AS BIGINT) AS cb
+           |       FROM hb CROSS JOIN range(0, 4) r(i) GROUP BY 1, 2),
+           |ip AS (SELECT ca.row_idx, sum(ca.ca * cb.cb) AS ip
+           |       FROM ca JOIN cb ON ca.row_idx = cb.row_idx AND ca.bucket = cb.bucket
+           |       GROUP BY ca.row_idx),
+           |est AS (SELECT CAST(min(ip) AS BIGINT) AS join_size_est FROM ip),
+           |ex AS (SELECT CAST(sum(na * nb) AS BIGINT) AS join_size_exact FROM
+           |  (SELECT token, count(*) AS na FROM a GROUP BY token) x
+           |  JOIN (SELECT token, count(*) AS nb FROM b GROUP BY token) y USING (token))
+           |SELECT * FROM est, ex""".stripMargin,
 
       "t_quality_threshold" -> {
         val allStop = (Seq("the", "and", "of", "to", "in", "is", "that", "for") ++

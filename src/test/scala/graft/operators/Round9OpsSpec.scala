@@ -315,6 +315,32 @@ class Round9OpsSpec extends SparkSpec {
     assert(z == expect && r2(9).getAs[Boolean]("is_anomaly"))
   }
 
+  test("cmsJoinSizeEstimate: exact without collisions, never under with them") {
+    import spark.implicits._
+    // A: x×3, y×2; B: x×4, z×5  ->  |A join B| = 3·4 = 12
+    val a = (Seq.fill(3)("x") ++ Seq.fill(2)("y")).toDF("k")
+    val b = (Seq.fill(4)("x") ++ Seq.fill(5)("z")).toDF("k")
+    val wide = Sketches.cmsJoinSizeEstimate(
+      Sketches.cmsBuild(a, "k", width = 1024, depth = 4),
+      Sketches.cmsBuild(b, "k", width = 1024, depth = 4))
+    assert(wide.head.getLong(0) == 12L)
+    // width 2 forces collisions: the estimate may only go UP
+    val tiny = Sketches.cmsJoinSizeEstimate(
+      Sketches.cmsBuild(a, "k", width = 2, depth = 2),
+      Sketches.cmsBuild(b, "k", width = 2, depth = 2))
+    assert(tiny.head.getLong(0) >= 12L)
+  }
+
+  test("tableStats: planted nulls, duplicates, and min/max hand-check") {
+    import spark.implicits._
+    val df = Seq((1L, Some("a")), (2L, Some("b")), (3L, None), (4L, Some("a")))
+      .toDF("id", "s")
+    val r = Profiling.tableStats(df, Seq("id", "s"))
+      .orderBy("column_name").collect()
+    assert(r(0).toSeq == Seq("id", 4L, 0L, 4L, "1", "4"))
+    assert(r(1).toSeq == Seq("s", 4L, 1L, 2L, "a", "b"))
+  }
+
   test("hll registers: values land where the md5 arithmetic says (hand check)") {
     import spark.implicits._
     // md5("a") = 0cc175b9c0f1b6a831c399e269772661; first 15 hex =
