@@ -232,6 +232,47 @@ object TextAnalysis {
           col("n_kept") >= minKeptLines)
   }
 
+  /** Top-k bigram collocations by pointwise mutual information —
+    * PMI(w1,w2) = ln(N·c(w1w2) / (c(w1)·c(w2))) with a minimum-frequency
+    * floor (Church & Hanks 1990), the standard phrase-mining statistic
+    * (PMI surfaces "los angeles"; raw frequency surfaces "of the").
+    * The ln takes one division of exact integer products, so both
+    * engines agree bitwise at 6 dp.
+    *
+    * Two map-side-combined count aggregates (adjacent pairs, unigrams)
+    * + two equi-joins back; the minFreq filter shrinks the ranked set
+    * BEFORE the global top-k (WindowGroupLimit prunes the sort). The
+    * corpus-total N rides as a 1-row cross join, never a driver value.
+    * Output: (w1, w2, c12, c1, c2, pmi, rk). */
+  def pmiCollocations(df0: DataFrame, textCol: String,
+                      minFreq: Long = 5, topK: Int = 50): DataFrame = {
+    val df = Dedup.widen(df0)
+    val toks = df.select(tokens(col(textCol)).as("toks"))
+    val bi = graft.functions.SafeExplode.explodeSelect(
+        toks.filter(size(col("toks")) >= 2), Seq.empty,
+        transform(sequence(lit(0), size(col("toks")) - 2),
+          i => struct(element_at(col("toks"), i + 1).as("w1"),
+            element_at(col("toks"), i + 2).as("w2"))), "bg")
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bc = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val uc = graft.functions.SafeExplode.explodeSelect(
+        toks, Seq.empty, col("toks"), "w")
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val nf = bc.agg(sum(col("c12")).as("nn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+    bc.join(uc.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(uc.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(nf)
+      .filter(col("c12") >= minFreq)
+      .withColumn("pmi",
+        round(log((col("nn") * col("c12")).cast("double") /
+          (col("c1") * col("c2"))), 6))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= topK)
+      .select("w1", "w2", "c12", "c1", "c2", "pmi", "rk")
+  }
+
   /** Per-stratum vocabulary induction: the `topK` most frequent word
     * tokens per stratum (language), with occurrence counts — the corpus
     * statistic tokenizer training starts from. One token-explode +

@@ -654,6 +654,13 @@ object PipelineQueries {
         .orderBy("lang")
     }),
 
+    // --- PMI collocations: top-50 bigram phrases by pointwise mutual
+    //     information (minFreq 5) — the phrase-mining statistic raw
+    //     frequency can't give ---
+    "t_pmi_collocations" -> ((s, dir) =>
+      TextAnalysis.pmiCollocations(docs(s, dir), "text")
+        .orderBy("rk")),
+
     // --- join-size estimation from two CMS sketches (AMS inner
     //     product): price the token equi-join between the even-id and
     //     odd-id halves WITHOUT running it; exact size alongside as the
@@ -2189,6 +2196,25 @@ object PipelineQueries {
            |                    / s_tot END, 4)
            |    AS hll_estimate
            |FROM ex JOIN est USING (lang) ORDER BY lang""".stripMargin,
+
+      "t_pmi_collocations" ->
+        s"""WITH t AS (SELECT $toks AS tk FROM documents),
+           |bi AS (SELECT unnest(list_transform(range(1, len(tk)),
+           |         i -> {'w1': tk[i], 'w2': tk[i+1]})) AS bg
+           |       FROM t WHERE len(tk) >= 2),
+           |bc AS (SELECT bg.w1 AS w1, bg.w2 AS w2,
+           |         CAST(count(*) AS BIGINT) AS c12 FROM bi GROUP BY 1, 2),
+           |uc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM
+           |         (SELECT unnest($toks) AS w FROM documents) GROUP BY w),
+           |nn AS (SELECT CAST(sum(c12) AS BIGINT) AS nn FROM bc),
+           |sc AS (SELECT w1, w2, c12, u1.c AS c1, u2.c AS c2,
+           |         round(ln((nn.nn * c12)::DOUBLE / (u1.c * u2.c)), 6) AS pmi
+           |       FROM bc JOIN uc u1 ON bc.w1 = u1.w
+           |       JOIN uc u2 ON bc.w2 = u2.w CROSS JOIN nn
+           |       WHERE c12 >= 5)
+           |SELECT w1, w2, c12, c1, c2, pmi, CAST(rk AS BIGINT) AS rk FROM (
+           |  SELECT *, row_number() OVER (ORDER BY pmi DESC, w1, w2) AS rk FROM sc)
+           |WHERE rk <= 50 ORDER BY rk""".stripMargin,
 
       // CMS inner product per sketch row, min over rows = join-size
       // upper bound; identical Kirsch-Mitzenmacher position arithmetic

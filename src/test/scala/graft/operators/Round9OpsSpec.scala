@@ -341,6 +341,25 @@ class Round9OpsSpec extends SparkSpec {
     assert(r(1).toSeq == Seq("s", 4L, 1L, 2L, "a", "b"))
   }
 
+  test("pmiCollocations: a glued pair outranks frequent-but-independent pairs; minFreq floors") {
+    import spark.implicits._
+    // "san francisco" always co-occurs (12 times, each word only there);
+    // "the cat" / "the dog" are frequent but 'the' is promiscuous
+    val docs = (
+      Seq.fill(12)("san francisco") ++
+        Seq.fill(20)("the cat sat") ++ Seq.fill(20)("the dog ran") ++
+        Seq.fill(3)("rare pair")  // below minFreq 5 -> excluded
+      ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val r = TextAnalysis.pmiCollocations(docs, "text", minFreq = 5, topK = 10)
+      .collect()
+    assert(r.head.getAs[String]("w1") == "san" &&
+      r.head.getAs[String]("w2") == "francisco")
+    assert(!r.exists(x => x.getAs[String]("w1") == "rare"))
+    // hand value: N = 12 + 2*20 + 2*20 + 3 = 95; c12=12, c1=c2=12
+    val expect = math.rint(math.log(95.0 * 12 / (12.0 * 12)) * 1e6) / 1e6
+    assert(r.head.getAs[Double]("pmi") == expect)
+  }
+
   test("hll registers: values land where the md5 arithmetic says (hand check)") {
     import spark.implicits._
     // md5("a") = 0cc175b9c0f1b6a831c399e269772661; first 15 hex =
