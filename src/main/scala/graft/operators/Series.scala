@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -43,5 +43,42 @@ object Series {
               (col("n") * (col("n") - 1))), 6)))
       .withColumn("is_anomaly", coalesce(abs(col("z")) > flagAt, lit(false)))
       .select(col(keyCol), col(periodCol), x, col("z"), col("is_anomaly"))
+  }
+
+  /** Bounded-history exponential moving average (pandas `ewm(adjust=
+    * True)` semantics over the last `lag`+1 periods): smoothed_t =
+    * Σ_i (1−α)^i·x_{t−i} / Σ_i (1−α)^i — the normalized form, so short
+    * histories are proper weighted averages, not biased toward zero.
+    * Bounding the history at `lag` makes it a WINDOW computation (one
+    * pass, mergeable with the [[trailingZscore]] shuffle) instead of an
+    * unboundable running recursion, and the dropped tail mass is
+    * (1−α)^(lag+1) — under 1% at the defaults.
+    *
+    * Determinism: with a DYADIC α (0.5, 0.25, 0.75…) every weight
+    * (1−α)^i is an exact power of two and products/sums evaluate
+    * identically in any IEEE engine; the in-row fold visits the frame
+    * oldest-first on both sides. Non-dyadic α leans on the 6-dp
+    * rounding instead (libm pow divergence is far below 1e-6). */
+  def ewma(series: DataFrame, keyCol: String, periodCol: String,
+           valueCol: String, alpha: Double = 0.5, lag: Int = 7): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    require(lag >= 0, s"lag must be non-negative, got $lag")
+    val w = Window.partitionBy(keyCol).orderBy(periodCol)
+      .rowsBetween(-lag, 0)
+    val vals = collect_list(col(valueCol).cast("double")).over(w)
+    def fold(vs: Column): Column = aggregate(
+      vs,
+      struct(lit(0).as("i"), lit(0.0).as("num"), lit(0.0).as("den")),
+      (acc, v) => {
+        // frame order is oldest-first; newest element gets weight 1
+        val wgt = pow(lit(1 - alpha),
+          size(vs).cast("double") - 1 - acc.getField("i").cast("double"))
+        struct((acc.getField("i") + 1).as("i"),
+          (acc.getField("num") + wgt * v).as("num"),
+          (acc.getField("den") + wgt).as("den"))
+      },
+      acc => round(acc.getField("num") / acc.getField("den"), 6))
+    series.select(col(keyCol), col(periodCol), col(valueCol),
+      fold(vals).as("ewma"))
   }
 }

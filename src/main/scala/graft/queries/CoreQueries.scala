@@ -377,6 +377,18 @@ object CoreQueries {
         .orderBy("bucket")
     }),
 
+    // EWMA smoothing of the daily per-event-type value series (α=0.5,
+    // 7-period history): the trend line drift monitoring reads next to
+    // q_anomaly_zscore's flags; dyadic α ⇒ exact weights cross-engine.
+    "q_ewma_value" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(col("value").cast("decimal(18,6)")).cast("double")
+          .as("day_value"))
+      graft.operators.Series.ewma(daily, "event_type", "day", "day_value")
+        .orderBy("event_type", "day")
+    }),
+
     "q_peak_concurrency" -> ((s, dir) =>
       peakConcurrency(graft.streaming.EventStream.sessionizeBatch(t(s, dir, "events")))),
 
@@ -653,6 +665,22 @@ object CoreQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
         |FROM days d LEFT JOIN daily dv USING (user_id, day)
         |ORDER BY user_id, day""".stripMargin,
+    "q_ewma_value" ->
+      // same oldest-first fold: l[i] gets weight 0.5^(n-i), i 1-based
+      """WITH daily AS (
+        |  SELECT event_type, ts::DATE AS day,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS day_value
+        |  FROM events GROUP BY event_type, ts::DATE),
+        |fr AS (SELECT event_type, day, day_value,
+        |    list(day_value) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS l
+        |  FROM daily)
+        |SELECT event_type, day, day_value,
+        |  round(list_sum(list_transform(range(1, len(l) + 1),
+        |          i -> (0.5 ** (len(l) - i)) * l[i])) /
+        |        list_sum(list_transform(range(1, len(l) + 1),
+        |          i -> 0.5 ** (len(l) - i))), 6) AS ewma
+        |FROM fr ORDER BY event_type, day""".stripMargin,
     "q_anomaly_zscore" ->
       """WITH daily AS (
         |  SELECT event_type, ts::DATE AS day, CAST(count(*) AS BIGINT) AS cnt

@@ -360,6 +360,22 @@ class Round9OpsSpec extends SparkSpec {
     assert(r.head.getAs[Double]("pmi") == expect)
   }
 
+  test("ewma: hand-computed adjusted weights, lag bound drops old history") {
+    import spark.implicits._
+    val s = Seq(("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 40.0))
+      .toDF("k", "d", "v")
+    val r = Series.ewma(s, "k", "d", "v", alpha = 0.5, lag = 7)
+      .orderBy("d").select($"ewma").as[Double].collect()
+    // [10] -> 10; [10,20] -> (5+20)/1.5; [10,20,40] -> (2.5+10+40)/1.75
+    assert(r(0) == 10.0)
+    assert(r(1) == math.rint(25.0 / 1.5 * 1e6) / 1e6)
+    assert(r(2) == 30.0)
+    // lag=0 degenerates to the raw series
+    val raw = Series.ewma(s, "k", "d", "v", alpha = 0.5, lag = 0)
+      .orderBy("d").select($"ewma").as[Double].collect()
+    assert(raw.toSeq == Seq(10.0, 20.0, 40.0))
+  }
+
   test("hll registers: values land where the md5 arithmetic says (hand check)") {
     import spark.implicits._
     // md5("a") = 0cc175b9c0f1b6a831c399e269772661; first 15 hex =
