@@ -187,4 +187,30 @@ object Sampling {
       .orderBy(col("skey").asc, col(keyCol).asc)
       .limit(k)
   }
+
+  /** Deterministic token-budget fill per stratum — "give me ~B tokens
+    * of each language, reproducibly": rows rank by (md5(id), id) within
+    * the stratum (the content-addressed order every sampler here uses,
+    * so the fill is identical on any cluster/partitioning and STABLE
+    * under corpus growth up to the boundary), and a row is kept iff the
+    * cumulative token count BEFORE it is under `budget` — greedy fill:
+    * the boundary doc may overshoot by less than one document, the
+    * budget is never underfilled while eligible docs remain. This is
+    * the mixture-construction primitive when targets are TOKEN counts,
+    * not document counts ([[mixtureSample]]'s unit). One window shuffle
+    * keyed by the stratum.
+    * Output: input columns + `cum_before` (tokens taken ahead of the
+    * row in its stratum). */
+  def tokenBudgetSample(df: DataFrame, strataCol: String, idCol: String,
+                        tokenCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("cum_before",
+        sum(col(tokenCol)).over(w) - col(tokenCol))
+      .filter(col("cum_before") < budget)
+  }
 }

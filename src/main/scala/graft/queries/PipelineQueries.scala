@@ -654,6 +654,18 @@ object PipelineQueries {
         .orderBy("lang")
     }),
 
+    // --- token-budget fill: ~10k word tokens per language, greedy in
+    //     content-hash order (the mixture primitive when targets are
+    //     token counts, not doc counts) ---
+    "t_token_budget" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("lang"),
+        size(graft.functions.TextFunctions.tokens(col("text")))
+          .cast("long").as("n_tokens"))
+      graft.operators.Sampling.tokenBudgetSample(
+          d, "lang", "doc_id", "n_tokens", budget = 10000L)
+        .orderBy("doc_id")
+    }),
+
     // --- PMI collocations: top-50 bigram phrases by pointwise mutual
     //     information (minFreq 5) — the phrase-mining statistic raw
     //     frequency can't give ---
@@ -2196,6 +2208,17 @@ object PipelineQueries {
            |                    / s_tot END, 4)
            |    AS hll_estimate
            |FROM ex JOIN est USING (lang) ORDER BY lang""".stripMargin,
+
+      "t_token_budget" ->
+        s"""WITH d AS (SELECT doc_id, lang, len($toks)::BIGINT AS n_tokens
+           |           FROM documents),
+           |c AS (SELECT doc_id, lang, n_tokens,
+           |    sum(n_tokens) OVER (PARTITION BY lang
+           |      ORDER BY md5(doc_id::VARCHAR), doc_id
+           |      ROWS UNBOUNDED PRECEDING) - n_tokens AS cum_before
+           |  FROM d)
+           |SELECT doc_id, lang, n_tokens, CAST(cum_before AS BIGINT) AS cum_before
+           |FROM c WHERE cum_before < 10000 ORDER BY doc_id""".stripMargin,
 
       "t_pmi_collocations" ->
         s"""WITH t AS (SELECT $toks AS tk FROM documents),

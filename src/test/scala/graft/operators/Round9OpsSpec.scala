@@ -376,6 +376,19 @@ class Round9OpsSpec extends SparkSpec {
     assert(raw.toSeq == Seq(10.0, 20.0, 40.0))
   }
 
+  test("tokenBudgetSample: greedy fill semantics and repartition invariance") {
+    import spark.implicits._
+    val d = (1L to 100L).map(i => (i, "x", 7L)).toDF("id", "g", "n")
+    val kept = Sampling.tokenBudgetSample(d, "g", "id", "n", budget = 50L)
+    // 7 tokens/doc, budget 50: cum_before of the kept run is 0,7,...,49
+    // -> exactly 8 docs (the 8th overshoots to 56 but started under 50)
+    assert(kept.count() == 8L)
+    assert(kept.agg(max("cum_before")).head.getLong(0) < 50L)
+    val again = Sampling.tokenBudgetSample(
+      d.repartition(7), "g", "id", "n", budget = 50L)
+    assert(kept.exceptAll(again).isEmpty && again.exceptAll(kept).isEmpty)
+  }
+
   test("hll registers: values land where the md5 arithmetic says (hand check)") {
     import spark.implicits._
     // md5("a") = 0cc175b9c0f1b6a831c399e269772661; first 15 hex =
