@@ -188,6 +188,51 @@ object Sampling {
       .limit(k)
   }
 
+  /** Neyman-allocation stratified sampling (Neyman 1934): the total
+    * sample budget `total` splits across strata proportional to
+    * N_h·S_h — high-variance strata get MORE rows than proportional
+    * allocation would give, which minimizes the variance of the overall
+    * estimate at fixed cost (the survey-statistics optimum; uniform
+    * per-stratum rates are what [[stratifiedSample]] does). Within each
+    * stratum the n_h rows are the usual content-hash rank take.
+    *
+    * Determinism discipline: S_h comes from exact integer sums
+    * (n·Σx²−(Σx)², the [[Series.trailingZscore]] identity), the
+    * cross-strata weight total accumulates in DECIMAL(30,12) (double
+    * summation order would be partitioning-dependent), and n_h =
+    * floor(total·w_h/W) — identical IEEE steps in any engine. Floor
+    * under-allocates by at most one row per stratum.
+    *
+    * Scale shape: stats are one map-side-combined aggregate; the
+    * model-sized allocation broadcasts back; the take is one window
+    * shuffle. Output: input id/stratum + `rk`, `n_alloc`. */
+  def neymanSample(df: DataFrame, strataCol: String, idCol: String,
+                   valueCol: String, total: Int): DataFrame = {
+    require(total > 0, s"total must be positive, got $total")
+    val x = col(valueCol).cast("long")
+    val stats = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("nh"), sum(x).as("sx"), sum(x * x).as("sxx"))
+      .withColumn("sh",
+        when(col("nh") >= 2 && (col("nh") * col("sxx") - col("sx") * col("sx")) > 0,
+          sqrt((col("nh") * col("sxx") - col("sx") * col("sx")).cast("double") /
+            (col("nh") * (col("nh") - 1))))
+          .otherwise(lit(0.0)))
+      .withColumn("whd",
+        (col("nh").cast("double") * col("sh")).cast("decimal(30,12)"))
+    val tot = stats.agg(sum(col("whd")).cast("double").as("wt"))
+    val alloc = stats.crossJoin(broadcast(tot))
+      .select(col(strataCol),
+        floor(lit(total.toDouble) * col("whd").cast("double") / col("wt"))
+          .cast("long").as("n_alloc"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.select(col(idCol), col(strataCol))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .join(broadcast(alloc), strataCol)
+      .filter(col("rk") <= col("n_alloc"))
+  }
+
   /** Deterministic token-budget fill per stratum — "give me ~B tokens
     * of each language, reproducibly": rows rank by (md5(id), id) within
     * the stratum (the content-addressed order every sampler here uses,

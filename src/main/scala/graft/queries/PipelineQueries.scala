@@ -654,6 +654,14 @@ object PipelineQueries {
         .orderBy("lang")
     }),
 
+    // --- Neyman-allocation stratified sample: 200 docs split across
+    //     languages by N_h·S_h of doc length (variance-optimal, vs the
+    //     uniform-rate stratified sampler) ---
+    "t_neyman_sample" -> ((s, dir) =>
+      graft.operators.Sampling.neymanSample(
+          docs(s, dir), "lang", "doc_id", "n_chars", total = 200)
+        .orderBy("doc_id")),
+
     // --- token-budget fill: ~10k word tokens per language, greedy in
     //     content-hash order (the mixture primitive when targets are
     //     token counts, not doc counts) ---
@@ -2208,6 +2216,26 @@ object PipelineQueries {
            |                    / s_tot END, 4)
            |    AS hll_estimate
            |FROM ex JOIN est USING (lang) ORDER BY lang""".stripMargin,
+
+      "t_neyman_sample" ->
+        """WITH st AS (SELECT lang, CAST(count(*) AS BIGINT) AS nh,
+          |       CAST(sum(n_chars) AS BIGINT) AS sx,
+          |       CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx
+          |     FROM documents GROUP BY lang),
+          |s2 AS (SELECT lang, nh,
+          |       CASE WHEN nh >= 2 AND nh * sxx - sx * sx > 0
+          |            THEN sqrt((nh * sxx - sx * sx)::DOUBLE / (nh * (nh - 1)))
+          |            ELSE 0.0 END AS sh FROM st),
+          |w AS (SELECT lang, CAST(nh::DOUBLE * sh AS DECIMAL(30,12)) AS whd FROM s2),
+          |tw AS (SELECT CAST(sum(whd) AS DOUBLE) AS wt FROM w),
+          |alloc AS (SELECT lang,
+          |    CAST(floor(200.0 * whd::DOUBLE / wt) AS BIGINT) AS n_alloc
+          |  FROM w CROSS JOIN tw),
+          |rk AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+          |    ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk FROM documents)
+          |SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk, n_alloc
+          |FROM rk JOIN alloc USING (lang)
+          |WHERE rk <= n_alloc ORDER BY doc_id""".stripMargin,
 
       "t_token_budget" ->
         s"""WITH d AS (SELECT doc_id, lang, len($toks)::BIGINT AS n_tokens

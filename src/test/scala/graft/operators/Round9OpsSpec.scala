@@ -389,6 +389,25 @@ class Round9OpsSpec extends SparkSpec {
     assert(kept.exceptAll(again).isEmpty && again.exceptAll(kept).isEmpty)
   }
 
+  test("neymanSample: variance-optimal allocation favors the noisy stratum; repartition-invariant") {
+    import spark.implicits._
+    // stratum a: constant value (S=0) -> zero allocation (the Neyman
+    // optimum: a constant stratum needs no samples to estimate);
+    // b: low variance; c: same size, 10x the spread -> ~10x b's share
+    val rows = ((1L to 100L).map(i => (i, "a", 50L)) ++
+      (101L to 200L).map(i => (i, "b", 50L + (i % 2))) ++
+      (201L to 300L).map(i => (i, "c", 50L + 10 * (i % 2)))
+      ).toDF("id", "g", "v")
+    val s = Sampling.neymanSample(rows, "g", "id", "v", total = 110)
+    val byG = s.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!byG.contains("a"))
+    assert(byG("c") > 5 * byG("b"), s"allocation $byG")
+    assert(byG.values.sum <= 110)
+    val again = Sampling.neymanSample(rows.repartition(7), "g", "id", "v", total = 110)
+    assert(s.exceptAll(again).isEmpty && again.exceptAll(s).isEmpty)
+  }
+
   test("hll registers: values land where the md5 arithmetic says (hand check)") {
     import spark.implicits._
     // md5("a") = 0cc175b9c0f1b6a831c399e269772661; first 15 hex =
