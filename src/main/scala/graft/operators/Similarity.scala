@@ -490,6 +490,62 @@ object Similarity {
       .filter(col("rk") <= k)
   }
 
+  /** Reciprocal-rank fusion of the dense and lexical retrieval rankings
+    * (Cormack, Clarke & Buettcher 2009): RRF(d) = Σ_lists 1/(k0 + rank)
+    * over the per-list ranks, instead of [[hybridTopK]]'s weighted score
+    * sum. Rank fusion is SCALE-FREE — cosine and containment live on
+    * incomparable distributions, and RRF needs no calibration between
+    * them, which is why it is the default fusion in search stacks.
+    *
+    * Same broadcast-shingle-index candidate generation and one scoring
+    * pass as [[hybridTopK]]; both ranks come from the SAME scored frame
+    * (two windows over one shuffle key), a candidate outside a list's
+    * top-`poolK` contributes zero from that list. 1/(k0+rank) over
+    * integer ranks is a single IEEE division — engines agree bitwise at
+    * the 6-dp rounding. Output: (qid, nid, rrf, rk). */
+  def rrfTopK(corpus: DataFrame, queryPred: org.apache.spark.sql.Column,
+              idCol: String, textCol: String, vecCol: String,
+              k: Int = 5, poolK: Int = 20, k0: Int = 60,
+              shingleK: Int = 3): DataFrame = {
+    graft.plans.GraftFunctions.register(corpus.sparkSession)
+    val df = Dedup.widen(corpus)
+    val docSh = Dedup.hashedShingleSets(df, idCol, textCol, shingleK,
+      keep = Seq(col(vecCol).as("vec"), queryPred.as("is_query")))
+    val ex = graft.functions.SafeExplode.explodeSelect(
+      docSh, Seq(col(idCol), col("is_query")), col("sh"), "s")
+    val qSh = broadcast(ex.filter(col("is_query"))
+      .select(col(idCol).as("qid"), col("s")))
+    val cand = ex.join(qSh, "s")
+      .filter(col("qid") =!= col(idCol))
+      .select(col("qid"), col(idCol).as("nid"))
+      .distinct()
+    val scored = cand
+      .join(docSh.select(col(idCol).as("qid"), col("sh").as("shq"),
+        col("n").as("nq"), col("vec").as("qv")), "qid")
+      .join(docSh.select(col(idCol).as("nid"), col("sh").as("shn"),
+        col("vec").as("nv")), "nid")
+      .select(col("qid"), col("nid"),
+        Vectors.cosineNative(corpus.sparkSession, col("qv"), col("nv"))
+          .as("dcos"),
+        (call_function("graft_sorted_intersect_count",
+          col("shq"), col("shn")).cast("double") / col("nq")).as("lex"))
+    val wd = Window.partitionBy("qid").orderBy(col("dcos").desc, col("nid").asc)
+    val wl = Window.partitionBy("qid").orderBy(col("lex").desc, col("nid").asc)
+    val fused = scored
+      .withColumn("rkd", row_number().over(wd))
+      .withColumn("rkl", row_number().over(wl))
+      .withColumn("rrf", round(
+        when(col("rkd") <= poolK, lit(1.0) / (lit(k0.toDouble) + col("rkd")))
+          .otherwise(lit(0.0)) +
+          when(col("rkl") <= poolK, lit(1.0) / (lit(k0.toDouble) + col("rkl")))
+            .otherwise(lit(0.0)), 6))
+      .filter(col("rrf") > 0)
+    val w = Window.partitionBy("qid").orderBy(col("rrf").desc, col("nid").asc)
+    fused.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select("qid", "nid", "rrf", "rk")
+  }
+
   /** BM25 (Okapi) ranking of the corpus against a fixed term set — the
     * lexical-retrieval baseline (and the sparse half a production hybrid
     * ranker weights against [[hybridTopK]]'s dense score).

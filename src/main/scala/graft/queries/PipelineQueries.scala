@@ -326,6 +326,17 @@ object PipelineQueries {
         .orderBy("qid", "rk")
     }),
 
+    // --- reciprocal-rank fusion of the dense + lexical rankings
+    //     (scale-free — no score calibration), same candidate index ---
+    "a_rrf_topk" -> ((s, dir) => {
+      val corpus = docs(s, dir).join(
+        emb(s, dir).select(col("vec_id"), col("embedding")),
+        col("doc_id") === col("vec_id"))
+      Similarity.rrfTopK(corpus, col("doc_id") % 97 === 0,
+          "doc_id", "text", "embedding", k = 5)
+        .orderBy("qid", "rk")
+    }),
+
     // --- as-of join (operator Spark lacks; composed per SURVEY §7.4(a)) ---
     "q_asof_join" -> ((s, dir) => {
       val ev = TableCatalog.load(s, dir, "events")
@@ -1922,6 +1933,35 @@ object PipelineQueries {
            |SELECT qid, nid, score, CAST(rk AS BIGINT) AS rk FROM (
            |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rk
            |  FROM sc)
+           |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+
+      "a_rrf_topk" ->
+        s"""WITH sh AS (
+           |  SELECT doc_id, len($sh3)::BIGINT AS n, unnest($sh3) AS s
+           |  FROM (SELECT doc_id, $toks AS t
+           |        FROM documents JOIN embeddings ON doc_id = vec_id)
+           |  WHERE len(t) >= 3),
+           |lex AS (SELECT a.doc_id AS qid, b.doc_id AS nid,
+           |          CAST(count(*) AS BIGINT) AS inter, any_value(a.n) AS nq
+           |        FROM sh a JOIN sh b ON a.s = b.s
+           |          AND a.doc_id % 97 = 0 AND a.doc_id <> b.doc_id
+           |        GROUP BY a.doc_id, b.doc_id),
+           |sc AS (SELECT l.qid, l.nid,
+           |         ${cosAB.replace("a.embedding", "qe.embedding").replace("b.embedding", "ne.embedding")} AS dcos,
+           |         inter::DOUBLE / nq AS lex
+           |       FROM lex l JOIN embeddings qe ON qe.vec_id = l.qid
+           |                  JOIN embeddings ne ON ne.vec_id = l.nid),
+           |rks AS (SELECT qid, nid,
+           |          row_number() OVER (PARTITION BY qid ORDER BY dcos DESC, nid) AS rkd,
+           |          row_number() OVER (PARTITION BY qid ORDER BY lex DESC, nid) AS rkl
+           |        FROM sc),
+           |fus AS (SELECT qid, nid,
+           |          round((CASE WHEN rkd <= 20 THEN 1.0::DOUBLE / (60.0::DOUBLE + rkd) ELSE 0.0::DOUBLE END)
+           |              + (CASE WHEN rkl <= 20 THEN 1.0::DOUBLE / (60.0::DOUBLE + rkl) ELSE 0.0::DOUBLE END), 6) AS rrf
+           |        FROM rks)
+           |SELECT qid, nid, rrf, CAST(rk AS BIGINT) AS rk FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, nid) AS rk
+           |  FROM fus WHERE rrf > 0)
            |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
 
       "q_asof_join" ->

@@ -408,6 +408,26 @@ class Round9OpsSpec extends SparkSpec {
     assert(s.exceptAll(again).isEmpty && again.exceptAll(s).isEmpty)
   }
 
+  test("rrfTopK: the doc strong on BOTH lists outranks single-list winners") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    def vec(x: Float) = Array(x, 1 - x, 0.3f, 0.9f)
+    val corpus = Seq(
+      (0L, base, vec(0.5f)),                       // the query (id % 97 == 0)
+      (1L, base + " iota", vec(0.5f)),             // strong lex AND dense
+      (2L, base + " kappa lambda mu nu xi", vec(0.99f)), // lex ok, dense weak
+      (3L, "alpha beta gamma unrelated words here totally", vec(0.5f)) // dense strong, lex weak
+    ).toDF("doc_id", "text", "embedding")
+    val r = Similarity.rrfTopK(corpus, col("doc_id") % 97 === 0,
+      "doc_id", "text", "embedding", k = 3)
+      .orderBy("rk").collect()
+    assert(r.head.getAs[Long]("nid") == 1L,
+      s"both-lists doc must fuse to rank 1, got ${r.toSeq}")
+    // rrf values are monotone in rank and within (0, 2/61]
+    val vals = r.map(_.getAs[Double]("rrf"))
+    assert(vals.sameElements(vals.sorted.reverse) && vals.head <= 2.0 / 61 + 1e-6)
+  }
+
   test("hll registers: values land where the md5 arithmetic says (hand check)") {
     import spark.implicits._
     // md5("a") = 0cc175b9c0f1b6a831c399e269772661; first 15 hex =
