@@ -101,4 +101,26 @@ object Classifier {
     round(lit(1.0) / (lit(1.0) + exp(-w.indices
       .map(j => element_at(col(xCol), j + 1) * lit(w(j)))
       .reduce(_ + _))), 6)
+
+  /** Reliability-diagram bins over a scored frame (`p` in [0,1], `y` in
+    * {0,1}): decile buckets of predicted probability vs the ACTUAL
+    * positive rate inside each — the calibration eval run before a
+    * score is trusted as a filtering threshold (a well-calibrated bin
+    * has avg_p ≈ pos_rate; quality classifiers are routinely over-
+    * confident, and this is the frame that shows it). avg_p accumulates
+    * in decimal (double sum order would be partitioning-dependent).
+    * Output: (bin, n, avg_p, pos_rate). */
+  def calibrationBins(scored: DataFrame, pCol: String = "p",
+                      yCol: String = "y", bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"need at least 2 bins, got $bins")
+    scored
+      .withColumn("bin",
+        least(floor(col(pCol) * bins), lit((bins - 1).toDouble)).cast("long"))
+      .groupBy("bin").agg(
+        count(lit(1)).as("n"),
+        round(sum(col(pCol).cast("decimal(18,6)")).cast("double") /
+          count(lit(1)), 6).as("avg_p"),
+        round(sum(when(col(yCol) === 1.0, 1L).otherwise(0L)).cast("double") /
+          count(lit(1)), 6).as("pos_rate"))
+  }
 }

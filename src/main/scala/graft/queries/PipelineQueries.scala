@@ -577,6 +577,29 @@ object PipelineQueries {
 
     // --- classifier operating-point sweep: precision/recall at five
     //     thresholds over the trained quality scores ---
+    // --- reliability diagram for the trained quality classifier:
+    //     decile bins of predicted p vs actual positive rate (the
+    //     calibration eval run before trusting scores as thresholds;
+    //     avg_p accumulates in decimal — double sum order would be
+    //     partitioning-dependent) ---
+    "t_calibration" -> ((s, dir) => {
+      import graft.functions.TextFunctions.{tokens, stopwordHits, stopwords}
+      val tk = tokens(col("text"))
+      val f = docs(s, dir).select(col("doc_id"),
+        array(lit(1.0),
+          size(tk).cast("double") / lit(100.0),
+          length(col("text")).cast("double") / lit(1000.0),
+          when(size(tk) > 0,
+            stopwordHits(tk, stopwords("en")).cast("double") / size(tk))
+            .otherwise(0.0)).as("x"),
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+        .cache()
+      val w = graft.operators.Classifier.logregTrain(
+        f, "x", "y", dims = 4, iters = 20, lr = 8.0)
+      val scored = graft.operators.Classifier.logregScore(f, "doc_id", "x", "y", w)
+      graft.operators.Classifier.calibrationBins(scored).orderBy("bin")
+    }),
+
     "t_classifier_pr" -> ((s, dir) => {
       import s.implicits._
       val f = docs(s, dir).select(col("doc_id"),
@@ -1313,11 +1336,15 @@ object PipelineQueries {
     // generalized D-dim variant of logregChain for feature frames built
     // by their own CTE (`featCte` must yield f(doc_id, x, y)); identical
     // numeric recipe (6-dp sigmoid, decimal gradient means, 9-dp weights)
+    // every chain CTE is MATERIALIZED: without the hint DuckDB inlines
+    // w{i-1} into p{i} recursively and the plan grows 2^iters scans of
+    // the base table (10 iterations was the practical ceiling; 20+ ran
+    // out of file handles)
     def logregChainD(featCte: String, dims: Int, iters: Int, lr: String): String = {
       def dot(w: Int => String) =
         (1 to dims).map(j => s"x[$j]*${w(j - 1)}").mkString(" + ")
       def iterCte(i: Int, w: Int => String): String =
-        s"""p$i AS (SELECT doc_id, x, y,
+        s"""p$i AS MATERIALIZED (SELECT doc_id, x, y,
            |  round(1.0/(1.0 + exp(-(${dot(w)}))), 6) AS p
            |  FROM f${if (i == 1) "" else s", w${i - 1}"}),
            |g$i AS (SELECT
@@ -1325,10 +1352,10 @@ object PipelineQueries {
                 s"CAST(sum(CAST((y - p) * x[${j + 1}] AS DECIMAL(30,15))) AS DOUBLE)/count(*) AS g$j")
                .mkString(",\n  ")}
            |  FROM p$i),
-           |w$i AS (SELECT ${(0 until dims).map(j =>
+           |w$i AS MATERIALIZED (SELECT ${(0 until dims).map(j =>
                 s"round(${w(j)} + $lr*g$j, 9) AS w$j").mkString(", ")}
            |  FROM g$i${if (i == 1) "" else s", w${i - 1}"})""".stripMargin
-      "WITH " + featCte + ",\n" + iterCte(1, _ => "0.0") + ",\n" +
+      "WITH " + featCte.replaceFirst("f AS \\(", "f AS MATERIALIZED (") + ",\n" + iterCte(1, _ => "0.0") + ",\n" +
         (2 to iters).map(i => iterCte(i, j => s"w$j")).mkString(",\n") +
         s""",
            |scored AS (SELECT doc_id,
@@ -2461,6 +2488,22 @@ object PipelineQueries {
           |ORDER BY tot.doc_id, dim""".stripMargin,
 
       "t_classifier_pr" -> logregPrSql,
+
+      "t_calibration" -> (logregChainD(
+        s"""f AS (SELECT doc_id,
+           |  [1.0, len($toks)/100.0, length(text)/1000.0,
+           |   CASE WHEN len($toks) > 0
+           |        THEN len(list_filter($toks, x -> list_contains($stopEn, x)))::DOUBLE / len($toks)
+           |        ELSE 0.0 END] AS x,
+           |  CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+           |  FROM documents)""".stripMargin, 4, 20, "8.0") +
+        """,
+          |binned AS (SELECT CAST(least(floor(p * 10), 9) AS BIGINT) AS bin, p, y
+          |           FROM scored)
+          |SELECT bin, CAST(count(*) AS BIGINT) AS n,
+          |  round(CAST(sum(CAST(p AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_p,
+          |  round(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS pos_rate
+          |FROM binned GROUP BY bin ORDER BY bin""".stripMargin),
 
       // classifier filter feeding the substring-dedup SQL: `base` is the
       // kept subset (10 rounds, lr 2.0 — enough spread that the 0.435

@@ -428,6 +428,21 @@ class Round9OpsSpec extends SparkSpec {
     assert(vals.sameElements(vals.sorted.reverse) && vals.head <= 2.0 / 61 + 1e-6)
   }
 
+  test("calibrationBins: hand-computed bins, boundary p=1.0 clamps into the top bin") {
+    import spark.implicits._
+    val scored = Seq(
+      (0.05, 1.0), (0.05, 0.0),   // bin 0: avg_p 0.05, pos_rate 0.5
+      (0.92, 1.0), (0.98, 1.0),   // bin 9
+      (1.0, 0.0)                  // p = 1.0 must clamp to bin 9, not 10
+    ).toDF("p", "y")
+    val r = Classifier.calibrationBins(scored).orderBy("bin").collect()
+    assert(r.length == 2)
+    assert(r(0).toSeq == Seq(0L, 2L, 0.05, 0.5))
+    assert(r(1).toSeq == Seq(9L, 3L,
+      math.rint((0.92 + 0.98 + 1.0) / 3 * 1e6) / 1e6,
+      math.rint(2.0 / 3 * 1e6) / 1e6))
+  }
+
   test("hll registers: values land where the md5 arithmetic says (hand check)") {
     import spark.implicits._
     // md5("a") = 0cc175b9c0f1b6a831c399e269772661; first 15 hex =
