@@ -45,6 +45,38 @@ object Series {
       .select(col(keyCol), col(periodCol), x, col("z"), col("is_anomaly"))
   }
 
+  /** Robust (median/MAD) z-scores per key — the outlier flag that
+    * survives what breaks [[trailingZscore]]'s mean/σ: a single extreme
+    * value inflates σ enough to hide itself, while the median absolute
+    * deviation has a 50% breakdown point (Iglewicz & Hoaglin 1993;
+    * 0.6745 ≈ Φ⁻¹(3/4) rescales MAD to σ-units, |M| > 3.5 is their
+    * recommended cut). Global per key, not trailing — this is the
+    * batch-profile complement to the streaming-style trailing score.
+    *
+    * Determinism: medians are EXACT interpolated percentiles over the
+    * input values, rounded at 6 dp before reuse; the score is one
+    * multiply + divide over those pinned values. Two model-sized
+    * percentile aggregates broadcast back; zero-MAD keys (over half the
+    * values identical) yield NULL scores.
+    * Output: (key, period, value, med, mad, rz, is_anomaly). */
+  def robustZscore(series: DataFrame, keyCol: String, periodCol: String,
+                   valueCol: String, flagAt: Double = 3.5): DataFrame = {
+    val x = col(valueCol)
+    val med = series.groupBy(keyCol)
+      .agg(round(expr(s"percentile($valueCol, 0.5)"), 6).as("med"))
+    val dev = series.join(broadcast(med), keyCol)
+      .withColumn("adev", abs(x - col("med")))
+    val mad = dev.groupBy(keyCol)
+      .agg(round(expr("percentile(adev, 0.5)"), 6).as("mad"))
+    dev.join(broadcast(mad), keyCol)
+      .withColumn("rz",
+        when(col("mad") > 0,
+          round(lit(0.6745) * (x - col("med")) / col("mad"), 6)))
+      .withColumn("is_anomaly", coalesce(abs(col("rz")) > flagAt, lit(false)))
+      .select(col(keyCol), col(periodCol), x, col("med"), col("mad"),
+        col("rz"), col("is_anomaly"))
+  }
+
   /** Bounded-history exponential moving average (pandas `ewm(adjust=
     * True)` semantics over the last `lag`+1 periods): smoothed_t =
     * Σ_i (1−α)^i·x_{t−i} / Σ_i (1−α)^i — the normalized form, so short

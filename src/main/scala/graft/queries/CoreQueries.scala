@@ -377,6 +377,17 @@ object CoreQueries {
         .orderBy("bucket")
     }),
 
+    // Robust (median/MAD) outlier flags on the daily per-event-type
+    // series — the batch-profile complement to q_anomaly_zscore's
+    // trailing score; a lone spike can't hide itself by inflating σ.
+    "q_anomaly_mad" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.operators.Series.robustZscore(daily, "event_type", "day", "cnt")
+        .orderBy("event_type", "day")
+    }),
+
     // EWMA smoothing of the daily per-event-type value series (α=0.5,
     // 7-period history): the trend line drift monitoring reads next to
     // q_anomaly_zscore's flags; dyadic α ⇒ exact weights cross-engine.
@@ -665,6 +676,24 @@ object CoreQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
         |FROM days d LEFT JOIN daily dv USING (user_id, day)
         |ORDER BY user_id, day""".stripMargin,
+    "q_anomaly_mad" ->
+      """WITH daily AS (
+        |  SELECT event_type, ts::DATE AS day, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY event_type, ts::DATE),
+        |med AS (SELECT event_type, round(quantile_cont(cnt, 0.5), 6) AS med
+        |        FROM daily GROUP BY event_type),
+        |dev AS (SELECT d.event_type, d.day, d.cnt, m.med,
+        |          abs(d.cnt - m.med) AS adev
+        |        FROM daily d JOIN med m USING (event_type)),
+        |mad AS (SELECT event_type, round(quantile_cont(adev, 0.5), 6) AS mad
+        |        FROM dev GROUP BY event_type)
+        |SELECT event_type, day, cnt, med, mad, rz,
+        |  coalesce(abs(rz) > 3.5, false) AS is_anomaly
+        |FROM (SELECT v.event_type, v.day, v.cnt, v.med, a.mad,
+        |    CASE WHEN a.mad > 0
+        |         THEN round(0.6745::DOUBLE * (v.cnt - v.med) / a.mad, 6) END AS rz
+        |  FROM dev v JOIN mad a USING (event_type))
+        |ORDER BY event_type, day""".stripMargin,
     "q_ewma_value" ->
       // same oldest-first fold: l[i] gets weight 0.5^(n-i), i 1-based
       """WITH daily AS (

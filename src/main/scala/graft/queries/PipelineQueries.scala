@@ -1134,6 +1134,32 @@ object PipelineQueries {
       graft.operators.PageRank.ranks(pairs, "d1", "d2")
         .select(col("v").as("doc_id"), col("pagerank"))
         .orderBy("doc_id")
+    }),
+
+    // --- triangle census of the near-dup graph: triangle count via the
+    //     canonical a<b<c three-way equi-join (edges are already
+    //     low<high oriented, so each triangle joins exactly once — the
+    //     standard distributed formulation), wedge count from degrees,
+    //     global clustering coefficient 3T/W. High coefficient =
+    //     near-dup clusters are dense cliques (true duplicate groups);
+    //     low = chains of borderline pairs (threshold artifacts). ---
+    "g_triangles" -> ((s, dir) => {
+      val pairs = Dedup.minhashLsh(docs(s, dir), "doc_id", "text")
+        .select("d1", "d2").cache()
+      val tri = pairs.as("e1")
+        .join(pairs.as("e2"), col("e2.d1") === col("e1.d2"))
+        .join(pairs.as("e3"),
+          col("e3.d1") === col("e1.d1") && col("e3.d2") === col("e2.d2"))
+        .agg(count(lit(1)).as("n_triangles"))
+      val wed = pairs.select(col("d1").as("u"))
+        .union(pairs.select(col("d2").as("u")))
+        .groupBy("u").agg(count(lit(1)).as("deg"))
+        .agg(sum(expr("(deg * (deg - 1)) div 2")).as("n_wedges"))
+      pairs.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(tri).crossJoin(wed)
+        .withColumn("clustering_coeff",
+          when(col("n_wedges") > 0,
+            round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6)))
     })
   )
 
@@ -3149,6 +3175,34 @@ object PipelineQueries {
            |       FROM edges e JOIN deg d ON d.u = e.u JOIN r2 r ON r.rv = e.u CROSS JOIN nn
            |       GROUP BY e.v)
            |SELECT rv AS doc_id, r AS pagerank FROM r3 ORDER BY doc_id""".stripMargin,
+
+      // same minhash-band pair chain as g_pagerank; est is low<high
+      // oriented so the a<b<c join counts each triangle once
+      "g_triangles" ->
+        s"""WITH sh AS (
+           |  SELECT doc_id, unnest($sh3) AS s
+           |  FROM (SELECT doc_id, $toks AS t FROM documents) WHERE len(t) >= 3),
+           |sig AS (SELECT doc_id, h, min(md5(h::VARCHAR || '|' || s)) AS mh
+           |        FROM sh CROSS JOIN (SELECT unnest(range(16)) AS h) GROUP BY doc_id, h),
+           |band AS (SELECT doc_id, h // 4 AS band, md5(string_agg(mh, ',' ORDER BY h)) AS bh
+           |         FROM sig GROUP BY doc_id, h // 4),
+           |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+           |         FROM band a JOIN band b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+           |est AS (SELECT d1, d2 FROM cand JOIN sig x ON x.doc_id = d1
+           |        JOIN sig y ON y.doc_id = d2 AND y.h = x.h
+           |        GROUP BY d1, d2
+           |        HAVING count(*) FILTER (x.mh = y.mh)::DOUBLE / 16 >= 0.5),
+           |tr AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+           |       FROM est e1 JOIN est e2 ON e2.d1 = e1.d2
+           |       JOIN est e3 ON e3.d1 = e1.d1 AND e3.d2 = e2.d2),
+           |sym AS (SELECT d1 AS u FROM est UNION ALL SELECT d2 FROM est),
+           |wed AS (SELECT CAST(sum((deg * (deg - 1)) // 2) AS BIGINT) AS n_wedges
+           |        FROM (SELECT u, count(*) AS deg FROM sym GROUP BY u)),
+           |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM est)
+           |SELECT n_edges, n_triangles, n_wedges,
+           |  CASE WHEN n_wedges > 0
+           |       THEN round(3.0::DOUBLE * n_triangles / n_wedges, 6) END AS clustering_coeff
+           |FROM ne, tr, wed""".stripMargin,
 
       "a_bm25_topk" ->
         s"""WITH base AS (SELECT doc_id, $toks AS t FROM documents),

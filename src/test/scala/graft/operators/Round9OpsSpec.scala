@@ -443,6 +443,24 @@ class Round9OpsSpec extends SparkSpec {
       math.rint(2.0 / 3 * 1e6) / 1e6))
   }
 
+  test("robustZscore: a lone spike flags; zero-MAD and the spike's own effect on the median stay controlled") {
+    import spark.implicits._
+    // 14 days around 100 (alternating 99/101) + one 500 spike
+    val rows = ((1 to 14).map(d => ("a", d, if (d % 2 == 0) 99L else 101L)) :+
+      (("a", 15, 500L))).toDF("k", "d", "v")
+    val r = Series.robustZscore(rows, "k", "d", "v")
+      .orderBy("d").collect()
+    // median 101, MAD = median(|v-101|) = 2 -> spike rz = .6745*399/2
+    assert(r(14).getAs[Boolean]("is_anomaly"))
+    assert(r(14).getAs[Double]("rz") ==
+      math.rint(0.6745 * 399 / 2 * 1e6) / 1e6)
+    assert(r.take(14).forall(!_.getAs[Boolean]("is_anomaly")))
+    // constant series -> MAD 0 -> null scores, no flags
+    val const = (1 to 10).map(d => ("c", d, 7L)).toDF("k", "d", "v")
+    val rc = Series.robustZscore(const, "k", "d", "v").collect()
+    assert(rc.forall(x => x.isNullAt(5) && !x.getAs[Boolean]("is_anomaly")))
+  }
+
   test("hll registers: values land where the md5 arithmetic says (hand check)") {
     import spark.implicits._
     // md5("a") = 0cc175b9c0f1b6a831c399e269772661; first 15 hex =
