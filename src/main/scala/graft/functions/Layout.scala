@@ -55,42 +55,32 @@ object Layout {
     * Classic top-down quadrant walk: at each bit level `s = 2^e`, the
     * quadrant index (3·rx XOR ry) contributes s², then the sub-square
     * is reflected/swapped so the sub-curve enters where the parent
-    * leaves off. Implemented as ONE in-row `aggregate` fold over the
-    * descending bit levels with a (x, y, d) struct accumulator — a pure
-    * Catalyst expression inside whole-stage codegen, O(bits)/row, no
-    * UDF, and the identical fold is expressible in any SQL engine with
-    * a recursive CTE (how the oracle replays it). Inputs must be
-    * non-negative and fit `bits` bits (callers rescale/mask first). */
-  def hilbertKey(xCol: Column, yCol: Column, bits: Int = 16): Column = {
+    * leaves off. The identical walk is expressible in any SQL engine
+    * with a recursive CTE (how the oracle replays it). Inputs must be
+    * non-negative and fit `bits` bits (callers rescale/mask first).
+    *
+    * The walk runs in the native [[graft.plans.HilbertKey]] kernel —
+    * one generated 16-iteration loop over two longs. (The first cut was
+    * an `aggregate` fold over the bit levels: exact, but higher-order
+    * functions evaluate interpreted with a struct allocation per level
+    * per row — 16 s at sf0.1 where Z-order runs in tenths — and a
+    * per-level column unroll doubles the expression tree per level
+    * because each level reads BOTH prior coordinates.) `spark` is
+    * needed only for the idempotent function registration. */
+  def hilbertKey(spark: org.apache.spark.sql.SparkSession,
+                 xCol: Column, yCol: Column, bits: Int = 16): Column = {
     require(bits > 0 && 2 * bits <= 62,
       s"key width ${2 * bits} must be in (0, 62]")
-    val levels = sequence(lit(bits - 1), lit(0), lit(-1))
-    aggregate(levels,
-      struct(xCol.cast("long").as("x"), yCol.cast("long").as("y"),
-        lit(0L).as("d")),
-      (acc, e) => {
-        val x = acc.getField("x"); val y = acc.getField("y")
-        // 2^e is exact in double for e <= 15 (and any e < 62); the cast
-        // back to long is exact — shiftleft needs a literal, pow does not
-        val s = pow(lit(2.0), e).cast("long")
-        val rx = when(x.bitwiseAND(s) > 0, lit(1L)).otherwise(lit(0L))
-        val ry = when(y.bitwiseAND(s) > 0, lit(1L)).otherwise(lit(0L))
-        val d2 = acc.getField("d") + s * s * (lit(3L) * rx).bitwiseXOR(ry)
-        // ry = 0: reflect when rx = 1, then swap x/y; ry = 1: unchanged
-        val nx = when(ry === 0L,
-          when(rx === 1L, s - 1 - y).otherwise(y)).otherwise(x)
-        val ny = when(ry === 0L,
-          when(rx === 1L, s - 1 - x).otherwise(x)).otherwise(y)
-        struct(nx.as("x"), ny.as("y"), d2.as("d"))
-      },
-      acc => acc.getField("d"))
+    graft.plans.GraftFunctions.register(spark)
+    call_function("graft_hilbert_key",
+      xCol.cast("long"), yCol.cast("long"), lit(bits))
   }
 
   /** Physically cluster `df` along the Hilbert curve of (xCol, yCol) —
     * same one-range-shuffle cost as [[zOrderCluster]], tighter boxes. */
   def hilbertCluster(df: DataFrame, xCol: Column, yCol: Column,
                      bits: Int = 16, numRanges: Int = 0): DataFrame = {
-    val key = hilbertKey(xCol, yCol, bits)
+    val key = hilbertKey(df.sparkSession, xCol, yCol, bits)
     val ranges = if (numRanges > 0) numRanges
       else df.sparkSession.sessionState.conf.numShufflePartitions
     df.repartitionByRange(ranges, key).sortWithinPartitions(key)

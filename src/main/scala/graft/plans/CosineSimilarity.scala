@@ -109,6 +109,7 @@ object GraftFunctions {
     classOf[NearestCentroids].getName, "graft_nearest_centroids")
   val nearestCentroidsZsInfo = new ExpressionInfo(
     classOf[NearestCentroids].getName, "graft_nearest_centroids_zs")
+  val hilbertInfo = new ExpressionInfo(classOf[HilbertKey].getName, "graft_hilbert_key")
 
   private val builders: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_cosine"), cosineInfo,
@@ -122,7 +123,9 @@ object GraftFunctions {
     (FunctionIdentifier("graft_nearest_centroids"), nearestCentroidsInfo,
       (c: Seq[Expression]) => NearestCentroids(c.head, c(1), c(2))),
     (FunctionIdentifier("graft_nearest_centroids_zs"), nearestCentroidsZsInfo,
-      (c: Seq[Expression]) => NearestCentroids(c.head, c(1), c(2), zeroSafe = true)))
+      (c: Seq[Expression]) => NearestCentroids(c.head, c(1), c(2), zeroSafe = true)),
+    (FunctionIdentifier("graft_hilbert_key"), hilbertInfo,
+      (c: Seq[Expression]) => HilbertKey(c.head, c(1), c(2))))
 
   def register(spark: SparkSession): Unit =
     builders.foreach { case (id, info, b) =>

@@ -361,9 +361,9 @@ object CoreQueries {
     // Hilbert-curve layout stats — same shape as q_zorder_layout but on
     // the higher-locality curve (every walk step is grid-adjacent, so
     // equal-width key ranges cover tighter boxes than Z's diagonal
-    // jumps). Key = one in-row codegen'd fold; see Layout.hilbertKey.
+    // jumps). Key = the native HilbertKey kernel (one generated loop).
     "q_hilbert_layout" -> ((s, dir) => {
-      val h = graft.functions.Layout.hilbertKey(
+      val h = graft.functions.Layout.hilbertKey(s,
         pmod(col("l_partkey"), lit(65536L)),
         pmod(col("l_suppkey"), lit(65536L)), bits = 16)
       t(s, dir, "lineitem")
