@@ -16,20 +16,57 @@ object TextAnalysis {
     * closed-class-word hits (with multiplicity) and takes the argmax with
     * a fixed precedence order (en > de > fr > es) for ties; no hits at
     * all → "und" (undetermined), mirroring common lang-ID tooling. */
-  def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = tokens(col(textCol))
-    val scored = df.select(col(idCol), toks.as("toks"))
-      .select(col(idCol) +:
-        stopwords.toSeq.sortBy(_._1).map { case (l, ws) =>
-          stopwordHits(col("toks"), ws).as(s"s_$l") }: _*)
-    val (en, de, fr, es) = (col("s_en"), col("s_de"), col("s_fr"), col("s_es"))
-    scored.withColumn("pred_lang",
-        when(en >= de && en >= fr && en >= es && en > 0, "en")
-          .when(de >= fr && de >= es && de > 0, "de")
-          .when(fr >= es && fr > 0, "fr")
-          .when(es > 0, "es")
-          .otherwise("und"))
-      .select(col(idCol), col("pred_lang"))
+  def langId(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), tokens(col(textCol)).as("toks"))
+      .select(col(idCol), predLang(col("toks")).as("pred_lang"))
+
+  /** The stopword-vote language decision over a token array — shared by
+    * [[langId]] (whole documents) and [[codeSwitch]] (per line). */
+  private def predLang(toks: Column): Column = {
+    val hits = stopwords.toSeq.sortBy(_._1)
+      .map { case (l, ws) => l -> stopwordHits(toks, ws) }.toMap
+    val (en, de, fr, es) = (hits("en"), hits("de"), hits("fr"), hits("es"))
+    when(en >= de && en >= fr && en >= es && en > 0, "en")
+      .when(de >= fr && de >= es && de > 0, "de")
+      .when(fr >= es && fr > 0, "fr")
+      .when(es > 0, "es")
+      .otherwise("und")
+  }
+
+  /** Code-switching / mixed-language detection: run the [[langId]] vote
+    * per LINE, then summarize each document's line-language mix —
+    * distinct languages seen, the dominant one (most lines, name
+    * tiebreak), and the Shannon entropy of the line-language
+    * distribution (0 = monolingual; ln 2 ≈ 0.69 = an even two-language
+    * split). Mixed documents break per-document language routing
+    * (tokenizer choice, per-language quality bars), which is why
+    * curation pipelines flag them before stratifying.
+    *
+    * Determinism: every ln takes an INTEGER count (the [[charEntropy]]
+    * discipline) and the per-language terms accumulate in decimal.
+    * One line explode + two keyed aggregates.
+    * Output: (id, n_lines, n_langs, dominant, lang_entropy). */
+  def codeSwitch(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = graft.functions.SafeExplode.explodeSelect(
+      Dedup.widen(df), Seq(col(idCol)), split(col(textCol), "\n"), "line")
+    val counts = lines
+      .select(col(idCol), predLang(tokens(col("line"))).as("pred"))
+      .groupBy(col(idCol), col("pred")).agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("c").desc, col("pred").asc)
+    val dom = counts.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col(idCol), col("pred").as("dominant"))
+    counts.groupBy(col(idCol)).agg(
+        sum(col("c")).as("n_lines"),
+        count(lit(1)).as("n_langs"),
+        sum((col("c").cast("double") * log(col("c")))
+          .cast("decimal(30,15)")).as("sumcl"))
+      .withColumn("lang_entropy",
+        round(log(col("n_lines").cast("double")) -
+          col("sumcl").cast("double") / col("n_lines"), 6))
+      .join(dom, idCol)
+      .select(idCol, "n_lines", "n_langs", "dominant", "lang_entropy")
   }
 
   /** Quality metrics: length, token stats, punctuation/uppercase/stopword

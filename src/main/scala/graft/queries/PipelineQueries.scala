@@ -688,6 +688,12 @@ object PipelineQueries {
         .orderBy("lang")
     }),
 
+    // --- code-switching detection: per-line language vote -> per-doc
+    //     line-language entropy + dominant language ---
+    "t_code_switch" -> ((s, dir) =>
+      TextAnalysis.codeSwitch(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // --- Neyman-allocation stratified sample: 200 docs split across
     //     languages by N_h·S_h of doc length (variance-optimal, vs the
     //     uniform-rate stratified sampler) ---
@@ -2168,6 +2174,37 @@ object PipelineQueries {
            |  WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
            |  WHEN s_es > 0 THEN 'es' ELSE 'und' END AS pred_lang
            |FROM sc ORDER BY doc_id""".stripMargin,
+
+      "t_code_switch" ->
+        s"""WITH ln AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+           |           FROM documents),
+           |tk AS (SELECT doc_id, regexp_extract_all(lower(line), '[a-z0-9]+') AS t
+           |       FROM ln),
+           |sc AS (SELECT doc_id,
+           |  len(list_filter(t, x -> list_contains($stopEn, x)))::BIGINT AS s_en,
+           |  len(list_filter(t, x -> list_contains($stopDe, x)))::BIGINT AS s_de,
+           |  len(list_filter(t, x -> list_contains($stopFr, x)))::BIGINT AS s_fr,
+           |  len(list_filter(t, x -> list_contains($stopEs, x)))::BIGINT AS s_es
+           |  FROM tk),
+           |pr AS (SELECT doc_id, CASE
+           |  WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en'
+           |  WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
+           |  WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+           |  WHEN s_es > 0 THEN 'es' ELSE 'und' END AS pred FROM sc),
+           |c AS (SELECT doc_id, pred, CAST(count(*) AS BIGINT) AS c
+           |      FROM pr GROUP BY doc_id, pred),
+           |dom AS (SELECT doc_id, pred AS dominant FROM (
+           |    SELECT doc_id, pred,
+           |      row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, pred) AS rk
+           |    FROM c)
+           |  WHERE rk = 1),
+           |agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines,
+           |    CAST(count(*) AS BIGINT) AS n_langs,
+           |    sum(CAST(c * ln(c) AS DECIMAL(30,15))) AS sumcl
+           |  FROM c GROUP BY doc_id)
+           |SELECT doc_id, n_lines, n_langs, dominant,
+           |  round(ln(n_lines::DOUBLE) - sumcl::DOUBLE / n_lines, 6) AS lang_entropy
+           |FROM agg JOIN dom USING (doc_id) ORDER BY doc_id""".stripMargin,
 
       "t_quality" -> {
         val allStop = (Seq("the", "and", "of", "to", "in", "is", "that", "for") ++

@@ -461,6 +461,27 @@ class Round9OpsSpec extends SparkSpec {
     assert(rc.forall(x => x.isNullAt(5) && !x.getAs[Boolean]("is_anomaly")))
   }
 
+  test("codeSwitch: mixed doc gets ln-2 entropy, monolingual gets zero, dominance ties break by name") {
+    import spark.implicits._
+    val en = "the cat and the dog in that house"
+    val de = "der hund und die katze mit ein haus"
+    val docs = Seq(
+      (1L, s"$en\n$en\n$en"),            // monolingual: entropy 0
+      (2L, s"$en\n$de"),                 // even 2-lang split: ln 2
+      (3L, s"$en\n$en\n$de")             // en-dominant
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.codeSwitch(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(r(0).toSeq == Seq(1L, 3L, 1L, "en", 0.0))
+    val ln2 = math.rint(math.log(2) * 1e6) / 1e6
+    assert(r(1).getAs[Long]("n_langs") == 2L &&
+      r(1).getAs[Double]("lang_entropy") == ln2 &&
+      r(1).getAs[String]("dominant") == "de") // tie: 1-1, name asc
+    assert(r(2).getAs[String]("dominant") == "en" &&
+      r(2).getAs[Double]("lang_entropy") > 0 &&
+      r(2).getAs[Double]("lang_entropy") < ln2)
+  }
+
   test("hll registers: values land where the md5 arithmetic says (hand check)") {
     import spark.implicits._
     // md5("a") = 0cc175b9c0f1b6a831c399e269772661; first 15 hex =
