@@ -377,6 +377,30 @@ object CoreQueries {
         .orderBy("bucket")
     }),
 
+    // Behavioral pattern mining: each user's event history as an
+    // initial-letter sequence (v/c/p/s/e, ordered by ts with event_id
+    // tiebreak), then count the adjacent view->click->purchase motif by
+    // EXACT substring arithmetic — (len − len(remove("vcp")))/3 — no
+    // regex-engine semantics to disagree on. The sequence build is one
+    // groupBy with an in-row sorted fold; the motif count is map-side.
+    "q_event_pattern" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("user_id"),
+        struct(col("ts"), col("event_id"),
+          substring(col("event_type"), 1, 1).as("i")).as("ev"))
+      e.groupBy("user_id")
+        .agg(concat_ws("",
+          transform(array_sort(collect_list(col("ev"))),
+            x => x.getField("i"))).as("seq"))
+        .select(col("user_id"),
+          length(col("seq")).cast("long").as("n_events"),
+          md5(col("seq")).as("seq_md5"),
+          ((length(col("seq")) -
+            length(regexp_replace(col("seq"), "vcp", ""))) / 3)
+            .cast("long").as("n_vcp"))
+        .withColumn("converted", col("n_vcp") > 0)
+        .orderBy("user_id")
+    }),
+
     // Robust (median/MAD) outlier flags on the daily per-event-type
     // series — the batch-profile complement to q_anomaly_zscore's
     // trailing score; a lone spike can't hide itself by inflating σ.
@@ -676,6 +700,16 @@ object CoreQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
         |FROM days d LEFT JOIN daily dv USING (user_id, day)
         |ORDER BY user_id, day""".stripMargin,
+    "q_event_pattern" ->
+      """WITH sq AS (
+        |  SELECT user_id,
+        |    string_agg(substring(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, CAST(length(seq) AS BIGINT) AS n_events,
+        |  md5(seq) AS seq_md5,
+        |  CAST((length(seq) - length(replace(seq, 'vcp', ''))) // 3 AS BIGINT) AS n_vcp,
+        |  (length(seq) - length(replace(seq, 'vcp', ''))) // 3 > 0 AS converted
+        |FROM sq ORDER BY user_id""".stripMargin,
     "q_anomaly_mad" ->
       """WITH daily AS (
         |  SELECT event_type, ts::DATE AS day, CAST(count(*) AS BIGINT) AS cnt
