@@ -688,6 +688,38 @@ object PipelineQueries {
         .orderBy("lang")
     }),
 
+    // --- cross-stratum score normalization: a doc's quality signal
+    //     mapped to its within-language percent rank ((rank−1)/(n−1),
+    //     an exact rational) — scores become comparable across
+    //     languages, the calibration step before one global threshold
+    //     can be applied to per-language distributions ---
+    "t_quantile_norm" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir).select(col("doc_id"), col("lang"),
+        col("n_chars"))
+      val w = Window.partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))
+      d.withColumn("pr",
+          round(percent_rank().over(w), 6))
+        .select("doc_id", "lang", "n_chars", "pr")
+        .orderBy("doc_id")
+    }),
+
+    // --- winsorization: clamp doc length to its language's [p05, p95]
+    //     band (exact interpolated percentiles, pinned at 6 dp) — the
+    //     tail-robust preprocessing for any length-weighted statistic ---
+    "t_winsorize" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("lang"), col("n_chars"))
+      val bounds = d.groupBy("lang").agg(
+        round(expr("percentile(n_chars, 0.05)"), 6).as("lo"),
+        round(expr("percentile(n_chars, 0.95)"), 6).as("hi"))
+      d.join(broadcast(bounds), "lang")
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("lo"), col("hi"),
+          round(greatest(col("lo"),
+            least(col("hi"), col("n_chars").cast("double"))), 6)
+            .as("clamped"))
+        .orderBy("doc_id")
+    }),
+
     // --- code-switching detection: per-line language vote -> per-doc
     //     line-language entropy + dominant language ---
     "t_code_switch" -> ((s, dir) =>
@@ -2174,6 +2206,21 @@ object PipelineQueries {
            |  WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
            |  WHEN s_es > 0 THEN 'es' ELSE 'und' END AS pred_lang
            |FROM sc ORDER BY doc_id""".stripMargin,
+
+      "t_quantile_norm" ->
+        """SELECT doc_id, lang, n_chars,
+          |  round(percent_rank() OVER (PARTITION BY lang
+          |    ORDER BY n_chars, doc_id), 6) AS pr
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "t_winsorize" ->
+        """WITH b AS (SELECT lang,
+          |    round(quantile_cont(n_chars, 0.05), 6) AS lo,
+          |    round(quantile_cont(n_chars, 0.95), 6) AS hi
+          |  FROM documents GROUP BY lang)
+          |SELECT doc_id, lang, n_chars, lo, hi,
+          |  round(greatest(lo, least(hi, n_chars::DOUBLE)), 6) AS clamped
+          |FROM documents JOIN b USING (lang) ORDER BY doc_id""".stripMargin,
 
       "t_code_switch" ->
         s"""WITH ln AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line
