@@ -188,6 +188,51 @@ object Sampling {
       .limit(k)
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every
+    * document by the log likelihood ratio of a TARGET distribution vs
+    * the SOURCE distribution over hashed unigram features —
+    * log w(x) = Σ_b c_x(b)·(ln p_t(b) − ln p_s(b)) with Laplace-
+    * smoothed bucket probabilities. Documents that look like the target
+    * domain get positive weights; resampling by w reshapes a generic
+    * corpus toward the target with two count passes, no classifier
+    * training.
+    *
+    * Hashing follows the classifier-features discipline (k leading md5
+    * hex digits mod `buckets`). Every ln takes an INTEGER argument
+    * (counts + smoothing), so the per-bucket term is bitwise stable;
+    * per-doc sums accumulate in decimal. Model is `buckets` rows —
+    * broadcast; the corpus pays one token explode and two keyed counts.
+    * Output: (id, n_tokens, log_weight, keep = log_weight > 0);
+    * zero-token documents drop out (no features, no weight). */
+  def dsirWeights(df0: DataFrame, idCol: String, textCol: String,
+                  targetPred: Column, buckets: Int = 256): DataFrame = {
+    require(buckets >= 2 && buckets <= (1 << 24),
+      s"buckets out of range: $buckets")
+    val k = Iterator.from(1).find(k => math.pow(16, k) >= buckets).get
+    import graft.functions.TextFunctions.tokens
+    val toks = graft.functions.SafeExplode.explodeSelect(
+      Dedup.widen(df0), Seq(col(idCol), targetPred.as("is_t")),
+      tokens(col(textCol)), "w")
+    val bk = toks.withColumn("b",
+      conv(substring(md5(col("w")), 1, k), 16, 10).cast("long") % buckets)
+    val model = bk.groupBy("b").agg(
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
+      sum(when(!col("is_t"), 1L).otherwise(0L)).as("cs"))
+    val tot = model.agg(sum("ct").as("nt"), sum("cs").as("ns"))
+    val term = model.crossJoin(broadcast(tot))
+      .select(col("b"),
+        (log(col("ct") + 1) - log(col("nt") + buckets) -
+          log(col("cs") + 1) + log(col("ns") + buckets)).as("term"))
+    bk.groupBy(col(idCol), col("b")).agg(count(lit(1)).as("c"))
+      .join(broadcast(term), "b")
+      .groupBy(idCol).agg(
+        sum("c").as("n_tokens"),
+        round(sum((col("c").cast("double") * col("term"))
+          .cast("decimal(30,12)")).cast("double"), 6).as("log_weight"))
+      .withColumn("keep", col("log_weight") > 0)
+  }
+
   /** Neyman-allocation stratified sampling (Neyman 1934): the total
     * sample budget `total` splits across strata proportional to
     * N_h·S_h — high-variance strata get MORE rows than proportional

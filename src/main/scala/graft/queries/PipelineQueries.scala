@@ -688,6 +688,15 @@ object PipelineQueries {
         .orderBy("lang")
     }),
 
+    // --- DSIR importance weights: log likelihood ratio of the English
+    //     target vs the rest over 256 hashed unigram buckets — positive
+    //     weight = target-like; resampling by weight reshapes the
+    //     corpus toward the target without training a classifier ---
+    "t_dsir_weights" -> ((s, dir) =>
+      graft.operators.Sampling.dsirWeights(
+          docs(s, dir), "doc_id", "text", col("lang") === "en")
+        .orderBy("doc_id")),
+
     // --- cross-stratum score normalization: a doc's quality signal
     //     mapped to its within-language percent rank ((rank−1)/(n−1),
     //     an exact rational) — scores become comparable across
@@ -2206,6 +2215,27 @@ object PipelineQueries {
            |  WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
            |  WHEN s_es > 0 THEN 'es' ELSE 'und' END AS pred_lang
            |FROM sc ORDER BY doc_id""".stripMargin,
+
+      "t_dsir_weights" ->
+        s"""WITH tk AS (SELECT doc_id, lang = 'en' AS is_t, unnest($toks) AS w
+           |           FROM documents),
+           |bk AS (SELECT doc_id, is_t,
+           |         ('0x' || substring(md5(w), 1, 2))::BIGINT % 256 AS b FROM tk),
+           |model AS (SELECT b,
+           |    CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+           |    CAST(sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT) AS cs
+           |  FROM bk GROUP BY b),
+           |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt,
+           |               CAST(sum(cs) AS BIGINT) AS ns FROM model),
+           |term AS (SELECT b,
+           |    ln(ct + 1) - ln(nt + 256) - ln(cs + 1) + ln(ns + 256) AS term
+           |  FROM model CROSS JOIN tot),
+           |cd AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c
+           |       FROM bk GROUP BY doc_id, b)
+           |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+           |  round(CAST(sum(CAST(c * term AS DECIMAL(30,12))) AS DOUBLE), 6) AS log_weight,
+           |  round(CAST(sum(CAST(c * term AS DECIMAL(30,12))) AS DOUBLE), 6) > 0 AS keep
+           |FROM cd JOIN term USING (b) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
       "t_quantile_norm" ->
         """SELECT doc_id, lang, n_chars,

@@ -482,6 +482,28 @@ class Round9OpsSpec extends SparkSpec {
       r(2).getAs[Double]("lang_entropy") < ln2)
   }
 
+  test("dsirWeights: target-vocabulary docs weigh positive, source-vocabulary negative; direction holds on the gate corpus") {
+    import spark.implicits._
+    val planted = (
+      (1L to 20L).map(i => (i, "alpha beta gamma alpha beta", true)) ++
+        (21L to 40L).map(i => (i, "omega psi chi omega psi", false)) ++
+        Seq((100L, "alpha beta alpha", false),   // target-like but in source
+          (101L, "omega chi omega", true))       // source-like but in target
+      ).toDF("doc_id", "text", "is_t")
+    val w = Sampling.dsirWeights(planted, "doc_id", "text", col("is_t"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("log_weight")).toMap
+    assert(w(100L) > 0, s"target-vocab doc must weigh positive: ${w(100L)}")
+    assert(w(101L) < 0, s"source-vocab doc must weigh negative: ${w(101L)}")
+    // gate corpus: English docs must average a higher weight under the
+    // lang='en' target than the rest
+    val d = TableCatalog.load(spark, "/root/testdata/sf0.001", "documents")
+    val g = Sampling.dsirWeights(d, "doc_id", "text", col("lang") === "en")
+      .join(d.select("doc_id", "lang"), "doc_id")
+    val en = g.filter(col("lang") === "en").agg(avg("log_weight")).head.getDouble(0)
+    val rest = g.filter(col("lang") =!= "en").agg(avg("log_weight")).head.getDouble(0)
+    assert(en > rest, s"en avg $en must exceed non-en avg $rest")
+  }
+
   test("hll registers: values land where the md5 arithmetic says (hand check)") {
     import spark.implicits._
     // md5("a") = 0cc175b9c0f1b6a831c399e269772661; first 15 hex =
