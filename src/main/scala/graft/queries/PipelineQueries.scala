@@ -1117,6 +1117,27 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // --- learnability selection (the RHO-loss shape, Mindermann et al.
+    //     2022, with reference LMs standing in for model losses): score
+    //     each held-out doc by ppl under a SMALL base LM minus ppl
+    //     under a LARGER reference LM trained on a superset. High score
+    //     = the extra data explained the doc away = learnable headroom;
+    //     near zero = already easy or irreducible noise. ---
+    "t_learnability" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val targets = d.filter(col("doc_id") % 2 === 1)
+      val base = TextAnalysis.ngramLmPerplexity(
+          d.filter(col("doc_id") % 4 === 0), targets, "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"), col("ppl").as("ppl_base"))
+      val ref = TextAnalysis.ngramLmPerplexity(
+          d.filter(col("doc_id") % 2 === 0), targets, "doc_id", "text")
+        .select(col("doc_id"), col("ppl").as("ppl_ref"))
+      base.join(ref, "doc_id")
+        .withColumn("learnability",
+          round(col("ppl_base") - col("ppl_ref"), 6))
+        .orderBy("doc_id")
+    }),
+
     // --- CCNet head/middle/tail split over the perplexity scores
     //     (terciles; train on middle is the CCNet recipe) ---
     "t_perplexity_buckets" -> ((s, dir) => {
@@ -3138,6 +3159,44 @@ object PipelineQueries {
            |SELECT t.doc_id, coalesce(m, 0)::BIGINT AS n_tokens,
            |  round(exp(-(s2::DOUBLE) / m), 6) AS ppl
            |FROM tg t LEFT JOIN agg ON agg.doc_id = t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+      // two prefixed copies of the t_perplexity chain (base = quarter
+      // corpus, ref = half corpus) joined on the shared target tokens
+      "t_learnability" -> {
+        def chain(p: String, trainWhere: String) =
+          s"""${p}u AS (SELECT t[i] AS w, CAST(count(*) AS BIGINT) AS c1
+             |      FROM (SELECT $toks AS t FROM documents WHERE $trainWhere) tr,
+             |      unnest(range(1, len(t) + 1)) AS x(i) GROUP BY t[i]),
+             |${p}b AS (SELECT t[i] AS w1, t[i+1] AS w2, CAST(count(*) AS BIGINT) AS c2
+             |      FROM (SELECT $toks AS t FROM documents WHERE $trainWhere) tr,
+             |      unnest(range(1, len(t))) AS x(i) GROUP BY t[i], t[i+1]),
+             |${p}st AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM ${p}u) AS v,
+             |              (SELECT CAST(sum(c1) AS BIGINT) FROM ${p}u) AS n),
+             |${p}ll AS (SELECT doc_id,
+             |         CAST(round(CASE WHEN i = 1
+             |           THEN ln((coalesce(uw.c1, 0) + 1)::DOUBLE) - ln((st.n + st.v + 1)::DOUBLE)
+             |           ELSE ln((coalesce(b.c2, 0) + 1)::DOUBLE)
+             |                - ln((coalesce(up.c1, 0) + st.v + 1)::DOUBLE) END, 9)
+             |           AS DECIMAL(28,9)) AS l
+             |       FROM tok CROSS JOIN ${p}st st
+             |       LEFT JOIN ${p}u uw ON uw.w = tok.w
+             |       LEFT JOIN ${p}u up ON up.w = tok.prev
+             |       LEFT JOIN ${p}b b ON b.w1 = tok.prev AND b.w2 = tok.w),
+             |${p}agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS m, sum(l) AS s2
+             |        FROM ${p}ll GROUP BY doc_id)"""
+        s"""WITH tg AS (SELECT doc_id, $toks AS t FROM documents WHERE doc_id % 2 = 1),
+           |tok AS (SELECT doc_id, i, CASE WHEN i > 1 THEN t[i-1] END AS prev, t[i] AS w
+           |        FROM tg, unnest(range(1, len(t) + 1)) AS x(i)),
+           |${chain("a_", "doc_id % 4 = 0")},
+           |${chain("b_", "doc_id % 2 = 0")}
+           |SELECT t.doc_id, coalesce(a.m, 0)::BIGINT AS n_tokens,
+           |  round(exp(-(a.s2::DOUBLE) / a.m), 6) AS ppl_base,
+           |  round(exp(-(b.s2::DOUBLE) / b.m), 6) AS ppl_ref,
+           |  round(round(exp(-(a.s2::DOUBLE) / a.m), 6)
+           |        - round(exp(-(b.s2::DOUBLE) / b.m), 6), 6) AS learnability
+           |FROM tg t LEFT JOIN a_agg a ON a.doc_id = t.doc_id
+           |LEFT JOIN b_agg b ON b.doc_id = t.doc_id ORDER BY t.doc_id""".stripMargin
+      },
 
       "t_perplexity_buckets" ->
         s"""WITH tr AS (SELECT $toks AS t FROM documents WHERE doc_id % 2 = 0),

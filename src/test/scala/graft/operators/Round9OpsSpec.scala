@@ -504,6 +504,21 @@ class Round9OpsSpec extends SparkSpec {
     assert(en > rest, s"en avg $en must exceed non-en avg $rest")
   }
 
+  test("learnability: more reference data lowers held-out perplexity on average (score skews positive)") {
+    val d = TableCatalog.load(spark, "/root/testdata/sf0.001", "documents")
+    val targets = d.filter(col("doc_id") % 2 === 1)
+    val base = TextAnalysis.ngramLmPerplexity(
+        d.filter(col("doc_id") % 4 === 0), targets, "doc_id", "text")
+      .select(col("doc_id"), col("ppl").as("ppl_base"))
+    val ref = TextAnalysis.ngramLmPerplexity(
+        d.filter(col("doc_id") % 2 === 0), targets, "doc_id", "text")
+      .select(col("doc_id"), col("ppl").as("ppl_ref"))
+    val j = base.join(ref, "doc_id")
+    val meanGain = j.agg(avg(col("ppl_base") - col("ppl_ref"))).head.getDouble(0)
+    assert(meanGain > 0,
+      s"doubling the training corpus must lower mean held-out ppl, gain=$meanGain")
+  }
+
   test("hll registers: values land where the md5 arithmetic says (hand check)") {
     import spark.implicits._
     // md5("a") = 0cc175b9c0f1b6a831c399e269772661; first 15 hex =
