@@ -377,6 +377,39 @@ object CoreQueries {
         .orderBy("bucket")
     }),
 
+    // CUPED variance reduction (Deng et al. 2013): per-user post-period
+    // metric adjusted by the pre-period covariate, θ = cov(x,y)/var(x).
+    // Every moment accumulates in DECIMAL (double sum order would be
+    // partitioning-dependent); θ derives from the n·Σxy − Σx·Σy
+    // identity over those exact sums and is pinned at 9 dp — the
+    // experimentation-analytics step that cuts A/B metric variance
+    // without touching assignment.
+    "q_cuped" -> ((s, dir) => {
+      val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+      val per = t(s, dir, "events").groupBy("user_id").agg(
+        coalesce(sum(when(col("ts") < cut,
+          col("value").cast("decimal(18,6)"))).cast("double"), lit(0.0))
+          .as("x"),
+        coalesce(sum(when(col("ts") >= cut,
+          col("value").cast("decimal(18,6)"))).cast("double"), lit(0.0))
+          .as("y"))
+      val th = per.agg(
+          count(lit(1)).as("n"),
+          sum(col("x").cast("decimal(38,12)")).cast("double").as("sx"),
+          sum(col("y").cast("decimal(38,12)")).cast("double").as("sy"),
+          sum((col("x") * col("x")).cast("decimal(38,12)")).cast("double").as("sxx"),
+          sum((col("x") * col("y")).cast("decimal(38,12)")).cast("double").as("sxy"))
+        .select(col("n"), col("sx"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")), 9).as("theta"))
+      per.crossJoin(broadcast(th))
+        .select(col("user_id"), col("x").as("x_pre"), col("y").as("y_post"),
+          col("theta"),
+          round(col("y") - col("theta") * (col("x") - col("sx") / col("n")), 6)
+            .as("y_cuped"))
+        .orderBy("user_id")
+    }),
+
     // Behavioral pattern mining: each user's event history as an
     // initial-letter sequence (v/c/p/s/e, ordered by ts with event_id
     // tiebreak), then count the adjacent view->click->purchase motif by
@@ -700,6 +733,25 @@ object CoreQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
         |FROM days d LEFT JOIN daily dv USING (user_id, day)
         |ORDER BY user_id, day""".stripMargin,
+    "q_cuped" ->
+      """WITH per AS (SELECT user_id,
+        |    coalesce(CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+        |      THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE), 0.0) AS x,
+        |    coalesce(CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+        |      THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE), 0.0) AS y
+        |  FROM events GROUP BY user_id),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+        |  FROM per),
+        |th AS (SELECT n, sx,
+        |    round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) AS theta
+        |  FROM st)
+        |SELECT user_id, x AS x_pre, y AS y_post, theta,
+        |  round(y - theta * (x - sx / n), 6) AS y_cuped
+        |FROM per CROSS JOIN th ORDER BY user_id""".stripMargin,
     "q_event_pattern" ->
       """WITH sq AS (
         |  SELECT user_id,

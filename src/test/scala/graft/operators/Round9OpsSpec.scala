@@ -519,6 +519,21 @@ class Round9OpsSpec extends SparkSpec {
       s"doubling the training corpus must lower mean held-out ppl, gain=$meanGain")
   }
 
+  test("q_cuped: adjustment preserves the mean and strictly cuts variance on the gate data") {
+    val r = graft.SparkEntry.queries("q_cuped")(spark, "/root/testdata/sf0.001")
+      .select(col("y_post"), col("y_cuped")).cache()
+    val Array(meanY, meanC, varY, varC) = r.agg(
+      avg("y_post"), avg("y_cuped"),
+      var_samp("y_post"), var_samp("y_cuped")).head
+      .toSeq.map(_.asInstanceOf[Double]).toArray
+    // mean-preserving: E[x - mean(x)] = 0 so the adjustment shifts
+    // nothing in aggregate (up to the 6-dp per-row rounding)
+    assert(math.abs(meanY - meanC) < 1e-3, s"mean moved: $meanY -> $meanC")
+    // with the optimal theta, var falls by the squared correlation
+    assert(varC < varY, s"variance must fall: $varY -> $varC")
+    r.unpersist()
+  }
+
   test("hll registers: values land where the md5 arithmetic says (hand check)") {
     import spark.implicits._
     // md5("a") = 0cc175b9c0f1b6a831c399e269772661; first 15 hex =
