@@ -377,6 +377,30 @@ object CoreQueries {
         .orderBy("bucket")
     }),
 
+    // Chi-squared independence screen: is event volume independent of
+    // the ISO weekday per type? Per-cell observed vs expected
+    // (row·col/total over exact integer marginals — the only float
+    // steps are one division and the contribution ratio) — the
+    // data-quality screen that catches silently skewed ingest.
+    "q_chisq" -> ((s, dir) => {
+      val cells = t(s, dir, "events")
+        .groupBy(col("event_type"), (weekday(col("ts")) + 1).as("dow"))
+        .agg(count(lit(1)).as("o"))
+      val rowT = cells.groupBy("event_type").agg(sum("o").as("rt"))
+      val colT = cells.groupBy("dow").agg(sum("o").as("ct"))
+      val tot = cells.agg(sum("o").as("n"))
+      cells.join(broadcast(rowT), "event_type")
+        .join(broadcast(colT), "dow")
+        .crossJoin(broadcast(tot))
+        .withColumn("e_raw",
+          (col("rt") * col("ct")).cast("double") / col("n"))
+        .select(col("event_type"), col("dow").cast("long").as("dow"), col("o"),
+          round(col("e_raw"), 6).as("e"),
+          round((col("o") - col("e_raw")) * (col("o") - col("e_raw")) /
+            col("e_raw"), 6).as("contrib"))
+        .orderBy("event_type", "dow")
+    }),
+
     // CUPED variance reduction (Deng et al. 2013): per-user post-period
     // metric adjusted by the pre-period covariate, θ = cov(x,y)/var(x).
     // Every moment accumulates in DECIMAL (double sum order would be
@@ -733,6 +757,20 @@ object CoreQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
         |FROM days d LEFT JOIN daily dv USING (user_id, day)
         |ORDER BY user_id, day""".stripMargin,
+    "q_chisq" ->
+      """WITH cells AS (
+        |  SELECT event_type, date_part('isodow', ts)::BIGINT AS dow,
+        |    CAST(count(*) AS BIGINT) AS o
+        |  FROM events GROUP BY 1, 2),
+        |rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
+        |ct AS (SELECT dow, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+        |n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells)
+        |SELECT event_type, dow, o,
+        |  round((rt * ct)::DOUBLE / n, 6) AS e,
+        |  round((o - (rt * ct)::DOUBLE / n) * (o - (rt * ct)::DOUBLE / n)
+        |        / ((rt * ct)::DOUBLE / n), 6) AS contrib
+        |FROM cells JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN n
+        |ORDER BY event_type, dow""".stripMargin,
     "q_cuped" ->
       """WITH per AS (SELECT user_id,
         |    coalesce(CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
