@@ -45,4 +45,27 @@ object Profiling {
       col(s"max_$c").as("max_value"))): _*)
     one.select(explode(entries).as("e")).select("e.*")
   }
+
+  /** Gini coefficient of group concentration — how unequally the rows
+    * spread across `groupCol` (0 = perfectly even, →1 = one group owns
+    * everything): the corpus-diversity monitor a mixture pipeline reads
+    * before domain caps ([[Sampling.capPerGroup]]) are tuned. Computed
+    * by the exact rank-sum identity G = 2·Σ i·x_(i) / (n·Σx) − (n+1)/n
+    * over ascending-sorted group counts — all-integer sums, two float
+    * divisions at the end. The rank window runs over the GROUP frame
+    * (model-sized), never the rows.
+    * Output: one row (n_groups, n_rows, gini). */
+  def giniConcentration(df: DataFrame, groupCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("x").asc, col(groupCol).asc)
+    df.groupBy(groupCol).agg(count(lit(1)).as("x"))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("x")).as("n_rows"),
+        sum(col("i") * col("x")).as("sixi"))
+      .select(col("n_groups"), col("n_rows"),
+        round((lit(2L) * col("sixi")).cast("double") /
+          (col("n_groups") * col("n_rows")) -
+          (col("n_groups") + 1).cast("double") / col("n_groups"), 6)
+          .as("gini"))
+  }
 }

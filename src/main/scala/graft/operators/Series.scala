@@ -45,6 +45,43 @@ object Series {
       .select(col(keyCol), col(periodCol), x, col("z"), col("is_anomaly"))
   }
 
+  /** Mann-Whitney rank-sum z statistic: are `groupA`'s values drawn
+    * from the same distribution as the rest? Nonparametric — no
+    * normality assumption, unlike a t-test — which is what makes it the
+    * default two-sample screen for skewed metrics. Tie-averaged ranks
+    * come from per-value counts (below + (c+1)/2 — rationals with
+    * denominator 2, exact in double, decimal-accumulated), U and the
+    * normal-approximation z from integer identities; no tie-correction
+    * term in σ (continuous values assumed; ties only share ranks).
+    * The rank is ONE global window over the DISTINCT-value frame, not
+    * the row frame — cardinality-sized, not data-sized.
+    * Output: one row (n1, n2, u1, z). */
+  def rankSumZ(df: DataFrame, groupCol: String, valueCol: String,
+               groupA: String): DataFrame = {
+    val byV = df.select(col(groupCol), col(valueCol).as("value"))
+      .groupBy("value").agg(
+        count(lit(1)).as("c"),
+        sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("c1"))
+    val w = Window.orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = byV
+      .withColumn("below", coalesce(sum(col("c")).over(w), lit(0L)))
+      .withColumn("avgrank",
+        col("below").cast("double") + (col("c") + 1).cast("double") / 2)
+    ranked.agg(
+        sum(col("c1")).as("n1"),
+        sum(col("c") - col("c1")).as("n2"),
+        sum((col("c1").cast("double") * col("avgrank"))
+          .cast("decimal(38,6)")).cast("double").as("r1"))
+      .select(col("n1"), col("n2"),
+        (col("r1") - (col("n1") * (col("n1") + 1)).cast("double") / 2).as("u1"))
+      .withColumn("z", round(
+        (col("u1") - (col("n1") * col("n2")).cast("double") / 2) /
+          sqrt((col("n1") * col("n2") * (col("n1") + col("n2") + 1))
+            .cast("double") / 12), 6))
+      .withColumn("u1", round(col("u1"), 6))
+  }
+
   /** Robust (median/MAD) z-scores per key — the outlier flag that
     * survives what breaks [[trailingZscore]]'s mean/σ: a single extreme
     * value inflates σ enough to hide itself, while the median absolute

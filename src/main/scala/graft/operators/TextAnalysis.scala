@@ -269,6 +269,41 @@ object TextAnalysis {
           col("n_kept") >= minKeptLines)
   }
 
+  /** Jensen-Shannon divergence between two document subsets' hashed
+    * vocabulary distributions (Laplace-smoothed over 2^8 md5 buckets) —
+    * the bounded (≤ ln 2), symmetric drift metric for epoch-over-epoch
+    * corpus monitoring: 0 = identical token mixes, ln 2 = disjoint.
+    * Subsets are `pred` vs its complement over the SAME frame, so one
+    * token pass feeds both sides. Every probability is built from
+    * integer counts by identical expressions; the final sum
+    * accumulates in decimal. Output: one row (n_p, n_q, jsd). */
+  def jsdDrift(df: DataFrame, textCol: String, pred: Column): DataFrame = {
+    val spark = df.sparkSession
+    val toks = graft.functions.SafeExplode.explodeSelect(
+      df, Seq(pred.as("is_p")), tokens(col(textCol)), "w")
+    val counts = toks
+      .select(col("is_p"),
+        (conv(substring(md5(col("w")), 1, 2), 16, 10).cast("long") % 256)
+          .as("b"))
+      .groupBy("b").agg(
+        sum(when(col("is_p"), 1L).otherwise(0L)).as("cp"),
+        sum(when(!col("is_p"), 1L).otherwise(0L)).as("cq"))
+    val full = spark.range(256).select(col("id").as("b"))
+      .join(counts, Seq("b"), "left")
+      .select(col("b"), coalesce(col("cp"), lit(0L)).as("cp"),
+        coalesce(col("cq"), lit(0L)).as("cq"))
+    val tot = full.agg(sum("cp").as("np"), sum("cq").as("nq"))
+    full.crossJoin(broadcast(tot))
+      .withColumn("p", (col("cp") + 1).cast("double") / (col("np") + 256))
+      .withColumn("q", (col("cq") + 1).cast("double") / (col("nq") + 256))
+      .withColumn("m", (col("p") + col("q")) / 2)
+      .agg(max(col("np")).as("n_p"), max(col("nq")).as("n_q"),
+        sum(((col("p") * log(col("p") / col("m"))) / 2 +
+          (col("q") * log(col("q") / col("m"))) / 2)
+          .cast("decimal(38,18)")).cast("double").as("jsd_raw"))
+      .select(col("n_p"), col("n_q"), round(col("jsd_raw"), 6).as("jsd"))
+  }
+
   /** Top-k bigram collocations by pointwise mutual information —
     * PMI(w1,w2) = ln(N·c(w1w2) / (c(w1)·c(w2))) with a minimum-frequency
     * floor (Church & Hanks 1990), the standard phrase-mining statistic

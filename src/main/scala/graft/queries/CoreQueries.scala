@@ -377,6 +377,17 @@ object CoreQueries {
         .orderBy("bucket")
     }),
 
+    // Mann-Whitney rank-sum z: do purchase and click event values come
+    // from the same distribution? Tie-averaged ranks are rationals with
+    // denominator 2 (exact in double), U and the normal-approx z derive
+    // from integer identities — only the final sqrt/division are float.
+    // (No tie-correction term in σ — values are continuous; noted.)
+    "q_ranksum" -> ((s, dir) =>
+      graft.operators.Series.rankSumZ(
+        t(s, dir, "events")
+          .filter(col("event_type").isin("purchase", "click")),
+        "event_type", "value", groupA = "purchase")),
+
     // Chi-squared independence screen: is event volume independent of
     // the ISO weekday per type? Per-cell observed vs expected
     // (row·col/total over exact integer marginals — the only float
@@ -757,6 +768,26 @@ object CoreQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
         |FROM days d LEFT JOIN daily dv USING (user_id, day)
         |ORDER BY user_id, day""".stripMargin,
+    "q_ranksum" ->
+      """WITH e AS (SELECT event_type, value FROM events
+        |           WHERE event_type IN ('purchase', 'click')),
+        |byv AS (SELECT value, CAST(count(*) AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c1
+        |  FROM e GROUP BY value),
+        |rk AS (SELECT value, c, c1,
+        |    coalesce(sum(c) OVER (ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+        |  FROM byv),
+        |ar AS (SELECT c, c1, below::DOUBLE + (c + 1)::DOUBLE / 2 AS avgrank FROM rk),
+        |st AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+        |    CAST(sum(c - c1) AS BIGINT) AS n2,
+        |    CAST(sum(CAST(c1::DOUBLE * avgrank AS DECIMAL(38,6))) AS DOUBLE) AS r1
+        |  FROM ar),
+        |u AS (SELECT n1, n2, r1 - (n1 * (n1 + 1))::DOUBLE / 2 AS u1 FROM st)
+        |SELECT n1, n2, round(u1, 6) AS u1,
+        |  round((u1 - (n1 * n2)::DOUBLE / 2) /
+        |    sqrt((n1 * n2 * (n1 + n2 + 1))::DOUBLE / 12), 6) AS z
+        |FROM u""".stripMargin,
     "q_chisq" ->
       """WITH cells AS (
         |  SELECT event_type, date_part('isodow', ts)::BIGINT AS dow,

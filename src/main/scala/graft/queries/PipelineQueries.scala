@@ -688,6 +688,23 @@ object PipelineQueries {
         .orderBy("lang")
     }),
 
+    // --- Jensen-Shannon divergence between corpus halves' hashed
+    //     vocabulary distributions (Laplace-smoothed, 256 buckets) —
+    //     the bounded symmetric drift metric for epoch-over-epoch
+    //     corpus monitoring (0 = identical mixes) ---
+    "t_jsd_drift" -> ((s, dir) =>
+      TextAnalysis.jsdDrift(docs(s, dir), "text", col("doc_id") % 2 === 0)),
+
+    // --- Gini coefficient of source concentration: how unequal is the
+    //     corpus across sources? (0 = even mix, →1 = one source owns
+    //     it) — exact integer rank-sum identity, diversity monitoring ---
+    "t_gini_concentration" -> ((s, dir) => {
+      val c = docs(s, dir)
+      graft.operators.Profiling.giniConcentration(c, "source")
+        .withColumnRenamed("n_rows", "n_docs")
+        .withColumnRenamed("n_groups", "n_sources")
+    }),
+
     // --- DSIR importance weights: log likelihood ratio of the English
     //     target vs the rest over 256 hashed unigram buckets — positive
     //     weight = target-like; resampling by weight reshapes the
@@ -2236,6 +2253,40 @@ object PipelineQueries {
            |  WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
            |  WHEN s_es > 0 THEN 'es' ELSE 'und' END AS pred_lang
            |FROM sc ORDER BY doc_id""".stripMargin,
+
+      "t_jsd_drift" ->
+        s"""WITH tk AS (SELECT doc_id % 2 = 0 AS is_p, unnest($toks) AS w
+           |           FROM documents),
+           |cnt AS (SELECT ('0x' || substring(md5(w), 1, 2))::BIGINT % 256 AS b,
+           |    CAST(sum(CASE WHEN is_p THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+           |    CAST(sum(CASE WHEN is_p THEN 0 ELSE 1 END) AS BIGINT) AS cq
+           |  FROM tk GROUP BY 1),
+           |fl AS (SELECT s.b, coalesce(cp, 0) AS cp, coalesce(cq, 0) AS cq
+           |  FROM (SELECT unnest(range(256)) AS b) s LEFT JOIN cnt USING (b)),
+           |tot AS (SELECT CAST(sum(cp) AS BIGINT) AS np,
+           |               CAST(sum(cq) AS BIGINT) AS nq FROM fl),
+           |pq AS (SELECT np, nq,
+           |    (cp + 1)::DOUBLE / (np + 256) AS p,
+           |    (cq + 1)::DOUBLE / (nq + 256) AS q
+           |  FROM fl CROSS JOIN tot),
+           |m2 AS (SELECT np, nq, p, q, (p + q) / 2 AS m FROM pq)
+           |SELECT max(np)::BIGINT AS n_p, max(nq)::BIGINT AS n_q,
+           |  round(CAST(sum(CAST((p * ln(p / m)) / 2 + (q * ln(q / m)) / 2
+           |    AS DECIMAL(38,18))) AS DOUBLE), 6) AS jsd
+           |FROM m2""".stripMargin,
+
+      "t_gini_concentration" ->
+        """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS x
+          |           FROM documents GROUP BY source),
+          |r AS (SELECT x, CAST(row_number() OVER (ORDER BY x, source) AS BIGINT) AS i
+          |      FROM c),
+          |st AS (SELECT CAST(count(*) AS BIGINT) AS n_sources,
+          |    CAST(sum(x) AS BIGINT) AS n_docs,
+          |    CAST(sum(i * x) AS BIGINT) AS sixi FROM r)
+          |SELECT n_sources, n_docs,
+          |  round((2 * sixi)::DOUBLE / (n_sources * n_docs)
+          |        - (n_sources + 1)::DOUBLE / n_sources, 6) AS gini
+          |FROM st""".stripMargin,
 
       "t_dsir_weights" ->
         s"""WITH tk AS (SELECT doc_id, lang = 'en' AS is_t, unnest($toks) AS w

@@ -534,6 +534,55 @@ class Round9OpsSpec extends SparkSpec {
     r.unpersist()
   }
 
+  test("rankSumZ: identical samples score ~0, shifted samples score large; hand-checked tie ranks") {
+    import spark.implicits._
+    // identical distributions interleaved -> z must be tiny
+    // i%2 picks the group, i/2 the value -> both groups see the SAME
+    // value multiset (a naive (i%2, i%10) pairing correlates them)
+    val same = (1 to 100).map(i => (if (i % 2 == 0) "a" else "b", ((i / 2) % 10).toDouble))
+      .toDF("g", "v")
+    val zSame = Series.rankSumZ(same, "g", "v", "a")
+      .select($"z").as[Double].head()
+    assert(math.abs(zSame) < 1.0, s"identical samples scored z=$zSame")
+    // a shifted by +100 -> all a-ranks above all b-ranks -> max |z|
+    val shift = ((1 to 50).map(i => ("a", 100.0 + i)) ++
+      (1 to 50).map(i => ("b", i.toDouble))).toDF("g", "v")
+    val r = Series.rankSumZ(shift, "g", "v", "a").head
+    // U1 = n1*n2 when every a beats every b
+    assert(r.getAs[Double]("u1") == 2500.0)
+    assert(r.getAs[Double]("z") > 8)
+  }
+
+  test("jsdDrift: identical halves ~0, disjoint vocabularies near ln 2") {
+    import spark.implicits._
+    val sameText = "alpha beta gamma delta epsilon"
+    val same = (1L to 40L).map(i => (i, sameText)).toDF("doc_id", "text")
+    val jsdSame = TextAnalysis.jsdDrift(same, "text", col("doc_id") % 2 === 0)
+      .select($"jsd").as[Double].head()
+    assert(jsdSame < 0.01, s"identical halves drifted: $jsdSame")
+    // long docs so real counts dwarf the +1-per-bucket smoothing mass
+    // (with tiny corpora the Laplace floor pulls JSD toward 0)
+    val disjoint = ((1L to 20L).map(i => (i * 2, Seq.fill(50)("aa bb cc dd ee ff gg hh").mkString(" "))) ++
+      (1L to 20L).map(i => (i * 2 + 1, Seq.fill(50)("zz yy xx ww vv uu tt ss").mkString(" "))))
+      .toDF("doc_id", "text")
+    val jsdFar = TextAnalysis.jsdDrift(disjoint, "text", col("doc_id") % 2 === 0)
+      .select($"jsd").as[Double].head()
+    assert(jsdFar > 0.5 && jsdFar <= math.log(2) + 1e-6,
+      s"disjoint vocab must approach ln 2: $jsdFar")
+  }
+
+  test("giniConcentration: even mix scores 0, near-monopoly approaches 1") {
+    import spark.implicits._
+    val even = (1 to 100).map(i => (i, s"s${i % 4}")).toDF("id", "g")
+    assert(Profiling.giniConcentration(even, "g")
+      .select($"gini").as[Double].head() == 0.0)
+    val skew = ((1 to 97).map(i => (i, "big")) ++
+      Seq((98, "a"), (99, "b"), (100, "c"))).toDF("id", "g")
+    val g = Profiling.giniConcentration(skew, "g")
+      .select($"gini").as[Double].head()
+    assert(g > 0.65, s"monopoly must score high: $g")
+  }
+
   test("hll registers: values land where the md5 arithmetic says (hand check)") {
     import spark.implicits._
     // md5("a") = 0cc175b9c0f1b6a831c399e269772661; first 15 hex =
