@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** ANALYZE-style column profiling — the statistics side-channel a query
@@ -46,6 +47,34 @@ object Profiling {
     one.select(explode(entries).as("e")).select("e.*")
   }
 
+  /** 2-D skyline (Pareto frontier, both dimensions maximized): rows not
+    * dominated by any other row (x' >= x and y' >= y, strict in one).
+    * The classic "best trade-offs" DB operator — here: which documents
+    * are unbeaten on (length, quality) simultaneously.
+    *
+    * NOT the quadratic self-join: the sweep formulation — a row is on
+    * the skyline iff its y beats the best y among STRICTLY larger x
+    * (window over -x ascending, range-bounded to exclude ties) AND ties
+    * its x-group's best y. Two windows over one sort order, O(n log n)
+    * via Spark's window exchange; equal (x, y) duplicates are mutually
+    * non-dominating and both survive. `xCol` must be integral (the
+    * strict-greater range frame uses an offset of 1). */
+  def skyline2D(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val w = Window
+    // order by -x ascending: a range frame ending at offset -1 then
+    // covers exactly the rows with STRICTLY larger x (ties excluded) —
+    // range-desc offset semantics differ across engines, negation is
+    // the portable spelling
+    val negx = (col(xCol) * -1).cast("long")
+    val wEq = w.partitionBy(col(xCol))
+    df.withColumn("maxy_gt", max(col(yCol)).over(
+        w.orderBy(negx.asc).rangeBetween(Window.unboundedPreceding, -1L)))
+      .withColumn("maxy_eq", max(col(yCol)).over(wEq))
+      .filter((col("maxy_gt").isNull || col(yCol) > col("maxy_gt")) &&
+        col(yCol) === col("maxy_eq"))
+      .drop("maxy_gt", "maxy_eq")
+  }
+
   /** Gini coefficient of group concentration — how unequally the rows
     * spread across `groupCol` (0 = perfectly even, →1 = one group owns
     * everything): the corpus-diversity monitor a mixture pipeline reads
@@ -56,7 +85,7 @@ object Profiling {
     * (model-sized), never the rows.
     * Output: one row (n_groups, n_rows, gini). */
   def giniConcentration(df: DataFrame, groupCol: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
+    val w = Window
       .orderBy(col("x").asc, col(groupCol).asc)
     df.groupBy(groupCol).agg(count(lit(1)).as("x"))
       .withColumn("i", row_number().over(w).cast("long"))

@@ -688,6 +688,19 @@ object PipelineQueries {
         .orderBy("lang")
     }),
 
+    // --- Pareto frontier of documents over (length, stopword quality):
+    //     the docs unbeaten on both axes simultaneously — sweep-based
+    //     skyline, no quadratic self-join ---
+    "q_skyline" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val q = TextAnalysis.qualityScore(d, "doc_id", "text")
+        .select("doc_id", "stop_ratio")
+      graft.operators.Profiling.skyline2D(
+          d.select(col("doc_id"), col("n_chars")).join(q, "doc_id"),
+          "n_chars", "stop_ratio")
+        .orderBy("doc_id")
+    }),
+
     // --- Jensen-Shannon divergence between corpus halves' hashed
     //     vocabulary distributions (Laplace-smoothed, 256 buckets) —
     //     the bounded symmetric drift metric for epoch-over-epoch
@@ -2253,6 +2266,28 @@ object PipelineQueries {
            |  WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
            |  WHEN s_es > 0 THEN 'es' ELSE 'und' END AS pred_lang
            |FROM sc ORDER BY doc_id""".stripMargin,
+
+      "q_skyline" -> {
+        val allStop = (Seq("the", "and", "of", "to", "in", "is", "that", "for") ++
+          Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein") ++
+          Seq("le", "la", "les", "et", "est", "pas", "pour", "une") ++
+          Seq("el", "la", "los", "y", "es", "no", "por", "una"))
+          .distinct.sorted.map(w => s"'$w'").mkString("[", ",", "]")
+        s"""WITH m AS (SELECT doc_id, n_chars,
+           |    CASE WHEN len($toks) > 0
+           |         THEN round(len(list_filter($toks, x -> list_contains($allStop, x)))::DOUBLE
+           |                    / len($toks), 6)
+           |         ELSE 0.0 END AS stop_ratio
+           |  FROM documents),
+           |sk AS (SELECT doc_id, n_chars, stop_ratio,
+           |    max(stop_ratio) OVER (ORDER BY -n_chars
+           |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxy_gt,
+           |    max(stop_ratio) OVER (PARTITION BY n_chars) AS maxy_eq
+           |  FROM m)
+           |SELECT doc_id, n_chars, stop_ratio FROM sk
+           |WHERE (maxy_gt IS NULL OR stop_ratio > maxy_gt) AND stop_ratio = maxy_eq
+           |ORDER BY doc_id""".stripMargin
+      },
 
       "t_jsd_drift" ->
         s"""WITH tk AS (SELECT doc_id % 2 = 0 AS is_p, unnest($toks) AS w

@@ -583,6 +583,26 @@ class Round9OpsSpec extends SparkSpec {
     assert(g > 0.65, s"monopoly must score high: $g")
   }
 
+  test("skyline2D: matches the brute-force dominance definition, ties both survive") {
+    import spark.implicits._
+    val pts = Seq(
+      (1L, 10L, 0.9), (2L, 20L, 0.5), (3L, 30L, 0.3), // frontier candidates
+      (4L, 10L, 0.8),                                  // dominated by 1 (same x, lower y)
+      (5L, 5L, 0.95),                                  // frontier: highest y
+      (6L, 20L, 0.5),                                  // duplicate of 2 -> both stay
+      (7L, 25L, 0.2)                                   // dominated by 3
+    ).toDF("id", "x", "y")
+    val got = Profiling.skyline2D(pts, "x", "y")
+      .select($"id").as[Long].collect().toSet
+    // brute force: id survives iff no other point dominates it
+    val rows = pts.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expect = rows.filter { case (i, x, y) =>
+      !rows.exists { case (j, x2, y2) =>
+        j != i && x2 >= x && y2 >= y && (x2 > x || y2 > y) }
+    }.map(_._1).toSet
+    assert(got == expect && got == Set(1L, 2L, 3L, 5L, 6L))
+  }
+
   test("hll registers: values land where the md5 arithmetic says (hand check)") {
     import spark.implicits._
     // md5("a") = 0cc175b9c0f1b6a831c399e269772661; first 15 hex =
