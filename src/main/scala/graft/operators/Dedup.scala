@@ -389,6 +389,38 @@ object Dedup {
     * length (nb >= ceil(t·na)) and first-match position
     * (1 + min(na-rna, nb-rnb) >= ceil(t·na)) prunes are lossless by the
     * same consistent-global-order argument as [[ngramJaccard]]. */
+  /** Fuzzy record linkage at edit distance 1 via deletion-neighborhood
+    * blocking (the FastSS / SymSpell scheme): two strings are within
+    * Levenshtein distance 1 iff their deletion neighborhoods — the
+    * string itself plus every single-character deletion — intersect, so
+    * candidate generation is an EQUI-join on neighborhood variants
+    * (never a cross join or a prefix scan), and `levenshtein` verifies
+    * the survivors exactly. This is the entity-matching face of dedup:
+    * typo'd names/ids that content hashing can never unify.
+    *
+    * Scale shape: the variant explode is length+1 rows per record
+    * (in-row, map-side); the join key is a short string; verification
+    * runs only on candidates. At larger d the neighborhood grows
+    * O(len^d) — d = 1 is the deployed sweet spot (SymSpell's default),
+    * and higher distances usually want q-gram filtering instead.
+    * Output: (id1, id2, s1, s2, dist) with id1 < id2. */
+  def fuzzyPairs(df: DataFrame, idCol: String, strCol: String): DataFrame = {
+    val v = graft.functions.SafeExplode.explodeSelect(
+      widen(df).select(col(idCol).as("fid"), col(strCol).as("fs")),
+      Seq(col("fid"), col("fs")),
+      expr("concat(array(fs), transform(sequence(1, length(fs)), " +
+        "i -> concat(left(fs, i-1), substring(fs, i+1))))"),
+      "variant")
+    val cand = v.select(col("fid").as("id1"), col("fs").as("s1"), col("variant"))
+      .join(v.select(col("fid").as("id2"), col("fs").as("s2"), col("variant")),
+        Seq("variant"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2", "s1", "s2")
+      .distinct()
+    cand.withColumn("dist", levenshtein(col("s1"), col("s2")).cast("long"))
+      .filter(col("dist") <= 1)
+  }
+
   def containment(df0: DataFrame, idCol: String, textCol: String,
                   k: Int = 3, minContainment: Double = 0.8): DataFrame = {
     graft.plans.GraftFunctions.register(df0.sparkSession)

@@ -688,6 +688,15 @@ object PipelineQueries {
         .orderBy("lang")
     }),
 
+    // --- fuzzy record linkage: customer names within edit distance 1
+    //     (deletion-neighborhood equi-join blocking + exact verify) ---
+    "d_fuzzy_pairs" -> ((s, dir) =>
+      Dedup.fuzzyPairs(
+          TableCatalog.load(s, dir, "customer")
+            .filter(col("c_custkey") < 300),
+          "c_custkey", "c_name")
+        .orderBy("id1", "id2")),
+
     // --- Pareto frontier of documents over (length, stopword quality):
     //     the docs unbeaten on both axes simultaneously — sweep-based
     //     skyline, no quadratic self-join ---
@@ -2266,6 +2275,16 @@ object PipelineQueries {
            |  WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
            |  WHEN s_es > 0 THEN 'es' ELSE 'und' END AS pred_lang
            |FROM sc ORDER BY doc_id""".stripMargin,
+
+      "d_fuzzy_pairs" ->
+        """WITH v AS (SELECT c_custkey AS id, c_name AS s,
+          |    unnest(list_prepend(c_name, list_transform(range(1, length(c_name) + 1),
+          |      i -> left(c_name, i - 1) || substring(c_name, i + 1)))) AS variant
+          |  FROM customer WHERE c_custkey < 300),
+          |cand AS (SELECT DISTINCT a.id AS id1, b.id AS id2, a.s AS s1, b.s AS s2
+          |         FROM v a JOIN v b ON a.variant = b.variant AND a.id < b.id)
+          |SELECT id1, id2, s1, s2, CAST(levenshtein(s1, s2) AS BIGINT) AS dist
+          |FROM cand WHERE levenshtein(s1, s2) <= 1 ORDER BY id1, id2""".stripMargin,
 
       "q_skyline" -> {
         val allStop = (Seq("the", "and", "of", "to", "in", "is", "that", "for") ++

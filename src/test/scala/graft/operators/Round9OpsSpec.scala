@@ -603,6 +603,33 @@ class Round9OpsSpec extends SparkSpec {
     assert(got == expect && got == Set(1L, 2L, 3L, 5L, 6L))
   }
 
+  test("fuzzyPairs: matches brute-force distance-1 pairs (substitution, insert, delete; d=2 excluded)") {
+    import spark.implicits._
+    val names = Seq(
+      (1L, "smith"), (2L, "smyth"),   // substitution -> 1
+      (3L, "smiths"),                 // insertion vs 1 -> 1
+      (4L, "mith"),                   // deletion vs 1 -> 1
+      (5L, "smythe"),                 // 1 from smyth(2) and smiths?? brute force decides
+      (6L, "jones")                   // unrelated
+    ).toDF("id", "name")
+    val got = Dedup.fuzzyPairs(names, "id", "name")
+      .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    val rows = names.collect().map(r => (r.getLong(0), r.getString(1)))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val expect = (for {
+      (i, a) <- rows; (j, b) <- rows if i < j && lev(a, b) <= 1
+    } yield (i, j)).toSet
+    assert(got == expect, s"got $got expected $expect")
+    assert(got.contains((1L, 2L)) && got.contains((1L, 3L)) && got.contains((1L, 4L)))
+    assert(!got.exists(p => p._1 == 6L || p._2 == 6L))
+  }
+
   test("hll registers: values land where the md5 arithmetic says (hand check)") {
     import spark.implicits._
     // md5("a") = 0cc175b9c0f1b6a831c399e269772661; first 15 hex =
