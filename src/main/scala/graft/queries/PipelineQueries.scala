@@ -717,6 +717,31 @@ object PipelineQueries {
     "t_jsd_drift" -> ((s, dir) =>
       TextAnalysis.jsdDrift(docs(s, dir), "text", col("doc_id") % 2 === 0)),
 
+    // --- population stability index between corpus halves over global
+    //     length deciles — the binned drift metric model-monitoring
+    //     dashboards quote next to JSD (PSI > 0.2 = "significant
+    //     shift"); deciles by global ntile with a full tiebreak, shares
+    //     Laplace-smoothed ---
+    "t_psi_drift" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir).select(col("doc_id"), col("n_chars"))
+        .withColumn("bin",
+          ntile(10).over(Window.orderBy(col("n_chars"), col("doc_id")))
+            .cast("long"))
+        .withColumn("is_p", col("doc_id") % 2 === 0)
+      val cnt = d.groupBy("bin").agg(
+        sum(when(col("is_p"), 1L).otherwise(0L)).as("cp"),
+        sum(when(!col("is_p"), 1L).otherwise(0L)).as("cq"))
+      val tot = cnt.agg(sum("cp").as("np"), sum("cq").as("nq"))
+      cnt.crossJoin(broadcast(tot))
+        .withColumn("p", (col("cp") + 1).cast("double") / (col("np") + 10))
+        .withColumn("q", (col("cq") + 1).cast("double") / (col("nq") + 10))
+        .agg(max(col("np")).as("n_p"), max(col("nq")).as("n_q"),
+          sum(((col("p") - col("q")) * log(col("p") / col("q")))
+            .cast("decimal(38,18)")).cast("double").as("psi_raw"))
+        .select(col("n_p"), col("n_q"), round(col("psi_raw"), 6).as("psi"))
+    }),
+
     // --- Gini coefficient of source concentration: how unequal is the
     //     corpus across sources? (0 = even mix, →1 = one source owns
     //     it) — exact integer rank-sum identity, diversity monitoring ---
@@ -2328,6 +2353,25 @@ object PipelineQueries {
            |  round(CAST(sum(CAST((p * ln(p / m)) / 2 + (q * ln(q / m)) / 2
            |    AS DECIMAL(38,18))) AS DOUBLE), 6) AS jsd
            |FROM m2""".stripMargin,
+
+      "t_psi_drift" ->
+        """WITH d AS (SELECT doc_id, n_chars,
+          |    CAST(ntile(10) OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS bin,
+          |    doc_id % 2 = 0 AS is_p
+          |  FROM documents),
+          |cnt AS (SELECT bin,
+          |    CAST(sum(CASE WHEN is_p THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+          |    CAST(sum(CASE WHEN is_p THEN 0 ELSE 1 END) AS BIGINT) AS cq
+          |  FROM d GROUP BY bin),
+          |tot AS (SELECT CAST(sum(cp) AS BIGINT) AS np,
+          |               CAST(sum(cq) AS BIGINT) AS nq FROM cnt),
+          |pq AS (SELECT np, nq,
+          |    (cp + 1)::DOUBLE / (np + 10) AS p,
+          |    (cq + 1)::DOUBLE / (nq + 10) AS q
+          |  FROM cnt CROSS JOIN tot)
+          |SELECT max(np)::BIGINT AS n_p, max(nq)::BIGINT AS n_q,
+          |  round(CAST(sum(CAST((p - q) * ln(p / q) AS DECIMAL(38,18))) AS DOUBLE), 6) AS psi
+          |FROM pq""".stripMargin,
 
       "t_gini_concentration" ->
         """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS x
