@@ -22,7 +22,8 @@ object SparkEntry {
       graft.queries.PipelineQueries.queries ++
       graft.queries.ParityQueries.queries ++
       graft.queries.MediaQueries.queries ++
-      graft.queries.SinkQueries.queries
+      graft.queries.SinkQueries.queries ++
+      graft.queries.AnalyticsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +32,6 @@ object SparkEntry {
       graft.queries.PipelineQueries.oracleSql ++
       graft.queries.ParityQueries.oracleSql ++
       graft.queries.MediaQueries.oracleSql ++
-      graft.queries.SinkQueries.oracleSql
+      graft.queries.SinkQueries.oracleSql ++
+      graft.queries.AnalyticsQueries.oracleSql
 }
