@@ -149,6 +149,45 @@ object Dedup {
       .filter(col("est_jaccard") >= minEstJaccard)
   }
 
+  /** b-bit minhash (Li & König 2010, "b-Bit Minwise Hashing", b = 1):
+    * each signature component is compressed to its lowest bit (parity of
+    * the md5 hex head), and resemblance is re-estimated from the
+    * bit-agreement fraction m as Ĵ = 2m − 1 — the unbiased b=1 estimator
+    * in the small-resemblance regime. The point at 100 TB: a stored
+    * signature shrinks 128× (16 md5 strings → 16 bits), so the
+    * candidate-verification pass streams bit-vectors instead of hash
+    * arrays; candidates still come from the same LSH banding equi-join
+    * (never all-pairs). Emitted beside the full-signature estimate so
+    * the compression error is measurable per pair. */
+  def bbitMinhash(df: DataFrame, idCol: String, textCol: String,
+                  numHashes: Int = 16, bands: Int = 4, k: Int = 3): DataFrame = {
+    val rows = numHashes / bands
+    val sig = minhashSignatureArray(df, idCol, textCol, numHashes, k)
+    val band = sig.select(col(idCol), col("sig"),
+        explode_outer(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"),
+            md5(concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows)))).as("bh"))))
+          .as("bb"))
+      .filter(col("bb").isNotNull) // outer+filter: see SafeExplode
+      .select(col(idCol), col("sig"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val cand = band.as("a").join(band.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"),
+        col("a.sig").as("sa"), col("b.sig").as("sb"))
+      .dropDuplicates("d1", "d2")
+    // lowest bit of a minhash value = parity of its first hex digit
+    def bitOf(c: Column): Column = lit("13579bdf").contains(substring(c, 1, 1))
+    cand.select(col("d1"), col("d2"),
+        size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y), b => b))
+          .cast("long").as("n_sig_match"),
+        size(filter(zip_with(col("sa"), col("sb"),
+          (x, y) => bitOf(x) === bitOf(y)), b => b)).cast("long").as("n_bit_match"))
+      .select(col("d1"), col("d2"), col("n_sig_match"), col("n_bit_match"),
+        round(col("n_sig_match").cast("double") / numHashes, 6).as("est_jaccard"),
+        round(lit(2.0) * col("n_bit_match") / numHashes - 1.0, 6).as("j_bbit"))
+  }
+
   /** Cross-corpus near-duplicates: MinHash+LSH pairs BETWEEN a new batch
     * and an existing corpus — the shape every INCREMENTAL ingest needs
     * (is this new document a near-dup of anything already kept?). The

@@ -624,6 +624,37 @@ object Similarity {
       .filter(col("rk") <= k)
   }
 
+  /** Multi-probe LSH ANN (Lv et al. 2007, "Multi-Probe LSH"): each query
+    * probes its own hyperplane bucket PLUS the `planes` Hamming-distance-1
+    * neighbors (one sign bit flipped) — the standard recall lever that
+    * costs probes× more candidate volume but needs NO extra index
+    * replicas (contrast: more tables). Probe codes are generated in-row
+    * (a static XOR fan-out of the query's own code), so the corpus index
+    * is touched only by the same bucket equi-join as [[lshTopK]]; each
+    * (query, corpus) pair can match at most once because a corpus vector
+    * owns exactly one bucket and the probe set is distinct — no dedup
+    * shuffle needed before the rank. */
+  def multiprobeLshTopK(corpus: DataFrame, queries: DataFrame,
+                        idCol: String, vecCol: String, k: Int = 5,
+                        planes: Int = 8): DataFrame = {
+    val cb = lshBuckets(corpus, idCol, vecCol, planes)
+      .join(corpus.select(col(idCol), col(vecCol)), idCol)
+    val probeSet = array_distinct(array(
+      (col("bucket") +: (0 until planes).map(p =>
+        col("bucket").bitwiseXOR(lit(1L << p)))): _*))
+    val qb = lshBuckets(queries, idCol, vecCol, planes)
+      .join(queries.select(col(idCol), col(vecCol)), idCol)
+      .select(col(idCol).as("qid"), col(vecCol).as("qv"),
+        explode(probeSet).as("qbucket"))
+    val scored = cb.join(qb, col("qbucket") === col("bucket") && col("qid") =!= col(idCol))
+      .select(col("qid"), col(idCol).as("nid"),
+        Vectors.cosineNative(corpus.sparkSession,
+          col("qv"), col(vecCol)).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
   // --- SQ8 scalar quantization (faiss ScalarQuantizer QT_8bit) ---------
 
   /** SQ8 training: per-dimension (min, max) over the corpus — the 4×

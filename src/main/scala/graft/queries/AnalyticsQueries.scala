@@ -158,12 +158,245 @@ object AnalyticsQueries {
             .cast("decimal(28,9)")).cast("double").as("sxx"))
         .select(col("source"), round(col("sxy") / col("sxx"), 6).as("heaps_beta"))
         .orderBy("source")
+    }),
+
+    // --- nDCG@5 of the LSH index against the brute-force ranking —
+    //     the graded-relevance retrieval metric (recall treats all
+    //     true neighbors equally; nDCG weights getting the TOP ones).
+    //     rel = 6 − true_rank; discounts use ln(pos+1) on BOTH engines
+    //     (the log base cancels in DCG/IDCG), each term rounded to 9 dp
+    //     before decimal summation per the determinism contract. ---
+    "a_ann_ndcg" -> ((s, dir) => {
+      import graft.operators.Similarity
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") % 50 === 0)
+      val bf = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+        .select(col("qid"), col("nid"), col("rk").as("trk"))
+      val lsh = Similarity.lshTopK(e, q, "vec_id", "embedding", k = 5, planes = 8)
+        .select(col("qid"), col("nid"), col("rk").as("pos"))
+      val dcg = lsh.join(bf, Seq("qid", "nid"), "left")
+        .withColumn("rel", coalesce(lit(6L) - col("trk"), lit(0L)))
+        .groupBy("qid").agg(
+          sum(round(col("rel").cast("double") / log(col("pos") + 1), 9)
+            .cast("decimal(28,9)")).cast("double").as("dcg"))
+      val idcg = bf.groupBy("qid").agg(
+          sum(round((lit(6L) - col("trk")).cast("double") / log(col("trk") + 1), 9)
+            .cast("decimal(28,9)")).cast("double").as("idcg"))
+      idcg.join(dcg, Seq("qid"), "left")
+        .select(col("qid"),
+          round(coalesce(col("dcg"), lit(0.0)) / col("idcg"), 6).as("ndcg"))
+        .orderBy("qid")
+    }),
+
+    // --- multi-probe LSH recall vs brute force: the same index as
+    //     a_ann_recall probed at Hamming distance ≤ 1 — measures the
+    //     recall the extra probe volume buys (Lv et al. 2007). ---
+    "a_ann_multiprobe" -> ((s, dir) => {
+      import graft.operators.Similarity
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") % 50 === 0)
+      val bf = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+        .select("qid", "nid")
+      val mp = Similarity.multiprobeLshTopK(e, q, "vec_id", "embedding",
+          k = 5, planes = 8)
+        .select(col("qid").as("mqid"), col("nid").as("mnid"))
+      val hit = bf.join(mp,
+        col("qid") === col("mqid") && col("nid") === col("mnid"), "left_semi")
+      bf.groupBy("qid").agg(count(lit(1)).as("n_exact"))
+        .join(hit.groupBy("qid").agg(count(lit(1)).as("n_hit")), Seq("qid"), "left")
+        .select(col("qid"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"), col("n_exact"),
+          round(coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_exact"), 6)
+            .as("recall"))
+        .orderBy("qid")
+    }),
+
+    // --- KMV sketch SET OPERATIONS between two sources: ONE k-minimum-
+    //     values sketch of the token-set union answers |A∪B|, Jaccard,
+    //     and |A∩B| together (Beyer et al. 2007) — the cross-corpus
+    //     overlap audit that at 100 TB runs on mergeable k-row sketches
+    //     instead of a token-level join. u = first 24 md5 bits (exact
+    //     m/2²⁴ fraction — engine-portable); the global top-64 rank is
+    //     WindowGroupLimit-pruned, so each partition forwards at most
+    //     64 rows to the final sort. ---
+    "t_kmv_setops" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.TextFunctions._
+      val d = docs(s, dir).filter(col("source").isin("src0", "src1"))
+      val tok = graft.functions.SafeExplode.explodeSelect(
+        d.select(col("source"), tokens(col("text")).as("toks")),
+        Seq(col("source")), col("toks"), "token")
+      val dv = tok.groupBy("token").agg(
+        max(when(col("source") === "src0", 1).otherwise(0)).as("in1"),
+        max(when(col("source") === "src1", 1).otherwise(0)).as("in2"))
+      val withU = dv.withColumn("u",
+        conv(substring(md5(col("token")), 1, 6), 16, 10).cast("long"))
+      val w = Window.orderBy(col("u").asc, col("token").asc)
+      val sk = withU.withColumn("rn", row_number().over(w)).filter(col("rn") <= 64)
+      val skAgg = sk.agg(
+        count(lit(1)).as("n_sk"),
+        max(when(col("rn") === 64, col("u"))).as("uk"),
+        sum(when(col("in1") === 1 && col("in2") === 1, 1L).otherwise(0L)).as("n_both"))
+      val est = lit(63.0) * 16777216.0 / col("uk")
+      skAgg.crossJoin(dv.agg(count(lit(1)).as("n_union_exact")))
+        .select(col("n_union_exact"),
+          round(coalesce(est, col("n_union_exact").cast("double")), 4).as("kmv_union"),
+          round(col("n_both").cast("double") / col("n_sk"), 6).as("kmv_jaccard"),
+          round(coalesce(est, col("n_union_exact").cast("double"))
+            * col("n_both") / col("n_sk"), 4).as("kmv_intersection"))
+    }),
+
+    // --- b-bit minhash resemblance over the LSH candidate pairs ---
+    "d_bbit_minhash" -> ((s, dir) =>
+      graft.operators.Dedup.bbitMinhash(docs(s, dir), "doc_id", "text")
+        .orderBy("d1", "d2")),
+
+    // --- SCD2 point-in-time (as-of) enrichment from a single change
+    //     stream: signup events are the dimension's version history,
+    //     purchases the facts; each purchase picks up the profile
+    //     version in force at its timestamp. Runs as ONE union-sort
+    //     pass (AsofJoin), not a range join. ---
+    "q_scd2_asof" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val versions = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.operators.AsofJoin.asofJoin(purchases, versions, Seq("user_id"),
+          "ts", "ts", Seq("ts", "value"))
+        .orderBy("event_id")
     })
   )
 
   private val toks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+  private val sh3 =
+    "list_distinct(list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))"
+  // exact cosine over x/y-aliased embeddings (mirrors Vectors.cosineNative
+  // + round 6; same macro family as PipelineQueries.cosAB)
+  private val cosXY = "round(list_dot_product(x.embedding::DOUBLE[], y.embedding::DOUBLE[]) / " +
+    "(sqrt(list_dot_product(x.embedding::DOUBLE[], x.embedding::DOUBLE[])) * " +
+    "sqrt(list_dot_product(y.embedding::DOUBLE[], y.embedding::DOUBLE[]))), 6)"
+  private val cosAB = cosXY.replace("x.embedding", "a.embedding")
+    .replace("y.embedding", "b.embedding")
+  // the graft_hyperplane_bucket hash replayed in SQL (8 planes, 64 dims)
+  private val bucketCte =
+    """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |proj AS (
+      |  SELECT vec_id, p,
+      |    sum(CASE WHEN (strpos('0123456789abcdef',
+      |          substring(md5(p::VARCHAR || '_' || d::VARCHAR), 1, 1)) - 1) % 2 = 1
+      |        THEN v[d+1] ELSE -v[d+1] END) AS dotp
+      |  FROM e CROSS JOIN (SELECT unnest(range(8)) AS p) CROSS JOIN (SELECT unnest(range(64)) AS d)
+      |  GROUP BY vec_id, p),
+      |bucket AS (SELECT vec_id, sum(CASE WHEN dotp > 0 THEN (2 ** p)::BIGINT ELSE 0 END)::BIGINT AS bk
+      |           FROM proj GROUP BY vec_id)""".stripMargin
+  private val bfCte =
+    s"""bf AS (
+       |  SELECT qid, nid, rk FROM (
+       |    SELECT a.vec_id AS qid, b.vec_id AS nid,
+       |      row_number() OVER (PARTITION BY a.vec_id ORDER BY $cosAB DESC, b.vec_id) AS rk
+       |    FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+       |    WHERE a.vec_id % 50 = 0)
+       |  WHERE rk <= 5)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "a_ann_ndcg" ->
+      s"""WITH $bfCte,
+         |$bucketCte,
+         |lsh AS (
+         |  SELECT qid, nid, rk FROM (
+         |    SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+         |    FROM (SELECT q.vec_id AS qid, c.vec_id AS nid, $cosXY AS cos
+         |          FROM bucket q JOIN bucket c ON q.bk = c.bk AND q.vec_id <> c.vec_id
+         |          JOIN embeddings x ON x.vec_id = q.vec_id
+         |          JOIN embeddings y ON y.vec_id = c.vec_id
+         |          WHERE q.vec_id % 50 = 0))
+         |  WHERE rk <= 5),
+         |dcg AS (SELECT l.qid,
+         |    sum(CAST(round(coalesce(6 - b.rk, 0)::DOUBLE / ln((l.rk + 1)::DOUBLE), 9)
+         |        AS DECIMAL(28,9))) AS dcg
+         |  FROM lsh l LEFT JOIN bf b ON b.qid = l.qid AND b.nid = l.nid GROUP BY l.qid),
+         |idcg AS (SELECT qid,
+         |    sum(CAST(round((6 - rk)::DOUBLE / ln((rk + 1)::DOUBLE), 9)
+         |        AS DECIMAL(28,9))) AS idcg
+         |  FROM bf GROUP BY qid)
+         |SELECT i.qid, round(coalesce(d.dcg, 0)::DOUBLE / i.idcg::DOUBLE, 6) AS ndcg
+         |FROM idcg i LEFT JOIN dcg d USING (qid) ORDER BY qid""".stripMargin,
+    "a_ann_multiprobe" ->
+      s"""WITH $bfCte,
+         |$bucketCte,
+         |qp AS (SELECT vec_id AS qid, unnest(list_distinct([bk,
+         |    xor(bk, 1::BIGINT), xor(bk, 2::BIGINT), xor(bk, 4::BIGINT),
+         |    xor(bk, 8::BIGINT), xor(bk, 16::BIGINT), xor(bk, 32::BIGINT),
+         |    xor(bk, 64::BIGINT), xor(bk, 128::BIGINT)])) AS pbk
+         |  FROM bucket WHERE vec_id % 50 = 0),
+         |mp AS (
+         |  SELECT qid, nid FROM (
+         |    SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+         |    FROM (SELECT q.qid, c.vec_id AS nid, $cosXY AS cos
+         |          FROM qp q JOIN bucket c ON q.pbk = c.bk AND q.qid <> c.vec_id
+         |          JOIN embeddings x ON x.vec_id = q.qid
+         |          JOIN embeddings y ON y.vec_id = c.vec_id))
+         |  WHERE rk <= 5)
+         |SELECT qid, coalesce(h.n_hit, 0)::BIGINT AS n_hit, n.n_exact,
+         |  round(coalesce(h.n_hit, 0)::DOUBLE / n.n_exact, 6) AS recall
+         |FROM (SELECT qid, CAST(count(*) AS BIGINT) AS n_exact FROM bf GROUP BY qid) n
+         |LEFT JOIN (SELECT bf.qid, CAST(count(*) AS BIGINT) AS n_hit
+         |           FROM bf JOIN mp ON bf.qid = mp.qid AND bf.nid = mp.nid
+         |           GROUP BY bf.qid) h USING (qid)
+         |ORDER BY qid""".stripMargin,
+    "t_kmv_setops" ->
+      s"""WITH d AS (SELECT source, text FROM documents WHERE source IN ('src0', 'src1')),
+         |tok AS (SELECT source, unnest($toks) AS token FROM d),
+         |dv AS (SELECT token,
+         |    max(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS in1,
+         |    max(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS in2
+         |  FROM tok GROUP BY token),
+         |wu AS (SELECT token, in1, in2,
+         |    ('0x' || substring(md5(token), 1, 6))::BIGINT AS u FROM dv),
+         |sk AS (SELECT * FROM (
+         |    SELECT *, row_number() OVER (ORDER BY u, token) AS rn FROM wu)
+         |  WHERE rn <= 64),
+         |ska AS (SELECT CAST(count(*) AS BIGINT) AS n_sk,
+         |    max(CASE WHEN rn = 64 THEN u END) AS uk,
+         |    CAST(sum(CASE WHEN in1 = 1 AND in2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+         |  FROM sk),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_union_exact FROM dv)
+         |SELECT n_union_exact,
+         |  round(coalesce(63.0 * 16777216.0 / uk, n_union_exact::DOUBLE), 4) AS kmv_union,
+         |  round(n_both::DOUBLE / n_sk, 6) AS kmv_jaccard,
+         |  round(coalesce(63.0 * 16777216.0 / uk, n_union_exact::DOUBLE)
+         |    * n_both / n_sk, 4) AS kmv_intersection
+         |FROM ska CROSS JOIN tot""".stripMargin,
+    "d_bbit_minhash" -> {
+      val bitEq = "(strpos('13579bdf', substring(x.mh, 1, 1)) > 0) = " +
+        "(strpos('13579bdf', substring(y.mh, 1, 1)) > 0)"
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest($sh3) AS s
+         |  FROM (SELECT doc_id, $toks AS t FROM documents) WHERE len(t) >= 3),
+         |sig AS (SELECT doc_id, h, min(md5(h::VARCHAR || '|' || s)) AS mh
+         |        FROM sh CROSS JOIN (SELECT unnest(range(16)) AS h) GROUP BY doc_id, h),
+         |band AS (SELECT doc_id, h // 4 AS band, md5(string_agg(mh, ',' ORDER BY h)) AS bh
+         |         FROM sig GROUP BY doc_id, h // 4),
+         |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |         FROM band a JOIN band b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+         |SELECT d1, d2,
+         |  CAST(count(*) FILTER (x.mh = y.mh) AS BIGINT) AS n_sig_match,
+         |  CAST(count(*) FILTER ($bitEq) AS BIGINT) AS n_bit_match,
+         |  round(count(*) FILTER (x.mh = y.mh)::DOUBLE / 16, 6) AS est_jaccard,
+         |  round(2.0 * count(*) FILTER ($bitEq) / 16 - 1.0, 6) AS j_bbit
+         |FROM cand JOIN sig x ON x.doc_id = d1 JOIN sig y ON y.doc_id = d2 AND y.h = x.h
+         |GROUP BY d1, d2 ORDER BY d1, d2""".stripMargin
+    },
+    "q_scd2_asof" ->
+      """WITH sv AS (SELECT user_id, ts AS asof_ts, value AS asof_value,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS vto
+        |  FROM events WHERE event_type = 'signup'),
+        |p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.ts, sv.asof_ts, sv.asof_value
+        |FROM p LEFT JOIN sv ON sv.user_id = p.user_id AND sv.asof_ts <= p.ts
+        |  AND (sv.vto IS NULL OR p.ts < sv.vto)
+        |ORDER BY event_id""".stripMargin,
     "q_interval_union" ->
       """WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
         |    epoch_us(ts) + CAST(floor(value * 60) AS BIGINT) * 1000000 AS e
