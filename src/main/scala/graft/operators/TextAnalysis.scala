@@ -877,6 +877,75 @@ object TextAnalysis {
         round(exp(-(col("s").cast("double")) / col("m")), 6).as("ppl"))
   }
 
+  /** Interpolated Kneser–Ney bigram perplexity (Kneser & Ney 1995; the
+    * smoothing KenLM defaults to — one step up in fidelity from
+    * [[ngramLmPerplexity]]'s Laplace model for the CCNet-style quality
+    * filter). Fixed discount D = 0.75 (binary-exact in double):
+    *
+    *   p(w|v) = max(c(vw) − D, 0)/c(v)  +  D·N₁₊(v,·)/c(v) · p_cont(w)
+    *   p_cont(w) = (N₁₊(·,w) + 1) / (N_bb + V + 1)
+    *
+    * where N₁₊(v,·)/N₁₊(·,w) are distinct-continuation counts, N_bb the
+    * distinct-bigram total, V the train vocabulary. The +1/+V+1 Laplace
+    * floor on the continuation distribution keeps OOV probability finite
+    * (exact KN assigns unseen words zero); first tokens and unseen
+    * contexts score p_cont alone. Every probability is a fixed-shape
+    * double expression over INTEGER counts, so both engines produce
+    * bit-identical inputs to ln; per-token log-probs ride the
+    * 9-dp/decimal accumulation contract.
+    *
+    * Scale shape: identical to the Laplace model — two train-side
+    * map-combined aggregates (bigram counts + their two distinct-
+    * continuation rollups), target tokens join the model on (prev, w)
+    * equi-keys, scalar totals broadcast. */
+  def kneserNeyPerplexity(train: DataFrame, target: DataFrame,
+                          idCol: String, textCol: String): DataFrame = {
+    val trTok = train.select(tokens(col(textCol)).as("t"))
+    val uni = graft.functions.SafeExplode
+      .explodeSelect(trTok, Seq.empty, col("t"), "w")
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val bi = graft.functions.SafeExplode.explodeSelect(
+        trTok, Seq.empty,
+        when(size(col("t")) >= 2,
+          transform(sequence(lit(1), size(col("t")) - 1),
+            i => struct(element_at(col("t"), i).as("w1"),
+              element_at(col("t"), i + 1).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>")), "g")
+      .select(col("g.w1"), col("g.w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    // context rollup: c(v) and N1+(v,·); continuation rollup: N1+(·,w)
+    val ctx = bi.groupBy(col("w1").as("prev"))
+      .agg(sum(col("c2")).as("cp"), count(lit(1)).as("n1v"))
+    val cont = bi.groupBy(col("w2").as("w")).agg(count(lit(1)).as("n1w"))
+    val stats = bi.agg(count(lit(1)).as("nbb"))
+      .crossJoin(uni.agg(count(lit(1)).as("v")))
+    val tok = graft.functions.SafeExplode.posexplodeSelect(
+        target.select(col(idCol), tokens(col(textCol)).as("t")),
+        Seq(col(idCol), col("t")), col("t"))
+      .select(col(idCol), col("pos"),
+        when(col("pos") > 0, element_at(col("t"), col("pos"))).as("prev"),
+        col("col").as("w"))
+    val pc = (coalesce(col("n1w"), lit(0L)) + 1).cast("double") /
+      (col("nbb") + col("v") + 1)
+    val pkn = when(col("pos") === 0 || col("cp").isNull, pc)
+      .otherwise(
+        greatest(coalesce(col("c2"), lit(0L)) - 0.75, lit(0.0)) / col("cp")
+          + lit(0.75) * col("n1v") / col("cp") * pc)
+    val ll = tok
+      .join(cont, Seq("w"), "left")
+      .join(ctx, Seq("prev"), "left")
+      .join(bi.select(col("w1").as("prev"), col("w2").as("w"), col("c2")),
+        Seq("prev", "w"), "left")
+      .crossJoin(broadcast(stats))
+      .select(col(idCol), round(log(pkn), 9).cast("decimal(28,9)").as("l"))
+    val agg = ll.groupBy(col(idCol))
+      .agg(count(lit(1)).as("m"), sum(col("l")).as("s"))
+    target.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("m"), lit(0L)).as("n_tokens"),
+        round(exp(-(col("s").cast("double")) / col("m")), 6).as("ppl_kn"))
+  }
+
   /** Per-document Shannon entropy of the (lowercased) character
     * distribution — the classic gibberish/binary-noise quality signal:
     * natural text sits in a narrow entropy band; base64 blobs and

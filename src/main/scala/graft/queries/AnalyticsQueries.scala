@@ -265,6 +265,24 @@ object AnalyticsQueries {
       graft.operators.AsofJoin.asofJoin(purchases, versions, Seq("user_id"),
           "ts", "ts", Seq("ts", "value"))
         .orderBy("event_id")
+    }),
+
+    // --- CDC keep-latest compaction (batch twin of the
+    //     mapGroupsWithState streaming path; parity spec-asserted) ---
+    "st_cdc_latest" -> ((s, dir) =>
+      graft.streaming.EventStream.latestPerKeyBatch(t(s, dir, "events"))
+        .orderBy("user_id", "event_type")),
+
+    // --- interpolated Kneser–Ney bigram perplexity (train = even ids,
+    //     score = odd ids) — the KenLM-default smoothing beside the
+    //     Laplace model of t_perplexity, so the two filters are
+    //     comparable on the same split ---
+    "t_kneser_ney" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.operators.TextAnalysis.kneserNeyPerplexity(
+          d.filter(col("doc_id") % 2 === 0),
+          d.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+        .orderBy("doc_id")
     })
   )
 
@@ -388,6 +406,42 @@ object AnalyticsQueries {
          |FROM cand JOIN sig x ON x.doc_id = d1 JOIN sig y ON y.doc_id = d2 AND y.h = x.h
          |GROUP BY d1, d2 ORDER BY d1, d2""".stripMargin
     },
+    "st_cdc_latest" ->
+      """SELECT user_id, event_type, event_id, ts, value FROM (
+        |  SELECT user_id, event_type, event_id, ts, value,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "t_kneser_ney" ->
+      s"""WITH tr AS (SELECT $toks AS t FROM documents WHERE doc_id % 2 = 0),
+         |tg AS (SELECT doc_id, $toks AS t FROM documents WHERE doc_id % 2 = 1),
+         |u AS (SELECT t[i] AS w, CAST(count(*) AS BIGINT) AS c1
+         |      FROM tr, unnest(range(1, len(t) + 1)) AS x(i) GROUP BY t[i]),
+         |b AS (SELECT t[i] AS w1, t[i+1] AS w2, CAST(count(*) AS BIGINT) AS c2
+         |      FROM tr, unnest(range(1, len(t))) AS x(i) GROUP BY t[i], t[i+1]),
+         |ctx AS (SELECT w1 AS prev, CAST(sum(c2) AS BIGINT) AS cp,
+         |               CAST(count(*) AS BIGINT) AS n1v FROM b GROUP BY w1),
+         |cont AS (SELECT w2 AS w, CAST(count(*) AS BIGINT) AS n1w FROM b GROUP BY w2),
+         |st AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM b) AS nbb,
+         |              (SELECT CAST(count(*) AS BIGINT) FROM u) AS v),
+         |tok AS (SELECT doc_id, i, CASE WHEN i > 1 THEN t[i-1] END AS prev, t[i] AS w
+         |        FROM tg, unnest(range(1, len(t) + 1)) AS x(i)),
+         |ll AS (SELECT doc_id,
+         |    CAST(round(ln(CASE WHEN i = 1 OR ctx.cp IS NULL
+         |      THEN (coalesce(cont.n1w, 0) + 1)::DOUBLE / (st.nbb + st.v + 1)
+         |      ELSE greatest(coalesce(b.c2, 0) - 0.75, 0) / ctx.cp
+         |           + 0.75 * ctx.n1v / ctx.cp
+         |             * ((coalesce(cont.n1w, 0) + 1)::DOUBLE / (st.nbb + st.v + 1))
+         |      END), 9) AS DECIMAL(28,9)) AS l
+         |  FROM tok CROSS JOIN st
+         |  LEFT JOIN cont ON cont.w = tok.w
+         |  LEFT JOIN ctx ON ctx.prev = tok.prev
+         |  LEFT JOIN b ON b.w1 = tok.prev AND b.w2 = tok.w),
+         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS m, sum(l) AS s2
+         |        FROM ll GROUP BY doc_id)
+         |SELECT t.doc_id, coalesce(m, 0)::BIGINT AS n_tokens,
+         |  round(exp(-(s2::DOUBLE) / m), 6) AS ppl_kn
+         |FROM tg t LEFT JOIN agg ON agg.doc_id = t.doc_id ORDER BY t.doc_id""".stripMargin,
     "q_scd2_asof" ->
       """WITH sv AS (SELECT user_id, ts AS asof_ts, value AS asof_value,
         |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS vto

@@ -129,6 +129,40 @@ object EventStream {
         sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
   }
 
+  /** Batch (backfill) CDC keep-latest compaction: the current row per
+    * (user_id, event_type) — max event time, event_id as the total-order
+    * tiebreak. One row_number window on the compaction key; at scale
+    * this is the "materialize the current state of a change stream"
+    * read path, and the key (user, type) splits uniformly. Streaming
+    * counterpart: [[latestPerKey]] (same winner rule, stateful). */
+  def latestPerKeyBatch(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    events.select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts"), col("value"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Streaming CDC keep-latest via `mapGroupsWithState`: state per
+    * (user_id, event_type) is just the current winner; every micro-batch
+    * emits the (possibly unchanged) winner for Update-mode sinks.
+    * Deterministic: the winner rule is a total order (event-time micros,
+    * then event_id), so replays and micro-batch boundaries cannot change
+    * the outcome — parity with [[latestPerKeyBatch]] is spec-asserted. */
+  def latestPerKey(events: Dataset[KeyedEvent]): Dataset[KeyedEvent] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(e => (e.user_id, e.event_type))
+      .mapGroupsWithState[KeyedEvent, KeyedEvent](GroupStateTimeout.NoTimeout()) {
+        case ((_, _), rows, state) =>
+          val winner = (state.getOption.iterator ++ rows)
+            .maxBy(e => (micros(e.ts), e.event_id))
+          state.update(winner)
+          winner
+      }
+  }
+
   /** Streaming exact dedup by id within the watermark horizon
     * (`dropDuplicatesWithinWatermark`): state stores only ids younger
     * than the watermark, so a forever-running ingest keeps bounded state
@@ -218,6 +252,8 @@ object EventStream {
   }
 
   final case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class KeyedEvent(user_id: Long, event_type: String, event_id: Long,
+                              ts: java.sql.Timestamp, value: Double)
   final case class Session(user_id: Long, n_events: Long, total: Double, open: Boolean)
   final case class SessionAcc(n_events: Long, total: Double,
                               start_ts: java.sql.Timestamp,

@@ -380,4 +380,44 @@ class EventStreamSpec extends SparkSpec {
       assert(streamRes === batch)
     } finally q.stop()
   }
+
+  test("latestPerKey: streaming CDC keep-latest converges to the batch compaction") {
+    import spark.implicits._
+    import EventStream.KeyedEvent
+    val rows = Seq(
+      KeyedEvent(1L, "click", 10L, ts("2026-01-01T00:10:00Z"), 1.0),
+      KeyedEvent(1L, "click", 11L, ts("2026-01-01T02:00:00Z"), 2.0),
+      KeyedEvent(1L, "view", 12L, ts("2026-01-01T01:00:00Z"), 3.0),
+      // out-of-order late arrival must NOT displace the 02:00 winner
+      KeyedEvent(1L, "click", 13L, ts("2026-01-01T01:30:00Z"), 4.0),
+      KeyedEvent(2L, "click", 14L, ts("2026-01-01T00:00:00Z"), 5.0))
+    val batch = EventStream.latestPerKeyBatch(
+        rows.toDF("user_id", "event_type", "event_id", "ts", "value"))
+      .orderBy("user_id", "event_type")
+      .as[KeyedEvent].collect()
+    assert(batch.map(_.event_id).toSeq === Seq(11L, 12L, 14L))
+
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[KeyedEvent]
+    val q = EventStream.latestPerKey(mem.toDS())
+      .writeStream.format("memory").queryName("cdclatest")
+      .outputMode("update").start()
+    try {
+      mem.addData(rows.take(3): _*) // two micro-batches: winners must survive
+      q.processAllAvailable()
+      mem.addData(rows.drop(3): _*)
+      q.processAllAvailable()
+      // Update-mode sink appends every emitted winner; the CURRENT state
+      // per key is the last emission, which must equal the batch twin.
+      val current = spark.table("cdclatest")
+        .withColumn("emit_seq", monotonically_increasing_id())
+        .groupBy("user_id", "event_type")
+        .agg(max(struct(col("emit_seq"), col("event_id"), col("ts"), col("value"))).as("w"))
+        .select(col("user_id"), col("event_type"), col("w.event_id"),
+          col("w.ts"), col("w.value"))
+        .orderBy("user_id", "event_type")
+        .as[KeyedEvent].collect()
+      assert(current.toSeq === batch.toSeq)
+    } finally q.stop()
+  }
 }
