@@ -155,4 +155,43 @@ object Vectors {
                    vecCol: String, k: Int = 4, iters: Int = 2)
       : org.apache.spark.sql.DataFrame =
     assignToCentroids(df, idCol, vecCol, kmeansTrain(df, idCol, vecCol, k, iters))
+
+  /** Top principal direction of the (uncentered) embedding Gram matrix
+    * via distributed power iteration — the dominant-axis diagnostic an
+    * embedding store runs before whitening / anisotropy correction
+    * (cf. Mu & Viswanath 2018, "All-but-the-Top"). Each round is ONE
+    * corpus pass: the in-row dot dᵢ = ⟨xᵢ, v⟩ (sequential [[dot]] fold,
+    * rounded to 9 dp), then Σᵢ dᵢ·xᵢ accumulated per dimension with
+    * 12-dp/decimal terms — exact, order-independent, so the iterate is
+    * partitioning-invariant and engine-portable. The collected model is
+    * `dims` doubles per round (model-budget collect, like centroids).
+    *
+    * Determinism contract: v₀ = 1/√dims (exact binary for power-of-two
+    * dims); normalization rounds each component to 9 dp with the same
+    * HALF_UP-on-decimal-string rule Spark's `round` applies, so the
+    * literal fed to round k+1 is bit-identical to what a SQL engine
+    * replaying the same algebra computes. */
+  def powerIterationPC(corpus: org.apache.spark.sql.DataFrame, vecCol: String,
+                       dims: Int, iters: Int = 2): Seq[Double] = {
+    def r9(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+    var v: Seq[Double] = Seq.fill(dims)(1.0 / math.sqrt(dims.toDouble))
+    for (_ <- 1 to iters) {
+      val s = corpus
+        .select(col(vecCol).cast("array<double>").as("v"))
+        .select(col("v"), round(dot(col("v"), typedLit(v)), 9).as("dp"))
+        .select(posexplode(col("v")).as(Seq("d", "x")), col("dp"))
+        .groupBy("d")
+        .agg(sum(round(col("dp") * col("x"), 12).cast("decimal(38,12)"))
+          .cast("double").as("sv"))
+        .orderBy("d")
+        .collect().map(_.getDouble(1))
+      require(s.length == dims, s"expected $dims dims in $vecCol, saw ${s.length}")
+      // norm via the same sequential sum-of-products fold as [[dot]]
+      val nrm = math.sqrt(s.foldLeft(0.0)((acc, x) => acc + x * x))
+      v = s.map(x => r9(x / nrm)).toSeq
+    }
+    v
+  }
 }

@@ -283,6 +283,40 @@ object AnalyticsQueries {
           d.filter(col("doc_id") % 2 === 0),
           d.filter(col("doc_id") % 2 === 1), "doc_id", "text")
         .orderBy("doc_id")
+    }),
+
+    // --- dominant embedding axis by distributed power iteration (two
+    //     one-pass corpus rounds; see Vectors.powerIterationPC) — the
+    //     anisotropy diagnostic before whitening an embedding store ---
+    "a_pca_power" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val v = graft.operators.Vectors.powerIterationPC(
+        t(s, dir, "embeddings"), "embedding", dims = 64, iters = 2)
+      v.zipWithIndex.map { case (x, d) => (d.toLong, x) }
+        .toDF("dim", "loading")
+        .select(col("dim"), round(col("loading"), 6).as("loading"))
+        .orderBy("dim")
+    }),
+
+    // --- tokenizer fertility per language: BPE-ish subtokens per word
+    //     token — the budget planner's "how many model tokens does a
+    //     word of language X cost" table (fertility rises on scripts
+    //     the tokenizer splits hard). Exact integer counts, one rounded
+    //     division. ---
+    "t_fertility" -> ((s, dir) => {
+      import graft.functions.TextFunctions._
+      docs(s, dir)
+        .select(col("lang"),
+          size(tokens(col("text"))).cast("long").as("nw"),
+          size(bpeishTokens(col("text"))).cast("long").as("nb"))
+        .groupBy("lang")
+        .agg(sum(col("nw")).as("n_words"), sum(col("nb")).as("n_bpeish"))
+        .select(col("lang"), col("n_words"), col("n_bpeish"),
+          when(col("n_words") > 0,
+            round(col("n_bpeish").cast("double") / col("n_words"), 6))
+            .as("fertility"))
+        .orderBy("lang")
     })
   )
 
@@ -442,6 +476,34 @@ object AnalyticsQueries {
          |SELECT t.doc_id, coalesce(m, 0)::BIGINT AS n_tokens,
          |  round(exp(-(s2::DOUBLE) / m), 6) AS ppl_kn
          |FROM tg t LEFT JOIN agg ON agg.doc_id = t.doc_id ORDER BY t.doc_id""".stripMargin,
+    "a_pca_power" -> {
+      // one power-iteration round in SQL: in-row dot against the previous
+      // iterate (list_dot_product = the same sequential fold as
+      // Vectors.dot), 12-dp/decimal per-dim accumulation, norm via the
+      // same fold, 9-dp renormalized iterate
+      def iter(prev: String, out: String) =
+        s"""d$out AS (SELECT round(list_dot_product(v,
+           |      (SELECT list(val ORDER BY d) FROM $prev)), 9) AS dp, v FROM e),
+           |s$out AS (SELECT d, CAST(sum(CAST(round(dp * v[d+1], 12)
+           |      AS DECIMAL(38,12))) AS DOUBLE) AS sv
+           |    FROM d$out CROSS JOIN (SELECT unnest(range(64)) AS d) GROUP BY d),
+           |n$out AS (SELECT sqrt(list_dot_product(l, l)) AS nrm
+           |    FROM (SELECT list(sv ORDER BY d) AS l FROM s$out)),
+           |$out AS (SELECT d, round(sv / nrm, 9) AS val FROM s$out CROSS JOIN n$out)""".stripMargin
+      s"""WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+         |v0 AS (SELECT unnest(range(64)) AS d, 0.125 AS val),
+         |${iter("v0", "v1")},
+         |${iter("v1", "v2")}
+         |SELECT d::BIGINT AS dim, round(val, 6) AS loading FROM v2 ORDER BY d""".stripMargin
+    },
+    "t_fertility" ->
+      """SELECT lang,
+        |  CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT) AS n_words,
+        |  CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS n_bpeish,
+        |  CASE WHEN sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) > 0
+        |       THEN round(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')))::DOUBLE
+        |            / sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))), 6) END AS fertility
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q_scd2_asof" ->
       """WITH sv AS (SELECT user_id, ts AS asof_ts, value AS asof_value,
         |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS vto
