@@ -167,6 +167,31 @@ object SinkQueries {
         .orderBy("doc_id")
     }),
 
+    // K13: ORC columnar round-trip — Spark's other native columnar
+    // format (predicate pushdown + column pruning parity with parquet);
+    // doubles and timestamps must survive the encoder bit-exactly for
+    // the hash to hold.
+    "k13_orc_roundtrip" -> ((s, dir) => {
+      clean(s, s"$base/k13")
+      TableCatalog.load(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .write.orc(s"$base/k13/t")
+      s.read.orc(s"$base/k13/t").orderBy("o_orderkey")
+    }),
+
+    // K14: JSON-lines file round-trip with an EXPLICIT read schema (the
+    // lakehouse interchange path; inference would widen types, a pinned
+    // schema is the production contract).
+    "k14_jsonl_roundtrip" -> ((s, dir) => {
+      clean(s, s"$base/k14")
+      TableCatalog.load(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .write.json(s"$base/k14/t")
+      s.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+        .json(s"$base/k14/t")
+        .orderBy("n_nationkey")
+    }),
+
     // Deterministic fixed-shard export under the gate: seeded md5 shuffle
     // of the documents table into 8 exactly-named shard files; the line
     // carries (doc_id, content hash, shard_key) so shard membership, file
@@ -202,6 +227,14 @@ object SinkQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "k13_orc_roundtrip" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "k14_jsonl_roundtrip" ->
+      """SELECT n_nationkey, n_name, n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
     "k1_text_sink_roundtrip" ->
       """WITH lines AS (
         |  SELECT 'nation_' || n_regionkey || '.csv' AS file_name,
