@@ -266,7 +266,11 @@ object Multimodal {
     * `seg = index * segs / n`; per segment the COUNT and the SUM OF
     * SQUARED amplitudes (sample − 128, the 8-bit PCM zero line). The
     * 6-dp RMS happens downstream in expression land ([[segRmsFeatures]]).
-    * Output adds: sample_rate, n_samples, seg_sumsq, seg_counts. */
+    * Output adds: sample_rate, n_samples, seg_sumsq, seg_counts, and
+    * seg_zcs (per-segment zero-crossing counts — sign changes across the
+    * 128 center line between consecutive samples, counted in the current
+    * sample's segment; with RMS these are the classic cheap
+    * silence/voicing features of audio curation). */
   def decodeWav(df: DataFrame, wavCol: String = "wav",
                 segs: Int = 4): DataFrame = {
     require(segs > 0, s"segs must be positive, got $segs")
@@ -274,21 +278,22 @@ object Multimodal {
       StructField("sample_rate", IntegerType, nullable = false),
       StructField("n_samples", LongType, nullable = false),
       StructField("seg_sumsq", ArrayType(LongType, containsNull = false)),
-      StructField("seg_counts", ArrayType(LongType, containsNull = false))))
+      StructField("seg_counts", ArrayType(LongType, containsNull = false)),
+      StructField("seg_zcs", ArrayType(LongType, containsNull = false))))
     val enc = org.apache.spark.sql.Encoders.row(schema)
     val idx = df.schema.fieldIndex(wavCol)
     df.mapPartitions { it =>
       it.map { r =>
         val bytes = if (r.isNullAt(idx)) Array.empty[Byte]
           else r.getAs[Array[Byte]](idx)
-        val (rate, n, sumsq, cnts) = parseWav(bytes, segs)
-        Row.fromSeq(r.toSeq ++ Seq(rate, n, sumsq.toSeq, cnts.toSeq))
+        val (rate, n, sumsq, cnts, zcs) = parseWav(bytes, segs)
+        Row.fromSeq(r.toSeq ++ Seq(rate, n, sumsq.toSeq, cnts.toSeq, zcs.toSeq))
       }
     }(enc)
   }
 
   private[operators] def parseWav(b: Array[Byte], segs: Int)
-      : (Int, Long, Array[Long], Array[Long]) = {
+      : (Int, Long, Array[Long], Array[Long], Array[Long]) = {
     def tagAt(off: Int): String =
       new String(b.slice(off, off + 4), "US-ASCII")
     require(b.length >= 12 && tagAt(0) == "RIFF" && tagAt(8) == "WAVE",
@@ -323,15 +328,30 @@ object Multimodal {
     require(dataOff >= 0, "missing data chunk")
     val sumsq = new Array[Long](segs)
     val cnts = new Array[Long](segs)
+    val zcs = new Array[Long](segs)
+    var ampSum = 0L
     var i = 0
     while (i < dataLen) {
       val seg = (i.toLong * segs / dataLen).toInt
       val amp = (b(dataOff + i) & 0xff) - 128
       sumsq(seg) += amp.toLong * amp
       cnts(seg) += 1
+      ampSum += amp
       i += 1
     }
-    (rate, dataLen.toLong, sumsq, cnts)
+    // mean-line zero crossings (DC offset removed — an all-positive
+    // payload never crosses the fixed 128 center, so the fixed-center
+    // ZCR is degenerate; the mean-centered form is the standard fix).
+    // Integer-exact: amp_i - mean changes sign iff n·amp_i - S does.
+    def below(j: Int): Boolean =
+      dataLen.toLong * (((b(dataOff + j) & 0xff) - 128)) < ampSum
+    i = 1
+    while (i < dataLen) {
+      if (below(i) != below(i - 1))
+        zcs((i.toLong * segs / dataLen).toInt) += 1
+      i += 1
+    }
+    (rate, dataLen.toLong, sumsq, cnts, zcs)
   }
 
   /** 6-dp per-segment RMS amplitude over [[decodeWav]]'s exact sums —

@@ -108,6 +108,21 @@ object MediaQueries {
         .orderBy("media_id")
     }),
 
+    // audio feature extraction beyond RMS: per-segment MEAN-LINE zero
+    // crossing counts (voicing/silence screen; integer-exact via the
+    // n·amp − S sign test) over the same real WAV round-trip.
+    "m_media_audio" -> ((s, dir) => {
+      val media = TableCatalog.load(s, dir, "documents")
+        .select(col("doc_id").as("media_id"),
+          col("text").cast("binary").as("bytes"))
+      val decoded = Multimodal.decodeWav(
+        Multimodal.encodeWav(media, sampleRate = 8000), segs = 4)
+      val zc = (0 until 4).map(i =>
+        element_at(col("seg_zcs"), i + 1).as(s"zc$i"))
+      decoded.select(Seq(col("media_id"), col("n_samples")) ++ zc: _*)
+        .orderBy("media_id")
+    }),
+
     // the video flavor: payload → real RIFF/AVI container (uncompressed
     // 24-bpp DIB frames in a movi LIST) → real nested-LIST chunk walk →
     // PER-FRAME banded channel means. Frame f covers payload bytes
@@ -223,6 +238,26 @@ object MediaQueries {
          |SELECT d.media_id, 8000 AS sample_rate, n::BIGINT AS n_samples,
          |  $rmsCols
          |FROM d LEFT JOIN r USING (media_id)
+         |GROUP BY d.media_id, n ORDER BY d.media_id""".stripMargin
+    },
+
+    "m_media_audio" -> {
+      val amp = "(ord(substring(text, p, 1)) - 128)"
+      val ampPrev = "(ord(substring(text, p - 1, 1)) - 128)"
+      val zcCols = (0 until 4).map { i =>
+        s"coalesce(max(CASE WHEN seg = $i THEN z END), 0)::BIGINT AS zc$i"
+      }.mkString(",\n  ")
+      s"""WITH d AS (SELECT doc_id AS media_id, text, strlen(text) AS n FROM documents),
+         |s AS (SELECT media_id, CAST(sum($amp) AS BIGINT) AS amp_sum
+         |      FROM d, unnest(range(1, n + 1)) AS u(p) GROUP BY media_id),
+         |zc AS (SELECT d.media_id, ((p - 1) * 4) // n AS seg,
+         |    CAST(sum(CASE WHEN (n * $amp < amp_sum) <> (n * $ampPrev < amp_sum)
+         |             THEN 1 ELSE 0 END) AS BIGINT) AS z
+         |  FROM d JOIN s USING (media_id), unnest(range(2, n + 1)) AS u(p)
+         |  GROUP BY d.media_id, ((p - 1) * 4) // n)
+         |SELECT d.media_id, n::BIGINT AS n_samples,
+         |  $zcCols
+         |FROM d LEFT JOIN zc USING (media_id)
          |GROUP BY d.media_id, n ORDER BY d.media_id""".stripMargin
     },
 

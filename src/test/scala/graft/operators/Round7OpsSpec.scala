@@ -209,11 +209,14 @@ class Round7OpsSpec extends SparkSpec {
     // fix the RIFF size field (+12)
     val riffLen = ((spliced(4) & 0xff) | ((spliced(5) & 0xff) << 8)) + 12
     spliced(4) = (riffLen & 0xff).toByte; spliced(5) = ((riffLen >> 8) & 0xff).toByte
-    val (rate, n, sumsq, cnts) = Multimodal.parseWav(spliced, segs = 4)
+    val (rate, n, sumsq, cnts, zcs) = Multimodal.parseWav(spliced, segs = 4)
     assert(rate === 8000 && n === 8L)
     assert(cnts.toSeq === Seq(2L, 2L, 2L, 2L))
     // amplitudes 0,1 | 2,3 | 4,5 | 6,7
     assert(sumsq.toSeq === Seq(1L, 13L, 41L, 85L))
+    // amps 0..7, mean 3.5: one mean-line crossing, between samples 3
+    // and 4, attributed to sample 4's segment (index 2)
+    assert(zcs.toSeq === Seq(0L, 0L, 1L, 0L))
   }
 
   test("parseWav rejects non-WAV and unsupported formats loudly") {
