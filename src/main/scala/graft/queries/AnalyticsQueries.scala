@@ -299,6 +299,97 @@ object AnalyticsQueries {
         .orderBy("dim")
     }),
 
+    // --- bitmap-index distinct counting: per event type, users are
+    //     OR-ed into 32-bit bitmap words keyed by user_id div 32, and
+    //     the distinct count is Σ popcount(word) — the roaring-bitmap
+    //     shape for dense integer domains. At 100 TB this replaces a
+    //     shuffle of every (type, user) pair with a shuffle of at most
+    //     |domain|/32 words per type (map-side bit_or combine), and the
+    //     words themselves union across segments/epochs for free. The
+    //     exact count rides along to certify the bitmap. ---
+    "q_bitmap_distinct" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val bm = e.groupBy(col("event_type"), expr("user_id div 32").as("w"))
+        .agg(expr("bit_or(shiftleft(1L, cast(user_id % 32 as int)))").as("m"))
+        .groupBy("event_type")
+        .agg(sum(expr("bit_count(m)")).cast("long").as("n_users"))
+      val ex = e.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      bm.join(ex, "event_type").orderBy("event_type")
+    }),
+
+    // --- train/test bigram coverage per language (even/odd doc split):
+    //     the generalization-gap screen — what fraction of held-out
+    //     bigram types the training half has seen. Distinct-set
+    //     semi-join on the bigram key; exact integer ratio. ---
+    "t_bigram_coverage" -> ((s, dir) => {
+      import graft.functions.TextFunctions._
+      def bigrams(df: DataFrame) = graft.functions.SafeExplode.explodeSelect(
+          df.select(col("lang"), tokens(col("text")).as("t")),
+          Seq(col("lang")),
+          when(size(col("t")) >= 2,
+            transform(sequence(lit(1), size(col("t")) - 1),
+              i => concat_ws(" ", element_at(col("t"), i),
+                element_at(col("t"), i + 1))))
+            .otherwise(array().cast("array<string>")), "bg")
+        .distinct()
+      val d = docs(s, dir)
+      val tr = bigrams(d.filter(col("doc_id") % 2 === 0))
+        .select(col("lang").as("langt"), col("bg").as("bgt"), lit(1L).as("seen"))
+      bigrams(d.filter(col("doc_id") % 2 === 1))
+        .join(tr, col("lang") === col("langt") && col("bg") === col("bgt"), "left")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_test_bigrams"),
+          sum(coalesce(col("seen"), lit(0L))).as("n_covered"))
+        .select(col("lang"), col("n_test_bigrams"), col("n_covered"),
+          round(col("n_covered").cast("double") / col("n_test_bigrams"), 6)
+            .as("coverage"))
+        .orderBy("lang")
+    }),
+
+    // --- distinctive vocabulary between two sources: log-odds ratio
+    //     with an informative Dirichlet prior from the full corpus
+    //     (Monroe, Colaresi & Quinn 2008, "Fightin' Words") — the
+    //     statistically-sound replacement for raw frequency diffs when
+    //     auditing what makes a source's language different. Top-10 and
+    //     bottom-10 tokens by z-score; every input to the floating
+    //     expression is an integer count, the expression shape is
+    //     pinned, and ordering uses the 6-dp-rounded score. ---
+    "t_logodds" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.TextFunctions._
+      val tok = graft.functions.SafeExplode.explodeSelect(
+        docs(s, dir).select(col("source"), tokens(col("text")).as("t")),
+        Seq(col("source")), col("t"), "w")
+      val cw = tok.groupBy("w").agg(count(lit(1)).as("cw"))
+      val ctot = tok.agg(count(lit(1)).as("ctot"))
+      val y1 = tok.filter(col("source") === "src0").groupBy("w")
+        .agg(count(lit(1)).as("y1"))
+      val y2 = tok.filter(col("source") === "src1").groupBy("w")
+        .agg(count(lit(1)).as("y2"))
+      val n1 = tok.filter(col("source") === "src0").agg(count(lit(1)).as("n1"))
+      val n2 = tok.filter(col("source") === "src1").agg(count(lit(1)).as("n2"))
+      val aw = lit(100.0) * col("cw") / col("ctot")
+      val l1 = round(log((coalesce(col("y1"), lit(0L)) + aw) /
+        (col("n1") + 100.0 - coalesce(col("y1"), lit(0L)) - aw)), 9)
+      val l2 = round(log((coalesce(col("y2"), lit(0L)) + aw) /
+        (col("n2") + 100.0 - coalesce(col("y2"), lit(0L)) - aw)), 9)
+      val z = round((l1 - l2) /
+        sqrt(lit(1.0) / (coalesce(col("y1"), lit(0L)) + aw)
+          + lit(1.0) / (coalesce(col("y2"), lit(0L)) + aw)), 6)
+      val scored = cw.join(y1, Seq("w"), "left").join(y2, Seq("w"), "left")
+        .crossJoin(broadcast(ctot)).crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+        .select(col("w"), coalesce(col("y1"), lit(0L)).as("y1"),
+          coalesce(col("y2"), lit(0L)).as("y2"), z.as("z"))
+      val top = scored.withColumn("rk",
+          row_number().over(Window.orderBy(col("z").desc, col("w"))).cast("long"))
+        .filter(col("rk") <= 10)
+      val bottom = scored.withColumn("rk",
+          (-row_number().over(Window.orderBy(col("z").asc, col("w")))).cast("long"))
+        .filter(col("rk") >= -10)
+      top.unionByName(bottom).orderBy("rk")
+    }),
+
     // --- tokenizer fertility per language: BPE-ish subtokens per word
     //     token — the budget planner's "how many model tokens does a
     //     word of language X cost" table (fertility rises on scripts
@@ -495,6 +586,54 @@ object AnalyticsQueries {
          |${iter("v0", "v1")},
          |${iter("v1", "v2")}
          |SELECT d::BIGINT AS dim, round(val, 6) AS loading FROM v2 ORDER BY d""".stripMargin
+    },
+    "q_bitmap_distinct" ->
+      """WITH b AS (SELECT event_type, user_id // 32 AS w,
+        |    bit_or(1::BIGINT << CAST(user_id % 32 AS INT)) AS m
+        |  FROM events GROUP BY event_type, user_id // 32),
+        |bm AS (SELECT event_type, CAST(sum(bit_count(m)) AS BIGINT) AS n_users
+        |       FROM b GROUP BY event_type),
+        |ex AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+        |       FROM events GROUP BY event_type)
+        |SELECT event_type, n_users, n_exact FROM bm JOIN ex USING (event_type)
+        |ORDER BY event_type""".stripMargin,
+    "t_bigram_coverage" ->
+      s"""WITH tt AS (SELECT lang, doc_id % 2 AS half, $toks AS t FROM documents),
+         |bg AS (SELECT DISTINCT lang, half, t[i] || ' ' || t[i+1] AS bg
+         |       FROM tt, unnest(range(1, len(t))) AS x(i)),
+         |tr AS (SELECT lang, bg FROM bg WHERE half = 0),
+         |te AS (SELECT lang, bg FROM bg WHERE half = 1)
+         |SELECT te.lang, CAST(count(*) AS BIGINT) AS n_test_bigrams,
+         |  CAST(sum(CASE WHEN tr.bg IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+         |  round(sum(CASE WHEN tr.bg IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS coverage
+         |FROM te LEFT JOIN tr ON tr.lang = te.lang AND tr.bg = te.bg
+         |GROUP BY te.lang ORDER BY te.lang""".stripMargin,
+    "t_logodds" -> {
+      def lterm(y: String, n: String) =
+        s"round(ln((coalesce($y, 0) + 100.0 * cw.cw / ctot) / " +
+          s"($n + 100.0 - coalesce($y, 0) - 100.0 * cw.cw / ctot)), 9)"
+      s"""WITH tok AS (SELECT source, unnest($toks) AS w FROM documents),
+         |cw AS (SELECT w, CAST(count(*) AS BIGINT) AS cw FROM tok GROUP BY w),
+         |ct AS (SELECT CAST(count(*) AS BIGINT) AS ctot FROM tok),
+         |y1 AS (SELECT w, CAST(count(*) AS BIGINT) AS y1 FROM tok WHERE source = 'src0' GROUP BY w),
+         |y2 AS (SELECT w, CAST(count(*) AS BIGINT) AS y2 FROM tok WHERE source = 'src1' GROUP BY w),
+         |n1 AS (SELECT CAST(count(*) AS BIGINT) AS n1 FROM tok WHERE source = 'src0'),
+         |n2 AS (SELECT CAST(count(*) AS BIGINT) AS n2 FROM tok WHERE source = 'src1'),
+         |sc AS (SELECT cw.w, coalesce(y1.y1, 0)::BIGINT AS y1, coalesce(y2.y2, 0)::BIGINT AS y2,
+         |    round((${lterm("y1.y1", "n1")} - ${lterm("y2.y2", "n2")})
+         |      / sqrt(1.0 / (coalesce(y1.y1, 0) + 100.0 * cw.cw / ctot)
+         |           + 1.0 / (coalesce(y2.y2, 0) + 100.0 * cw.cw / ctot)), 6) AS z
+         |  FROM cw LEFT JOIN y1 ON y1.w = cw.w LEFT JOIN y2 ON y2.w = cw.w
+         |  CROSS JOIN ct CROSS JOIN n1 CROSS JOIN n2)
+         |SELECT * FROM (
+         |  SELECT w, y1, y2, z, CAST(rn AS BIGINT) AS rk
+         |  FROM (SELECT *, row_number() OVER (ORDER BY z DESC, w) AS rn FROM sc)
+         |  WHERE rn <= 10
+         |  UNION ALL
+         |  SELECT w, y1, y2, z, CAST(-rn AS BIGINT) AS rk
+         |  FROM (SELECT *, row_number() OVER (ORDER BY z ASC, w) AS rn FROM sc)
+         |  WHERE rn <= 10)
+         |ORDER BY rk""".stripMargin
     },
     "t_fertility" ->
       """SELECT lang,
