@@ -390,6 +390,79 @@ object AnalyticsQueries {
       top.unionByName(bottom).orderBy("rk")
     }),
 
+    // --- hopping (sliding) windowed counts: 1-day windows every 12 h —
+    //     each event feeds two windows; same code runs readStream ---
+    "st_hopping_window" -> ((s, dir) =>
+      graft.streaming.EventStream.hoppingWindowedCounts(t(s, dir, "events"))
+        .orderBy("window_start", "event_type")),
+
+    // --- whitened retrieval ("All-but-the-Top", Mu & Viswanath 2018):
+    //     project the dominant PCA axis out of every embedding, then
+    //     brute-force top-k on the whitened vectors — the anisotropy
+    //     correction that typically sharpens cosine retrieval. The axis
+    //     is the a_pca_power iterate (model-sized literal); the
+    //     projection is one in-row zip_with, 9-dp pinned. ---
+    "a_ann_whitened" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.operators.Vectors
+      val e = t(s, dir, "embeddings")
+      val v = Vectors.powerIterationPC(e, "embedding", dims = 64, iters = 2)
+      val vlit = typedLit(v)
+      val dp = round(Vectors.dot(col("embedding"), vlit), 9)
+      val wv = zip_with(col("embedding").cast("array<double>"), vlit,
+        (x, vv) => round(x - col("__dp") * vv, 9))
+      val tx = e.select(col("vec_id"), dp.as("__dp"), col("embedding"))
+        .select(col("vec_id"), wv.as("wv"))
+      val q = tx.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("wv").as("qv"))
+      val scored = tx.select(col("vec_id").as("nid"), col("wv").as("nv"))
+        .join(broadcast(q), col("qid") =!= col("nid"))
+        .select(col("qid"), col("nid"),
+          Vectors.cosine(col("qv"), col("nv")).as("cos"))
+      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
+      scored.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 5)
+        .orderBy("qid", "rk")
+    }),
+
+    // --- ROUGE-2 between adjacent document pairs (doc 2k vs 2k+1):
+    //     clipped bigram overlap precision/recall/F — the reference
+    //     summarization/near-para metric as a distributed pairwise
+    //     eval. Pair key = doc_id div 2 (equi-join, never all-pairs);
+    //     all counts integer, three rounded divisions. ---
+    "t_rouge_pairs" -> ((s, dir) => {
+      import graft.functions.TextFunctions._
+      val bg = graft.functions.SafeExplode.explodeSelect(
+          docs(s, dir).select(col("doc_id"), tokens(col("text")).as("t")),
+          Seq(col("doc_id")),
+          when(size(col("t")) >= 2,
+            transform(sequence(lit(1), size(col("t")) - 1),
+              i => concat_ws(" ", element_at(col("t"), i),
+                element_at(col("t"), i + 1))))
+            .otherwise(array().cast("array<string>")), "bg")
+        .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      val a = bg.filter(col("doc_id") % 2 === 0)
+        .select(expr("doc_id div 2").as("pair_id"),
+          col("bg"), col("c").as("c1"))
+      val b = bg.filter(col("doc_id") % 2 === 1)
+        .select(expr("doc_id div 2").as("pair_id"), col("bg"), col("c").as("c2"))
+      val tot1 = a.groupBy("pair_id").agg(sum(col("c1")).as("n1"))
+      val tot2 = b.groupBy("pair_id").agg(sum(col("c2")).as("n2"))
+      val ov = a.join(b, Seq("pair_id", "bg"))
+        .groupBy("pair_id").agg(sum(least(col("c1"), col("c2"))).as("overlap"))
+      val p = col("overlap").cast("double") / col("n2")
+      val r = col("overlap").cast("double") / col("n1")
+      tot1.join(tot2, Seq("pair_id"), "inner")
+        .join(ov, Seq("pair_id"), "left")
+        .withColumn("overlap", coalesce(col("overlap"), lit(0L)))
+        .select(col("pair_id"), col("n1"), col("n2"), col("overlap"),
+          when(col("overlap") > 0, round(p, 6)).otherwise(0.0).as("rouge2_p"),
+          when(col("overlap") > 0, round(r, 6)).otherwise(0.0).as("rouge2_r"),
+          when(col("overlap") > 0,
+            round(lit(2.0) * p * r / (p + r), 6)).otherwise(0.0).as("rouge2_f"))
+        .orderBy("pair_id")
+    }),
+
     // --- tokenizer fertility per language: BPE-ish subtokens per word
     //     token — the budget planner's "how many model tokens does a
     //     word of language X cost" table (fertility rises on scripts
@@ -433,6 +506,20 @@ object AnalyticsQueries {
       |  GROUP BY vec_id, p),
       |bucket AS (SELECT vec_id, sum(CASE WHEN dotp > 0 THEN (2 ** p)::BIGINT ELSE 0 END)::BIGINT AS bk
       |           FROM proj GROUP BY vec_id)""".stripMargin
+  // one power-iteration round in SQL: in-row dot against the previous
+  // iterate (list_dot_product = the same sequential fold as Vectors.dot),
+  // 12-dp/decimal per-dim accumulation, norm via the same fold, 9-dp
+  // renormalized iterate (expects CTE `e(v)` with DOUBLE[] vectors)
+  private def pcaIter(prev: String, out: String) =
+    s"""d$out AS (SELECT round(list_dot_product(v,
+       |      (SELECT list(val ORDER BY d) FROM $prev)), 9) AS dp, v FROM e),
+       |s$out AS (SELECT d, CAST(sum(CAST(round(dp * v[d+1], 12)
+       |      AS DECIMAL(38,12))) AS DOUBLE) AS sv
+       |    FROM d$out CROSS JOIN (SELECT unnest(range(64)) AS d) GROUP BY d),
+       |n$out AS (SELECT sqrt(list_dot_product(l, l)) AS nrm
+       |    FROM (SELECT list(sv ORDER BY d) AS l FROM s$out)),
+       |$out AS (SELECT d, round(sv / nrm, 9) AS val FROM s$out CROSS JOIN n$out)""".stripMargin
+
   private val bfCte =
     s"""bf AS (
        |  SELECT qid, nid, rk FROM (
@@ -567,25 +654,60 @@ object AnalyticsQueries {
          |SELECT t.doc_id, coalesce(m, 0)::BIGINT AS n_tokens,
          |  round(exp(-(s2::DOUBLE) / m), 6) AS ppl_kn
          |FROM tg t LEFT JOIN agg ON agg.doc_id = t.doc_id ORDER BY t.doc_id""".stripMargin,
-    "a_pca_power" -> {
-      // one power-iteration round in SQL: in-row dot against the previous
-      // iterate (list_dot_product = the same sequential fold as
-      // Vectors.dot), 12-dp/decimal per-dim accumulation, norm via the
-      // same fold, 9-dp renormalized iterate
-      def iter(prev: String, out: String) =
-        s"""d$out AS (SELECT round(list_dot_product(v,
-           |      (SELECT list(val ORDER BY d) FROM $prev)), 9) AS dp, v FROM e),
-           |s$out AS (SELECT d, CAST(sum(CAST(round(dp * v[d+1], 12)
-           |      AS DECIMAL(38,12))) AS DOUBLE) AS sv
-           |    FROM d$out CROSS JOIN (SELECT unnest(range(64)) AS d) GROUP BY d),
-           |n$out AS (SELECT sqrt(list_dot_product(l, l)) AS nrm
-           |    FROM (SELECT list(sv ORDER BY d) AS l FROM s$out)),
-           |$out AS (SELECT d, round(sv / nrm, 9) AS val FROM s$out CROSS JOIN n$out)""".stripMargin
+    "a_pca_power" ->
       s"""WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
          |v0 AS (SELECT unnest(range(64)) AS d, 0.125 AS val),
-         |${iter("v0", "v1")},
-         |${iter("v1", "v2")}
-         |SELECT d::BIGINT AS dim, round(val, 6) AS loading FROM v2 ORDER BY d""".stripMargin
+         |${pcaIter("v0", "v1")},
+         |${pcaIter("v1", "v2")}
+         |SELECT d::BIGINT AS dim, round(val, 6) AS loading FROM v2 ORDER BY d""".stripMargin,
+    "a_ann_whitened" ->
+      s"""WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+         |e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |v0 AS (SELECT unnest(range(64)) AS d, 0.125 AS val),
+         |${pcaIter("v0", "v1")},
+         |${pcaIter("v1", "v2")},
+         |vl AS (SELECT list(val ORDER BY d) AS l FROM v2),
+         |tx AS (SELECT vec_id,
+         |    list_transform(range(64), i ->
+         |      round(v[i+1] - round(list_dot_product(v, l), 9) * l[i+1], 9)) AS wv
+         |  FROM e0 CROSS JOIN vl),
+         |sc AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+         |    round(list_dot_product(q.wv, c.wv) /
+         |      (sqrt(list_dot_product(q.wv, q.wv)) * sqrt(list_dot_product(c.wv, c.wv))), 6) AS cos
+         |  FROM tx q JOIN tx c ON q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id)
+         |SELECT qid, nid, cos, CAST(rn AS BIGINT) AS rk
+         |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM sc)
+         |WHERE rn <= 5 ORDER BY qid, rk""".stripMargin,
+    "st_hopping_window" ->
+      """WITH g AS (SELECT event_type, value,
+        |    epoch_us(ts) // 43200000000 AS g1 FROM events),
+        |w AS (SELECT event_type, value,
+        |    unnest([g1 * 43200000000, (g1 - 1) * 43200000000]) AS ws FROM g)
+        |SELECT make_timestamp(ws) AS window_start, event_type,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM w GROUP BY ws, event_type ORDER BY window_start, event_type""".stripMargin,
+    "t_rouge_pairs" -> {
+      val p = "(overlap::DOUBLE / n2)"
+      val r = "(overlap::DOUBLE / n1)"
+      s"""WITH bg AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS bg, count(*) AS c
+         |  FROM (SELECT doc_id, $toks AS t FROM documents),
+         |       unnest(range(1, len(t))) AS x(i)
+         |  GROUP BY doc_id, t[i] || ' ' || t[i+1]),
+         |a AS (SELECT doc_id // 2 AS pair_id, bg, c AS c1 FROM bg WHERE doc_id % 2 = 0),
+         |b AS (SELECT doc_id // 2 AS pair_id, bg, c AS c2 FROM bg WHERE doc_id % 2 = 1),
+         |t1 AS (SELECT pair_id, CAST(sum(c1) AS BIGINT) AS n1 FROM a GROUP BY pair_id),
+         |t2 AS (SELECT pair_id, CAST(sum(c2) AS BIGINT) AS n2 FROM b GROUP BY pair_id),
+         |ov AS (SELECT a.pair_id, CAST(sum(least(c1, c2)) AS BIGINT) AS overlap
+         |       FROM a JOIN b ON a.pair_id = b.pair_id AND a.bg = b.bg
+         |       GROUP BY a.pair_id)
+         |SELECT t1.pair_id, n1, n2, coalesce(overlap, 0)::BIGINT AS overlap,
+         |  CASE WHEN coalesce(overlap, 0) > 0 THEN round($p, 6) ELSE 0.0 END AS rouge2_p,
+         |  CASE WHEN coalesce(overlap, 0) > 0 THEN round($r, 6) ELSE 0.0 END AS rouge2_r,
+         |  CASE WHEN coalesce(overlap, 0) > 0
+         |       THEN round(2.0 * $p * $r / ($p + $r), 6) ELSE 0.0 END AS rouge2_f
+         |FROM t1 JOIN t2 USING (pair_id) LEFT JOIN ov USING (pair_id)
+         |ORDER BY pair_id""".stripMargin
     },
     "q_bitmap_distinct" ->
       """WITH b AS (SELECT event_type, user_id // 32 AS w,

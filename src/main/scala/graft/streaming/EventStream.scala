@@ -39,6 +39,24 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Hopping (sliding) windowed counts — windowLen/slide overlapping
+    * windows per event (Spark's `window(col, len, slide)`, grid aligned
+    * to the epoch), same exact-decimal aggregation as [[windowedCounts]].
+    * The streaming cost model: each event is assigned to len/slide
+    * windows at ingest (row fan-out, map-side), state is per-(window,
+    * type) — the standard trade for smoother dashboards vs tumbling. */
+  def hoppingWindowedCounts(events: DataFrame,
+                            windowLen: String = "1 day",
+                            slide: String = "12 hours",
+                            watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
   /** Windowed Count-Min sketch cells over a key column — streaming
     * heavy-hitter infrastructure: per tumbling window, the (row, bucket)
     * occurrence counts of the Kirsch-Mitzenmacher md5 positions
