@@ -50,4 +50,36 @@ object AsofJoin {
     carried.filter(col("__is_left") === 1)
       .select((left.columns.map(col) ++ asofCols.map(col)).toIndexedSeq: _*)
   }
+
+  /** Forward as-of join — for every left row, the EARLIEST right row with
+    * `rightTs >= leftTs` per key (time-to-next-event enrichment: next
+    * click after a purchase, next deploy after an alert). Same
+    * union-sort shape as [[asofJoin]], mirrored: left rows sort before
+    * right rows at equal ts (>= semantics) and a `first(_, ignoreNulls)`
+    * FOLLOWING window pulls each right row's values back onto the left
+    * rows that precede it. One shuffle + one sort over |L|+|R|. */
+  def asofJoinForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+                      leftTs: String, rightTs: String,
+                      rightValueCols: Seq[String],
+                      prefix: String = "next_"): DataFrame = {
+    require(keys.nonEmpty, "asof join requires at least one key column")
+    val asofCols = rightValueCols.map(c => s"$prefix$c")
+    val l2 = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__is_left", lit(1))
+    val r2 = right.select(
+      (keys.map(col) :+ col(rightTs).as("__ts")) ++
+        rightValueCols.map(c => col(c).as(s"$prefix$c")): _*)
+      .withColumn("__is_left", lit(0))
+    // left rows sort before right rows at equal ts → rightTs == leftTs matches
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc, col("__is_left").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val u = l2.unionByName(r2, allowMissingColumns = true)
+    val carried = asofCols.foldLeft(u) { (df, c) =>
+      df.withColumn(c, first(col(c), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__is_left") === 1)
+      .select((left.columns.map(col) ++ asofCols.map(col)).toIndexedSeq: _*)
+  }
 }

@@ -267,6 +267,20 @@ object AnalyticsQueries {
         .orderBy("event_id")
     }),
 
+    // --- FORWARD as-of join: each purchase picks up the next click at
+    //     or after it (time-to-next-action enrichment) — the mirrored
+    //     union-sort pass of AsofJoin, no range explosion ---
+    "q_asof_forward" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      graft.operators.AsofJoin.asofJoinForward(purchases, clicks,
+          Seq("user_id"), "ts", "ts", Seq("ts", "click_id"))
+        .orderBy("event_id")
+    }),
+
     // --- CDC keep-latest compaction (batch twin of the
     //     mapGroupsWithState streaming path; parity spec-asserted) ---
     "st_cdc_latest" -> ((s, dir) =>
@@ -618,6 +632,15 @@ object AnalyticsQueries {
          |FROM cand JOIN sig x ON x.doc_id = d1 JOIN sig y ON y.doc_id = d2 AND y.h = x.h
          |GROUP BY d1, d2 ORDER BY d1, d2""".stripMargin
     },
+    "q_asof_forward" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts, event_id AS click_id FROM events WHERE event_type = 'click'),
+        |j AS (SELECT p.event_id, p.user_id, p.ts,
+        |        c.ts AS next_ts, c.click_id AS next_click_id,
+        |        row_number() OVER (PARTITION BY p.event_id ORDER BY c.ts, c.click_id) AS rk
+        |      FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts >= p.ts)
+        |SELECT event_id, user_id, ts, next_ts, next_click_id
+        |FROM j WHERE rk = 1 ORDER BY event_id""".stripMargin,
     "st_cdc_latest" ->
       """SELECT user_id, event_type, event_id, ts, value FROM (
         |  SELECT user_id, event_type, event_id, ts, value,

@@ -487,6 +487,34 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // --- language-ID confusion matrix: predicted × labeled counts —
+    //     the eval table that decides whether the n-gram heuristic is
+    //     fit to route a 100 TB corpus (und = abstain column) ---
+    "t_lang_confusion" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextAnalysis.langId(d, "doc_id", "text")
+        .join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang", "pred_lang")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "pred_lang")
+    }),
+
+    // --- IVF inverted-list balance: per-cluster occupancy of the
+    //     trained coarse quantizer (balance = k·frac; 1.0 everywhere is
+    //     uniform). THE index-health number for probe-cost planning —
+    //     a hot list turns nprobe=1 into a near-full scan. ---
+    "a_ivf_balance" -> ((s, dir) => {
+      val asg = graft.operators.Vectors.kmeansAssign(
+        emb(s, dir), "vec_id", "embedding", k = 4, iters = 2)
+      val tot = asg.agg(count(lit(1)).as("n_total"))
+      asg.groupBy("cluster_id").agg(count(lit(1)).as("n_vecs"))
+        .crossJoin(broadcast(tot))
+        .select(col("cluster_id"), col("n_vecs"),
+          round(col("n_vecs").cast("double") / col("n_total"), 6).as("frac"),
+          round(col("n_vecs") * lit(4.0) / col("n_total"), 6).as("balance"))
+        .orderBy("cluster_id")
+    }),
+
     "t_quality" -> ((s, dir) =>
       TextAnalysis.qualityScore(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
@@ -2300,6 +2328,56 @@ object PipelineQueries {
            |  WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
            |  WHEN s_es > 0 THEN 'es' ELSE 'und' END AS pred_lang
            |FROM sc ORDER BY doc_id""".stripMargin,
+
+      "t_lang_confusion" ->
+        s"""WITH sc AS (SELECT doc_id, lang,
+           |  len(list_filter($toks, x -> list_contains($stopEn, x)))::BIGINT AS s_en,
+           |  len(list_filter($toks, x -> list_contains($stopDe, x)))::BIGINT AS s_de,
+           |  len(list_filter($toks, x -> list_contains($stopFr, x)))::BIGINT AS s_fr,
+           |  len(list_filter($toks, x -> list_contains($stopEs, x)))::BIGINT AS s_es
+           |  FROM documents),
+           |pred AS (SELECT doc_id, lang, CASE
+           |  WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en'
+           |  WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
+           |  WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+           |  WHEN s_es > 0 THEN 'es' ELSE 'und' END AS pred_lang
+           |FROM sc)
+           |SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+           |FROM pred GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin,
+
+      "a_ivf_balance" -> {
+        def cos(a: String, b: String) =
+          s"round(list_dot_product($a::DOUBLE[], $b::DOUBLE[]) / " +
+            s"(sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) * " +
+            s"sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[]))), 6)"
+        // the a_kmeans_assign training CTEs, then per-cluster occupancy
+        s"""WITH c0 AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings ORDER BY vec_id LIMIT 4),
+           |a1 AS (SELECT vec_id, cid FROM (
+           |  SELECT e.vec_id, c.cid,
+           |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cos("e.embedding", "c.cv")} DESC, c.cid) AS rk
+           |  FROM embeddings e CROSS JOIN c0 c) WHERE rk = 1),
+           |m1 AS (SELECT a1.cid, d.dim,
+           |         CAST(sum(CAST(CAST(e.embedding[d.dim] AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE)
+           |           / count(*) AS mv
+           |       FROM a1 JOIN embeddings e USING (vec_id),
+           |            unnest(range(1, len(e.embedding) + 1)) AS d(dim)
+           |       GROUP BY a1.cid, d.dim),
+           |c1 AS (SELECT c0.cid,
+           |         CASE WHEN count(m1.mv) = 0 THEN any_value(c0.cv)
+           |              ELSE list(CAST(m1.mv AS FLOAT) ORDER BY m1.dim) END AS cv
+           |       FROM c0 LEFT JOIN m1 ON m1.cid = c0.cid
+           |       GROUP BY c0.cid),
+           |asg AS (SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id FROM (
+           |  SELECT e.vec_id, c.cid,
+           |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cos("e.embedding", "c.cv")} DESC, c.cid) AS rk
+           |  FROM embeddings e CROSS JOIN c1 c) WHERE rk = 1),
+           |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM asg)
+           |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_vecs,
+           |  round(count(*)::DOUBLE / n_total, 6) AS frac,
+           |  round(count(*) * 4.0 / n_total, 6) AS balance
+           |FROM asg CROSS JOIN tot GROUP BY cluster_id, n_total
+           |ORDER BY cluster_id""".stripMargin
+      },
 
       "d_fuzzy_pairs" ->
         """WITH v AS (SELECT c_custkey AS id, c_name AS s,
