@@ -404,6 +404,55 @@ object AnalyticsQueries {
       top.unionByName(bottom).orderBy("rk")
     }),
 
+    // --- dedup threshold curve: minhash-estimate S-curve — candidate
+    //     pairs and docs-removed at each Jaccard threshold, in ONE pass
+    //     over the LSH pairs (threshold fan-out is a literal-array
+    //     explode, never a re-run of the banding stages). The tuning
+    //     table that picks the threshold before a 100 TB dedup. ---
+    "d_dedup_curve" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val pairs = graft.operators.Dedup.minhashLsh(
+        docs(s, dir), "doc_id", "text", minEstJaccard = 0.0)
+      val th = Seq(0.5, 0.625, 0.75, 0.875, 1.0).toDF("threshold")
+      th.crossJoin(pairs).groupBy("threshold").agg(
+          sum(when(col("est_jaccard") >= col("threshold"), 1L).otherwise(0L))
+            .as("n_pairs"),
+          countDistinct(when(col("est_jaccard") >= col("threshold"), col("d2")))
+            .as("n_docs_removed"))
+        .orderBy("threshold")
+    }),
+
+    // --- bigram entropy rate per language: H(w|prev) of the corpus's
+    //     own bigram distribution — the sequence-level repetitiveness
+    //     signal (templated text collapses toward 0) beside the
+    //     unigram char entropy. Every ln argument is an integer count;
+    //     9-dp/decimal accumulation. ---
+    "t_entropy_rate" -> ((s, dir) => {
+      import graft.functions.TextFunctions._
+      val bi = graft.functions.SafeExplode.explodeSelect(
+          docs(s, dir).select(col("lang"), tokens(col("text")).as("t")),
+          Seq(col("lang")),
+          when(size(col("t")) >= 2,
+            transform(sequence(lit(1), size(col("t")) - 1),
+              i => concat_ws(" ", element_at(col("t"), i),
+                element_at(col("t"), i + 1))))
+            .otherwise(array().cast("array<string>")), "bg")
+        .select(col("lang"), split_part(col("bg"), lit(" "), lit(1)).as("w1"),
+          col("bg"))
+        .groupBy("lang", "w1", "bg").agg(count(lit(1)).as("c2"))
+      val ctx = bi.groupBy("lang", "w1").agg(sum(col("c2")).as("cp"))
+      bi.join(ctx, Seq("lang", "w1"))
+        .groupBy("lang").agg(
+          sum(col("c2")).as("n_bigrams"),
+          sum(round(col("c2") * (log(col("cp").cast("double"))
+              - log(col("c2").cast("double"))), 9)
+            .cast("decimal(28,9)")).cast("double").as("num"))
+        .select(col("lang"), col("n_bigrams"),
+          round(col("num") / col("n_bigrams"), 6).as("entropy_rate"))
+        .orderBy("lang")
+    }),
+
     // --- hopping (sliding) windowed counts: 1-day windows every 12 h —
     //     each event feeds two windows; same code runs readStream ---
     "st_hopping_window" -> ((s, dir) =>
@@ -701,6 +750,36 @@ object AnalyticsQueries {
          |SELECT qid, nid, cos, CAST(rn AS BIGINT) AS rk
          |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM sc)
          |WHERE rn <= 5 ORDER BY qid, rk""".stripMargin,
+    "d_dedup_curve" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest($sh3) AS s
+         |  FROM (SELECT doc_id, $toks AS t FROM documents) WHERE len(t) >= 3),
+         |sig AS (SELECT doc_id, h, min(md5(h::VARCHAR || '|' || s)) AS mh
+         |        FROM sh CROSS JOIN (SELECT unnest(range(16)) AS h) GROUP BY doc_id, h),
+         |band AS (SELECT doc_id, h // 4 AS band, md5(string_agg(mh, ',' ORDER BY h)) AS bh
+         |         FROM sig GROUP BY doc_id, h // 4),
+         |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |         FROM band a JOIN band b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |est AS (SELECT d1, d2, count(*) FILTER (x.mh = y.mh)::DOUBLE / 16 AS est_jaccard
+         |        FROM cand JOIN sig x ON x.doc_id = d1 JOIN sig y ON y.doc_id = d2 AND y.h = x.h
+         |        GROUP BY d1, d2),
+         |th AS (SELECT unnest([0.5, 0.625, 0.75, 0.875, 1.0]) AS threshold)
+         |SELECT threshold,
+         |  CAST(sum(CASE WHEN est_jaccard >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs,
+         |  CAST(count(DISTINCT CASE WHEN est_jaccard >= threshold THEN d2 END) AS BIGINT) AS n_docs_removed
+         |FROM th CROSS JOIN est GROUP BY threshold ORDER BY threshold""".stripMargin,
+    "t_entropy_rate" ->
+      s"""WITH bi AS (SELECT lang, t[i] AS w1, t[i] || ' ' || t[i+1] AS bg,
+         |    CAST(count(*) AS BIGINT) AS c2
+         |  FROM (SELECT lang, $toks AS t FROM documents),
+         |       unnest(range(1, len(t))) AS x(i)
+         |  GROUP BY lang, t[i], t[i] || ' ' || t[i+1]),
+         |ctx AS (SELECT lang, w1, CAST(sum(c2) AS BIGINT) AS cp FROM bi GROUP BY lang, w1)
+         |SELECT bi.lang, CAST(sum(c2) AS BIGINT) AS n_bigrams,
+         |  round(CAST(sum(CAST(round(c2 * (ln(cp::DOUBLE) - ln(c2::DOUBLE)), 9)
+         |      AS DECIMAL(28,9))) AS DOUBLE) / sum(c2), 6) AS entropy_rate
+         |FROM bi JOIN ctx USING (lang, w1)
+         |GROUP BY bi.lang ORDER BY lang""".stripMargin,
     "st_hopping_window" ->
       """WITH g AS (SELECT event_type, value,
         |    epoch_us(ts) // 43200000000 AS g1 FROM events),
