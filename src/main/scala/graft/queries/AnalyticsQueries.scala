@@ -404,6 +404,59 @@ object AnalyticsQueries {
       top.unionByName(bottom).orderBy("rk")
     }),
 
+    // --- CUSUM changepoint screen per event type: the day where the
+    //     cumulative deviation from the series mean peaks — level-shift
+    //     detection over the daily value series. Prefix sums stay EXACT
+    //     decimals; the only doubles are the mean division and the
+    //     final |Sk − k·mean|, identically shaped on both engines. ---
+    "q_cusum_changepoint" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(col("value").cast("decimal(18,6)")).as("dv"))
+      val wOrd = Window.partitionBy("event_type").orderBy("day")
+      val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = daily.groupBy("event_type")
+        .agg(sum(col("dv")).as("sn"), count(lit(1)).as("nd"))
+      val sc = daily
+        .withColumn("k", row_number().over(wOrd).cast("long"))
+        .withColumn("sk", sum(col("dv")).over(wCum))
+        .join(tot, "event_type")
+        .select(col("event_type"), col("day"), col("nd"),
+          round(abs(col("sk").cast("double")
+            - col("k") * (col("sn").cast("double") / col("nd"))), 6).as("cusum"))
+      val r = Window.partitionBy("event_type").orderBy(col("cusum").desc, col("day"))
+      sc.withColumn("rk", row_number().over(r)).filter(col("rk") === 1)
+        .select(col("event_type"), col("day").as("peak_day"),
+          col("cusum").as("peak_cusum"), col("nd").as("n_days"))
+        .orderBy("event_type")
+    }),
+
+    // --- Hill tail-index estimator per language over document lengths:
+    //     α̂ = (k−1) / Σᵢ₍ᵣₖ₌₁..ₖ₋₁₎ ln(xᵢ/xₖ) on the top-k order
+    //     statistics (k = 20) — the heavy-tail audit that tells a
+    //     packing/truncation policy how fat the length tail really is.
+    //     The top-k rank is WindowGroupLimit-pruned; every ln argument
+    //     is an integer length. ---
+    "t_hill_tail" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang").orderBy(col("n_chars").desc, col("doc_id"))
+      val ranked = docs(s, dir).select(col("lang"), col("n_chars"), col("doc_id"))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 20)
+      val xk = ranked.filter(col("rk") === 20)
+        .select(col("lang"), col("n_chars").as("xk"))
+      ranked.filter(col("rk") < 20).join(xk, "lang")
+        .groupBy("lang").agg(
+          max(col("xk")).as("x_cutoff"),
+          sum(round(log(col("n_chars").cast("double"))
+              - log(col("xk").cast("double")), 9)
+            .cast("decimal(28,9)")).cast("double").as("denom"))
+        .select(col("lang"), col("x_cutoff"),
+          when(col("denom") > 0, round(lit(19.0) / col("denom"), 6))
+            .as("hill_alpha"))
+        .orderBy("lang")
+    }),
+
     // --- dedup threshold curve: minhash-estimate S-curve — candidate
     //     pairs and docs-removed at each Jaccard threshold, in ONE pass
     //     over the LSH pairs (threshold fan-out is a literal-array
@@ -750,6 +803,36 @@ object AnalyticsQueries {
          |SELECT qid, nid, cos, CAST(rn AS BIGINT) AS rk
          |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM sc)
          |WHERE rn <= 5 ORDER BY qid, rk""".stripMargin,
+    "q_cusum_changepoint" ->
+      """WITH daily AS (SELECT event_type, ts::DATE AS day,
+        |    sum(CAST(value AS DECIMAL(18,6))) AS dv
+        |  FROM events GROUP BY event_type, ts::DATE),
+        |tot AS (SELECT event_type, sum(dv) AS sn, CAST(count(*) AS BIGINT) AS nd
+        |        FROM daily GROUP BY event_type),
+        |cum AS (SELECT event_type, day,
+        |    CAST(row_number() OVER w AS BIGINT) AS k,
+        |    sum(dv) OVER (PARTITION BY event_type ORDER BY day
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sk
+        |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |sc AS (SELECT c.event_type, day, nd,
+        |    round(abs(sk::DOUBLE - k * (sn::DOUBLE / nd)), 6) AS cusum
+        |  FROM cum c JOIN tot USING (event_type))
+        |SELECT event_type, day AS peak_day, cusum AS peak_cusum, nd AS n_days
+        |FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+        |        ORDER BY cusum DESC, day) AS rk FROM sc)
+        |WHERE rk = 1 ORDER BY event_type""".stripMargin,
+    "t_hill_tail" ->
+      """WITH ranked AS (SELECT lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM documents),
+        |xk AS (SELECT lang, n_chars AS xk FROM ranked WHERE rk = 20)
+        |SELECT r.lang, CAST(max(xk) AS BIGINT) AS x_cutoff,
+        |  CASE WHEN CAST(sum(CAST(round(ln(n_chars::DOUBLE) - ln(xk::DOUBLE), 9)
+        |         AS DECIMAL(28,9))) AS DOUBLE) > 0
+        |       THEN round(19.0 / CAST(sum(CAST(round(ln(n_chars::DOUBLE) - ln(xk::DOUBLE), 9)
+        |         AS DECIMAL(28,9))) AS DOUBLE), 6) END AS hill_alpha
+        |FROM ranked r JOIN xk USING (lang)
+        |WHERE rk < 20 GROUP BY r.lang ORDER BY r.lang""".stripMargin,
     "d_dedup_curve" ->
       s"""WITH sh AS (
          |  SELECT doc_id, unnest($sh3) AS s
