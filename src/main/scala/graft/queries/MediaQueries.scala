@@ -123,6 +123,29 @@ object MediaQueries {
         .orderBy("media_id")
     }),
 
+    // perceptual average-hash near-dup blocking: bit j = band-channel
+    // mean j above the image's overall mean — decided by EXACT integer
+    // cross-multiplication (s_j·ctot > stot·c_j), so the 12-bit hash is
+    // bit-reproducible on any engine; equal-hash pairs are the blocking
+    // candidates (the image-side analogue of LSH banding).
+    "m_media_phash" -> ((s, dir) => {
+      val decoded = Multimodal.decodeBmp(bmpMedia(s, dir))
+      val withTot = decoded
+        .withColumn("__st", aggregate(col("band_sums"), lit(0L), (a, x) => a + x))
+        .withColumn("__ct", aggregate(col("band_counts"), lit(0L), (a, x) => a + x))
+        .withColumn("bits", zip_with(col("band_sums"), col("band_counts"),
+          (sj, cj) => when(sj * col("__ct") > col("__st") * cj, 1L).otherwise(0L)))
+      val ah = graft.functions.SafeExplode.posexplodeSelect(
+          withTot, Seq(col("media_id")), col("bits"))
+        .groupBy("media_id")
+        .agg(sum(expr("shiftleft(col, cast(pos as int))")).as("ahash"))
+      ah.as("a").join(ah.as("b"),
+          col("a.ahash") === col("b.ahash") && col("a.media_id") < col("b.media_id"))
+        .select(col("a.media_id").as("m1"), col("b.media_id").as("m2"),
+          col("a.ahash").as("ahash"))
+        .orderBy("m1", "m2")
+    }),
+
     // the video flavor: payload → real RIFF/AVI container (uncompressed
     // 24-bpp DIB frames in a movi LIST) → real nested-LIST chunk walk →
     // PER-FRAME banded channel means. Frame f covers payload bytes
@@ -213,6 +236,23 @@ object MediaQueries {
          |  FROM sc)
          |WHERE rk <= 3 ORDER BY qid, rk""".stripMargin
     },
+
+    "m_media_phash" ->
+      s"""WITH $featureCtes,
+         |slot AS (SELECT rc.media_id, rc.band, c.ch,
+         |        coalesce(bs.s, 0) AS s, rc.cnt
+         |      FROM rc CROSS JOIN (SELECT unnest(range(0, 3)) AS ch) c
+         |      LEFT JOIN bs ON bs.media_id = rc.media_id
+         |        AND bs.band = rc.band AND bs.ch = c.ch),
+         |tot AS (SELECT media_id, sum(s) AS st, sum(cnt) AS ct
+         |        FROM slot GROUP BY media_id),
+         |ah AS (SELECT s.media_id,
+         |    CAST(sum(CASE WHEN s.s * t.ct > t.st * s.cnt
+         |         THEN (2 ** (s.band * 3 + s.ch))::BIGINT ELSE 0 END) AS BIGINT) AS ahash
+         |  FROM slot s JOIN tot t USING (media_id) GROUP BY s.media_id)
+         |SELECT a.media_id AS m1, b.media_id AS m2, a.ahash
+         |FROM ah a JOIN ah b ON a.ahash = b.ahash AND a.media_id < b.media_id
+         |ORDER BY m1, m2""".stripMargin,
 
     "m_media_stats" ->
       """SELECT doc_id AS media_id, strlen(text)::BIGINT AS n_bytes,
