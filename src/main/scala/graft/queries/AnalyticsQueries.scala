@@ -404,6 +404,45 @@ object AnalyticsQueries {
       top.unionByName(bottom).orderBy("rk")
     }),
 
+    // --- class-based TF-IDF (the c-TF-IDF of BERTopic, Grootendorst
+    //     2022): score(w, c) = tf(w, c) · ln(1 + A / f(w)) with A the
+    //     average class token mass — topic-labeling terms per source,
+    //     the complement of t_logodds' pairwise contrast. Top-5 terms
+    //     per source, 6-dp scores, WindowGroupLimit-pruned rank. ---
+    "t_ctfidf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.TextFunctions._
+      val tok = graft.functions.SafeExplode.explodeSelect(
+        docs(s, dir).select(col("source"), tokens(col("text")).as("t")),
+        Seq(col("source")), col("t"), "w")
+      val tf = tok.groupBy("source", "w").agg(count(lit(1)).as("tf"))
+      val fw = tok.groupBy("w").agg(count(lit(1)).as("fw"))
+      val a = tok.agg((count(lit(1)).cast("double") /
+        countDistinct(col("source"))).as("aavg"))
+      val scored = tf.join(fw, "w").crossJoin(broadcast(a))
+        .select(col("source"), col("w"),
+          round(col("tf") * round(log(lit(1.0) + col("aavg") / col("fw")), 9), 6)
+            .as("ctfidf"))
+      val w = Window.partitionBy("source").orderBy(col("ctfidf").desc, col("w"))
+      scored.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 5)
+        .orderBy("source", "rk")
+    }),
+
+    // --- outer union (schema-evolution append): two frames with
+    //     partially-overlapping schemas unioned BY NAME, absent columns
+    //     null-filled — the ingestion shape when upstream adds fields ---
+    "q_outer_union" -> ((s, dir) => {
+      val a = t(s, dir, "orders")
+        .select(col("o_orderkey").as("id"), col("o_totalprice").as("amount"),
+          col("o_orderstatus").as("status"), lit("orders").as("src"))
+      val b = t(s, dir, "events").filter(col("event_type") === "purchase")
+        .select(col("event_id").as("id"), col("value").as("amount"),
+          col("user_id"), lit("events").as("src"))
+      a.unionByName(b, allowMissingColumns = true)
+        .orderBy("src", "id")
+    }),
+
     // --- CUSUM changepoint screen per event type: the day where the
     //     cumulative deviation from the series mean peaks — level-shift
     //     detection over the daily value series. Prefix sums stay EXACT
@@ -803,6 +842,26 @@ object AnalyticsQueries {
          |SELECT qid, nid, cos, CAST(rn AS BIGINT) AS rk
          |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM sc)
          |WHERE rn <= 5 ORDER BY qid, rk""".stripMargin,
+    "t_ctfidf" ->
+      s"""WITH tok AS (SELECT source, unnest($toks) AS w FROM documents),
+         |tf AS (SELECT source, w, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY source, w),
+         |fw AS (SELECT w, CAST(count(*) AS BIGINT) AS fw FROM tok GROUP BY w),
+         |a AS (SELECT count(*)::DOUBLE / count(DISTINCT source) AS aavg FROM tok),
+         |sc AS (SELECT source, tf.w,
+         |    round(tf * round(ln(1.0 + aavg / fw), 9), 6) AS ctfidf
+         |  FROM tf JOIN fw ON fw.w = tf.w CROSS JOIN a)
+         |SELECT source, w, ctfidf, CAST(rn AS BIGINT) AS rk
+         |FROM (SELECT *, row_number() OVER (PARTITION BY source
+         |        ORDER BY ctfidf DESC, w) AS rn FROM sc)
+         |WHERE rn <= 5 ORDER BY source, rk""".stripMargin,
+    "q_outer_union" ->
+      """SELECT * FROM (
+        |  SELECT o_orderkey AS id, o_totalprice AS amount, o_orderstatus AS status,
+        |    'orders' AS src, NULL::BIGINT AS user_id FROM orders
+        |  UNION ALL
+        |  SELECT event_id, value, NULL, 'events', user_id
+        |  FROM events WHERE event_type = 'purchase')
+        |ORDER BY src, id""".stripMargin,
     "q_cusum_changepoint" ->
       """WITH daily AS (SELECT event_type, ts::DATE AS day,
         |    sum(CAST(value AS DECIMAL(18,6))) AS dv

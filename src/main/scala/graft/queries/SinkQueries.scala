@@ -192,6 +192,20 @@ object SinkQueries {
         .orderBy("n_nationkey")
     }),
 
+    // K15: parquet schema-evolution round-trip — two writer generations
+    // with different column sets under one root, read back with
+    // mergeSchema (the lakehouse column-add path); absent columns are
+    // null in rows from the older files.
+    "k15_schema_merge_roundtrip" -> ((s, dir) => {
+      clean(s, s"$base/k15")
+      val n = TableCatalog.load(s, dir, "nation")
+      n.select("n_nationkey", "n_name").write.parquet(s"$base/k15/t/gen=1")
+      n.select("n_nationkey", "n_name", "n_regionkey")
+        .write.parquet(s"$base/k15/t/gen=2")
+      s.read.option("mergeSchema", "true").parquet(s"$base/k15/t")
+        .orderBy("gen", "n_nationkey")
+    }),
+
     // Deterministic fixed-shard export under the gate: seeded md5 shuffle
     // of the documents table into 8 exactly-named shard files; the line
     // carries (doc_id, content hash, shard_key) so shard membership, file
@@ -234,6 +248,13 @@ object SinkQueries {
     "k14_jsonl_roundtrip" ->
       """SELECT n_nationkey, n_name, n_regionkey
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "k15_schema_merge_roundtrip" ->
+      """SELECT * FROM (
+        |  SELECT n_nationkey, n_name, NULL::INT AS n_regionkey, 1 AS gen FROM nation
+        |  UNION ALL
+        |  SELECT n_nationkey, n_name, n_regionkey, 2 FROM nation)
+        |ORDER BY gen, n_nationkey""".stripMargin,
 
     "k1_text_sink_roundtrip" ->
       """WITH lines AS (
