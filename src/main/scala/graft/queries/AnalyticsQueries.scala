@@ -404,6 +404,68 @@ object AnalyticsQueries {
       top.unionByName(bottom).orderBy("rk")
     }),
 
+    // --- decile lift table: rank docs by a score (token count), cut
+    //     into deciles, lift = decile positive rate / base rate — the
+    //     classifier-eval gains chart beside t_classifier_pr. Exact
+    //     integer counts; two identically-shaped divisions. ---
+    "t_lift_curve" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.TextFunctions._
+      val f = docs(s, dir).select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("score"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+      val w = Window.orderBy(col("score").desc, col("doc_id"))
+      val dec = f.withColumn("decile", ntile(10).over(w).cast("long"))
+      val tot = f.agg(sum(col("y")).as("pos_tot"), count(lit(1)).as("n_tot"))
+      dec.groupBy("decile")
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"))
+        .crossJoin(broadcast(tot))
+        .select(col("decile"), col("n"), col("n_pos"),
+          round((col("n_pos").cast("double") / col("n")) /
+            (col("pos_tot").cast("double") / col("n_tot")), 6).as("lift"))
+        .orderBy("decile")
+    }),
+
+    // --- bounce rate per day: single-event sessions / sessions, over
+    //     the sessionization tier's output (operator composition) ---
+    "q_bounce_rate" -> ((s, dir) => {
+      val sess = graft.streaming.EventStream.sessionizeBatch(t(s, dir, "events"))
+      sess.groupBy(to_date(col("session_start")).as("day"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_bounce"))
+        .select(col("day"), col("n_sessions"), col("n_bounce"),
+          round(col("n_bounce").cast("double") / col("n_sessions"), 6)
+            .as("bounce_rate"))
+        .orderBy("day")
+    }),
+
+    // --- length-distribution moments per language: mean, sd, skewness,
+    //     kurtosis from EXACT integer power sums (the one-pass
+    //     textbook identities; every float step is an identically-
+    //     shaped expression over those integers) ---
+    "t_moments" -> ((s, dir) => {
+      val x = col("n_chars")
+      val mean = col("s1").cast("double") / col("n")
+      val m2 = col("s2").cast("double") / col("n") - mean * mean
+      val sd = sqrt(m2)
+      docs(s, dir).groupBy("lang").agg(
+          count(lit(1)).as("n"),
+          sum(x).as("s1"), sum(x * x).as("s2"),
+          sum(x * x * x).as("s3"), sum(x * x * x * x).as("s4"))
+        .select(col("lang"), col("n"),
+          round(mean, 6).as("mean"),
+          round(sd, 6).as("sd"),
+          round((col("s3").cast("double") / col("n")
+              - lit(3.0) * mean * (col("s2").cast("double") / col("n"))
+              + lit(2.0) * mean * mean * mean) / (sd * sd * sd), 6).as("skewness"),
+          round((col("s4").cast("double") / col("n")
+              - lit(4.0) * mean * (col("s3").cast("double") / col("n"))
+              + lit(6.0) * mean * mean * (col("s2").cast("double") / col("n"))
+              - lit(3.0) * mean * mean * mean * mean) / (m2 * m2) - lit(3.0), 6)
+            .as("kurtosis"))
+        .orderBy("lang")
+    }),
+
     // --- class-based TF-IDF (the c-TF-IDF of BERTopic, Grootendorst
     //     2022): score(w, c) = tf(w, c) · ln(1 + A / f(w)) with A the
     //     average class token mass — topic-labeling terms per source,
@@ -842,6 +904,52 @@ object AnalyticsQueries {
          |SELECT qid, nid, cos, CAST(rn AS BIGINT) AS rk
          |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM sc)
          |WHERE rn <= 5 ORDER BY qid, rk""".stripMargin,
+    "t_lift_curve" ->
+      s"""WITH f AS (SELECT doc_id, len($toks)::BIGINT AS score,
+         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),
+         |dec AS (SELECT *, CAST(ntile(10) OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS decile
+         |        FROM f),
+         |tot AS (SELECT CAST(sum(y) AS BIGINT) AS pos_tot,
+         |               CAST(count(*) AS BIGINT) AS n_tot FROM f)
+         |SELECT decile, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS n_pos,
+         |  round((sum(y)::DOUBLE / count(*)) / (pos_tot::DOUBLE / n_tot), 6) AS lift
+         |FROM dec CROSS JOIN tot GROUP BY decile, pos_tot, n_tot
+         |ORDER BY decile""".stripMargin,
+    "q_bounce_rate" ->
+      """WITH s AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 3600000000
+        |         THEN 1 ELSE 0 END AS ns
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |g AS (SELECT user_id, ts,
+        |  sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM s),
+        |sess AS (SELECT user_id, sid, count(*) AS n, min(ts) AS session_start
+        |         FROM g GROUP BY user_id, sid)
+        |SELECT session_start::DATE AS day, CAST(count(*) AS BIGINT) AS n_sessions,
+        |  CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce,
+        |  round(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS bounce_rate
+        |FROM sess GROUP BY session_start::DATE ORDER BY day""".stripMargin,
+    "t_moments" -> {
+      val mean = "(s1::DOUBLE / n)"
+      val m2 = s"(s2::DOUBLE / n - $mean * $mean)"
+      s"""WITH p AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(n_chars) AS BIGINT) AS s1,
+         |    CAST(sum(n_chars * n_chars) AS BIGINT) AS s2,
+         |    CAST(sum(n_chars * n_chars * n_chars) AS BIGINT) AS s3,
+         |    CAST(sum(n_chars * n_chars * n_chars * n_chars) AS BIGINT) AS s4
+         |  FROM documents GROUP BY lang)
+         |SELECT lang, n,
+         |  round($mean, 6) AS mean,
+         |  round(sqrt($m2), 6) AS sd,
+         |  round((s3::DOUBLE / n - 3.0 * $mean * (s2::DOUBLE / n)
+         |      + 2.0 * $mean * $mean * $mean) / (sqrt($m2) * sqrt($m2) * sqrt($m2)), 6) AS skewness,
+         |  round((s4::DOUBLE / n - 4.0 * $mean * (s3::DOUBLE / n)
+         |      + 6.0 * $mean * $mean * (s2::DOUBLE / n)
+         |      - 3.0 * $mean * $mean * $mean * $mean) / ($m2 * $m2) - 3.0, 6) AS kurtosis
+         |FROM p ORDER BY lang""".stripMargin
+    },
     "t_ctfidf" ->
       s"""WITH tok AS (SELECT source, unnest($toks) AS w FROM documents),
          |tf AS (SELECT source, w, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY source, w),
