@@ -309,4 +309,38 @@ class PlanShapeSpec extends SparkSpec {
     // minhash LSH: tokenize once per candidate-join side
     assert(regexCount(graft.operators.Dedup.minhashLsh(d, "doc_id", "text")) <= 4)
   }
+
+  test("multiprobeLshTopK candidates come from an equi-join, never a nested loop") {
+    val e = (1L to 60L).map(i =>
+      (i, Array.tabulate(8)(d => ((i * 7 + d) % 13).toFloat))).toDF("vec_id", "embedding")
+    val plan = physicalPlan(graft.operators.Similarity.multiprobeLshTopK(
+      e, e.filter($"vec_id" % 10 === 0), "vec_id", "embedding", k = 3, planes = 4))
+    assert(!plan.contains("NestedLoopJoin"),
+      "probe fan-out must stay an equi-join on the bucket key")
+  }
+
+  test("bbitMinhash pairs come from the banding equi-join, never a nested loop") {
+    val plan = physicalPlan(graft.operators.Dedup.bbitMinhash(docs, "doc_id", "text"))
+    assert(!plan.contains("NestedLoopJoin"))
+  }
+
+  test("asofJoinForward is a single union-sort pass — no join operator at all") {
+    val l = (1L to 50L).map(i => (i % 5, i * 100L, i)).toDF("k", "ts", "lid")
+    val r = (1L to 30L).map(i => (i % 5, i * 150L, i)).toDF("k", "ts", "rid")
+    val out = graft.operators.AsofJoin.asofJoinForward(
+      l, r, Seq("k"), "ts", "ts", Seq("rid"))
+    val plan = physicalPlan(out)
+    assert(!plan.contains("Join"), "forward as-of must not plan any join")
+    assert("hashpartitioning".r.findAllIn(plan.toLowerCase).size === 1,
+      "one shuffle on the key carries both window passes")
+    assert(out.count() === 50L)
+  }
+
+  test("latestPerKeyBatch compacts with exactly one shuffle on the compaction key") {
+    val ev = (1L to 40L).map(i => (i % 4, s"t${i % 2}", i,
+      new java.sql.Timestamp(i * 1000L), i.toDouble))
+      .toDF("user_id", "event_type", "event_id", "ts", "value")
+    val plan = physicalPlan(graft.streaming.EventStream.latestPerKeyBatch(ev))
+    assert("hashpartitioning".r.findAllIn(plan.toLowerCase).size === 1)
+  }
 }
