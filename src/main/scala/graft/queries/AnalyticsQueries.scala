@@ -404,6 +404,43 @@ object AnalyticsQueries {
       top.unionByName(bottom).orderBy("rk")
     }),
 
+    // --- one-row corpus profile ("dataset card" numbers): doc/token/
+    //     vocab/lang/source counts, exact-dup count, average tokens per
+    //     doc — the summary a curation run publishes with its output ---
+    "t_corpus_profile" -> ((s, dir) => {
+      import graft.functions.TextFunctions._
+      val d = docs(s, dir)
+      val a = d.agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        (count(lit(1)) - countDistinct(md5(col("text")))).as("n_dups"),
+        sum(col("n_chars")).as("total_chars"))
+      val tok = graft.functions.SafeExplode.explodeSelect(
+        d.select(tokens(col("text")).as("t")), Seq.empty, col("t"), "w")
+      val b = tok.agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("w")).as("vocab"))
+      a.crossJoin(b).select(col("n_docs"), col("n_langs"), col("n_sources"),
+        col("n_dups"), col("total_chars"), col("n_tokens"), col("vocab"),
+        round(col("n_tokens").cast("double") / col("n_docs"), 6)
+          .as("avg_tokens_per_doc"))
+    }),
+
+    // --- half-over-half volume change per event type (simple drift
+    //     screen beside PSI/JSD): first vs second half of the month,
+    //     exact counts, one shaped percentage ---
+    "q_wow_change" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          sum(when(dayofmonth(col("ts")) <= 15, 1L).otherwise(0L)).as("n_first"),
+          sum(when(dayofmonth(col("ts")) > 15, 1L).otherwise(0L)).as("n_second"))
+        .select(col("event_type"), col("n_first"), col("n_second"),
+          when(col("n_first") > 0,
+            round((col("n_second") - col("n_first")) * 100.0 / col("n_first"), 6))
+            .as("pct_change"))
+        .orderBy("event_type")),
+
     // --- decile lift table: rank docs by a score (token count), cut
     //     into deciles, lift = decile positive rate / base rate — the
     //     classifier-eval gains chart beside t_classifier_pr. Exact
@@ -904,6 +941,27 @@ object AnalyticsQueries {
          |SELECT qid, nid, cos, CAST(rn AS BIGINT) AS rk
          |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM sc)
          |WHERE rn <= 5 ORDER BY qid, rk""".stripMargin,
+    "t_corpus_profile" ->
+      s"""WITH tok AS (SELECT unnest($toks) AS w FROM documents),
+         |a AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         |    CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_dups,
+         |    CAST(sum(n_chars) AS BIGINT) AS total_chars FROM documents),
+         |b AS (SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+         |    CAST(count(DISTINCT w) AS BIGINT) AS vocab FROM tok)
+         |SELECT n_docs, n_langs, n_sources, n_dups, total_chars, n_tokens, vocab,
+         |  round(n_tokens::DOUBLE / n_docs, 6) AS avg_tokens_per_doc
+         |FROM a CROSS JOIN b""".stripMargin,
+    "q_wow_change" ->
+      """SELECT event_type,
+        |  CAST(sum(CASE WHEN date_part('day', ts) <= 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+        |  CAST(sum(CASE WHEN date_part('day', ts) > 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_second,
+        |  CASE WHEN sum(CASE WHEN date_part('day', ts) <= 15 THEN 1 ELSE 0 END) > 0
+        |       THEN round((sum(CASE WHEN date_part('day', ts) > 15 THEN 1 ELSE 0 END)
+        |             - sum(CASE WHEN date_part('day', ts) <= 15 THEN 1 ELSE 0 END)) * 100.0
+        |            / sum(CASE WHEN date_part('day', ts) <= 15 THEN 1 ELSE 0 END), 6) END AS pct_change
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "t_lift_curve" ->
       s"""WITH f AS (SELECT doc_id, len($toks)::BIGINT AS score,
          |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),

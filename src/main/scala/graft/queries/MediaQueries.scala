@@ -123,6 +123,32 @@ object MediaQueries {
         .orderBy("media_id")
     }),
 
+    // video scene-cut detection over the real AVI decode: per-frame
+    // total brightness (integer sum over the frame's band sums), cuts
+    // where the inter-frame delta exceeds a fixed integer threshold
+    // (48 bytes/frame × avg byte delta 32) — all-integer, so the cut
+    // count is bit-reproducible; the frame window is per-media.
+    "m_media_scene_cuts" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val media = TableCatalog.load(s, dir, "documents")
+        .select(col("doc_id").as("media_id"),
+          col("text").cast("binary").as("bytes"))
+      val decoded = Multimodal.decodeAvi(
+        Multimodal.encodeAvi(media, width = 4, frameRows = 4), bands = 2)
+      val fs = decoded
+        .select(col("media_id"), col("n_frames"),
+          posexplode(col("frame_sums")).as(Seq("fidx", "sums")))
+        .select(col("media_id"), col("n_frames"), col("fidx"),
+          aggregate(col("sums"), lit(0L), (a, x) => a + x).as("sf"))
+      val w = Window.partitionBy("media_id").orderBy("fidx")
+      fs.withColumn("delta", abs(col("sf") - lag(col("sf"), 1).over(w)))
+        .groupBy("media_id")
+        .agg(max(col("n_frames")).as("n_frames"),
+          sum(when(col("delta") > 1536, 1L).otherwise(0L)).as("n_cuts"),
+          coalesce(max(col("delta")), lit(0L)).as("max_delta"))
+        .orderBy("media_id")
+    }),
+
     // perceptual average-hash near-dup blocking: bit j = band-channel
     // mean j above the image's overall mean — decided by EXACT integer
     // cross-multiplication (s_j·ctot > stot·c_j), so the 12-bit hash is
@@ -236,6 +262,23 @@ object MediaQueries {
          |  FROM sc)
          |WHERE rk <= 3 ORDER BY qid, rk""".stripMargin
     },
+
+    "m_media_scene_cuts" ->
+      """WITH d AS (SELECT doc_id AS media_id, text, strlen(text) AS len,
+        |       greatest(1, CAST(ceil(strlen(text) / 48.0) AS INT))::INT AS nf
+        |     FROM documents),
+        |bybyte AS (SELECT media_id, (p - 1) // 48 AS fidx,
+        |        ord(substring(text, p, 1)) AS v
+        |      FROM d, unnest(range(1, len + 1)) AS u(p)),
+        |sf AS (SELECT media_id, fidx, CAST(sum(v) AS BIGINT) AS s
+        |       FROM bybyte GROUP BY media_id, fidx),
+        |dd AS (SELECT media_id, fidx, s,
+        |       lag(s) OVER (PARTITION BY media_id ORDER BY fidx) AS prev FROM sf)
+        |SELECT d.media_id, nf AS n_frames,
+        |  CAST(sum(CASE WHEN abs(s - prev) > 1536 THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+        |  CAST(coalesce(max(abs(s - prev)), 0) AS BIGINT) AS max_delta
+        |FROM d JOIN dd USING (media_id)
+        |GROUP BY d.media_id, nf ORDER BY media_id""".stripMargin,
 
     "m_media_phash" ->
       s"""WITH $featureCtes,
