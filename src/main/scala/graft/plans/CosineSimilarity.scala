@@ -110,6 +110,8 @@ object GraftFunctions {
   val nearestCentroidsZsInfo = new ExpressionInfo(
     classOf[NearestCentroids].getName, "graft_nearest_centroids_zs")
   val hilbertInfo = new ExpressionInfo(classOf[HilbertKey].getName, "graft_hilbert_key")
+  val jaroWinklerInfo = new ExpressionInfo(
+    classOf[JaroWinklerSimilarity].getName, "graft_jaro_winkler")
 
   private val builders: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_cosine"), cosineInfo,
@@ -125,7 +127,9 @@ object GraftFunctions {
     (FunctionIdentifier("graft_nearest_centroids_zs"), nearestCentroidsZsInfo,
       (c: Seq[Expression]) => NearestCentroids(c.head, c(1), c(2), zeroSafe = true)),
     (FunctionIdentifier("graft_hilbert_key"), hilbertInfo,
-      (c: Seq[Expression]) => HilbertKey(c.head, c(1), c(2))))
+      (c: Seq[Expression]) => HilbertKey(c.head, c(1), c(2))),
+    (FunctionIdentifier("graft_jaro_winkler"), jaroWinklerInfo,
+      (c: Seq[Expression]) => JaroWinklerSimilarity(c.head, c(1))))
 
   def register(spark: SparkSession): Unit =
     builders.foreach { case (id, info, b) =>

@@ -404,6 +404,32 @@ object AnalyticsQueries {
       top.unionByName(bottom).orderBy("rk")
     }),
 
+    // --- fuzzy record linkage, sorted-neighborhood blocking + native
+    //     Jaro–Winkler verify: names sort once, each row meets only its
+    //     2 forward neighbors (offset explode → EQUI-join on rank, no
+    //     inequality BNLJ), pairs scored by the graft_jaro_winkler
+    //     kernel and kept at ≥ 0.88 — the second blocking scheme beside
+    //     d_fuzzy_pairs' deletion neighborhoods. ---
+    "d_jaro_linkage" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.plans.GraftFunctions.register(s)
+      val c = t(s, dir, "customer").filter(col("c_custkey") < 500)
+        .select(col("c_custkey").as("id"), col("c_name").as("nm"))
+      val r = c.withColumn("rn",
+        row_number().over(Window.orderBy(col("nm"), col("id"))))
+      val a = r.select(col("id").as("id1"), col("nm").as("n1"), col("rn"),
+          explode(typedLit(Seq(1, 2))).as("k"))
+        .select(col("id1"), col("n1"), (col("rn") + col("k")).as("rn2"))
+      val cand = a.join(
+        r.select(col("id").as("id2"), col("nm").as("n2"), col("rn").as("rn2")),
+        "rn2")
+      cand.select(col("id1"), col("id2"), col("n1"), col("n2"),
+          round(call_function("graft_jaro_winkler", col("n1"), col("n2")), 6)
+            .as("jw"))
+        .filter(col("jw") >= 0.88)
+        .orderBy("id1", "id2")
+    }),
+
     // --- one-row corpus profile ("dataset card" numbers): doc/token/
     //     vocab/lang/source counts, exact-dup count, average tokens per
     //     doc — the summary a curation run publishes with its output ---
@@ -941,6 +967,16 @@ object AnalyticsQueries {
          |SELECT qid, nid, cos, CAST(rn AS BIGINT) AS rk
          |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM sc)
          |WHERE rn <= 5 ORDER BY qid, rk""".stripMargin,
+    "d_jaro_linkage" ->
+      """WITH c AS (SELECT c_custkey AS id, c_name AS nm FROM customer
+        |           WHERE c_custkey < 500),
+        |r AS (SELECT id, nm, row_number() OVER (ORDER BY nm, id) AS rn FROM c),
+        |cand AS (SELECT a.id AS id1, a.nm AS n1, b.id AS id2, b.nm AS n2
+        |         FROM r a, unnest([1, 2]) AS o(k)
+        |         JOIN r b ON b.rn = a.rn + o.k)
+        |SELECT id1, id2, n1, n2, round(jaro_winkler_similarity(n1, n2), 6) AS jw
+        |FROM cand WHERE round(jaro_winkler_similarity(n1, n2), 6) >= 0.88
+        |ORDER BY id1, id2""".stripMargin,
     "t_corpus_profile" ->
       s"""WITH tok AS (SELECT unnest($toks) AS w FROM documents),
          |a AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,

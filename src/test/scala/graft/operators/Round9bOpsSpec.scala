@@ -64,6 +64,29 @@ class Round9bOpsSpec extends SparkSpec {
     assert(out(1).getAs[Double]("ppl_kn") === 5.0)
   }
 
+  test("JaroWinklerSimilarity: pinned against the DuckDB-checked reference cases") {
+    import graft.plans.JaroWinklerSimilarity.{compute => jw}
+    def u(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    assert(math.abs(jw(u("martha"), u("marhta")) - 0.9611111111111111) < 1e-12)
+    assert(math.abs(jw(u("dixon"), u("dicksonx")) - 0.8133333333333332) < 1e-12)
+    assert(math.abs(jw(u("CRATE"), u("TRACE")) - 0.7333333333333334) < 1e-12)
+    assert(jw(u("abc"), u("abc")) === 1.0)
+    assert(jw(u("abc"), u("xyz")) === 0.0)
+    assert(jw(u(""), u("")) === 0.0) // DuckDB convention
+    assert(jw(u("ab"), u("ba")) === 0.0) // window 0: no matches
+  }
+
+  test("graft_jaro_winkler runs inside codegen over a DataFrame") {
+    import spark.implicits._
+    graft.plans.GraftFunctions.register(spark)
+    val out = Seq(("martha", "marhta"), ("abc", "xyz"))
+      .toDF("a", "b")
+      .select(round(call_function("graft_jaro_winkler", col("a"), col("b")), 6).as("jw"))
+      .orderBy(col("jw").desc)
+      .as[Double].collect()
+    assert(out.toSeq === Seq(0.961111, 0.0))
+  }
+
   test("multiprobeLshTopK: probing Hamming-1 buckets never loses recall vs single-probe") {
     val e = graft.catalog.TableCatalog
       .load(spark, "/root/testdata/sf0.001", "embeddings")
