@@ -404,6 +404,32 @@ object AnalyticsQueries {
       top.unionByName(bottom).orderBy("rk")
     }),
 
+    // --- binary-quantized ANN: sign-bit per dimension packs a 64-dim
+    //     float vector into TWO 32-bit words (32× compression — the
+    //     most aggressive tier of the flat/SQ8/PQ/BQ matrix); ranking
+    //     is pure Hamming distance via popcount(xor) in-row. At 100 TB
+    //     the corpus scan reads 8 bytes/vector and the distance is two
+    //     instructions; queries broadcast as in the brute-force tier. ---
+    "a_ann_bq_topk" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val word = (off: Int) =>
+        s"aggregate(zip_with(slice(embedding, ${off + 1}, 32), sequence(0, 31), " +
+          "(x, d) -> IF(x > 0, shiftleft(1L, cast(d as int)), 0L)), 0L, (a, b) -> a + b)"
+      val bq = t(s, dir, "embeddings").select(col("vec_id"),
+        expr(word(0)).as("w0"), expr(word(32)).as("w1"))
+      val q = broadcast(bq.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("w0").as("q0"), col("w1").as("q1")))
+      val sc = bq.select(col("vec_id").as("nid"), col("w0"), col("w1"))
+        .join(q, col("qid") =!= col("nid"))
+        .select(col("qid"), col("nid"),
+          expr("cast(bit_count(w0 ^ q0) + bit_count(w1 ^ q1) as bigint)")
+            .as("hamming"))
+      val w = Window.partitionBy("qid").orderBy(col("hamming").asc, col("nid").asc)
+      sc.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 5)
+        .orderBy("qid", "rk")
+    }),
+
     // --- fuzzy record linkage, sorted-neighborhood blocking + native
     //     Jaro–Winkler verify: names sort once, each row meets only its
     //     2 forward neighbors (offset explode → EQUI-join on rank, no
@@ -967,6 +993,18 @@ object AnalyticsQueries {
          |SELECT qid, nid, cos, CAST(rn AS BIGINT) AS rk
          |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM sc)
          |WHERE rn <= 5 ORDER BY qid, rk""".stripMargin,
+    "a_ann_bq_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |bq AS (SELECT vec_id,
+        |    CAST(sum(CASE WHEN d < 32 AND v[d+1] > 0 THEN (2**d)::BIGINT ELSE 0 END) AS BIGINT) AS w0,
+        |    CAST(sum(CASE WHEN d >= 32 AND v[d+1] > 0 THEN (2**(d-32))::BIGINT ELSE 0 END) AS BIGINT) AS w1
+        |  FROM e CROSS JOIN (SELECT unnest(range(64)) AS d) GROUP BY vec_id),
+        |sc AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+        |    CAST(bit_count(xor(q.w0, c.w0)) + bit_count(xor(q.w1, c.w1)) AS BIGINT) AS hamming
+        |  FROM bq q JOIN bq c ON q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id)
+        |SELECT qid, nid, hamming, CAST(rn AS BIGINT) AS rk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY hamming, nid) AS rn FROM sc)
+        |WHERE rn <= 5 ORDER BY qid, rk""".stripMargin,
     "d_jaro_linkage" ->
       """WITH c AS (SELECT c_custkey AS id, c_name AS nm FROM customer
         |           WHERE c_custkey < 500),
