@@ -206,6 +206,20 @@ object SinkQueries {
         .orderBy("gen", "n_nationkey")
     }),
 
+    // K16: XML round-trip — Spark 4's integrated XML datasource (the
+    // spark-xml lineage), written with an explicit rowTag and read back
+    // with a pinned schema.
+    "k16_xml_roundtrip" -> ((s, dir) => {
+      clean(s, s"$base/k16")
+      TableCatalog.load(s, dir, "region")
+        .select("r_regionkey", "r_name")
+        .write.option("rowTag", "region").xml(s"$base/k16/t")
+      s.read.option("rowTag", "region")
+        .schema("r_regionkey INT, r_name STRING")
+        .xml(s"$base/k16/t")
+        .orderBy("r_regionkey")
+    }),
+
     // Deterministic fixed-shard export under the gate: seeded md5 shuffle
     // of the documents table into 8 exactly-named shard files; the line
     // carries (doc_id, content hash, shard_key) so shard membership, file
@@ -248,6 +262,9 @@ object SinkQueries {
     "k14_jsonl_roundtrip" ->
       """SELECT n_nationkey, n_name, n_regionkey
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "k16_xml_roundtrip" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
 
     "k15_schema_merge_roundtrip" ->
       """SELECT * FROM (
