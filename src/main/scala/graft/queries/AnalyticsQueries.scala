@@ -404,6 +404,32 @@ object AnalyticsQueries {
       top.unionByName(bottom).orderBy("rk")
     }),
 
+    // --- HLL register MERGE across strata: per-language sketches
+    //     max-merge into ONE global register set whose estimate tracks
+    //     the true union — THE mergeability property that lets 100 TB
+    //     of per-partition/per-epoch sketches combine without ever
+    //     touching raw values again. Exact union and langwise-sum ride
+    //     along to show union < sum (shared shingles counted once). ---
+    "t_hll_union" -> ((s, dir) => {
+      import graft.functions.TextFunctions._
+      import graft.operators.Sketches
+      val sh = graft.functions.SafeExplode.explodeSelect(
+        docs(s, dir).select(col("lang"), tokens(col("text")).as("toks"))
+          .filter(size(col("toks")) >= 3),
+        Seq(col("lang")), shingles(col("toks"), 3), "s")
+      val merged = Sketches.hllRegisters(sh, "lang", "s")
+        .groupBy("j").agg(max(col("m_j")).as("m_j"))
+        .withColumn("scope", lit("all"))
+      val unionEst = Sketches.hllEstimate(merged, "scope")
+      val exactUnion = sh.select("s").distinct()
+        .agg(count(lit(1)).as("n_exact_union"))
+      val sumLangwise = sh.select("lang", "s").distinct()
+        .agg(count(lit(1)).as("n_sum_langwise"))
+      unionEst.crossJoin(exactUnion).crossJoin(sumLangwise)
+        .select(col("n_exact_union"), col("n_sum_langwise"),
+          col("hll_estimate").as("hll_union_estimate"))
+    }),
+
     // --- binary-quantized ANN: sign-bit per dimension packs a 64-dim
     //     float vector into TWO 32-bit words (32× compression — the
     //     most aggressive tier of the flat/SQ8/PQ/BQ matrix); ranking
@@ -993,6 +1019,29 @@ object AnalyticsQueries {
          |SELECT qid, nid, cos, CAST(rn AS BIGINT) AS rk
          |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM sc)
          |WHERE rn <= 5 ORDER BY qid, rk""".stripMargin,
+    "t_hll_union" ->
+      s"""WITH dv AS (SELECT DISTINCT lang, s AS v FROM (
+         |    SELECT lang, unnest($sh3) AS s
+         |    FROM (SELECT lang, $toks AS t FROM documents) WHERE len(t) >= 3)),
+         |h AS (SELECT lang, v, ('0x' || substring(md5(v), 1, 15))::BIGINT AS hv FROM dv),
+         |r AS (SELECT lang, hv & 63 AS j,
+         |             CASE WHEN hv >> 6 = 0 THEN 55
+         |                  ELSE 55 - length(bin(hv >> 6)) END AS rho FROM h),
+         |regl AS (SELECT lang, j, max(rho) AS m_j FROM r GROUP BY lang, j),
+         |reg AS (SELECT j, max(m_j) AS m_j FROM regl GROUP BY j),
+         |agg AS (SELECT count(*) AS n_nz,
+         |        sum(CAST(2 ** (55 - m_j) AS BIGINT)) AS s_present FROM reg),
+         |est AS (SELECT 64 - n_nz AS v0,
+         |        s_present + (64 - n_nz) * CAST(2 ** 55 AS BIGINT) AS s_tot FROM agg),
+         |ex AS (SELECT CAST(count(DISTINCT v) AS BIGINT) AS n_exact_union FROM dv),
+         |sl AS (SELECT CAST(count(*) AS BIGINT) AS n_sum_langwise FROM dv)
+         |SELECT n_exact_union, n_sum_langwise,
+         |  round(CASE WHEN 0.709::DOUBLE * 4096::DOUBLE * 36028797018963968::DOUBLE
+         |                    / s_tot <= 160.0 AND v0 > 0
+         |             THEN 64::DOUBLE * ln(64::DOUBLE / v0)
+         |             ELSE 0.709::DOUBLE * 4096::DOUBLE * 36028797018963968::DOUBLE
+         |                    / s_tot END, 4) AS hll_union_estimate
+         |FROM ex CROSS JOIN sl CROSS JOIN est""".stripMargin,
     "a_ann_bq_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |bq AS (SELECT vec_id,
