@@ -404,6 +404,64 @@ object AnalyticsQueries {
       top.unionByName(bottom).orderBy("rk")
     }),
 
+    // --- margin-based parallel-pair mining (Artetxe & Schwenk 2019,
+    //     the LASER bitext-mining criterion): score(x, y) = cos(x, y)
+    //     normalized by the mean cosine of each side's k-NN — absolute
+    //     cosine thresholds don't transfer across query neighborhoods,
+    //     margins do. Both k-NN averages come from the SAME scored-pair
+    //     frame (two window ranks, no second scoring pass); exact
+    //     decimal averaging of 6-dp cosines. ---
+    "a_margin_mining" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.operators.Vectors
+      val e = t(s, dir, "embeddings")
+      val x = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("xid"), col("embedding").as("xv"))
+      val y = e.filter(col("vec_id") % 3 === 0)
+        .select(col("vec_id").as("yid"), col("embedding").as("yv"))
+      val pairs = y.join(broadcast(x), col("xid") =!= col("yid"))
+        .select(col("xid"), col("yid"),
+          Vectors.cosineNative(s, col("xv"), col("yv")).as("cos"))
+      val wx = Window.partitionBy("xid").orderBy(col("cos").desc, col("yid"))
+      val wy = Window.partitionBy("yid").orderBy(col("cos").desc, col("xid"))
+      val ranked = pairs
+        .withColumn("rx", row_number().over(wx))
+        .withColumn("ry", row_number().over(wy))
+      val ax = ranked.filter(col("rx") <= 4).groupBy("xid")
+        .agg((sum(col("cos").cast("decimal(18,6)")).cast("double") / 4).as("ax"))
+      val ay = ranked.filter(col("ry") <= 4).groupBy("yid")
+        .agg((sum(col("cos").cast("decimal(18,6)")).cast("double") / 4).as("ay"))
+      ranked.filter(col("rx") <= 3)
+        .join(ax, "xid").join(ay, "yid")
+        .select(col("xid").as("qid"), col("yid").as("nid"), col("cos"),
+          round(col("cos") / ((col("ax") + col("ay")) / 2.0), 6).as("margin"))
+        .orderBy("qid", "nid")
+    }),
+
+    // --- feature-hashing document embeddings (Weinberger et al. 2009,
+    //     the hashing trick): tokens hash into 16 signed dimensions,
+    //     L2-normalized — model-free dense vectors that make every
+    //     embedding operator above usable on raw text. md5-derived dim
+    //     and sign; integer accumulation, one sqrt. ---
+    "a_feature_hash_embed" -> ((s, dir) => {
+      import graft.functions.TextFunctions._
+      val tok = graft.functions.SafeExplode.explodeSelect(
+        docs(s, dir).select(col("doc_id"), tokens(col("text")).as("t")),
+        Seq(col("doc_id")), col("t"), "w")
+      val hashed = tok.select(col("doc_id"),
+        conv(substring(md5(col("w")), 1, 1), 16, 10).cast("long").as("dim"),
+        when(conv(substring(md5(col("w")), 2, 1), 16, 10).cast("long") % 2 === 0,
+          1L).otherwise(-1L).as("sgn"))
+      val v = hashed.groupBy("doc_id", "dim").agg(sum(col("sgn")).as("v"))
+      val nrm = v.groupBy("doc_id").agg(sqrt(sum(col("v") * col("v"))
+        .cast("double")).as("nrm"))
+      v.join(nrm, "doc_id")
+        .select(col("doc_id"), col("dim"),
+          when(col("nrm") > 0, round(col("v") / col("nrm"), 6))
+            .otherwise(0.0).as("val"))
+        .orderBy("doc_id", "dim")
+    }),
+
     // --- HLL register MERGE across strata: per-language sketches
     //     max-merge into ONE global register set whose estimate tracks
     //     the true union — THE mergeability property that lets 100 TB
@@ -1019,6 +1077,36 @@ object AnalyticsQueries {
          |SELECT qid, nid, cos, CAST(rn AS BIGINT) AS rk
          |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM sc)
          |WHERE rn <= 5 ORDER BY qid, rk""".stripMargin,
+    "a_margin_mining" ->
+      s"""WITH p AS (SELECT a.vec_id AS xid, b.vec_id AS yid, $cosAB AS cos
+         |      FROM embeddings a JOIN embeddings b
+         |        ON a.vec_id % 50 = 0 AND b.vec_id % 3 = 0 AND a.vec_id <> b.vec_id),
+         |r AS (SELECT *,
+         |    row_number() OVER (PARTITION BY xid ORDER BY cos DESC, yid) AS rx,
+         |    row_number() OVER (PARTITION BY yid ORDER BY cos DESC, xid) AS ry FROM p),
+         |ax AS (SELECT xid, CAST(sum(CAST(cos AS DECIMAL(18,6))) AS DOUBLE) / 4 AS ax
+         |       FROM r WHERE rx <= 4 GROUP BY xid),
+         |ay AS (SELECT yid, CAST(sum(CAST(cos AS DECIMAL(18,6))) AS DOUBLE) / 4 AS ay
+         |       FROM r WHERE ry <= 4 GROUP BY yid)
+         |SELECT r.xid AS qid, r.yid AS nid, cos,
+         |  round(cos / ((ax + ay) / 2.0), 6) AS margin
+         |FROM r JOIN ax USING (xid) JOIN ay USING (yid)
+         |WHERE rx <= 3 ORDER BY qid, nid""".stripMargin,
+    "a_feature_hash_embed" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toks) AS w FROM documents),
+         |h AS (SELECT doc_id,
+         |    ('0x' || substring(md5(w), 1, 1))::BIGINT AS dim,
+         |    CASE WHEN ('0x' || substring(md5(w), 2, 1))::BIGINT % 2 = 0
+         |         THEN 1 ELSE -1 END AS sgn
+         |  FROM tok),
+         |v AS (SELECT doc_id, dim, CAST(sum(sgn) AS BIGINT) AS v
+         |      FROM h GROUP BY doc_id, dim),
+         |nrm AS (SELECT doc_id, sqrt(CAST(sum(v * v) AS DOUBLE)) AS nrm
+         |        FROM v GROUP BY doc_id)
+         |SELECT v.doc_id, dim,
+         |  CASE WHEN nrm > 0 THEN round(v / nrm, 6) ELSE 0.0 END AS val
+         |FROM v JOIN nrm USING (doc_id)
+         |ORDER BY doc_id, dim""".stripMargin,
     "t_hll_union" ->
       s"""WITH dv AS (SELECT DISTINCT lang, s AS v FROM (
          |    SELECT lang, unnest($sh3) AS s
