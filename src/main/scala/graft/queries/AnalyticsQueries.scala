@@ -404,6 +404,42 @@ object AnalyticsQueries {
       top.unionByName(bottom).orderBy("rk")
     }),
 
+    // --- partial-aggregate MERGE (incremental view maintenance): two
+    //     disjoint epoch partials (count/sum/min/max per type) merged
+    //     algebraically — the hash match against a direct full
+    //     recompute PROVES merge ≡ recompute, the property every
+    //     incremental pipeline (streaming state, backfill + delta,
+    //     cube refresh) rests on. Decimal sums keep the merge exact. ---
+    "q_partial_agg_merge" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      def part(f: DataFrame) = f.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).as("sv"),
+        min(col("value")).as("mn"), max(col("value")).as("mx"))
+      part(ev.filter(dayofmonth(col("ts")) <= 20))
+        .unionByName(part(ev.filter(dayofmonth(col("ts")) > 20)))
+        .groupBy("event_type").agg(
+          sum(col("n")).as("n"),
+          sum(col("sv")).cast("double").as("total_value"),
+          min(col("mn")).as("min_value"), max(col("mx")).as("max_value"))
+        .orderBy("event_type")
+    }),
+
+    // --- discrete percentiles (actual data values, no interpolation)
+    //     beside q_percentile's continuous form — the tail-latency /
+    //     budget-cutoff flavor where an interpolated value is not a
+    //     real observation ---
+    "q_percentile_disc" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          expr("percentile(o_totalprice, 0.5)").as("med_cont"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)")
+            .as("med_disc"),
+          expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY o_totalprice)")
+            .as("p95_disc"))
+        .orderBy("o_orderpriority")),
+
     // --- margin-based parallel-pair mining (Artetxe & Schwenk 2019,
     //     the LASER bitext-mining criterion): score(x, y) = cos(x, y)
     //     normalized by the mean cosine of each side's k-NN — absolute
@@ -1077,6 +1113,17 @@ object AnalyticsQueries {
          |SELECT qid, nid, cos, CAST(rn AS BIGINT) AS rk
          |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM sc)
          |WHERE rn <= 5 ORDER BY qid, rk""".stripMargin,
+    "q_partial_agg_merge" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+        |  min(value) AS min_value, max(value) AS max_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_percentile_disc" ->
+      """SELECT o_orderpriority,
+        |  quantile_cont(o_totalprice, 0.5) AS med_cont,
+        |  quantile_disc(o_totalprice, 0.5) AS med_disc,
+        |  quantile_disc(o_totalprice, 0.95) AS p95_disc
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "a_margin_mining" ->
       s"""WITH p AS (SELECT a.vec_id AS xid, b.vec_id AS yid, $cosAB AS cos
          |      FROM embeddings a JOIN embeddings b
