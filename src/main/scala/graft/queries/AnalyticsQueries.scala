@@ -404,6 +404,28 @@ object AnalyticsQueries {
       top.unionByName(bottom).orderBy("rk")
     }),
 
+    // --- point-in-time feature backfill (the feature-store join): for
+    //     every purchase, the user's event count and value-sum over the
+    //     trailing hour STRICTLY BEFORE the purchase — computed as one
+    //     RANGE-frame window over the whole stream (micros order), then
+    //     filtered to label rows. No per-label subquery, no range join:
+    //     one shuffle on user_id serves every feature. Leak-safe by
+    //     construction (frame ends at −1 µs). ---
+    "q_pit_features" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = t(s, dir, "events").withColumn("tsu", unix_micros(col("ts")))
+      val w = Window.partitionBy("user_id").orderBy("tsu")
+        .rangeBetween(-3600000000L, -1L)
+      base
+        .withColumn("n_prior_1h", count(lit(1)).over(w))
+        .withColumn("v_prior_1h",
+          sum(col("value").cast("decimal(18,6)")).over(w).cast("double"))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("n_prior_1h"), col("v_prior_1h"))
+        .orderBy("event_id")
+    }),
+
     // --- partial-aggregate MERGE (incremental view maintenance): two
     //     disjoint epoch partials (count/sum/min/max per type) merged
     //     algebraically — the hash match against a direct full
@@ -1113,6 +1135,17 @@ object AnalyticsQueries {
          |SELECT qid, nid, cos, CAST(rn AS BIGINT) AS rk
          |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM sc)
          |WHERE rn <= 5 ORDER BY qid, rk""".stripMargin,
+    "q_pit_features" ->
+      """WITH b AS (SELECT event_id, user_id, ts, event_type, value,
+        |           epoch_us(ts) AS tsu FROM events),
+        |f AS (SELECT event_id, user_id, ts, event_type,
+        |    count(*) OVER w AS n_prior_1h,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS v_prior_1h
+        |  FROM b WINDOW w AS (PARTITION BY user_id ORDER BY tsu
+        |                      RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, user_id, ts, CAST(n_prior_1h AS BIGINT) AS n_prior_1h,
+        |  v_prior_1h
+        |FROM f WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
     "q_partial_agg_merge" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
