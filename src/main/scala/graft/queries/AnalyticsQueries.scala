@@ -404,6 +404,69 @@ object AnalyticsQueries {
       top.unionByName(bottom).orderBy("rk")
     }),
 
+    // --- RATIO_TO_REPORT shares: each (flag, status) revenue as a
+    //     share of its flag group and of the grand total — the
+    //     share-of-parent OLAP op, via two window sums over the SAME
+    //     aggregated frame (6 rows; no second scan). Exact decimal
+    //     revenue, identically-shaped double divisions. ---
+    "q_ratio_to_report" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val agg = t(s, dir, "lineitem").groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("rev"))
+      val wf = Window.partitionBy("l_returnflag")
+      val wg = Window.partitionBy()
+      agg.select(col("l_returnflag"), col("l_linestatus"),
+          col("rev").cast("double").as("revenue"),
+          round(col("rev").cast("double") /
+            sum(col("rev")).over(wf).cast("double"), 6).as("share_of_flag"),
+          round(col("rev").cast("double") /
+            sum(col("rev")).over(wg).cast("double"), 6).as("share_of_total"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // --- cumulative distinct users per day in O(n): a user's FIRST
+    //     day is a plain aggregate; the running count of first-days is
+    //     the distinct curve — no per-day distinct rescan (the naive
+    //     formulation is quadratic in days). Days without new users
+    //     are absent by construction (the curve is flat there). ---
+    "q_running_distinct" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val perDay = t(s, dir, "events")
+        .groupBy("user_id").agg(min(to_date(col("ts"))).as("day"))
+        .groupBy("day").agg(count(lit(1)).as("n_new"))
+      val w = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      perDay.select(col("day"), col("n_new"),
+          sum(col("n_new")).over(w).as("cum_users"))
+        .orderBy("day")
+    }),
+
+    // --- recall@k curve (k = 1, 3, 5) for the LSH index from ONE
+    //     scored frame: both rank columns already exist, the k sweep
+    //     is a literal fan-out with conditional aggregation — the
+    //     index-tuning table, not three re-runs. ---
+    "a_ann_recall_curve" -> ((s, dir) => {
+      import graft.operators.Similarity
+      val spark = s
+      import spark.implicits._
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") % 50 === 0)
+      val bf = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+        .select(col("qid"), col("nid"), col("rk").as("trk"))
+      val lsh = Similarity.lshTopK(e, q, "vec_id", "embedding", k = 5, planes = 8)
+        .select(col("qid"), col("nid"), col("rk").as("pos"))
+      val joined = bf.join(lsh, Seq("qid", "nid"))
+      val nq = bf.agg(countDistinct(col("qid")).as("nq"))
+      Seq(1, 3, 5).toDF("k").crossJoin(joined).groupBy("k")
+        .agg(sum(when(col("trk") <= col("k") && col("pos") <= col("k"), 1L)
+          .otherwise(0L)).as("n_hits"))
+        .crossJoin(broadcast(nq))
+        .select(col("k").cast("long").as("k"), col("n_hits"),
+          round(col("n_hits").cast("double") / (col("k") * col("nq")), 6)
+            .as("recall_at_k"))
+        .orderBy("k")
+    }),
+
     // --- point-in-time feature backfill (the feature-store join): for
     //     every purchase, the user's event count and value-sum over the
     //     trailing hour STRICTLY BEFORE the purchase — computed as one
@@ -1135,6 +1198,44 @@ object AnalyticsQueries {
          |SELECT qid, nid, cos, CAST(rn AS BIGINT) AS rk
          |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM sc)
          |WHERE rn <= 5 ORDER BY qid, rk""".stripMargin,
+    "q_ratio_to_report" ->
+      """WITH a AS (SELECT l_returnflag, l_linestatus,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+        |  FROM lineitem GROUP BY l_returnflag, l_linestatus)
+        |SELECT l_returnflag, l_linestatus, CAST(rev AS DOUBLE) AS revenue,
+        |  round(CAST(rev AS DOUBLE) /
+        |    CAST(sum(rev) OVER (PARTITION BY l_returnflag) AS DOUBLE), 6) AS share_of_flag,
+        |  round(CAST(rev AS DOUBLE) /
+        |    CAST(sum(rev) OVER () AS DOUBLE), 6) AS share_of_total
+        |FROM a ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_running_distinct" ->
+      """WITH fd AS (SELECT user_id, min(ts::DATE) AS day FROM events GROUP BY user_id),
+        |pd AS (SELECT day, CAST(count(*) AS BIGINT) AS n_new FROM fd GROUP BY day)
+        |SELECT day, n_new,
+        |  CAST(sum(n_new) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+        |FROM pd ORDER BY day""".stripMargin,
+    "a_ann_recall_curve" ->
+      s"""WITH $bfCte,
+         |$bucketCte,
+         |lsh AS (
+         |  SELECT qid, nid, rk AS pos FROM (
+         |    SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+         |    FROM (SELECT q.vec_id AS qid, c.vec_id AS nid, $cosXY AS cos
+         |          FROM bucket q JOIN bucket c ON q.bk = c.bk AND q.vec_id <> c.vec_id
+         |          JOIN embeddings x ON x.vec_id = q.vec_id
+         |          JOIN embeddings y ON y.vec_id = c.vec_id
+         |          WHERE q.vec_id % 50 = 0))
+         |  WHERE rk <= 5),
+         |j AS (SELECT bf.qid, bf.rk AS trk, lsh.pos
+         |      FROM bf JOIN lsh ON lsh.qid = bf.qid AND lsh.nid = bf.nid),
+         |nq AS (SELECT CAST(count(DISTINCT qid) AS BIGINT) AS nq FROM bf),
+         |ks AS (SELECT unnest([1, 3, 5]) AS k)
+         |SELECT CAST(k AS BIGINT) AS k,
+         |  CAST(sum(CASE WHEN trk <= k AND pos <= k THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+         |  round(sum(CASE WHEN trk <= k AND pos <= k THEN 1 ELSE 0 END)::DOUBLE
+         |    / (k * nq), 6) AS recall_at_k
+         |FROM ks CROSS JOIN j CROSS JOIN nq GROUP BY k, nq ORDER BY k""".stripMargin,
     "q_pit_features" ->
       """WITH b AS (SELECT event_id, user_id, ts, event_type, value,
         |           epoch_us(ts) AS tsu FROM events),
