@@ -404,6 +404,59 @@ object AnalyticsQueries {
       top.unionByName(bottom).orderBy("rk")
     }),
 
+    // --- deterministic bootstrap CI for the mean document length:
+    //     B = 50 resamples whose draws are md5-derived (rep, slot) →
+    //     index picks — the bootstrap is REPRODUCIBLE on any cluster
+    //     (rand() resamples are not), and the whole procedure is two
+    //     equi-joins + a rank (no driver loop). CI bounds = order
+    //     statistics 2 and 49 of the replicate means (~95%). ---
+    "t_bootstrap_ci" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val spark = s
+      import spark.implicits._
+      val d = docs(s, dir).select(col("doc_id"), col("n_chars"))
+        .withColumn("idx",
+          (row_number().over(Window.orderBy("doc_id")) - 1).cast("long"))
+      val n = d.agg(count(lit(1)).as("n"))
+      val draws = d.select(col("idx").as("j"))
+        .crossJoin((0 until 50).toDF("r")).crossJoin(broadcast(n))
+        .select(col("r"),
+          (conv(substring(md5(concat_ws("_", col("r"), col("j"))), 1, 6), 16, 10)
+            .cast("long") % col("n")).as("pick"))
+      val means = draws
+        .join(d.select(col("idx").as("pick"), col("n_chars")), "pick")
+        .groupBy("r")
+        .agg((sum(col("n_chars").cast("decimal(28,6)")).cast("double") /
+          count(lit(1))).as("m"))
+      val rm = means.withColumn("rk",
+        row_number().over(Window.orderBy(col("m").asc, col("r").asc)))
+      val full = d.agg(round(sum(col("n_chars").cast("decimal(28,6)"))
+        .cast("double") / count(lit(1)), 6).as("mean_full"))
+      n.crossJoin(full)
+        .crossJoin(rm.filter(col("rk") === 2).select(round(col("m"), 6).as("ci_lo")))
+        .crossJoin(rm.filter(col("rk") === 49).select(round(col("m"), 6).as("ci_hi")))
+    }),
+
+    // --- Benford first-digit screen over order totals: observed digit
+    //     counts vs n·log10(1 + 1/d), with per-digit χ² contributions —
+    //     the classic synthetic-data / fraud smell test. First digits
+    //     come from INTEGER cents rendered as strings (no float log10
+    //     at digit boundaries); expectations share one expression
+    //     shape. ---
+    "q_benford_test" -> ((s, dir) => {
+      val cents = expr("cast(round(o_totalprice * 100) as bigint)")
+      val obs = t(s, dir, "orders")
+        .select(substring(cents.cast("string"), 1, 1).cast("int").as("d"))
+        .groupBy("d").agg(count(lit(1)).as("n_obs"))
+      val tot = obs.agg(sum(col("n_obs")).as("n"))
+      val expd = col("n") * (log(lit(1.0) + lit(1.0) / col("d")) / log(lit(10.0)))
+      obs.crossJoin(broadcast(tot))
+        .select(col("d"), col("n_obs"),
+          round(expd, 6).as("expected"),
+          round(pow(col("n_obs") - expd, 2) / expd, 6).as("chi2_contrib"))
+        .orderBy("d")
+    }),
+
     // --- RATIO_TO_REPORT shares: each (flag, status) revenue as a
     //     share of its flag group and of the grand total — the
     //     share-of-parent OLAP op, via two window sums over the SAME
@@ -1198,6 +1251,34 @@ object AnalyticsQueries {
          |SELECT qid, nid, cos, CAST(rn AS BIGINT) AS rk
          |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM sc)
          |WHERE rn <= 5 ORDER BY qid, rk""".stripMargin,
+    "t_bootstrap_ci" ->
+      """WITH d AS (SELECT doc_id, n_chars,
+        |    row_number() OVER (ORDER BY doc_id) - 1 AS idx FROM documents),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+        |draws AS (SELECT r,
+        |    ('0x' || substring(md5(r::VARCHAR || '_' || idx::VARCHAR), 1, 6))::BIGINT % n AS pick
+        |  FROM d CROSS JOIN (SELECT unnest(range(50)) AS r) CROSS JOIN n),
+        |means AS (SELECT r,
+        |    CAST(sum(CAST(n_chars AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS m
+        |  FROM draws JOIN d ON d.idx = draws.pick GROUP BY r),
+        |rm AS (SELECT m, row_number() OVER (ORDER BY m, r) AS rk FROM means),
+        |f AS (SELECT round(CAST(sum(CAST(n_chars AS DECIMAL(28,6))) AS DOUBLE)
+        |        / count(*), 6) AS mean_full FROM d)
+        |SELECT n.n, f.mean_full,
+        |  (SELECT round(m, 6) FROM rm WHERE rk = 2) AS ci_lo,
+        |  (SELECT round(m, 6) FROM rm WHERE rk = 49) AS ci_hi
+        |FROM n CROSS JOIN f""".stripMargin,
+    "q_benford_test" ->
+      """WITH obs AS (SELECT
+        |    left(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1)::INT AS d,
+        |    CAST(count(*) AS BIGINT) AS n_obs
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM obs)
+        |SELECT d, n_obs,
+        |  round(n * (ln(1.0 + 1.0 / d) / ln(10.0)), 6) AS expected,
+        |  round(power(n_obs - n * (ln(1.0 + 1.0 / d) / ln(10.0)), 2)
+        |    / (n * (ln(1.0 + 1.0 / d) / ln(10.0))), 6) AS chi2_contrib
+        |FROM obs CROSS JOIN tot ORDER BY d""".stripMargin,
     "q_ratio_to_report" ->
       """WITH a AS (SELECT l_returnflag, l_linestatus,
         |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
