@@ -404,6 +404,42 @@ object AnalyticsQueries {
       top.unionByName(bottom).orderBy("rk")
     }),
 
+    // --- entity resolution END-TO-END: candidates from TWO blocking
+    //     schemes (deletion-neighborhood edit-distance pairs ∪
+    //     sorted-neighborhood Jaro–Winkler ≥ 0.93), normalized and
+    //     clustered by hash-min connected components, each entity
+    //     reporting its canonical cluster id and size — the full ER
+    //     composition over operators that are each oracle-checked
+    //     alone. ---
+    "d_er_pipeline" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.plans.GraftFunctions.register(s)
+      val cust = t(s, dir, "customer").filter(col("c_custkey") < 300)
+      val c = cust.select(col("c_custkey").as("id"), col("c_name").as("nm"))
+      val fz = graft.operators.Dedup.fuzzyPairs(cust, "c_custkey", "c_name")
+        .select(col("id1"), col("id2"))
+      val r = c.withColumn("rn",
+        row_number().over(Window.orderBy(col("nm"), col("id"))))
+      val a = r.select(col("id").as("id1"), col("nm").as("n1"), col("rn"),
+          explode(typedLit(Seq(1, 2))).as("k"))
+        .select(col("id1"), col("n1"), (col("rn") + col("k")).as("rn2"))
+      val jw = a.join(
+          r.select(col("id").as("id2"), col("nm").as("n2"), col("rn").as("rn2")),
+          "rn2")
+        .filter(round(call_function("graft_jaro_winkler", col("n1"), col("n2")), 6)
+          >= 0.93)
+        .select(col("id1"), col("id2"))
+      val pairs = fz.unionByName(jw)
+        .select(least(col("id1"), col("id2")).as("d1"),
+          greatest(col("id1"), col("id2")).as("d2"))
+        .distinct()
+      val cc = graft.operators.ConnectedComponents.components(pairs, "d1", "d2")
+        .select(col("v").as("id"), col("component").as("cluster_id"))
+      cc.withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy("cluster_id")))
+        .orderBy("id")
+    }),
+
     // --- deterministic bootstrap CI for the mean document length:
     //     B = 50 resamples whose draws are md5-derived (rep, slot) →
     //     index picks — the bootstrap is REPRODUCIBLE on any cluster
@@ -1251,6 +1287,32 @@ object AnalyticsQueries {
          |SELECT qid, nid, cos, CAST(rn AS BIGINT) AS rk
          |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM sc)
          |WHERE rn <= 5 ORDER BY qid, rk""".stripMargin,
+    "d_er_pipeline" ->
+      """WITH RECURSIVE v AS (SELECT c_custkey AS id, c_name AS s,
+        |    unnest(list_prepend(c_name, list_transform(range(1, length(c_name) + 1),
+        |      i -> left(c_name, i - 1) || substring(c_name, i + 1)))) AS variant
+        |  FROM customer WHERE c_custkey < 300),
+        |fz AS (SELECT DISTINCT a.id AS id1, b.id AS id2
+        |       FROM v a JOIN v b ON a.variant = b.variant AND a.id < b.id
+        |       WHERE levenshtein(a.s, b.s) <= 1),
+        |c AS (SELECT c_custkey AS id, c_name AS nm FROM customer WHERE c_custkey < 300),
+        |r AS (SELECT id, nm, row_number() OVER (ORDER BY nm, id) AS rn FROM c),
+        |jw AS (SELECT a.id AS id1, b.id AS id2
+        |       FROM r a, unnest([1, 2]) AS o(k)
+        |       JOIN r b ON b.rn = a.rn + o.k
+        |       WHERE round(jaro_winkler_similarity(a.nm, b.nm), 6) >= 0.93),
+        |pairs AS (SELECT DISTINCT least(id1, id2) AS d1, greatest(id1, id2) AS d2
+        |          FROM (SELECT * FROM fz UNION ALL SELECT * FROM jw)),
+        |edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+        |reach(vv, rt) AS (
+        |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+        |  UNION
+        |  SELECT e.a, reach.rt FROM edges e JOIN reach ON e.b = reach.vv),
+        |cc AS (SELECT vv AS id, CAST(min(rt) AS BIGINT) AS cluster_id
+        |       FROM reach GROUP BY vv)
+        |SELECT id, cluster_id,
+        |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+        |FROM cc ORDER BY id""".stripMargin,
     "t_bootstrap_ci" ->
       """WITH d AS (SELECT doc_id, n_chars,
         |    row_number() OVER (ORDER BY doc_id) - 1 AS idx FROM documents),
