@@ -381,6 +381,36 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hoppingWindowedCounts: each event lands in len/slide windows, stream matches batch") {
+    import spark.implicits._
+    val rows = Seq(
+      (ts("2026-01-01T13:00:00Z"), "click", 1L, 1.0), // in [01-01 00:00, +1d) and [01-01 12:00, +1d)
+      (ts("2026-01-01T03:00:00Z"), "click", 2L, 2.0),
+      (ts("2026-01-02T01:00:00Z"), "view", 1L, 5.0))
+    val batch = rows.toDF("ts", "event_type", "user_id", "value")
+    val batchRes = EventStream.hoppingWindowedCounts(batch)
+      .orderBy("window_start", "event_type")
+      .select("window_start", "event_type", "n", "total_value")
+    // every event appears in exactly 2 windows (1 day len / 12 h slide)
+    import org.apache.spark.sql.functions.{sum => fsum}
+    assert(batchRes.agg(fsum($"n")).as[Long].head() === rows.size * 2L)
+
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Long, Double)]
+    val streamDf = mem.toDF.toDF("ts", "event_type", "user_id", "value")
+    val q = EventStream.hoppingWindowedCounts(streamDf)
+      .writeStream.format("memory").queryName("hopwin")
+      .outputMode("update").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val streamRes = spark.table("hopwin")
+        .orderBy("window_start", "event_type")
+        .select("window_start", "event_type", "n", "total_value")
+      assert(streamRes.collect().toSeq === batchRes.collect().toSeq)
+    } finally q.stop()
+  }
+
   test("latestPerKey: streaming CDC keep-latest converges to the batch compaction") {
     import spark.implicits._
     import EventStream.KeyedEvent
