@@ -404,6 +404,31 @@ object AnalyticsQueries {
       top.unionByName(bottom).orderBy("rk")
     }),
 
+    // --- ordered string aggregation (LISTAGG WITHIN GROUP — the SQL
+    //     2016 surface; deterministic because the order is total) ---
+    "q_listagg" -> ((s, dir) =>
+      t(s, dir, "nation")
+        .groupBy("n_regionkey")
+        .agg(expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)")
+          .as("nations"))
+        .select(col("n_regionkey").cast("long").as("n_regionkey"), col("nations"))
+        .orderBy("n_regionkey")),
+
+    // --- ranking-function family in one frame: rank / dense_rank /
+    //     percent_rank / cume_dist over order totals per priority —
+    //     value-tied rows share ranks identically on both engines ---
+    "q_rank_functions" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_orderpriority").orderBy(col("o_totalprice"))
+      t(s, dir, "orders").filter(col("o_custkey") <= 100)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"),
+          round(percent_rank().over(w), 6).as("prank"),
+          round(cume_dist().over(w), 6).as("cdist"))
+        .orderBy("o_orderpriority", "o_totalprice", "o_orderkey")
+    }),
+
     // --- entity resolution END-TO-END: candidates from TWO blocking
     //     schemes (deletion-neighborhood edit-distance pairs ∪
     //     sorted-neighborhood Jaro–Winkler ≥ 0.93), normalized and
@@ -1287,6 +1312,19 @@ object AnalyticsQueries {
          |SELECT qid, nid, cos, CAST(rn AS BIGINT) AS rk
          |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM sc)
          |WHERE rn <= 5 ORDER BY qid, rk""".stripMargin,
+    "q_listagg" ->
+      """SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "q_rank_functions" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  CAST(rank() OVER w AS BIGINT) AS rnk,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        |  round(percent_rank() OVER w, 6) AS prank,
+        |  round(cume_dist() OVER w, 6) AS cdist
+        |FROM orders WHERE o_custkey <= 100
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+        |ORDER BY o_orderpriority, o_totalprice, o_orderkey""".stripMargin,
     "d_er_pipeline" ->
       """WITH RECURSIVE v AS (SELECT c_custkey AS id, c_name AS s,
         |    unnest(list_prepend(c_name, list_transform(range(1, length(c_name) + 1),
