@@ -404,6 +404,26 @@ object AnalyticsQueries {
       top.unionByName(bottom).orderBy("rk")
     }),
 
+    // --- max-inner-product retrieval (MIPS — the recommender-scoring
+    //     metric; unlike cosine it rewards magnitude, so the ranking
+    //     genuinely differs): raw dot products via the same sequential
+    //     fold, queries broadcast ---
+    "a_ann_mips_topk" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.operators.Vectors
+      val e = t(s, dir, "embeddings")
+      val q = broadcast(e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv")))
+      val sc = e.select(col("vec_id").as("nid"), col("embedding").as("nv"))
+        .join(q, col("qid") =!= col("nid"))
+        .select(col("qid"), col("nid"),
+          round(Vectors.dot(col("qv"), col("nv")), 6).as("ip"))
+      val w = Window.partitionBy("qid").orderBy(col("ip").desc, col("nid").asc)
+      sc.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 5)
+        .orderBy("qid", "rk")
+    }),
+
     // --- ordered string aggregation (LISTAGG WITHIN GROUP — the SQL
     //     2016 surface; deterministic because the order is total) ---
     "q_listagg" -> ((s, dir) =>
@@ -1312,6 +1332,15 @@ object AnalyticsQueries {
          |SELECT qid, nid, cos, CAST(rn AS BIGINT) AS rk
          |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM sc)
          |WHERE rn <= 5 ORDER BY qid, rk""".stripMargin,
+    "a_ann_mips_topk" ->
+      """WITH sc AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+        |    round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS ip
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.vec_id % 50 = 0 AND a.vec_id <> b.vec_id)
+        |SELECT qid, nid, ip, CAST(rn AS BIGINT) AS rk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY ip DESC, nid) AS rn
+        |  FROM sc)
+        |WHERE rn <= 5 ORDER BY qid, rk""".stripMargin,
     "q_listagg" ->
       """SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
         |  string_agg(n_name, ',' ORDER BY n_name) AS nations
