@@ -404,6 +404,81 @@ object AnalyticsQueries {
       top.unionByName(bottom).orderBy("rk")
     }),
 
+    // --- topic coherence (NPMI, Bouma 2009 — the BERTopic/topic-model
+    //     eval): mean normalized PMI over the C(5,2) pairs of each
+    //     source's top-5 c-TF-IDF terms, co-occurrence measured on
+    //     document incidence corpus-wide. Zero-co-occurrence pairs
+    //     score −1 by convention. Candidate pairs are tiny (10 per
+    //     source); the incidence join touches only candidate terms. ---
+    "t_topic_coherence" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.TextFunctions._
+      val d = docs(s, dir)
+      val tok = graft.functions.SafeExplode.explodeSelect(
+        d.select(col("doc_id"), col("source"), tokens(col("text")).as("t")),
+        Seq(col("doc_id"), col("source")), col("t"), "w")
+      val inc = tok.select("doc_id", "w").distinct()
+      val df = inc.groupBy("w").agg(count(lit(1)).as("df"))
+      val nDocs = d.agg(count(lit(1)).as("nd"))
+      // top-5 c-TF-IDF terms per source (same statistic as t_ctfidf)
+      val tf = tok.groupBy("source", "w").agg(count(lit(1)).as("tf"))
+      val fw = tok.groupBy("w").agg(count(lit(1)).as("fw"))
+      val aavg = tok.agg((count(lit(1)).cast("double") /
+        countDistinct(col("source"))).as("aavg"))
+      val scored = tf.join(fw, "w").crossJoin(broadcast(aavg))
+        .select(col("source"), col("w"),
+          round(col("tf") * round(log(lit(1.0) + col("aavg") / col("fw")), 9), 6)
+            .as("ctfidf"))
+      val top5 = scored.withColumn("rk", row_number().over(
+          Window.partitionBy("source").orderBy(col("ctfidf").desc, col("w"))))
+        .filter(col("rk") <= 5).select("source", "w")
+      val cand = top5.as("a").join(top5.as("b"),
+          col("a.source") === col("b.source") && col("a.w") < col("b.w"))
+        .select(col("a.source").as("source"), col("a.w").as("w1"),
+          col("b.w").as("w2"))
+      val co = cand
+        .join(inc.select(col("w").as("w1"), col("doc_id")), "w1")
+        .join(inc.select(col("w").as("w2"), col("doc_id")), Seq("w2", "doc_id"))
+        .groupBy("source", "w1", "w2").agg(count(lit(1)).as("dfab"))
+      val withNpmi = cand.join(co, Seq("source", "w1", "w2"), "left")
+        .withColumn("dfab", coalesce(col("dfab"), lit(0L)))
+        .join(df.select(col("w").as("w1"), col("df").as("dfa")), "w1")
+        .join(df.select(col("w").as("w2"), col("df").as("dfb")), "w2")
+        .crossJoin(broadcast(nDocs))
+        .select(col("source"),
+          when(col("dfab") === 0, lit(-1.0)).otherwise(
+            round(log(col("dfab").cast("double") * col("nd") /
+                (col("dfa") * col("dfb"))) /
+              -log(col("dfab").cast("double") / col("nd")), 9)).as("npmi"))
+      withNpmi.groupBy("source").agg(
+          count(lit(1)).as("n_pairs"),
+          round(sum(col("npmi").cast("decimal(28,9)")).cast("double") /
+            count(lit(1)), 6).as("mean_npmi"))
+        .orderBy("source")
+    }),
+
+    // --- audience overlap: EXACT pairwise Jaccard of the user sets
+    //     behind each event-type pair — distinct (type, user) incidence
+    //     self-joined on user (equi-join; never user × user). ---
+    "q_audience_overlap" -> ((s, dir) => {
+      val tu = t(s, dir, "events").select("event_type", "user_id").distinct()
+      val n = tu.groupBy("event_type").agg(count(lit(1)).as("nu"))
+      val inter = tu.as("a").join(tu.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("t1"), col("b.event_type").as("t2"))
+        .agg(count(lit(1)).as("n_inter"))
+      val dom = n.select(col("event_type").as("t1"), col("nu").as("n1"))
+        .crossJoin(n.select(col("event_type").as("t2"), col("nu").as("n2")))
+        .filter(col("t1") < col("t2"))
+      dom.join(inter, Seq("t1", "t2"), "left")
+        .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+        .select(col("t1"), col("t2"), col("n1"), col("n2"), col("n_inter"),
+          round(col("n_inter").cast("double") /
+            (col("n1") + col("n2") - col("n_inter")), 6).as("jaccard"))
+        .orderBy("t1", "t2")
+    }),
+
     // --- max-inner-product retrieval (MIPS — the recommender-scoring
     //     metric; unlike cosine it rewards magnitude, so the ranking
     //     genuinely differs): raw dot products via the same sequential
@@ -1332,6 +1407,49 @@ object AnalyticsQueries {
          |SELECT qid, nid, cos, CAST(rn AS BIGINT) AS rk
          |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM sc)
          |WHERE rn <= 5 ORDER BY qid, rk""".stripMargin,
+    "t_topic_coherence" ->
+      s"""WITH tok AS (SELECT doc_id, source, unnest($toks) AS w FROM documents),
+         |inc AS (SELECT DISTINCT doc_id, w FROM tok),
+         |df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM inc GROUP BY w),
+         |nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+         |tf AS (SELECT source, w, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY source, w),
+         |fw AS (SELECT w, CAST(count(*) AS BIGINT) AS fw FROM tok GROUP BY w),
+         |a AS (SELECT count(*)::DOUBLE / count(DISTINCT source) AS aavg FROM tok),
+         |sc AS (SELECT source, tf.w,
+         |    round(tf * round(ln(1.0 + aavg / fw), 9), 6) AS ctfidf
+         |  FROM tf JOIN fw ON fw.w = tf.w CROSS JOIN a),
+         |top5 AS (SELECT source, w FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY source
+         |      ORDER BY ctfidf DESC, w) AS rn FROM sc) WHERE rn <= 5),
+         |cand AS (SELECT a.source, a.w AS w1, b.w AS w2
+         |         FROM top5 a JOIN top5 b ON a.source = b.source AND a.w < b.w),
+         |co AS (SELECT c.source, c.w1, c.w2, CAST(count(*) AS BIGINT) AS dfab
+         |       FROM cand c JOIN inc i1 ON i1.w = c.w1
+         |       JOIN inc i2 ON i2.w = c.w2 AND i2.doc_id = i1.doc_id
+         |       GROUP BY c.source, c.w1, c.w2),
+         |np AS (SELECT cand.source,
+         |    CASE WHEN coalesce(co.dfab, 0) = 0 THEN -1.0
+         |         ELSE round(ln(co.dfab::DOUBLE * nd / (da.df * db.df))
+         |              / -ln(co.dfab::DOUBLE / nd), 9) END AS npmi
+         |  FROM cand LEFT JOIN co USING (source, w1, w2)
+         |  JOIN df da ON da.w = cand.w1 JOIN df db ON db.w = cand.w2
+         |  CROSS JOIN nd)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  round(CAST(sum(CAST(npmi AS DECIMAL(28,9))) AS DOUBLE) / count(*), 6)
+         |    AS mean_npmi
+         |FROM np GROUP BY source ORDER BY source""".stripMargin,
+    "q_audience_overlap" ->
+      """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+        |n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nu FROM tu GROUP BY event_type),
+        |inter AS (SELECT a.event_type AS t1, b.event_type AS t2,
+        |    CAST(count(*) AS BIGINT) AS n_inter
+        |  FROM tu a JOIN tu b ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY a.event_type, b.event_type),
+        |dom AS (SELECT a.event_type AS t1, a.nu AS n1, b.event_type AS t2, b.nu AS n2
+        |        FROM n a CROSS JOIN n b WHERE a.event_type < b.event_type)
+        |SELECT t1, t2, n1, n2, coalesce(n_inter, 0)::BIGINT AS n_inter,
+        |  round(coalesce(n_inter, 0)::DOUBLE / (n1 + n2 - coalesce(n_inter, 0)), 6) AS jaccard
+        |FROM dom LEFT JOIN inter USING (t1, t2) ORDER BY t1, t2""".stripMargin,
     "a_ann_mips_topk" ->
       """WITH sc AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
         |    round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS ip
