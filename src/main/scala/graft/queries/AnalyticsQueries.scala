@@ -404,6 +404,42 @@ object AnalyticsQueries {
       top.unionByName(bottom).orderBy("rk")
     }),
 
+    // --- hour-of-day activity profile per event type, with each
+    //     hour's share of the type's total — the load-shape table
+    //     capacity planning reads ---
+    "q_hour_profile" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"), hour(col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("share", round(col("n").cast("double") /
+          sum(col("n")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy("event_type")), 6))
+        .select(col("event_type"), col("hr").cast("long").as("hr"),
+          col("n"), col("share"))
+        .orderBy("event_type", "hr")),
+
+    // --- code detection heuristic: symbol density + code-keyword hits
+    //     over word tokens — the "is this prose or source code" routing
+    //     signal of a text-curation pipeline (exact integer ratios) ---
+    "t_code_detect" -> ((s, dir) => {
+      import graft.functions.TextFunctions._
+      val kw = Seq("def", "class", "return", "import", "var", "val",
+        "function", "if", "else", "for")
+      val toksC = tokens(col("text"))
+      val sym = size(regexp_extract_all(col("text"),
+        lit("[{}();=\\[\\]<>]"), lit(0))).cast("long")
+      val kwHits = size(filter(toksC, w => w.isin(kw: _*))).cast("long")
+      docs(s, dir).select(col("doc_id"),
+          size(toksC).cast("long").as("n_tok"), sym.as("n_sym"),
+          kwHits.as("n_kw"))
+        .select(col("doc_id"), col("n_tok"), col("n_sym"), col("n_kw"),
+          when(col("n_tok") > 0,
+            round(col("n_sym").cast("double") / col("n_tok"), 6))
+            .otherwise(0.0).as("sym_ratio"),
+          (col("n_sym") * 10 > col("n_tok") && col("n_kw") >= 2).as("is_code"))
+        .orderBy("doc_id")
+    }),
+
     // --- topic coherence (NPMI, Bouma 2009 — the BERTopic/topic-model
     //     eval): mean normalized PMI over the C(5,2) pairs of each
     //     source's top-5 c-TF-IDF terms, co-occurrence measured on
@@ -1407,6 +1443,25 @@ object AnalyticsQueries {
          |SELECT qid, nid, cos, CAST(rn AS BIGINT) AS rk
          |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM sc)
          |WHERE rn <= 5 ORDER BY qid, rk""".stripMargin,
+    "q_hour_profile" ->
+      """WITH h AS (SELECT event_type, date_part('hour', ts) AS hr,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY event_type, date_part('hour', ts))
+        |SELECT event_type, CAST(hr AS BIGINT) AS hr, n,
+        |  round(n::DOUBLE / sum(n) OVER (PARTITION BY event_type), 6) AS share
+        |FROM h ORDER BY event_type, hr""".stripMargin,
+    "t_code_detect" -> {
+      val kwList = "['def','class','return','import','var','val','function','if','else','for']"
+      s"""WITH b AS (SELECT doc_id,
+         |    len($toks)::BIGINT AS n_tok,
+         |    len(regexp_extract_all(text, '[{}();=\\[\\]<>]'))::BIGINT AS n_sym,
+         |    len(list_filter($toks, w -> list_contains($kwList, w)))::BIGINT AS n_kw
+         |  FROM documents)
+         |SELECT doc_id, n_tok, n_sym, n_kw,
+         |  CASE WHEN n_tok > 0 THEN round(n_sym::DOUBLE / n_tok, 6) ELSE 0.0 END AS sym_ratio,
+         |  (n_sym * 10 > n_tok AND n_kw >= 2) AS is_code
+         |FROM b ORDER BY doc_id""".stripMargin
+    },
     "t_topic_coherence" ->
       s"""WITH tok AS (SELECT doc_id, source, unnest($toks) AS w FROM documents),
          |inc AS (SELECT DISTINCT doc_id, w FROM tok),
