@@ -601,7 +601,11 @@ object AnalyticsQueries {
     //     index picks — the bootstrap is REPRODUCIBLE on any cluster
     //     (rand() resamples are not), and the whole procedure is two
     //     equi-joins + a rank (no driver loop). CI bounds = order
-    //     statistics 2 and 49 of the replicate means (~95%). ---
+    //     statistics 2 and 49 of the replicate means (~95%). Scale
+    //     note: the global row_number index is a total order; at
+    //     100 TB the stable index is (partition_id, local rank) +
+    //     broadcast per-partition offsets — the two-level prefix
+    //     pattern of peakConcurrency — or simply a stored row id. ---
     "t_bootstrap_ci" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val spark = s
@@ -885,7 +889,11 @@ object AnalyticsQueries {
     //     2 forward neighbors (offset explode → EQUI-join on rank, no
     //     inequality BNLJ), pairs scored by the graft_jaro_winkler
     //     kernel and kept at ≥ 0.88 — the second blocking scheme beside
-    //     d_fuzzy_pairs' deletion neighborhoods. ---
+    //     d_fuzzy_pairs' deletion neighborhoods. Scale note: the global
+    //     name sort is the textbook sorted-neighborhood cost; at 100 TB
+    //     it becomes a range-partitioned sort (Spark's sort already is)
+    //     with the window evaluated per range plus a boundary overlap of
+    //     `window` rows replicated to the next partition. ---
     "d_jaro_linkage" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       graft.plans.GraftFunctions.register(s)
@@ -946,7 +954,11 @@ object AnalyticsQueries {
     // --- decile lift table: rank docs by a score (token count), cut
     //     into deciles, lift = decile positive rate / base rate — the
     //     classifier-eval gains chart beside t_classifier_pr. Exact
-    //     integer counts; two identically-shaped divisions. ---
+    //     integer counts; two identically-shaped divisions. Scale note:
+    //     the global ntile is a total order (single-partition window);
+    //     at 100 TB deciles come from exact-percentile score cuts
+    //     (one aggregate, broadcast back as a CASE — the
+    //     t_quality_threshold shape) instead of a global sort. ---
     "t_lift_curve" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       import graft.functions.TextFunctions._
