@@ -404,6 +404,31 @@ object AnalyticsQueries {
       top.unionByName(bottom).orderBy("rk")
     }),
 
+    // --- session path analysis: each session's first three event
+    //     types as an ordered path string, counted across sessions —
+    //     the "how do journeys start" funnel table. Session ids from
+    //     the same gap rule as sessionizeBatch; the in-session rank
+    //     and the path listagg share one user shuffle. ---
+    "q_session_paths" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy("user_id").orderBy("ts")
+      val running = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sess = t(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("ns",
+          when(col("prev_ts").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 3600000000L, 1L)
+            .otherwise(0L))
+        .withColumn("sid", sum(col("ns")).over(running))
+      val wS = Window.partitionBy("user_id", "sid").orderBy("ts")
+      sess.withColumn("rk", row_number().over(wS))
+        .filter(col("rk") <= 3)
+        .groupBy("user_id", "sid")
+        .agg(expr("listagg(event_type, '>') WITHIN GROUP (ORDER BY ts)").as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path"))
+    }),
+
     // --- hour-of-day activity profile per event type, with each
     //     hour's share of the type's total — the load-shape table
     //     capacity planning reads ---
@@ -1455,6 +1480,21 @@ object AnalyticsQueries {
          |SELECT qid, nid, cos, CAST(rn AS BIGINT) AS rk
          |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM sc)
          |WHERE rn <= 5 ORDER BY qid, rk""".stripMargin,
+    "q_session_paths" ->
+      """WITH s AS (
+        |  SELECT user_id, ts, event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 3600000000
+        |         THEN 1 ELSE 0 END AS ns
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |g AS (SELECT user_id, ts, event_type,
+        |  sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM s),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY user_id, sid ORDER BY ts) AS rk FROM g),
+        |p AS (SELECT user_id, sid, string_agg(event_type, '>' ORDER BY ts) AS path
+        |      FROM rk WHERE rk <= 3 GROUP BY user_id, sid)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+        |FROM p GROUP BY path ORDER BY n_sessions DESC, path""".stripMargin,
     "q_hour_profile" ->
       """WITH h AS (SELECT event_type, date_part('hour', ts) AS hr,
         |    CAST(count(*) AS BIGINT) AS n
