@@ -23,7 +23,8 @@ object SparkEntry {
       graft.queries.ParityQueries.queries ++
       graft.queries.MediaQueries.queries ++
       graft.queries.SinkQueries.queries ++
-      graft.queries.AnalyticsQueries.queries
+      graft.queries.AnalyticsQueries.queries ++
+      graft.queries.StatQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -33,5 +34,6 @@ object SparkEntry {
       graft.queries.ParityQueries.oracleSql ++
       graft.queries.MediaQueries.oracleSql ++
       graft.queries.SinkQueries.oracleSql ++
-      graft.queries.AnalyticsQueries.oracleSql
+      graft.queries.AnalyticsQueries.oracleSql ++
+      graft.queries.StatQueries.oracleSql
 }
