@@ -26,6 +26,8 @@ object StatQueries {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     TableCatalog.load(s, dir, name)
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
 
   /** Daily event totals — the shared pre-aggregate of the series tier.
     * `dayN` is the epoch-day INTEGER (date arithmetic via plain int64
@@ -197,6 +199,141 @@ object StatQueries {
       }.reduce(_ unionAll _).orderBy("col_a", "col_b")
     }),
 
+    // --- Kaplan–Meier survival curve of user inactivity gaps: the
+    //     "how long until the next event?" curve behind churn and
+    //     session-timeout tuning. Observations = per-user inter-event
+    //     gaps in whole minutes (death = next event arrived); the LAST
+    //     event of every user is RIGHT-CENSORED at the corpus horizon
+    //     (max ts) — exactly the case a naive gap histogram silently
+    //     drops, biasing the tail down. Estimator:
+    //     S(t) = Π_{tᵢ ≤ t} (nᵢ − dᵢ)/nᵢ, computed as exp of a decimal
+    //     sum of ln(nᵢ−dᵢ) − ln(nᵢ) — every ln takes an INTEGER, so
+    //     both engines agree at 9 dp. At-risk nᵢ = one reverse
+    //     cumulative sum over the minute-grain frame; the only
+    //     corpus-sized work is the lead() pass over events. ---
+    "q_survival_km" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+      val wu = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      val horizon = ev.agg(max(col("us")).as("hus"))
+      val obs = ev.withColumn("nus", lead(col("us"), 1).over(wu))
+        .crossJoin(horizon)
+        .select(
+          when(col("nus").isNotNull, floor((col("nus") - col("us")) / 60000000L))
+            .otherwise(floor((col("hus") - col("us")) / 60000000L)).as("t_min"),
+          when(col("nus").isNotNull, 1L).otherwise(0L).as("death"))
+      val grid = obs.groupBy("t_min").agg(
+        sum(col("death")).as("n_death"),
+        sum(lit(1L) - col("death")).as("n_censor"))
+      val wDesc = Window.orderBy(col("t_min").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAsc = Window.orderBy(col("t_min"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid
+        .withColumn("n_risk", sum(col("n_death") + col("n_censor")).over(wDesc))
+        .withColumn("term",
+          when(col("n_death") > 0 && col("n_risk") > col("n_death"),
+            round(log(col("n_risk") - col("n_death")) - log(col("n_risk")), 9))
+            .otherwise(lit(0.0)).cast("decimal(28,9)"))
+        .withColumn("zf",
+          when(col("n_death") > 0 && col("n_risk") === col("n_death"), 1L)
+            .otherwise(0L))
+        .withColumn("cumterm", sum(col("term")).over(wAsc))
+        .withColumn("cumzf", sum(col("zf")).over(wAsc))
+        .select(col("t_min"), col("n_risk"), col("n_death"), col("n_censor"),
+          when(col("cumzf") > 0, lit(0.0))
+            .otherwise(round(exp(col("cumterm").cast("double")), 6)).as("survival"))
+        .filter(col("t_min") <= 180)
+        .orderBy("t_min")
+    }),
+
+    // --- Differentially-private counts with REPRODUCIBLE seeded
+    //     noise: per-type event counts + Laplace(1/ε) noise (ε = 1)
+    //     drawn by inverse CDF from an md5-derived uniform — the
+    //     privacy-preserving reporting shape, made deterministic so
+    //     two engines (and re-runs on any cluster) publish the SAME
+    //     noisy number. u = (h + ½)/2²⁴ from the first 6 md5 hex
+    //     digits of the seeded key; ln(1 − 2|u−½|) decomposes as
+    //     ln(2²⁴ − |2h+1−2²⁴|) − 24·ln 2 — both ln arguments are
+    //     INTEGERS, so the draw is bitwise cross-engine. Map-only
+    //     over the model-sized per-type frame. ---
+    "q_dp_counts" -> ((s, dir) => {
+      val counts = t(s, dir, "events").groupBy("event_type")
+        .agg(count(lit(1)).as("n_true"))
+      counts
+        .withColumn("h",
+          conv(substring(md5(concat(lit("dp1|"), col("event_type"))), 1, 6), 16, 10)
+            .cast("long"))
+        .withColumn("m", lit(2L) * col("h") + 1 - lit(1L << 24))
+        .withColumn("lnarg", lit(1L << 24) - abs(col("m")))
+        .withColumn("noise",
+          round(-signum(col("m").cast("double")) *
+            (round(log(col("lnarg")), 9) - lit(24.0) * round(log(lit(2L)), 9)), 6))
+        .select(col("event_type"), col("n_true"),
+          round(col("n_true").cast("double") + col("noise"), 6).as("n_noisy"))
+        .orderBy("event_type")
+    }),
+
+    // --- Luhn checksum screen over zero-padded numeric identifiers:
+    //     the transposition/typo detector behind every card-number,
+    //     IMEI, and national-id validity check — here run as a
+    //     data-quality audit over the customer key space (share of
+    //     16-digit-normalized ids passing the mod-10 check ≈ 1/10 on
+    //     clean sequential data; a drift from that flags corrupt
+    //     ingest). Pure in-row integer fold over the 16 digit
+    //     positions — map-only, one count aggregate. ---
+    "q_luhn_check" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .withColumn("pan", lpad(col("c_custkey").cast("string"), 16, "0"))
+        .withColumn("luhn", expr(
+          """aggregate(sequence(1, 16), 0, (acc, i) ->
+            |  acc + CASE WHEN i % 2 = 1
+            |    THEN CASE WHEN 2 * CAST(substring(pan, i, 1) AS INT) > 9
+            |      THEN 2 * CAST(substring(pan, i, 1) AS INT) - 9
+            |      ELSE 2 * CAST(substring(pan, i, 1) AS INT) END
+            |    ELSE CAST(substring(pan, i, 1) AS INT) END)""".stripMargin))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("luhn") % 10 === 0, 1L).otherwise(0L)).as("n_valid"))
+        .select(col("n_total"), col("n_valid"),
+          round(col("n_valid").cast("double") / col("n_total"), 6).as("valid_share"))),
+
+    // --- Contrastive training pairs from the near-dup graph: each
+    //     MinHash-LSH pair becomes (anchor, positive); the negative is
+    //     mined per anchor as the hash-minimal corpus doc that is
+    //     neither the anchor nor any of its near-dups — the standard
+    //     (a, p, n) triplet export for embedding-model training, fully
+    //     deterministic (md5 rank ⇒ partitioning- and growth-stable
+    //     choice). Scale shape: anchors are pair-bounded (small) and
+    //     BROADCAST against one corpus pass; the per-anchor min is a
+    //     map-side-combined aggregate. Swap the corpus pass for an ANN
+    //     candidate stage to make these HARD negatives (see
+    //     Similarity.hardNegatives). ---
+    "a_contrastive_pairs" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = graft.operators.Dedup.minhashLsh(d, "doc_id", "text")
+        .select(col("d1"), col("d2"))
+      val anchors = pairs.select(col("d1").as("anchor")).distinct()
+      val excl = pairs.select(col("d1").as("anchor"), col("d2").as("other"))
+        .union(pairs.select(col("d2").as("anchor"), col("d1").as("other")))
+        .distinct()
+      val cand = broadcast(anchors)
+        .crossJoin(d.select(col("doc_id")))
+        .filter(col("doc_id") =!= col("anchor"))
+        .join(excl.withColumnRenamed("other", "doc_id"),
+          Seq("anchor", "doc_id"), "left_anti")
+      val negatives = cand
+        .withColumn("hk",
+          md5(concat(col("anchor").cast("string"), lit("#"),
+            col("doc_id").cast("string"))))
+        .groupBy("anchor")
+        .agg(min(struct(col("hk"), col("doc_id"))).as("mn"))
+        .select(col("anchor"), col("mn.doc_id").as("negative"))
+      pairs.join(negatives, col("d1") === col("anchor"))
+        .select(col("d1").as("anchor"), col("d2").as("positive"), col("negative"))
+        .orderBy("anchor", "positive")
+    }),
+
     // --- Modal value per group with a deterministic tiebreak: the
     //     MODE() aggregate (most common order priority per market
     //     segment) — engines disagree on which mode survives a tie,
@@ -220,7 +357,10 @@ object StatQueries {
     })
   )
 
-  val oracleSql: Map[String, String] = Map(
+  val oracleSql: Map[String, String] = {
+    val toks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+    val sh3 = "list_distinct(list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))"
+    Map(
     "q_acf" ->
       """WITH d AS (SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day_n,
         |    count(*) AS cnt FROM events GROUP BY 1),
@@ -312,6 +452,78 @@ object StatQueries {
         |    ORDER BY cnt DESC, o_orderpriority) AS rk FROM c)
         |SELECT c_mktsegment, o_orderpriority AS mode_priority,
         |  CAST(cnt AS BIGINT) AS mode_count
-        |FROM r WHERE rk = 1 ORDER BY c_mktsegment""".stripMargin
+        |FROM r WHERE rk = 1 ORDER BY c_mktsegment""".stripMargin,
+    "q_survival_km" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM events),
+        |h AS (SELECT max(us) AS hus FROM ev),
+        |o AS (SELECT
+        |    CASE WHEN nus IS NOT NULL THEN (nus - us) // 60000000
+        |         ELSE (hus - us) // 60000000 END AS t_min,
+        |    CASE WHEN nus IS NOT NULL THEN 1 ELSE 0 END AS death
+        |  FROM (SELECT us, lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS nus
+        |        FROM ev) CROSS JOIN h),
+        |g AS (SELECT t_min, CAST(sum(death) AS BIGINT) AS n_death,
+        |    CAST(sum(1 - death) AS BIGINT) AS n_censor FROM o GROUP BY t_min),
+        |rk AS (SELECT *, CAST(sum(n_death + n_censor) OVER (ORDER BY t_min DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_risk FROM g),
+        |tm AS (SELECT *,
+        |    CAST(CASE WHEN n_death > 0 AND n_risk > n_death
+        |      THEN round(ln(n_risk - n_death) - ln(n_risk), 9) ELSE 0 END
+        |      AS DECIMAL(28,9)) AS term,
+        |    CASE WHEN n_death > 0 AND n_risk = n_death THEN 1 ELSE 0 END AS zf
+        |  FROM rk),
+        |cum AS (SELECT *, sum(term) OVER w AS cumterm, sum(zf) OVER w AS cumzf FROM tm
+        |  WINDOW w AS (ORDER BY t_min ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT CAST(t_min AS BIGINT) AS t_min, n_risk, n_death, n_censor,
+        |  CASE WHEN cumzf > 0 THEN 0.0
+        |       ELSE round(exp(CAST(cumterm AS DOUBLE)), 6) END AS survival
+        |FROM cum WHERE t_min <= 180 ORDER BY t_min""".stripMargin,
+    "q_dp_counts" ->
+      """WITH c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_true
+        |  FROM events GROUP BY event_type),
+        |n AS (SELECT *,
+        |    ('0x' || substring(md5('dp1|' || event_type), 1, 6))::BIGINT AS h FROM c),
+        |m AS (SELECT *, 2*h + 1 - 16777216 AS mm, 16777216 - abs(2*h + 1 - 16777216) AS lnarg FROM n)
+        |SELECT event_type, n_true,
+        |  round(CAST(n_true AS DOUBLE) +
+        |    round(-sign(mm) * (round(ln(lnarg), 9) - 24.0 * round(ln(2), 9)), 6), 6) AS n_noisy
+        |FROM m ORDER BY event_type""".stripMargin,
+    "q_luhn_check" ->
+      """WITH p AS (SELECT lpad(CAST(c_custkey AS VARCHAR), 16, '0') AS pan FROM customer),
+        |l AS (SELECT list_sum([CASE WHEN i % 2 = 1
+        |    THEN CASE WHEN 2 * CAST(substring(pan, i, 1) AS INT) > 9
+        |      THEN 2 * CAST(substring(pan, i, 1) AS INT) - 9
+        |      ELSE 2 * CAST(substring(pan, i, 1) AS INT) END
+        |    ELSE CAST(substring(pan, i, 1) AS INT) END
+        |    FOR i IN range(1, 17)]) AS luhn FROM p)
+        |SELECT CAST(count(*) AS BIGINT) AS n_total,
+        |  CAST(sum(CASE WHEN luhn % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+        |  round(sum(CASE WHEN luhn % 10 = 0 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS valid_share
+        |FROM l""".stripMargin,
+    "a_contrastive_pairs" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest($sh3) AS s
+         |  FROM (SELECT doc_id, $toks AS t FROM documents) WHERE len(t) >= 3),
+         |sig AS (SELECT doc_id, h, min(md5(h::VARCHAR || '|' || s)) AS mh
+         |        FROM sh CROSS JOIN (SELECT unnest(range(16)) AS h) GROUP BY doc_id, h),
+         |band AS (SELECT doc_id, h // 4 AS band, md5(string_agg(mh, ',' ORDER BY h)) AS bh
+         |         FROM sig GROUP BY doc_id, h // 4),
+         |cand0 AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |          FROM band a JOIN band b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |pairs AS (SELECT d1, d2
+         |  FROM cand0 JOIN sig x ON x.doc_id = d1 JOIN sig y ON y.doc_id = d2 AND y.h = x.h
+         |  GROUP BY d1, d2 HAVING count(*) FILTER (x.mh = y.mh)::DOUBLE / 16 >= 0.5),
+         |anch AS (SELECT DISTINCT d1 AS anchor FROM pairs),
+         |excl AS (SELECT d1 AS anchor, d2 AS other FROM pairs
+         |         UNION SELECT d2, d1 FROM pairs),
+         |cand AS (SELECT anchor, doc_id FROM anch CROSS JOIN (SELECT doc_id FROM documents)
+         |  WHERE doc_id <> anchor
+         |    AND NOT EXISTS (SELECT 1 FROM excl e WHERE e.anchor = anch.anchor AND e.other = doc_id)),
+         |neg AS (SELECT anchor, doc_id AS negative, row_number() OVER (PARTITION BY anchor
+         |    ORDER BY md5(anchor::VARCHAR || '#' || doc_id::VARCHAR), doc_id) AS rn FROM cand)
+         |SELECT d1 AS anchor, d2 AS positive, negative
+         |FROM pairs JOIN (SELECT anchor, negative FROM neg WHERE rn = 1) n ON d1 = n.anchor
+         |ORDER BY anchor, positive""".stripMargin
   )
+  }
 }
