@@ -1,0 +1,174 @@
+package graft.queries
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Hand-computed semantics for the statistics tier: these queries' DuckDB
+  * oracles mirror the implementation algebra, so the semantic pin is a
+  * constructed corpus with a known closed-form answer. Fixtures are
+  * written as parquet tables and the REAL query functions run over them
+  * (the same (spark, dir) path the driver uses).
+  */
+class StatSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  /** Write fixture tables and return the dir. */
+  private def fixture(tables: (String, DataFrame)*): String = {
+    val dir = tmpDir("stat")
+    tables.foreach { case (n, df) =>
+      df.coalesce(1).write.mode("overwrite").parquet(s"$dir/$n.parquet")
+    }
+    dir
+  }
+
+  /** events rows for (day offset from 2026-01-05, events that day). */
+  private def eventsByDay(counts: Seq[(Int, Int)],
+                          eventType: Int => String = _ => "view"): DataFrame = {
+    var id = 0L
+    counts.flatMap { case (day, n) =>
+      (0 until n).map { i =>
+        id += 1
+        (id, Timestamp.valueOf(f"2026-01-${5 + day}%02d 12:${i % 60}%02d:00"),
+          (i % 3).toLong, eventType(i), 1.0, "{}")
+      }
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
+
+  test("ACF: an alternating series has acf(1) = -1 and acf(2) = +1 exactly") {
+    // counts alternate 10,2 over 10 consecutive days: x_{t+1} is an affine
+    // function of x_t (y = 12 - x), so lag-1 r is exactly -1; lag-2 pairs
+    // satisfy y = x, so r is exactly +1.
+    val d = fixture("events" -> eventsByDay((0 until 10).map(i => (i, if (i % 2 == 0) 10 else 2))))
+    val acf = StatQueries.queries("q_acf")(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(acf(1L) === -1.0)
+    assert(acf(2L) === 1.0)
+  }
+
+  test("seasonal decomposition: constant + weekly spike decomposes with zero residual") {
+    // 100 events/day, +7 on days where day_n % 7 == 0. Every full 7-day
+    // window holds exactly one spike: trend = 101 everywhere, seasonal =
+    // +6 on the spike weekday and -1 elsewhere, residual identically 0.
+    val base = java.time.LocalDate.parse("2026-01-05").toEpochDay
+    val off = (7 - (base % 7).toInt) % 7 // first fixture day with day_n % 7 == 0
+    val d = fixture("events" -> eventsByDay(
+      (0 until 21).map(i => (i, if ((i - off) % 7 == 0) 107 else 100))))
+    val rows = StatQueries.queries("q_seasonal_decomp")(spark, d).collect()
+    assert(rows.length === 21 - 6)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("trend") === 101.0)
+      val expSeasonal = if (r.getAs[Long]("cnt") == 107L) 6.0 else -1.0
+      assert(r.getAs[Double]("seasonal") === expSeasonal)
+      assert(r.getAs[Double]("residual") === 0.0)
+    }
+  }
+
+  test("Mann-Kendall: strictly increasing series hits the closed-form z") {
+    // cnt = 1..10 ascending, no ties: S = 45, varnum = 10*9*25 = 2250,
+    // z = (45-1)/sqrt(2250/18).
+    val d = fixture("events" -> eventsByDay((0 until 10).map(i => (i, i + 1))))
+    val r = StatQueries.queries("q_mann_kendall")(spark, d).collect().head
+    assert(r.getAs[Long]("s") === 45L)
+    assert(r.getAs[Long]("varnum") === 2250L)
+    val expZ = BigDecimal(44.0 / math.sqrt(2250.0 / 18.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("mk_z") === expZ)
+  }
+
+  test("Kaplan-Meier: censoring enters risk sets; S hits 0 when the last at-risk dies") {
+    // user 10: events at 12:00 and 12:05 (death gap 5 min, then censored
+    // at the horizon, 5 min later). user 20: events at 12:00 and 12:10
+    // (death gap 10, censored at 0). Grid: t=0 (0 deaths, 1 censor,
+    // risk 4) -> S=1; t=5 (1 death, 1 censor, risk 3) -> S=2/3;
+    // t=10 (1 death, risk 1) -> S=0.
+    val ev = Seq(
+      (1L, ts("2026-01-05 12:00:00"), 10L, "view", 1.0, "{}"),
+      (2L, ts("2026-01-05 12:05:00"), 10L, "view", 1.0, "{}"),
+      (3L, ts("2026-01-05 12:00:00"), 20L, "view", 1.0, "{}"),
+      (4L, ts("2026-01-05 12:10:00"), 20L, "view", 1.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val d = fixture("events" -> ev)
+    val rows = StatQueries.queries("q_survival_km")(spark, d).collect()
+      .map(r => (r.getAs[Long]("t_min"),
+        (r.getAs[Long]("n_risk"), r.getAs[Long]("n_death"),
+          r.getAs[Long]("n_censor"), r.getAs[Double]("survival")))).toMap
+    assert(rows(0L) === ((4L, 0L, 1L, 1.0)))
+    assert(rows(5L) === ((3L, 1L, 1L, 0.666667)))
+    assert(rows(10L) === ((1L, 1L, 0L, 0.0)))
+  }
+
+  test("DP counts: noise is reproducible, bounded, and matches the inverse-CDF closed form") {
+    val d = fixture("events" -> eventsByDay(Seq((0, 50), (1, 50)), i => if (i % 2 == 0) "view" else "click"))
+    val out = StatQueries.queries("q_dp_counts")(spark, d)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length === 2)
+    out.foreach { case (etype, nTrue, nNoisy) =>
+      // Laplace(1) from a 24-bit uniform: |noise| <= 24 ln 2 ~ 16.64
+      assert(math.abs(nNoisy - nTrue) < 17.0, s"$etype noise out of range")
+      // replay the draw in plain Scala
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"dp1|$etype".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val h = java.lang.Long.parseLong(hex.take(6), 16)
+      val m = 2 * h + 1 - (1L << 24)
+      def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val noise = -math.signum(m.toDouble) * (r9(math.log((1L << 24) - math.abs(m))) - 24.0 * r9(math.log(2.0)))
+      val exp = BigDecimal(nTrue.toDouble + BigDecimal(noise).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(nNoisy === exp)
+    }
+    // reproducibility: a second run yields the identical frame
+    val again = StatQueries.queries("q_dp_counts")(spark, d)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq === again.toSeq)
+  }
+
+  test("Luhn: the canonical test number validates and its successor does not") {
+    val cust = Seq(
+      (79927398713L, "ok", 1, 100.0, "BUILDING"),   // canonical valid Luhn
+      (79927398714L, "bad", 1, 100.0, "BUILDING")   // off-by-one checksum
+    ).toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val d = fixture("customer" -> cust)
+    val r = StatQueries.queries("q_luhn_check")(spark, d).collect().head
+    assert(r.getAs[Long]("n_total") === 2L)
+    assert(r.getAs[Long]("n_valid") === 1L)
+  }
+
+  test("corr matrix: exact +1 for linearly dependent columns, null for a constant") {
+    val li = Seq.tabulate(8) { i =>
+      (i.toLong, i.toLong, i.toLong, i, (i + 1).toDouble, 2.0 * (i + 1), 0.05,
+        (8 - i).toDouble, "N", "O", ts("2026-01-05 00:00:00"))
+    }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus", "l_shipdate")
+    val d = fixture("lineitem" -> li)
+    val m = StatQueries.queries("q_corr_matrix")(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> Option(r.get(2))).toMap
+    assert(m(("l_extendedprice", "l_quantity")) === Some(1.0)) // e = 2q
+    assert(m(("l_quantity", "l_tax")) === Some(-1.0))          // t = 9 - q
+    assert(m(("l_discount", "l_quantity")) === None)           // constant col
+  }
+
+  test("contrastive pairs: negative is outside the near-dup cluster and deterministic") {
+    val base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    val docsDf = Seq(
+      (1L, base + "alpha", "en", "src0", 100L),
+      (2L, base + "beta", "en", "src0", 100L), // near-dup of 1
+      (3L, "completely different text about spark catalyst optimizer internals and shuffles here", "en", "src0", 80L),
+      (4L, "another unrelated document discussing parquet encodings and column pruning strategies", "en", "src0", 80L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val d = fixture("documents" -> docsDf)
+    val rows = StatQueries.queries("a_contrastive_pairs")(spark, d).collect()
+    assert(rows.nonEmpty, "planted near-dup pair must surface")
+    rows.foreach { r =>
+      val (a, p, n) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(Set(a, p) === Set(1L, 2L))
+      assert(n === 3L || n === 4L)
+    }
+    val again = StatQueries.queries("a_contrastive_pairs")(spark, d).collect()
+    assert(rows.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+}
