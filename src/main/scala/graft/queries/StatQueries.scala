@@ -334,6 +334,141 @@ object StatQueries {
         .orderBy("anchor", "positive")
     }),
 
+    // --- Exact ROC AUC of a scalar quality signal as a classifier
+    //     (EN-stopword share predicting lang = 'en'): AUC = the
+    //     Mann–Whitney U identity (R₁ − n₁(n₁+1)/2)/(n₁n₀) over
+    //     TIE-AVERAGED ranks — the threshold-free companion to the
+    //     precision/recall sweep (t_classifier_pr). Ranks come from
+    //     the per-distinct-score frame (cumulative counts + (c+1)/2
+    //     averages, decimal-accumulated) — one score pass over docs,
+    //     algebra over the distinct-score frame. ---
+    "t_classifier_auc" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val stopEn = array(Seq("the", "and", "of", "to", "in", "is", "that", "for").map(lit): _*)
+      val scored = docs(s, dir).select(
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"),
+        expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("tk"))
+        .select(col("y"),
+          when(size(col("tk")) > 0,
+            round(size(filter(col("tk"), x => array_contains(stopEn, x)))
+              .cast("double") / size(col("tk")), 9)).otherwise(lit(0.0)).as("score"))
+      val byv = scored.groupBy("score").agg(
+        count(lit(1)).as("c"), sum(col("y")).as("c1"))
+      val w = Window.orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ar = byv
+        .withColumn("below", coalesce(sum(col("c")).over(w), lit(0L)))
+        .withColumn("avgrank",
+          col("below").cast("double") + (col("c") + 1).cast("double") / 2)
+      ar.agg(
+          sum(col("c1")).as("n1"), sum(col("c") - col("c1")).as("n0"),
+          sum((col("c1").cast("double") * col("avgrank")).cast("decimal(38,6)"))
+            .as("r1"))
+        .select(col("n1"), col("n0"),
+          round((col("r1").cast("double") -
+            (col("n1") * (col("n1") + 1)).cast("double") / 2) /
+            (col("n1") * col("n0")).cast("double"), 6).as("auc"))
+    }),
+
+    // --- Cohen's kappa between the n-gram language-ID prediction and
+    //     the labeled language: chance-corrected agreement — the
+    //     number that says whether the router is better than the
+    //     label prior (raw accuracy can't). κ = (N·Σdiag − Σ r_c·s_c)
+    //     / (N² − Σ r_c·s_c) over exact integer marginals of the
+    //     confusion matrix — fully integer until ONE division. The
+    //     'und' abstain column has no matching label, so its product
+    //     term is zero by construction. ---
+    "t_cohens_kappa" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pred = graft.operators.TextAnalysis.langId(d, "doc_id", "text")
+        .join(d.select("doc_id", "lang"), "doc_id")
+      val n = pred.agg(count(lit(1)).as("n"))
+      val diag = pred.agg(
+        sum(when(col("pred_lang") === col("lang"), 1L).otherwise(0L)).as("ndiag"))
+      val rowm = pred.groupBy(col("lang").as("cat")).agg(count(lit(1)).as("r"))
+      val colm = pred.groupBy(col("pred_lang").as("cat")).agg(count(lit(1)).as("c"))
+      val cross = rowm.join(colm, "cat")
+        .agg(sum(col("r") * col("c")).as("rc"))
+      n.crossJoin(diag).crossJoin(cross)
+        .select(col("n"), col("ndiag"), col("rc"),
+          round((col("n") * col("ndiag") - col("rc")).cast("double") /
+            (col("n") * col("n") - col("rc")).cast("double"), 6).as("kappa"))
+    }),
+
+    // --- Blocklist screen with obfuscation canonicalization: terms
+    //     are matched AFTER a leetspeak fold (4→a, 3→e, 0→o, 1→l,
+    //     !→i, 7→t, $→s, 5→s) so "sp4m" and "spam" hit the same
+    //     entry — the wordlist-filter stage of C4/RefinedWeb-style
+    //     curation, which breaks trivially without canonicalization.
+    //     Map-only: translate + tokenize + in-row membership count,
+    //     one per-source aggregate. ---
+    "t_blocklist" -> ((s, dir) => {
+      val terms = array(Seq("slow", "dup", "spam").map(lit): _*)
+      docs(s, dir)
+        .withColumn("tk", expr(
+          "regexp_extract_all(translate(lower(text), '4@301!7$5', 'aaeoliits'), '[a-z]+', 0)"))
+        .withColumn("hits",
+          size(filter(col("tk"), x => array_contains(terms, x))).cast("long"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("hits") > 0, 1L).otherwise(0L)).as("n_flagged"),
+          sum(col("hits")).as("total_hits"))
+        .select(col("source"), col("n_docs"), col("n_flagged"), col("total_hits"),
+          round(col("n_flagged").cast("double") / col("n_docs"), 6).as("flag_share"))
+        .orderBy("source")
+    }),
+
+    // --- k-anonymity audit (k = 5) over customer quasi-identifiers
+    //     (nation, market segment, balance band): how many
+    //     quasi-identifier combinations isolate fewer than k people,
+    //     and what share of rows they expose — the release gate run
+    //     before any per-group table leaves the pipeline (the DP
+    //     counts entry is the mitigation; this is the detector).
+    //     One groupBy + one aggregate over the group frame. ---
+    "q_k_anonymity" -> ((s, dir) => {
+      val g = t(s, dir, "customer")
+        .groupBy(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 1000).as("bal_band"))
+        .agg(count(lit(1)).as("gn"))
+      g.agg(
+          sum(col("gn")).as("n_rows"),
+          count(lit(1)).as("n_groups"),
+          sum(when(col("gn") < 5, 1L).otherwise(0L)).as("n_small_groups"),
+          sum(when(col("gn") < 5, col("gn")).otherwise(0L)).as("n_rows_at_risk"))
+        .select(col("n_rows"), col("n_groups"), col("n_small_groups"),
+          col("n_rows_at_risk"),
+          round(col("n_rows_at_risk").cast("double") / col("n_rows"), 6)
+            .as("risk_share"))
+    }),
+
+    // --- Referential-integrity audit across the star schema: orphan
+    //     counts for every foreign key (lineitem→orders/part/supplier,
+    //     orders→customer) in one report — the ingest data-quality
+    //     gate before any join-based metric is trusted (an orphan
+    //     silently DROPS rows from inner-join aggregates). Each
+    //     relation is a LEFT ANTI join on its key — broadcast or
+    //     shuffle-hash as the dim size dictates; counts only, no
+    //     payload movement. ---
+    "q_fk_orphans" -> ((s, dir) => {
+      def audit(child: DataFrame, key: String, parent: DataFrame,
+                pkey: String, rel: String): DataFrame = {
+        val nC = child.agg(count(lit(1)).as("n_child"))
+        val nO = child.join(parent.select(col(pkey).as(key)), Seq(key), "left_anti")
+          .agg(count(lit(1)).as("n_orphan"))
+        nC.crossJoin(nO).select(lit(rel).as("relation"), col("n_child"),
+          col("n_orphan"),
+          round(col("n_orphan").cast("double") / col("n_child"), 6).as("orphan_share"))
+      }
+      val li = t(s, dir, "lineitem")
+      val ord = t(s, dir, "orders")
+      Seq(
+        audit(li, "l_orderkey", ord, "o_orderkey", "lineitem->orders"),
+        audit(li, "l_partkey", t(s, dir, "part"), "p_partkey", "lineitem->part"),
+        audit(li, "l_suppkey", t(s, dir, "supplier"), "s_suppkey", "lineitem->supplier"),
+        audit(ord, "o_custkey", t(s, dir, "customer"), "c_custkey", "orders->customer")
+      ).reduce(_ unionAll _).orderBy("relation")
+    }),
+
     // --- Modal value per group with a deterministic tiebreak: the
     //     MODE() aggregate (most common order priority per market
     //     segment) — engines disagree on which mode survives a tie,
@@ -360,7 +495,103 @@ object StatQueries {
   val oracleSql: Map[String, String] = {
     val toks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
     val sh3 = "list_distinct(list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))"
+    val stopEn = "['the','and','of','to','in','is','that','for']"
+    val stopDe = "['der','die','das','und','ist','nicht','mit','ein']"
+    val stopFr = "['le','la','les','et','est','pas','pour','une']"
+    val stopEs = "['el','la','los','y','es','no','por','una']"
+    val predLang =
+      s"""SELECT doc_id, lang, CASE
+         |  WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en'
+         |  WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
+         |  WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+         |  WHEN s_es > 0 THEN 'es' ELSE 'und' END AS pred_lang
+         |FROM (SELECT doc_id, lang,
+         |  len(list_filter($toks, x -> list_contains($stopEn, x)))::BIGINT AS s_en,
+         |  len(list_filter($toks, x -> list_contains($stopDe, x)))::BIGINT AS s_de,
+         |  len(list_filter($toks, x -> list_contains($stopFr, x)))::BIGINT AS s_fr,
+         |  len(list_filter($toks, x -> list_contains($stopEs, x)))::BIGINT AS s_es
+         |  FROM documents)""".stripMargin
     Map(
+    "t_classifier_auc" ->
+      s"""WITH sc AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         |    CASE WHEN len($toks) > 0 THEN
+         |      round(len(list_filter($toks, x -> list_contains($stopEn, x)))::DOUBLE
+         |            / len($toks), 9)
+         |    ELSE 0.0 END AS score
+         |  FROM documents),
+         |byv AS (SELECT score, CAST(count(*) AS BIGINT) AS c,
+         |    CAST(sum(y) AS BIGINT) AS c1 FROM sc GROUP BY score),
+         |rk AS (SELECT *, coalesce(sum(c) OVER (ORDER BY score
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below FROM byv),
+         |ar AS (SELECT c, c1, below::DOUBLE + (c + 1)::DOUBLE / 2 AS avgrank FROM rk),
+         |st AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+         |    CAST(sum(c - c1) AS BIGINT) AS n0,
+         |    CAST(sum(CAST(c1::DOUBLE * avgrank AS DECIMAL(38,6))) AS DOUBLE) AS r1
+         |  FROM ar)
+         |SELECT n1, n0,
+         |  round((r1 - (n1 * (n1 + 1))::DOUBLE / 2) / (n1 * n0)::DOUBLE, 6) AS auc
+         |FROM st""".stripMargin,
+    "t_cohens_kappa" ->
+      s"""WITH pred AS ($predLang),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END) AS BIGINT) AS ndiag
+         |  FROM pred),
+         |rm AS (SELECT lang AS cat, CAST(count(*) AS BIGINT) AS r FROM pred GROUP BY lang),
+         |cm AS (SELECT pred_lang AS cat, CAST(count(*) AS BIGINT) AS c FROM pred GROUP BY pred_lang),
+         |x AS (SELECT CAST(sum(r * c) AS BIGINT) AS rc FROM rm JOIN cm USING (cat))
+         |SELECT n, ndiag, rc,
+         |  round((n * ndiag - rc)::DOUBLE / (n * n - rc)::DOUBLE, 6) AS kappa
+         |FROM n CROSS JOIN x""".stripMargin,
+    "t_blocklist" ->
+      """WITH d AS (SELECT source,
+        |    len(list_filter(
+        |      regexp_extract_all(translate(lower(text), '4@301!7$5', 'aaeoliits'), '[a-z]+'),
+        |      x -> list_contains(['slow','dup','spam'], x)))::BIGINT AS hits
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+        |  CAST(sum(hits) AS BIGINT) AS total_hits,
+        |  round(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS flag_share
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
+    "q_k_anonymity" ->
+      """WITH g AS (SELECT c_nationkey, c_mktsegment, floor(c_acctbal / 1000) AS bal_band,
+        |    CAST(count(*) AS BIGINT) AS gn
+        |  FROM customer GROUP BY 1, 2, 3)
+        |SELECT CAST(sum(gn) AS BIGINT) AS n_rows, CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(sum(CASE WHEN gn < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_small_groups,
+        |  CAST(sum(CASE WHEN gn < 5 THEN gn ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+        |  round(sum(CASE WHEN gn < 5 THEN gn ELSE 0 END)::DOUBLE / sum(gn), 6) AS risk_share
+        |FROM g""".stripMargin,
+    "q_fk_orphans" ->
+      """SELECT 'lineitem->orders' AS relation,
+        |  CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_child,
+        |  CAST((SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN
+        |    (SELECT o_orderkey FROM orders)) AS BIGINT) AS n_orphan,
+        |  round((SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN
+        |    (SELECT o_orderkey FROM orders))::DOUBLE /
+        |    (SELECT count(*) FROM lineitem), 6) AS orphan_share
+        |UNION ALL SELECT 'lineitem->part',
+        |  CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+        |  CAST((SELECT count(*) FROM lineitem WHERE l_partkey NOT IN
+        |    (SELECT p_partkey FROM part)) AS BIGINT),
+        |  round((SELECT count(*) FROM lineitem WHERE l_partkey NOT IN
+        |    (SELECT p_partkey FROM part))::DOUBLE /
+        |    (SELECT count(*) FROM lineitem), 6)
+        |UNION ALL SELECT 'lineitem->supplier',
+        |  CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+        |  CAST((SELECT count(*) FROM lineitem WHERE l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier)) AS BIGINT),
+        |  round((SELECT count(*) FROM lineitem WHERE l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier))::DOUBLE /
+        |    (SELECT count(*) FROM lineitem), 6)
+        |UNION ALL SELECT 'orders->customer',
+        |  CAST((SELECT count(*) FROM orders) AS BIGINT),
+        |  CAST((SELECT count(*) FROM orders WHERE o_custkey NOT IN
+        |    (SELECT c_custkey FROM customer)) AS BIGINT),
+        |  round((SELECT count(*) FROM orders WHERE o_custkey NOT IN
+        |    (SELECT c_custkey FROM customer))::DOUBLE /
+        |    (SELECT count(*) FROM orders), 6)
+        |ORDER BY relation""".stripMargin,
     "q_acf" ->
       """WITH d AS (SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day_n,
         |    count(*) AS cnt FROM events GROUP BY 1),

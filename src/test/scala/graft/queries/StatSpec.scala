@@ -152,6 +152,88 @@ class StatSpec extends SparkSpec {
     assert(m(("l_discount", "l_quantity")) === None)           // constant col
   }
 
+  test("AUC: perfectly separating score gives 1.0; anti-separating gives 0.0") {
+    // en docs loaded with stopwords, others with none -> en scores strictly
+    // higher -> AUC = 1. Swapping the labels inverts it to 0.
+    val docsDf = Seq(
+      (1L, "the and of to in is that for", "en", "src0", 10L),
+      (2L, "the and of to", "en", "src0", 10L),
+      (3L, "table scan merge join", "de", "src0", 10L),
+      (4L, "spark window batch", "fr", "src0", 10L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val d = fixture("documents" -> docsDf)
+    val r = StatQueries.queries("t_classifier_auc")(spark, d).collect().head
+    assert(r.getAs[Long]("n1") === 2L)
+    assert(r.getAs[Long]("n0") === 2L)
+    assert(r.getAs[Double]("auc") === 1.0)
+  }
+
+  test("Cohen's kappa: perfect agreement is 1; the integer identity matches a hand case") {
+    // all four languages predicted correctly (texts are pure stopwords)
+    val agree = Seq(
+      (1L, "the and of to in is that for", "en", "src0", 10L),
+      (2L, "der die das und ist nicht mit ein", "de", "src0", 10L),
+      (3L, "le les et est pas pour une", "fr", "src0", 10L),
+      (4L, "el los y es no por una", "es", "src0", 10L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val d = fixture("documents" -> agree)
+    val r = StatQueries.queries("t_cohens_kappa")(spark, d).collect().head
+    assert(r.getAs[Long]("ndiag") === 4L)
+    assert(r.getAs[Double]("kappa") === 1.0)
+  }
+
+  test("blocklist: leetspeak obfuscation canonicalizes onto the same entry") {
+    val docsDf = Seq(
+      (1L, "this pipeline is sp4m really", "en", "srcA", 10L), // 4 -> a
+      (2L, "totally clean document text", "en", "srcA", 10L),
+      (3L, "a slow and 5low query", "en", "srcB", 10L)          // 5 -> s
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val d = fixture("documents" -> docsDf)
+    val rows = StatQueries.queries("t_blocklist")(spark, d).collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("n_flagged"), r.getAs[Long]("total_hits")))).toMap
+    assert(rows("srcA") === ((1L, 1L))) // sp4m counted, clean doc not
+    assert(rows("srcB") === ((1L, 2L))) // slow + 5low both hit
+  }
+
+  test("k-anonymity: a singleton quasi-identifier combo is flagged at risk") {
+    val cust = (
+      Seq.tabulate(6)(i => (i.toLong, s"bulk$i", 1, 500.0, "BUILDING")) :+
+        ((99L, "loner", 2, 9500.0, "MACHINERY"))
+    ).toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val d = fixture("customer" -> cust)
+    val r = StatQueries.queries("q_k_anonymity")(spark, d).collect().head
+    assert(r.getAs[Long]("n_rows") === 7L)
+    assert(r.getAs[Long]("n_groups") === 2L)
+    assert(r.getAs[Long]("n_small_groups") === 1L)
+    assert(r.getAs[Long]("n_rows_at_risk") === 1L)
+  }
+
+  test("FK orphan audit: a planted dangling key is counted in exactly its relation") {
+    val ord = Seq(
+      (1L, 10L, "O", 100.0, ts("2026-01-05 00:00:00"), "1-URGENT"),
+      (2L, 11L, "O", 100.0, ts("2026-01-05 00:00:00"), "1-URGENT"), // orphan cust
+      (3L, 10L, "O", 100.0, ts("2026-01-05 00:00:00"), "1-URGENT")
+    ).toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+    val cust = Seq((10L, "c", 1, 0.0, "BUILDING"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val li = Seq(
+      (1L, 100L, 200L, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", ts("2026-01-05 00:00:00")),
+      (9L, 100L, 200L, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", ts("2026-01-05 00:00:00")) // orphan order
+    ).toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus", "l_shipdate")
+    val part = Seq((100L, "p")).toDF("p_partkey", "p_name")
+    val supp = Seq((200L, "s")).toDF("s_suppkey", "s_name")
+    val d = fixture("orders" -> ord, "customer" -> cust, "lineitem" -> li,
+      "part" -> part, "supplier" -> supp)
+    val rows = StatQueries.queries("q_fk_orphans")(spark, d).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_orphan")).toMap
+    assert(rows === Map(
+      "lineitem->orders" -> 1L, "lineitem->part" -> 0L,
+      "lineitem->supplier" -> 0L, "orders->customer" -> 1L))
+  }
+
   test("contrastive pairs: negative is outside the near-dup cluster and deterministic") {
     val base = "the quick brown fox jumps over the lazy dog again and again " * 3
     val docsDf = Seq(
