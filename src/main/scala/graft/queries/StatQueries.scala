@@ -469,6 +469,141 @@ object StatQueries {
       ).reduce(_ unionAll _).orderBy("relation")
     }),
 
+    // --- Embedding-space health card: mean squared norm, centroid
+    //     norm, and the anisotropy share ‖μ‖²/E‖v‖² — the one-row
+    //     diagnostic read before ANY cosine-based stage (a large
+    //     common-mean component compresses cosine spread; the
+    //     All-but-the-Top entry `a_ann_whitened` is the fix, this is
+    //     the detector). One corpus pass for both row norms (in-row
+    //     dot, 9 dp) and per-dim centroid sums (decimal-accumulated);
+    //     the final algebra runs over the 64-row dim frame. ---
+    "a_embed_diagnostics" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val sq = e.select(expr(
+        """round(aggregate(embedding, cast(0.0 as double),
+          |  (acc, x) -> acc + cast(x as double) * cast(x as double)), 9)""".stripMargin)
+        .as("sq"))
+      val tot = sq.agg(count(lit(1)).as("n"),
+        sum(col("sq").cast("decimal(28,9)")).as("ssq"))
+      val dims = e.select(posexplode(col("embedding")).as(Seq("d", "x")))
+        .groupBy("d")
+        .agg(sum(round(col("x").cast("double"), 12).cast("decimal(30,12)")).as("sx"))
+      val cent = dims.crossJoin(broadcast(tot))
+        .select(round(col("sx").cast("double") / col("n"), 9).as("md"))
+        .agg(sum(round(col("md") * col("md"), 9).cast("decimal(28,9)")).as("csq"))
+      tot.crossJoin(cent).select(
+        col("n").as("n_vecs"),
+        round(col("ssq").cast("double") / col("n"), 6).as("mean_sq_norm"),
+        round(col("csq").cast("double"), 6).as("centroid_sq_norm"),
+        round(col("csq").cast("double") / (col("ssq").cast("double") / col("n")), 6)
+          .as("anisotropy"))
+    }),
+
+    // --- IVF recall-vs-nprobe curve from ONE scored frame: every
+    //     candidate carries the MINIMUM probe rank that reaches it, so
+    //     recall at nprobe ∈ {1,2,4} is three filters over the same
+    //     candidates — not three index probes (the tuning sweep that
+    //     prices probe cost against recall before fixing nprobe for a
+    //     100 TB corpus; nprobe = K degenerates to the exact scan, so
+    //     the curve must end at 1.0). Trained quantizer, broadcast
+    //     probe side, candidate volume bounded by the largest swept
+    //     nprobe. ---
+    "a_ivf_nprobe_curve" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val spark = s
+      import spark.implicits._
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") % 50 === 0)
+      val bf = graft.operators.Similarity
+        .bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+        .select("qid", "nid")
+      val cents = graft.operators.Vectors
+        .kmeansTrain(e, "vec_id", "embedding", k = 4, iters = 2)
+      val assign = e.select(col("vec_id").as("nid"), col("embedding").as("nv"))
+        .withColumn("n_cid",
+          graft.operators.Vectors.nearestCidExpr(spark, col("nv"), cents))
+      val probes = q.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        .select(col("qid"), col("qv"), posexplode(
+          graft.operators.Vectors.nearestCidsExpr(spark, col("qv"), cents, 4))
+          .as(Seq("p0", "cid")))
+        .withColumn("crk", col("p0") + 1)
+      val cand = broadcast(probes)
+        .join(assign, col("cid") === col("n_cid") && col("qid") =!= col("nid"))
+        .select(col("qid"), col("nid"), col("crk"),
+          graft.operators.Vectors.cosineNative(spark, col("qv"), col("nv")).as("cos"))
+        .groupBy("qid", "nid")
+        .agg(min(col("crk")).as("mincrk"), max(col("cos")).as("cos"))
+      val nps = Seq(1, 2, 4).toDF("nprobe")
+      val ivf = cand.crossJoin(broadcast(nps))
+        .filter(col("mincrk") <= col("nprobe"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("nprobe", "qid").orderBy(col("cos").desc, col("nid"))))
+        .filter(col("rk") <= 5)
+        .select("nprobe", "qid", "nid")
+      val ex = bf.agg(count(lit(1)).as("nx"),
+        countDistinct(col("qid")).as("n_queries"))
+      val hits = ivf.join(bf, Seq("qid", "nid"))
+        .groupBy("nprobe").agg(count(lit(1)).as("nh"))
+      nps.join(hits, Seq("nprobe"), "left").crossJoin(broadcast(ex))
+        .select(col("nprobe").cast("long").as("nprobe"), col("n_queries"),
+          round(coalesce(col("nh"), lit(0L)).cast("double") / col("nx"), 6)
+            .as("mean_recall"))
+        .orderBy("nprobe")
+    }),
+
+    // --- Degree assortativity of the near-dup graph: Pearson r over
+    //     stub-endpoint degrees (each edge counted in both
+    //     orientations) — positive means hub docs duplicate hubs
+    //     (boilerplate families), negative means star shapes (one
+    //     template, many one-off copies). With the triangle census
+    //     this is the structural diagnosis read before choosing the
+    //     cluster-collapse policy. Exact integer moment sums over the
+    //     edge list; degrees from one aggregate of the pair frame. ---
+    "g_assortativity" -> ((s, dir) => {
+      val pairs = graft.operators.Dedup
+        .minhashLsh(docs(s, dir), "doc_id", "text")
+        .select(col("d1"), col("d2"))
+      val deg = pairs.select(col("d1").as("v"))
+        .union(pairs.select(col("d2").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+      val stubs = pairs
+        .join(deg.withColumnRenamed("v", "d1").withColumnRenamed("deg", "ka"), "d1")
+        .join(deg.withColumnRenamed("v", "d2").withColumnRenamed("deg", "kb"), "d2")
+        .select(col("ka").as("x"), col("kb").as("y"))
+      val sym = stubs.unionAll(stubs.select(col("y").as("x"), col("x").as("y")))
+      sym.agg(count(lit(1)).as("m2"),
+          sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"))
+        .select((col("m2") / 2).cast("long").as("n_edges"),
+          when(col("m2") * col("sxx") - col("sx") * col("sx") > 0,
+            round((col("m2") * col("sxy") - col("sx") * col("sx")).cast("double") /
+              (col("m2") * col("sxx") - col("sx") * col("sx")).cast("double"), 6))
+            .as("assortativity"))
+    }),
+
+    // --- Per-key quota enforcement (batch formulation of rate
+    //     limiting): keep the first 3 events per (user, hour), report
+    //     kept/dropped per event type — the ingestion-throttle audit
+    //     (a runaway producer shows as a high drop share on one
+    //     type). One window shuffle on (user, hour); fully tie-broken
+    //     order makes the kept set replay-deterministic, which is
+    //     what lets a backfill reproduce the online decision. ---
+    "q_rate_limit" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events").withColumn("hr",
+        expr("unix_micros(ts) div 3600000000")) // integral div — the double
+        // quotient could misround floor() at exact hour boundaries
+      val ranked = ev.withColumn("rk", row_number().over(
+        Window.partitionBy("user_id", "hr").orderBy(col("ts"), col("event_id"))))
+      ranked.groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("rk") <= 3, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("rk") > 3, 1L).otherwise(0L)).as("n_dropped"))
+        .select(col("event_type"), col("n_events"), col("n_kept"), col("n_dropped"),
+          round(col("n_dropped").cast("double") / col("n_events"), 6).as("drop_share"))
+        .orderBy("event_type")
+    }),
+
     // --- Modal value per group with a deterministic tiebreak: the
     //     MODE() aggregate (most common order priority per market
     //     segment) — engines disagree on which mode survives a tie,
@@ -511,7 +646,114 @@ object StatQueries {
          |  len(list_filter($toks, x -> list_contains($stopFr, x)))::BIGINT AS s_fr,
          |  len(list_filter($toks, x -> list_contains($stopEs, x)))::BIGINT AS s_es
          |  FROM documents)""".stripMargin
+    val cosAB = "round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / " +
+      "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * " +
+      "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6)"
+    def cosD(a: String, b: String) =
+      s"round(list_dot_product($a::DOUBLE[], $b::DOUBLE[]) / " +
+        s"(sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) * " +
+        s"sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[]))), 6)"
     Map(
+    "a_embed_diagnostics" ->
+      """WITH e AS (SELECT embedding FROM embeddings),
+        |sq AS (SELECT round(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]), 9) AS sq
+        |       FROM e),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(sq AS DECIMAL(28,9))) AS DOUBLE) AS ssq FROM sq),
+        |dims AS (SELECT d.dim,
+        |    CAST(sum(CAST(round(CAST(embedding[d.dim + 1] AS DOUBLE), 12) AS DECIMAL(30,12))) AS DOUBLE) AS sx
+        |  FROM e, unnest(range(len(embedding))) AS d(dim) GROUP BY d.dim),
+        |cent AS (SELECT CAST(sum(CAST(round(md * md, 9) AS DECIMAL(28,9))) AS DOUBLE) AS csq
+        |  FROM (SELECT round(sx / n, 9) AS md FROM dims CROSS JOIN tot))
+        |SELECT n AS n_vecs, round(ssq / n, 6) AS mean_sq_norm,
+        |  round(csq, 6) AS centroid_sq_norm,
+        |  round(csq / (ssq / n), 6) AS anisotropy
+        |FROM tot CROSS JOIN cent""".stripMargin,
+    "a_ivf_nprobe_curve" -> {
+      s"""WITH bf AS (
+         |  SELECT qid, nid FROM (
+         |    SELECT a.vec_id AS qid, b.vec_id AS nid,
+         |      row_number() OVER (PARTITION BY a.vec_id ORDER BY $cosAB DESC, b.vec_id) AS rk
+         |    FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+         |    WHERE a.vec_id % 50 = 0)
+         |  WHERE rk <= 5),
+         |c0 AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings ORDER BY vec_id LIMIT 4),
+         |a1 AS (SELECT vec_id, cid FROM (
+         |  SELECT e.vec_id, c.cid,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosD("e.embedding", "c.cv")} DESC, c.cid) AS rk
+         |  FROM embeddings e CROSS JOIN c0 c) WHERE rk = 1),
+         |m1 AS (SELECT a1.cid, d.dim,
+         |         CAST(sum(CAST(CAST(e.embedding[d.dim] AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE)
+         |           / count(*) AS mv
+         |       FROM a1 JOIN embeddings e USING (vec_id),
+         |            unnest(range(1, len(e.embedding) + 1)) AS d(dim)
+         |       GROUP BY a1.cid, d.dim),
+         |c1 AS (SELECT c0.cid,
+         |         CASE WHEN count(m1.mv) = 0 THEN any_value(c0.cv)
+         |              ELSE list(CAST(m1.mv AS FLOAT) ORDER BY m1.dim) END AS cv
+         |       FROM c0 LEFT JOIN m1 ON m1.cid = c0.cid
+         |       GROUP BY c0.cid),
+         |assign AS (SELECT nid, cid FROM (
+         |  SELECT nid, cid, row_number() OVER (PARTITION BY nid ORDER BY ccos DESC, cid) AS crk
+         |  FROM (SELECT e.vec_id AS nid, c.cid, ${cosD("e.embedding", "c.cv")} AS ccos
+         |        FROM embeddings e CROSS JOIN c1 c)) WHERE crk = 1),
+         |probes AS (SELECT qid, cid, crk FROM (
+         |  SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY ccos DESC, cid) AS crk
+         |  FROM (SELECT q.vec_id AS qid, c.cid, ${cosD("q.embedding", "c.cv")} AS ccos
+         |        FROM embeddings q CROSS JOIN c1 c WHERE q.vec_id % 50 = 0)) WHERE crk <= 4),
+         |cand AS (SELECT p.qid, a.nid, min(p.crk) AS mincrk,
+         |         min(${cosD("x.embedding", "y.embedding")}) AS cos
+         |       FROM probes p JOIN assign a ON p.cid = a.cid AND a.nid <> p.qid
+         |       JOIN embeddings x ON x.vec_id = p.qid
+         |       JOIN embeddings y ON y.vec_id = a.nid
+         |       GROUP BY p.qid, a.nid),
+         |nps AS (SELECT CAST(unnest([1, 2, 4]) AS BIGINT) AS nprobe),
+         |ivf AS (SELECT nprobe, qid, nid FROM (
+         |  SELECT nprobe, qid, nid,
+         |    row_number() OVER (PARTITION BY nprobe, qid ORDER BY cos DESC, nid) AS rk
+         |  FROM cand JOIN nps ON mincrk <= nprobe) WHERE rk <= 5),
+         |hit AS (SELECT nprobe, CAST(count(*) AS BIGINT) AS nh
+         |        FROM ivf JOIN bf USING (qid, nid) GROUP BY nprobe),
+         |ex AS (SELECT CAST(count(*) AS BIGINT) AS nx,
+         |       CAST(count(DISTINCT qid) AS BIGINT) AS n_queries FROM bf)
+         |SELECT nprobe, n_queries,
+         |  round(coalesce(nh, 0)::DOUBLE / nx, 6) AS mean_recall
+         |FROM nps LEFT JOIN hit USING (nprobe) CROSS JOIN ex ORDER BY nprobe""".stripMargin
+    },
+    "g_assortativity" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest($sh3) AS s
+         |  FROM (SELECT doc_id, $toks AS t FROM documents) WHERE len(t) >= 3),
+         |sig AS (SELECT doc_id, h, min(md5(h::VARCHAR || '|' || s)) AS mh
+         |        FROM sh CROSS JOIN (SELECT unnest(range(16)) AS h) GROUP BY doc_id, h),
+         |band AS (SELECT doc_id, h // 4 AS band, md5(string_agg(mh, ',' ORDER BY h)) AS bh
+         |         FROM sig GROUP BY doc_id, h // 4),
+         |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |         FROM band a JOIN band b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |pairs AS (SELECT d1, d2
+         |  FROM cand JOIN sig x ON x.doc_id = d1 JOIN sig y ON y.doc_id = d2 AND y.h = x.h
+         |  GROUP BY d1, d2 HAVING count(*) FILTER (x.mh = y.mh)::DOUBLE / 16 >= 0.5),
+         |deg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+         |  SELECT d1 AS v FROM pairs UNION ALL SELECT d2 FROM pairs) GROUP BY v),
+         |stubs AS (SELECT ka.deg AS x, kb.deg AS y FROM pairs
+         |  JOIN deg ka ON ka.v = d1 JOIN deg kb ON kb.v = d2),
+         |sym AS (SELECT x, y FROM stubs UNION ALL SELECT y, x FROM stubs),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS m2, CAST(sum(x) AS BIGINT) AS sx,
+         |    CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(x*y) AS BIGINT) AS sxy FROM sym)
+         |SELECT CAST(m2 / 2 AS BIGINT) AS n_edges,
+         |  CASE WHEN m2*sxx - sx*sx > 0 THEN
+         |    round((m2*sxy - sx*sx)::DOUBLE / (m2*sxx - sx*sx)::DOUBLE, 6) END AS assortativity
+         |FROM m""".stripMargin,
+    "q_rate_limit" ->
+      """WITH r AS (SELECT event_type,
+        |    row_number() OVER (PARTITION BY user_id, epoch_us(ts) // 3600000000
+        |      ORDER BY ts, event_id) AS rk
+        |  FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CASE WHEN rk <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN rk > 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  round(sum(CASE WHEN rk > 3 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS drop_share
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
     "t_classifier_auc" ->
       s"""WITH sc AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
          |    CASE WHEN len($toks) > 0 THEN

@@ -234,6 +234,60 @@ class StatSpec extends SparkSpec {
       "lineitem->supplier" -> 0L, "orders->customer" -> 1L))
   }
 
+  test("embed diagnostics: identical vectors give anisotropy exactly 1") {
+    val v = Array.fill(8)(0.5f)
+    val emb = Seq.tabulate(6)(i => (i.toLong, v, 0))
+      .toDF("vec_id", "embedding", "label")
+    val d = fixture("embeddings" -> emb)
+    val r = StatQueries.queries("a_embed_diagnostics")(spark, d).collect().head
+    assert(r.getAs[Long]("n_vecs") === 6L)
+    assert(r.getAs[Double]("mean_sq_norm") === 2.0) // 8 * 0.25
+    assert(r.getAs[Double]("centroid_sq_norm") === 2.0)
+    assert(r.getAs[Double]("anisotropy") === 1.0)
+  }
+
+  test("nprobe curve: recall is monotone in nprobe and exact at nprobe = K") {
+    // 60 vectors in 4 well-separated direction clusters; queries are
+    // vec_id 0 and 50 (the % 50 convention).
+    val rnd = new scala.util.Random(7)
+    val emb = Seq.tabulate(60) { i =>
+      val axis = i % 4
+      val v = Array.tabulate(8)(j =>
+        (if (j == axis * 2) 1.0f else 0.0f) + rnd.nextFloat() * 0.05f)
+      (i.toLong, v, axis)
+    }.toDF("vec_id", "embedding", "label")
+    val d = fixture("embeddings" -> emb)
+    val rows = StatQueries.queries("a_ivf_nprobe_curve")(spark, d).collect()
+      .map(r => r.getAs[Long]("nprobe") -> r.getAs[Double]("mean_recall")).toMap
+    assert(rows.keySet === Set(1L, 2L, 4L))
+    assert(rows(1L) <= rows(2L) && rows(2L) <= rows(4L))
+    assert(rows(4L) === 1.0) // probing every list IS the exact scan
+  }
+
+  test("assortativity: a uniform-degree clique has zero degree variance -> null") {
+    val copy = "identical duplicated content repeated across the whole clique " * 4
+    val docsDf = (Seq.tabulate(4)(i => ((i + 1).toLong, copy, "en", "src0", 50L)) ++ Seq(
+      (10L, "completely unrelated first text about catalyst and tungsten internals", "en", "src0", 50L),
+      (11L, "another unrelated second text about shuffle partitions and skew handling", "en", "src0", 50L)
+    )).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val d = fixture("documents" -> docsDf)
+    val r = StatQueries.queries("g_assortativity")(spark, d).collect().head
+    assert(r.getAs[Long]("n_edges") === 6L) // the 4-clique
+    assert(r.isNullAt(r.fieldIndex("assortativity"))) // all degrees equal
+  }
+
+  test("rate limit: quota of 3 per (user, hour) splits kept/dropped at the boundary") {
+    val ev = (
+      Seq.tabulate(5)(i => ((i + 1).toLong, ts(s"2026-01-05 10:0$i:00"), 1L, "view", 1.0, "{}")) ++
+        Seq.tabulate(2)(i => ((10 + i).toLong, ts(s"2026-01-05 11:0$i:00"), 1L, "view", 1.0, "{}"))
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val d = fixture("events" -> ev)
+    val r = StatQueries.queries("q_rate_limit")(spark, d).collect().head
+    assert(r.getAs[Long]("n_events") === 7L)
+    assert(r.getAs[Long]("n_kept") === 5L)   // 3 in hour one, 2 in hour two
+    assert(r.getAs[Long]("n_dropped") === 2L)
+  }
+
   test("contrastive pairs: negative is outside the near-dup cluster and deterministic") {
     val base = "the quick brown fox jumps over the lazy dog again and again " * 3
     val docsDf = Seq(
