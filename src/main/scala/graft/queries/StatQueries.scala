@@ -604,6 +604,63 @@ object StatQueries {
         .orderBy("event_type")
     }),
 
+    // --- Navigation window-function family over per-user event
+    //     streams: first_value / last_value (explicit full frame —
+    //     the default running frame silently truncates last_value),
+    //     nth_value(2), and defaulted lag/lead in ONE window pass —
+    //     the SQL-surface row that proves frame semantics match the
+    //     oracle engine exactly. Restricted to the user_id % 100
+    //     sample to keep the gate frame bounded; the window shuffles
+    //     once on user. ---
+    "q_window_family" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val full = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val run = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events").filter(col("user_id") % 100 === 0)
+        .select(col("user_id"), col("event_id"),
+          first(col("event_type")).over(full).as("first_et"),
+          last(col("event_type")).over(full).as("last_et"),
+          nth_value(col("event_type"), 2).over(full).as("second_et"),
+          lag(col("value"), 1, -1.0).over(run).as("prev_val"),
+          lead(col("value"), 1, -1.0).over(run).as("next_val"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // --- Per-group OLS trend (slope, intercept, R²) of daily volume
+    //     by event type: the effect-size companion to the
+    //     Mann-Kendall significance screen (MK says WHETHER volume
+    //     drifts; this says HOW FAST and how linear). Every moment is
+    //     an exact int64 over the day-grain frame; slope/intercept/R²
+    //     take identically-shaped double steps at the end. ---
+    "q_grouped_ols" -> ((s, dir) => {
+      val d = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+            .cast("long").as("x"))
+        .agg(count(lit(1)).as("y"))
+      d.groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("y") * col("y")).as("syy"))
+        .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
+        .withColumn("den", col("n") * col("sxx") - col("sx") * col("sx"))
+        .withColumn("deny", col("n") * col("syy") - col("sy") * col("sy"))
+        .select(col("event_type"), col("n"),
+          when(col("den") > 0,
+            round(col("num").cast("double") / col("den").cast("double"), 6)).as("slope"),
+          when(col("den") > 0,
+            round((col("sy").cast("double") -
+              col("num").cast("double") / col("den").cast("double") *
+                col("sx").cast("double")) / col("n"), 6)).as("intercept"),
+          when(col("den") > 0 && col("deny") > 0,
+            round(col("num").cast("double") * col("num").cast("double") /
+              (col("den").cast("double") * col("deny").cast("double")), 6)).as("r2"))
+        .orderBy("event_type")
+    }),
+
     // --- Modal value per group with a deterministic tiebreak: the
     //     MODE() aggregate (most common order priority per market
     //     segment) — engines disagree on which mode survives a tie,
@@ -654,6 +711,37 @@ object StatQueries {
         s"(sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) * " +
         s"sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[]))), 6)"
     Map(
+    "q_window_family" ->
+      """SELECT user_id, event_id,
+        |  first_value(event_type) OVER fw AS first_et,
+        |  last_value(event_type) OVER fw AS last_et,
+        |  nth_value(event_type, 2) OVER fw AS second_et,
+        |  lag(value, 1, -1.0) OVER rw AS prev_val,
+        |  lead(value, 1, -1.0) OVER rw AS next_val
+        |FROM events WHERE user_id % 100 = 0
+        |WINDOW fw AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+        |  rw AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q_grouped_ols" ->
+      """WITH d AS (SELECT event_type,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+        |    count(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(x*y) AS BIGINT) AS sxy,
+        |    CAST(sum(y*y) AS BIGINT) AS syy
+        |  FROM d GROUP BY event_type),
+        |v AS (SELECT *, n*sxy - sx*sy AS num, n*sxx - sx*sx AS den,
+        |    n*syy - sy*sy AS deny FROM m)
+        |SELECT event_type, n,
+        |  CASE WHEN den > 0 THEN round(num::DOUBLE / den::DOUBLE, 6) END AS slope,
+        |  CASE WHEN den > 0 THEN
+        |    round((sy::DOUBLE - num::DOUBLE / den::DOUBLE * sx::DOUBLE) / n, 6) END AS intercept,
+        |  CASE WHEN den > 0 AND deny > 0 THEN
+        |    round(num::DOUBLE * num::DOUBLE / (den::DOUBLE * deny::DOUBLE), 6) END AS r2
+        |FROM v ORDER BY event_type""".stripMargin,
     "a_embed_diagnostics" ->
       """WITH e AS (SELECT embedding FROM embeddings),
         |sq AS (SELECT round(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]), 9) AS sq

@@ -288,6 +288,35 @@ class StatSpec extends SparkSpec {
     assert(r.getAs[Long]("n_dropped") === 2L)
   }
 
+  test("window family: full-frame last/nth vs running lag/lead on a hand case") {
+    val ev = Seq(
+      (1L, ts("2026-01-05 10:00:00"), 100L, "view", 1.0, "{}"),
+      (2L, ts("2026-01-05 10:01:00"), 100L, "click", 2.0, "{}"),
+      (3L, ts("2026-01-05 10:02:00"), 100L, "purchase", 3.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val d = fixture("events" -> ev)
+    val rows = StatQueries.queries("q_window_family")(spark, d).collect()
+      .map(r => r.getAs[Long]("event_id") -> r).toMap
+    assert(rows(1L).getAs[String]("first_et") === "view")
+    assert(rows(1L).getAs[String]("last_et") === "purchase") // full frame, not running
+    assert(rows(1L).getAs[String]("second_et") === "click")
+    assert(rows(1L).getAs[Double]("prev_val") === -1.0)      // lag default
+    assert(rows(2L).getAs[Double]("prev_val") === 1.0)
+    assert(rows(3L).getAs[Double]("next_val") === -1.0)      // lead default
+  }
+
+  test("grouped OLS: an exactly linear series fits slope with R-squared 1") {
+    // 2 + 3/day starting 2026-01-05: slope 3, R2 = 1. Intercept is in
+    // epoch-day coordinates: y = slope*x + b with x = epoch day.
+    val base = java.time.LocalDate.parse("2026-01-05").toEpochDay
+    val d = fixture("events" -> eventsByDay((0 until 8).map(i => (i, 2 + 3 * i))))
+    val r = StatQueries.queries("q_grouped_ols")(spark, d).collect().head
+    assert(r.getAs[Long]("n") === 8L)
+    assert(r.getAs[Double]("slope") === 3.0)
+    assert(r.getAs[Double]("r2") === 1.0)
+    assert(r.getAs[Double]("intercept") === 2.0 - 3.0 * base)
+  }
+
   test("contrastive pairs: negative is outside the near-dup cluster and deterministic") {
     val base = "the quick brown fox jumps over the lazy dog again and again " * 3
     val docsDf = Seq(
