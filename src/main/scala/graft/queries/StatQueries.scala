@@ -149,7 +149,11 @@ object StatQueries {
     //     histograms lie under skew; equi-depth boundaries are the
     //     selectivity-estimation primitive). ntile over a FULLY
     //     tie-broken order (value, key) is deterministic in both
-    //     engines; one shuffle on the window order. ---
+    //     engines; one shuffle on the window order. Scale note: the
+    //     global ntile is a total order (single-partition window); at
+    //     100 TB the boundaries come from exact-percentile cuts (one
+    //     aggregate, broadcast back as a CASE — the t_quality_threshold
+    //     shape) or the hash-rank sample sketch (t_quantile_sample). ---
     "q_equidepth_hist" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       t(s, dir, "orders")
@@ -210,7 +214,10 @@ object StatQueries {
     //     sum of ln(nᵢ−dᵢ) − ln(nᵢ) — every ln takes an INTEGER, so
     //     both engines agree at 9 dp. At-risk nᵢ = one reverse
     //     cumulative sum over the minute-grain frame; the only
-    //     corpus-sized work is the lead() pass over events. ---
+    //     corpus-sized work is the lead() pass over events. Scale
+    //     note: both global windows run over the MINUTE-GRAIN frame
+    //     (rows ≤ the largest observed gap in minutes — time-grain
+    //     bounded at any corpus size), not over events. ---
     "q_survival_km" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val ev = t(s, dir, "events")
@@ -341,7 +348,9 @@ object StatQueries {
     //     precision/recall sweep (t_classifier_pr). Ranks come from
     //     the per-distinct-score frame (cumulative counts + (c+1)/2
     //     averages, decimal-accumulated) — one score pass over docs,
-    //     algebra over the distinct-score frame. ---
+    //     algebra over the distinct-score frame (the q_ranksum shape:
+    //     the global window never sees raw rows, only distinct score
+    //     values, bounded by the score's value grain). ---
     "t_classifier_auc" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val stopEn = array(Seq("the", "and", "of", "to", "in", "is", "that", "for").map(lit): _*)
