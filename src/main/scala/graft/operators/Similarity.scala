@@ -328,6 +328,36 @@ object Similarity {
       }: _*)
     }: _*)
 
+  /** PQ distortion: mean squared reconstruction error of the trained
+    * codebooks over the corpus — the quantization-quality number read
+    * BESIDE the recall evals (recall says whether ranking survives;
+    * MSE says how much signal the 32–64× compression destroys, and is
+    * the metric faiss tunes m/ks against). Per-subspace SSE is a fixed
+    * left-to-right in-row fold rounded at 9 dp, subspace sums and the
+    * corpus mean accumulate in DECIMAL — partitioning-invariant and
+    * engine-portable. One corpus pass, codebooks as plan literals. */
+  def pqDistortion(corpus0: DataFrame, idCol: String, vecCol: String,
+                   cbs: Seq[Seq[(Long, Array[Float])]], dims: Int): DataFrame = {
+    val m = cbs.length
+    val sub = dims / m
+    graft.plans.GraftFunctions.register(corpus0.sparkSession)
+    val rec = pqRecon(col(vecCol), cbs, sub)
+    val sses = (0 until m).map { s =>
+      val sv = slice(col(vecCol), lit(s * sub + 1), lit(sub))
+      val rv = slice(rec, lit(s * sub + 1), lit(sub))
+      round(aggregate(
+        zip_with(sv, rv, (a, b) => {
+          val d = a.cast("double") - b.cast("double"); d * d
+        }),
+        lit(0.0), (acc, x) => acc + x), 9).cast("decimal(28,9)").as(s"sse_$s")
+    }
+    widen(corpus0).select(sses: _*)
+      .select(sses.indices.map(i => col(s"sse_$i")).reduce(_ + _).as("sse"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("sse")).as("tot"))
+      .select(col("n_vecs"),
+        round(col("tot").cast("double") / col("n_vecs"), 6).as("mse"))
+  }
+
   /** IVF-PQ ANN: the [[ivfTopK]] inverted-list probe with candidates
     * scored ASYMMETRICALLY — exact query vector against the candidate's
     * PQ reconstruction (cosine decomposes over subspaces, so this equals

@@ -241,6 +241,17 @@ object PipelineQueries {
         .orderBy("vec_id")
     }),
 
+    // --- PQ distortion: mean squared reconstruction error of the
+    //     trained codebooks — the compression-quality metric beside
+    //     the recall evals (what the 32-64x compression costs in
+    //     signal, the number faiss tunes m/ks against) ---
+    "a_pq_distortion" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cbs = Similarity.pqTrain(e, "vec_id", "embedding",
+        dims = 64, m = 4, ks = 4, iters = 2)
+      Similarity.pqDistortion(e, "vec_id", "embedding", cbs, dims = 64)
+    }),
+
     // --- SQ8 scalar-quantizer code store: per-dimension min/max train,
     //     one uint8 per dimension — the 4x compression tier above PQ ---
     "a_sq_codes" -> ((s, dir) => {
@@ -2923,6 +2934,25 @@ object PipelineQueries {
       "t_bpe_encode" -> bpeEncodeSql,
 
       "a_pq_codes" -> pqCodesSql,
+
+      "a_pq_distortion" -> {
+        def sseTerm(s: Int): String = {
+          val off = s * 16
+          s"""CAST(round(list_sum(list_transform(range(1, 17), i ->
+             |  (CAST(e.embedding[$off + i] AS DOUBLE) - CAST(r$s.cv[i] AS DOUBLE)) *
+             |  (CAST(e.embedding[$off + i] AS DOUBLE) - CAST(r$s.cv[i] AS DOUBLE)))), 9)
+             |  AS DECIMAL(28,9))""".stripMargin
+        }
+        "WITH " + (0 until 4).map(pqCbCte(_)).mkString(",\n") +
+          s""",
+             |sse AS (SELECT e.vec_id,
+             |    ${(0 until 4).map(sseTerm).mkString(" +\n")} AS sse
+             |  FROM embeddings e JOIN r0 USING (vec_id) JOIN r1 USING (vec_id)
+             |  JOIN r2 USING (vec_id) JOIN r3 USING (vec_id))
+             |SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+             |  round(CAST(sum(sse) AS DOUBLE) / count(*), 6) AS mse
+             |FROM sse""".stripMargin
+      },
 
       // per-dimension min/max over DOUBLE-cast floats is exact, so the
       // code/recon arithmetic ((x-mn)*255/(mx-mn) floored; midpoint

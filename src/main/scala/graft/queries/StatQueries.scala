@@ -670,6 +670,52 @@ object StatQueries {
         .orderBy("event_type")
     }),
 
+    // --- Quota accounting per (user, hour) — the batch face of the
+    //     streaming mapGroupsWithState counter (EventStream.quotaCounts,
+    //     MemoryStream parity spec-asserted): totals vs the first-3
+    //     budget as a pure function of the COUNT, which is exactly the
+    //     property that makes the streaming twin order-insensitive and
+    //     replay-deterministic. One map-side-combined aggregate. ---
+    "st_quota_counts" -> ((s, dir) =>
+      graft.streaming.EventStream
+        .quotaCountsBatch(t(s, dir, "events"), n = 3)
+        .orderBy("user_id", "hr")),
+
+    // --- Bloom filter FPR calibration: build on the even-id corpus
+    //     half, probe the odd half, and MEASURE the false-positive
+    //     rate against exact membership (md5 anti-join ground truth) —
+    //     the eval that decides m/k before a Bloom pre-filter fronts a
+    //     100 TB ingest join (d_bloom_ingest is the deployment; this
+    //     prices it). Also reports the exact bit load Σpopcount/m —
+    //     the saturation number the theoretical FPR curve keys on.
+    //     True members must ALL be flagged (no false negatives — the
+    //     Bloom contract, spec-asserted). ---
+    "t_bloom_fpr" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val m = 1 << 16
+      val build = d.filter(col("doc_id") % 2 === 0)
+      val words = graft.operators.Sketches.bloomCollect(
+        graft.operators.Sketches.bloomBuild(build, "text", m, numHashes = 5), m)
+      val bitsSet = words.map(java.lang.Long.bitCount).sum.toLong
+      val probes = graft.operators.Sketches.bloomProbe(
+          d.filter(col("doc_id") % 2 =!= 0), "text", words, m, numHashes = 5)
+        .join(build.select(md5(col("text")).as("bh")).distinct()
+            .select(col("bh"), lit(1L).as("is_member")),
+          md5(col("text")) === col("bh"), "left")
+      probes.agg(
+          count(lit(1)).as("n_probes"),
+          sum(coalesce(col("is_member"), lit(0L))).as("n_true_members"),
+          sum(when(col("maybe_present"), 1L).otherwise(0L)).as("n_flagged"),
+          sum(when(col("maybe_present") && col("is_member").isNull, 1L)
+            .otherwise(0L)).as("n_false_pos"))
+        .select(col("n_probes"), col("n_true_members"), col("n_flagged"),
+          col("n_false_pos"),
+          round(col("n_false_pos").cast("double") /
+            (col("n_probes") - col("n_true_members")), 6).as("measured_fpr"),
+          lit(bitsSet).as("bits_set"),
+          round(lit(bitsSet).cast("double") / m, 6).as("bit_load"))
+    }),
+
     // --- Modal value per group with a deterministic tiebreak: the
     //     MODE() aggregate (most common order priority per market
     //     segment) — engines disagree on which mode survives a tie,
@@ -720,6 +766,45 @@ object StatQueries {
         s"(sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) * " +
         s"sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[]))), 6)"
     Map(
+    "st_quota_counts" ->
+      """SELECT user_id, epoch_us(ts) // 3600000000 AS hr,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(least(count(*), 3) AS BIGINT) AS n_kept,
+        |  CAST(greatest(count(*) - 3, 0) AS BIGINT) AS n_dropped
+        |FROM events GROUP BY 1, 2 ORDER BY user_id, hr""".stripMargin,
+    "t_bloom_fpr" ->
+      """WITH ck AS (SELECT md5(text) AS h FROM documents WHERE doc_id % 2 = 0),
+        |chh AS (SELECT ('0x' || substring(h, 1, 15))::BIGINT % 65536 AS h1,
+        |               ('0x' || substring(h, 16, 15))::BIGINT % 65536 AS h2r FROM ck),
+        |bloom AS (SELECT pos // 32 AS word_idx,
+        |            bit_or(CAST(2 ** (pos % 32) AS BIGINT)) AS bits
+        |          FROM (SELECT (h1 + i * (h2r + 1 - (h2r % 2))) % 65536 AS pos
+        |                FROM chh, range(0, 5) t(i))
+        |          GROUP BY word_idx),
+        |load AS (SELECT CAST(sum(bit_count(bits)) AS BIGINT) AS bits_set FROM bloom),
+        |bhh AS (SELECT doc_id, h,
+        |          ('0x' || substring(h, 1, 15))::BIGINT % 65536 AS h1,
+        |          ('0x' || substring(h, 16, 15))::BIGINT % 65536 AS h2r
+        |        FROM (SELECT doc_id, md5(text) AS h FROM documents
+        |              WHERE doc_id % 2 <> 0)),
+        |bp AS (SELECT doc_id, h, (h1 + i * (h2r + 1 - (h2r % 2))) % 65536 AS pos
+        |       FROM bhh, range(0, 5) t(i)),
+        |probe AS (SELECT doc_id, any_value(h) AS h,
+        |            bool_and((coalesce(b.bits, 0) & CAST(2 ** (bp.pos % 32) AS BIGINT)) <> 0) AS hit
+        |          FROM bp LEFT JOIN bloom b ON b.word_idx = bp.pos // 32
+        |          GROUP BY doc_id),
+        |mem AS (SELECT DISTINCT h, 1 AS is_member FROM ck),
+        |j AS (SELECT p.doc_id, p.hit, m.is_member FROM probe p
+        |      LEFT JOIN mem m ON m.h = p.h),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_probes,
+        |    CAST(sum(coalesce(is_member, 0)) AS BIGINT) AS n_true_members,
+        |    CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+        |    CAST(sum(CASE WHEN hit AND is_member IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+        |  FROM j)
+        |SELECT n_probes, n_true_members, n_flagged, n_false_pos,
+        |  round(n_false_pos::DOUBLE / (n_probes - n_true_members), 6) AS measured_fpr,
+        |  bits_set, round(bits_set::DOUBLE / 65536, 6) AS bit_load
+        |FROM agg CROSS JOIN load""".stripMargin,
     "q_window_family" ->
       """SELECT user_id, event_id,
         |  first_value(event_type) OVER fw AS first_et,

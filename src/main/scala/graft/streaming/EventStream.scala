@@ -181,6 +181,44 @@ object EventStream {
       }
   }
 
+  /** Batch quota ACCOUNTING per (user, hour): totals vs the first-`n`
+    * keep budget — the aggregate face of the per-event decision in
+    * `q_rate_limit` (kept = min(total, n) is a pure function of the
+    * count, which is what makes the streaming twin below
+    * replay-deterministic). One map-side-combined aggregate. */
+  def quotaCountsBatch(events: DataFrame, n: Int = 3): DataFrame =
+    events
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 3600000000").as("hr"))
+      .groupBy("user_id", "hr")
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("hr"), col("n_events"),
+        least(col("n_events"), lit(n.toLong)).as("n_kept"),
+        greatest(col("n_events") - n, lit(0L)).as("n_dropped"))
+
+  /** Streaming quota accounting via `mapGroupsWithState`: state per
+    * (user, hour) is ONE counter; every micro-batch emits the updated
+    * (total, kept, dropped) row for Update-mode sinks. The emitted row
+    * is a pure function of the running COUNT — order-insensitive, so
+    * replays and micro-batch boundaries cannot change the converged
+    * outcome (same design as [[latestPerKey]]'s total-order winner;
+    * parity with [[quotaCountsBatch]] is spec-asserted). Note the
+    * per-EVENT keep decision is deliberately NOT streamed: "first n by
+    * event time" is order-sensitive under late data, so the streaming
+    * tier carries the accounting and the batch tier replays the exact
+    * per-event decision. */
+  def quotaCounts(events: Dataset[KeyedEvent], n: Int = 3): Dataset[QuotaRow] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(e => (e.user_id, micros(e.ts) / 3600000000L))
+      .mapGroupsWithState[Long, QuotaRow](GroupStateTimeout.NoTimeout()) {
+        case ((user, hr), rows, state) =>
+          val total = state.getOption.getOrElse(0L) + rows.size
+          state.update(total)
+          QuotaRow(user, hr, total, math.min(total, n.toLong),
+            math.max(total - n, 0L))
+      }
+  }
+
   /** Streaming exact dedup by id within the watermark horizon
     * (`dropDuplicatesWithinWatermark`): state stores only ids younger
     * than the watermark, so a forever-running ingest keeps bounded state
@@ -272,6 +310,8 @@ object EventStream {
   final case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class KeyedEvent(user_id: Long, event_type: String, event_id: Long,
                               ts: java.sql.Timestamp, value: Double)
+  final case class QuotaRow(user_id: Long, hr: Long, n_events: Long,
+                            n_kept: Long, n_dropped: Long)
   final case class Session(user_id: Long, n_events: Long, total: Double, open: Boolean)
   final case class SessionAcc(n_events: Long, total: Double,
                               start_ts: java.sql.Timestamp,

@@ -317,6 +317,51 @@ class StatSpec extends SparkSpec {
     assert(r.getAs[Double]("intercept") === 2.0 - 3.0 * base)
   }
 
+  test("PQ distortion: a corpus living exactly on its codebook has zero MSE") {
+    import graft.operators.Similarity
+    // 4 distinct direction patterns replicated 10x: k-means (ks = 4 per
+    // subspace, seeded by the 4 lowest ids = one of each pattern)
+    // converges to exactly those patterns -> reconstruction is lossless.
+    val patterns = Array.tabulate(4)(p => Array.tabulate(64)(j =>
+      if (j % 4 == p) 1.0f else 0.0f))
+    val emb = Seq.tabulate(40)(i => (i.toLong, patterns(i % 4), i % 4))
+      .toDF("vec_id", "embedding", "label")
+    val cbs = Similarity.pqTrain(emb, "vec_id", "embedding",
+      dims = 64, m = 4, ks = 4, iters = 2)
+    val r = Similarity.pqDistortion(emb, "vec_id", "embedding", cbs, dims = 64)
+      .collect().head
+    assert(r.getAs[Long]("n_vecs") === 40L)
+    assert(r.getAs[Double]("mse") === 0.0)
+    // and a perturbed corpus must pay a strictly positive distortion
+    val noisy = Seq.tabulate(40) { i =>
+      val v = patterns(i % 4).clone(); v(i % 64) += 0.5f; (i.toLong, v, i % 4)
+    }.toDF("vec_id", "embedding", "label")
+    val cbs2 = Similarity.pqTrain(noisy, "vec_id", "embedding",
+      dims = 64, m = 4, ks = 4, iters = 2)
+    val mse2 = Similarity.pqDistortion(noisy, "vec_id", "embedding", cbs2, dims = 64)
+      .collect().head.getAs[Double]("mse")
+    assert(mse2 > 0.0)
+  }
+
+  test("bloom FPR: a saturated filter false-positives but never false-negatives") {
+    import graft.operators.Sketches
+    import spark.implicits._
+    // 200 keys into a 64-bit filter: load ~1 -> almost every probe flags.
+    val m = 64
+    val build = (0 until 200).map(i => s"member_$i").toDF("text")
+    val words = Sketches.bloomCollect(
+      Sketches.bloomBuild(build, "text", m, numHashes = 3), m)
+    // members: all flagged (the Bloom contract)
+    val memberHits = Sketches.bloomProbe(build, "text", words, m, numHashes = 3)
+      .filter(!col("maybe_present")).count()
+    assert(memberHits === 0L)
+    // disjoint probes: the saturated filter must show false positives
+    val probes = (0 until 100).map(i => s"outsider_$i").toDF("text")
+    val fp = Sketches.bloomProbe(probes, "text", words, m, numHashes = 3)
+      .filter(col("maybe_present")).count()
+    assert(fp > 0L)
+  }
+
   test("contrastive pairs: negative is outside the near-dup cluster and deterministic") {
     val base = "the quick brown fox jumps over the lazy dog again and again " * 3
     val docsDf = Seq(

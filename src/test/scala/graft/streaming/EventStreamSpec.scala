@@ -450,4 +450,45 @@ class EventStreamSpec extends SparkSpec {
       assert(current.toSeq === batch.toSeq)
     } finally q.stop()
   }
+
+  test("quotaCounts: streaming quota accounting converges to the batch aggregate") {
+    import spark.implicits._
+    import EventStream.{KeyedEvent, QuotaRow}
+    // user 1: 5 events in hour H (2 over budget), 1 in hour H+1; user 2: 1.
+    val rows = Seq(
+      KeyedEvent(1L, "view", 1L, ts("2026-01-01T10:00:00Z"), 1.0),
+      KeyedEvent(1L, "view", 2L, ts("2026-01-01T10:10:00Z"), 1.0),
+      KeyedEvent(1L, "view", 3L, ts("2026-01-01T10:20:00Z"), 1.0),
+      KeyedEvent(1L, "view", 4L, ts("2026-01-01T10:30:00Z"), 1.0),
+      KeyedEvent(1L, "view", 5L, ts("2026-01-01T10:40:00Z"), 1.0),
+      KeyedEvent(1L, "view", 6L, ts("2026-01-01T11:05:00Z"), 1.0),
+      KeyedEvent(2L, "view", 7L, ts("2026-01-01T10:15:00Z"), 1.0))
+    val batch = EventStream.quotaCountsBatch(
+        rows.toDF("user_id", "event_type", "event_id", "ts", "value"), n = 3)
+      .orderBy("user_id", "hr").as[QuotaRow].collect()
+    assert(batch.map(r => (r.user_id, r.n_events, r.n_kept, r.n_dropped)).toSeq ===
+      Seq((1L, 5L, 3L, 2L), (1L, 1L, 1L, 0L), (2L, 1L, 1L, 0L)))
+
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[KeyedEvent]
+    val q = EventStream.quotaCounts(mem.toDS(), n = 3)
+      .writeStream.format("memory").queryName("quotacounts")
+      .outputMode("update").start()
+    try {
+      mem.addData(rows.take(2): _*) // split MID-hour: the counter must carry
+      q.processAllAvailable()
+      mem.addData(rows.drop(2): _*)
+      q.processAllAvailable()
+      val current = spark.table("quotacounts")
+        .withColumn("emit_seq", monotonically_increasing_id())
+        .groupBy("user_id", "hr")
+        .agg(max(struct(col("emit_seq"), col("n_events"), col("n_kept"),
+          col("n_dropped"))).as("w"))
+        .select(col("user_id"), col("hr"), col("w.n_events"),
+          col("w.n_kept"), col("w.n_dropped"))
+        .orderBy("user_id", "hr")
+        .as[QuotaRow].collect()
+      assert(current.toSeq === batch.toSeq)
+    } finally q.stop()
+  }
 }
