@@ -716,6 +716,59 @@ object StatQueries {
           round(lit(bitsSet).cast("double") / m, 6).as("bit_load"))
     }),
 
+    // --- Pseudo-relevance-feedback query expansion (RM3-lite): seed
+    //     BM25 pass → top-10 feedback docs → top-3 expansion terms by
+    //     feedback frequency (seeds excluded, count-desc/term-asc
+    //     tiebreak) → re-rank with the expanded term set. The
+    //     recall-raising retrieval stage between lexical search and
+    //     the dense tier. Expansion terms are a 3-row MODEL collect
+    //     (the centroid/codebook budget class); the rerank sums
+    //     per-term contributions ROUNDED AT 9 DP INTO DECIMAL, so the
+    //     cross-term addition is order-free — which is what lets the
+    //     oracle compute the same score via a generic term JOIN while
+    //     Spark unrolls plan-time columns. ---
+    "a_prf_expansion" -> ((s, dir) => {
+      import graft.functions.TextFunctions.tokens
+      val seed = Seq("spark", "join")
+      val d = docs(s, dir)
+      val fb = graft.operators.Similarity
+        .bm25TopK(d, "doc_id", "text", seed, k = 10).select("doc_id")
+      val expansion = d.join(fb, "doc_id")
+        .select(explode(tokens(col("text"))).as("term"))
+        .filter(!col("term").isin(seed: _*))
+        .groupBy("term").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("term").asc).limit(3)
+        .collect().map(_.getString(0)).toSeq
+      val all = seed ++ expansion
+      val base = d.select(col("doc_id"), tokens(col("text")).as("t"))
+        .select(col("doc_id") +: size(col("t")).cast("long").as("dl") +:
+          all.indices.map(i => size(filter(col("t"), x => x === all(i)))
+            .cast("long").as(s"tf_$i")): _*)
+      val statCols = count(lit(1)).as("n_docs") +:
+        (sum(col("dl").cast("decimal(30,6)")).cast("double") / count(lit(1)))
+          .as("avgdl") +:
+        all.indices.map(i =>
+          sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
+      val stats = base.agg(statCols.head, statCols.tail: _*)
+      val contribs = all.indices.map { i =>
+        val tf = col(s"tf_$i").cast("double")
+        val idf = log((col("n_docs").cast("double") - col(s"df_$i") + 0.5) /
+          (col(s"df_$i") + 0.5) + 1.0)
+        round(idf * (tf * 2.2) /
+          (tf + lit(1.2) * (lit(0.25) +
+            when(col("avgdl") > 0, lit(0.75) * col("dl").cast("double") / col("avgdl"))
+              .otherwise(lit(0.0)))), 9).cast("decimal(28,9)")
+      }
+      import org.apache.spark.sql.expressions.Window
+      base.join(broadcast(stats))
+        .select(col("doc_id"), col("dl"),
+          round(contribs.reduce(_ + _).cast("double"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc).limit(20)
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+        .orderBy("rk")
+    }),
+
     // --- Modal value per group with a deterministic tiebreak: the
     //     MODE() aggregate (most common order priority per market
     //     segment) — engines disagree on which mode survives a tie,
@@ -766,6 +819,44 @@ object StatQueries {
         s"(sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) * " +
         s"sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[]))), 6)"
     Map(
+    "a_prf_expansion" ->
+      s"""WITH base AS (SELECT doc_id, $toks AS t FROM documents),
+         |f AS (SELECT doc_id, len(t)::BIGINT AS dl,
+         |        len(list_filter(t, x -> x = 'spark'))::BIGINT AS tf_0,
+         |        len(list_filter(t, x -> x = 'join'))::BIGINT AS tf_1
+         |      FROM base),
+         |s AS (SELECT count(*) AS n_docs,
+         |        CAST(sum(CAST(dl AS DECIMAL(30,6))) AS DOUBLE) / count(*) AS avgdl,
+         |        sum(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS df_0,
+         |        sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS df_1
+         |      FROM f),
+         |seedscore AS (SELECT doc_id, round(
+         |    ln((n_docs::DOUBLE - df_0 + 0.5) / (df_0 + 0.5) + 1.0) * (tf_0::DOUBLE * (1.2 + 1.0)) / (tf_0::DOUBLE + 1.2 * (1.0 - 0.75 + 0.75 * dl::DOUBLE / avgdl))
+         |  + ln((n_docs::DOUBLE - df_1 + 0.5) / (df_1 + 0.5) + 1.0) * (tf_1::DOUBLE * (1.2 + 1.0)) / (tf_1::DOUBLE + 1.2 * (1.0 - 0.75 + 0.75 * dl::DOUBLE / avgdl)), 6) AS score
+         |  FROM f CROSS JOIN s),
+         |fb AS (SELECT doc_id FROM seedscore ORDER BY score DESC, doc_id LIMIT 10),
+         |ft AS (SELECT term, count(*) AS c
+         |  FROM (SELECT unnest(t) AS term FROM base JOIN fb USING (doc_id))
+         |  WHERE term NOT IN ('spark', 'join')
+         |  GROUP BY term ORDER BY c DESC, term LIMIT 3),
+         |terms AS (SELECT 'spark' AS term UNION ALL SELECT 'join'
+         |  UNION ALL SELECT term FROM ft),
+         |tf2 AS (SELECT b.doc_id, len(b.t)::BIGINT AS dl, tm.term,
+         |    len(list_filter(b.t, x -> x = tm.term))::BIGINT AS tf
+         |  FROM base b CROSS JOIN terms tm),
+         |df2 AS (SELECT term, CAST(sum(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df
+         |  FROM tf2 GROUP BY term),
+         |sc2 AS (SELECT doc_id, dl, round(CAST(sum(
+         |    CAST(round(ln((n_docs::DOUBLE - df + 0.5) / (df + 0.5) + 1.0)
+         |      * (tf::DOUBLE * 2.2) /
+         |      (tf::DOUBLE + 1.2 * (0.25 + CASE WHEN avgdl > 0
+         |        THEN 0.75 * dl::DOUBLE / avgdl ELSE 0.0 END)), 9) AS DECIMAL(28,9))
+         |  ) AS DOUBLE), 6) AS score
+         |  FROM tf2 JOIN df2 USING (term) CROSS JOIN s
+         |  GROUP BY doc_id, dl)
+         |SELECT doc_id, dl, score,
+         |  row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS rk
+         |FROM sc2 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     "st_quota_counts" ->
       """SELECT user_id, epoch_us(ts) // 3600000000 AS hr,
         |  CAST(count(*) AS BIGINT) AS n_events,

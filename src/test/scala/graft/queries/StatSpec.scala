@@ -362,6 +362,20 @@ class StatSpec extends SparkSpec {
     assert(fp > 0L)
   }
 
+  test("PRF expansion: a feedback term recalls a doc the seed query scores zero") {
+    // Feedback docs pair the seeds with "zzz"; doc 99 contains ONLY zzz,
+    // so the seed pass scores it 0 — after expansion it must rank.
+    val docsDf = (Seq.tabulate(10)(i =>
+      ((i + 1).toLong, "spark join zzz zzz pipeline stage number " + i, "en", "src0", 40L)) :+
+      ((99L, "zzz zzz zzz and nothing else here", "en", "src0", 30L))
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val d = fixture("documents" -> docsDf)
+    val rows = StatQueries.queries("a_prf_expansion")(spark, d).collect()
+    val doc99 = rows.find(_.getAs[Long]("doc_id") == 99L)
+    assert(doc99.isDefined, "expansion must surface the zzz-only doc")
+    assert(doc99.get.getAs[Double]("score") > 0.0)
+  }
+
   test("contrastive pairs: negative is outside the near-dup cluster and deterministic") {
     val base = "the quick brown fox jumps over the lazy dog again and again " * 3
     val docsDf = Seq(
