@@ -769,6 +769,58 @@ object StatQueries {
         .orderBy("rk")
     }),
 
+    // --- Moving-average type-token ratio (MATTR, Covington & McFall
+    //     2010): lexical diversity that — unlike raw TTR — does not
+    //     collapse with document length (TTR of a long doc is low
+    //     even for rich text, so cross-length comparisons lie).
+    //     Mean over all 20-token windows of distinct/20, as an IN-ROW
+    //     fold (window starts → array_distinct of each slice) — zero
+    //     shuffles beyond the per-language mean; short docs fall back
+    //     to plain TTR. Integer numerators, one division per doc
+    //     rounded 6 dp, per-language decimal mean. ---
+    "t_mattr" -> ((s, dir) => {
+      import graft.functions.TextFunctions.tokens
+      val w = 20
+      val d = docs(s, dir).select(col("doc_id"), col("lang"),
+        tokens(col("text")).as("t"))
+      val scored = d.select(col("doc_id"), col("lang"),
+        when(size(col("t")) === 0, lit(null).cast("double"))
+          .when(size(col("t")) <= w,
+            round(size(array_distinct(col("t"))).cast("double") / size(col("t")), 6))
+          .otherwise(round(
+            expr(s"""aggregate(sequence(1, size(t) - $w + 1), 0L,
+                    |  (acc, i) -> acc + size(array_distinct(slice(t, i, $w))))""".stripMargin)
+              .cast("double") / ((size(col("t")) - w + 1) * w), 6)).as("mattr"))
+      scored.groupBy("lang")
+        .agg(count(col("mattr")).as("n_docs"),
+          sum(col("mattr").cast("decimal(18,6)")).as("msum"))
+        .select(col("lang"), col("n_docs"),
+          round(col("msum").cast("double") / col("n_docs"), 6).as("mean_mattr"))
+        .orderBy("lang")
+    }),
+
+    // --- New vs returning users per day: the growth dashboard's
+    //     first split (is today's traffic acquisition or retention?).
+    //     First-seen day from ONE min-aggregate over events; each
+    //     day's actives split by comparing against it — no per-day
+    //     distinct rescans (the O(n) discipline of
+    //     q_running_distinct). ---
+    "q_new_vs_returning" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long").as("day_n"))
+      val active = ev.distinct()
+      val firstSeen = active.groupBy("user_id").agg(min(col("day_n")).as("d0"))
+      active.join(firstSeen, "user_id")
+        .groupBy("day_n")
+        .agg(count(lit(1)).as("n_active"),
+          sum(when(col("day_n") === col("d0"), 1L).otherwise(0L)).as("n_new"))
+        .select(col("day_n"), col("n_active"), col("n_new"),
+          (col("n_active") - col("n_new")).as("n_returning"),
+          round(col("n_new").cast("double") / col("n_active"), 6).as("new_share"))
+        .orderBy("day_n")
+    }),
+
     // --- Modal value per group with a deterministic tiebreak: the
     //     MODE() aggregate (most common order priority per market
     //     segment) — engines disagree on which mode survives a tie,
@@ -819,6 +871,28 @@ object StatQueries {
         s"(sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) * " +
         s"sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[]))), 6)"
     Map(
+    "t_mattr" ->
+      s"""WITH d AS (SELECT doc_id, lang, $toks AS t FROM documents),
+         |sc AS (SELECT doc_id, lang, CASE
+         |    WHEN len(t) = 0 THEN NULL
+         |    WHEN len(t) <= 20 THEN round(len(list_distinct(t))::DOUBLE / len(t), 6)
+         |    ELSE round(list_sum(list_transform(range(1, len(t) - 20 + 2),
+         |        i -> len(list_distinct(t[i:i+19]))))::DOUBLE
+         |      / ((len(t) - 20 + 1) * 20), 6) END AS mattr
+         |  FROM d)
+         |SELECT lang, CAST(count(mattr) AS BIGINT) AS n_docs,
+         |  round(CAST(sum(CAST(mattr AS DECIMAL(18,6))) AS DOUBLE) / count(mattr), 6) AS mean_mattr
+         |FROM sc GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_new_vs_returning" ->
+      """WITH ev AS (SELECT DISTINCT user_id,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day_n FROM events),
+        |fs AS (SELECT user_id, min(day_n) AS d0 FROM ev GROUP BY user_id)
+        |SELECT day_n, CAST(count(*) AS BIGINT) AS n_active,
+        |  CAST(sum(CASE WHEN day_n = d0 THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |  CAST(count(*) - sum(CASE WHEN day_n = d0 THEN 1 ELSE 0 END) AS BIGINT) AS n_returning,
+        |  round(sum(CASE WHEN day_n = d0 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS new_share
+        |FROM ev JOIN fs USING (user_id)
+        |GROUP BY day_n ORDER BY day_n""".stripMargin,
     "a_prf_expansion" ->
       s"""WITH base AS (SELECT doc_id, $toks AS t FROM documents),
          |f AS (SELECT doc_id, len(t)::BIGINT AS dl,

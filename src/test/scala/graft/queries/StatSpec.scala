@@ -376,6 +376,35 @@ class StatSpec extends SparkSpec {
     assert(doc99.get.getAs[Double]("score") > 0.0)
   }
 
+  test("MATTR: all-distinct text scores 1; a one-word loop scores 1/20 per window") {
+    val distinct44 = (1 to 44).map(i => s"w$i").mkString(" ")
+    val docsDf = Seq(
+      (1L, distinct44, "en", "src0", 100L),      // every window 20 distinct -> 1.0
+      (2L, "echo " * 40, "de", "src0", 100L),    // every window 1 distinct -> 0.05
+      (3L, "short text", "fr", "src0", 10L)      // <= 20 tokens: plain TTR = 1.0
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val d = fixture("documents" -> docsDf)
+    val rows = StatQueries.queries("t_mattr")(spark, d).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("mean_mattr")).toMap
+    assert(rows("en") === 1.0)
+    assert(rows("de") === 0.05)
+    assert(rows("fr") === 1.0)
+  }
+
+  test("new vs returning: a user's first day is new, every later day returning") {
+    val ev = Seq(
+      (1L, ts("2026-01-05 10:00:00"), 1L, "view", 1.0, "{}"),
+      (2L, ts("2026-01-05 11:00:00"), 1L, "view", 1.0, "{}"), // same day dup
+      (3L, ts("2026-01-06 10:00:00"), 1L, "view", 1.0, "{}"),
+      (4L, ts("2026-01-06 10:00:00"), 2L, "view", 1.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val d = fixture("events" -> ev)
+    val rows = StatQueries.queries("q_new_vs_returning")(spark, d).collect()
+      .map(r => (r.getAs[Long]("n_active"), r.getAs[Long]("n_new"),
+        r.getAs[Long]("n_returning")))
+    assert(rows.toSeq === Seq((1L, 1L, 0L), (2L, 1L, 1L)))
+  }
+
   test("contrastive pairs: negative is outside the near-dup cluster and deterministic") {
     val base = "the quick brown fox jumps over the lazy dog again and again " * 3
     val docsDf = Seq(
