@@ -821,6 +821,50 @@ object StatQueries {
         .orderBy("day_n")
     }),
 
+    // --- Cross-method near-dup agreement: Jaccard between the
+    //     MinHash-LSH pair set and the SimHash-pigeonhole pair set —
+    //     the audit run before trusting EITHER detector's threshold
+    //     (high agreement = robust dup signal; low = the corpus sits
+    //     near one method's blind spot: MinHash sees shingle overlap,
+    //     SimHash weighted token profiles). Both pair frames already
+    //     exist as operators; the agreement is two counts + one join
+    //     over pair keys. ---
+    "d_method_agreement" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val mh = graft.operators.Dedup.minhashLsh(d, "doc_id", "text")
+        .select(col("d1"), col("d2"))
+      val sh = graft.operators.Dedup.simhashNearDup(d, "doc_id", "text")
+        .select(col("d1"), col("d2"))
+      val nm = mh.agg(count(lit(1)).as("n_minhash"))
+      val ns = sh.agg(count(lit(1)).as("n_simhash"))
+      val nb = mh.join(sh, Seq("d1", "d2")).agg(count(lit(1)).as("n_both"))
+      nm.crossJoin(ns).crossJoin(nb).select(
+        col("n_minhash"), col("n_simhash"), col("n_both"),
+        when(col("n_minhash") + col("n_simhash") - col("n_both") > 0,
+          round(col("n_both").cast("double") /
+            (col("n_minhash") + col("n_simhash") - col("n_both")), 6))
+          .as("agreement_jaccard"))
+    }),
+
+    // --- Funnel conversion latency: per converting user, micros from
+    //     FIRST view to the first purchase at-or-after it (the funnel
+    //     entry's ordered-stage rule), summarized as exact interpolated
+    //     p50/p90 — the "how long does conversion take" number beside
+    //     q_funnel's "how many convert". Two keyed min-aggregates and
+    //     one model-sized percentile pass; int64 micros throughout. ---
+    "q_conversion_latency" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("us")).as("t_view"))
+      val p = ev.filter(col("event_type") === "purchase").join(v, "user_id")
+        .filter(col("us") >= col("t_view"))
+        .groupBy("user_id").agg(min(col("us") - col("t_view")).as("lat_us"))
+      p.agg(count(lit(1)).as("n_converters"),
+        round(expr("percentile(lat_us, 0.5)"), 6).as("p50_us"),
+        round(expr("percentile(lat_us, 0.9)"), 6).as("p90_us"))
+    }),
+
     // --- Modal value per group with a deterministic tiebreak: the
     //     MODE() aggregate (most common order priority per market
     //     segment) — engines disagree on which mode survives a tie,
@@ -871,6 +915,52 @@ object StatQueries {
         s"(sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) * " +
         s"sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[]))), 6)"
     Map(
+    "d_method_agreement" -> {
+      val bit = "(strpos('0123456789abcdef', substring(h, 1 + (b // 4), 1)) - 1) // ((2 ** (b % 4))::INT) % 2"
+      s"""WITH sh0 AS (
+         |  SELECT doc_id, unnest($sh3) AS s
+         |  FROM (SELECT doc_id, $toks AS t FROM documents) WHERE len(t) >= 3),
+         |sig AS (SELECT doc_id, h, min(md5(h::VARCHAR || '|' || s)) AS mh
+         |        FROM sh0 CROSS JOIN (SELECT unnest(range(16)) AS h) GROUP BY doc_id, h),
+         |band AS (SELECT doc_id, h // 4 AS band, md5(string_agg(mh, ',' ORDER BY h)) AS bh
+         |         FROM sig GROUP BY doc_id, h // 4),
+         |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |         FROM band a JOIN band b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |mhp AS (SELECT d1, d2
+         |  FROM cand JOIN sig x ON x.doc_id = d1 JOIN sig y ON y.doc_id = d2 AND y.h = x.h
+         |  GROUP BY d1, d2 HAVING count(*) FILTER (x.mh = y.mh)::DOUBLE / 16 >= 0.5),
+         |tok AS (SELECT doc_id, unnest($toks) AS w FROM documents),
+         |th AS (SELECT doc_id, w, count(*) AS cnt, md5(w) AS h FROM tok GROUP BY doc_id, w),
+         |bits AS (SELECT doc_id, b,
+         |    sum(CASE WHEN $bit = 1 THEN cnt ELSE -cnt END) AS score
+         |  FROM th CROSS JOIN (SELECT unnest(range(48)) AS b) GROUP BY doc_id, b),
+         |shh AS (SELECT doc_id, sum(CASE WHEN score > 0 THEN (2 ** b)::BIGINT ELSE 0 END)::BIGINT AS s
+         |       FROM bits GROUP BY doc_id),
+         |chunked AS (SELECT doc_id, s, c, (s // (2 ** (c * 12))::BIGINT) % 4096 AS ck
+         |            FROM shh CROSS JOIN (SELECT unnest(range(4)) AS c)),
+         |scand AS (SELECT DISTINCT a.doc_id AS d1, a.s AS s1, b.doc_id AS d2, b.s AS s2
+         |         FROM chunked a JOIN chunked b ON a.c = b.c AND a.ck = b.ck AND a.doc_id < b.doc_id),
+         |shp AS (SELECT d1, d2 FROM scand WHERE bit_count(xor(s1, s2)) <= 3),
+         |nm AS (SELECT CAST(count(*) AS BIGINT) AS n_minhash FROM mhp),
+         |ns AS (SELECT CAST(count(*) AS BIGINT) AS n_simhash FROM shp),
+         |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_both FROM mhp JOIN shp USING (d1, d2))
+         |SELECT n_minhash, n_simhash, n_both,
+         |  CASE WHEN n_minhash + n_simhash - n_both > 0 THEN
+         |    round(n_both::DOUBLE / (n_minhash + n_simhash - n_both), 6) END AS agreement_jaccard
+         |FROM nm CROSS JOIN ns CROSS JOIN nb""".stripMargin
+    },
+    "q_conversion_latency" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |v AS (SELECT user_id, min(us) AS t_view FROM ev WHERE event_type = 'view'
+        |      GROUP BY user_id),
+        |p AS (SELECT e.user_id, min(e.us - v.t_view) AS lat_us
+        |      FROM ev e JOIN v USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.us >= v.t_view
+        |      GROUP BY e.user_id)
+        |SELECT CAST(count(*) AS BIGINT) AS n_converters,
+        |  round(quantile_cont(lat_us, 0.5), 6) AS p50_us,
+        |  round(quantile_cont(lat_us, 0.9), 6) AS p90_us
+        |FROM p""".stripMargin,
     "t_mattr" ->
       s"""WITH d AS (SELECT doc_id, lang, $toks AS t FROM documents),
          |sc AS (SELECT doc_id, lang, CASE

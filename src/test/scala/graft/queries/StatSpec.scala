@@ -405,6 +405,36 @@ class StatSpec extends SparkSpec {
     assert(rows.toSeq === Seq((1L, 1L, 0L), (2L, 1L, 1L)))
   }
 
+  test("method agreement: identical copies are found by both detectors -> Jaccard 1") {
+    val copy = "the quick brown fox jumps over the lazy dog again and again " * 4
+    val docsDf = Seq(
+      (1L, copy, "en", "src0", 100L),
+      (2L, copy, "en", "src0", 100L), // exact copy: both methods must pair (1,2)
+      (3L, "completely different text about catalyst optimizer internals here", "en", "src0", 60L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val d = fixture("documents" -> docsDf)
+    val r = StatQueries.queries("d_method_agreement")(spark, d).collect().head
+    assert(r.getAs[Long]("n_minhash") === 1L)
+    assert(r.getAs[Long]("n_simhash") === 1L)
+    assert(r.getAs[Long]("n_both") === 1L)
+    assert(r.getAs[Double]("agreement_jaccard") === 1.0)
+  }
+
+  test("conversion latency: pre-view purchases don't count; first-at-or-after does") {
+    val ev = Seq(
+      (1L, ts("2026-01-05 09:00:00"), 1L, "purchase", 1.0, "{}"), // BEFORE view: ignored
+      (2L, ts("2026-01-05 10:00:00"), 1L, "view", 1.0, "{}"),
+      (3L, ts("2026-01-05 10:10:00"), 1L, "purchase", 1.0, "{}"), // +10 min
+      (4L, ts("2026-01-05 10:00:00"), 2L, "view", 1.0, "{}"),
+      (5L, ts("2026-01-05 10:30:00"), 2L, "purchase", 1.0, "{}"), // +30 min
+      (6L, ts("2026-01-05 10:00:00"), 3L, "view", 1.0, "{}")      // never converts
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val d = fixture("events" -> ev)
+    val r = StatQueries.queries("q_conversion_latency")(spark, d).collect().head
+    assert(r.getAs[Long]("n_converters") === 2L)
+    assert(r.getAs[Double]("p50_us") === 20 * 60 * 1e6) // median of {10, 30} min
+  }
+
   test("contrastive pairs: negative is outside the near-dup cluster and deterministic") {
     val base = "the quick brown fox jumps over the lazy dog again and again " * 3
     val docsDf = Seq(
