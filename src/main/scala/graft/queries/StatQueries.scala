@@ -865,6 +865,63 @@ object StatQueries {
         round(expr("percentile(lat_us, 0.9)"), 6).as("p90_us"))
     }),
 
+    // --- 2-core of the near-dup graph (5 bounded peel rounds): strip
+    //     degree-<2 nodes repeatedly until only cyclic structure
+    //     remains — isolates boilerplate CLIQUE families from benign
+    //     star shapes (one template + one-off copies), the structural
+    //     split that decides collapse-whole-cluster vs keep-canonical.
+    //     Each round is a keyed degree aggregate + two semi-joins;
+    //     rounds are FIXED (5), so the plan is static — the
+    //     ConnectedComponents discipline. 5 rounds suffice for any
+    //     graph whose peel depth ≤ 5; deeper peels converge in the
+    //     large-star/small-star tier. ---
+    "g_kcore" -> ((s, dir) => {
+      // localCheckpoint per round: each round references `edges` three
+      // times, so without lineage truncation the minhash chain would
+      // replicate ~3^5 times in the final plan (the same discipline as
+      // ConnectedComponents' rounds).
+      val pairs = graft.operators.Dedup
+        .minhashLsh(docs(s, dir), "doc_id", "text")
+        .select(col("d1"), col("d2")).localCheckpoint()
+      var edges = pairs
+      for (_ <- 1 to 5) {
+        val keep = edges.select(col("d1").as("v"))
+          .unionAll(edges.select(col("d2").as("v")))
+          .groupBy("v").agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= 2).select("v")
+        edges = edges
+          .join(keep.withColumnRenamed("v", "d1"), Seq("d1"), "left_semi")
+          .join(keep.withColumnRenamed("v", "d2"), Seq("d2"), "left_semi")
+          .select("d1", "d2").localCheckpoint()
+      }
+      val n0 = pairs.agg(count(lit(1)).as("n_edges"))
+      val core = edges.agg(count(lit(1)).as("n_core_edges"))
+      val nodes = edges.select(col("d1").as("v"))
+        .union(edges.select(col("d2").as("v"))).distinct()
+        .agg(count(lit(1)).as("n_core_nodes"))
+      n0.crossJoin(core).crossJoin(nodes)
+    }),
+
+    // --- Cross-source duplicate provenance: of the exact-dup groups,
+    //     how many span MORE THAN ONE source — the contamination-path
+    //     audit (a dup group inside one source is a crawler artifact;
+    //     across sources it's syndication/mirroring, and dedup policy
+    //     may differ). One md5 groupBy + one distinct-source rollup. ---
+    "d_cross_source_dups" -> ((s, dir) => {
+      val g = docs(s, dir)
+        .groupBy(md5(col("text")).as("h"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"))
+        .filter(col("n_docs") > 1)
+      g.agg(count(lit(1)).as("n_dup_groups"),
+          sum(when(col("n_sources") > 1, 1L).otherwise(0L)).as("n_cross_source"),
+          sum(col("n_docs")).as("n_dup_docs"))
+        .select(col("n_dup_groups"), col("n_cross_source"), col("n_dup_docs"),
+          when(col("n_dup_groups") > 0,
+            round(col("n_cross_source").cast("double") / col("n_dup_groups"), 6))
+            .as("cross_share"))
+    }),
+
     // --- Modal value per group with a deterministic tiebreak: the
     //     MODE() aggregate (most common order priority per market
     //     segment) — engines disagree on which mode survives a tie,
@@ -915,6 +972,45 @@ object StatQueries {
         s"(sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) * " +
         s"sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[]))), 6)"
     Map(
+    "g_kcore" -> {
+      def round(i: Int): String = {
+        val (prev, cur) = (s"e${i - 1}", s"e$i")
+        s"""k$i AS MATERIALIZED (SELECT v FROM (
+           |  SELECT v, count(*) AS deg FROM (
+           |    SELECT d1 AS v FROM $prev UNION ALL SELECT d2 FROM $prev) GROUP BY v)
+           |  WHERE deg >= 2),
+           |$cur AS MATERIALIZED (SELECT d1, d2 FROM $prev
+           |  JOIN k$i a ON a.v = d1 JOIN k$i b ON b.v = d2)""".stripMargin
+      }
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest($sh3) AS s
+         |  FROM (SELECT doc_id, $toks AS t FROM documents) WHERE len(t) >= 3),
+         |sig AS (SELECT doc_id, h, min(md5(h::VARCHAR || '|' || s)) AS mh
+         |        FROM sh CROSS JOIN (SELECT unnest(range(16)) AS h) GROUP BY doc_id, h),
+         |band AS (SELECT doc_id, h // 4 AS band, md5(string_agg(mh, ',' ORDER BY h)) AS bh
+         |         FROM sig GROUP BY doc_id, h // 4),
+         |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |         FROM band a JOIN band b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |e0 AS MATERIALIZED (SELECT d1, d2
+         |  FROM cand JOIN sig x ON x.doc_id = d1 JOIN sig y ON y.doc_id = d2 AND y.h = x.h
+         |  GROUP BY d1, d2 HAVING count(*) FILTER (x.mh = y.mh)::DOUBLE / 16 >= 0.5),
+         |${(1 to 5).map(round).mkString(",\n")},
+         |n0 AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e0),
+         |ce AS (SELECT CAST(count(*) AS BIGINT) AS n_core_edges FROM e5),
+         |cn AS (SELECT CAST(count(*) AS BIGINT) AS n_core_nodes FROM (
+         |  SELECT DISTINCT v FROM (SELECT d1 AS v FROM e5 UNION SELECT d2 FROM e5)))
+         |SELECT n_edges, n_core_edges, n_core_nodes FROM n0 CROSS JOIN ce CROSS JOIN cn""".stripMargin
+    },
+    "d_cross_source_dups" ->
+      """WITH g AS (SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+        |  FROM documents GROUP BY md5(text) HAVING count(*) > 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_dup_groups,
+        |  CAST(sum(CASE WHEN n_sources > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cross_source,
+        |  CAST(sum(n_docs) AS BIGINT) AS n_dup_docs,
+        |  CASE WHEN count(*) > 0 THEN
+        |    round(sum(CASE WHEN n_sources > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) END AS cross_share
+        |FROM g""".stripMargin,
     "d_method_agreement" -> {
       val bit = "(strpos('0123456789abcdef', substring(h, 1 + (b // 4), 1)) - 1) // ((2 ** (b % 4))::INT) % 2"
       s"""WITH sh0 AS (

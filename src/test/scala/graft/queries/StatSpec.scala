@@ -435,6 +435,36 @@ class StatSpec extends SparkSpec {
     assert(r.getAs[Double]("p50_us") === 20 * 60 * 1e6) // median of {10, 30} min
   }
 
+  test("k-core: a clique survives the peel; an exact-dup PAIR (degree 1) peels away") {
+    val copyA = "identical duplicated clique content repeated again and again " * 4
+    val copyB = "a totally different pairwise duplicate body of text here now " * 4
+    val docsDf = (
+      Seq.tabulate(3)(i => ((i + 1).toLong, copyA, "en", "src0", 100L)) ++ // triangle
+        Seq((10L, copyB, "en", "src0", 100L), (11L, copyB, "en", "src0", 100L)) // pair: degree 1 each
+      ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val d = fixture("documents" -> docsDf)
+    val r = StatQueries.queries("g_kcore")(spark, d).collect().head
+    assert(r.getAs[Long]("n_edges") === 4L)      // 3 clique edges + 1 pair edge
+    assert(r.getAs[Long]("n_core_edges") === 3L) // the pair peels (deg < 2)
+    assert(r.getAs[Long]("n_core_nodes") === 3L)
+  }
+
+  test("cross-source dups: a group spanning sources counts; a within-source one doesn't") {
+    val docsDf = Seq(
+      (1L, "mirrored syndicated body", "en", "srcA", 20L),
+      (2L, "mirrored syndicated body", "en", "srcB", 20L), // cross-source group
+      (3L, "crawler artifact body", "en", "srcC", 20L),
+      (4L, "crawler artifact body", "en", "srcC", 20L),    // within-source group
+      (5L, "unique document", "en", "srcA", 20L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val d = fixture("documents" -> docsDf)
+    val r = StatQueries.queries("d_cross_source_dups")(spark, d).collect().head
+    assert(r.getAs[Long]("n_dup_groups") === 2L)
+    assert(r.getAs[Long]("n_cross_source") === 1L)
+    assert(r.getAs[Long]("n_dup_docs") === 4L)
+    assert(r.getAs[Double]("cross_share") === 0.5)
+  }
+
   test("contrastive pairs: negative is outside the near-dup cluster and deterministic") {
     val base = "the quick brown fox jumps over the lazy dog again and again " * 3
     val docsDf = Seq(
