@@ -922,6 +922,75 @@ object StatQueries {
             .as("cross_share"))
     }),
 
+    // --- Burstiness (index of dispersion / Fano factor) of daily
+    //     volume per event type: var/mean of the day-grain counts —
+    //     ≈1 is Poisson-regular arrival, >>1 is bursty ingest (retry
+    //     storms, batch replays) that invalidates Poisson capacity
+    //     math. Sample variance from exact int64 moments
+    //     (n·Σx²−(Σx)²)/(n(n−1)); identically-shaped double steps. ---
+    "t_burstiness" -> ((s, dir) => {
+      val d = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+            .cast("long").as("day_n"))
+        .agg(count(lit(1)).as("x"))
+      d.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("event_type"), col("n"),
+          round(col("sx").cast("double") / col("n"), 6).as("mean_daily"),
+          when(col("n") > 1 && col("sx") > 0,
+            round(((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") /
+              (col("n") * (col("n") - 1)).cast("double")) /
+              (col("sx").cast("double") / col("n")), 6)).as("fano"))
+        .orderBy("event_type")
+    }),
+
+    // --- Pareto concentration (the 80/20 point): share of all events
+    //     generated by the top-20% most active users — the
+    //     concentration number beside the Gini coefficient
+    //     (t_gini_concentration gives the whole curve's area; this is
+    //     the point product teams quote). ntile(5) runs over the
+    //     USER-grain frame (fully tie-broken), never over events. ---
+    "q_pareto_8020" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val u = t(s, dir, "events").groupBy("user_id")
+        .agg(count(lit(1)).as("cnt"))
+      u.withColumn("q", ntile(5).over(
+          Window.orderBy(col("cnt").desc, col("user_id"))))
+        .agg(count(lit(1)).as("n_users"), sum(col("cnt")).as("total_events"),
+          sum(when(col("q") === 1, col("cnt")).otherwise(0L)).as("top20_events"))
+        .select(col("n_users"), col("total_events"), col("top20_events"),
+          round(col("top20_events").cast("double") / col("total_events"), 6)
+            .as("top20_share"))
+    }),
+
+    // --- Cross-source vocabulary overlap matrix: exact pairwise
+    //     Jaccard of the distinct-token sets of every source pair —
+    //     the mixing diagnostic read before weighting sources in a
+    //     training mixture (near-identical vocabularies mean the
+    //     sources are redundant, not complementary). Incidence
+    //     self-join on TOKEN (never source × source × docs); the pair
+    //     frame is sources²-bounded. ---
+    "t_source_vocab_overlap" -> ((s, dir) => {
+      import graft.functions.TextFunctions.tokens
+      val inc = docs(s, dir)
+        .select(col("source"), explode(tokens(col("text"))).as("w"))
+        .distinct()
+      val sizes = inc.groupBy("source").agg(count(lit(1)).as("nv"))
+      val inter = inc.as("a").join(inc.as("b"),
+          col("a.w") === col("b.w") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+        .agg(count(lit(1)).as("n_common"))
+      inter
+        .join(sizes.select(col("source").as("s1"), col("nv").as("v1")), "s1")
+        .join(sizes.select(col("source").as("s2"), col("nv").as("v2")), "s2")
+        .select(col("s1"), col("s2"), col("n_common"),
+          round(col("n_common").cast("double") /
+            (col("v1") + col("v2") - col("n_common")), 6).as("jaccard"))
+        .orderBy("s1", "s2")
+    }),
+
     // --- Modal value per group with a deterministic tiebreak: the
     //     MODE() aggregate (most common order priority per market
     //     segment) — engines disagree on which mode survives a tie,
@@ -972,6 +1041,36 @@ object StatQueries {
         s"(sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) * " +
         s"sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[]))), 6)"
     Map(
+    "t_burstiness" ->
+      """WITH d AS (SELECT event_type,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day_n,
+        |    count(*) AS x FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x*x) AS BIGINT) AS sxx
+        |  FROM d GROUP BY event_type)
+        |SELECT event_type, n, round(sx::DOUBLE / n, 6) AS mean_daily,
+        |  CASE WHEN n > 1 AND sx > 0 THEN
+        |    round(((n*sxx - sx*sx)::DOUBLE / (n*(n-1))::DOUBLE) / (sx::DOUBLE / n), 6)
+        |  END AS fano
+        |FROM m ORDER BY event_type""".stripMargin,
+    "q_pareto_8020" ->
+      """WITH u AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
+        |q AS (SELECT cnt, ntile(5) OVER (ORDER BY cnt DESC, user_id) AS q FROM u)
+        |SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(cnt) AS BIGINT) AS total_events,
+        |  CAST(sum(CASE WHEN q = 1 THEN cnt ELSE 0 END) AS BIGINT) AS top20_events,
+        |  round(sum(CASE WHEN q = 1 THEN cnt ELSE 0 END)::DOUBLE / sum(cnt), 6) AS top20_share
+        |FROM q""".stripMargin,
+    "t_source_vocab_overlap" ->
+      s"""WITH inc AS (SELECT DISTINCT source, unnest($toks) AS w FROM documents),
+         |sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS nv FROM inc GROUP BY source),
+         |inter AS (SELECT a.source AS s1, b.source AS s2, CAST(count(*) AS BIGINT) AS n_common
+         |  FROM inc a JOIN inc b ON a.w = b.w AND a.source < b.source
+         |  GROUP BY a.source, b.source)
+         |SELECT s1, s2, n_common,
+         |  round(n_common::DOUBLE / (v1.nv + v2.nv - n_common), 6) AS jaccard
+         |FROM inter JOIN sizes v1 ON v1.source = s1 JOIN sizes v2 ON v2.source = s2
+         |ORDER BY s1, s2""".stripMargin,
     "g_kcore" -> {
       def round(i: Int): String = {
         val (prev, cur) = (s"e${i - 1}", s"e$i")

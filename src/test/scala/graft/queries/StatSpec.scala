@@ -465,6 +465,44 @@ class StatSpec extends SparkSpec {
     assert(r.getAs[Double]("cross_share") === 0.5)
   }
 
+  test("burstiness: a constant series has Fano 0; a spike train exceeds 1") {
+    val flat = fixture("events" -> eventsByDay((0 until 6).map(i => (i, 10))))
+    val rf = StatQueries.queries("t_burstiness")(spark, flat).collect().head
+    assert(rf.getAs[Double]("fano") === 0.0)
+    // days (1,1,1,1,1,25): mean 5, var = (6*630-900)/30 = 96 -> fano 19.2
+    val bursty = fixture("events" -> eventsByDay(
+      Seq((0, 1), (1, 1), (2, 1), (3, 1), (4, 1), (5, 25))))
+    val rb = StatQueries.queries("t_burstiness")(spark, bursty).collect().head
+    assert(rb.getAs[Double]("fano") === 19.2)
+  }
+
+  test("pareto 80/20: one whale among five users owns its quintile's share exactly") {
+    // user 0 fires 80 events, users 1..4 fire 5 each -> top-20% = the whale
+    val ev = (0 until 5).flatMap { u =>
+      val n = if (u == 0) 80 else 5
+      (0 until n).map(i => ((u * 1000 + i).toLong,
+        ts(f"2026-01-05 ${10 + u}%02d:${i % 60}%02d:00"), u.toLong, "view", 1.0, "{}"))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val d = fixture("events" -> ev)
+    val r = StatQueries.queries("q_pareto_8020")(spark, d).collect().head
+    assert(r.getAs[Long]("n_users") === 5L)
+    assert(r.getAs[Long]("top20_events") === 80L)
+    assert(r.getAs[Double]("top20_share") === 0.8)
+  }
+
+  test("source vocab overlap: identical vocab -> 1.0, disjoint -> absent or interpolated") {
+    val docsDf = Seq(
+      (1L, "alpha beta gamma", "en", "srcA", 20L),
+      (2L, "alpha beta gamma", "en", "srcB", 20L),  // identical vocab to A
+      (3L, "delta epsilon", "en", "srcC", 20L)      // disjoint from both
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val d = fixture("documents" -> docsDf)
+    val rows = StatQueries.queries("t_source_vocab_overlap")(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Double]("jaccard")).toMap
+    assert(rows(("srcA", "srcB")) === 1.0)
+    assert(!rows.contains(("srcA", "srcC"))) // zero intersection never joins
+  }
+
   test("contrastive pairs: negative is outside the near-dup cluster and deterministic") {
     val base = "the quick brown fox jumps over the lazy dog again and again " * 3
     val docsDf = Seq(
