@@ -991,6 +991,69 @@ object StatQueries {
         .orderBy("s1", "s2")
     }),
 
+    // --- Filtered ANN: pre-filter vs post-filter recall. Metadata-
+    //     constrained retrieval (label = query's label) answered two
+    //     ways: PRE-filter (top-k among matching docs — exact for the
+    //     constraint) vs POST-filter (global top-k, then filter — the
+    //     cheap path every vector store is tempted by, which silently
+    //     returns FEWER than k when the label is rare). n_post/n_pre
+    //     is the measured cost of post-filtering; every post survivor
+    //     is provably in the pre answer, so the ratio IS its recall.
+    //     ONE scored frame (broadcast queries), two ranks. ---
+    "a_ann_prefilter" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          col("label").as("qlabel"))
+      val scored = broadcast(q)
+        .join(e.select(col("vec_id").as("nid"), col("embedding").as("nv"),
+          col("label").as("nlabel")), col("qid") =!= col("nid"))
+        .select(col("qid"), col("nid"),
+          (col("nlabel") === col("qlabel")).as("label_match"),
+          graft.operators.Vectors.cosineNative(s, col("qv"), col("nv")).as("cos"))
+      val pre = scored.filter(col("label_match"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))))
+        .filter(col("rk") <= 5)
+        .groupBy("qid").agg(count(lit(1)).as("n_pre"))
+      val post = scored
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))))
+        .filter(col("rk") <= 5 && col("label_match"))
+        .groupBy("qid").agg(count(lit(1)).as("n_post"))
+      pre.join(post, Seq("qid"), "left")
+        .select(col("qid"), col("n_pre"),
+          coalesce(col("n_post"), lit(0L)).as("n_post"),
+          round(coalesce(col("n_post"), lit(0L)).cast("double") / col("n_pre"), 6)
+            .as("post_recall"))
+        .orderBy("qid")
+    }),
+
+    // --- RFM segmentation: users cut into recency / frequency /
+    //     monetary quintiles (the classic lifecycle segmentation
+    //     behind retention targeting); output is the populated
+    //     (r,f,m) cell counts. All three ntiles run over the
+    //     USER-grain frame with full tiebreaks; recency is int64
+    //     epoch-day, monetary an exact decimal sum. ---
+    "q_rfm_segmentation" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val u = t(s, dir, "events").groupBy("user_id").agg(
+        max(datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long")).as("last_day"),
+        count(lit(1)).as("freq"),
+        sum(col("value").cast("decimal(18,6)")).as("monetary"))
+      u.withColumn("r", ntile(5).over(
+          Window.orderBy(col("last_day").desc, col("user_id"))))
+        .withColumn("f", ntile(5).over(
+          Window.orderBy(col("freq").desc, col("user_id"))))
+        .withColumn("m", ntile(5).over(
+          Window.orderBy(col("monetary").desc, col("user_id"))))
+        .groupBy("r", "f", "m")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("r", "f", "m")
+    }),
+
     // --- Modal value per group with a deterministic tiebreak: the
     //     MODE() aggregate (most common order priority per market
     //     segment) — engines disagree on which mode survives a tie,
@@ -1041,6 +1104,35 @@ object StatQueries {
         s"(sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) * " +
         s"sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[]))), 6)"
     Map(
+    "a_ann_prefilter" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS qlabel
+         |  FROM embeddings WHERE vec_id % 50 = 0),
+         |sc AS (SELECT qid, e.vec_id AS nid, e.label = qlabel AS label_match,
+         |    round(list_dot_product(qv::DOUBLE[], e.embedding::DOUBLE[]) /
+         |      (sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[])) *
+         |       sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 6) AS cos
+         |  FROM q JOIN embeddings e ON e.vec_id <> qid),
+         |pre AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_pre FROM (
+         |  SELECT qid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+         |  FROM sc WHERE label_match) WHERE rk <= 5 GROUP BY qid),
+         |post AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_post FROM (
+         |  SELECT qid, label_match, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+         |  FROM sc) WHERE rk <= 5 AND label_match GROUP BY qid)
+         |SELECT pre.qid, n_pre, CAST(coalesce(n_post, 0) AS BIGINT) AS n_post,
+         |  round(coalesce(n_post, 0)::DOUBLE / n_pre, 6) AS post_recall
+         |FROM pre LEFT JOIN post USING (qid) ORDER BY qid""".stripMargin,
+    "q_rfm_segmentation" ->
+      """WITH u AS (SELECT user_id,
+        |    max(CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)) AS last_day,
+        |    count(*) AS freq, sum(CAST(value AS DECIMAL(18,6))) AS monetary
+        |  FROM events GROUP BY user_id),
+        |c AS (SELECT
+        |    ntile(5) OVER (ORDER BY last_day DESC, user_id) AS r,
+        |    ntile(5) OVER (ORDER BY freq DESC, user_id) AS f,
+        |    ntile(5) OVER (ORDER BY monetary DESC, user_id) AS m
+        |  FROM u)
+        |SELECT r, f, m, CAST(count(*) AS BIGINT) AS n_users
+        |FROM c GROUP BY r, f, m ORDER BY r, f, m""".stripMargin,
     "t_burstiness" ->
       """WITH d AS (SELECT event_type,
         |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day_n,

@@ -503,6 +503,37 @@ class StatSpec extends SparkSpec {
     assert(!rows.contains(("srcA", "srcC"))) // zero intersection never joins
   }
 
+  test("filtered ANN: post-filter returns nothing when the query's label is crowded out") {
+    // query 0 (label 9): its 5 same-label docs point AWAY from it while 5
+    // label-1 docs point WITH it -> global top-5 is all label 1 -> post = 0.
+    def vec(axis: Int, sign: Float) =
+      Array.tabulate(8)(j => if (j == axis) sign else 0.001f * (j + 1))
+    val emb = (
+      Seq((0L, vec(0, 1.0f), 9)) ++                       // the query
+        (1 to 5).map(i => (i.toLong, vec(0, -1.0f), 9)) ++ // same label, opposite direction
+        (6 to 10).map(i => (i.toLong, vec(0, 1.0f), 1))    // near, wrong label
+      ).toDF("vec_id", "embedding", "label")
+    val d = fixture("embeddings" -> emb)
+    val r = StatQueries.queries("a_ann_prefilter")(spark, d).collect()
+      .find(_.getAs[Long]("qid") == 0L).get
+    assert(r.getAs[Long]("n_pre") === 5L)    // pre-filter still finds 5
+    assert(r.getAs[Long]("n_post") === 0L)   // post-filter finds none
+    assert(r.getAs[Double]("post_recall") === 0.0)
+  }
+
+  test("RFM: jointly-ordered users land on the quintile diagonal") {
+    // user i: last active day i, i events, value i each -> user 5 is
+    // (1,1,1), user 1 is (5,5,5); every user owns its diagonal cell.
+    val ev = (1 to 5).flatMap { u =>
+      (0 until u).map(i => ((u * 100 + i).toLong,
+        ts(f"2026-01-${4 + u}%02d 10:0$i:00"), u.toLong, "view", u.toDouble, "{}"))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val d = fixture("events" -> ev)
+    val rows = StatQueries.queries("q_rfm_segmentation")(spark, d).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getAs[Long]("n_users")).toMap
+    assert(rows === (1 to 5).map(q => (q, q, q) -> 1L).toMap)
+  }
+
   test("contrastive pairs: negative is outside the near-dup cluster and deterministic") {
     val base = "the quick brown fox jumps over the lazy dog again and again " * 3
     val docsDf = Seq(
