@@ -1054,6 +1054,54 @@ object StatQueries {
         .orderBy("r", "f", "m")
     }),
 
+    // --- Embedding centroid drift between corpus halves (epoch
+    //     stand-in: vec_id parity): per-dim decimal means for each
+    //     half, then the L2 distance and cosine between the two
+    //     centroids — the embedding-space counterpart of the JSD
+    //     vocabulary-drift monitor (a moved centroid means the NEW
+    //     data occupies a different region: re-train quantizers,
+    //     re-evaluate ANN recall). Two grouped per-dim aggregates
+    //     over one posexplode pass; all cross-dim sums decimal. ---
+    "a_centroid_drift" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select((col("vec_id") % 2 === 0).as("epoch0"),
+          posexplode(col("embedding")).as(Seq("d", "x")))
+      val cents = e.groupBy("d").agg(
+        (sum(when(col("epoch0"), round(col("x").cast("double"), 12)
+          .cast("decimal(30,12)"))).cast("double") /
+          sum(when(col("epoch0"), 1L).otherwise(0L))).as("m0raw"),
+        (sum(when(!col("epoch0"), round(col("x").cast("double"), 12)
+          .cast("decimal(30,12)"))).cast("double") /
+          sum(when(!col("epoch0"), 1L).otherwise(0L))).as("m1raw"))
+        .select(round(col("m0raw"), 9).as("m0"), round(col("m1raw"), 9).as("m1"))
+      cents.agg(
+          sum(round((col("m0") - col("m1")) * (col("m0") - col("m1")), 9)
+            .cast("decimal(28,9)")).as("d2"),
+          sum(round(col("m0") * col("m1"), 9).cast("decimal(28,9)")).as("dot"),
+          sum(round(col("m0") * col("m0"), 9).cast("decimal(28,9)")).as("n0"),
+          sum(round(col("m1") * col("m1"), 9).cast("decimal(28,9)")).as("n1"))
+        .select(
+          round(sqrt(col("d2").cast("double")), 6).as("l2_drift"),
+          when(col("n0") > 0 && col("n1") > 0,
+            round(col("dot").cast("double") /
+              (sqrt(col("n0").cast("double")) * sqrt(col("n1").cast("double"))), 6))
+            .as("centroid_cosine"))
+    }),
+
+    // --- Engagement-depth histogram: users by number of distinct
+    //     active days — the "how sticky is the population" read
+    //     behind every retention target (a spike at 1 is drive-by
+    //     traffic; mass in the tail is a habit product). Two keyed
+    //     aggregates, day-grain first. ---
+    "q_active_days_histogram" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("user_id"),
+          datediff(to_date(col("ts")), lit("1970-01-01").cast("date")).as("d"))
+        .distinct()
+        .groupBy("user_id").agg(count(lit(1)).as("active_days"))
+        .groupBy("active_days").agg(count(lit(1)).as("n_users"))
+        .orderBy("active_days")),
+
     // --- Modal value per group with a deterministic tiebreak: the
     //     MODE() aggregate (most common order priority per market
     //     segment) — engines disagree on which mode survives a tie,
@@ -1104,6 +1152,33 @@ object StatQueries {
         s"(sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) * " +
         s"sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[]))), 6)"
     Map(
+    "a_centroid_drift" ->
+      """WITH e AS (SELECT vec_id % 2 = 0 AS epoch0, d.dim,
+        |    CAST(embedding[d.dim] AS DOUBLE) AS x
+        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS d(dim)),
+        |c AS (SELECT dim,
+        |    round(CAST(sum(CASE WHEN epoch0 THEN CAST(round(x, 12) AS DECIMAL(30,12)) END) AS DOUBLE)
+        |      / sum(CASE WHEN epoch0 THEN 1 ELSE 0 END), 9) AS m0,
+        |    round(CAST(sum(CASE WHEN NOT epoch0 THEN CAST(round(x, 12) AS DECIMAL(30,12)) END) AS DOUBLE)
+        |      / sum(CASE WHEN NOT epoch0 THEN 1 ELSE 0 END), 9) AS m1
+        |  FROM e GROUP BY dim),
+        |s AS (SELECT
+        |    CAST(sum(CAST(round((m0 - m1) * (m0 - m1), 9) AS DECIMAL(28,9))) AS DOUBLE) AS d2,
+        |    CAST(sum(CAST(round(m0 * m1, 9) AS DECIMAL(28,9))) AS DOUBLE) AS dot,
+        |    CAST(sum(CAST(round(m0 * m0, 9) AS DECIMAL(28,9))) AS DOUBLE) AS n0,
+        |    CAST(sum(CAST(round(m1 * m1, 9) AS DECIMAL(28,9))) AS DOUBLE) AS n1
+        |  FROM c)
+        |SELECT round(sqrt(d2), 6) AS l2_drift,
+        |  CASE WHEN n0 > 0 AND n1 > 0 THEN round(dot / (sqrt(n0) * sqrt(n1)), 6) END
+        |    AS centroid_cosine
+        |FROM s""".stripMargin,
+    "q_active_days_histogram" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |    CAST(ts AS DATE) - DATE '1970-01-01' AS d FROM events),
+        |ad AS (SELECT user_id, CAST(count(*) AS BIGINT) AS active_days
+        |  FROM ud GROUP BY user_id)
+        |SELECT active_days, CAST(count(*) AS BIGINT) AS n_users
+        |FROM ad GROUP BY active_days ORDER BY active_days""".stripMargin,
     "a_ann_prefilter" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS qlabel
          |  FROM embeddings WHERE vec_id % 50 = 0),

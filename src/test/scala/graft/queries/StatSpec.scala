@@ -534,6 +534,36 @@ class StatSpec extends SparkSpec {
     assert(rows === (1 to 5).map(q => (q, q, q) -> 1L).toMap)
   }
 
+  test("centroid drift: identical halves drift 0 with cosine 1; shifted halves drift exactly") {
+    val v = Array.fill(4)(1.0f)
+    val same = Seq.tabulate(8)(i => (i.toLong, v, 0))
+      .toDF("vec_id", "embedding", "label")
+    val d1 = fixture("embeddings" -> same)
+    val r1 = StatQueries.queries("a_centroid_drift")(spark, d1).collect().head
+    assert(r1.getAs[Double]("l2_drift") === 0.0)
+    assert(r1.getAs[Double]("centroid_cosine") === 1.0)
+    // odd ids shifted by +1 in every dim: drift = sqrt(4*1) = 2
+    val shifted = Seq.tabulate(8) { i =>
+      val w = if (i % 2 == 0) v else v.map(_ + 1.0f); (i.toLong, w, 0)
+    }.toDF("vec_id", "embedding", "label")
+    val d2 = fixture("embeddings" -> shifted)
+    val r2 = StatQueries.queries("a_centroid_drift")(spark, d2).collect().head
+    assert(r2.getAs[Double]("l2_drift") === 2.0)
+  }
+
+  test("active-days histogram: day-level dedup before counting") {
+    val ev = Seq(
+      (1L, ts("2026-01-05 10:00:00"), 1L, "view", 1.0, "{}"),
+      (2L, ts("2026-01-05 11:00:00"), 1L, "view", 1.0, "{}"), // same day: 1 active day
+      (3L, ts("2026-01-06 10:00:00"), 1L, "view", 1.0, "{}"),
+      (4L, ts("2026-01-05 10:00:00"), 2L, "view", 1.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val d = fixture("events" -> ev)
+    val rows = StatQueries.queries("q_active_days_histogram")(spark, d).collect()
+      .map(r => r.getAs[Long]("active_days") -> r.getAs[Long]("n_users")).toMap
+    assert(rows === Map(1L -> 1L, 2L -> 1L))
+  }
+
   test("contrastive pairs: negative is outside the near-dup cluster and deterministic") {
     val base = "the quick brown fox jumps over the lazy dog again and again " * 3
     val docsDf = Seq(
