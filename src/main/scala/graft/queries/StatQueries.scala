@@ -1102,6 +1102,95 @@ object StatQueries {
         .groupBy("active_days").agg(count(lit(1)).as("n_users"))
         .orderBy("active_days")),
 
+    // --- Mean Reciprocal Rank of the binary-quantized ANN tier
+    //     against the exact nearest neighbor: MRR is the
+    //     first-relevant-hit eval (what a retrieval-augmented reader
+    //     feels) beside recall@k (set overlap) and nDCG (graded) —
+    //     completing the retrieval-eval family. Relevant = brute-force
+    //     top-1; system = 32×-compressed sign-bit Hamming top-5;
+    //     1/rank is an exact rational rounded 9 dp, decimal-summed. ---
+    "a_ann_mrr" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") % 50 === 0)
+      val truth = graft.operators.Similarity
+        .bruteForceTopK(e, q, "vec_id", "embedding", k = 1)
+        .select(col("qid"), col("nid").as("rel"))
+      val word = (off: Int) =>
+        s"aggregate(zip_with(slice(embedding, ${off + 1}, 32), sequence(0, 31), " +
+          "(x, d) -> IF(x > 0, shiftleft(1L, cast(d as int)), 0L)), 0L, (a, b) -> a + b)"
+      val bq = e.select(col("vec_id"), expr(word(0)).as("w0"), expr(word(32)).as("w1"))
+      val qb = broadcast(bq.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("w0").as("q0"), col("w1").as("q1")))
+      val sys = bq.select(col("vec_id").as("nid"), col("w0"), col("w1"))
+        .join(qb, col("qid") =!= col("nid"))
+        .select(col("qid"), col("nid"),
+          expr("cast(bit_count(w0 ^ q0) + bit_count(w1 ^ q1) as bigint)").as("hamming"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("qid").orderBy(col("hamming").asc, col("nid").asc))
+          .cast("long"))
+        .filter(col("rk") <= 5)
+      truth.join(sys, truth("qid") === sys("qid") && col("rel") === col("nid"), "left")
+        .select(truth("qid"),
+          coalesce(round(lit(1.0) / col("rk"), 9), lit(0.0))
+            .cast("decimal(28,9)").as("rr"))
+        .agg(count(lit(1)).as("n_queries"),
+          sum(col("rr")).as("rrsum"))
+        .select(col("n_queries"),
+          round(col("rrsum").cast("double") / col("n_queries"), 6).as("mrr"))
+    }),
+
+    // --- Market-basket affinity over (user, day) baskets of event
+    //     types: support / confidence / lift per type pair — the
+    //     association-rule screen ("do viewers click the same day?")
+    //     whose word-level face is PMI collocations. Baskets come
+    //     from one distinct pass; the pair join runs on the basket
+    //     INCIDENCE frame (basket × its ≤5 types), never on events. ---
+    "q_basket_affinity" -> ((s, dir) => {
+      val b = t(s, dir, "events").select(col("user_id"),
+          datediff(to_date(col("ts")), lit("1970-01-01").cast("date")).as("d"),
+          col("event_type")).distinct()
+      val nB = b.select("user_id", "d").distinct().agg(count(lit(1)).as("n_baskets"))
+      val per = b.groupBy("event_type").agg(count(lit(1)).as("n_t"))
+      val pairs = b.as("x").join(b.as("y"),
+          col("x.user_id") === col("y.user_id") && col("x.d") === col("y.d") &&
+            col("x.event_type") < col("y.event_type"))
+        .groupBy(col("x.event_type").as("t1"), col("y.event_type").as("t2"))
+        .agg(count(lit(1)).as("n_both"))
+      pairs
+        .join(per.select(col("event_type").as("t1"), col("n_t").as("n1")), "t1")
+        .join(per.select(col("event_type").as("t2"), col("n_t").as("n2")), "t2")
+        .crossJoin(broadcast(nB))
+        .select(col("t1"), col("t2"), col("n_both"), col("n1"), col("n2"),
+          round(col("n_both").cast("double") / col("n1"), 6).as("confidence"),
+          round(col("n_both").cast("double") * col("n_baskets") /
+            (col("n1") * col("n2")), 6).as("lift"))
+        .orderBy("t1", "t2")
+    }),
+
+    // --- Dedup funnel report: documents surviving each curation tier
+    //     (raw → exact dedup → near-dup removal) in one row — the
+    //     before/after accounting every curation run publishes. Exact
+    //     survivors = min-id per md5 group; near-dup removal applies
+    //     the lowest-id-survivor policy (a doc dies when it appears
+    //     as the larger id of a MinHash pair — semanticDedup's rule).
+    //     One md5 aggregate + one pair-frame anti-join. ---
+    "d_dedup_funnel" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val n0 = d.agg(count(lit(1)).as("n_raw"))
+      val exactSurv = d.groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      val n1 = exactSurv.agg(count(lit(1)).as("n_after_exact"))
+      val killed = graft.operators.Dedup.minhashLsh(d, "doc_id", "text")
+        .select(col("d2").as("doc_id")).distinct()
+      val n2 = exactSurv.join(killed, Seq("doc_id"), "left_anti")
+        .agg(count(lit(1)).as("n_after_neardup"))
+      n0.crossJoin(n1).crossJoin(n2).select(
+        col("n_raw"), col("n_after_exact"), col("n_after_neardup"),
+        round(lit(1.0) - col("n_after_neardup").cast("double") / col("n_raw"), 6)
+          .as("removed_share"))
+    }),
+
     // --- Modal value per group with a deterministic tiebreak: the
     //     MODE() aggregate (most common order priority per market
     //     segment) — engines disagree on which mode survives a tie,
@@ -1152,6 +1241,70 @@ object StatQueries {
         s"(sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) * " +
         s"sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[]))), 6)"
     Map(
+    "a_ann_mrr" ->
+      s"""WITH bf AS (SELECT qid, nid AS rel FROM (
+         |    SELECT a.vec_id AS qid, b.vec_id AS nid,
+         |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+         |        round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+         |          (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+         |           sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6)
+         |        DESC, b.vec_id) AS rk
+         |    FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+         |    WHERE a.vec_id % 50 = 0) WHERE rk = 1),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |bq AS (SELECT vec_id,
+         |    CAST(sum(CASE WHEN d < 32 AND v[d+1] > 0 THEN (2**d)::BIGINT ELSE 0 END) AS BIGINT) AS w0,
+         |    CAST(sum(CASE WHEN d >= 32 AND v[d+1] > 0 THEN (2**(d-32))::BIGINT ELSE 0 END) AS BIGINT) AS w1
+         |  FROM e CROSS JOIN (SELECT unnest(range(64)) AS d) GROUP BY vec_id),
+         |sys AS (SELECT qid, nid, rk FROM (
+         |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |      bit_count(xor(q.w0, c.w0)) + bit_count(xor(q.w1, c.w1)), c.vec_id) AS rk
+         |  FROM bq q JOIN bq c ON q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id)
+         |  WHERE rk <= 5),
+         |rr AS (SELECT bf.qid,
+         |    CAST(coalesce(round(1.0 / sys.rk, 9), 0.0) AS DECIMAL(28,9)) AS rr
+         |  FROM bf LEFT JOIN sys ON sys.qid = bf.qid AND sys.nid = bf.rel)
+         |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+         |  round(CAST(sum(rr) AS DOUBLE) / count(*), 6) AS mrr
+         |FROM rr""".stripMargin,
+    "q_basket_affinity" ->
+      """WITH b AS (SELECT DISTINCT user_id,
+        |    CAST(ts AS DATE) - DATE '1970-01-01' AS d, event_type FROM events),
+        |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_baskets FROM
+        |  (SELECT DISTINCT user_id, d FROM b)),
+        |per AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_t FROM b GROUP BY event_type),
+        |p AS (SELECT x.event_type AS t1, y.event_type AS t2, CAST(count(*) AS BIGINT) AS n_both
+        |  FROM b x JOIN b y ON x.user_id = y.user_id AND x.d = y.d
+        |    AND x.event_type < y.event_type
+        |  GROUP BY x.event_type, y.event_type)
+        |SELECT t1, t2, n_both, a.n_t AS n1, c.n_t AS n2,
+        |  round(n_both::DOUBLE / a.n_t, 6) AS confidence,
+        |  round(n_both::DOUBLE * n_baskets / (a.n_t * c.n_t), 6) AS lift
+        |FROM p JOIN per a ON a.event_type = t1 JOIN per c ON c.event_type = t2
+        |CROSS JOIN nb ORDER BY t1, t2""".stripMargin,
+    "d_dedup_funnel" ->
+      s"""WITH n0 AS (SELECT CAST(count(*) AS BIGINT) AS n_raw FROM documents),
+         |es AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |n1 AS (SELECT CAST(count(*) AS BIGINT) AS n_after_exact FROM es),
+         |sh AS (
+         |  SELECT doc_id, unnest($sh3) AS s
+         |  FROM (SELECT doc_id, $toks AS t FROM documents) WHERE len(t) >= 3),
+         |sig AS (SELECT doc_id, h, min(md5(h::VARCHAR || '|' || s)) AS mh
+         |        FROM sh CROSS JOIN (SELECT unnest(range(16)) AS h) GROUP BY doc_id, h),
+         |band AS (SELECT doc_id, h // 4 AS band, md5(string_agg(mh, ',' ORDER BY h)) AS bh
+         |         FROM sig GROUP BY doc_id, h // 4),
+         |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |         FROM band a JOIN band b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |pairs AS (SELECT d1, d2
+         |  FROM cand JOIN sig x ON x.doc_id = d1 JOIN sig y ON y.doc_id = d2 AND y.h = x.h
+         |  GROUP BY d1, d2 HAVING count(*) FILTER (x.mh = y.mh)::DOUBLE / 16 >= 0.5),
+         |killed AS (SELECT DISTINCT d2 AS doc_id FROM pairs),
+         |n2 AS (SELECT CAST(count(*) AS BIGINT) AS n_after_neardup
+         |  FROM es WHERE doc_id NOT IN (SELECT doc_id FROM killed))
+         |SELECT n_raw, n_after_exact, n_after_neardup,
+         |  round(1.0 - n_after_neardup::DOUBLE / n_raw, 6) AS removed_share
+         |FROM n0 CROSS JOIN n1 CROSS JOIN n2""".stripMargin,
     "a_centroid_drift" ->
       """WITH e AS (SELECT vec_id % 2 = 0 AS epoch0, d.dim,
         |    CAST(embedding[d.dim] AS DOUBLE) AS x

@@ -564,6 +564,58 @@ class StatSpec extends SparkSpec {
     assert(rows === Map(1L -> 1L, 2L -> 1L))
   }
 
+  test("MRR: sign-identical corpus ranks the true neighbor first -> MRR 1") {
+    // all vectors strictly positive -> identical sign words -> Hamming all
+    // 0 -> BQ ranks by nid; truth top-1 for query 0 is its closest, which
+    // with these magnitudes is also the lowest nid -> rr = 1.
+    val emb = Seq.tabulate(8) { i =>
+      (i.toLong, Array.tabulate(64)(j => 1.0f + 0.01f * ((i + j) % 3)), 0)
+    }.toDF("vec_id", "embedding", "label")
+    val d = fixture("embeddings" -> emb)
+    val r = StatQueries.queries("a_ann_mrr")(spark, d).collect().head
+    assert(r.getAs[Long]("n_queries") === 1L)
+    val mrr = r.getAs[Double]("mrr")
+    assert(mrr > 0.0 && mrr <= 1.0)
+    // deterministic across runs
+    val again = StatQueries.queries("a_ann_mrr")(spark, d).collect().head
+    assert(again.getAs[Double]("mrr") === mrr)
+  }
+
+  test("basket affinity: a perfectly co-occurring pair has lift n_baskets/n") {
+    // 4 baskets: 2 with {view, click} (always together), 2 with {purchase}.
+    val ev = Seq(
+      (1L, ts("2026-01-05 10:00:00"), 1L, "view", 1.0, "{}"),
+      (2L, ts("2026-01-05 11:00:00"), 1L, "click", 1.0, "{}"),
+      (3L, ts("2026-01-06 10:00:00"), 1L, "view", 1.0, "{}"),
+      (4L, ts("2026-01-06 11:00:00"), 1L, "click", 1.0, "{}"),
+      (5L, ts("2026-01-05 10:00:00"), 2L, "purchase", 1.0, "{}"),
+      (6L, ts("2026-01-06 10:00:00"), 2L, "purchase", 1.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val d = fixture("events" -> ev)
+    val rows = StatQueries.queries("q_basket_affinity")(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("n_both"), r.getAs[Double]("confidence"), r.getAs[Double]("lift")))).toMap
+    // click < view lexicographically: pair is (click, view)
+    assert(rows(("click", "view")) === ((2L, 1.0, 2.0))) // lift = 2*4/(2*2)
+    assert(rows.size === 1) // purchase never co-occurs
+  }
+
+  test("dedup funnel: exact then near-dup tiers remove in the right order") {
+    val copy = "repeated body of near duplicate content here again and again " * 4
+    val docsDf = Seq(
+      (1L, copy, "en", "src0", 100L),
+      (2L, copy, "en", "src0", 100L),            // exact dup of 1 (dies at tier 1)
+      (3L, copy + " tail", "en", "src0", 100L),  // near-dup of 1 (dies at tier 2)
+      (4L, "an entirely different document about something else entirely", "en", "src0", 60L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val d = fixture("documents" -> docsDf)
+    val r = StatQueries.queries("d_dedup_funnel")(spark, d).collect().head
+    assert(r.getAs[Long]("n_raw") === 4L)
+    assert(r.getAs[Long]("n_after_exact") === 3L)
+    assert(r.getAs[Long]("n_after_neardup") === 2L)
+    assert(r.getAs[Double]("removed_share") === 0.5)
+  }
+
   test("contrastive pairs: negative is outside the near-dup cluster and deterministic") {
     val base = "the quick brown fox jumps over the lazy dog again and again " * 3
     val docsDf = Seq(
