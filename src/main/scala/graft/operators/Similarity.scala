@@ -742,6 +742,27 @@ object Similarity {
     })
   }
 
+  /** SQ8 distortion: mean squared reconstruction error of the trained
+    * per-dimension quantizer — the 4×-tier companion of
+    * [[pqDistortion]], completing the distortion-vs-compression matrix
+    * (flat 0 / SQ8 / PQ / BQ). The per-row SSE is ONE left-to-right
+    * in-row fold (the cosine contract's summation order) rounded 9 dp;
+    * the corpus mean accumulates in DECIMAL. Map-only vs the literal
+    * model. */
+  def sqDistortion(corpus0: DataFrame, idCol: String, vecCol: String,
+                   model: Seq[(Float, Float)]): DataFrame = {
+    val recon = sqReconExpr(sqCodeExpr(col(vecCol), model), model)
+    widen(corpus0)
+      .select(round(aggregate(
+        zip_with(col(vecCol), recon, (a, b) => {
+          val d = a.cast("double") - b; d * d
+        }),
+        lit(0.0), (acc, x) => acc + x), 9).cast("decimal(28,9)").as("sse"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("sse")).as("tot"))
+      .select(col("n_vecs"),
+        round(col("tot").cast("double") / col("n_vecs"), 6).as("mse"))
+  }
+
   /** SQ8 code store — the persisted artifact: (idCol, dim, code), one
     * uint8 per dimension. Map-only projection + in-row explode. */
   def sqEncode(corpus0: DataFrame, idCol: String, vecCol: String,

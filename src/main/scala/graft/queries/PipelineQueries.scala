@@ -261,6 +261,15 @@ object PipelineQueries {
         .orderBy("vec_id", "dim")
     }),
 
+    // --- SQ8 distortion: MSE of the midpoint decode — the 4x tier's
+    //     entry in the distortion-vs-compression matrix beside
+    //     a_pq_distortion ---
+    "a_sq_distortion" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val model = Similarity.sqTrain(e, "embedding", dims = 64)
+      Similarity.sqDistortion(e, "vec_id", "embedding", model)
+    }),
+
     // --- IVF-SQ ANN: trained coarse quantizer + SQ8-compressed lists,
     //     asymmetric scoring — the faiss IVFScalarQuantizer shape ---
     "a_ann_ivfsq_topk" -> ((s, dir) => {
@@ -2966,6 +2975,27 @@ object PipelineQueries {
           |    least(255, greatest(0, floor((v[mm.d + 1] - mm.mn) * 255.0 / (mm.mx - mm.mn))))::INT
           |  ELSE 0 END AS code
           |FROM e CROSS JOIN mm ORDER BY vec_id, dim""".stripMargin,
+
+      "a_sq_distortion" ->
+        """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          |mm AS (SELECT d, min(v[d + 1]) AS mn, max(v[d + 1]) AS mx
+          |       FROM e CROSS JOIN (SELECT unnest(range(64)) AS d) GROUP BY d),
+          |r AS (SELECT e.vec_id,
+          |        CAST(round(list_sum(list(
+          |          (v[mm.d + 1] - CASE WHEN mm.mx > mm.mn THEN
+          |             mm.mn + (least(255, greatest(0,
+          |               floor((v[mm.d + 1] - mm.mn) * 255.0 / (mm.mx - mm.mn)))) + 0.5)
+          |               * (mm.mx - mm.mn) / 256.0
+          |           ELSE mm.mn END) *
+          |          (v[mm.d + 1] - CASE WHEN mm.mx > mm.mn THEN
+          |             mm.mn + (least(255, greatest(0,
+          |               floor((v[mm.d + 1] - mm.mn) * 255.0 / (mm.mx - mm.mn)))) + 0.5)
+          |               * (mm.mx - mm.mn) / 256.0
+          |           ELSE mm.mn END) ORDER BY mm.d)), 9) AS DECIMAL(28,9)) AS sse
+          |      FROM e CROSS JOIN mm GROUP BY e.vec_id)
+          |SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+          |  round(CAST(sum(sse) AS DOUBLE) / count(*), 6) AS mse
+          |FROM r""".stripMargin,
 
       "a_ann_sq_topk" ->
         """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

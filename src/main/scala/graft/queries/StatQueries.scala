@@ -1191,6 +1191,30 @@ object StatQueries {
           .as("removed_share"))
     }),
 
+    // --- Event-time disorder profile: per-user-stream lateness of
+    //     each event vs the running event-time high-water mark (in
+    //     ingest order = event_id), summarized as late share, max, and
+    //     exact p99 — THE empirical input to choosing a watermark
+    //     delay (`withWatermark("ts", X)` drops everything later than
+    //     X; this measures what X must be to lose <1%). One window
+    //     pass keyed by user; percentile over the lateness frame. ---
+    "q_disorder_profile" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val lat = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+        .withColumn("hwm", max(col("us")).over(w))
+        .select(greatest(col("hwm") - col("us"), lit(0L)).as("late_us"))
+      lat.agg(count(lit(1)).as("n_events"),
+          sum(when(col("late_us") > 0, 1L).otherwise(0L)).as("n_late"),
+          max(col("late_us")).as("max_late_us"),
+          round(expr("percentile(late_us, 0.99)"), 6).as("p99_late_us"))
+        .select(col("n_events"), col("n_late"),
+          round(col("n_late").cast("double") / col("n_events"), 6).as("late_share"),
+          col("max_late_us"), col("p99_late_us"))
+    }),
+
     // --- Modal value per group with a deterministic tiebreak: the
     //     MODE() aggregate (most common order priority per market
     //     segment) — engines disagree on which mode survives a tie,
@@ -1241,6 +1265,18 @@ object StatQueries {
         s"(sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) * " +
         s"sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[]))), 6)"
     Map(
+    "q_disorder_profile" ->
+      """WITH l AS (SELECT greatest(coalesce(max(epoch_us(ts)) OVER (
+        |      PARTITION BY user_id ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    - epoch_us(ts), 0) AS late_us
+        |  FROM events)
+        |SELECT CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+        |  round(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS late_share,
+        |  CAST(max(late_us) AS BIGINT) AS max_late_us,
+        |  round(quantile_cont(late_us, 0.99), 6) AS p99_late_us
+        |FROM l""".stripMargin,
     "a_ann_mrr" ->
       s"""WITH bf AS (SELECT qid, nid AS rel FROM (
          |    SELECT a.vec_id AS qid, b.vec_id AS nid,

@@ -616,6 +616,38 @@ class StatSpec extends SparkSpec {
     assert(r.getAs[Double]("removed_share") === 0.5)
   }
 
+  test("SQ8 distortion: degenerate dims reconstruct exactly; spread dims stay under the half-step bound") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    val const = Seq.tabulate(6)(i => (i.toLong, Array.fill(8)(0.7f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val m1 = Similarity.sqTrain(const, "embedding", dims = 8)
+    val r1 = Similarity.sqDistortion(const, "vec_id", "embedding", m1).collect().head
+    assert(r1.getAs[Double]("mse") === 0.0) // max == min -> recon = min exactly
+    // values spread over [0,1]: per-dim error <= (1/256)/2 + encode floor slack
+    val spread = Seq.tabulate(32)(i => (i.toLong, Array.fill(8)(i / 31.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val m2 = Similarity.sqTrain(spread, "embedding", dims = 8)
+    val r2 = Similarity.sqDistortion(spread, "vec_id", "embedding", m2).collect().head
+    val mse = r2.getAs[Double]("mse")
+    assert(mse > 0.0)
+    assert(mse <= 8 * math.pow(1.0 / 256, 2), s"mse $mse above the per-dim step bound")
+  }
+
+  test("disorder profile: a planted out-of-order event is counted with exact lateness") {
+    val ev = Seq(
+      (1L, ts("2026-01-05 10:00:00"), 1L, "view", 1.0, "{}"),
+      (2L, ts("2026-01-05 10:10:00"), 1L, "view", 1.0, "{}"),
+      (3L, ts("2026-01-05 10:04:00"), 1L, "view", 1.0, "{}"), // 6 min late vs hwm
+      (4L, ts("2026-01-05 10:00:00"), 2L, "view", 1.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val d = fixture("events" -> ev)
+    val r = StatQueries.queries("q_disorder_profile")(spark, d).collect().head
+    assert(r.getAs[Long]("n_events") === 4L)
+    assert(r.getAs[Long]("n_late") === 1L)
+    assert(r.getAs[Long]("max_late_us") === 6L * 60 * 1000000)
+  }
+
   test("contrastive pairs: negative is outside the near-dup cluster and deterministic") {
     val base = "the quick brown fox jumps over the lazy dog again and again " * 3
     val docsDf = Seq(
