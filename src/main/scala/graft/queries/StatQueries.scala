@@ -1215,6 +1215,36 @@ object StatQueries {
           col("max_late_us"), col("p99_late_us"))
     }),
 
+    // --- Gopher rule ablation: per rule, how many docs FAIL it and —
+    //     the actionable number — how many fail ONLY it (the sole
+    //     blocker whose threshold a relaxation would admit). Rule
+    //     attribution is what separates tuning a quality bar from
+    //     guessing at it. ONE aggregate (14 conditional sums) over the
+    //     map-only gopherRules frame, melted to 7 rows. ---
+    "t_gopher_ablation" -> ((s, dir) => {
+      val g = graft.operators.TextAnalysis.gopherRules(docs(s, dir), "doc_id", "text")
+      val pass: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+        "alpha" -> (col("alpha_word_frac") >= 0.8),
+        "bullet" -> (col("bullet_frac") <= 0.9),
+        "ellipsis" -> (col("ellipsis_frac") <= 0.3),
+        "stopwords" -> (col("n_stop_hits") >= 2),
+        "symbol" -> (col("symbol_ratio") <= 0.1),
+        "word_len" -> (col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0),
+        "words" -> (col("n_words") >= 50 && col("n_words") <= 100000))
+      val sums = Seq(count(lit(1)).as("n_docs")) ++ pass.flatMap { case (name, p) =>
+        val others = pass.filter(_._1 != name).map(_._2).reduce(_ && _)
+        Seq(sum(when(!p, 1L).otherwise(0L)).as(s"fail_$name"),
+          sum(when(!p && others, 1L).otherwise(0L)).as(s"sole_$name"))
+      }
+      val m = g.agg(sums.head, sums.tail: _*)
+      pass.map { case (name, _) =>
+        m.select(lit(name).as("rule"), col(s"fail_$name").as("n_fail"),
+          col(s"sole_$name").as("n_sole_fail"),
+          round(col(s"fail_$name").cast("double") / col("n_docs"), 6)
+            .as("fail_share"))
+      }.reduce(_ unionAll _).orderBy("rule")
+    }),
+
     // --- Modal value per group with a deterministic tiebreak: the
     //     MODE() aggregate (most common order priority per market
     //     segment) — engines disagree on which mode survives a tie,
@@ -1265,6 +1295,53 @@ object StatQueries {
         s"(sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) * " +
         s"sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[]))), 6)"
     Map(
+    "t_gopher_ablation" -> {
+      val rules = Seq(
+        "alpha" -> "alpha_word_frac >= 0.8",
+        "bullet" -> "bullet_frac <= 0.9",
+        "ellipsis" -> "ellipsis_frac <= 0.3",
+        "stopwords" -> "n_stop_hits >= 2",
+        "symbol" -> "symbol_ratio <= 0.1",
+        "word_len" -> "(mean_word_len >= 3.0 AND mean_word_len <= 10.0)",
+        "words" -> "(n_words >= 50 AND n_words <= 100000)")
+      val melt = rules.map { case (name, p) =>
+        val others = rules.filter(_._1 != name).map(_._2).mkString(" AND ")
+        s"""SELECT '$name' AS rule,
+           |  CAST(sum(CASE WHEN NOT ($p) THEN 1 ELSE 0 END) AS BIGINT) AS n_fail,
+           |  CAST(sum(CASE WHEN NOT ($p) AND $others THEN 1 ELSE 0 END) AS BIGINT) AS n_sole_fail,
+           |  round(sum(CASE WHEN NOT ($p) THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS fail_share
+           |FROM m""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH w AS (SELECT doc_id, text,
+         |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS words,
+         |    string_split(text, chr(10)) AS lines FROM documents),
+         |m0 AS (SELECT doc_id,
+         |  CAST(len(words) AS BIGINT) AS n_words,
+         |  CAST((length(text) - length(replace(text, '#', ''))) +
+         |       (length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_symbols,
+         |  round(len(list_filter(lines, l -> ltrim(l) LIKE '-%' OR ltrim(l) LIKE '*%'
+         |      OR ltrim(l) LIKE '•%'))::DOUBLE / len(lines), 6) AS bullet_frac,
+         |  round(len(list_filter(lines, l -> rtrim(l) LIKE '%...' OR rtrim(l) LIKE '%…'))::DOUBLE
+         |      / len(lines), 6) AS ellipsis_frac,
+         |  CASE WHEN len(words) > 0 THEN round(len(list_filter(words,
+         |      x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE / len(words), 6)
+         |    ELSE 0.0 END AS alpha_word_frac,
+         |  (list_contains(list_transform(words, x -> lower(x)), 'the')::BIGINT +
+         |   list_contains(list_transform(words, x -> lower(x)), 'be')::BIGINT +
+         |   list_contains(list_transform(words, x -> lower(x)), 'to')::BIGINT +
+         |   list_contains(list_transform(words, x -> lower(x)), 'of')::BIGINT +
+         |   list_contains(list_transform(words, x -> lower(x)), 'and')::BIGINT +
+         |   list_contains(list_transform(words, x -> lower(x)), 'that')::BIGINT +
+         |   list_contains(list_transform(words, x -> lower(x)), 'have')::BIGINT +
+         |   list_contains(list_transform(words, x -> lower(x)), 'with')::BIGINT) AS n_stop_hits,
+         |  CASE WHEN len(words) > 0 THEN
+         |      round(list_sum(list_transform(words, x -> length(x)))::DOUBLE / len(words), 6)
+         |    ELSE 0.0 END AS mean_word_len
+         |  FROM w),
+         |m AS (SELECT *, CASE WHEN n_words > 0 THEN round(n_symbols::DOUBLE / n_words, 6)
+         |    ELSE 0.0 END AS symbol_ratio FROM m0)
+         |SELECT * FROM ($melt) ORDER BY rule""".stripMargin
+    },
     "q_disorder_profile" ->
       """WITH l AS (SELECT greatest(coalesce(max(epoch_us(ts)) OVER (
         |      PARTITION BY user_id ORDER BY event_id

@@ -648,6 +648,22 @@ class StatSpec extends SparkSpec {
     assert(r.getAs[Long]("max_late_us") === 6L * 60 * 1000000)
   }
 
+  test("gopher ablation: a planted sole-blocker doc is attributed to exactly its rule") {
+    // base passes every rule; the second doc fails ONLY the stopword rule.
+    val good = ("the data to be of and that have with pipeline " * 6).trim
+    val noStops = ("data pipeline quality filter corpus token metric " * 8).trim
+    val docsDf = Seq(
+      (1L, good, "en", "src0", 100L),
+      (2L, noStops, "en", "src0", 100L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val d = fixture("documents" -> docsDf)
+    val rows = StatQueries.queries("t_gopher_ablation")(spark, d).collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("n_fail"), r.getAs[Long]("n_sole_fail")))).toMap
+    assert(rows("stopwords") === ((1L, 1L))) // doc 2, and only rule stopwords
+    assert(rows("words") === ((0L, 0L)))
+    assert(rows("alpha") === ((0L, 0L)))
+  }
+
   test("contrastive pairs: negative is outside the near-dup cluster and deterministic") {
     val base = "the quick brown fox jumps over the lazy dog again and again " * 3
     val docsDf = Seq(
