@@ -1245,6 +1245,39 @@ object StatQueries {
       }.reduce(_ unionAll _).orderBy("rule")
     }),
 
+    // --- LSH banding sweep: precision/recall at bands ∈ {2, 4, 8}
+    //     from ONE signature frame (signatures are the expensive
+    //     stage; banding is a cheap regroup of the same 16 hashes) —
+    //     the bands/rows tuning curve behind the single-point
+    //     d_lsh_eval (more bands = more candidates = recall up,
+    //     precision down; the sweep prices the trade before fixing
+    //     the index). Same deterministic half-sample + exact-Jaccard
+    //     ground truth discipline as d_lsh_eval. ---
+    "d_banding_sweep" -> ((s, dir) => {
+      val d = docs(s, dir).filter(pmod(col("doc_id"), lit(2)) === 0)
+      val sig = graft.operators.Dedup
+        .minhashSignatureArray(d, "doc_id", "text", 16, 3).localCheckpoint()
+      val exact = graft.operators.Dedup
+        .ngramJaccard(d, "doc_id", "text", minJaccard = 0.5)
+        .select("d1", "d2").localCheckpoint()
+      val nExact = exact.count()
+      Seq(2, 4, 8).map { b =>
+        val pairs = graft.operators.Dedup
+          .minhashLshFromSignatures(sig, "doc_id", 16, b, 0.5)
+          .select("d1", "d2").localCheckpoint()
+        val nP = pairs.count()
+        val nB = pairs.join(exact, Seq("d1", "d2"), "left_semi").count()
+        import s.implicits._
+        Seq((b.toLong, nP, nExact, nB)).toDF("bands", "n_pairs", "n_exact", "n_both")
+      }.reduce(_ unionAll _)
+        .select(col("bands"), col("n_pairs"), col("n_exact"), col("n_both"),
+          when(col("n_pairs") > 0,
+            round(col("n_both").cast("double") / col("n_pairs"), 6)).as("precision"),
+          when(col("n_exact") > 0,
+            round(col("n_both").cast("double") / col("n_exact"), 6)).as("recall"))
+        .orderBy("bands")
+    }),
+
     // --- Modal value per group with a deterministic tiebreak: the
     //     MODE() aggregate (most common order priority per market
     //     segment) — engines disagree on which mode survives a tie,
@@ -1295,6 +1328,43 @@ object StatQueries {
         s"(sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) * " +
         s"sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[]))), 6)"
     Map(
+    "d_banding_sweep" -> {
+      def branch(b: Int): String = {
+        val r = 16 / b
+        s"""cand$b AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 FROM
+           |  (SELECT doc_id, h // $r AS band, md5(string_agg(mh, ',' ORDER BY h)) AS bh
+           |   FROM sig GROUP BY doc_id, h // $r) a
+           |  JOIN (SELECT doc_id, h // $r AS band, md5(string_agg(mh, ',' ORDER BY h)) AS bh
+           |   FROM sig GROUP BY doc_id, h // $r) b
+           |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+           |p$b AS (SELECT d1, d2
+           |  FROM cand$b JOIN sig x ON x.doc_id = d1 JOIN sig y ON y.doc_id = d2 AND y.h = x.h
+           |  GROUP BY d1, d2 HAVING count(*) FILTER (x.mh = y.mh)::DOUBLE / 16 >= 0.5),
+           |s$b AS (SELECT $b AS bands,
+           |    (SELECT count(*) FROM p$b) AS n_pairs,
+           |    (SELECT count(*) FROM exact) AS n_exact,
+           |    (SELECT count(*) FROM p$b JOIN exact USING (d1, d2)) AS n_both)""".stripMargin
+      }
+      s"""WITH d2s AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+         |sh AS (
+         |  SELECT doc_id, unnest($sh3) AS s
+         |  FROM (SELECT doc_id, $toks AS t FROM d2s) WHERE len(t) >= 3),
+         |sig AS MATERIALIZED (SELECT doc_id, h, min(md5(h::VARCHAR || '|' || s)) AS mh
+         |        FROM sh CROSS JOIN (SELECT unnest(range(16)) AS h) GROUP BY doc_id, h),
+         |jsh AS (SELECT doc_id, len($sh3)::BIGINT AS n, unnest($sh3) AS s
+         |        FROM (SELECT doc_id, $toks AS t FROM d2s) WHERE len(t) >= 3),
+         |exact AS MATERIALIZED (SELECT a.doc_id AS d1, b.doc_id AS d2
+         |          FROM jsh a JOIN jsh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          GROUP BY a.doc_id, b.doc_id
+         |          HAVING count(*)::DOUBLE / (any_value(a.n) + any_value(b.n) - count(*)) >= 0.5),
+         |${Seq(2, 4, 8).map(branch).mkString(",\n")}
+         |SELECT CAST(bands AS BIGINT) AS bands, CAST(n_pairs AS BIGINT) AS n_pairs,
+         |  CAST(n_exact AS BIGINT) AS n_exact, CAST(n_both AS BIGINT) AS n_both,
+         |  CASE WHEN n_pairs > 0 THEN round(n_both::DOUBLE / n_pairs, 6) END AS precision,
+         |  CASE WHEN n_exact > 0 THEN round(n_both::DOUBLE / n_exact, 6) END AS recall
+         |FROM (SELECT * FROM s2 UNION ALL SELECT * FROM s4 UNION ALL SELECT * FROM s8)
+         |ORDER BY bands""".stripMargin
+    },
     "t_gopher_ablation" -> {
       val rules = Seq(
         "alpha" -> "alpha_word_frac >= 0.8",

@@ -664,6 +664,24 @@ class StatSpec extends SparkSpec {
     assert(rows("alpha") === ((0L, 0L)))
   }
 
+  test("banding sweep: candidate volume is monotone in bands and the planted pair is found") {
+    val copy = "the quick brown fox jumps over the lazy dog once more here " * 4
+    val docsDf = (Seq(
+      (2L, copy, "en", "src0", 100L),
+      (4L, copy + " coda", "en", "src0", 100L)) ++ // near-dup pair (even ids: in sample)
+      Seq.tabulate(6)(i => ((10 + 2 * i).toLong,
+        s"unrelated filler document number $i about catalyst shuffle internals and parquet footers",
+        "en", "src0", 80L))
+      ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val d = fixture("documents" -> docsDf)
+    val rows = StatQueries.queries("d_banding_sweep")(spark, d).collect()
+      .map(r => r.getAs[Long]("bands") -> ((r.getAs[Long]("n_pairs"), r.getAs[Long]("n_both"))))
+      .toMap
+    assert(rows.keySet === Set(2L, 4L, 8L))
+    assert(rows(2L)._1 <= rows(4L)._1 && rows(4L)._1 <= rows(8L)._1) // more bands, more candidates
+    assert(rows(8L)._2 >= 1L) // the planted pair survives the finest banding
+  }
+
   test("contrastive pairs: negative is outside the near-dup cluster and deterministic") {
     val base = "the quick brown fox jumps over the lazy dog again and again " * 3
     val docsDf = Seq(
