@@ -105,6 +105,27 @@ object Bench {
     val total = ts.values.sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$ej,"sf":"$sfDir"}"""
     println(json)
+    // The driver's stdout capture keeps only the LAST ~2000 chars, and a
+    // 289-query record is ~10 KB — the full line above gets head-chopped
+    // mid-JSON (BENCH_r08/r09 both recorded parsed=null). Print a compact
+    // summary as the FINAL JSON line, greedily packing the slowest
+    // queries (3 dp) until the line would outgrow the tail window, so the
+    // driver always has a parseable record; the complete per-query map
+    // lives in the full line + BENCH_LOCAL.json.
+    locally {
+      val bySlow = names.filter(ts.contains).sortBy(n => -ts(n))
+      def fmt(n: String) = jstr(n) + ":" + f"${ts(n)}%.3f"
+      val budget = 1600
+      val head = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${ts.size},"n_errors":${es.size},"full":"BENCH_LOCAL.json","sf":"$sfDir","queries":{"""
+      val sb = new StringBuilder(head)
+      var first = true
+      bySlow.foreach { n =>
+        val piece = (if (first) "" else ",") + fmt(n)
+        if (sb.length + piece.length < budget) { sb.append(piece); first = false }
+      }
+      sb.append("}}")
+      println(sb.toString)
+    }
     // Also persist to a file: the driver's stdout tail capture is bounded
     // (2000 chars) and has truncated this line two rounds running — the
     // file artifact keeps the full per-query record parseable regardless.

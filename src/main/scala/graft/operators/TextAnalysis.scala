@@ -528,31 +528,31 @@ object TextAnalysis {
     * used — so encode(corpus) under the trained table reproduces the
     * trainer's final segmentation exactly.
     *
-    * Entirely MAP-ONLY: per word, |merges| nested in-row folds over the
-    * char array; per doc, one in-row sum over words. Zero shuffles —
+    * Entirely MAP-ONLY: per word, ONE call into the native
+    * [[graft.plans.BpeTokenCount]] kernel (all merge rules applied
+    * in-place in a single compiled method — the round-9 form nested one
+    * interpreted `aggregate()` HOF per rule per word, the documented
+    * 16x interpreted-lambda trap, and was the slowest query on the
+    * board); per doc, one in-row sum over words. Zero shuffles —
     * tokenizer application at 100 TB is a pure scan, which is the whole
     * point of shipping a merge TABLE instead of a tokenizer service.
     * Output: (idCol, n_words, n_bpe_tokens). */
   def bpeEncode(df0: DataFrame, idCol: String, textCol: String,
                 merges: Seq[(String, String)]): DataFrame = {
-    def applyMerges(word: Column): Column = {
-      val chars = transform(sequence(lit(1), length(word)),
-        i => word.substr(i, lit(1)))
-      merges.foldLeft(chars) { case (syms, (a, b)) =>
-        aggregate(syms, array().cast("array<string>"),
-          (acc, x) => when(
-            size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
-            concat(slice(acc, lit(1), size(acc) - 1),
-              array(concat(element_at(acc, -1), x))))
-            .otherwise(concat(acc, array(x))))
-      }
-    }
+    graft.plans.GraftFunctions.register(df0.sparkSession)
+    // the merge table rides the plan as two foldable array literals
+    // (training order) — model-sized, evaluated once, codegen'd into a
+    // single per-word loop
+    val lhsLit = typedLit(merges.map(_._1))
+    val rhsLit = typedLit(merges.map(_._2))
     Dedup.widen(df0)
       .select(col(idCol), tokens(col(textCol)).as("toks"))
       .select(col(idCol),
         size(col("toks")).cast("long").as("n_words"),
         aggregate(
-          transform(col("toks"), w => size(applyMerges(w)).cast("long")),
+          transform(col("toks"), w =>
+            call_function("graft_bpe_token_count", w, lhsLit, rhsLit)
+              .cast("long")),
           lit(0L), (acc, x) => acc + x).as("n_bpe_tokens"))
   }
 

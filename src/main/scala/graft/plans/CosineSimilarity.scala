@@ -112,6 +112,8 @@ object GraftFunctions {
   val hilbertInfo = new ExpressionInfo(classOf[HilbertKey].getName, "graft_hilbert_key")
   val jaroWinklerInfo = new ExpressionInfo(
     classOf[JaroWinklerSimilarity].getName, "graft_jaro_winkler")
+  val bpeTokenCountInfo = new ExpressionInfo(
+    classOf[BpeTokenCount].getName, "graft_bpe_token_count")
 
   private val builders: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_cosine"), cosineInfo,
@@ -129,7 +131,9 @@ object GraftFunctions {
     (FunctionIdentifier("graft_hilbert_key"), hilbertInfo,
       (c: Seq[Expression]) => HilbertKey(c.head, c(1), c(2))),
     (FunctionIdentifier("graft_jaro_winkler"), jaroWinklerInfo,
-      (c: Seq[Expression]) => JaroWinklerSimilarity(c.head, c(1))))
+      (c: Seq[Expression]) => JaroWinklerSimilarity(c.head, c(1))),
+    (FunctionIdentifier("graft_bpe_token_count"), bpeTokenCountInfo,
+      (c: Seq[Expression]) => BpeTokenCount(c.head, c(1), c(2))))
 
   def register(spark: SparkSession): Unit =
     builders.foreach { case (id, info, b) =>
