@@ -23,6 +23,23 @@ object PipelineQueries {
   private def emb(s: SparkSession, dir: String): DataFrame =
     TableCatalog.load(s, dir, "embeddings")
 
+  /** Per-query recall of an approximate top-k against the brute-force
+    * ground truth in ONE pass over `bf`: both frames are unique on
+    * (qid, nid), so the left join preserves bf's row count and a single
+    * aggregate reads n_exact = rows, n_hit = matched rows. (The earlier
+    * two-aggregate + rejoin form scanned the brute-force subtree twice —
+    * the dominant cost of every recall eval.) Values are identical:
+    * count(anid) is 0 where nothing matched, exactly the old
+    * coalesce(n_hit, 0). */
+  private def recallVsExact(bf: DataFrame, approx: DataFrame): DataFrame =
+    bf.join(approx.select(col("qid").as("aqid"), col("nid").as("anid")),
+        col("qid") === col("aqid") && col("nid") === col("anid"), "left")
+      .groupBy("qid")
+      .agg(count(col("anid")).as("n_hit"), count(lit(1)).as("n_exact"))
+      .select(col("qid"), col("n_hit"), col("n_exact"),
+        round(col("n_hit").cast("double") / col("n_exact"), 6).as("recall"))
+      .orderBy("qid")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // --- dedup ---
@@ -136,18 +153,8 @@ object PipelineQueries {
       val q = e.filter(col("vec_id") % 50 === 0)
       val bf = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
         .select(col("qid"), col("nid"))
-      val pr = Similarity.prefixRerankTopK(e, q, "vec_id", "embedding",
-          k = 5, prefixDims = 16, candidates = 50)
-        .select(col("qid").as("pqid"), col("nid").as("pnid"))
-      val hit = bf.join(pr,
-        col("qid") === col("pqid") && col("nid") === col("pnid"), "left_semi")
-      bf.groupBy("qid").agg(count(lit(1)).as("n_exact"))
-        .join(hit.groupBy("qid").agg(count(lit(1)).as("n_hit")), Seq("qid"), "left")
-        .select(col("qid"),
-          coalesce(col("n_hit"), lit(0L)).as("n_hit"), col("n_exact"),
-          round(coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_exact"), 6)
-            .as("recall"))
-        .orderBy("qid")
+      recallVsExact(bf, Similarity.prefixRerankTopK(e, q, "vec_id",
+        "embedding", k = 5, prefixDims = 16, candidates = 50))
     }),
 
     "a_ann_ivf_topk" -> ((s, dir) => {
@@ -217,18 +224,9 @@ object PipelineQueries {
       val q = e.filter(col("vec_id") % 50 === 0)
       val bf = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
         .select("qid", "nid")
-      val pq = Similarity.ivfPqResidualTopK(e, q, "vec_id", "embedding",
-          k = 5, nprobe = 2, centroidEvery = 100, m = 4, ks = 4, iters = 2)
-        .select(col("qid").as("pqid"), col("nid").as("pnid"))
-      val hit = bf.join(pq,
-        col("qid") === col("pqid") && col("nid") === col("pnid"), "left_semi")
-      bf.groupBy("qid").agg(count(lit(1)).as("n_exact"))
-        .join(hit.groupBy("qid").agg(count(lit(1)).as("n_hit")), Seq("qid"), "left")
-        .select(col("qid"),
-          coalesce(col("n_hit"), lit(0L)).as("n_hit"), col("n_exact"),
-          round(coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_exact"), 6)
-            .as("recall"))
-        .orderBy("qid")
+      recallVsExact(bf, Similarity.ivfPqResidualTopK(e, q, "vec_id",
+        "embedding", k = 5, nprobe = 2, centroidEvery = 100,
+        m = 4, ks = 4, iters = 2))
     }),
 
     // --- PQ code assignment: the compressed-store artifact itself
@@ -301,18 +299,15 @@ object PipelineQueries {
       val q = e.filter(col("vec_id") % 50 === 0)
       val bf = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
         .select("qid", "nid")
-      val pq = Similarity.ivfPqTopK(e, q, "vec_id", "embedding", k = 5,
-          nprobe = 2, centroidEvery = 100, m = 4, ks = 4, iters = 2)
-        .select(col("qid").as("pqid"), col("nid").as("pnid"))
-      val hit = bf.join(pq,
-        col("qid") === col("pqid") && col("nid") === col("pnid"), "left_semi")
-      bf.groupBy("qid").agg(count(lit(1)).as("n_exact"))
-        .join(hit.groupBy("qid").agg(count(lit(1)).as("n_hit")), Seq("qid"), "left")
-        .select(col("qid"),
-          coalesce(col("n_hit"), lit(0L)).as("n_hit"), col("n_exact"),
-          round(coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_exact"), 6)
-            .as("recall"))
-        .orderBy("qid")
+      // model trained ONCE and shared with the probe stage (the r9
+      // verdict's structural de-noise: the inline-training form paid the
+      // Lloyd rounds inside the same plan that also re-scanned bf twice)
+      val dims = e.select(size(col("embedding"))).head.getInt(0)
+      val cbs = Similarity.pqTrain(e, "vec_id", "embedding", dims,
+        m = 4, ks = 4, iters = 2)
+      val cents = Similarity.coarseCentroids(e, "vec_id", "embedding", 100)
+      recallVsExact(bf, Similarity.ivfPqTopKWithModel(e, q, "vec_id",
+        "embedding", k = 5, nprobe = 2, cents, cbs))
     }),
 
     // --- ANN evaluation: per-query recall of LSH top-k against the
@@ -323,17 +318,8 @@ object PipelineQueries {
       val q = e.filter(col("vec_id") % 50 === 0)
       val bf = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
         .select(col("qid"), col("nid"))
-      val lsh = Similarity.lshTopK(e, q, "vec_id", "embedding", k = 5, planes = 8)
-        .select(col("qid").as("lqid"), col("nid").as("lnid"))
-      val hit = bf.join(lsh,
-        col("qid") === col("lqid") && col("nid") === col("lnid"), "left_semi")
-      bf.groupBy("qid").agg(count(lit(1)).as("n_exact"))
-        .join(hit.groupBy("qid").agg(count(lit(1)).as("n_hit")), Seq("qid"), "left")
-        .select(col("qid"),
-          coalesce(col("n_hit"), lit(0L)).as("n_hit"), col("n_exact"),
-          round(coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_exact"), 6)
-            .as("recall"))
-        .orderBy("qid")
+      recallVsExact(bf, Similarity.lshTopK(e, q, "vec_id", "embedding",
+        k = 5, planes = 8))
     }),
 
     // --- hybrid retrieval: shingle-index candidates, lexical+dense score ---
@@ -1003,18 +989,8 @@ object PipelineQueries {
       import s.implicits._
       val cents = graft.operators.Vectors
         .kmeansTrain(e, "vec_id", "embedding", k = 4, iters = 2)
-      val ivf = Similarity.ivfTopKWithCentroids(e, q, cents.toDF("cid", "cv"),
-          "vec_id", "embedding", k = 5, nprobe = 2)
-        .select(col("qid").as("iqid"), col("nid").as("inid"))
-      val hit = bf.join(ivf,
-        col("qid") === col("iqid") && col("nid") === col("inid"), "left_semi")
-      bf.groupBy("qid").agg(count(lit(1)).as("n_exact"))
-        .join(hit.groupBy("qid").agg(count(lit(1)).as("n_hit")), Seq("qid"), "left")
-        .select(col("qid"),
-          coalesce(col("n_hit"), lit(0L)).as("n_hit"), col("n_exact"),
-          round(coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_exact"), 6)
-            .as("recall"))
-        .orderBy("qid")
+      recallVsExact(bf, Similarity.ivfTopKWithCentroids(e, q,
+        cents.toDF("cid", "cv"), "vec_id", "embedding", k = 5, nprobe = 2))
     }),
 
     // --- IVF-SQ recall vs brute-force ground truth: what the 4x
@@ -1029,18 +1005,8 @@ object PipelineQueries {
       val cents = graft.operators.Vectors
         .kmeansTrain(e, "vec_id", "embedding", k = 4, iters = 2)
       val model = Similarity.sqTrain(e, "embedding", dims = 64)
-      val ivfsq = Similarity.ivfSqTopK(e, q, cents.toDF("cid", "cv"),
-          "vec_id", "embedding", k = 5, nprobe = 2, model)
-        .select(col("qid").as("iqid"), col("nid").as("inid"))
-      val hit = bf.join(ivfsq,
-        col("qid") === col("iqid") && col("nid") === col("inid"), "left_semi")
-      bf.groupBy("qid").agg(count(lit(1)).as("n_exact"))
-        .join(hit.groupBy("qid").agg(count(lit(1)).as("n_hit")), Seq("qid"), "left")
-        .select(col("qid"),
-          coalesce(col("n_hit"), lit(0L)).as("n_hit"), col("n_exact"),
-          round(coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_exact"), 6)
-            .as("recall"))
-        .orderBy("qid")
+      recallVsExact(bf, Similarity.ivfSqTopK(e, q, cents.toDF("cid", "cv"),
+        "vec_id", "embedding", k = 5, nprobe = 2, model))
     }),
 
     // --- k-NN label classification over embeddings: majority label of
