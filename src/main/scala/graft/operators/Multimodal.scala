@@ -6,12 +6,13 @@ import org.apache.spark.sql.types._
 
 /** Multimodal column handling for training-data pipelines: media payloads
   * are opaque `binary` columns with a typed metadata struct, processed by
-  * per-partition batch functions. The Spark-side plumbing — schema,
-  * partitioning, batch shape — is real and tested; the actual
-  * image/audio decode is a clearly-marked STUB (no media libraries exist
-  * in this container): `decodeStub` derives a deterministic fake feature
-  * vector from the bytes so the pipeline shape (including joins against
-  * `embeddings`-style tables downstream) can be exercised end-to-end.
+  * per-partition batch functions. Every `m_*` oracle runs on the REAL
+  * codecs in this file (BMP, RIFF/WAVE, RIFF/AVI — public, bit-stable
+  * container formats synthesized and parsed byte-for-byte); the only
+  * external seam is a learned embedding MODEL (CNN/audio encoder), which
+  * doesn't exist in this container — a deployment plugs one into the same
+  * mapPartitions batch shape the codecs use (see `decodeBmp` and
+  * `MediaDecodeStub` in test scope for the signature contract).
   *
   * Scale notes: payload bytes never pass through a shuffle here — all
   * derivations are map-side; `frameSample` keeps only the sampled slices
@@ -36,36 +37,6 @@ object Multimodal {
     df.withColumn("n_bytes", octet_length(col(bytesCol)).cast("long"))
       .withColumn("content_sha", sha2(col(bytesCol), 256))
 
-  /** STUB decode → feature vector. Deterministic fake: `dims` floats
-    * derived from sha2 of the payload, in [-1, 1). A real deployment
-    * replaces the body of `fakeFeature` with the actual decoder
-    * (image → CNN embedding etc.); signature and batch shape stay. */
-  def decodeStub(df: DataFrame, dims: Int = 16,
-                 bytesCol: String = "bytes"): DataFrame = {
-    val schema = StructType(df.schema.fields.toIndexedSeq :+
-      StructField("features", ArrayType(FloatType, containsNull = false)))
-    val enc = org.apache.spark.sql.Encoders.row(schema)
-    val idx = df.schema.fieldIndex(bytesCol)
-    df.mapPartitions { it =>
-      val md = java.security.MessageDigest.getInstance("SHA-256")
-      it.map { r =>
-        val bytes = if (r.isNullAt(idx)) Array.empty[Byte] else r.getAs[Array[Byte]](idx)
-        Row.fromSeq(r.toSeq :+ fakeFeature(md, bytes, dims))
-      }
-    }(enc)
-  }
-
-  // ??? real decode goes here — deterministic stand-in for this container
-  private def fakeFeature(md: java.security.MessageDigest, bytes: Array[Byte],
-                          dims: Int): Seq[Float] = {
-    md.reset()
-    val h = md.digest(bytes)
-    (0 until dims).map { i =>
-      val b = h(i % h.length) & 0xff
-      (b - 128) / 128.0f
-    }
-  }
-
   /** Real BMP container encode: wrap payload bytes as an uncompressed
     * 24-bpp bottom-up BMP (BITMAPFILEHEADER + BITMAPINFOHEADER, rows
     * padded to the 4-byte stride the format mandates) of the given pixel
@@ -74,7 +45,7 @@ object Multimodal {
     * gives the pipeline REAL media bytes to decode (the container format
     * is public and bit-stable), synthesized deterministically since no
     * media files exist in the test data. Map-side mapPartitions, same
-    * seam as [[decodeStub]]. */
+    * batch seam as [[decodeBmp]]. */
   def encodeBmp(df: DataFrame, bytesCol: String = "bytes",
                 width: Int = 4): DataFrame = {
     require(width > 0, s"width must be positive, got $width")

@@ -19,11 +19,11 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("decodeStub: deterministic feature vector of requested dims") {
-    val a = Multimodal.decodeStub(media, dims = 8)
+    val a = MediaDecodeStub.decodeStub(media, dims = 8)
       .select("media_id", "features").as[(Long, Seq[Float])].collect().toMap
     assert(a.values.forall(_.length === 8))
     assert(a.values.forall(_.forall(f => f >= -1.0f && f < 1.0f)))
-    val b = Multimodal.decodeStub(media, dims = 8)
+    val b = MediaDecodeStub.decodeStub(media, dims = 8)
       .select("media_id", "features").as[(Long, Seq[Float])].collect().toMap
     assert(a === b) // deterministic
     assert(a(1L) !== a(2L)) // content-dependent
