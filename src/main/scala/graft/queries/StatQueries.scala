@@ -80,8 +80,13 @@ object StatQueries {
     //     volume is inside its weekly swing. Weekday = day_n mod 7
     //     (pure integer — see `daily`). Detrended values stay exact
     //     rationals with denominator 7 (7x − Σwindow), so the seasonal
-    //     mean is Σ integers / (7n); trend/residual take one double
-    //     division each with identical shape in both engines. ---
+    //     mean is Σ integers / (7n); classical estimator: the seasonal
+    //     indices are RE-CENTERED to sum to (rounded) zero by
+    //     subtracting their mean — without it, trend+seasonal carries
+    //     the mean of the weekday means as a systematic offset into the
+    //     residual. The centering mean accumulates the 6-dp-rounded
+    //     indices in DECIMAL (exact sum, order-independent) before the
+    //     one double division — identical shape in both engines. ---
     "q_seasonal_decomp" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.orderBy("day_n").rowsBetween(-3, 3)
@@ -90,11 +95,16 @@ object StatQueries {
         .withColumn("wn", count(lit(1)).over(w))
         .filter(col("wn") === 7)
         .withColumn("weekday", pmod(col("day_n"), lit(7L)))
-      val seasonal = wd.groupBy("weekday")
+      val seasonalRaw = wd.groupBy("weekday")
         .agg(sum(lit(7L) * col("cnt") - col("wsum")).as("snum"),
           (count(lit(1)) * 7L).as("sden"))
         .select(col("weekday"),
-          round(col("snum").cast("double") / col("sden"), 6).as("seasonal"))
+          round(col("snum").cast("double") / col("sden"), 6).as("sraw"))
+      val adj = seasonalRaw.agg(
+        round(sum(col("sraw").cast("decimal(20,6)")).cast("double") /
+          count(lit(1)), 6).as("adj"))
+      val seasonal = seasonalRaw.crossJoin(adj)
+        .select(col("weekday"), round(col("sraw") - col("adj"), 6).as("seasonal"))
       wd.join(seasonal, "weekday")
         .select(col("day_n"), col("cnt"),
           round(col("wsum").cast("double") / 7.0, 6).as("trend"),
@@ -198,9 +208,16 @@ object StatQueries {
       }
       val pairs = (for (i <- cols.indices; j <- cols.indices if i < j)
         yield { val (a, b) = (cols(i), cols(j)); if (a <= b) (a, b) else (b, a) }).sorted
-      pairs.map { case (a, b) =>
-        m.select(lit(a).as("col_a"), lit(b).as("col_b"), r(a, b).as("r"))
-      }.reduce(_ unionAll _).orderBy("col_a", "col_b")
+      // ONE aggregate subtree STRUCTURALLY: the six pairs melt out of the
+      // single moment row via explode(array(struct...)) — the earlier
+      // union-of-six-selects form was single-pass only if exchange reuse
+      // happened to deduplicate six identical aggregate subtrees
+      m.select(explode(array(pairs.map { case (a, b) =>
+          struct(lit(a).as("col_a"), lit(b).as("col_b"), r(a, b).as("r"))
+        }: _*)).as("p"))
+        .select(col("p.col_a").as("col_a"), col("p.col_b").as("col_b"),
+          col("p.r").as("r"))
+        .orderBy("col_a", "col_b")
     }),
 
     // --- Kaplan–Meier survival curve of user inactivity gaps: the
@@ -600,8 +617,10 @@ object StatQueries {
     "q_rate_limit" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val ev = t(s, dir, "events").withColumn("hr",
-        expr("unix_micros(ts) div 3600000000")) // integral div — the double
-        // quotient could misround floor() at exact hour boundaries
+        // exact-integer FLOOR division (pmod adjustment) — matches the
+        // oracle's `//` on both sides of the epoch, with no double
+        // quotient to misround at exact hour boundaries
+        graft.streaming.EventStream.hourBucket("ts"))
       val ranked = ev.withColumn("rk", row_number().over(
         Window.partitionBy("user_id", "hr").orderBy(col("ts"), col("event_id"))))
       ranked.groupBy("event_type")
@@ -1993,9 +2012,12 @@ object StatQueries {
         |    sum(cnt) OVER win AS wsum, count(*) OVER win AS wn
         |  FROM d WINDOW win AS (ORDER BY day_n ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
         |f AS (SELECT *, day_n % 7 AS weekday FROM w WHERE wn = 7),
-        |se AS (SELECT weekday,
-        |    round(CAST(sum(7*cnt - wsum) AS DOUBLE) / (count(*) * 7), 6) AS seasonal
-        |  FROM f GROUP BY weekday)
+        |sr AS (SELECT weekday,
+        |    round(CAST(sum(7*cnt - wsum) AS DOUBLE) / (count(*) * 7), 6) AS sraw
+        |  FROM f GROUP BY weekday),
+        |aj AS (SELECT round(CAST(sum(CAST(sraw AS DECIMAL(20,6))) AS DOUBLE)
+        |    / count(*), 6) AS adj FROM sr),
+        |se AS (SELECT weekday, round(sraw - adj, 6) AS seasonal FROM sr, aj)
         |SELECT day_n, cnt, round(CAST(wsum AS DOUBLE) / 7.0, 6) AS trend, seasonal,
         |  round(CAST(cnt AS DOUBLE) - CAST(wsum AS DOUBLE) / 7.0 - seasonal, 6) AS residual
         |FROM f JOIN se USING (weekday) ORDER BY day_n""".stripMargin,

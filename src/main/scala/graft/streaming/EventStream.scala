@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -188,8 +188,7 @@ object EventStream {
     * replay-deterministic). One map-side-combined aggregate. */
   def quotaCountsBatch(events: DataFrame, n: Int = 3): DataFrame =
     events
-      .select(col("user_id"),
-        expr("unix_micros(ts) div 3600000000").as("hr"))
+      .select(col("user_id"), hourBucket("ts").as("hr"))
       .groupBy("user_id", "hr")
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("hr"), col("n_events"),
@@ -206,18 +205,57 @@ object EventStream {
     * per-EVENT keep decision is deliberately NOT streamed: "first n by
     * event time" is order-sensitive under late data, so the streaming
     * tier carries the accounting and the batch tier replays the exact
-    * per-event decision. */
-  def quotaCounts(events: Dataset[KeyedEvent], n: Int = 3): Dataset[QuotaRow] = {
+    * per-event decision.
+    *
+    * State is BOUNDED by the watermark horizon: each (user, hour)
+    * counter registers an `EventTimeTimeout` at the end of its hour, and
+    * once the watermark proves no event for that hour can still arrive
+    * the counter is dropped (emitting nothing — the converged row was
+    * already emitted; Update-mode sinks hold it). Without the timeout a
+    * long-running stream would accumulate one counter per (user, hour)
+    * forever. An expired counter can never restart at zero: a row in
+    * hour H satisfies ts < end(H), and expiry requires watermark >
+    * end(H), so any such row would be older than the watermark and is
+    * dropped by the engine before reaching the state function. Batch
+    * runs have no watermark to register against (same convention as
+    * [[sessionizeEventTime]]). */
+  def quotaCounts(events: Dataset[KeyedEvent], n: Int = 3,
+                  watermark: String = "1 hour"): Dataset[QuotaRow] = {
     import events.sparkSession.implicits._
-    events.groupByKey(e => (e.user_id, micros(e.ts) / 3600000000L))
-      .mapGroupsWithState[Long, QuotaRow](GroupStateTimeout.NoTimeout()) {
+    events.withWatermark("ts", watermark)
+      .groupByKey(e => (e.user_id, Math.floorDiv(micros(e.ts), 3600000000L)))
+      .flatMapGroupsWithState[Long, QuotaRow](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
         case ((user, hr), rows, state) =>
-          val total = state.getOption.getOrElse(0L) + rows.size
-          state.update(total)
-          QuotaRow(user, hr, total, math.min(total, n.toLong),
-            math.max(total - n, 0L))
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val total = state.getOption.getOrElse(0L) + rows.size
+            state.update(total)
+            try {
+              // end of hour in event-time ms; never behind the current
+              // watermark (a late-but-in-horizon row would otherwise
+              // register an already-passed timeout, which Spark rejects)
+              val endMs = (hr + 1L) * 3600000L
+              state.setTimeoutTimestamp(
+                math.max(endMs, state.getCurrentWatermarkMs() + 1L))
+            } catch { case _: UnsupportedOperationException => () }
+            Iterator(QuotaRow(user, hr, total, math.min(total, n.toLong),
+              math.max(total - n, 0L)))
+          }
       }
   }
+
+  /** Exact floor-division hour bucket over a timestamp column: DuckDB's
+    * `//` floors while Spark's `div` truncates toward zero, which
+    * diverges for pre-1970 timestamps — the pmod adjustment (always
+    * non-negative) makes the integer arithmetic floor-exact on both
+    * sides of the epoch, with no double quotient to misround at exact
+    * hour boundaries. */
+  def hourBucket(tsCol: String = "ts"): Column =
+    expr(s"(unix_micros($tsCol) - pmod(unix_micros($tsCol), 3600000000))" +
+      " div 3600000000")
 
   /** Streaming exact dedup by id within the watermark horizon
     * (`dropDuplicatesWithinWatermark`): state stores only ids younger

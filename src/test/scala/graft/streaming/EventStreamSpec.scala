@@ -479,10 +479,13 @@ class EventStreamSpec extends SparkSpec {
       q.processAllAvailable()
       mem.addData(rows.drop(2): _*)
       q.processAllAvailable()
+      // n_events is monotone per key, so the CONVERGED row is the max of
+      // (n_events, n_kept, n_dropped) — no reliance on
+      // monotonically_increasing_id ordering across micro-batches, which
+      // is not guaranteed and made this selection flaky
       val current = spark.table("quotacounts")
-        .withColumn("emit_seq", monotonically_increasing_id())
         .groupBy("user_id", "hr")
-        .agg(max(struct(col("emit_seq"), col("n_events"), col("n_kept"),
+        .agg(max(struct(col("n_events"), col("n_kept"),
           col("n_dropped"))).as("w"))
         .select(col("user_id"), col("hr"), col("w.n_events"),
           col("w.n_kept"), col("w.n_dropped"))
