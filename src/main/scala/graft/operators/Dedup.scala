@@ -46,6 +46,28 @@ object Dedup {
         count(lit(1)).as("n_copies"))
       .select(idCol, "content_hash", "n_copies")
 
+  /** Prefix-key dedup: one surviving `idCol` (the minimum) per distinct
+    * FIRST-`k`-token prefix — the boilerplate-header / title / lede
+    * family of duplicates that whole-content hashing misses (same page
+    * head, diverging tails: syndicated articles, templated landing
+    * pages, scraped mirrors with injected footers). The prefix is the
+    * first min(k, len) lowercased alphanumeric tokens joined by single
+    * spaces; md5 of that string keeps the shuffle key 32 hex chars
+    * regardless of document size — same single hash-shuffle shape as
+    * [[exactDedup]], and like it the decision is partitioning-invariant.
+    * Output: (idCol, prefix_hash, n_copies). */
+  def prefixDedup(df: DataFrame, idCol: String, textCol: String,
+                  k: Int = 10): DataFrame = {
+    require(k >= 1, s"prefix length must be >= 1, got $k")
+    df.groupBy(
+        md5(concat_ws(" ",
+          slice(graft.functions.TextFunctions.tokens(col(textCol)), 1, k)))
+          .as("prefix_hash"))
+      .agg(min(col(idCol)).as(idCol),
+        count(lit(1)).as("n_copies"))
+      .select(idCol, "prefix_hash", "n_copies")
+  }
+
   /** Corpus snapshot diff by content hash — the version-management step
     * every re-crawled / re-curated corpus needs before deciding what to
     * reprocess: one row per doc id present in EITHER snapshot, with

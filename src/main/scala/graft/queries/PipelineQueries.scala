@@ -47,6 +47,13 @@ object PipelineQueries {
       Dedup.exactDedup(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // prefix-key dedup: collapse docs sharing their first-10-token
+    // prefix (boilerplate headers / syndicated ledes whole-content
+    // hashing misses — diverging tails keep the md5s distinct)
+    "d_prefix_dedup" -> ((s, dir) =>
+      Dedup.prefixDedup(docs(s, dir), "doc_id", "text", k = 10)
+        .orderBy("doc_id")),
+
     // exact dedup over the canonical form — case/whitespace variants
     // collapse to one content hash (normalize ∘ exactDedup composition)
     "d_exact_dedup_norm" -> ((s, dir) =>
@@ -1715,6 +1722,14 @@ object PipelineQueries {
       "d_exact_dedup" ->
         """SELECT min(doc_id) AS doc_id, md5(text) AS content_hash, count(*) AS n_copies
           |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
+
+      "d_prefix_dedup" ->
+        """SELECT min(doc_id) AS doc_id,
+          |  md5(array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+')[1:10], ' '))
+          |    AS prefix_hash,
+          |  count(*) AS n_copies
+          |FROM documents
+          |GROUP BY 2 ORDER BY doc_id""".stripMargin,
 
       "d_exact_dedup_norm" ->
         """SELECT min(doc_id) AS doc_id,
