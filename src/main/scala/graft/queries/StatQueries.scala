@@ -324,15 +324,22 @@ object StatQueries {
 
     // --- Contrastive training pairs from the near-dup graph: each
     //     MinHash-LSH pair becomes (anchor, positive); the negative is
-    //     mined per anchor as the hash-minimal corpus doc that is
-    //     neither the anchor nor any of its near-dups — the standard
-    //     (a, p, n) triplet export for embedding-model training, fully
-    //     deterministic (md5 rank ⇒ partitioning- and growth-stable
-    //     choice). Scale shape: anchors are pair-bounded (small) and
-    //     BROADCAST against one corpus pass; the per-anchor min is a
-    //     map-side-combined aggregate. Swap the corpus pass for an ANN
-    //     candidate stage to make these HARD negatives (see
-    //     Similarity.hardNegatives). ---
+    //     mined per anchor from a FIXED 64-doc candidate pool (the
+    //     globally hash-minimal doc ids — one distributed TakeOrdered
+    //     over the corpus) as the anchor-salted-hash-minimal pool member
+    //     that is neither the anchor nor any of its near-dups — the
+    //     standard (a, p, n) triplet export, fully deterministic (md5
+    //     ranks ⇒ partitioning- and growth-stable choice), and the
+    //     per-anchor salt keeps negatives DIVERSE across anchors. Scale
+    //     shape: the corpus contributes one scan (pool TakeOrdered);
+    //     candidates are anchors × 64, both broadcast — the sf1 anchor
+    //     measured the previous anchors × CORPUS cross join at 9.2×
+    //     growth for 10× data (both factors grow with the corpus), where
+    //     this pool form is linear. Pool-exhaustion (an anchor with all
+    //     64 pool docs as near-dups) would drop that anchor's triplets;
+    //     degree ≥ 64 inside a 64-doc uniform sample is vanishing at any
+    //     real dup rate. Swap the pool for an ANN candidate stage to
+    //     make these HARD negatives (see Similarity.hardNegatives). ---
     "a_contrastive_pairs" -> ((s, dir) => {
       val d = docs(s, dir)
       val pairs = graft.operators.Dedup.minhashLsh(d, "doc_id", "text")
@@ -341,8 +348,12 @@ object StatQueries {
       val excl = pairs.select(col("d1").as("anchor"), col("d2").as("other"))
         .union(pairs.select(col("d2").as("anchor"), col("d1").as("other")))
         .distinct()
+      val pool = d.select(col("doc_id"),
+          md5(col("doc_id").cast("string")).as("ph"))
+        .orderBy(col("ph").asc, col("doc_id").asc).limit(64)
+        .select("doc_id")
       val cand = broadcast(anchors)
-        .crossJoin(d.select(col("doc_id")))
+        .crossJoin(broadcast(pool))
         .filter(col("doc_id") =!= col("anchor"))
         .join(excl.withColumnRenamed("other", "doc_id"),
           Seq("anchor", "doc_id"), "left_anti")
@@ -2146,7 +2157,9 @@ object StatQueries {
          |anch AS (SELECT DISTINCT d1 AS anchor FROM pairs),
          |excl AS (SELECT d1 AS anchor, d2 AS other FROM pairs
          |         UNION SELECT d2, d1 FROM pairs),
-         |cand AS (SELECT anchor, doc_id FROM anch CROSS JOIN (SELECT doc_id FROM documents)
+         |pool AS (SELECT doc_id FROM (SELECT doc_id, md5(doc_id::VARCHAR) AS ph
+         |         FROM documents ORDER BY ph, doc_id LIMIT 64)),
+         |cand AS (SELECT anchor, doc_id FROM anch CROSS JOIN pool
          |  WHERE doc_id <> anchor
          |    AND NOT EXISTS (SELECT 1 FROM excl e WHERE e.anchor = anch.anchor AND e.other = doc_id)),
          |neg AS (SELECT anchor, doc_id AS negative, row_number() OVER (PARTITION BY anchor
