@@ -40,7 +40,11 @@ object ScaleGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    run(spark, src, out, factor)
+    spark.stop()
+  }
 
+  def run(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
     def t(name: String): DataFrame =
       graft.catalog.TableCatalog.load(spark, src, name)
 
@@ -85,6 +89,5 @@ object ScaleGen {
         else transform(col("embedding"),
           (x, i) => (x + (pmod(lit(k) * (i + 1), lit(7)) - lit(3)).cast("float")
             * lit(0.01f)).cast("float"))))
-    spark.stop()
   }
 }
