@@ -121,6 +121,52 @@ object SinkQueries {
         .orderBy("doc_id")
     }),
 
+    // K4 under the gate: the warehouse table sink (CREATE_IF_NEEDED +
+    // WRITE_APPEND parity, `templates/SpannerToBigQuery.java:91-96`) —
+    // first call auto-creates the managed table from the query schema,
+    // second call appends; reading the table back must reproduce the
+    // union of both batches. Catalog + warehouse-dir leftovers from a
+    // previous run are cleared first (a managed parquet table reads
+    // whatever files sit at its location).
+    "k4_table_sink_roundtrip" -> ((s, dir) => {
+      TableCatalog.register(s, dir)
+      s.sql("DROP TABLE IF EXISTS k4_gate_tbl")
+      val wh = new Path(s.conf.get("spark.sql.warehouse.dir"), "k4_gate_tbl")
+      org.apache.hadoop.fs.FileSystem
+        .get(wh.toUri, s.sparkContext.hadoopConfiguration).delete(wh, true)
+      val n1 = Templates.queryToTable(s, Templates.QueryToTableConfig(
+        query = "SELECT s_suppkey, s_name, s_nationkey FROM supplier WHERE s_suppkey % 2 = 0",
+        table = "k4_gate_tbl"))
+      val n2 = Templates.queryToTable(s, Templates.QueryToTableConfig(
+        query = "SELECT s_suppkey, s_name, s_nationkey FROM supplier WHERE s_suppkey % 2 = 1",
+        table = "k4_gate_tbl"))
+      s.table("k4_gate_tbl")
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+          lit(n1 + n2).as("n_written"))
+        .orderBy("s_suppkey")
+    }),
+
+    // K6 under the gate: the entity/document sink — key path
+    // `<kind>/<id>`, recursive entity value shaping, configured +
+    // >1500-byte auto-unindex exclusion list — hash-checked end to end
+    // (DuckDB recomputes key, content, and the unindexed list from the
+    // source table; the doc struct's text rides as md5 to keep the gate
+    // frame narrow).
+    "k6_documents_roundtrip" -> ((s, dir) => {
+      TableCatalog.register(s, dir)
+      clean(s, s"$base/k6")
+      val out = Templates.queryToDocuments(s, Templates.QueryToDocumentsConfig(
+        query = "SELECT doc_id, text, lang, source FROM documents",
+        output = s"$base/k6/t", kind = "doc", keyField = "doc_id",
+        excludeFromIndexFields = Seq("source")))
+      out.select(col("__key__"),
+          col("doc.doc_id").as("doc_id"),
+          md5(col("doc.text")).as("text_md5"),
+          col("doc.lang").as("lang"),
+          concat_ws(",", col("__unindexed__")).as("unindexed"))
+        .orderBy("doc_id")
+    }),
+
     // K5 under the gate: the MERGE-shaped mutation writer's semantics
     // hash-checked end to end — seed a table, INSERT_OR_UPDATE a batch
     // that half-updates/half-inserts, DELETE a key slice, read the final
@@ -319,6 +365,18 @@ object SinkQueries {
 
     "k10_compact_roundtrip" ->
       """SELECT doc_id, text, CAST(1 AS BIGINT) AS n_files
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "k4_table_sink_roundtrip" ->
+      """SELECT s_suppkey, s_name, s_nationkey,
+        |  (SELECT count(*) FROM supplier)::BIGINT AS n_written
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+
+    "k6_documents_roundtrip" ->
+      """SELECT 'doc/' || doc_id::VARCHAR AS __key__, doc_id,
+        |  md5(text) AS text_md5, lang,
+        |  CASE WHEN strlen(text) > 1500 THEN 'source,text'
+        |       ELSE 'source' END AS unindexed
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "k5_upsert_roundtrip" ->
