@@ -121,6 +121,52 @@ object SinkQueries {
         .orderBy("doc_id")
     }),
 
+    // S5 under the gate: the Avro FILE SOURCE as its own row — logical
+    // types (timestamp-micros, long, double, string) written by AvroIO
+    // and read back through the container parser must hash-match DuckDB
+    // reading the same rows from parquet. Complements k2 (which gates the
+    // dynamic-sink path) by pinning the typed round-trip on a fact table.
+    "s5_avro_source_roundtrip" -> ((s, dir) => {
+      TableCatalog.register(s, dir)
+      clean(s, s"$base/s5")
+      graft.sources.AvroIO.write(
+        TableCatalog.load(s, dir, "orders")
+          .select("o_orderkey", "o_orderdate", "o_totalprice", "o_orderpriority"),
+        s"$base/s5/orders")
+      graft.sources.AvroIO.read(s, s"$base/s5/orders")
+        .orderBy("o_orderkey")
+    }),
+
+    // K7 + K9 under the gate: the REPORT_FAILURES error branch — rows
+    // with NULL keys fail the mutation writer, land in the error Avro
+    // file, and their count lands in the notify file; the survivors land
+    // in the table. The gate frame reads the error file back and carries
+    // both counts, so DuckDB recomputes the whole split from the source
+    // table alone.
+    "k7_error_branch_roundtrip" -> ((s, dir) => {
+      TableCatalog.register(s, dir)
+      clean(s, s"$base/k7")
+      Templates.queryToUpsert(s, Templates.QueryToUpsertConfig(
+        query = "SELECT CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_custkey END AS c_custkey, " +
+          "c_name, c_acctbal FROM customer WHERE c_custkey < 200",
+        outputTable = s"$base/k7/t", keyFields = Seq("c_custkey"),
+        outputError = Some(s"$base/k7/err"),
+        outputNotify = Some(s"$base/k7/notify.txt")))
+      val notify = {
+        val p = new Path(s"$base/k7/notify.txt")
+        val fs = org.apache.hadoop.fs.FileSystem
+          .get(p.toUri, s.sparkContext.hadoopConfiguration)
+        val in = fs.open(p)
+        val txt = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        in.close(); txt.trim.toLong
+      }
+      val nTable = s.read.parquet(s"$base/k7/t").count()
+      graft.sources.AvroIO.read(s, s"$base/k7/err")
+        .select(col("c_name"), col("c_acctbal"),
+          lit(notify).as("n_failed"), lit(nTable).as("n_table"))
+        .orderBy("c_name")
+    }),
+
     // K4 under the gate: the warehouse table sink (CREATE_IF_NEEDED +
     // WRITE_APPEND parity, `templates/SpannerToBigQuery.java:91-96`) —
     // first call auto-creates the managed table from the query schema,
@@ -366,6 +412,19 @@ object SinkQueries {
     "k10_compact_roundtrip" ->
       """SELECT doc_id, text, CAST(1 AS BIGINT) AS n_files
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "s5_avro_source_roundtrip" ->
+      """SELECT o_orderkey, o_orderdate, o_totalprice, o_orderpriority
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "k7_error_branch_roundtrip" ->
+      """WITH f AS (SELECT c_name, c_acctbal FROM customer
+        |           WHERE c_custkey < 200 AND c_custkey % 7 = 0)
+        |SELECT c_name, c_acctbal,
+        |  (SELECT count(*) FROM f)::BIGINT AS n_failed,
+        |  (SELECT count(*) FROM customer
+        |   WHERE c_custkey < 200 AND c_custkey % 7 <> 0)::BIGINT AS n_table
+        |FROM f ORDER BY c_name""".stripMargin,
 
     "k4_table_sink_roundtrip" ->
       """SELECT s_suppkey, s_name, s_nationkey,

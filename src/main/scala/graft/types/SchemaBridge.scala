@@ -190,6 +190,13 @@ object SchemaBridge {
     case TimestampType =>
       val t = v.asInstanceOf[java.sql.Timestamp]
       Long.box(t.getTime * 1000L + (t.getNanos % 1000000L) / 1000L)
+    case TimestampNTZType =>
+      // NTZ wall-clock micros == UTC micros under the project's UTC-
+      // session convention (same contract as TableCatalog's NTZ cast);
+      // reads come back as timestamp-micros -> TimestampType
+      val ldt = v.asInstanceOf[java.time.LocalDateTime]
+      Long.box(ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+        ldt.getNano / 1000L)
     case d: DecimalType =>
       val bd = v.asInstanceOf[java.math.BigDecimal].setScale(d.scale)
       java.nio.ByteBuffer.wrap(bd.unscaledValue().toByteArray)
