@@ -481,10 +481,15 @@ object AnalyticsQueries {
       val inc = tok.select("doc_id", "w").distinct()
       val df = inc.groupBy("w").agg(count(lit(1)).as("df"))
       val nDocs = d.agg(count(lit(1)).as("nd"))
-      // top-5 c-TF-IDF terms per source (same statistic as t_ctfidf)
+      // top-5 c-TF-IDF terms per source (same statistic as t_ctfidf).
+      // tf/fw/aavg all derive from ONE (source, w) count frame — the
+      // earlier form re-ran the token explode for each (4 corpus token
+      // passes per action; now 2: this one + the distinct incidence).
+      // Identical values: fw = sum of per-source counts, aavg = total
+      // tokens / n_sources.
       val tf = tok.groupBy("source", "w").agg(count(lit(1)).as("tf"))
-      val fw = tok.groupBy("w").agg(count(lit(1)).as("fw"))
-      val aavg = tok.agg((count(lit(1)).cast("double") /
+      val fw = tf.groupBy("w").agg(sum(col("tf")).as("fw"))
+      val aavg = tf.agg((sum(col("tf")).cast("double") /
         countDistinct(col("source"))).as("aavg"))
       val scored = tf.join(fw, "w").crossJoin(broadcast(aavg))
         .select(col("source"), col("w"),
