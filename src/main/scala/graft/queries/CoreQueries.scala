@@ -87,6 +87,21 @@ object CoreQueries {
         params = Map("status" -> "F"))
     }),
 
+    // LATERAL correlated subquery — the per-row top-n join shape SQL
+    // surfaces directly (Spark 3.2+ lateral subqueries; DuckDB LATERAL):
+    // for every region, its two alphabetically-first nations. Catalyst
+    // decorrelates this into a ranked join — no per-row re-execution.
+    "q_lateral_join" -> ((s, dir) => {
+      TableCatalog.register(s, dir)
+      SqlRunner.run(s,
+        """SELECT r.r_name, t.n_name
+          |FROM region r, LATERAL (
+          |  SELECT n_name FROM nation
+          |  WHERE n_regionkey = r.r_regionkey
+          |  ORDER BY n_name LIMIT 2) t
+          |ORDER BY r_name, n_name""".stripMargin)
+    }),
+
     // S7: literal/config source (Create.ofProvider equivalent).
     "s7_literal_source" -> ((s, _) => {
       import s.implicits._
@@ -626,6 +641,13 @@ object CoreQueries {
       "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderpriority ORDER BY o_orderpriority",
     "s7_literal_source" ->
       "SELECT 'config' AS value, CAST(1 AS BIGINT) AS id",
+    "q_lateral_join" ->
+      """SELECT r.r_name, t.n_name
+        |FROM region r, LATERAL (
+        |  SELECT n_name FROM nation
+        |  WHERE n_regionkey = r.r_regionkey
+        |  ORDER BY n_name LIMIT 2) t
+        |ORDER BY r_name, n_name""".stripMargin,
     "q_filter_pushdown" ->
       "SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem WHERE l_shipdate < TIMESTAMP '1995-06-01 00:00:00' AND l_quantity > 45 ORDER BY l_orderkey, l_linenumber",
     "q_agg_pricing_summary" ->

@@ -329,6 +329,26 @@ object PipelineQueries {
         k = 5, planes = 8))
     }),
 
+    // --- the SCALE-HONEST recall eval harness: a FIXED-COUNT
+    //     deterministic query sample (20 hash-minimal vec_ids — one
+    //     TakeOrdered scan) instead of the %-based sample that grows
+    //     with the corpus. With fixed queries the brute-force ground
+    //     truth is LINEAR in corpus size — this is the harness shape a
+    //     100 TB index eval actually runs (the %50 rows measure the same
+    //     recall statistic but their ground-truth term is quadratic in
+    //     SF by construction; see BASELINE.md sf1 anchor). ---
+    "a_ann_recall_fixedq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.select(col("vec_id"), col("embedding"),
+          md5(col("vec_id").cast("string")).as("ph"))
+        .orderBy(col("ph").asc, col("vec_id").asc).limit(20)
+        .select("vec_id", "embedding")
+      val bf = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+        .select(col("qid"), col("nid"))
+      recallVsExact(bf, Similarity.lshTopK(e, q, "vec_id", "embedding",
+        k = 5, planes = 8))
+    }),
+
     // --- hybrid retrieval: shingle-index candidates, lexical+dense score ---
     "a_hybrid_topk" -> ((s, dir) => {
       val corpus = docs(s, dir).join(
@@ -2119,6 +2139,45 @@ object PipelineQueries {
            |          JOIN embeddings x ON x.vec_id = q.vec_id
            |          JOIN embeddings y ON y.vec_id = c.vec_id
            |          WHERE q.vec_id % 50 = 0))
+           |  WHERE rk <= 5)
+           |SELECT qid, coalesce(h.n_hit, 0)::BIGINT AS n_hit, n.n_exact,
+           |  round(coalesce(h.n_hit, 0)::DOUBLE / n.n_exact, 6) AS recall
+           |FROM (SELECT qid, CAST(count(*) AS BIGINT) AS n_exact FROM bf GROUP BY qid) n
+           |LEFT JOIN (SELECT bf.qid, CAST(count(*) AS BIGINT) AS n_hit
+           |           FROM bf JOIN lsh ON bf.qid = lsh.qid AND bf.nid = lsh.nid
+           |           GROUP BY bf.qid) h USING (qid)
+           |ORDER BY qid""".stripMargin,
+
+      "a_ann_recall_fixedq" ->
+        s"""WITH qs AS (SELECT vec_id FROM (
+           |    SELECT vec_id, md5(vec_id::VARCHAR) AS ph FROM embeddings
+           |    ORDER BY ph, vec_id LIMIT 20)),
+           |bf AS (
+           |  SELECT qid, nid FROM (
+           |    SELECT a.vec_id AS qid, b.vec_id AS nid,
+           |      row_number() OVER (PARTITION BY a.vec_id ORDER BY $cosAB DESC, b.vec_id) AS rk
+           |    FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+           |    WHERE a.vec_id IN (SELECT vec_id FROM qs))
+           |  WHERE rk <= 5),
+           |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |proj AS (
+           |  SELECT vec_id, p,
+           |    sum(CASE WHEN (strpos('0123456789abcdef',
+           |          substring(md5(p::VARCHAR || '_' || d::VARCHAR), 1, 1)) - 1) % 2 = 1
+           |        THEN v[d+1] ELSE -v[d+1] END) AS dotp
+           |  FROM e CROSS JOIN (SELECT unnest(range(8)) AS p) CROSS JOIN (SELECT unnest(range(64)) AS d)
+           |  GROUP BY vec_id, p),
+           |bucket AS (SELECT vec_id, sum(CASE WHEN dotp > 0 THEN (2 ** p)::BIGINT ELSE 0 END)::BIGINT AS bk
+           |           FROM proj GROUP BY vec_id),
+           |lsh AS (
+           |  SELECT qid, nid FROM (
+           |    SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+           |    FROM (SELECT q.vec_id AS qid, c.vec_id AS nid,
+           |            ${cosAB.replace("a.embedding", "x.embedding").replace("b.embedding", "y.embedding")} AS cos
+           |          FROM bucket q JOIN bucket c ON q.bk = c.bk AND q.vec_id <> c.vec_id
+           |          JOIN embeddings x ON x.vec_id = q.vec_id
+           |          JOIN embeddings y ON y.vec_id = c.vec_id
+           |          WHERE q.vec_id IN (SELECT vec_id FROM qs)))
            |  WHERE rk <= 5)
            |SELECT qid, coalesce(h.n_hit, 0)::BIGINT AS n_hit, n.n_exact,
            |  round(coalesce(h.n_hit, 0)::DOUBLE / n.n_exact, 6) AS recall

@@ -618,6 +618,40 @@ object StatQueries {
             .as("assortativity"))
     }),
 
+    // --- Modularity of the SOURCE partition over the near-dup graph
+    //     (Newman 2006): Q_c = m_in/m − (d_c/2m)² per source — do
+    //     near-duplicates concentrate within sources (high Q: dup
+    //     removal can shard by source) or cross them (Q ≈ 0: global
+    //     dedup required)? Edges = MinHash-LSH pairs; all quantities are
+    //     exact integers until the final per-source division, and the
+    //     pair frame is the same keyed equi-join every graph statistic
+    //     here reads — no new corpus-sized work. ---
+    "g_modularity" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val src = d.select(col("doc_id"), col("source"))
+      val pairs = graft.operators.Dedup.minhashLsh(d, "doc_id", "text")
+        .select(col("d1"), col("d2"))
+      val e = pairs
+        .join(src.select(col("doc_id").as("d1"), col("source").as("src1")), "d1")
+        .join(src.select(col("doc_id").as("d2"), col("source").as("src2")), "d2")
+      val m = e.agg(count(lit(1)).as("m"))
+      val deg = pairs.select(col("d1").as("v")).union(pairs.select(col("d2").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+      val dsum = deg.join(src.withColumnRenamed("doc_id", "v"), "v")
+        .groupBy("source").agg(sum(col("deg")).as("d_sum"))
+      val within = e.filter(col("src1") === col("src2"))
+        .groupBy(col("src1").as("source")).agg(count(lit(1)).as("m_in"))
+      dsum.join(within, Seq("source"), "left")
+        .crossJoin(m)
+        .select(col("source"),
+          coalesce(col("m_in"), lit(0L)).as("m_in"), col("d_sum"),
+          round(coalesce(col("m_in"), lit(0L)).cast("double") / col("m") -
+            (col("d_sum").cast("double") / (lit(2L) * col("m"))) *
+              (col("d_sum").cast("double") / (lit(2L) * col("m"))), 6)
+            .as("q_part"))
+        .orderBy("source")
+    }),
+
     // --- Per-key quota enforcement (batch formulation of rate
     //     limiting): keep the first 3 events per (user, hour), report
     //     kept/dropped per event type — the ingestion-throttle audit
@@ -1885,6 +1919,34 @@ object StatQueries {
          |  round(coalesce(nh, 0)::DOUBLE / nx, 6) AS mean_recall
          |FROM nps LEFT JOIN hit USING (nprobe) CROSS JOIN ex ORDER BY nprobe""".stripMargin
     },
+    "g_modularity" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest($sh3) AS s
+         |  FROM (SELECT doc_id, $toks AS t FROM documents) WHERE len(t) >= 3),
+         |sig AS (SELECT doc_id, h, min(md5(h::VARCHAR || '|' || s)) AS mh
+         |        FROM sh CROSS JOIN (SELECT unnest(range(16)) AS h) GROUP BY doc_id, h),
+         |band AS (SELECT doc_id, h // 4 AS band, md5(string_agg(mh, ',' ORDER BY h)) AS bh
+         |         FROM sig GROUP BY doc_id, h // 4),
+         |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |         FROM band a JOIN band b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |pairs AS (SELECT d1, d2
+         |  FROM cand JOIN sig x ON x.doc_id = d1 JOIN sig y ON y.doc_id = d2 AND y.h = x.h
+         |  GROUP BY d1, d2 HAVING count(*) FILTER (x.mh = y.mh)::DOUBLE / 16 >= 0.5),
+         |e AS (SELECT d1, d2, sa.source AS src1, sb.source AS src2 FROM pairs
+         |  JOIN documents sa ON sa.doc_id = d1 JOIN documents sb ON sb.doc_id = d2),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+         |deg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+         |  SELECT d1 AS v FROM pairs UNION ALL SELECT d2 FROM pairs) GROUP BY v),
+         |ds AS (SELECT source, CAST(sum(deg) AS BIGINT) AS d_sum
+         |       FROM deg JOIN documents ON doc_id = v GROUP BY source),
+         |wi AS (SELECT src1 AS source, CAST(count(*) AS BIGINT) AS m_in
+         |       FROM e WHERE src1 = src2 GROUP BY src1)
+         |SELECT source, coalesce(m_in, 0)::BIGINT AS m_in, d_sum,
+         |  round(coalesce(m_in, 0)::DOUBLE / m -
+         |    (d_sum::DOUBLE / (2*m)) * (d_sum::DOUBLE / (2*m)), 6) AS q_part
+         |FROM ds LEFT JOIN wi USING (source) CROSS JOIN m
+         |ORDER BY source""".stripMargin,
+
     "g_assortativity" ->
       s"""WITH sh AS (
          |  SELECT doc_id, unnest($sh3) AS s
