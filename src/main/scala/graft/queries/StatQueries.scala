@@ -618,6 +618,39 @@ object StatQueries {
             .as("assortativity"))
     }),
 
+    // --- Cumulative HLL ledger: per day, the RUNNING distinct-user
+    //     estimate from register-max merges (the HLL union law applied
+    //     over time) beside the exact running count — the incremental
+    //     corpus/audience tracker shape: a stored (day, j, m_j) ledger
+    //     answers "distinct as of ANY day" with per-register max, no
+    //     re-scan of history. The dense day×register grid is day-grain ×
+    //     64 rows — model-sized at any corpus scale; the only
+    //     corpus-sized pass is the daily register build. ---
+    "t_hll_ledger" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events").select(
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long").as("day_n"),
+        col("user_id"))
+      val daily = graft.operators.Sketches.hllRegisters(ev, "day_n", "user_id")
+      val days = ev.select("day_n").distinct()
+      val grid = days.crossJoin(daily.select("j").distinct())
+      val cum = grid.join(daily, Seq("day_n", "j"), "left")
+        .withColumn("cm", max(col("m_j")).over(
+          Window.partitionBy("j").orderBy("day_n")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter(col("cm").isNotNull)
+        .select(col("day_n"), col("j"), col("cm").as("m_j"))
+      val est = graft.operators.Sketches.hllEstimate(cum, "day_n")
+      val firstDay = ev.groupBy("user_id").agg(min(col("day_n")).as("d0"))
+        .groupBy("d0").agg(count(lit(1)).as("n_new"))
+      val exact = days.join(firstDay, col("d0") <= col("day_n"))
+        .groupBy("day_n").agg(sum(col("n_new")).as("n_exact_cum"))
+      exact.join(est, "day_n")
+        .select("day_n", "n_exact_cum", "hll_estimate")
+        .orderBy("day_n")
+    }),
+
     // --- Modularity of the SOURCE partition over the near-dup graph
     //     (Newman 2006): Q_c = m_in/m − (d_c/2m)² per source — do
     //     near-duplicates concentrate within sources (high Q: dup
@@ -1919,6 +1952,37 @@ object StatQueries {
          |  round(coalesce(nh, 0)::DOUBLE / nx, 6) AS mean_recall
          |FROM nps LEFT JOIN hit USING (nprobe) CROSS JOIN ex ORDER BY nprobe""".stripMargin
     },
+    "t_hll_ledger" ->
+      """WITH ev AS (SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day_n,
+        |    user_id FROM events),
+        |h AS (SELECT DISTINCT day_n,
+        |    ('0x' || substring(md5(user_id::VARCHAR), 1, 15))::BIGINT AS hv FROM ev),
+        |r AS (SELECT day_n, hv & 63 AS j,
+        |    CASE WHEN hv >> 6 = 0 THEN 55 ELSE 55 - length(bin(hv >> 6)) END AS rho FROM h),
+        |reg AS (SELECT day_n, j, max(rho) AS m_j FROM r GROUP BY day_n, j),
+        |days AS (SELECT DISTINCT day_n FROM ev),
+        |grid AS (SELECT day_n, j FROM days CROSS JOIN (SELECT DISTINCT j FROM reg)),
+        |cum AS (SELECT g.day_n, g.j,
+        |    max(reg.m_j) OVER (PARTITION BY g.j ORDER BY g.day_n
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
+        |  FROM grid g LEFT JOIN reg ON reg.day_n = g.day_n AND reg.j = g.j),
+        |agg AS (SELECT day_n, count(*) AS n_nz,
+        |    sum(CAST(2 ** (55 - cm) AS BIGINT)) AS s_present
+        |  FROM cum WHERE cm IS NOT NULL GROUP BY day_n),
+        |est AS (SELECT day_n, 64 - n_nz AS v0,
+        |    s_present + (64 - n_nz) * CAST(2 ** 55 AS BIGINT) AS s_tot FROM agg),
+        |fd AS (SELECT user_id, min(day_n) AS d0 FROM ev GROUP BY user_id),
+        |nn AS (SELECT d0, count(*) AS n_new FROM fd GROUP BY d0),
+        |ex AS (SELECT d.day_n, CAST(sum(n_new) AS BIGINT) AS n_exact_cum
+        |       FROM days d JOIN nn ON nn.d0 <= d.day_n GROUP BY d.day_n)
+        |SELECT day_n, n_exact_cum,
+        |  round(CASE WHEN 0.709::DOUBLE * 4096::DOUBLE * 36028797018963968::DOUBLE
+        |                  / s_tot <= 160.0 AND v0 > 0
+        |             THEN 64::DOUBLE * ln(64::DOUBLE / v0)
+        |             ELSE 0.709::DOUBLE * 4096::DOUBLE * 36028797018963968::DOUBLE
+        |                  / s_tot END, 4) AS hll_estimate
+        |FROM ex JOIN est USING (day_n) ORDER BY day_n""".stripMargin,
+
     "g_modularity" ->
       s"""WITH sh AS (
          |  SELECT doc_id, unnest($sh3) AS s
