@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -49,6 +49,67 @@ object AsofJoin {
     }
     carried.filter(col("__is_left") === 1)
       .select((left.columns.map(col) ++ asofCols.map(col)).toIndexedSeq: _*)
+  }
+
+  /** Nearest-event join — for every left row, the right row with the
+    * SMALLEST |rightTs − leftTs| per key, ties to the EARLIER (backward)
+    * side: the bidirectional enrichment (closest quote to a trade,
+    * closest click to a purchase) that neither as-of direction alone
+    * gives. ONE union-sort pass: both the backward (preceding `last`)
+    * and forward (following `first`) carries share the same partitioning
+    * AND ordering, so Spark plans one shuffle + one sort with two window
+    * passes — no second exchange, no join operator. An equal-ts right
+    * row sorts before the left row, so the backward carry claims it at
+    * distance 0 and the tie rule keeps it (the forward frame starting at
+    * currentRow never needs it).
+    *
+    * Determinism: with unique (keys, rightTs) right rows the carried
+    * values are unique per frame; equal prev/next distances resolve to
+    * the backward row by the `<=` rule. */
+  def asofJoinNearest(left: DataFrame, right: DataFrame, keys: Seq[String],
+                      leftTs: String, rightTs: String,
+                      rightValueCols: Seq[String],
+                      prefix: String = "nearest_"): DataFrame = {
+    require(keys.nonEmpty, "asof join requires at least one key column")
+    val l2 = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__is_left", lit(1))
+    val r2 = right.select(
+      (keys.map(col) :+ col(rightTs).as("__ts")) ++
+        rightValueCols.map(c => col(c).as(s"__b_$c")): _*)
+      .withColumn("__is_left", lit(0))
+    val r3 = rightValueCols.foldLeft(r2)((df, c) =>
+      df.withColumn(s"__f_$c", col(s"__b_$c")))
+    val order = Seq(col("__ts").asc, col("__is_left").asc)
+    val wb = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val u = l2.unionByName(r3, allowMissingColumns = true)
+      .withColumn("__r_ts", when(col("__is_left") === 0, col("__ts")))
+    val carried = rightValueCols.foldLeft(
+      u.withColumn("__b_ts", last(col("__r_ts"), ignoreNulls = true).over(wb))
+        .withColumn("__f_ts", first(col("__r_ts"), ignoreNulls = true).over(wf))
+    ) { (df, c) =>
+      df.withColumn(s"__bc_$c", last(col(s"__b_$c"), ignoreNulls = true).over(wb))
+        .withColumn(s"__fc_$c", first(col(s"__f_$c"), ignoreNulls = true).over(wf))
+    }
+    // distance needs NUMERIC time: timestamps via unix_micros, numeric
+    // ts columns as-is (same type-agnostic contract as the directional
+    // variants, which never do arithmetic on __ts)
+    def num(c: Column): Column =
+      left.schema(leftTs).dataType match {
+        case org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.TimestampNTZType => unix_micros(c)
+        case _ => c.cast("long")
+      }
+    val useB = col("__f_ts").isNull || (col("__b_ts").isNotNull &&
+      num(col("__ts")) - num(col("__b_ts")) <=
+        num(col("__f_ts")) - num(col("__ts")))
+    val outCols = rightValueCols.map(c =>
+      when(useB, col(s"__bc_$c")).otherwise(col(s"__fc_$c")).as(s"$prefix$c"))
+    carried.filter(col("__is_left") === 1)
+      .select(left.columns.map(col).toIndexedSeq ++ outCols: _*)
   }
 
   /** Forward as-of join — for every left row, the EARLIEST right row with

@@ -382,6 +382,20 @@ object PipelineQueries {
         .orderBy("event_id")
     }),
 
+    // --- nearest-event join: closest click to each purchase by |Δt|,
+    //     tie to the earlier side — the bidirectional enrichment neither
+    //     as-of direction alone gives, in ONE union-sort pass ---
+    "q_asof_nearest" -> ((s, dir) => {
+      val ev = TableCatalog.load(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+      graft.operators.AsofJoin.asofJoinNearest(
+          purchases, clicks, Seq("user_id"), "ts", "ts",
+          rightValueCols = Seq("ts", "event_id"))
+        .orderBy("event_id")
+    }),
+
     // --- range join (bin-blocked point-in-interval; SURVEY §7.4(a)) ---
     "q_range_join" -> ((s, dir) => {
       val ev = TableCatalog.load(s, dir, "events")
@@ -2243,6 +2257,20 @@ object PipelineQueries {
           |ASOF LEFT JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') r
           |  ON l.user_id = r.user_id AND l.ts >= r.ts
           |ORDER BY l.event_id""".stripMargin,
+
+      "q_asof_nearest" ->
+        """SELECT p.event_id, p.user_id, p.ts,
+          |  n.ts AS nearest_ts, n.event_id AS nearest_event_id
+          |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+          |LEFT JOIN LATERAL (
+          |  SELECT c.ts, c.event_id,
+          |    CASE WHEN c.ts <= p.ts THEN epoch_us(p.ts) - epoch_us(c.ts)
+          |         ELSE epoch_us(c.ts) - epoch_us(p.ts) END AS dist,
+          |    CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END AS side
+          |  FROM events c
+          |  WHERE c.event_type = 'click' AND c.user_id = p.user_id
+          |  ORDER BY dist, side LIMIT 1) n ON TRUE
+          |ORDER BY p.event_id""".stripMargin,
 
       "q_range_join" ->
         """WITH s0 AS (

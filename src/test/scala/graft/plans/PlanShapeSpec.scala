@@ -336,6 +336,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(out.count() === 50L)
   }
 
+  test("asofJoinNearest: both direction carries share one shuffle, no join operator") {
+    val l = (1L to 50L).map(i => (i % 5, i * 100L, i)).toDF("k", "ts", "lid")
+    val r = (1L to 30L).map(i => (i % 5, i * 150L, i)).toDF("k", "ts", "rid")
+    val out = graft.operators.AsofJoin.asofJoinNearest(
+      l, r, Seq("k"), "ts", "ts", Seq("rid"))
+    val plan = physicalPlan(out)
+    assert(!plan.contains("Join"), "nearest as-of must not plan any join")
+    assert("hashpartitioning".r.findAllIn(plan.toLowerCase).size === 1,
+      "one shuffle on the key carries backward AND forward window passes")
+    assert(out.count() === 50L)
+    // nearest beats both directional answers: |Δ| <= each side's |Δ|
+    val back = graft.operators.AsofJoin.asofJoin(
+      l, r, Seq("k"), "ts", "ts", Seq("ts"))
+    val fwd = graft.operators.AsofJoin.asofJoinForward(
+      l, r, Seq("k"), "ts", "ts", Seq("ts"))
+    val nearTs = graft.operators.AsofJoin.asofJoinNearest(
+      l, r, Seq("k"), "ts", "ts", Seq("ts"))
+    val joined = nearTs.select(col("k"), col("lid"), col("ts"),
+        col("nearest_ts"))
+      .join(back.select(col("lid"), col("asof_ts")), "lid")
+      .join(fwd.select(col("lid"), col("next_ts")), "lid")
+    val bad = joined.filter(
+      (col("asof_ts").isNotNull &&
+        abs(col("nearest_ts") - col("ts")) > abs(col("ts") - col("asof_ts"))) ||
+      (col("next_ts").isNotNull &&
+        abs(col("nearest_ts") - col("ts")) > abs(col("next_ts") - col("ts"))))
+    assert(bad.count() === 0L)
+  }
+
   test("latestPerKeyBatch compacts with exactly one shuffle on the compaction key") {
     val ev = (1L to 40L).map(i => (i % 4, s"t${i % 2}", i,
       new java.sql.Timestamp(i * 1000L), i.toDouble))
