@@ -130,6 +130,50 @@ object Multimodal {
     }(enc)
   }
 
+  /** Quarantine-path BMP decode: like [[decodeBmp]] but a malformed
+    * payload CLASSIFIES instead of failing the job — the 100 TB ingest
+    * contract (one corrupt file must never kill a scan; it lands in a
+    * quarantine partition with a stable reason code). Adds
+    * `bmp_status` ('ok' or the validator's reason, message text up to
+    * the first parenthesized detail — stable across payload sizes) and
+    * the same decode columns as [[decodeBmp]], null on failure. Same
+    * map-only mapPartitions seam, same strict validator underneath —
+    * lenient here means classified, not accepted. */
+  def decodeBmpLenient(df: DataFrame, bmpCol: String = "bmp",
+                       bands: Int = 4): DataFrame = {
+    require(bands > 0, s"bands must be positive, got $bands")
+    val schema = StructType(df.schema.fields.toIndexedSeq ++ Seq(
+      StructField("bmp_status", StringType, nullable = false),
+      StructField("img_w", IntegerType, nullable = true),
+      StructField("img_h", IntegerType, nullable = true),
+      StructField("band_sums", ArrayType(LongType, containsNull = false),
+        nullable = true),
+      StructField("band_counts", ArrayType(LongType, containsNull = false),
+        nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = df.schema.fieldIndex(bmpCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val bytes = if (r.isNullAt(idx)) Array.empty[Byte]
+          else r.getAs[Array[Byte]](idx)
+        try {
+          val (w, h, sums, cnts) = parseBmp(bytes, bands)
+          Row.fromSeq(r.toSeq ++ Seq("ok", w, h, sums.toSeq, cnts.toSeq))
+        } catch {
+          case e: IllegalArgumentException =>
+            val msg = Option(e.getMessage).getOrElse("invalid")
+              // "requirement failed: " prefix + strip the sized detail
+              .stripPrefix("requirement failed: ")
+            val code = msg.indexOf(" (") match {
+              case -1 => msg
+              case i => msg.substring(0, i)
+            }
+            Row.fromSeq(r.toSeq ++ Seq(code, null, null, null, null))
+        }
+      }
+    }(enc)
+  }
+
   private[operators] def parseBmp(b: Array[Byte], bands: Int)
       : (Int, Int, Array[Long], Array[Long]) = {
     require(b.length >= 54 && b(0) == 'B'.toByte && b(1) == 'M'.toByte,

@@ -31,6 +31,23 @@ object MediaQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // quarantine path: every 13th payload gets its magic byte corrupted;
+    // the lenient decoder must CLASSIFY those rows (stable reason code,
+    // null decode columns) and decode the rest — one corrupt file can
+    // never kill a 100 TB scan, it lands in a quarantine partition
+    "m_media_quarantine" -> ((s, dir) => {
+      val corrupted = bmpMedia(s, dir).withColumn("bmp",
+        when(col("media_id") % 13 === 0,
+          concat(lit(Array('X'.toByte)),
+            expr("substring(bmp, 2, length(bmp) - 1)")))
+          .otherwise(col("bmp")))
+      Multimodal.decodeBmpLenient(corrupted)
+        .select(col("media_id"), col("bmp_status"),
+          col("img_w").cast("long").as("img_w"),
+          col("img_h").cast("long").as("img_h"))
+        .orderBy("media_id")
+    }),
+
     // payload stats (expressions) + decoded image dimensions (REAL BMP
     // header parse) — the media-catalog row a curation run starts from
     "m_media_stats" -> ((s, dir) => {
@@ -238,6 +255,15 @@ object MediaQueries {
       |        AND bs.band = rc.band AND bs.ch = c.ch)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "m_media_quarantine" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 13 = 0 THEN 'not a BMP payload' ELSE 'ok' END AS bmp_status,
+        |  CASE WHEN doc_id % 13 = 0 THEN NULL ELSE 4 END::BIGINT AS img_w,
+        |  CASE WHEN doc_id % 13 = 0 THEN NULL
+        |       ELSE greatest(1, CAST(ceil(strlen(text) / 12.0) AS BIGINT))
+        |  END::BIGINT AS img_h
+        |FROM documents ORDER BY media_id""".stripMargin,
+
     "m_media_dedup" ->
       """WITH m AS (
         |  SELECT doc_id AS media_id, text FROM documents
