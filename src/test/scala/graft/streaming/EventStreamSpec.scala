@@ -532,6 +532,35 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("quotaCounts: watermark expiry actually drops (user, hour) counters") {
+    import spark.implicits._
+    import EventStream.KeyedEvent
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[KeyedEvent]
+    val q = EventStream.quotaCounts(mem.toDS(), n = 3)
+      .writeStream.format("memory").queryName("quotaexpiry")
+      .outputMode("update").start()
+    try {
+      // 3 users x hour 10 -> 3 state rows
+      mem.addData(
+        KeyedEvent(1L, "view", 1L, ts("2026-01-01T10:00:00Z"), 1.0),
+        KeyedEvent(2L, "view", 2L, ts("2026-01-01T10:10:00Z"), 1.0),
+        KeyedEvent(3L, "view", 3L, ts("2026-01-01T10:20:00Z"), 1.0))
+      q.processAllAvailable()
+      def stateRows: Long = q.recentProgress
+        .flatMap(p => p.stateOperators.map(_.numRowsTotal)).lastOption.getOrElse(-1L)
+      assert(stateRows === 3L)
+      // advance the watermark far past the end of hour 10 (wm = max - 1h)
+      // -> the three hour-10 counters time out and are REMOVED; only the
+      // new event's own counter remains
+      mem.addData(KeyedEvent(9L, "view", 9L, ts("2026-01-01T14:00:00Z"), 1.0))
+      q.processAllAvailable()
+      q.processAllAvailable() // timeout fires on the no-data batch after wm advance
+      assert(stateRows === 1L,
+        s"expired hour counters must leave the state store, got $stateRows rows")
+    } finally q.stop()
+  }
+
   test("quotaCounts: streaming quota accounting converges to the batch aggregate") {
     import spark.implicits._
     import EventStream.{KeyedEvent, QuotaRow}
