@@ -102,6 +102,29 @@ object CoreQueries {
           |ORDER BY r_name, n_name""".stripMargin)
     }),
 
+    // P5/P6 under the gate: the warehouse schema type policy (every
+    // scalar NULLABLE, arrays REPEATED, the BOOLEAN/INTEGER/FLOAT/STRING/
+    // BYTES/DATE/TIMESTAMP map) derived from the RESOLVED Spark schemas —
+    // the oracle re-derives the same rows INDEPENDENTLY from DuckDB's
+    // information_schema over the same parquet, so the mapping is
+    // cross-engine checked, not golden-pinned.
+    "p5_schema_rows" -> ((s, dir) => {
+      import s.implicits._
+      val tables = Seq("lineitem", "events", "documents", "embeddings")
+      tables.flatMap { t =>
+        TableCatalog.load(s, dir, t).schema.fields.zipWithIndex.map {
+          case (f, i) =>
+            val mode = f.dataType match {
+              case _: org.apache.spark.sql.types.ArrayType => "REPEATED"
+              case _ => "NULLABLE"
+            }
+            (t, (i + 1).toLong, f.name,
+              graft.formats.WarehouseSchema.typeName(f.dataType), mode)
+        }
+      }.toDF("table_name", "ordinal", "field_name", "bq_type", "mode")
+        .orderBy("table_name", "ordinal")
+    }),
+
     // S7: literal/config source (Create.ofProvider equivalent).
     "s7_literal_source" -> ((s, _) => {
       import s.implicits._
@@ -641,6 +664,22 @@ object CoreQueries {
       "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderpriority ORDER BY o_orderpriority",
     "s7_literal_source" ->
       "SELECT 'config' AS value, CAST(1 AS BIGINT) AS id",
+    "p5_schema_rows" ->
+      """SELECT table_name, CAST(ordinal_position AS BIGINT) AS ordinal,
+        |  column_name AS field_name,
+        |  CASE replace(data_type, '[]', '')
+        |    WHEN 'BIGINT' THEN 'INTEGER' WHEN 'INTEGER' THEN 'INTEGER'
+        |    WHEN 'SMALLINT' THEN 'INTEGER' WHEN 'TINYINT' THEN 'INTEGER'
+        |    WHEN 'DOUBLE' THEN 'FLOAT' WHEN 'FLOAT' THEN 'FLOAT'
+        |    WHEN 'VARCHAR' THEN 'STRING' WHEN 'TIMESTAMP' THEN 'TIMESTAMP'
+        |    WHEN 'DATE' THEN 'DATE' WHEN 'BOOLEAN' THEN 'BOOLEAN'
+        |    WHEN 'BLOB' THEN 'BYTES' END AS bq_type,
+        |  CASE WHEN data_type LIKE '%[]' THEN 'REPEATED'
+        |       ELSE 'NULLABLE' END AS mode
+        |FROM information_schema.columns
+        |WHERE table_name IN ('lineitem', 'events', 'documents', 'embeddings')
+        |ORDER BY table_name, ordinal""".stripMargin,
+
     "q_lateral_join" ->
       """SELECT r.r_name, t.n_name
         |FROM region r, LATERAL (
