@@ -114,9 +114,12 @@ object Bench {
     // lives in the full line + BENCH_LOCAL.json.
     locally {
       val bySlow = names.filter(ts.contains).sortBy(n => -ts(n))
-      def fmt(n: String) = jstr(n) + ":" + f"${ts(n)}%.3f"
+      // Locale.ROOT: a comma-decimal default locale would render %.3f as
+      // "1,234" and break the one line that exists to be parseable
+      def d3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+      def fmt(n: String) = jstr(n) + ":" + d3(ts(n))
       val budget = 1600
-      val head = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${ts.size},"n_errors":${es.size},"full":"BENCH_LOCAL.json","sf":"$sfDir","queries":{"""
+      val head = s"""{"metric":"total","value":${d3(total)},"unit":"sec","n_queries":${ts.size},"n_errors":${es.size},"full":"BENCH_LOCAL.json","sf":"$sfDir","queries":{"""
       val sb = new StringBuilder(head)
       var first = true
       bySlow.foreach { n =>

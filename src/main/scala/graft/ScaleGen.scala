@@ -79,9 +79,16 @@ object ScaleGen {
       .withColumn("user_id", shift("user_id", k)))
     replicate("documents", (d, k) => d
       .withColumn("doc_id", shift("doc_id", k))
+      // vowel substitution perturbs content THROUGHOUT the text (so
+      // cross-replica near-dup similarity vanishes, not just exact
+      // equality); the appended replica token guarantees perturbation
+      // even for vowel-less/empty/null texts, which the substitution
+      // alone would leave byte-identical across replicas
       .withColumn("text",
         if (k == 0) col("text")
-        else regexp_replace(col("text"), "e", s"e$k")))
+        else concat(
+          regexp_replace(coalesce(col("text"), lit("")), "[aeiou]", s"$$0$k"),
+          lit(s" zrep$k"))))
     replicate("embeddings", (d, k) => d
       .withColumn("vec_id", shift("vec_id", k))
       .withColumn("embedding",

@@ -74,38 +74,45 @@ object AsofJoin {
     val l2 = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__is_left", lit(1))
+    // value columns travel under the __bv_ namespace; the ts carries
+    // under __bts__/__fts__ and outputs under __bc_/__fc_ — disjoint
+    // namespaces, so a value column literally named "ts" cannot collide
+    // with the internal timestamp carry (it did under the former __b_ts
+    // naming, silently overwriting the value before the carry fold)
     val r2 = right.select(
       (keys.map(col) :+ col(rightTs).as("__ts")) ++
-        rightValueCols.map(c => col(c).as(s"__b_$c")): _*)
+        rightValueCols.map(c => col(c).as(s"__bv_$c")): _*)
       .withColumn("__is_left", lit(0))
-    val r3 = rightValueCols.foldLeft(r2)((df, c) =>
-      df.withColumn(s"__f_$c", col(s"__b_$c")))
     val order = Seq(col("__ts").asc, col("__is_left").asc)
     val wb = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wf = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val u = l2.unionByName(r3, allowMissingColumns = true)
+    val u = l2.unionByName(r2, allowMissingColumns = true)
       .withColumn("__r_ts", when(col("__is_left") === 0, col("__ts")))
+    // forward carries read the SAME __bv_ columns (no duplicated copies
+    // through the shuffle/sort — the frame differs, not the input)
     val carried = rightValueCols.foldLeft(
-      u.withColumn("__b_ts", last(col("__r_ts"), ignoreNulls = true).over(wb))
-        .withColumn("__f_ts", first(col("__r_ts"), ignoreNulls = true).over(wf))
+      u.withColumn("__bts__", last(col("__r_ts"), ignoreNulls = true).over(wb))
+        .withColumn("__fts__", first(col("__r_ts"), ignoreNulls = true).over(wf))
     ) { (df, c) =>
-      df.withColumn(s"__bc_$c", last(col(s"__b_$c"), ignoreNulls = true).over(wb))
-        .withColumn(s"__fc_$c", first(col(s"__f_$c"), ignoreNulls = true).over(wf))
+      df.withColumn(s"__bc_$c", last(col(s"__bv_$c"), ignoreNulls = true).over(wb))
+        .withColumn(s"__fc_$c", first(col(s"__bv_$c"), ignoreNulls = true).over(wf))
     }
-    // distance needs NUMERIC time: timestamps via unix_micros, numeric
-    // ts columns as-is (same type-agnostic contract as the directional
-    // variants, which never do arithmetic on __ts)
+    // distance needs NUMERIC time: timestamps via unix_micros, dates via
+    // epoch days, numeric ts columns compared in double (a long cast
+    // would truncate fractional timestamps and pick the wrong side)
     def num(c: Column): Column =
       left.schema(leftTs).dataType match {
         case org.apache.spark.sql.types.TimestampType |
              org.apache.spark.sql.types.TimestampNTZType => unix_micros(c)
-        case _ => c.cast("long")
+        case org.apache.spark.sql.types.DateType =>
+          datediff(c, lit("1970-01-01").cast("date")).cast("long")
+        case _ => c.cast("double")
       }
-    val useB = col("__f_ts").isNull || (col("__b_ts").isNotNull &&
-      num(col("__ts")) - num(col("__b_ts")) <=
-        num(col("__f_ts")) - num(col("__ts")))
+    val useB = col("__fts__").isNull || (col("__bts__").isNotNull &&
+      num(col("__ts")) - num(col("__bts__")) <=
+        num(col("__fts__")) - num(col("__ts")))
     val outCols = rightValueCols.map(c =>
       when(useB, col(s"__bc_$c")).otherwise(col(s"__fc_$c")).as(s"$prefix$c"))
     carried.filter(col("__is_left") === 1)

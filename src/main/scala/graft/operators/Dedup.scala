@@ -52,7 +52,9 @@ object Dedup {
     * head, diverging tails: syndicated articles, templated landing
     * pages, scraped mirrors with injected footers). The prefix is the
     * first min(k, len) lowercased alphanumeric tokens joined by single
-    * spaces; md5 of that string keeps the shuffle key 32 hex chars
+    * spaces (null text = no tokens = the '' prefix group, same as
+    * empty/whitespace-only docs — mirrored by the oracle's coalesce);
+    * md5 of that string keeps the shuffle key 32 hex chars
     * regardless of document size — same single hash-shuffle shape as
     * [[exactDedup]], and like it the decision is partitioning-invariant.
     * Output: (idCol, prefix_hash, n_copies). */

@@ -184,10 +184,10 @@ object Multimodal {
     val hRaw = rdLe32(b, 22)
     val bpp = rdLe16(b, 28)
     val comp = rdLe32(b, 30)
-    require(dib >= 40, s"unsupported DIB header size $dib")
+    require(dib >= 40, s"unsupported DIB header size ($dib)")
     require(bpp == 24 && comp == 0,
-      s"only uncompressed 24-bpp supported, got bpp=$bpp compression=$comp")
-    require(w > 0 && hRaw != 0, s"bad dimensions ${w}x$hRaw")
+      s"only uncompressed 24-bpp supported (got bpp=$bpp compression=$comp)")
+    require(w > 0 && hRaw != 0, s"bad dimensions (${w}x$hRaw)")
     val topDown = hRaw < 0
     // abs/stride in LONG: hRaw = Int.MinValue survives abs, and a crafted
     // header width near Int.MaxValue overflows 3*w to a negative stride —
@@ -200,7 +200,7 @@ object Multimodal {
     // Long (2^32.6 * 2^31 > 2^63) back to a small/negative value that
     // would sail through the extent check below
     require(strideL <= b.length && hL <= b.length,
-      s"dimensions ${w}x$hL exceed the ${b.length}-byte payload")
+      s"dimensions exceed payload (${w}x$hL, ${b.length} bytes)")
     require(off >= 54 && off + strideL * hL <= b.length,
       s"truncated pixel array (need ${off + strideL * hL}, have ${b.length})")
     // the require bounds strideL*hL by b.length (an Int), so these fit

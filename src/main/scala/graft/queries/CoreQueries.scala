@@ -672,6 +672,7 @@ object CoreQueries {
         |    WHEN 'SMALLINT' THEN 'INTEGER' WHEN 'TINYINT' THEN 'INTEGER'
         |    WHEN 'DOUBLE' THEN 'FLOAT' WHEN 'FLOAT' THEN 'FLOAT'
         |    WHEN 'VARCHAR' THEN 'STRING' WHEN 'TIMESTAMP' THEN 'TIMESTAMP'
+        |    WHEN 'TIMESTAMP_NS' THEN 'TIMESTAMP'
         |    WHEN 'DATE' THEN 'DATE' WHEN 'BOOLEAN' THEN 'BOOLEAN'
         |    WHEN 'BLOB' THEN 'BYTES' END AS bq_type,
         |  CASE WHEN data_type LIKE '%[]' THEN 'REPEATED'

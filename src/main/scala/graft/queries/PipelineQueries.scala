@@ -1759,7 +1759,8 @@ object PipelineQueries {
 
       "d_prefix_dedup" ->
         """SELECT min(doc_id) AS doc_id,
-          |  md5(array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+')[1:10], ' '))
+          |  md5(array_to_string(
+          |    regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+')[1:10], ' '))
           |    AS prefix_hash,
           |  count(*) AS n_copies
           |FROM documents
