@@ -94,4 +94,44 @@ class NativeKernelPropertySpec extends SparkSpec {
       assert(r._1 === r._2)
     }
   }
+
+  private val bpeCaseGen: Gen[(String, Seq[(String, String)])] = for {
+    wlen <- Gen.choose(0, 24)
+    word <- Gen.listOfN(wlen, Gen.oneOf('a', 'b', 'c')).map(_.mkString)
+    nm <- Gen.choose(0, 8)
+    merges <- Gen.listOfN(nm, for {
+      a <- Gen.oneOf("a", "b", "c", "ab", "bc", "aa", "abc")
+      b <- Gen.oneOf("a", "b", "c", "ab", "bc", "aa", "abc")
+    } yield (a, b))
+  } yield (word, merges)
+
+  /** Reference implementation of the greedy sequential merge fold —
+    * the exact semantics the removed nested-aggregate column form had. */
+  private def bpeRef(word: String, merges: Seq[(String, String)]): Int = {
+    var syms = word.codePoints().toArray
+      .map(cp => new String(Character.toChars(cp))).toVector
+    for ((a, b) <- merges) {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      for (x <- syms) {
+        if (out.nonEmpty && out.last == a && x == b)
+          out(out.length - 1) = a + b
+        else out += x
+      }
+      syms = out.toVector
+    }
+    syms.length
+  }
+
+  test("graft_bpe_token_count equals the greedy sequential merge fold on arbitrary inputs") {
+    GraftFunctions.register(spark)
+    forAll(bpeCaseGen) { case (word, merges) =>
+      val lhs = typedLit(merges.map(_._1))
+      val rhs = typedLit(merges.map(_._2))
+      val got = Seq(word).toDF("w")
+        .select(call_function("graft_bpe_token_count", col("w"), lhs, rhs))
+        .as[Int].head()
+      assert(got === bpeRef(word, merges),
+        s"word=$word merges=$merges")
+    }
+  }
 }
