@@ -34,6 +34,24 @@ class GateInventorySpec extends AnyFunSuite {
       s"SURVEY §8.10 ids with no queries entry: ${unimplemented.mkString(", ")}")
   }
 
+  test("no query key is defined in two modules (Map ++ would silently shadow one)") {
+    val modules = Seq(
+      "CoreQueries" -> graft.queries.CoreQueries.queries.keySet,
+      "PipelineQueries" -> graft.queries.PipelineQueries.queries.keySet,
+      "ParityQueries" -> graft.queries.ParityQueries.queries.keySet,
+      "MediaQueries" -> graft.queries.MediaQueries.queries.keySet,
+      "SinkQueries" -> graft.queries.SinkQueries.queries.keySet,
+      "AnalyticsQueries" -> graft.queries.AnalyticsQueries.queries.keySet,
+      "StatQueries" -> graft.queries.StatQueries.queries.keySet)
+    val dupes = modules.combinations(2).flatMap { case Seq((na, a), (nb, b)) =>
+      (a intersect b).map(k => s"$k ($na & $nb)")
+    }.toSeq.sorted
+    assert(dupes.isEmpty, s"duplicate query keys across modules: ${dupes.mkString(", ")}")
+    val merged = modules.map(_._2).reduce(_ ++ _)
+    assert(merged === SparkEntry.queries.keySet,
+      "module union must equal the merged gate surface")
+  }
+
   test("every queries entry has an oracleSql entry and vice versa") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
