@@ -382,6 +382,18 @@ object PipelineQueries {
         .orderBy("event_id")
     }),
 
+    // --- deterministic dense global ids by (content hash, id) total
+    //     order — no monotonically_increasing_id (layout-dependent), no
+    //     single-partition row_number; two-pass offset construction,
+    //     ids invariant to partitioning and cluster size ---
+    "q_stable_ids" -> ((s, dir) => {
+      graft.operators.StableIds.assign(
+          docs(s, dir).select(col("doc_id"), md5(col("text")).as("h")),
+          Seq(col("h"), col("doc_id")))
+        .select("doc_id", "h", "stable_id")
+        .orderBy("doc_id")
+    }),
+
     // --- nearest-event join: closest click to each purchase by |Δt|,
     //     tie to the earlier side — the bidirectional enrichment neither
     //     as-of direction alone gives, in ONE union-sort pass ---
@@ -2258,6 +2270,12 @@ object PipelineQueries {
           |ASOF LEFT JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') r
           |  ON l.user_id = r.user_id AND l.ts >= r.ts
           |ORDER BY l.event_id""".stripMargin,
+
+      "q_stable_ids" ->
+        """SELECT doc_id, md5(text) AS h,
+          |  CAST(row_number() OVER (ORDER BY md5(text), doc_id) - 1 AS BIGINT)
+          |    AS stable_id
+          |FROM documents ORDER BY doc_id""".stripMargin,
 
       "q_asof_nearest" ->
         """SELECT p.event_id, p.user_id, p.ts,

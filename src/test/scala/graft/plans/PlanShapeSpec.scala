@@ -365,6 +365,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(bad.count() === 0L)
   }
 
+  test("StableIds.assign: no single-partition funnel; ids invariant to input partitioning") {
+    val base = (1L to 500L).map(i => (i, s"doc $i payload"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), md5(col("text")).as("h"))
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.StableIds.assign(df, Seq(col("h"), col("doc_id")))
+        .orderBy("doc_id").select("doc_id", "stable_id").collect().toSeq
+    val a = ids(base)
+    val b = ids(base.repartition(17))
+    assert(a === b, "stable ids must not depend on input partitioning")
+    // dense 0..n-1
+    val got = a.map(_.getLong(1)).sorted
+    assert(got === (0L until 500L).toSeq)
+    val plan = physicalPlan(graft.operators.StableIds.assign(
+      base, Seq(col("h"), col("doc_id"))))
+    assert(!plan.contains("SinglePartition"),
+      "global id assignment must never funnel through one partition")
+  }
+
   test("latestPerKeyBatch compacts with exactly one shuffle on the compaction key") {
     val ev = (1L to 40L).map(i => (i % 4, s"t${i % 2}", i,
       new java.sql.Timestamp(i * 1000L), i.toDouble))
