@@ -11,11 +11,15 @@ import org.apache.spark.sql.functions._
   * the corpus through ONE partition).
   *
   * Shape (the standard two-pass offset construction, pure DataFrame):
-  * range-repartition on the order columns → per-partition counts (one
-  * partition-count-sized driver collect) → cumulative offsets broadcast
-  * back → in-partition `row_number` + offset. The only global exchange
-  * is the RANGE partition (parallel by construction); no SinglePartition
-  * anywhere (plan-asserted in spec).
+  * range-repartition on the order columns, MATERIALIZED once
+  * (`localCheckpoint` — the range partitioner SAMPLES per job, so the
+  * counts pass and the id pass must read the same physical boundaries
+  * or offsets could disagree with actual partition membership; at a
+  * real deployment the materialization is a staging write) →
+  * per-partition counts (one partition-count-sized driver collect) →
+  * cumulative offsets broadcast back → in-partition `row_number` +
+  * offset. Exchanges: the range partition plus one pid-keyed window
+  * exchange; no SinglePartition anywhere (plan-asserted in spec).
   *
   * Determinism: ids equal the global rank under `orderCols`, which is
   * partition-boundary-invariant — range sampling may move rows between
@@ -31,6 +35,7 @@ object StableIds {
     require(orderCols.nonEmpty, "stable ids need at least one order column")
     val parted = df.repartitionByRange(orderCols: _*)
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
     // partition-count-sized collect (≤ shuffle partitions, never corpus)
     val counts = parted.groupBy("__pid").count()
       .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
