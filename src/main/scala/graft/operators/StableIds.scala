@@ -33,6 +33,14 @@ object StableIds {
   def assign(df: DataFrame, orderCols: Seq[Column],
              idName: String = "stable_id"): DataFrame = {
     require(orderCols.nonEmpty, "stable ids need at least one order column")
+    // loud guard, not silent clobber-and-drop (the AsofJoin internal-
+    // carry-collision class): a caller column named __pid would be
+    // overwritten and deleted, and ordering on it would become
+    // partition-layout-dependent — the exact trap this operator solves
+    require(!df.columns.contains("__pid"),
+      "input already has a __pid column — rename it before assign()")
+    require(!df.columns.contains(idName),
+      s"input already has a '$idName' column — pass a different idName")
     val parted = df.repartitionByRange(orderCols: _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint()

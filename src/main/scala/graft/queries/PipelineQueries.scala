@@ -2273,8 +2273,8 @@ object PipelineQueries {
 
       "q_stable_ids" ->
         """SELECT doc_id, md5(text) AS h,
-          |  CAST(row_number() OVER (ORDER BY md5(text), doc_id) - 1 AS BIGINT)
-          |    AS stable_id
+          |  CAST(row_number() OVER (ORDER BY md5(text) NULLS FIRST, doc_id) - 1
+          |    AS BIGINT) AS stable_id
           |FROM documents ORDER BY doc_id""".stripMargin,
 
       "q_asof_nearest" ->

@@ -35,21 +35,35 @@ class GateInventorySpec extends AnyFunSuite {
   }
 
   test("no query key is defined in two modules (Map ++ would silently shadow one)") {
-    val modules = Seq(
+    def check(tag: String, modules: Seq[(String, Set[String])],
+              merged: Set[String]): Unit = {
+      val dupes = modules.combinations(2).flatMap { case Seq((na, a), (nb, b)) =>
+        (a intersect b).map(k => s"$k ($na & $nb)")
+      }.toSeq.sorted
+      assert(dupes.isEmpty, s"duplicate $tag keys across modules: ${dupes.mkString(", ")}")
+      assert(modules.map(_._2).reduce(_ ++ _) === merged,
+        s"$tag module union must equal the merged gate surface")
+    }
+    // BOTH sides: a shadowed oracleSql would silently hash Spark output
+    // against the wrong SQL even with the queries side unshadowed
+    check("queries", Seq(
       "CoreQueries" -> graft.queries.CoreQueries.queries.keySet,
       "PipelineQueries" -> graft.queries.PipelineQueries.queries.keySet,
       "ParityQueries" -> graft.queries.ParityQueries.queries.keySet,
       "MediaQueries" -> graft.queries.MediaQueries.queries.keySet,
       "SinkQueries" -> graft.queries.SinkQueries.queries.keySet,
       "AnalyticsQueries" -> graft.queries.AnalyticsQueries.queries.keySet,
-      "StatQueries" -> graft.queries.StatQueries.queries.keySet)
-    val dupes = modules.combinations(2).flatMap { case Seq((na, a), (nb, b)) =>
-      (a intersect b).map(k => s"$k ($na & $nb)")
-    }.toSeq.sorted
-    assert(dupes.isEmpty, s"duplicate query keys across modules: ${dupes.mkString(", ")}")
-    val merged = modules.map(_._2).reduce(_ ++ _)
-    assert(merged === SparkEntry.queries.keySet,
-      "module union must equal the merged gate surface")
+      "StatQueries" -> graft.queries.StatQueries.queries.keySet),
+      SparkEntry.queries.keySet)
+    check("oracleSql", Seq(
+      "CoreQueries" -> graft.queries.CoreQueries.oracleSql.keySet,
+      "PipelineQueries" -> graft.queries.PipelineQueries.oracleSql.keySet,
+      "ParityQueries" -> graft.queries.ParityQueries.oracleSql.keySet,
+      "MediaQueries" -> graft.queries.MediaQueries.oracleSql.keySet,
+      "SinkQueries" -> graft.queries.SinkQueries.oracleSql.keySet,
+      "AnalyticsQueries" -> graft.queries.AnalyticsQueries.oracleSql.keySet,
+      "StatQueries" -> graft.queries.StatQueries.oracleSql.keySet),
+      SparkEntry.oracleSql.keySet)
   }
 
   test("every queries entry has an oracleSql entry and vice versa") {
