@@ -48,7 +48,13 @@ object ScaleGen {
     def t(name: String): DataFrame =
       graft.catalog.TableCatalog.load(spark, src, name)
 
-    def shift(c: String, k: Int) = (col(c) + lit(k * KeyStride)).as(c)
+    // k == 0 must return the column UNCHANGED (not `+ 0L`): adding a Long
+    // literal widens integer-typed keys to BIGINT, which would drift the
+    // anchor schema from the source fixture and break the "replica 0 =
+    // the original bytes" contract. For k > 0 the widening is inherent
+    // (the shift exceeds Int range) and unionByName reconciles the types.
+    def shift(c: String, k: Int) =
+      if (k == 0) col(c).as(c) else (col(c) + lit(k * KeyStride)).as(c)
 
     def replicate(name: String, f: (DataFrame, Int) => DataFrame): Unit = {
       val base = t(name)

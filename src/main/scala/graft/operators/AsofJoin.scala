@@ -21,6 +21,23 @@ import org.apache.spark.sql.functions._
   */
 object AsofJoin {
 
+  /** Shared collision guard for the directional joins: internal carry
+    * names and prefixed outputs must not shadow caller columns. */
+  private def guardNames(left: DataFrame, right: DataFrame,
+                         rightValueCols: Seq[String], prefix: String): Unit = {
+    for (c <- Seq("__ts", "__is_left")) {
+      require(!left.columns.contains(c),
+        s"asof join: left column '$c' collides with an internal name")
+      require(!right.columns.contains(c),
+        s"asof join: right column '$c' collides with an internal name")
+    }
+    require(rightValueCols.distinct == rightValueCols,
+      "asof join: duplicate names in rightValueCols")
+    for (c <- rightValueCols.map(v => s"$prefix$v"))
+      require(!left.columns.contains(c),
+        s"asof join: output column '$c' already exists on the left side")
+  }
+
   /** @param rightValueCols right columns carried onto left rows, output
     *                       as `<prefix><name>` (include `rightTs` itself
     *                       to expose the matched timestamp)
@@ -31,6 +48,7 @@ object AsofJoin {
                rightValueCols: Seq[String],
                prefix: String = "asof_"): DataFrame = {
     require(keys.nonEmpty, "asof join requires at least one key column")
+    guardNames(left, right, rightValueCols, prefix)
     val asofCols = rightValueCols.map(c => s"$prefix$c")
     val l2 = left
       .withColumn("__ts", col(leftTs))
@@ -64,41 +82,73 @@ object AsofJoin {
     * currentRow never needs it).
     *
     * Determinism: with unique (keys, rightTs) right rows the carried
-    * values are unique per frame; equal prev/next distances resolve to
-    * the backward row by the `<=` rule. */
+    * rows are unique per frame; equal prev/next distances resolve to
+    * the backward row by the `<=` rule. If the right side can hold
+    * DUPLICATE timestamps per key, pass `rightTieCols` (a per-(keys, ts)
+    * unique ordering, e.g. the event id) — the duplicates collapse to
+    * the tie-minimal row via one map-side-combining `min_by` aggregate
+    * BEFORE the union, so the pick is partitioning-invariant. Without
+    * tie columns, which duplicate wins is sort-stability-dependent.
+    *
+    * Null safety: each direction carries ONE struct holding the matched
+    * row's ts and ALL value columns, so a null value column on the
+    * nearest row stays null in the output — per-column ignoreNulls
+    * carries (the previous formulation) would backfill it from a
+    * farther row, silently mixing rows. */
   def asofJoinNearest(left: DataFrame, right: DataFrame, keys: Seq[String],
                       leftTs: String, rightTs: String,
                       rightValueCols: Seq[String],
-                      prefix: String = "nearest_"): DataFrame = {
+                      prefix: String = "nearest_",
+                      rightTieCols: Seq[String] = Nil): DataFrame = {
     require(keys.nonEmpty, "asof join requires at least one key column")
+    // loud guards for the internal namespace and the output columns —
+    // the silent-clobber class that previously bit this operator's value
+    // carries (see the __bv_ note in git history) and that StableIds
+    // guards against the same way
+    val internal = Seq("__ts", "__is_left", "__rrow__", "__brow__", "__frow__")
+    for (c <- internal) {
+      require(!left.columns.contains(c),
+        s"asofJoinNearest: left column '$c' collides with an internal name")
+      require(!right.columns.contains(c),
+        s"asofJoinNearest: right column '$c' collides with an internal name")
+    }
+    require(rightValueCols.distinct == rightValueCols,
+      "asofJoinNearest: duplicate names in rightValueCols")
+    require(!rightValueCols.contains("__rts"),
+      "asofJoinNearest: rightValueCols may not use the reserved name '__rts'")
+    for (c <- rightValueCols.map(v => s"$prefix$v"))
+      require(!left.columns.contains(c),
+        s"asofJoinNearest: output column '$c' already exists on the left side")
+
     val l2 = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__is_left", lit(1))
-    // value columns travel under the __bv_ namespace; the ts carries
-    // under __bts__/__fts__ and outputs under __bc_/__fc_ — disjoint
-    // namespaces, so a value column literally named "ts" cannot collide
-    // with the internal timestamp carry (it did under the former __b_ts
-    // naming, silently overwriting the value before the carry fold)
-    val r2 = right.select(
-      (keys.map(col) :+ col(rightTs).as("__ts")) ++
-        rightValueCols.map(c => col(c).as(s"__bv_$c")): _*)
-      .withColumn("__is_left", lit(0))
+    // one struct per right row = the atomic carry unit: __rts (the
+    // matched timestamp) + every value column under its own name
+    val rowStruct = struct(
+      col(rightTs).as("__rts") +: rightValueCols.map(c => col(c).as(c)): _*)
+    val r2 = (if (rightTieCols.isEmpty)
+        right.select(
+          keys.map(col) :+ col(rightTs).as("__ts") :+ rowStruct.as("__rrow__"): _*)
+      else
+        // collapse duplicate (keys, ts) right rows to the tie-minimal one;
+        // hash aggregate with partial combine — no extra sort, and the
+        // subsequent union shuffle is the only exchange the right side
+        // pays beyond this aggregation
+        right.groupBy(keys.map(col) :+ col(rightTs).as("__ts"): _*)
+          .agg(min_by(rowStruct, struct(rightTieCols.map(col): _*)).as("__rrow__"))
+      ).withColumn("__is_left", lit(0))
     val order = Seq(col("__ts").asc, col("__is_left").asc)
     val wb = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wf = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // __rrow__ is null exactly for left rows, so the ignoreNulls carries
+    // pick whole right rows; both carries share one shuffle + one sort
     val u = l2.unionByName(r2, allowMissingColumns = true)
-      .withColumn("__r_ts", when(col("__is_left") === 0, col("__ts")))
-    // forward carries read the SAME __bv_ columns (no duplicated copies
-    // through the shuffle/sort — the frame differs, not the input)
-    val carried = rightValueCols.foldLeft(
-      u.withColumn("__bts__", last(col("__r_ts"), ignoreNulls = true).over(wb))
-        .withColumn("__fts__", first(col("__r_ts"), ignoreNulls = true).over(wf))
-    ) { (df, c) =>
-      df.withColumn(s"__bc_$c", last(col(s"__bv_$c"), ignoreNulls = true).over(wb))
-        .withColumn(s"__fc_$c", first(col(s"__bv_$c"), ignoreNulls = true).over(wf))
-    }
+    val carried = u
+      .withColumn("__brow__", last(col("__rrow__"), ignoreNulls = true).over(wb))
+      .withColumn("__frow__", first(col("__rrow__"), ignoreNulls = true).over(wf))
     // distance needs NUMERIC time: timestamps via unix_micros, dates via
     // epoch days, numeric ts columns compared in double (a long cast
     // would truncate fractional timestamps and pick the wrong side)
@@ -110,11 +160,13 @@ object AsofJoin {
           datediff(c, lit("1970-01-01").cast("date")).cast("long")
         case _ => c.cast("double")
       }
-    val useB = col("__fts__").isNull || (col("__bts__").isNotNull &&
-      num(col("__ts")) - num(col("__bts__")) <=
-        num(col("__fts__")) - num(col("__ts")))
+    val bts = col("__brow__").getField("__rts")
+    val fts = col("__frow__").getField("__rts")
+    val useB = fts.isNull || (bts.isNotNull &&
+      num(col("__ts")) - num(bts) <= num(fts) - num(col("__ts")))
     val outCols = rightValueCols.map(c =>
-      when(useB, col(s"__bc_$c")).otherwise(col(s"__fc_$c")).as(s"$prefix$c"))
+      when(useB, col("__brow__").getField(c))
+        .otherwise(col("__frow__").getField(c)).as(s"$prefix$c"))
     carried.filter(col("__is_left") === 1)
       .select(left.columns.map(col).toIndexedSeq ++ outCols: _*)
   }
@@ -131,6 +183,7 @@ object AsofJoin {
                       rightValueCols: Seq[String],
                       prefix: String = "next_"): DataFrame = {
     require(keys.nonEmpty, "asof join requires at least one key column")
+    guardNames(left, right, rightValueCols, prefix)
     val asofCols = rightValueCols.map(c => s"$prefix$c")
     val l2 = left
       .withColumn("__ts", col(leftTs))

@@ -404,7 +404,11 @@ object PipelineQueries {
       val clicks = ev.filter(col("event_type") === "click")
       graft.operators.AsofJoin.asofJoinNearest(
           purchases, clicks, Seq("user_id"), "ts", "ts",
-          rightValueCols = Seq("ts", "event_id"))
+          rightValueCols = Seq("ts", "event_id"),
+          // duplicate (user_id, ts) clicks collapse to the min event_id —
+          // partitioning-invariant, and matched by the oracle's
+          // ORDER BY dist, side, c.event_id tiebreak
+          rightTieCols = Seq("event_id"))
         .orderBy("event_id")
     }),
 
@@ -2288,7 +2292,7 @@ object PipelineQueries {
           |    CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END AS side
           |  FROM events c
           |  WHERE c.event_type = 'click' AND c.user_id = p.user_id
-          |  ORDER BY dist, side LIMIT 1) n ON TRUE
+          |  ORDER BY dist, side, c.event_id LIMIT 1) n ON TRUE
           |ORDER BY p.event_id""".stripMargin,
 
       "q_range_join" ->

@@ -518,12 +518,14 @@ class EventStreamSpec extends SparkSpec {
       q.processAllAvailable()
       mem.addData(rows.drop(3): _*)
       q.processAllAvailable()
-      // Update-mode sink appends every emitted winner; the CURRENT state
-      // per key is the last emission, which must equal the batch twin.
+      // Update-mode sink appends every emitted winner; the CONVERGED state
+      // per key is the winner with the max event time (keep-latest state is
+      // monotone in ts), so max over struct(ts, …) selects it without any
+      // reliance on monotonically_increasing_id ordering across
+      // micro-batches — the same fix the quota test below uses.
       val current = spark.table("cdclatest")
-        .withColumn("emit_seq", monotonically_increasing_id())
         .groupBy("user_id", "event_type")
-        .agg(max(struct(col("emit_seq"), col("event_id"), col("ts"), col("value"))).as("w"))
+        .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("w"))
         .select(col("user_id"), col("event_type"), col("w.event_id"),
           col("w.ts"), col("w.value"))
         .orderBy("user_id", "event_type")
