@@ -536,6 +536,43 @@ object Dedup {
       .filter(col("cos") >= minCosine)
   }
 
+  /** Deterministic blocking granularity for the quadratic-within-block
+    * dedup stages: k = max(kMin, ceil(N / targetBlock)). Derived from a
+    * COUNT (one cheap metadata-or-scan job), not a sample or a config
+    * constant, so (a) the model is oracle-replayable — an independent
+    * engine recomputes the identical k from the same table — and (b) the
+    * per-block candidate volume stays ~targetBlock²/2 no matter how the
+    * corpus grows: total pair work is k · targetBlock²/2 ≈ N·targetBlock/2,
+    * LINEAR in N. A fixed k is quadratic (measured at the sf1 anchor:
+    * semanticDedup k=4 ran 16.7× for 10× data; k ∝ N ran ~4×). */
+  def autoK(df: DataFrame, targetBlock: Long = 64, kMin: Int = 4): Int = {
+    require(targetBlock > 0, s"autoK targetBlock must be positive: $targetBlock")
+    require(kMin >= 1, s"autoK kMin must be >= 1: $kMin")
+    val n = df.count()
+    math.max(kMin.toLong, (n + targetBlock - 1) / targetBlock).toInt
+  }
+
+  /** [[embeddingNearDup]] with a TRAINED blocking column: deterministic
+    * k-means ([[Vectors.kmeansAssign]]) plays the IVF-coarse-quantizer
+    * role, with k defaulting to [[autoK]] (k ∝ N) so block sizes — and
+    * with them the quadratic within-block pair stage — stay bounded as
+    * the corpus grows. `k <= 0` means auto; pass an explicit k only to
+    * pin a model (e.g. for a value-stable oracle gate). Cached once:
+    * the assignment feeds both sides of the pair self-join. */
+  def embeddingNearDupKmeans(df0: DataFrame, idCol: String, vecCol: String,
+                             minCosine: Double = 0.45, k: Int = 0,
+                             iters: Int = 2,
+                             targetBlock: Long = 64): DataFrame = {
+    val kk = if (k <= 0) autoK(df0, targetBlock) else k
+    val cents = Vectors.kmeansTrain(df0, idCol, vecCol, kk, iters)
+    // assignment is a pure in-row argmax against the broadcast-literal
+    // model — NOT a join back onto the corpus; the pair equi-join below
+    // is the only shuffle this operator pays
+    val assigned = widen(df0).withColumn("cluster_id",
+      Vectors.nearestCidExpr(df0.sparkSession, col(vecCol), cents))
+    embeddingNearDup(assigned, idCol, vecCol, "cluster_id", minCosine)
+  }
+
   /** LSH index health report: per band, the bucket count, occupancy, the
     * largest bucket, and the candidate-pair volume the band generates
     * (sum over buckets of c·(c−1)/2). THE tuning metric for the
@@ -899,16 +936,26 @@ object Dedup {
     * assignment, and keep/drop decisions — is reproducible across engines
     * and partitionings.
     *
+    * `k <= 0` (the DEFAULT) derives k from the corpus via [[autoK]] —
+    * the scale-safe path; pass an explicit k only to pin a model for a
+    * value-stable oracle gate.
+    *
     * Output: (idCol, cluster_id, kept) — one row per input vector. */
   def semanticDedup(df0: DataFrame, idCol: String, vecCol: String,
-                    k: Int = 4, iters: Int = 2, tau: Double = 0.45): DataFrame = {
+                    k: Int = 0, iters: Int = 2, tau: Double = 0.45,
+                    targetBlock: Long = 64): DataFrame = {
     val spark = df0.sparkSession
-    // cached: the assignment pipeline (centroid fan-out + argmax window)
-    // feeds three consumers (both self-join sides and the final output) —
-    // uncached it would run three times per action. Cache lifetime: until
-    // session end or catalog.clearCache(), as with hashedShingleSets.
+    val kk = if (k <= 0) autoK(df0, targetBlock) else k
+    val cents = Vectors.kmeansTrain(df0, idCol, vecCol, kk, iters)
+    // cached: the assignment projection feeds three consumers (both
+    // self-join sides and the final output) — uncached it would run
+    // three times per action. Cache lifetime: until session end or
+    // catalog.clearCache(), as with hashedShingleSets. Assignment is a
+    // pure in-row argmax against the broadcast-literal model — no join
+    // back onto the corpus (the former kmeansAssign-join shape paid a
+    // corpus-sized shuffle for what is a projection).
     val withC = widen(df0).select(col(idCol), col(vecCol).as("v"))
-      .join(Vectors.kmeansAssign(df0, idCol, vecCol, k, iters), idCol)
+      .withColumn("cluster_id", Vectors.nearestCidExpr(spark, col("v"), cents))
       .cache()
     val dropped = withC.select(col("cluster_id"), col(idCol).as("d1"), col("v").as("v1"))
       .join(withC.select(col("cluster_id"), col(idCol).as("d2"), col("v").as("v2")),

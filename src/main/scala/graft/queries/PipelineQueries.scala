@@ -129,6 +129,16 @@ object PipelineQueries {
       Dedup.embeddingNearDup(emb(s, dir), "vec_id", "embedding", "label")
         .orderBy("d1", "d2")),
 
+    // --- the scale-safe blocking path: k-means blocks with k = autoK
+    //     (∝ corpus size, count-derived so the oracle replays the same
+    //     model) — per-block pair volume stays bounded as N grows, where
+    //     the fixed-cardinality label blocking above goes quadratic
+    //     (measured 12.2× for 10× data at the sf1 anchor) ---
+    "d_embedding_neardup_auto" -> ((s, dir) =>
+      Dedup.embeddingNearDupKmeans(emb(s, dir), "vec_id", "embedding",
+          minCosine = 0.45)
+        .orderBy("d1", "d2")),
+
     // --- similarity search ---
     "a_ann_topk" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -1154,6 +1164,15 @@ object PipelineQueries {
           k = 4, iters = 2, tau = 0.45)
         .orderBy("vec_id")),
 
+    // --- the default (scale-safe) SemDeDup path: k = autoK ∝ corpus
+    //     size, so the within-cluster pair stage stays linear — the
+    //     pinned k=4 gate above is kept only for model-value stability
+    //     (fixed-k measured 16.7× for 10× data at the sf1 anchor) ---
+    "d_semantic_dedup_auto" -> ((s, dir) =>
+      Dedup.semanticDedup(emb(s, dir), "vec_id", "embedding",
+          iters = 2, tau = 0.45)
+        .orderBy("vec_id")),
+
     // --- winnowing-fingerprint overlap pairs (substring-level reuse
     //     detection — quotes/templates whole-doc MinHash misses) ---
     "d_fingerprint_overlap" -> ((s, dir) =>
@@ -1399,6 +1418,35 @@ object PipelineQueries {
       s"CASE WHEN sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) * " +
         s"sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[])) = 0 THEN 0.0 " +
         s"ELSE ${cosSql(a, b)} END"
+    // auto-k k-means CTE chain (Dedup.autoK twin: k = max(4, ceil(N/64)),
+    // init = first k vec_ids, iters=2 = one decimal-exact mean update,
+    // 6-dp-cosine/lowest-cid argmax) ending in assign(vec_id, cid) —
+    // shared by the scale-safe dedup gates
+    val kmeansAutoCtes: String =
+      s"""kk AS (SELECT greatest(4, CAST(ceil(count(*) / 64.0) AS BIGINT)) AS k FROM embeddings),
+         |c0 AS (SELECT s.vec_id AS cid, s.embedding AS cv FROM (
+         |  SELECT vec_id, embedding, row_number() OVER (ORDER BY vec_id) AS rn
+         |  FROM embeddings) s, kk WHERE s.rn <= kk.k),
+         |a1 AS (SELECT vec_id, cid FROM (
+         |  SELECT e.vec_id, c.cid,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosSql("e.embedding", "c.cv")} DESC, c.cid) AS rk
+         |  FROM embeddings e CROSS JOIN c0 c) WHERE rk = 1),
+         |m1 AS (SELECT a1.cid, d.dim,
+         |         CAST(sum(CAST(CAST(e.embedding[d.dim] AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE)
+         |           / count(*) AS mv
+         |       FROM a1 JOIN embeddings e USING (vec_id),
+         |            unnest(range(1, len(e.embedding) + 1)) AS d(dim)
+         |       GROUP BY a1.cid, d.dim),
+         |c1 AS (SELECT c0.cid,
+         |         CASE WHEN count(m1.mv) = 0 THEN any_value(c0.cv)
+         |              ELSE list(CAST(m1.mv AS FLOAT) ORDER BY m1.dim) END AS cv
+         |       FROM c0 LEFT JOIN m1 ON m1.cid = c0.cid
+         |       GROUP BY c0.cid),
+         |assign AS (SELECT vec_id, cid FROM (
+         |  SELECT e.vec_id, c.cid,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosSql("e.embedding", "c.cv")} DESC, c.cid) AS crk
+         |  FROM embeddings e CROSS JOIN c1 c) WHERE crk = 1)""".stripMargin
+
     def pqCbCte(s: Int, src: String = "embeddings", vec: String = "embedding"): String = {
       val sub = 16
       val (lo, hi) = (s * sub + 1, (s + 1) * sub)
@@ -1926,6 +1974,16 @@ object PipelineQueries {
            |  SELECT a.vec_id AS d1, b.vec_id AS d2, $cosAB AS cos
            |  FROM embeddings a JOIN embeddings b
            |    ON a.label = b.label AND a.vec_id < b.vec_id)
+           |WHERE cos >= 0.45 ORDER BY d1, d2""".stripMargin,
+
+      "d_embedding_neardup_auto" ->
+        s"""WITH $kmeansAutoCtes
+           |SELECT d1, d2, cos FROM (
+           |  SELECT x.vec_id AS d1, y.vec_id AS d2,
+           |    ${cosSql("x.embedding", "y.embedding")} AS cos
+           |  FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+           |  JOIN embeddings x ON x.vec_id = a.vec_id
+           |  JOIN embeddings y ON y.vec_id = b.vec_id)
            |WHERE cos >= 0.45 ORDER BY d1, d2""".stripMargin,
 
       "a_ann_topk" ->
@@ -3307,6 +3365,17 @@ object PipelineQueries {
            |FROM assign a LEFT JOIN dropped d USING (vec_id)
            |ORDER BY a.vec_id""".stripMargin
       },
+
+      "d_semantic_dedup_auto" ->
+        s"""WITH $kmeansAutoCtes,
+           |dropped AS (SELECT DISTINCT b.vec_id
+           |  FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+           |  JOIN embeddings x ON x.vec_id = a.vec_id
+           |  JOIN embeddings y ON y.vec_id = b.vec_id
+           |  WHERE ${cosSql("x.embedding", "y.embedding")} >= 0.45)
+           |SELECT a.vec_id, a.cid AS cluster_id, d.vec_id IS NULL AS kept
+           |FROM assign a LEFT JOIN dropped d USING (vec_id)
+           |ORDER BY a.vec_id""".stripMargin,
 
       "d_fingerprint_overlap" ->
         s"""WITH sh AS (
