@@ -24,6 +24,23 @@ import graft.operators.Dedup.widen
   */
 object Similarity {
 
+  /** Fixed-count deterministic query sample for recall/eval harnesses:
+    * the `n` hash-minimal ids (order by md5(id), id — one TakeOrdered
+    * scan, no full sort). THE scale-honest eval shape: a %-of-corpus
+    * sample grows with the data, which makes the brute-force ground
+    * truth O(N²/f) by construction (measured 10.1× for 10× data at the
+    * sf1 anchor vs 1.8× for this fixed-count form — BASELINE.md); with
+    * a fixed query count the ground truth is LINEAR in corpus size.
+    * The hash-order pick is content-stable: the same ids are sampled on
+    * any engine, any partitioning, any row order. */
+  def fixedQuerySample(df: DataFrame, idCol: String, n: Int = 20): DataFrame = {
+    require(!df.columns.contains("__ph"),
+      "fixedQuerySample: column '__ph' collides with an internal name")
+    df.withColumn("__ph", md5(col(idCol).cast("string")))
+      .orderBy(col("__ph").asc, col(idCol).asc).limit(n)
+      .drop("__ph")
+  }
+
   /** Exact top-k by cosine for each query vector. `queries` should be
     * small (it is broadcast); corpus scans once. Deterministic tiebreak on
     * neighbor id. */

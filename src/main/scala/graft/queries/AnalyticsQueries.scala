@@ -1211,7 +1211,9 @@ object AnalyticsQueries {
         (x, vv) => round(x - col("__dp") * vv, 9))
       val tx = e.select(col("vec_id"), dp.as("__dp"), col("embedding"))
         .select(col("vec_id"), wv.as("wv"))
-      val q = tx.filter(col("vec_id") % 50 === 0)
+      // fixed-count query sample (see Similarity.fixedQuerySample): the
+      // %-based sample made this eval's brute-force term quadratic in SF
+      val q = graft.operators.Similarity.fixedQuerySample(tx, "vec_id")
         .select(col("vec_id").as("qid"), col("wv").as("qv"))
       val scored = tx.select(col("vec_id").as("nid"), col("wv").as("nv"))
         .join(broadcast(q), col("qid") =!= col("nid"))
@@ -1468,7 +1470,10 @@ object AnalyticsQueries {
          |${pcaIter("v1", "v2")}
          |SELECT d::BIGINT AS dim, round(val, 6) AS loading FROM v2 ORDER BY d""".stripMargin,
     "a_ann_whitened" ->
-      s"""WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+      s"""WITH qs AS (SELECT vec_id FROM (
+         |    SELECT vec_id, md5(vec_id::VARCHAR) AS ph FROM embeddings
+         |    ORDER BY ph, vec_id LIMIT 20)),
+         |e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
          |e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |v0 AS (SELECT unnest(range(64)) AS d, 0.125 AS val),
          |${pcaIter("v0", "v1")},
@@ -1481,7 +1486,7 @@ object AnalyticsQueries {
          |sc AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
          |    round(list_dot_product(q.wv, c.wv) /
          |      (sqrt(list_dot_product(q.wv, q.wv)) * sqrt(list_dot_product(c.wv, c.wv))), 6) AS cos
-         |  FROM tx q JOIN tx c ON q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id)
+         |  FROM tx q JOIN tx c ON q.vec_id IN (SELECT vec_id FROM qs) AND q.vec_id <> c.vec_id)
          |SELECT qid, nid, cos, CAST(rn AS BIGINT) AS rk
          |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM sc)
          |WHERE rn <= 5 ORDER BY qid, rk""".stripMargin,

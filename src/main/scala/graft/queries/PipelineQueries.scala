@@ -167,7 +167,7 @@ object PipelineQueries {
     //     justifies the prefix cut before trusting it at scale) ---
     "a_ann_prefix_recall" -> ((s, dir) => {
       val e = emb(s, dir)
-      val q = e.filter(col("vec_id") % 50 === 0)
+      val q = Similarity.fixedQuerySample(e, "vec_id")
       val bf = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
         .select(col("qid"), col("nid"))
       recallVsExact(bf, Similarity.prefixRerankTopK(e, q, "vec_id",
@@ -238,7 +238,7 @@ object PipelineQueries {
     //     by_residual accuracy gain is measurable, not asserted) ---
     "a_ann_ivfpq_res_recall" -> ((s, dir) => {
       val e = emb(s, dir)
-      val q = e.filter(col("vec_id") % 50 === 0)
+      val q = Similarity.fixedQuerySample(e, "vec_id")
       val bf = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
         .select("qid", "nid")
       recallVsExact(bf, Similarity.ivfPqResidualTopK(e, q, "vec_id",
@@ -313,7 +313,7 @@ object PipelineQueries {
     //     measurement alongside the LSH and IVF recall probes) ---
     "a_ann_ivfpq_recall" -> ((s, dir) => {
       val e = emb(s, dir)
-      val q = e.filter(col("vec_id") % 50 === 0)
+      val q = Similarity.fixedQuerySample(e, "vec_id")
       val bf = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
         .select("qid", "nid")
       // model trained ONCE and shared with the probe stage (the r9
@@ -349,9 +349,7 @@ object PipelineQueries {
     //     SF by construction; see BASELINE.md sf1 anchor). ---
     "a_ann_recall_fixedq" -> ((s, dir) => {
       val e = emb(s, dir)
-      val q = e.select(col("vec_id"), col("embedding"),
-          md5(col("vec_id").cast("string")).as("ph"))
-        .orderBy(col("ph").asc, col("vec_id").asc).limit(20)
+      val q = Similarity.fixedQuerySample(e, "vec_id")
         .select("vec_id", "embedding")
       val bf = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
         .select(col("qid"), col("nid"))
@@ -1050,7 +1048,7 @@ object PipelineQueries {
     //     measurement for the TRAINED quantizer path) ---
     "a_ann_ivf_recall" -> ((s, dir) => {
       val e = emb(s, dir)
-      val q = e.filter(col("vec_id") % 50 === 0)
+      val q = Similarity.fixedQuerySample(e, "vec_id")
       val bf = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
         .select("qid", "nid")
       import s.implicits._
@@ -1065,7 +1063,7 @@ object PipelineQueries {
     //     ANN path ---
     "a_ann_ivfsq_recall" -> ((s, dir) => {
       val e = emb(s, dir)
-      val q = e.filter(col("vec_id") % 50 === 0)
+      val q = Similarity.fixedQuerySample(e, "vec_id")
       val bf = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
         .select("qid", "nid")
       import s.implicits._
@@ -1447,6 +1445,23 @@ object PipelineQueries {
          |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosSql("e.embedding", "c.cv")} DESC, c.cid) AS crk
          |  FROM embeddings e CROSS JOIN c1 c) WHERE crk = 1)""".stripMargin
 
+    // fixed-count query sample — the oracle twin of
+    // Similarity.fixedQuerySample: 20 hash-minimal vec_ids
+    val qsCte: String =
+      s"""qs AS (SELECT vec_id FROM (
+         |    SELECT vec_id, md5(vec_id::VARCHAR) AS ph FROM embeddings
+         |    ORDER BY ph, vec_id LIMIT 20))""".stripMargin
+    val qsPred = "q.vec_id IN (SELECT vec_id FROM qs)"
+    // bf ground-truth CTE over the fixed sample (shared by every recall gate)
+    def bfFixedCte(cosAB: String): String =
+      s"""bf AS (
+         |  SELECT qid, nid FROM (
+         |    SELECT a.vec_id AS qid, b.vec_id AS nid,
+         |      row_number() OVER (PARTITION BY a.vec_id ORDER BY $cosAB DESC, b.vec_id) AS rk
+         |    FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+         |    WHERE a.vec_id IN (SELECT vec_id FROM qs))
+         |  WHERE rk <= 5)""".stripMargin
+
     def pqCbCte(s: Int, src: String = "embeddings", vec: String = "embedding"): String = {
       val sub = 16
       val (lo, hi) = (s * sub + 1, (s + 1) * sub)
@@ -1470,8 +1485,8 @@ object PipelineQueries {
          |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosSqlSafe("e.sv", "c.cv")} DESC, c.cid) AS rk
          |  FROM sv$s e CROSS JOIN cb${s}c1 c) WHERE rk = 1)""".stripMargin
     }
-    val pqScoredCtes = {
-      "WITH " + (0 until 4).map(pqCbCte(_)).mkString(",\n") +
+    def pqScoredCtes(pre: String, qpred: String): String = {
+      "WITH " + pre + (0 until 4).map(pqCbCte(_)).mkString(",\n") +
         s""",
            |enc AS (SELECT e.vec_id, r0.cv || r1.cv || r2.cv || r3.cv AS recon
            |  FROM embeddings e JOIN r0 USING (vec_id) JOIN r1 USING (vec_id)
@@ -1484,7 +1499,7 @@ object PipelineQueries {
            |probes AS (SELECT qid, cid FROM (
            |  SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY ccos DESC, cid) AS crk
            |  FROM (SELECT q.vec_id AS qid, c.cid, ${cosSql("q.embedding", "c.cv")} AS ccos
-           |        FROM embeddings q CROSS JOIN cent c WHERE q.vec_id % 50 = 0)) WHERE crk <= 2),
+           |        FROM embeddings q CROSS JOIN cent c WHERE $qpred)) WHERE crk <= 2),
            |sc AS (SELECT DISTINCT p.qid, a.nid, ${cosSql("x.embedding", "n.recon")} AS score_pq
            |       FROM probes p JOIN assign a ON p.cid = a.cid AND a.nid <> p.qid
            |       JOIN embeddings x ON x.vec_id = p.qid
@@ -1494,9 +1509,9 @@ object PipelineQueries {
     // trained on float32 coarse residuals (FLOAT − FLOAT is the same
     // IEEE single op in both engines), reconstruction = coarse centroid
     // + decoded residual, same probe/score skeleton.
-    val pqResScoredCtes = {
+    def pqResScoredCtes(pre: String, qpred: String): String = {
       val coarse =
-        s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 100 = 1),
+        s"""WITH ${pre}cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 100 = 1),
            |assign AS (SELECT nid, cid FROM (
            |  SELECT nid, cid, row_number() OVER (PARTITION BY nid ORDER BY ccos DESC, cid) AS crk
            |  FROM (SELECT e.vec_id AS nid, c.cid, ${cosSql("e.embedding", "c.cv")} AS ccos
@@ -1518,29 +1533,23 @@ object PipelineQueries {
            |probes AS (SELECT qid, cid FROM (
            |  SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY ccos DESC, cid) AS crk
            |  FROM (SELECT q.vec_id AS qid, c.cid, ${cosSql("q.embedding", "c.cv")} AS ccos
-           |        FROM embeddings q CROSS JOIN cent c WHERE q.vec_id % 50 = 0)) WHERE crk <= 2),
+           |        FROM embeddings q CROSS JOIN cent c WHERE $qpred)) WHERE crk <= 2),
            |sc AS (SELECT DISTINCT p.qid, a.nid, ${cosSql("x.embedding", "n.recon")} AS score_pq
            |       FROM probes p JOIN assign a ON p.cid = a.cid AND a.nid <> p.qid
            |       JOIN embeddings x ON x.vec_id = p.qid
            |       JOIN enc n ON n.vec_id = a.nid)""".stripMargin
     }
-    val pqResTopkSql = pqResScoredCtes +
+    val pqResTopkSql = pqResScoredCtes("", "q.vec_id % 50 = 0") +
       s"""
          |SELECT qid, nid, score_pq, CAST(rk AS BIGINT) AS rk FROM (
          |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score_pq DESC, nid) AS rk FROM sc)
          |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
-    val pqResRecallSql = pqResScoredCtes +
+    val pqResRecallSql = pqResScoredCtes(qsCte + ",\n", qsPred) +
       s""",
          |pq AS (SELECT qid, nid FROM (
          |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score_pq DESC, nid) AS rk FROM sc)
          |  WHERE rk <= 5),
-         |bf AS (
-         |  SELECT qid, nid FROM (
-         |    SELECT a.vec_id AS qid, b.vec_id AS nid,
-         |      row_number() OVER (PARTITION BY a.vec_id ORDER BY $cosAB DESC, b.vec_id) AS rk
-         |    FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
-         |    WHERE a.vec_id % 50 = 0)
-         |  WHERE rk <= 5),
+         |${bfFixedCte(cosAB)},
          |hit AS (SELECT bf.qid, count(*) AS n_hit FROM bf
          |        JOIN pq ON pq.qid = bf.qid AND pq.nid = bf.nid GROUP BY bf.qid)
          |SELECT b.qid, coalesce(h.n_hit, 0)::BIGINT AS n_hit,
@@ -1556,23 +1565,17 @@ object PipelineQueries {
            |FROM embeddings e JOIN r0 USING (vec_id) JOIN r1 USING (vec_id)
            |JOIN r2 USING (vec_id) JOIN r3 USING (vec_id)
            |ORDER BY e.vec_id""".stripMargin
-    val pqTopkSql = pqScoredCtes +
+    val pqTopkSql = pqScoredCtes("", "q.vec_id % 50 = 0") +
       s"""
          |SELECT qid, nid, score_pq, CAST(rk AS BIGINT) AS rk FROM (
          |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score_pq DESC, nid) AS rk FROM sc)
          |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
-    val pqRecallSql = pqScoredCtes +
+    val pqRecallSql = pqScoredCtes(qsCte + ",\n", qsPred) +
       s""",
          |pq AS (SELECT qid, nid FROM (
          |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score_pq DESC, nid) AS rk FROM sc)
          |  WHERE rk <= 5),
-         |bf AS (
-         |  SELECT qid, nid FROM (
-         |    SELECT a.vec_id AS qid, b.vec_id AS nid,
-         |      row_number() OVER (PARTITION BY a.vec_id ORDER BY $cosAB DESC, b.vec_id) AS rk
-         |    FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
-         |    WHERE a.vec_id % 50 = 0)
-         |  WHERE rk <= 5),
+         |${bfFixedCte(cosAB)},
          |hit AS (SELECT bf.qid, count(*) AS n_hit FROM bf
          |        JOIN pq ON pq.qid = bf.qid AND pq.nid = bf.nid GROUP BY bf.qid)
          |SELECT b.qid, coalesce(h.n_hit, 0)::BIGINT AS n_hit,
@@ -1745,12 +1748,12 @@ object PipelineQueries {
     // IVF-SQ: a_ann_ivf_trained's kmeans+probe chain with candidates
     // scored against the SQ8 reconstruction (a_ann_sq_topk's r CTE)
     // instead of the raw vectors; recall shares the scored chain
-    val ivfSqScoredCtes = {
+    def ivfSqScoredCtes(pre: String, qpred: String): String = {
       def cos(a: String, b: String) =
         s"round(list_dot_product($a::DOUBLE[], $b::DOUBLE[]) / " +
           s"(sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) * " +
           s"sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[]))), 6)"
-      s"""WITH c0 AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings ORDER BY vec_id LIMIT 4),
+      s"""WITH ${pre}c0 AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings ORDER BY vec_id LIMIT 4),
          |a1 AS (SELECT vec_id, cid FROM (
          |  SELECT e.vec_id, c.cid,
          |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cos("e.embedding", "c.cv")} DESC, c.cid) AS rk
@@ -1783,7 +1786,7 @@ object PipelineQueries {
          |probes AS (SELECT qid, cid FROM (
          |  SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY ccos DESC, cid) AS crk
          |  FROM (SELECT q.vec_id AS qid, c.cid, ${cos("q.embedding", "c.cv")} AS ccos
-         |        FROM embeddings q CROSS JOIN c1 c WHERE q.vec_id % 50 = 0)) WHERE crk <= 2),
+         |        FROM embeddings q CROSS JOIN c1 c WHERE $qpred)) WHERE crk <= 2),
          |sc AS (SELECT DISTINCT p.qid, a.nid,
          |         round(list_dot_product(x.v, y.rv) /
          |           (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.rv, y.rv))), 6) AS cos
@@ -1791,23 +1794,17 @@ object PipelineQueries {
          |       JOIN ev x ON x.vec_id = p.qid
          |       JOIN r y ON y.vec_id = a.nid)""".stripMargin
     }
-    val ivfSqTopkSql = ivfSqScoredCtes +
+    val ivfSqTopkSql = ivfSqScoredCtes("", "q.vec_id % 50 = 0") +
       """
         |SELECT qid, nid, cos, CAST(rk AS BIGINT) AS rk FROM (
         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk FROM sc)
         |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
-    val ivfSqRecallSql = ivfSqScoredCtes +
+    val ivfSqRecallSql = ivfSqScoredCtes(qsCte + ",\n", qsPred) +
       s""",
          |ivfsq AS (SELECT qid, nid FROM (
          |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk FROM sc)
          |  WHERE rk <= 5),
-         |bf AS (
-         |  SELECT qid, nid FROM (
-         |    SELECT a.vec_id AS qid, b.vec_id AS nid,
-         |      row_number() OVER (PARTITION BY a.vec_id ORDER BY $cosAB DESC, b.vec_id) AS rk
-         |    FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
-         |    WHERE a.vec_id % 50 = 0)
-         |  WHERE rk <= 5),
+         |${bfFixedCte(cosAB)},
          |hit AS (SELECT bf.qid, CAST(count(*) AS BIGINT) AS n_hit
          |        FROM bf JOIN ivfsq ON ivfsq.qid = bf.qid AND ivfsq.nid = bf.nid GROUP BY bf.qid),
          |ex AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_exact FROM bf GROUP BY qid)
@@ -2012,17 +2009,12 @@ object PipelineQueries {
            |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
 
       "a_ann_prefix_recall" ->
-        s"""WITH bf AS (
-           |  SELECT qid, nid FROM (
-           |    SELECT a.vec_id AS qid, b.vec_id AS nid,
-           |      row_number() OVER (PARTITION BY a.vec_id ORDER BY $cosAB DESC, b.vec_id) AS rk
-           |    FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
-           |    WHERE a.vec_id % 50 = 0)
-           |  WHERE rk <= 5),
+        s"""WITH $qsCte,
+           |${bfFixedCte(cosAB)},
            |sc AS (
            |  SELECT a.vec_id AS qid, b.vec_id AS nid, $cosPre AS ccos
            |  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
-           |  WHERE a.vec_id % 50 = 0),
+           |  WHERE a.vec_id IN (SELECT vec_id FROM qs)),
            |pool AS (SELECT qid, nid FROM (
            |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY ccos DESC, nid) AS crk FROM sc)
            |  WHERE crk <= 50),
@@ -3405,13 +3397,8 @@ object PipelineQueries {
           s"round(list_dot_product($a::DOUBLE[], $b::DOUBLE[]) / " +
             s"(sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) * " +
             s"sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[]))), 6)"
-        s"""WITH bf AS (
-           |  SELECT qid, nid FROM (
-           |    SELECT a.vec_id AS qid, b.vec_id AS nid,
-           |      row_number() OVER (PARTITION BY a.vec_id ORDER BY $cosAB DESC, b.vec_id) AS rk
-           |    FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
-           |    WHERE a.vec_id % 50 = 0)
-           |  WHERE rk <= 5),
+        s"""WITH $qsCte,
+           |${bfFixedCte(cosAB)},
            |c0 AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings ORDER BY vec_id LIMIT 4),
            |a1 AS (SELECT vec_id, cid FROM (
            |  SELECT e.vec_id, c.cid,
@@ -3435,7 +3422,7 @@ object PipelineQueries {
            |probes AS (SELECT qid, cid FROM (
            |  SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY ccos DESC, cid) AS crk
            |  FROM (SELECT q.vec_id AS qid, c.cid, ${cos("q.embedding", "c.cv")} AS ccos
-           |        FROM embeddings q CROSS JOIN c1 c WHERE q.vec_id % 50 = 0)) WHERE crk <= 2),
+           |        FROM embeddings q CROSS JOIN c1 c WHERE $qsPred)) WHERE crk <= 2),
            |sc AS (SELECT DISTINCT p.qid, a.nid, ${cos("x.embedding", "y.embedding")} AS cos
            |       FROM probes p JOIN assign a ON p.cid = a.cid AND a.nid <> p.qid
            |       JOIN embeddings x ON x.vec_id = p.qid
