@@ -521,6 +521,85 @@ object TextAnalysis {
     merges.toSeq.toDF("rk", "lhs", "rhs", "cnt")
   }
 
+  /** [[bpeTrain]] with the merge rounds DISTRIBUTED — the word table
+    * never leaves the executors. Per round (the ConnectedComponents
+    * keyed-rounds discipline): one pair-count aggregate over the
+    * symbolized word-frequency table (shuffle keyed by pair — bounded
+    * by the live symbol vocabulary, not the corpus), a ONE-ROW argmax
+    * collect (cnt desc, lhs asc, rhs asc — Spark string order is UTF-8
+    * binary, the exact driver-loop comparator), then the winning pair
+    * broadcast back as two literals and applied with an in-row greedy
+    * left-to-right fold. `localCheckpoint` truncates lineage each round
+    * so plan depth stays constant at 32k-merge vocabularies.
+    *
+    * Same (rounds, minFreq, maxWords) contract and BIT-IDENTICAL output
+    * to the driver trainer (`BpeTrainEquivalenceSpec` proves it on the
+    * gate corpus): the driver loop IS this algorithm run on a collected
+    * table. Prefer this path when distinct words × avg word length won't
+    * comfortably collect (web corpora: 10^8+ distinct tokens); the
+    * driver path wins on small vocabs by skipping per-round job
+    * scheduling. The maxWords rank-cap is the one global-order stage
+    * (TakeOrdered-shaped limit); at the default 2^22 it passes
+    * everything through.
+    *
+    * Output: (rk, lhs, rhs, cnt) — merge table in training order. */
+  def bpeTrainDistributed(df0: DataFrame, textCol: String, rounds: Int = 5,
+                          minFreq: Long = 1, maxWords: Int = 1 << 22): DataFrame = {
+    require(rounds > 0, s"rounds must be positive, got $rounds")
+    require(minFreq >= 1, s"minFreq must be >= 1, got $minFreq")
+    require(maxWords >= 1, s"maxWords must be >= 1, got $maxWords")
+    val spark = df0.sparkSession
+    import spark.implicits._
+    // symbols = per-character split; tokens() is [a-z0-9]+ (ASCII), so
+    // characters ≡ code points ≡ what the driver trainer symbolizes
+    var words = graft.functions.SafeExplode.explodeSelect(
+        Dedup.widen(df0), Seq.empty, tokens(col(textCol)), "w")
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= minFreq)
+      .orderBy(col("freq").desc, col("w").asc).limit(maxWords)
+      .select(filter(split(col("w"), ""), x => x =!= "").as("sy"), col("freq"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val top = words.filter(size(col("sy")) >= 2)
+        .select(col("freq"), explode(transform(
+          sequence(lit(1), size(col("sy")) - 1),
+          i => struct(element_at(col("sy"), i).as("lhs"),
+            element_at(col("sy"), i + 1).as("rhs")))).as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("lhs").asc, col("rhs").asc)
+        .limit(1)
+        .as[(String, String, Long)].collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, c) = top.head
+        merges += ((r.toLong, a, b, c))
+        // greedy left-to-right merge: the just-built a||b at the fold
+        // tail can never re-match the round's lhs a (b is non-empty),
+        // mirroring the driver loop exactly. try_element_at: null on the
+        // empty accumulator (never equals a), keeping the fold ANSI-safe.
+        val (la, lb) = (lit(a), lit(b))
+        val prev = words
+        words = words.select(
+          aggregate(col("sy"),
+            array().cast("array<string>"),
+            (acc, x) => when(
+              try_element_at(acc, lit(-1)) === la && x === lb,
+              concat(slice(acc, lit(1), size(acc) - 1), array(concat(la, lb))))
+              .otherwise(concat(acc, array(x)))).as("sy"),
+          col("freq"))
+          .localCheckpoint()
+        prev.unpersist() // the new checkpoint is materialized; release the old round's blocks
+        r += 1
+      }
+    }
+    merges.toSeq.toDF("rk", "lhs", "rhs", "cnt")
+  }
+
   /** BPE encoding with a trained merge table ([[bpeTrain]]'s output,
     * collected driver-side — model-sized): per document, the word count
     * and the BPE token count after applying the merges in training order,

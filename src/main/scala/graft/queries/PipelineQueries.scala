@@ -1017,21 +1017,21 @@ object PipelineQueries {
     // --- iterative BPE trainer: first 5 merges over the corpus word-
     //     frequency table (greedy left-to-right merge application) ---
     "t_bpe_train" -> ((s, dir) =>
-      TextAnalysis.bpeTrain(docs(s, dir), "text", rounds = 5)
+      TextAnalysis.bpeTrainDistributed(docs(s, dir), "text", rounds = 5)
         .orderBy("rk")),
 
     // --- BPE trainer with the frequency threshold real trainers apply
     //     before the word table is bounded: words seen < 3 times never
     //     contribute to a merge decision ---
     "t_bpe_train_minfreq" -> ((s, dir) =>
-      TextAnalysis.bpeTrain(docs(s, dir), "text", rounds = 5, minFreq = 3)
+      TextAnalysis.bpeTrainDistributed(docs(s, dir), "text", rounds = 5, minFreq = 3)
         .orderBy("rk")),
 
     // --- BPE encoding under the trained merge table: per-doc word and
     //     BPE token counts, map-only application of the 5 merges ---
     "t_bpe_encode" -> ((s, dir) => {
       val d = docs(s, dir)
-      val merges = TextAnalysis.bpeTrain(d, "text", rounds = 5)
+      val merges = TextAnalysis.bpeTrainDistributed(d, "text", rounds = 5)
         .orderBy("rk").collect()
         .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"))).toSeq
       TextAnalysis.bpeEncode(d, "doc_id", "text", merges)
