@@ -213,6 +213,26 @@ object PipelineQueries {
         .orderBy("qid", "rk")
     }),
 
+    // --- the model-store round trip: train the coarse quantizer,
+    //     PERSIST it (parquet, ModelStore), reload, and serve —
+    //     hash-equal to the inline-trained a_ann_ivf_trained (floats
+    //     round-trip bit-exactly). At 100 TB the store is what keeps the
+    //     corpus-scan trainer out of every retrieval query. ---
+    "a_ann_ivf_stored" -> ((s, dir) => {
+      import s.implicits._
+      val e = emb(s, dir)
+      val cents = graft.operators.Vectors.kmeansTrain(
+        e, "vec_id", "embedding", k = 4, iters = 2)
+      val mdir = java.nio.file.Files
+        .createTempDirectory("graft_models").toString
+      graft.operators.ModelStore.saveCentroids(s, cents, mdir, "ivf_coarse")
+      val stored = graft.operators.ModelStore
+        .loadCentroids(s, mdir, "ivf_coarse")
+      Similarity.ivfTopKWithCentroids(e, e.filter(col("vec_id") % 50 === 0),
+          stored.toDF("cid", "cv"), "vec_id", "embedding", k = 5, nprobe = 2)
+        .orderBy("qid", "rk")
+    }),
+
     // --- IVF-PQ: inverted-list probe + product-quantized candidates
     //     (4 subspaces x 4 centroids), asymmetric exact-query-vs-
     //     reconstruction scoring ---
@@ -1052,10 +1072,17 @@ object PipelineQueries {
       val bf = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
         .select("qid", "nid")
       import s.implicits._
+      // serve from the PERSISTED model (ModelStore round trip): the eval
+      // certifies the exact model bytes a serving query would load
       val cents = graft.operators.Vectors
         .kmeansTrain(e, "vec_id", "embedding", k = 4, iters = 2)
+      val mdir = java.nio.file.Files
+        .createTempDirectory("graft_models").toString
+      graft.operators.ModelStore.saveCentroids(s, cents, mdir, "ivf_coarse")
+      val stored = graft.operators.ModelStore
+        .loadCentroids(s, mdir, "ivf_coarse")
       recallVsExact(bf, Similarity.ivfTopKWithCentroids(e, q,
-        cents.toDF("cid", "cv"), "vec_id", "embedding", k = 5, nprobe = 2))
+        stored.toDF("cid", "cv"), "vec_id", "embedding", k = 5, nprobe = 2))
     }),
 
     // --- IVF-SQ recall vs brute-force ground truth: what the 4x
@@ -3837,6 +3864,8 @@ object PipelineQueries {
     )
     // skewSafe is a physical-shape knob on the same operator: the
     // aggregate+semi-join form must hash-match the window form's oracle
-    m + ("d_substring_skewsafe" -> m("d_substring_dedup"))
+    m + ("d_substring_skewsafe" -> m("d_substring_dedup")) +
+      // stored-model serve path ≡ inline-trained path, same oracle
+      ("a_ann_ivf_stored" -> m("a_ann_ivf_trained"))
   }
 }
