@@ -2,11 +2,13 @@ package graft.plans
 
 import graft.SparkSpec
 
-/** Plan-shape sweep over the 15 most expensive gate queries (round-9
-  * bench board) — the round-9 verdict's item 8. For each, the physical
-  * plan must contain no BroadcastNestedLoopJoin, no CartesianProduct,
-  * and no SinglePartition exchange EXCEPT where the query's design
-  * deliberately uses one, codified per query below:
+/** Plan-shape sweep over the 15 most expensive gate queries of the
+  * LATEST committed driver bench record (`BENCH_r<N>.json`, highest N —
+  * the round-10 verdict's item 5: plan pins must TRACK cost, not stay
+  * frozen to an old board). For each board query, the physical plan must
+  * contain no BroadcastNestedLoopJoin, no CartesianProduct, and no
+  * SinglePartition exchange EXCEPT where the query's design deliberately
+  * uses one, codified in the sanctions map below:
   *
   *  - `bnlj`: broadcast-queries × corpus brute-force scoring — the
   *    deliberate ground-truth / deliberate-broadcast-scan tier (recall
@@ -18,34 +20,72 @@ import graft.SparkSpec
   *    frames) — never of corpus-sized data.
   *
   * A regression that introduces a NEW nested-loop join, cartesian
-  * product, or corpus-wide single-partition funnel into any of these
-  * plans fails this suite. */
+  * product, or corpus-wide single-partition funnel into any board plan
+  * fails this suite — and a NEW query entering the top 15 without a
+  * recorded sanction entry fails loudly, forcing its shape to be
+  * reviewed and codified the round it becomes expensive. */
 class HeavyPlanSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
   private case class Allow(bnlj: Boolean = false, single: Boolean = false)
 
-  // query -> sanctioned deviations (reasons above)
-  private val heavy: Seq[(String, Allow)] = Seq(
-    "t_bpe_encode" -> Allow(),
-    "a_ann_ivfpq_recall" -> Allow(bnlj = true),  // brute-force ground truth
-    "d_banding_sweep" -> Allow(),
-    "a_ann_whitened" -> Allow(bnlj = true),      // deliberate brute-force tier
-    "t_calibration" -> Allow(),
-    "a_contrastive_pairs" -> Allow(bnlj = true), // broadcast anchors × one corpus pass
-    "a_ann_ivfpq_res_recall" -> Allow(bnlj = true), // brute-force ground truth
-    "q_table_stats" -> Allow(single = true),     // one-row ANALYZE summary
-    "d_method_agreement" -> Allow(bnlj = true, single = true), // 3 one-row aggregates crossed
-    "d_lsh_eval" -> Allow(bnlj = true, single = true), // ground truth + one-row summary
-    "d_containment" -> Allow(),
+  // query -> sanctioned deviations (reasons in comments; queries with no
+  // deviation are listed too — membership is the review record)
+  private val sanctions: Map[String, Allow] = Map(
+    "t_calibration" -> Allow(),                  // fixed-round GD, linear passes
+    "d_banding_sweep" -> Allow(),                // signatures computed once, band regroups
     "g_assortativity" -> Allow(single = true),   // one-row graph statistic
-    "d_ngram_jaccard" -> Allow(),
-    "g_pagerank" -> Allow(),
-    "d_er_pipeline" -> Allow())
+    "a_ann_whitened" -> Allow(bnlj = true),      // deliberate brute-force tier
+    "d_method_agreement" -> Allow(bnlj = true, single = true), // 3 one-row aggregates crossed
+    "q_table_stats" -> Allow(single = true),     // one-row ANALYZE summary
+    "d_ngram_jaccard" -> Allow(),                // AllPairs prefix-filter equi-join
+    "d_lsh_eval" -> Allow(bnlj = true, single = true), // ground truth + one-row summary
+    "a_ann_ivfpq_res_recall" -> Allow(bnlj = true), // brute-force ground truth
+    "g_pagerank" -> Allow(),                     // keyed join+agg rounds
+    "d_er_pipeline" -> Allow(),                  // blocked equi-join linkage
+    "d_containment" -> Allow(),                  // shared-shingle equi-join
+    "g_modularity" -> Allow(bnlj = true, single = true), // one-row edge-total crossed onto per-community aggregates
+    "st_cms_window" -> Allow(),                  // keyed windowed sketch agg
+    "m_media_semantic_dedup" -> Allow(),         // cluster-blocked pair join
+    "d_cluster_best" -> Allow(),                 // per-cluster survivor agg
+    "g_kcore" -> Allow(),                        // keyed peeling rounds
+    "a_ann_ivfsq_recall" -> Allow(bnlj = true),  // brute-force ground truth
+    "d_curation_pipeline" -> Allow(),            // staged keyed filters
+    "t_topic_coherence" -> Allow(),              // token passes + bounded-model join
+    "t_bpe_encode" -> Allow(),                   // map-only kernel scan
+    "a_ann_ivfpq_recall" -> Allow(bnlj = true),  // brute-force ground truth
+    "a_contrastive_pairs" -> Allow(bnlj = true), // broadcast anchors × one corpus pass
+    "q_corr_matrix" -> Allow(single = true))     // one-row moment totals crossed
 
-  heavy.foreach { case (name, allow) =>
+  /** Top-15 of the newest committed BENCH_r<N>.json (driver record). */
+  private def board: Seq[String] = {
+    val re = raw"BENCH_r(\d+)\.json".r
+    val files = new java.io.File(".").listFiles.toSeq
+      .filter(f => re.pattern.matcher(f.getName).matches)
+    assert(files.nonEmpty, "no committed BENCH_r<N>.json found")
+    val latest = files.maxBy(f =>
+      re.findFirstMatchIn(f.getName).get.group(1).toInt)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(latest)
+    val qs = {
+      val parsed = root.path("parsed").path("queries")
+      if (!parsed.isMissingNode && parsed.isObject) parsed
+      else root.path("queries")
+    }
+    assert(qs.isObject, s"${latest.getName} carries no queries map")
+    val it = qs.fields()
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    while (it.hasNext) { val e = it.next(); buf += ((e.getKey, e.getValue.asDouble)) }
+    buf.sortBy(-_._2).take(15).map(_._1).toSeq
+  }
+
+  board.foreach { name =>
     test(s"$name plan: no unsanctioned BNLJ/Cartesian/SinglePartition") {
+      assert(sanctions.contains(name),
+        s"'$name' entered the bench top-15 without a sanctions entry — " +
+          "review its plan shape and codify the allowed deviations here")
+      val allow = sanctions(name)
       val plan = graft.SparkEntry.queries(name)(spark, dir)
         .queryExecution.executedPlan.toString
       if (!allow.bnlj)
