@@ -1051,9 +1051,15 @@ object PipelineQueries {
     //     BPE token counts, map-only application of the 5 merges ---
     "t_bpe_encode" -> ((s, dir) => {
       val d = docs(s, dir)
-      val merges = TextAnalysis.bpeTrainDistributed(d, "text", rounds = 5)
-        .orderBy("rk").collect()
-        .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"))).toSeq
+      // train → PERSIST (ModelStore) → reload → encode: the tokenizer
+      // ships as a stored merge table, not an in-plan artifact — the
+      // serve path a 100 TB encode job actually runs
+      val mdir = java.nio.file.Files
+        .createTempDirectory("graft_models").toString
+      graft.operators.ModelStore.saveBpeMerges(
+        TextAnalysis.bpeTrainDistributed(d, "text", rounds = 5),
+        mdir, "bpe_merges")
+      val merges = graft.operators.ModelStore.loadBpeMerges(s, mdir, "bpe_merges")
       TextAnalysis.bpeEncode(d, "doc_id", "text", merges)
         .orderBy("doc_id")
     }),
