@@ -48,11 +48,14 @@ object ScaleGen {
     def t(name: String): DataFrame =
       graft.catalog.TableCatalog.load(spark, src, name)
 
-    // k == 0 must return the column UNCHANGED (not `+ 0L`): adding a Long
-    // literal widens integer-typed keys to BIGINT, which would drift the
-    // anchor schema from the source fixture and break the "replica 0 =
-    // the original bytes" contract. For k > 0 the widening is inherent
-    // (the shift exceeds Int range) and unionByName reconciles the types.
+    // k == 0 returns the column unchanged (not `+ 0L`). Honest scope of
+    // the guarantee: replica 0's VALUES are always identical either way;
+    // for the TYPE, this branch only preserves an integer-typed key at
+    // factor == 1 — at factor > 1 the k > 0 replicas are inherently
+    // BIGINT (the shift exceeds Int range) and unionByName widens the
+    // whole written column, replica 0 included. All current fixtures key
+    // on BIGINT already, so in practice the branch avoids a pointless
+    // `+ 0L` cast node and nothing more.
     def shift(c: String, k: Int) =
       if (k == 0) col(c).as(c) else (col(c) + lit(k * KeyStride)).as(c)
 

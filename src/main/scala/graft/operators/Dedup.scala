@@ -537,39 +537,47 @@ object Dedup {
   }
 
   /** Deterministic blocking granularity for the quadratic-within-block
-    * dedup stages: k = max(kMin, ceil(N / targetBlock)). Derived from a
-    * COUNT (one cheap metadata-or-scan job), not a sample or a config
-    * constant, so (a) the model is oracle-replayable — an independent
-    * engine recomputes the identical k from the same table — and (b) the
-    * per-block candidate volume stays ~targetBlock²/2 no matter how the
-    * corpus grows: total pair work is k · targetBlock²/2 ≈ N·targetBlock/2,
-    * LINEAR in N. A fixed k is quadratic (measured at the sf1 anchor:
-    * semanticDedup k=4 ran 16.7× for 10× data; k ∝ N ran ~4×). */
-  def autoK(df: DataFrame, targetBlock: Long = 64, kMin: Int = 4): Int = {
-    require(targetBlock > 0, s"autoK targetBlock must be positive: $targetBlock")
+    * dedup stages: k = max(kMin, ceil(√N)). Derived from a COUNT (one
+    * cheap metadata-or-scan job), not a sample or a config constant, so
+    * the model is oracle-replayable — an independent engine recomputes
+    * the identical k from the same table.
+    *
+    * Why √N and not k ∝ N: blocking has TWO corpus-sized terms — the
+    * per-row assignment argmax O(N·k) and the within-block pair stage
+    * O(k·(N/k)²) = O(N²/k). A fixed k leaves the pair term quadratic
+    * (measured at the sf1 anchor: semanticDedup k=4 ran 16.7× for 10×
+    * data); k ∝ N fixes the pair term but makes the ASSIGNMENT term
+    * quadratic instead — and the collected centroid model grows with the
+    * corpus (10⁹ vectors → ~16M centroids ≈ 4 GB of plan literal: driver
+    * OOM, broadcast blowup). k = √N balances the two at O(N^1.5) total
+    * with a √N-sized model that stays model-budget at any realistic N
+    * (10⁹ rows → ~32k centroids ≈ 8 MB — the size every IVF index ships);
+    * past that, a hierarchical (two-level) quantizer is the next tier. */
+  def autoK(df: DataFrame, kMin: Int = 4): Int = {
     require(kMin >= 1, s"autoK kMin must be >= 1: $kMin")
     val n = df.count()
-    math.max(kMin.toLong, (n + targetBlock - 1) / targetBlock).toInt
+    math.max(kMin.toLong, math.ceil(math.sqrt(n.toDouble)).toLong).toInt
   }
 
   /** [[embeddingNearDup]] with a TRAINED blocking column: deterministic
     * k-means ([[Vectors.kmeansAssign]]) plays the IVF-coarse-quantizer
-    * role, with k defaulting to [[autoK]] (k ∝ N) so block sizes — and
-    * with them the quadratic within-block pair stage — stay bounded as
-    * the corpus grows. `k <= 0` means auto; pass an explicit k only to
-    * pin a model (e.g. for a value-stable oracle gate). Cached once:
-    * the assignment feeds both sides of the pair self-join. */
+    * role, with k defaulting to [[autoK]] (k = √N) so the assignment and
+    * within-block pair stages stay balanced as the corpus grows. `k <= 0`
+    * means auto; pass an explicit k only to pin a model (e.g. for a
+    * value-stable oracle gate). Cached once: the assignment (the corpus
+    * scan + argmax projection) feeds both sides of the pair self-join —
+    * uncached it would execute twice per action. */
   def embeddingNearDupKmeans(df0: DataFrame, idCol: String, vecCol: String,
                              minCosine: Double = 0.45, k: Int = 0,
-                             iters: Int = 2,
-                             targetBlock: Long = 64): DataFrame = {
-    val kk = if (k <= 0) autoK(df0, targetBlock) else k
+                             iters: Int = 2): DataFrame = {
+    val kk = if (k <= 0) autoK(df0) else k
     val cents = Vectors.kmeansTrain(df0, idCol, vecCol, kk, iters)
     // assignment is a pure in-row argmax against the broadcast-literal
     // model — NOT a join back onto the corpus; the pair equi-join below
     // is the only shuffle this operator pays
     val assigned = widen(df0).withColumn("cluster_id",
       Vectors.nearestCidExpr(df0.sparkSession, col(vecCol), cents))
+      .cache()
     embeddingNearDup(assigned, idCol, vecCol, "cluster_id", minCosine)
   }
 
@@ -942,10 +950,9 @@ object Dedup {
     *
     * Output: (idCol, cluster_id, kept) — one row per input vector. */
   def semanticDedup(df0: DataFrame, idCol: String, vecCol: String,
-                    k: Int = 0, iters: Int = 2, tau: Double = 0.45,
-                    targetBlock: Long = 64): DataFrame = {
+                    k: Int = 0, iters: Int = 2, tau: Double = 0.45): DataFrame = {
     val spark = df0.sparkSession
-    val kk = if (k <= 0) autoK(df0, targetBlock) else k
+    val kk = if (k <= 0) autoK(df0) else k
     val cents = Vectors.kmeansTrain(df0, idCol, vecCol, kk, iters)
     // cached: the assignment projection feeds three consumers (both
     // self-join sides and the final output) — uncached it would run

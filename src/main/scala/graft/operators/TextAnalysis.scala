@@ -550,16 +550,34 @@ object TextAnalysis {
     require(maxWords >= 1, s"maxWords must be >= 1, got $maxWords")
     val spark = df0.sparkSession
     import spark.implicits._
+    // localCheckpoint persists its RDD OUTSIDE the CacheManager, so
+    // Dataset.unpersist on the checkpointed frame is a no-op and the
+    // blocks would otherwise only free on GC + ContextCleaner — at a
+    // 32k-round vocabulary that is unbounded block-manager pressure.
+    // Track the RDD ids each checkpoint registers and release the
+    // previous round's blocks explicitly once the new round is
+    // materialized. (Single-trainer-at-a-time assumption: nothing else
+    // persists RDDs between the before/after snapshots — true for the
+    // gate/bench harnesses, which run queries sequentially.)
+    val sc = spark.sparkContext
+    def checkpointTracked(df: DataFrame)
+        : (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint() // eager: materialized on return
+      val added = sc.getPersistentRDDs.view
+        .filterKeys(!before.contains(_)).values.toSeq
+      (out, added)
+    }
     // symbols = per-character split; tokens() is [a-z0-9]+ (ASCII), so
     // characters ≡ code points ≡ what the driver trainer symbolizes
-    var words = graft.functions.SafeExplode.explodeSelect(
-        Dedup.widen(df0), Seq.empty, tokens(col(textCol)), "w")
-      .groupBy("w").agg(count(lit(1)).as("freq"))
-      .filter(col("freq") >= minFreq)
-      .orderBy(col("freq").desc, col("w").asc).limit(maxWords)
-      .select(filter(split(col("w"), ""), x => x =!= "").as("sy"), col("freq"))
-      .repartition(spark.sparkContext.defaultParallelism)
-      .localCheckpoint()
+    var (words, liveBlocks) = checkpointTracked(
+      graft.functions.SafeExplode.explodeSelect(
+          Dedup.widen(df0), Seq.empty, tokens(col(textCol)), "w")
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+        .filter(col("freq") >= minFreq)
+        .orderBy(col("freq").desc, col("w").asc).limit(maxWords)
+        .select(filter(split(col("w"), ""), x => x =!= "").as("sy"), col("freq"))
+        .repartition(sc.defaultParallelism))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var r = 1
     var exhausted = false
@@ -583,21 +601,25 @@ object TextAnalysis {
         // mirroring the driver loop exactly. try_element_at: null on the
         // empty accumulator (never equals a), keeping the fold ANSI-safe.
         val (la, lb) = (lit(a), lit(b))
-        val prev = words
-        words = words.select(
+        val prevBlocks = liveBlocks
+        val (next, nextBlocks) = checkpointTracked(words.select(
           aggregate(col("sy"),
             array().cast("array<string>"),
             (acc, x) => when(
               try_element_at(acc, lit(-1)) === la && x === lb,
               concat(slice(acc, lit(1), size(acc) - 1), array(concat(la, lb))))
               .otherwise(concat(acc, array(x)))).as("sy"),
-          col("freq"))
-          .localCheckpoint()
-        prev.unpersist() // the new checkpoint is materialized; release the old round's blocks
+          col("freq")))
+        words = next
+        liveBlocks = nextBlocks
+        // the new checkpoint is materialized; release the old round's blocks
+        prevBlocks.foreach(_.unpersist(blocking = false))
         r += 1
       }
     }
-    merges.toSeq.toDF("rk", "lhs", "rhs", "cnt")
+    val out = merges.toSeq.toDF("rk", "lhs", "rhs", "cnt")
+    liveBlocks.foreach(_.unpersist(blocking = false))
+    out
   }
 
   /** BPE encoding with a trained merge table ([[bpeTrain]]'s output,

@@ -20,6 +20,25 @@ object PipelineQueries {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     TableCatalog.load(s, dir, "documents")
+  /** One model-store root per JVM: the gate lambdas run per invocation,
+    * and a createTempDirectory per call leaked a /tmp dir each gate/bench
+    * pass. Overwrite-mode writes make reuse safe (the harnesses run
+    * queries sequentially; each trains immediately before loading). */
+  private lazy val modelDir: String =
+    java.nio.file.Files.createTempDirectory("graft_models").toString
+
+  /** Train → persist → reload (ModelStore round trip) for the coarse
+    * quantizer — the stored-model serve seam the a_ann_ivf_* gates
+    * certify. */
+  private def storedCentroids(s: SparkSession, e: DataFrame, name: String,
+                              k: Int = 4, iters: Int = 2)
+      : Seq[(Long, Array[Float])] = {
+    val cents = graft.operators.Vectors.kmeansTrain(
+      e, "vec_id", "embedding", k, iters)
+    graft.operators.ModelStore.saveCentroids(s, cents, modelDir, name)
+    graft.operators.ModelStore.loadCentroids(s, modelDir, name)
+  }
+
   private def emb(s: SparkSession, dir: String): DataFrame =
     TableCatalog.load(s, dir, "embeddings")
 
@@ -221,13 +240,7 @@ object PipelineQueries {
     "a_ann_ivf_stored" -> ((s, dir) => {
       import s.implicits._
       val e = emb(s, dir)
-      val cents = graft.operators.Vectors.kmeansTrain(
-        e, "vec_id", "embedding", k = 4, iters = 2)
-      val mdir = java.nio.file.Files
-        .createTempDirectory("graft_models").toString
-      graft.operators.ModelStore.saveCentroids(s, cents, mdir, "ivf_coarse")
-      val stored = graft.operators.ModelStore
-        .loadCentroids(s, mdir, "ivf_coarse")
+      val stored = storedCentroids(s, e, "ivf_stored")
       Similarity.ivfTopKWithCentroids(e, e.filter(col("vec_id") % 50 === 0),
           stored.toDF("cid", "cv"), "vec_id", "embedding", k = 5, nprobe = 2)
         .orderBy("qid", "rk")
@@ -1054,12 +1067,11 @@ object PipelineQueries {
       // train → PERSIST (ModelStore) → reload → encode: the tokenizer
       // ships as a stored merge table, not an in-plan artifact — the
       // serve path a 100 TB encode job actually runs
-      val mdir = java.nio.file.Files
-        .createTempDirectory("graft_models").toString
       graft.operators.ModelStore.saveBpeMerges(
         TextAnalysis.bpeTrainDistributed(d, "text", rounds = 5),
-        mdir, "bpe_merges")
-      val merges = graft.operators.ModelStore.loadBpeMerges(s, mdir, "bpe_merges")
+        modelDir, "bpe_merges")
+      val merges = graft.operators.ModelStore
+        .loadBpeMerges(s, modelDir, "bpe_merges")
       TextAnalysis.bpeEncode(d, "doc_id", "text", merges)
         .orderBy("doc_id")
     }),
@@ -1080,13 +1092,7 @@ object PipelineQueries {
       import s.implicits._
       // serve from the PERSISTED model (ModelStore round trip): the eval
       // certifies the exact model bytes a serving query would load
-      val cents = graft.operators.Vectors
-        .kmeansTrain(e, "vec_id", "embedding", k = 4, iters = 2)
-      val mdir = java.nio.file.Files
-        .createTempDirectory("graft_models").toString
-      graft.operators.ModelStore.saveCentroids(s, cents, mdir, "ivf_coarse")
-      val stored = graft.operators.ModelStore
-        .loadCentroids(s, mdir, "ivf_coarse")
+      val stored = storedCentroids(s, e, "ivf_recall")
       recallVsExact(bf, Similarity.ivfTopKWithCentroids(e, q,
         stored.toDF("cid", "cv"), "vec_id", "embedding", k = 5, nprobe = 2))
     }),
@@ -1449,12 +1455,12 @@ object PipelineQueries {
       s"CASE WHEN sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) * " +
         s"sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[])) = 0 THEN 0.0 " +
         s"ELSE ${cosSql(a, b)} END"
-    // auto-k k-means CTE chain (Dedup.autoK twin: k = max(4, ceil(N/64)),
+    // auto-k k-means CTE chain (Dedup.autoK twin: k = max(4, ceil(sqrt(N))),
     // init = first k vec_ids, iters=2 = one decimal-exact mean update,
     // 6-dp-cosine/lowest-cid argmax) ending in assign(vec_id, cid) —
     // shared by the scale-safe dedup gates
     val kmeansAutoCtes: String =
-      s"""kk AS (SELECT greatest(4, CAST(ceil(count(*) / 64.0) AS BIGINT)) AS k FROM embeddings),
+      s"""kk AS (SELECT greatest(4, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS k FROM embeddings),
          |c0 AS (SELECT s.vec_id AS cid, s.embedding AS cv FROM (
          |  SELECT vec_id, embedding, row_number() OVER (ORDER BY vec_id) AS rn
          |  FROM embeddings) s, kk WHERE s.rn <= kk.k),

@@ -71,7 +71,20 @@ class HeavyPlanSpec extends SparkSpec {
     val qs = {
       val parsed = root.path("parsed").path("queries")
       if (!parsed.isMissingNode && parsed.isObject) parsed
-      else root.path("queries")
+      else if (root.path("queries").isObject) root.path("queries")
+      else {
+        // driver records have hit parsed=null on stdout truncation
+        // (BENCH_r08/r09); the compact final line survives verbatim
+        // inside the raw "tail" string — recover the last
+        // {"metric":"total",...,"queries":{...}} object from it
+        val tail = root.path("tail").asText("")
+        val start = tail.lastIndexOf("{\"metric\":\"total\"")
+        assert(start >= 0, s"${latest.getName}: no parsed queries and no " +
+          "compact bench line in tail")
+        val end = tail.indexOf("}}", start)
+        assert(end > start, s"${latest.getName}: unterminated compact bench line")
+        mapper.readTree(tail.substring(start, end + 2)).path("queries")
+      }
     }
     assert(qs.isObject, s"${latest.getName} carries no queries map")
     val it = qs.fields()
