@@ -48,9 +48,12 @@ object ConnectedComponents {
         struct(col(dstCol).as("a"), col(srcCol).as("b")))).as("e"))
       .select(col("e.a").as("a"), col("e.b").as("b"))
       .cache()
-    var labels = sym.select(col("a").as("v")).distinct()
-      .withColumn("l", col("v"))
-      .localCheckpoint()
+    // per-round checkpoints with deterministic release of superseded
+    // rounds (see LocalCheckpoints: Dataset.unpersist is a no-op for
+    // checkpointed frames). The LIVE round's blocks are never released —
+    // a checkpoint's lineage is truncated, so they are unrecoverable.
+    var (labels, liveBlocks) = LocalCheckpoints.tracked(
+      sym.select(col("a").as("v")).distinct().withColumn("l", col("v")))
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -59,12 +62,14 @@ object ConnectedComponents {
       // the old label rides along in the checkpointed frame so the
       // convergence check is a filter over materialized rows, not an
       // extra join+recompute per round
-      val next = labels.join(nbrMin, labels("v") === nbrMin("a"), "left")
-        .select(col("v"), least(col("l"), coalesce(col("nl"), col("l"))).as("l"),
-          col("l").as("lold"))
-        .localCheckpoint()
+      val (next, nextBlocks) = LocalCheckpoints.tracked(
+        labels.join(nbrMin, labels("v") === nbrMin("a"), "left")
+          .select(col("v"), least(col("l"), coalesce(col("nl"), col("l"))).as("l"),
+            col("l").as("lold")))
       converged = next.filter(col("l") =!= col("lold")).isEmpty
       labels = next.drop("lold")
+      LocalCheckpoints.release(liveBlocks)
+      liveBlocks = nextBlocks
       i += 1
     }
     // a graph with diameter > maxIter (e.g. a long chain of
@@ -74,7 +79,12 @@ object ConnectedComponents {
     // cache here cannot trigger recomputation)
     val out =
       if (converged) labels.select(col("v"), col("l").as("component"))
-      else starContract(sym)
+      else {
+        // the propagation labels are discarded — release before the
+        // star-contraction phase builds its own round frames
+        LocalCheckpoints.release(liveBlocks)
+        starContract(sym)
+      }
     sym.unpersist()
     out
   }
@@ -96,9 +106,10 @@ object ConnectedComponents {
     * count is poly-log in component size rather than linear in diameter. */
   private def starContract(sym: DataFrame, maxRounds: Int = 50): DataFrame = {
     val verts = sym.select(col("a").as("v")).distinct().localCheckpoint()
-    var e = sym.filter(col("a") =!= col("b"))
-      .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
-      .distinct().localCheckpoint()
+    var (e, liveBlocks) = LocalCheckpoints.tracked(
+      sym.filter(col("a") =!= col("b"))
+        .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+        .distinct())
     var converged = false
     var r = 0
     while (!converged && r < maxRounds) {
@@ -112,15 +123,17 @@ object ConnectedComponents {
         .distinct()
       // small-star over the canonical (u > v) orientation
       val mins2 = ls.groupBy("u").agg(min(col("v")).as("m"))
-      val ss = ls.join(mins2, "u")
-        .select(col("v").as("child"), col("m"))
-        .filter(col("child") =!= col("m"))
-        .select(col("child").as("u"), col("m").as("v")) // child >= m, no loops
-        .union(mins2.select(col("u"), col("m").as("v"))) // m < u by minimality
-        .distinct()
-        .localCheckpoint()
+      val (ss, ssBlocks) = LocalCheckpoints.tracked(
+        ls.join(mins2, "u")
+          .select(col("v").as("child"), col("m"))
+          .filter(col("child") =!= col("m"))
+          .select(col("child").as("u"), col("m").as("v")) // child >= m, no loops
+          .union(mins2.select(col("u"), col("m").as("v"))) // m < u by minimality
+          .distinct())
       converged = ss.except(e).isEmpty && e.except(ss).isEmpty
       e = ss
+      LocalCheckpoints.release(liveBlocks) // after the except checks read old e
+      liveBlocks = ssBlocks
       r += 1
     }
     if (!converged) throw new IllegalStateException(

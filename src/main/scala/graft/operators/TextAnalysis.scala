@@ -550,34 +550,20 @@ object TextAnalysis {
     require(maxWords >= 1, s"maxWords must be >= 1, got $maxWords")
     val spark = df0.sparkSession
     import spark.implicits._
-    // localCheckpoint persists its RDD OUTSIDE the CacheManager, so
-    // Dataset.unpersist on the checkpointed frame is a no-op and the
-    // blocks would otherwise only free on GC + ContextCleaner — at a
-    // 32k-round vocabulary that is unbounded block-manager pressure.
-    // Track the RDD ids each checkpoint registers and release the
-    // previous round's blocks explicitly once the new round is
-    // materialized. (Single-trainer-at-a-time assumption: nothing else
-    // persists RDDs between the before/after snapshots — true for the
-    // gate/bench harnesses, which run queries sequentially.)
-    val sc = spark.sparkContext
-    def checkpointTracked(df: DataFrame)
-        : (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
-      val before = sc.getPersistentRDDs.keySet
-      val out = df.localCheckpoint() // eager: materialized on return
-      val added = sc.getPersistentRDDs.view
-        .filterKeys(!before.contains(_)).values.toSeq
-      (out, added)
-    }
+    // per-round checkpoints with DETERMINISTIC block release — see
+    // LocalCheckpoints for why Dataset.unpersist cannot do this. At a
+    // 32k-round vocabulary, unreleased rounds are unbounded
+    // block-manager pressure.
     // symbols = per-character split; tokens() is [a-z0-9]+ (ASCII), so
     // characters ≡ code points ≡ what the driver trainer symbolizes
-    var (words, liveBlocks) = checkpointTracked(
+    var (words, liveBlocks) = LocalCheckpoints.tracked(
       graft.functions.SafeExplode.explodeSelect(
           Dedup.widen(df0), Seq.empty, tokens(col(textCol)), "w")
         .groupBy("w").agg(count(lit(1)).as("freq"))
         .filter(col("freq") >= minFreq)
         .orderBy(col("freq").desc, col("w").asc).limit(maxWords)
         .select(filter(split(col("w"), ""), x => x =!= "").as("sy"), col("freq"))
-        .repartition(sc.defaultParallelism))
+        .repartition(spark.sparkContext.defaultParallelism))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var r = 1
     var exhausted = false
@@ -602,7 +588,7 @@ object TextAnalysis {
         // empty accumulator (never equals a), keeping the fold ANSI-safe.
         val (la, lb) = (lit(a), lit(b))
         val prevBlocks = liveBlocks
-        val (next, nextBlocks) = checkpointTracked(words.select(
+        val (next, nextBlocks) = LocalCheckpoints.tracked(words.select(
           aggregate(col("sy"),
             array().cast("array<string>"),
             (acc, x) => when(
@@ -613,12 +599,12 @@ object TextAnalysis {
         words = next
         liveBlocks = nextBlocks
         // the new checkpoint is materialized; release the old round's blocks
-        prevBlocks.foreach(_.unpersist(blocking = false))
+        LocalCheckpoints.release(prevBlocks)
         r += 1
       }
     }
     val out = merges.toSeq.toDF("rk", "lhs", "rhs", "cnt")
-    liveBlocks.foreach(_.unpersist(blocking = false))
+    LocalCheckpoints.release(liveBlocks) // output is driver-local — safe
     out
   }
 
