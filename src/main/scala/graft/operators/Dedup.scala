@@ -575,6 +575,10 @@ object Dedup {
     // assignment is a pure in-row argmax against the broadcast-literal
     // model — NOT a join back onto the corpus; the pair equi-join below
     // is the only shuffle this operator pays
+    // cache lifetime: session end or catalog.clearCache() — the returned
+    // frame is lazy, so the cache cannot be unpersisted here without
+    // un-caching the very self-join it exists for (same convention as
+    // semanticDedup's assignment cache, documented there)
     val assigned = widen(df0).withColumn("cluster_id",
       Vectors.nearestCidExpr(df0.sparkSession, col(vecCol), cents))
       .cache()

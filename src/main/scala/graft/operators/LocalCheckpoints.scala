@@ -17,18 +17,27 @@ import org.apache.spark.sql.DataFrame
   * dropped blocks are unrecoverable — release only rounds that have
   * been fully superseded.
   *
-  * Single-algorithm-at-a-time assumption: nothing else persists RDDs
-  * between the before/after snapshots — true for the gate/bench/test
-  * harnesses, which run queries sequentially. */
+  * The tracked blocks are read off the checkpointed frame's OWN plan
+  * (the `LogicalRDD` the checkpoint wraps) — NOT by diffing the global
+  * persistent-RDD registry around the call. The registry diff looked
+  * equivalent but was wrong: `Dataset.cache()` registers its RDD lazily
+  * at FIRST materialization, which for a cached upstream (e.g.
+  * ConnectedComponents' symmetrized edges, or a MinHash signature
+  * cache) happens INSIDE the first eager checkpoint — the diff then
+  * attributed the cache to the round's blocks, and releasing round 1
+  * silently destroyed the upstream cache, recomputing the whole edge
+  * pipeline every later round. */
 private[operators] object LocalCheckpoints {
 
   def tracked(df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
-    val sc = df.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet
     val out = df.localCheckpoint() // eager: materialized on return
-    val added = sc.getPersistentRDDs.view
-      .filterKeys(!before.contains(_)).values.toSeq
-    (out, added)
+    val own = out.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
+    assert(own.nonEmpty,
+      "localCheckpoint did not produce a LogicalRDD-backed plan — " +
+        "block tracking would be a no-op")
+    (out, own)
   }
 
   def release(blocks: Seq[org.apache.spark.rdd.RDD[_]]): Unit =
