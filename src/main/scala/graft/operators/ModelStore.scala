@@ -36,6 +36,19 @@ object ModelStore {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(savedPath(dir, name))
 
+  // ---- corpus-sized INDEX artifacts ----
+  // The partitioned sibling of the model frames: signature tables, PQ
+  // code stores, IVF assignments — computed once over the corpus and
+  // REUSED by every downstream query (at 100 TB the index scan is the
+  // artifact; recomputing signatures per dedup query is the waste).
+  // Written partitioned (never coalesced — these scale with the corpus).
+
+  def saveIndex(df: DataFrame, dir: String, name: String): Unit =
+    df.write.mode("overwrite").parquet(savedPath(dir, name))
+
+  def loadIndex(spark: SparkSession, dir: String, name: String): DataFrame =
+    load(spark, dir, name)
+
   // ---- k-means centroids / IVF coarse quantizer ----
 
   def saveCentroids(spark: SparkSession, cents: Seq[(Long, Array[Float])],

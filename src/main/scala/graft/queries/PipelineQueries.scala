@@ -86,6 +86,22 @@ object PipelineQueries {
       Dedup.minhashLsh(docs(s, dir), "doc_id", "text")
         .orderBy("d1", "d2")),
 
+    // --- the persisted-INDEX seam (corpus-sized sibling of the model
+    //     store): signatures computed ONCE, written as partitioned
+    //     parquet, and the dedup band-joins the STORED index — the
+    //     reuse shape a 100 TB pass runs (recomputing signatures per
+    //     query is the waste the store removes). Hash-equal to the
+    //     inline d_minhash_lsh by construction. ---
+    "d_minhash_stored" -> ((s, dir) => {
+      graft.operators.ModelStore.saveIndex(
+        Dedup.minhashSignatureArray(docs(s, dir), "doc_id", "text"),
+        modelDir, "minhash_sig")
+      Dedup.minhashLshFromSignatures(
+          graft.operators.ModelStore.loadIndex(s, modelDir, "minhash_sig"),
+          "doc_id")
+        .orderBy("d1", "d2")
+    }),
+
     "d_simhash" -> ((s, dir) =>
       Dedup.simhash(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
@@ -3878,6 +3894,8 @@ object PipelineQueries {
     // aggregate+semi-join form must hash-match the window form's oracle
     m + ("d_substring_skewsafe" -> m("d_substring_dedup")) +
       // stored-model serve path ≡ inline-trained path, same oracle
-      ("a_ann_ivf_stored" -> m("a_ann_ivf_trained"))
+      ("a_ann_ivf_stored" -> m("a_ann_ivf_trained")) +
+      // stored-index band join ≡ inline signatures, same oracle
+      ("d_minhash_stored" -> m("d_minhash_lsh"))
   }
 }
