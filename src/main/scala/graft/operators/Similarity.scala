@@ -449,6 +449,67 @@ object Similarity {
       .filter(col("rk") <= k)
   }
 
+  /** The persisted-index projection for an IVF-PQ store: one row per
+    * vector with its coarse cell and its m subspace codes —
+    * (idCol, cid, code_0 .. code_{m-1}). This is the ENTIRE candidate-
+    * side artifact a deployment persists (m·log2(ks) bits + one cell id
+    * per vector); serving never touches the original embeddings again
+    * ([[ivfPqTopKFromCodes]]). Pure in-row projection against the
+    * literal models — zero joins, zero shuffles. */
+  def pqIndex(corpus0: DataFrame, idCol: String, vecCol: String,
+              cents: Seq[(Long, Array[Float])],
+              cbs: Seq[Seq[(Long, Array[Float])]], dims: Int): DataFrame = {
+    val spark = corpus0.sparkSession
+    val m = cbs.length
+    val sub = dims / m
+    graft.plans.GraftFunctions.register(spark)
+    val codes = (0 until m).map { s =>
+      val sv = slice(col(vecCol), lit(s * sub + 1), lit(sub))
+      bestCidZs(sv, cbs(s)).as(s"code_$s")
+    }
+    widen(corpus0).select(
+      col(idCol) +: Vectors.nearestCidExpr(spark, col(vecCol), cents).as("cid")
+        +: codes: _*)
+  }
+
+  /** [[ivfPqTopKWithModel]] serving from the PERSISTED artifacts alone:
+    * candidates come from a stored [[pqIndex]] frame — the original
+    * embedding column is read ONLY for the query vectors. Each subspace
+    * code decodes via a literal codebook lookup (in-row, no join), and
+    * decode(code) is bit-identical to the encode-side reconstruction
+    * (same argmax produced the code), so results hash-match the
+    * inline-encoded path. This is the faiss deployment shape: train
+    * once, persist codebooks + centroids (model store) and the code
+    * table (index store), and every query runs against the compressed
+    * artifacts. */
+  def ivfPqTopKFromCodes(codesIdx: DataFrame, queries: DataFrame,
+                         idCol: String, vecCol: String, k: Int, nprobe: Int,
+                         cents: Seq[(Long, Array[Float])],
+                         cbs: Seq[Seq[(Long, Array[Float])]]): DataFrame = {
+    val spark = queries.sparkSession
+    def decode(s: Int): Column = {
+      val cb = cbs(s)
+      cb.tail.foldLeft(
+        when(col(s"code_$s") === cb.head._1, typedLit(cb.head._2))) {
+        case (acc, (cid, cv)) => acc.when(col(s"code_$s") === cid, typedLit(cv))
+      }
+    }
+    val assign = codesIdx.select(col(idCol).as("nid"), col("cid").as("n_cid"),
+      concat(cbs.indices.map(decode): _*).as("rv"))
+    val probes = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .withColumn("cid",
+        explode_outer(Vectors.nearestCidsExpr(spark, col("qv"), cents, nprobe)))
+      .filter(col("cid").isNotNull) // outer+filter: see SafeExplode
+    val scored = broadcast(probes).join(assign, col("cid") === col("n_cid") &&
+        col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        Vectors.cosine(col("qv"), col("rv")).as("score_pq"))
+      .distinct()
+    val w = Window.partitionBy("qid").orderBy(col("score_pq").desc, col("nid").asc)
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
   /** Residual IVF-PQ (faiss's default `by_residual=true`): the PQ
     * codebooks quantize each vector's RESIDUAL from its coarse centroid
     * (v − c), and a candidate reconstructs as c + decode(codes). Residual

@@ -376,6 +376,32 @@ object PipelineQueries {
         "embedding", k = 5, nprobe = 2, cents, cbs))
     }),
 
+    // --- the COMPLETE persisted serving path: codebooks + coarse
+    //     centroids to the model store, the per-vector (cell, codes)
+    //     table to the index store — then the query runs against the
+    //     compressed artifacts alone (candidate embeddings never read).
+    //     Hash-equal to the inline a_ann_ivfpq_topk by construction
+    //     (decode(code) ≡ the encode-side reconstruction). ---
+    "a_ann_ivfpq_stored" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val dims = e.select(size(col("embedding"))).head.getInt(0)
+      val cbs = Similarity.pqTrain(e, "vec_id", "embedding", dims,
+        m = 4, ks = 4, iters = 2)
+      val cents = Similarity.coarseCentroids(e, "vec_id", "embedding", 100)
+      graft.operators.ModelStore.savePqCodebooks(s, cbs, modelDir, "pq_cb")
+      graft.operators.ModelStore.saveCentroids(s, cents, modelDir, "pq_coarse")
+      graft.operators.ModelStore.saveIndex(
+        Similarity.pqIndex(e, "vec_id", "embedding", cents, cbs, dims),
+        modelDir, "pq_codes")
+      Similarity.ivfPqTopKFromCodes(
+          graft.operators.ModelStore.loadIndex(s, modelDir, "pq_codes"),
+          e.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
+          k = 5, nprobe = 2,
+          graft.operators.ModelStore.loadCentroids(s, modelDir, "pq_coarse"),
+          graft.operators.ModelStore.loadPqCodebooks(s, modelDir, "pq_cb"))
+        .orderBy("qid", "rk")
+    }),
+
     // --- ANN evaluation: per-query recall of LSH top-k against the
     //     brute-force exact top-k (the measurement that justifies an
     //     index's planes/nprobe settings before a 100 TB rollout) ---
@@ -3896,6 +3922,8 @@ object PipelineQueries {
       // stored-model serve path ≡ inline-trained path, same oracle
       ("a_ann_ivf_stored" -> m("a_ann_ivf_trained")) +
       // stored-index band join ≡ inline signatures, same oracle
-      ("d_minhash_stored" -> m("d_minhash_lsh"))
+      ("d_minhash_stored" -> m("d_minhash_lsh")) +
+      // code-store decode serve ≡ inline-encoded IVF-PQ, same oracle
+      ("a_ann_ivfpq_stored" -> m("a_ann_ivfpq_topk"))
   }
 }
