@@ -69,4 +69,28 @@ class AsofNearestPropertySpec extends SparkSpec {
         s"left=$left right=$right")
     }
   }
+
+  test("fixedQuerySample is invariant to partitioning and row order") {
+    val rowsGen = for {
+      n <- Gen.choose(0, 120)
+      ids <- Gen.listOfN(n, Gen.choose(0L, 5000L))
+    } yield ids.distinct
+    forAll(rowsGen) { ids =>
+      val base = ids.map(i => (i, s"p$i")).toDF("vec_id", "payload")
+      val a = Similarity.fixedQuerySample(base, "vec_id")
+        .select("vec_id").as[Long].collect().toSeq
+      val b = Similarity.fixedQuerySample(
+          base.repartition(7, col("payload")).sortWithinPartitions(desc("vec_id")),
+          "vec_id")
+        .select("vec_id").as[Long].collect().toSeq
+      assert(a === b, s"ids=$ids")
+      // the sample is the md5-order prefix of the id set — verify against
+      // a driver-side reference
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def h(x: Long) = md.digest(x.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val ref = ids.sortBy(i => (h(i), i)).take(20)
+      assert(a === ref)
+    }
+  }
 }
