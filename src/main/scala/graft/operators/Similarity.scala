@@ -449,6 +449,53 @@ object Similarity {
       .filter(col("rk") <= k)
   }
 
+  /** Two-level IVF search under a [[Vectors.kmeansTwoLevel]] model: a
+    * query probes its `n1` nearest level-1 cells, then the `n2` nearest
+    * level-2 subcells WITHIN each probed cell — O(k1 + n1·k2) centroid
+    * comparisons per query instead of the flat quantizer's O(k1·k2) for
+    * the same leaf count (the IMI / IVF-tree probe shape). Candidates
+    * are the (cell, subcell) equi-join matches, scored by exact cosine
+    * with the usual (cos desc, nid) tiebreak. The candidate side is an
+    * in-row (cell, subcell) projection — at deployment it is the stored
+    * assignment index, like [[pqIndex]]. */
+  def ivf2TopK(corpus0: DataFrame, queries: DataFrame,
+               idCol: String, vecCol: String, k: Int,
+               n1: Int, n2: Int,
+               cents1: Seq[(Long, Array[Float])],
+               cbs: Map[Long, Seq[(Long, Array[Float])]]): DataFrame = {
+    val spark = corpus0.sparkSession
+    val corpus = widen(corpus0)
+    val (gExpr, subOf) = Vectors.twoLevelAssignExprs(
+      spark, col("nv"), cents1, cbs)
+    val assign = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"))
+      .withColumn("g", gExpr)
+      .withColumn("sub", subOf(col("g")))
+      .select("nid", "nv", "g", "sub")
+    val cells = cbs.toSeq.sortBy(_._1)
+    def probeSubs(gCol: Column, qv: Column): Column =
+      cells.tail.foldLeft(
+        when(gCol === cells.head._1,
+          Vectors.nearestCidsExpr(spark, qv, cells.head._2, n2))) {
+        case (acc, (cid, cb)) =>
+          acc.when(gCol === cid, Vectors.nearestCidsExpr(spark, qv, cb, n2))
+      }
+    val probes = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .withColumn("g",
+        explode_outer(Vectors.nearestCidsExpr(spark, col("qv"), cents1, n1)))
+      .filter(col("g").isNotNull) // outer+filter: see SafeExplode
+      .withColumn("sub", explode_outer(probeSubs(col("g"), col("qv"))))
+      .filter(col("sub").isNotNull)
+    val scored = broadcast(probes).join(assign,
+        probes("g") === assign("g") && probes("sub") === assign("sub") &&
+          col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        Vectors.cosine(col("qv"), col("nv")).as("cos"))
+      .distinct()
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
   /** The persisted-index projection for an IVF-PQ store: one row per
     * vector with its coarse cell and its m subspace codes —
     * (idCol, cid, code_0 .. code_{m-1}). This is the ENTIRE candidate-

@@ -156,6 +156,96 @@ object Vectors {
       : org.apache.spark.sql.DataFrame =
     assignToCentroids(df, idCol, vecCol, kmeansTrain(df, idCol, vecCol, k, iters))
 
+  /** Two-level (hierarchical) coarse quantizer — the tier past
+    * autoK = √N, where a FLAT quantizer's per-row assignment argmax
+    * (O(k) per row) and per-round training cost stop scaling: level-1
+    * k-means partitions the corpus into k1 cells, level-2 re-clusters
+    * EACH cell into k2 subcells. Training and assignment cost
+    * O(N·(k1 + k2)) per round instead of the flat O(N·k1·k2) for the
+    * same k1·k2 leaf count, and a probe walks k1 then k2 centroids
+    * instead of all k1·k2 (the IMI / faiss-IVF-tree shape).
+    *
+    * Level-2 trains FUSED across cells (one corpus pass per Lloyd
+    * round, like pqTrain's fused subspaces): per-cell seeds are the k2
+    * lowest ids IN the cell (rank within cell — deterministic on any id
+    * space), assignment is a per-cell literal-model argmax selected by
+    * a when-chain on the cell id, and one keyed decimal-mean aggregate
+    * updates every (cell, subcell) centroid. Same 6-dp-cosine /
+    * lowest-id / decimal-mean / empty-carry contract as [[kmeansTrain]],
+    * so the WHOLE two-level model is oracle-replayable.
+    *
+    * Returns (level-1 model, per-cell level-2 models keyed by cell id). */
+  def kmeansTwoLevel(df: org.apache.spark.sql.DataFrame, idCol: String,
+                     vecCol: String, k1: Int = 4, k2: Int = 4,
+                     iters: Int = 2)
+      : (Seq[(Long, Array[Float])], Map[Long, Seq[(Long, Array[Float])]]) = {
+    require(iters >= 1, s"kmeansTwoLevel needs iters >= 1, got $iters")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cents1 = kmeansTrain(df, idCol, vecCol, k1, iters)
+    val assigned = df.select(col(idCol).as("__id"), col(vecCol).as("v"))
+      .withColumn("g", nearestCidExpr(spark, col("v"), cents1))
+    // per-cell seeds: the k2 lowest ids in each cell (model-budget
+    // collect: at most k1·k2 rows)
+    val seeds = assigned.withColumn("rn",
+        org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("g").orderBy(col("__id").asc)))
+      .filter(col("rn") <= k2).select(col("g"), col("__id"), col("v"))
+      .as[(Long, Long, Array[Float])].collect()
+    var cbs: Map[Long, Seq[(Long, Array[Float])]] = seeds.groupBy(_._1)
+      .map { case (g, rows) =>
+        g -> rows.sortBy(_._2).map(r => (r._2, r._3)).toSeq
+      }
+    def subOf(model: Map[Long, Seq[(Long, Array[Float])]]): Column = {
+      val cells = model.toSeq.sortBy(_._1)
+      cells.tail.foldLeft(
+        when(col("g") === cells.head._1,
+          nearestCidExpr(spark, col("v"), cells.head._2))) {
+        case (acc, (g, cb)) =>
+          acc.when(col("g") === g, nearestCidExpr(spark, col("v"), cb))
+      }
+    }
+    for (_ <- 1 until iters) {
+      val means = assigned.withColumn("sub", subOf(cbs))
+        .select(col("g"), col("sub"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("g", "sub", "dim")
+        .agg((sum(col("x").cast("double").cast("decimal(30,15)")).cast("double")
+          / count(lit(1))).as("mv"))
+        .as[(Long, Long, Int, Double)].collect()
+      val byCell = means.groupBy(_._1)
+      cbs = cbs.map { case (g, cb) =>
+        val bySub = byCell.getOrElse(g, Array.empty).groupBy(_._2)
+        g -> cb.map { case (sid, old) =>
+          bySub.get(sid) match {
+            case Some(rs) => (sid, rs.sortBy(_._3).map(_._4.toFloat).toArray)
+            case None => (sid, old) // empty subcluster keeps its centroid
+          }
+        }
+      }
+    }
+    (cents1, cbs)
+  }
+
+  /** Per-row (cell, subcell) assignment under a trained two-level model:
+    * level-1 argmax, then the argmax against THAT cell's level-2
+    * codebook (when-chain on the cell id — k1 literal models, each
+    * consulted only for its own rows). Pure projection, zero shuffles. */
+  def twoLevelAssignExprs(spark: org.apache.spark.sql.SparkSession,
+                          v: Column, cents1: Seq[(Long, Array[Float])],
+                          cbs: Map[Long, Seq[(Long, Array[Float])]])
+      : (Column, Column => Column) = {
+    val g = nearestCidExpr(spark, v, cents1)
+    val cells = cbs.toSeq.sortBy(_._1)
+    def sub(gCol: Column): Column =
+      cells.tail.foldLeft(
+        when(gCol === cells.head._1, nearestCidExpr(spark, v, cells.head._2))) {
+        case (acc, (cid, cb)) =>
+          acc.when(gCol === cid, nearestCidExpr(spark, v, cb))
+      }
+    (g, sub)
+  }
+
   /** Top principal direction of the (uncentered) embedding Gram matrix
     * via distributed power iteration — the dominant-axis diagnostic an
     * embedding store runs before whitening / anisotropy correction

@@ -216,6 +216,21 @@ object PipelineQueries {
         .orderBy("qid", "rk")
     }),
 
+    // --- two-level (hierarchical) IVF: level-1 k-means partitions the
+    //     corpus, level-2 re-clusters each cell (fused training — one
+    //     corpus pass per round); a probe walks k1 then n1·k2 centroids
+    //     instead of all k1·k2 — the tier past autoK = √N where a flat
+    //     quantizer's per-row argmax stops scaling (IMI / IVF-tree
+    //     shape). The WHOLE two-level model is oracle-replayed. ---
+    "a_ann_ivf2_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val (cents1, cbs) = graft.operators.Vectors.kmeansTwoLevel(
+        e, "vec_id", "embedding", k1 = 4, k2 = 4, iters = 2)
+      Similarity.ivf2TopK(e, e.filter(col("vec_id") % 50 === 0),
+          "vec_id", "embedding", k = 5, n1 = 2, n2 = 2, cents1, cbs)
+        .orderBy("qid", "rk")
+    }),
+
     // --- k-means coarse quantizer training (2 Lloyd rounds, k=4) ---
     "a_kmeans_assign" -> ((s, dir) =>
       graft.operators.Vectors.kmeansAssign(
@@ -2223,6 +2238,79 @@ object PipelineQueries {
            |       FROM probes p JOIN assign a ON p.cid = a.cid AND a.nid <> p.qid
            |       JOIN embeddings x ON x.vec_id = p.qid
            |       JOIN embeddings y ON y.vec_id = a.nid)
+           |SELECT qid, nid, cos, CAST(rk AS BIGINT) AS rk FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk FROM sc)
+           |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
+      },
+
+      "a_ann_ivf2_topk" -> {
+        def cos(a: String, b: String) =
+          s"round(list_dot_product($a::DOUBLE[], $b::DOUBLE[]) / " +
+            s"(sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) * " +
+            s"sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[]))), 6)"
+        // L1 = a_kmeans_assign's training + assignment (identical chain),
+        // then the fused per-cell level-2 k-means (seeds = the 4 lowest
+        // ids in each cell, one decimal-exact mean update with empty-
+        // subcluster carry) and the two-level probe (top-2 cells, top-2
+        // subcells per probed cell).
+        s"""WITH c0 AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings ORDER BY vec_id LIMIT 4),
+           |a1 AS (SELECT vec_id, cid FROM (
+           |  SELECT e.vec_id, c.cid,
+           |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cos("e.embedding", "c.cv")} DESC, c.cid) AS rk
+           |  FROM embeddings e CROSS JOIN c0 c) WHERE rk = 1),
+           |m1 AS (SELECT a1.cid, d.dim,
+           |         CAST(sum(CAST(CAST(e.embedding[d.dim] AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE)
+           |           / count(*) AS mv
+           |       FROM a1 JOIN embeddings e USING (vec_id),
+           |            unnest(range(1, len(e.embedding) + 1)) AS d(dim)
+           |       GROUP BY a1.cid, d.dim),
+           |c1 AS (SELECT c0.cid,
+           |         CASE WHEN count(m1.mv) = 0 THEN any_value(c0.cv)
+           |              ELSE list(CAST(m1.mv AS FLOAT) ORDER BY m1.dim) END AS cv
+           |       FROM c0 LEFT JOIN m1 ON m1.cid = c0.cid
+           |       GROUP BY c0.cid),
+           |assign AS (SELECT nid, cid FROM (
+           |  SELECT nid, cid, row_number() OVER (PARTITION BY nid ORDER BY ccos DESC, cid) AS crk
+           |  FROM (SELECT e.vec_id AS nid, c.cid, ${cos("e.embedding", "c.cv")} AS ccos
+           |        FROM embeddings e CROSS JOIN c1 c)) WHERE crk = 1),
+           |s0 AS (SELECT g, sid, sv FROM (
+           |  SELECT a.cid AS g, a.nid AS sid, e.embedding AS sv,
+           |    row_number() OVER (PARTITION BY a.cid ORDER BY a.nid) AS rn
+           |  FROM assign a JOIN embeddings e ON e.vec_id = a.nid) WHERE rn <= 4),
+           |b1 AS (SELECT vec_id, g, sid FROM (
+           |  SELECT a.nid AS vec_id, a.cid AS g, s.sid,
+           |    row_number() OVER (PARTITION BY a.nid ORDER BY ${cos("e.embedding", "s.sv")} DESC, s.sid) AS rk
+           |  FROM assign a JOIN embeddings e ON e.vec_id = a.nid
+           |  JOIN s0 s ON s.g = a.cid) WHERE rk = 1),
+           |m2 AS (SELECT b1.g, b1.sid, d.dim,
+           |         CAST(sum(CAST(CAST(e.embedding[d.dim] AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE)
+           |           / count(*) AS mv
+           |       FROM b1 JOIN embeddings e USING (vec_id),
+           |            unnest(range(1, len(e.embedding) + 1)) AS d(dim)
+           |       GROUP BY b1.g, b1.sid, d.dim),
+           |c2 AS (SELECT s0.g, s0.sid,
+           |         CASE WHEN count(m2.mv) = 0 THEN any_value(s0.sv)
+           |              ELSE list(CAST(m2.mv AS FLOAT) ORDER BY m2.dim) END AS sv
+           |       FROM s0 LEFT JOIN m2 ON m2.g = s0.g AND m2.sid = s0.sid
+           |       GROUP BY s0.g, s0.sid),
+           |b2 AS (SELECT vec_id, g, sid FROM (
+           |  SELECT a.nid AS vec_id, a.cid AS g, c.sid,
+           |    row_number() OVER (PARTITION BY a.nid ORDER BY ${cos("e.embedding", "c.sv")} DESC, c.sid) AS rk
+           |  FROM assign a JOIN embeddings e ON e.vec_id = a.nid
+           |  JOIN c2 c ON c.g = a.cid) WHERE rk = 1),
+           |qp1 AS (SELECT qid, g FROM (
+           |  SELECT q.vec_id AS qid, c.cid AS g,
+           |    row_number() OVER (PARTITION BY q.vec_id ORDER BY ${cos("q.embedding", "c.cv")} DESC, c.cid) AS crk
+           |  FROM embeddings q CROSS JOIN c1 c WHERE q.vec_id % 50 = 0) WHERE crk <= 2),
+           |qp2 AS (SELECT qid, g, sid FROM (
+           |  SELECT p.qid, p.g, c.sid,
+           |    row_number() OVER (PARTITION BY p.qid, p.g ORDER BY ${cos("q.embedding", "c.sv")} DESC, c.sid) AS srk
+           |  FROM qp1 p JOIN embeddings q ON q.vec_id = p.qid
+           |  JOIN c2 c ON c.g = p.g) WHERE srk <= 2),
+           |sc AS (SELECT DISTINCT p.qid, b.vec_id AS nid, ${cos("x.embedding", "y.embedding")} AS cos
+           |       FROM qp2 p JOIN b2 b ON b.g = p.g AND b.sid = p.sid AND b.vec_id <> p.qid
+           |       JOIN embeddings x ON x.vec_id = p.qid
+           |       JOIN embeddings y ON y.vec_id = b.vec_id)
            |SELECT qid, nid, cos, CAST(rk AS BIGINT) AS rk FROM (
            |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk FROM sc)
            |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
