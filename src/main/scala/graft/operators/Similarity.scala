@@ -318,14 +318,8 @@ object Similarity {
     * Output: (idCol, code_0 .. code_{m-1}). */
   def pqEncode(corpus0: DataFrame, idCol: String, vecCol: String,
                cbs: Seq[Seq[(Long, Array[Float])]], dims: Int): DataFrame = {
-    val m = cbs.length
-    val sub = dims / m
     graft.plans.GraftFunctions.register(corpus0.sparkSession)
-    val codes = (0 until m).map { s =>
-      val sv = slice(col(vecCol), lit(s * sub + 1), lit(sub))
-      bestCidZs(sv, cbs(s)).as(s"code_$s")
-    }
-    widen(corpus0).select(col(idCol) +: codes: _*)
+    widen(corpus0).select(col(idCol) +: pqCodeCols(vecCol, cbs, dims): _*)
   }
 
   /** PQ reconstruction expression: per subspace, the in-row argmax of
@@ -429,12 +423,25 @@ object Similarity {
     val sub = dims / cbs.length
     // candidate side carries ONLY its reconstruction forward (at real
     // scale: only its codes) — the exact vector is dropped after encode.
-    // Coarse assignment is the in-row literal-model argmax (zero shuffle);
-    // the query side explodes its in-row top-nprobe probe list.
+    // Coarse assignment is the in-row literal-model argmax (zero shuffle).
     val assign = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"))
       .select(col("nid"),
         Vectors.nearestCidExpr(spark, col("nv"), cents).as("n_cid"),
         pqRecon(col("nv"), cbs, sub).as("rv"))
+    ivfPqServe(assign, queries, idCol, vecCol, k, nprobe, cents)
+  }
+
+  /** The ONE probe/score/rank stage both IVF-PQ serve paths share
+    * ([[ivfPqTopKWithModel]] and [[ivfPqTopKFromCodes]]): the query side
+    * explodes its in-row top-nprobe probe list, candidates are the
+    * probed-cell equi-join matches scored by exact-query-vs-
+    * reconstruction cosine, ranked (score desc, nid). Encoding the
+    * family's scoring contract once is what keeps the stored gate
+    * hash-aliased to the inline gate. `assign` = (nid, n_cid, rv). */
+  private def ivfPqServe(assign: DataFrame, queries: DataFrame,
+                         idCol: String, vecCol: String, k: Int, nprobe: Int,
+                         cents: Seq[(Long, Array[Float])]): DataFrame = {
+    val spark = queries.sparkSession
     val probes = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
       .withColumn("cid",
         explode_outer(Vectors.nearestCidsExpr(spark, col("qv"), cents, nprobe)))
@@ -471,19 +478,12 @@ object Similarity {
       .withColumn("g", gExpr)
       .withColumn("sub", subOf(col("g")))
       .select("nid", "nv", "g", "sub")
-    val cells = cbs.toSeq.sortBy(_._1)
-    def probeSubs(gCol: Column, qv: Column): Column =
-      cells.tail.foldLeft(
-        when(gCol === cells.head._1,
-          Vectors.nearestCidsExpr(spark, qv, cells.head._2, n2))) {
-        case (acc, (cid, cb)) =>
-          acc.when(gCol === cid, Vectors.nearestCidsExpr(spark, qv, cb, n2))
-      }
     val probes = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
       .withColumn("g",
         explode_outer(Vectors.nearestCidsExpr(spark, col("qv"), cents1, n1)))
       .filter(col("g").isNotNull) // outer+filter: see SafeExplode
-      .withColumn("sub", explode_outer(probeSubs(col("g"), col("qv"))))
+      .withColumn("sub", explode_outer(
+        Vectors.perCellArgmax(spark, col("qv"), col("g"), cbs, n2)))
       .filter(col("sub").isNotNull)
     val scored = broadcast(probes).join(assign,
         probes("g") === assign("g") && probes("sub") === assign("sub") &&
@@ -507,16 +507,29 @@ object Similarity {
               cents: Seq[(Long, Array[Float])],
               cbs: Seq[Seq[(Long, Array[Float])]], dims: Int): DataFrame = {
     val spark = corpus0.sparkSession
-    val m = cbs.length
-    val sub = dims / m
+    require(cents.nonEmpty, "pqIndex needs a non-empty coarse model")
     graft.plans.GraftFunctions.register(spark)
-    val codes = (0 until m).map { s =>
+    widen(corpus0).select(
+      col(idCol) +: Vectors.nearestCidExpr(spark, col(vecCol), cents).as("cid")
+        +: pqCodeCols(vecCol, cbs, dims): _*)
+  }
+
+  /** The ONE encode-expression builder the PQ family shares (pqEncode
+    * and pqIndex): per subspace, the in-row argmax of the slice against
+    * its literal codebook, emitted as `code_<s>` — keeping every encode
+    * site bit-identical is what the decode(code) ≡ reconstruction
+    * guarantee of the stored-serve gate rests on. Loud on a ragged
+    * split: a non-divisible dims would silently truncate the encoding
+    * and null out every downstream cosine. */
+  private def pqCodeCols(vecCol: String, cbs: Seq[Seq[(Long, Array[Float])]],
+                         dims: Int): Seq[Column] = {
+    val m = cbs.length
+    require(m > 0 && dims % m == 0, s"dims=$dims must split into m=$m subspaces")
+    val sub = dims / m
+    (0 until m).map { s =>
       val sv = slice(col(vecCol), lit(s * sub + 1), lit(sub))
       bestCidZs(sv, cbs(s)).as(s"code_$s")
     }
-    widen(corpus0).select(
-      col(idCol) +: Vectors.nearestCidExpr(spark, col(vecCol), cents).as("cid")
-        +: codes: _*)
   }
 
   /** [[ivfPqTopKWithModel]] serving from the PERSISTED artifacts alone:
@@ -533,7 +546,6 @@ object Similarity {
                          idCol: String, vecCol: String, k: Int, nprobe: Int,
                          cents: Seq[(Long, Array[Float])],
                          cbs: Seq[Seq[(Long, Array[Float])]]): DataFrame = {
-    val spark = queries.sparkSession
     def decode(s: Int): Column = {
       val cb = cbs(s)
       cb.tail.foldLeft(
@@ -543,18 +555,7 @@ object Similarity {
     }
     val assign = codesIdx.select(col(idCol).as("nid"), col("cid").as("n_cid"),
       concat(cbs.indices.map(decode): _*).as("rv"))
-    val probes = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
-      .withColumn("cid",
-        explode_outer(Vectors.nearestCidsExpr(spark, col("qv"), cents, nprobe)))
-      .filter(col("cid").isNotNull) // outer+filter: see SafeExplode
-    val scored = broadcast(probes).join(assign, col("cid") === col("n_cid") &&
-        col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"),
-        Vectors.cosine(col("qv"), col("rv")).as("score_pq"))
-      .distinct()
-    val w = Window.partitionBy("qid").orderBy(col("score_pq").desc, col("nid").asc)
-    scored.withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
+    ivfPqServe(assign, queries, idCol, vecCol, k, nprobe, cents)
   }
 
   /** Residual IVF-PQ (faiss's default `by_residual=true`): the PQ

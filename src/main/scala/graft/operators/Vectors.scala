@@ -197,17 +197,11 @@ object Vectors {
       .map { case (g, rows) =>
         g -> rows.sortBy(_._2).map(r => (r._2, r._3)).toSeq
       }
-    def subOf(model: Map[Long, Seq[(Long, Array[Float])]]): Column = {
-      val cells = model.toSeq.sortBy(_._1)
-      cells.tail.foldLeft(
-        when(col("g") === cells.head._1,
-          nearestCidExpr(spark, col("v"), cells.head._2))) {
-        case (acc, (g, cb)) =>
-          acc.when(col("g") === g, nearestCidExpr(spark, col("v"), cb))
-      }
-    }
+    require(cbs.nonEmpty,
+      "kmeansTwoLevel needs a non-empty corpus (no level-1 cells trained)")
     for (_ <- 1 until iters) {
-      val means = assigned.withColumn("sub", subOf(cbs))
+      val means = assigned.withColumn("sub",
+          perCellArgmax(spark, col("v"), col("g"), cbs, 1))
         .select(col("g"), col("sub"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy("g", "sub", "dim")
         .agg((sum(col("x").cast("double").cast("decimal(30,15)")).cast("double")
@@ -227,23 +221,38 @@ object Vectors {
     (cents1, cbs)
   }
 
+  /** THE per-cell argmax builder — the single place the two-level
+    * assignment contract (6-dp cosine, lowest-id ties, per-cell literal
+    * model selected by a when-chain on the cell id) is encoded; training
+    * (`kmeansTwoLevel`), serve-time assignment ([[twoLevelAssignExprs]])
+    * and probing (`ivf2TopK`) all call it, so they cannot silently
+    * diverge. `n == 1` yields the single nearest subcell id; `n > 1` the
+    * top-n array (probe form). Loud on an empty model — a when-chain
+    * over zero cells has no meaningful value. */
+  private[operators] def perCellArgmax(
+      spark: org.apache.spark.sql.SparkSession, v: Column, gCol: Column,
+      cbs: Map[Long, Seq[(Long, Array[Float])]], n: Int): Column = {
+    require(cbs.nonEmpty, "perCellArgmax needs a non-empty per-cell model")
+    val cells = cbs.toSeq.sortBy(_._1)
+    def of(cb: Seq[(Long, Array[Float])]): Column =
+      if (n == 1) nearestCidExpr(spark, v, cb)
+      else nearestCidsExpr(spark, v, cb, n)
+    cells.tail.foldLeft(when(gCol === cells.head._1, of(cells.head._2))) {
+      case (acc, (cid, cb)) => acc.when(gCol === cid, of(cb))
+    }
+  }
+
   /** Per-row (cell, subcell) assignment under a trained two-level model:
     * level-1 argmax, then the argmax against THAT cell's level-2
-    * codebook (when-chain on the cell id — k1 literal models, each
-    * consulted only for its own rows). Pure projection, zero shuffles. */
+    * codebook ([[perCellArgmax]]). Pure projection, zero shuffles. */
   def twoLevelAssignExprs(spark: org.apache.spark.sql.SparkSession,
                           v: Column, cents1: Seq[(Long, Array[Float])],
                           cbs: Map[Long, Seq[(Long, Array[Float])]])
       : (Column, Column => Column) = {
+    require(cents1.nonEmpty && cbs.nonEmpty,
+      "twoLevelAssignExprs needs a non-empty two-level model")
     val g = nearestCidExpr(spark, v, cents1)
-    val cells = cbs.toSeq.sortBy(_._1)
-    def sub(gCol: Column): Column =
-      cells.tail.foldLeft(
-        when(gCol === cells.head._1, nearestCidExpr(spark, v, cells.head._2))) {
-        case (acc, (cid, cb)) =>
-          acc.when(gCol === cid, nearestCidExpr(spark, v, cb))
-      }
-    (g, sub)
+    (g, gCol => perCellArgmax(spark, v, gCol, cbs, 1))
   }
 
   /** Top principal direction of the (uncentered) embedding Gram matrix

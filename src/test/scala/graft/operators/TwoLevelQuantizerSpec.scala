@@ -29,13 +29,18 @@ class TwoLevelQuantizerSpec extends SparkSpec {
     def assignOf(df: org.apache.spark.sql.DataFrame) = {
       val (g, subOf) = Vectors.twoLevelAssignExprs(
         spark, col("embedding"), cents1, cbs)
-      df.select(col("vec_id"), g.as("g"))
-        .withColumn("v2", col("g")) // keep g resolvable for subOf
-        .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("g")).toMap
+      df.select(col("vec_id"), col("embedding"), g.as("g"))
+        .withColumn("sub", subOf(col("g")))
+        .select("vec_id", "g", "sub")
+        .collect().map(r => r.getAs[Long]("vec_id") ->
+          (r.getAs[Long]("g"), r.getAs[Long]("sub"))).toMap
     }
     val a = assignOf(e)
     val b = assignOf(e.repartition(13, col("label")))
     assert(a === b)
+    // both levels are exercised: every sub id is a codebook entry of
+    // the row's own cell
+    for ((_, (g, sub)) <- a) assert(cbs(g).exists(_._1 == sub))
     // and the model itself retrains identically on the repartitioned frame
     val (cents1b, cbsB) = Vectors.kmeansTwoLevel(
       e.repartition(13, col("label")), "vec_id", "embedding",
