@@ -231,6 +231,20 @@ object PipelineQueries {
         .orderBy("qid", "rk")
     }),
 
+    // --- two-level IVF recall vs brute-force ground truth (fixed-count
+    //     query sample — the scale-honest harness): what the O(k1+n1·k2)
+    //     probe costs in recall against the flat exhaustive answer ---
+    "a_ann_ivf2_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = Similarity.fixedQuerySample(e, "vec_id")
+      val bf = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+        .select("qid", "nid")
+      val (cents1, cbs) = graft.operators.Vectors.kmeansTwoLevel(
+        e, "vec_id", "embedding", k1 = 4, k2 = 4, iters = 2)
+      recallVsExact(bf, Similarity.ivf2TopK(e, q,
+        "vec_id", "embedding", k = 5, n1 = 2, n2 = 2, cents1, cbs))
+    }),
+
     // --- k-means coarse quantizer training (2 Lloyd rounds, k=4) ---
     "a_kmeans_assign" -> ((s, dir) =>
       graft.operators.Vectors.kmeansAssign(
@@ -4012,6 +4026,28 @@ object PipelineQueries {
       // stored-index band join ≡ inline signatures, same oracle
       ("d_minhash_stored" -> m("d_minhash_lsh")) +
       // code-store decode serve ≡ inline-encoded IVF-PQ, same oracle
-      ("a_ann_ivfpq_stored" -> m("a_ann_ivfpq_topk"))
+      ("a_ann_ivfpq_stored" -> m("a_ann_ivfpq_topk")) +
+      // two-level recall: REUSES the a_ann_ivf2_topk chain verbatim (the
+      // two-level model algebra lives once), swapping the probe sample
+      // for the fixed-count qs and appending the recall aggregation
+      ("a_ann_ivf2_recall" -> {
+        val base = m("a_ann_ivf2_topk")
+          .replace("WHERE q.vec_id % 50 = 0", "WHERE " + qsPred)
+        val cut = base.indexOf("\nSELECT qid, nid, cos, CAST(rk AS BIGINT) AS rk")
+        require(cut > 0, "a_ann_ivf2_topk oracle shape changed — update the recall reuse")
+        val chain = base.substring(0, cut).stripPrefix("WITH ")
+        s"""WITH $qsCte,
+           |${bfFixedCte(cosAB)},
+           |$chain,
+           |ivf2 AS (SELECT qid, nid FROM (
+           |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk FROM sc)
+           |  WHERE rk <= 5),
+           |hit AS (SELECT bf.qid, CAST(count(*) AS BIGINT) AS n_hit
+           |        FROM bf JOIN ivf2 ON bf.qid = ivf2.qid AND bf.nid = ivf2.nid GROUP BY bf.qid),
+           |ex AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_exact FROM bf GROUP BY qid)
+           |SELECT ex.qid, CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit, n_exact,
+           |  round(coalesce(n_hit, 0)::DOUBLE / n_exact, 6) AS recall
+           |FROM ex LEFT JOIN hit USING (qid) ORDER BY ex.qid""".stripMargin
+      })
   }
 }
