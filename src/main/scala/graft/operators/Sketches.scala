@@ -296,6 +296,83 @@ object Sketches {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** The DDSketch bucket index of a positive value: i = ceil(ln(x)/ln γ)
+    * (Masson, Rim & Lee, VLDB 2019 — "DDSketch: a fast and fully-
+    * mergeable quantile sketch with relative-error guarantees"). The log
+    * is rounded at 9 dp BEFORE the division (the engine-portable log
+    * contract used by every slope/entropy operator here), and the ratio
+    * again at 9 dp before ceil, so both engines land in the same bucket
+    * even when their libm ln differs in the last ulp. Exposed
+    * package-wide for the streaming windowed-DDSketch builder. */
+  private[graft] def ddBucket(value: Column, lnGamma: Double): Column =
+    ceil(round(round(log(value.cast("double")), 9) / lnGamma, 9))
+
+  /** DDSketch histogram per stratum over the POSITIVE values of
+    * `valueCol`: (stratum, bucket, cnt), where bucket is the
+    * logarithmic index ceil(log_γ x) with γ = (1+α)/(1−α). The sketch
+    * answers ANY quantile with relative error ≤ α, and its size is
+    * log_γ(max/min) buckets per stratum — ~540 rows for values spanning
+    * 5 decades at α=0.01 — REGARDLESS of row count: the bounded-error /
+    * bounded-state trade the hash-rank [[quantileSample]] cannot make
+    * (a sample's error is a random variable; DDSketch's is a
+    * guarantee). Zero and negative values are excluded by construction
+    * (the standard positive-domain DDSketch); shift or split the column
+    * if the domain is signed.
+    *
+    * FULLY MERGEABLE by per-bucket cnt addition — per-epoch /
+    * per-partition / per-stream sketches combine without rescanning,
+    * and (unlike the collapsing production variant) the merge is
+    * order-independent, so the merged sketch is bit-identical to the
+    * whole-stream build. Build cost: one map pass + one model-sized
+    * count aggregate, map-side combined. */
+  def ddSketchBuild(df: DataFrame, strataCol: String, valueCol: String,
+                    alpha: Double = 0.01): DataFrame = {
+    require(alpha > 0 && alpha < 0.5, s"alpha must be in (0, 0.5), got $alpha")
+    val lnGamma = math.log((1 + alpha) / (1 - alpha))
+    df.filter(col(valueCol) > 0)
+      .select(col(strataCol), ddBucket(col(valueCol), lnGamma).as("bucket"))
+      .groupBy(strataCol, "bucket")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Quantile estimates from a [[ddSketchBuild]] frame: per stratum,
+    * walk the bucket histogram cumulatively and report the bucket
+    * midpoint 2γ^i/(γ+1) of the bucket holding the rank-⌊q(n−1)⌋
+    * element — within α relative error of that element's true value by
+    * the bucket-width invariant (γ^(i−1) < x ≤ γ^i). One window
+    * cumulative sum over the model-sized sketch + one aggregate: the
+    * corpus is never touched, which is the point — the sketch answers
+    * after the stream is gone.
+    *
+    * Output: (strataCol, n_rows, p<NN>_dd per quantile). `alpha` must
+    * match the build call. */
+  def ddSketchQuantiles(sketch: DataFrame, strataCol: String,
+                        quantiles: Seq[Double] = Seq(0.5, 0.9, 0.99),
+                        alpha: Double = 0.01): DataFrame = {
+    require(alpha > 0 && alpha < 0.5, s"alpha must be in (0, 0.5), got $alpha")
+    require(quantiles.nonEmpty && quantiles.forall(q => q > 0 && q < 1),
+      s"quantiles must be in (0,1), got $quantiles")
+    val gamma = (1 + alpha) / (1 - alpha)
+    def name(q: Double) = s"p${(q * 100).round}"
+    val byBucket = Window.partitionBy(strataCol).orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c = sketch
+      .withColumn("cum", sum(col("cnt")).over(byBucket))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(strataCol)))
+    // target rank (1-indexed) = ⌊q·(n−1)⌋ + 1; the q·(n−1) product is
+    // IEEE double in BOTH engines (the oracle casts q to DOUBLE — DuckDB
+    // would otherwise multiply in exact decimal and floor one off)
+    val picks = quantiles.map { q =>
+      val rank = floor(lit(q) * (col("n") - 1).cast("double")) + 1
+      min(when(col("cum") >= rank, col("bucket"))).as(s"b_${name(q)}")
+    }
+    c.groupBy(col(strataCol), col("n").as("n_rows"))
+      .agg(picks.head, picks.tail: _*)
+      .select(col(strataCol) +: col("n_rows") +: quantiles.map(q =>
+        round(lit(2.0) * pow(lit(gamma), col(s"b_${name(q)}")) /
+          lit(gamma + 1), 6).as(s"${name(q)}_dd")): _*)
+  }
+
   /** Equi-join cardinality estimate from two [[cmsBuild]] sketches over
     * the join key (the AMS/CMS inner-product estimator, Alon-Matias-
     * Szegedy 1996 / Cormode-Muthukrishnan 2005 §4.2): |A ⋈ B| =

@@ -396,6 +396,22 @@ object CoreQueries {
             "o_orderpriority", "o_orderdate"))
         .orderBy("column_name")),
 
+    // Declarative data-quality contract over orders (the Deequ /
+    // Great-Expectations shape): all row-scan rules fused into ONE
+    // aggregate pass; uniqueness one groupBy; referential integrity one
+    // broadcast-able anti-probe against customer's distinct keys.
+    "q_dq_checks" -> ((s, dir) => {
+      import graft.operators.DataQuality._
+      check(t(s, dir, "orders"), Seq(
+        NotNull("o_custkey"),
+        InRange("o_totalprice", 0, 600000),
+        Matches("o_orderpriority", "^[1-5]-"),
+        Accepted("o_orderstatus", Seq("O", "F", "P")),
+        Unique(Seq("o_orderkey")),
+        RefIntegrity("o_custkey", t(s, dir, "customer"), "c_custkey")))
+        .orderBy("rule", "column")
+    }),
+
     // Hilbert-curve layout stats — same shape as q_zorder_layout but on
     // the higher-locality curve (every walk step is grid-adjacent, so
     // equal-width key ranges cover tighter boxes than Z's diagonal
@@ -1001,6 +1017,37 @@ object CoreQueries {
         one("o_orderdate", "o_orderdate::DATE"))
         .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
     },
+    // one SELECT per rule; NULL semantics mirror the operator (ternary
+    // comparisons exclude nulls from range/regex/accepted violations)
+    "q_dq_checks" ->
+      """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM orders),
+        |u AS (
+        |SELECT 'not_null' AS rule, 'o_custkey' AS "column", n_rows,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders WHERE o_custkey IS NULL) AS n_violations FROM n
+        |UNION ALL
+        |SELECT 'in_range', 'o_totalprice', n_rows,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |   WHERE NOT (CAST(o_totalprice AS DOUBLE) BETWEEN 0 AND 600000)) FROM n
+        |UNION ALL
+        |SELECT 'matches', 'o_orderpriority', n_rows,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |   WHERE NOT regexp_matches(o_orderpriority, '^[1-5]-')) FROM n
+        |UNION ALL
+        |SELECT 'accepted', 'o_orderstatus', n_rows,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |   WHERE o_orderstatus NOT IN ('O', 'F', 'P')) FROM n
+        |UNION ALL
+        |SELECT 'unique', 'o_orderkey', n_rows,
+        |  (SELECT CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) FROM orders) FROM n
+        |UNION ALL
+        |SELECT 'ref_integrity', 'o_custkey', n_rows,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders o
+        |   LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        |     ON o.o_custkey = c.c_custkey
+        |   WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL) FROM n)
+        |SELECT rule, "column", n_rows, n_violations,
+        |  (n_violations = 0) AS passed
+        |FROM u ORDER BY rule, "column" """.stripMargin,
     "q_hilbert_layout" ->
       // the same top-down quadrant walk as Layout.hilbertKey, replayed
       // per DISTINCT (x, y) pair by a 16-level recursive CTE

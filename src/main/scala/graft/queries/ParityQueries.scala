@@ -92,6 +92,15 @@ object ParityQueries {
       graft.streaming.EventStream.windowedHllRegisters(t(s, dir, "events"))
         .orderBy("window_start", "j")),
 
+    // Windowed DDSketch buckets in batch mode: per-day value-quantile
+    // sketch (p50/p99 within 1% relative error), ≤ ~540 bucket rows per
+    // window at ANY event volume — the finite-state streaming quantile
+    // an exact percentile (which buffers the whole window) cannot be;
+    // same code runs the live stream (one aggregation, append mode).
+    "st_ddsketch_window" -> ((s, dir) =>
+      graft.streaming.EventStream.windowedDdBuckets(t(s, dir, "events"))
+        .orderBy("window_start", "bucket")),
+
     // Gap-based sessionization in batch mode (1-hour gap): lag + running
     // sum over one user_id shuffle; deterministic since (user_id, ts) is
     // unique.
@@ -263,6 +272,17 @@ object ParityQueries {
           |  max(CASE WHEN hv >> 6 = 0 THEN 55
           |           ELSE 55 - length(bin(hv >> 6)) END) AS m_j
           |FROM h GROUP BY 1, 2 ORDER BY window_start, j""".stripMargin,
+
+      // DDSketch α=0.01 bucket arithmetic as in t_ddsketch, keyed by the
+      // tumbling day window; ln γ interpolated from the same Scala double
+      "st_ddsketch_window" -> {
+        val lng = math.log((1 + 0.01) / (1 - 0.01))
+        s"""SELECT date_trunc('day', ts) AS window_start,
+           |  CAST(ceil(round(round(ln(CAST(value AS DOUBLE)), 9) / $lng, 9)) AS BIGINT) AS bucket,
+           |  CAST(count(*) AS BIGINT) AS cnt
+           |FROM events WHERE value > 0
+           |GROUP BY 1, 2 ORDER BY window_start, bucket""".stripMargin
+      },
 
       "st_session_window" ->
         """WITH s AS (

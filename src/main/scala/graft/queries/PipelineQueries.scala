@@ -1433,6 +1433,18 @@ object PipelineQueries {
           "o_orderpriority", "o_totalprice", "o_orderkey", k = 64)
         .orderBy("o_orderpriority")),
 
+    // --- DDSketch quantiles: log-bucket histogram (γ = (1+α)/(1−α)),
+    //     p50/p90/p99 each within α=1% RELATIVE error by construction —
+    //     the bounded-error/bounded-state trade the hash-rank sample
+    //     can't make (its error is a random variable, this one's is a
+    //     guarantee); ~540 buckets per stratum at any corpus size ---
+    "t_ddsketch" -> ((s, dir) =>
+      Sketches.ddSketchQuantiles(
+          Sketches.ddSketchBuild(
+            TableCatalog.load(s, dir, "events"), "event_type", "value"),
+          "event_type", Seq(0.5, 0.9, 0.99))
+        .orderBy("event_type")),
+
     // --- Count-Min heavy-hitter eval: CMS over the token stream, exact
     //     top-50 tokens probed against it (estimate >= exact always;
     //     the exact side is the eval oracle the sketch replaces at
@@ -3890,6 +3902,37 @@ object PipelineQueries {
            |       FROM h GROUP BY s)
            |SELECT ex.s AS o_orderpriority, n_rows, p50_exact, p90_exact, p50_est, p90_est
            |FROM ex JOIN samp ON ex.s = samp.s ORDER BY o_orderpriority""".stripMargin
+      },
+
+      // DDSketch bucket/walk replay: γ and ln γ are interpolated from
+      // the SAME Scala doubles the Spark side uses (Double.toString is
+      // round-trip exact, so DuckDB parses back the identical bits);
+      // the q·(n−1) rank product is forced to DOUBLE so both engines
+      // run the identical IEEE multiply (DuckDB would otherwise use
+      // exact decimal and floor one off at the boundary)
+      "t_ddsketch" -> {
+        val g = (1 + 0.01) / (1 - 0.01)
+        val lng = math.log(g)
+        def pick(q: String, as: String) =
+          s"min(CASE WHEN cum >= CAST(floor(CAST($q AS DOUBLE) * (n - 1)) AS BIGINT) + 1 THEN bucket END) AS $as"
+        s"""WITH b AS (SELECT event_type,
+           |    CAST(ceil(round(round(ln(CAST(value AS DOUBLE)), 9) / $lng, 9)) AS BIGINT) AS bucket
+           |  FROM events WHERE value > 0),
+           |a AS (SELECT event_type, bucket, count(*) AS cnt FROM b GROUP BY 1, 2),
+           |c AS (SELECT event_type, bucket,
+           |    sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum,
+           |    sum(cnt) OVER (PARTITION BY event_type) AS n
+           |  FROM a),
+           |p AS (SELECT event_type, CAST(n AS BIGINT) AS n_rows,
+           |    ${pick("0.5", "b50")},
+           |    ${pick("0.9", "b90")},
+           |    ${pick("0.99", "b99")}
+           |  FROM c GROUP BY 1, 2)
+           |SELECT event_type, n_rows,
+           |  round(2.0 * power($g, b50) / ($g + 1.0), 6) AS p50_dd,
+           |  round(2.0 * power($g, b90) / ($g + 1.0), 6) AS p90_dd,
+           |  round(2.0 * power($g, b99) / ($g + 1.0), 6) AS p99_dd
+           |FROM p ORDER BY event_type""".stripMargin
       },
 
       "t_cms_heavy" ->

@@ -685,6 +685,21 @@ object StatQueries {
         .orderBy("source")
     }),
 
+    // --- community detection: synchronous label propagation over the
+    //     near-dup LSH graph — the structure tier between components
+    //     ("reachable at all", d_dedup_clusters) and modularity
+    //     ("score a given partition", g_modularity): densely-connected
+    //     groups, deterministically (neighbor-majority, min-label
+    //     ties, fixed 4 synchronous rounds) ---
+    "g_label_prop" -> ((s, dir) => {
+      val pairs = graft.operators.Dedup
+        .minhashLsh(docs(s, dir), "doc_id", "text")
+        .select(col("d1"), col("d2"))
+      graft.operators.LabelPropagation.propagate(pairs, "d1", "d2", rounds = 4)
+        .select(col("v").as("doc_id"), col("label").as("community"))
+        .orderBy("doc_id")
+    }),
+
     // --- Per-key quota enforcement (batch formulation of rate
     //     limiting): keep the first 3 events per (user, hour), report
     //     kept/dropped per event type — the ingestion-throttle audit
@@ -2010,6 +2025,39 @@ object StatQueries {
          |    (d_sum::DOUBLE / (2*m)) * (d_sum::DOUBLE / (2*m)), 6) AS q_part
          |FROM ds LEFT JOIN wi USING (source) CROSS JOIN m
          |ORDER BY source""".stripMargin,
+
+    // synchronous LPA replay: same LSH pair chain as d_dedup_clusters,
+    // then 4 materialized neighbor-majority rounds (count desc, min
+    // label) — mirror of LabelPropagation.propagate's window argmax
+    "g_label_prop" -> {
+      def lpaRound(i: Int) =
+        s"""l$i AS MATERIALIZED (SELECT v, label FROM (
+           |  SELECT e.v, p.label,
+           |    row_number() OVER (PARTITION BY e.v ORDER BY count(*) DESC, p.label) AS rn
+           |  FROM e JOIN l${i - 1} p ON p.v = e.u GROUP BY e.v, p.label)
+           |  WHERE rn = 1)""".stripMargin
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest($sh3) AS s
+         |  FROM (SELECT doc_id, $toks AS t FROM documents) WHERE len(t) >= 3),
+         |sig AS (SELECT doc_id, h, min(md5(h::VARCHAR || '|' || s)) AS mh
+         |        FROM sh CROSS JOIN (SELECT unnest(range(16)) AS h) GROUP BY doc_id, h),
+         |band AS (SELECT doc_id, h // 4 AS band, md5(string_agg(mh, ',' ORDER BY h)) AS bh
+         |         FROM sig GROUP BY doc_id, h // 4),
+         |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |         FROM band a JOIN band b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |est AS (SELECT d1, d2 FROM cand JOIN sig x ON x.doc_id = d1
+         |        JOIN sig y ON y.doc_id = d2 AND y.h = x.h
+         |        GROUP BY d1, d2
+         |        HAVING count(*) FILTER (x.mh = y.mh)::DOUBLE / 16 >= 0.5),
+         |e AS (SELECT d1 AS v, d2 AS u FROM est UNION ALL SELECT d2, d1 FROM est),
+         |l0 AS (SELECT DISTINCT v, v AS label FROM e),
+         |${lpaRound(1)},
+         |${lpaRound(2)},
+         |${lpaRound(3)},
+         |${lpaRound(4)}
+         |SELECT v AS doc_id, label AS community
+         |FROM l4 ORDER BY doc_id""".stripMargin
+    },
 
     "g_assortativity" ->
       s"""WITH sh AS (

@@ -123,6 +123,39 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("j"), col("m_j"))
   }
 
+  /** Windowed DDSketch buckets over a positive value column — streaming
+    * QUANTILE infrastructure (p50/p99 event value / latency per window,
+    * the production-monitoring shape): per tumbling window, the
+    * logarithmic bucket counts of
+    * [[graft.operators.Sketches.ddSketchBuild]] (γ = (1+α)/(1−α);
+    * any quantile answered within α relative error). State per window
+    * is ≤ log_γ(max/min) rows — ~540 for five decades at α=0.01 —
+    * REGARDLESS of event volume: the finite-state property an exact
+    * per-window percentile (which must buffer every value) lacks at
+    * 100 TB/day. Cells from separate windows / streams / backfills
+    * MERGE by adding counts, order-independently, so live and replayed
+    * sketches combine bit-identically. ONE groupBy — inside Spark's
+    * single-aggregation streaming limit; same code runs batch (the
+    * oracle) and `readStream` (append mode after the watermark);
+    * estimate any window with
+    * [[graft.operators.Sketches.ddSketchQuantiles]] keyed by
+    * `window_start`.
+    *
+    * Output: (window_start, bucket, cnt). */
+  def windowedDdBuckets(events: DataFrame, valueCol: String = "value",
+                        alpha: Double = 0.01, windowLen: String = "1 day",
+                        watermark: String = "1 hour"): DataFrame = {
+    require(alpha > 0 && alpha < 0.5, s"alpha must be in (0, 0.5), got $alpha")
+    val lnGamma = math.log((1 + alpha) / (1 - alpha))
+    events.withWatermark("ts", watermark)
+      .filter(col(valueCol) > 0)
+      .select(col("ts"),
+        graft.operators.Sketches.ddBucket(col(valueCol), lnGamma).as("bucket"))
+      .groupBy(window(col("ts"), windowLen), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col("bucket"), col("cnt"))
+  }
+
   /** Batch (backfill) sessionization: gap-based sessions per user via
     * lag + running sum — the standard windowed formulation, fully
     * deterministic because (user_id, ts) is unique in the events schema.

@@ -188,6 +188,40 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedDdBuckets: stream (append, watermark-closed windows) matches the batch sketch") {
+    import spark.implicits._
+    val rows = Seq(
+      (ts("2026-01-01T00:10:00Z"), 1.5), (ts("2026-01-01T00:20:00Z"), 1.5),
+      (ts("2026-01-01T01:00:00Z"), 250.0), (ts("2026-01-01T05:00:00Z"), 0.02),
+      (ts("2026-01-01T06:00:00Z"), 0.0)) // non-positive: excluded
+    val batch = EventStream.windowedDdBuckets(rows.toDF("ts", "value"))
+      .select("window_start", "bucket", "cnt")
+    // day one: 4 positive values in 3 distinct buckets (the 1.5 pair
+    // shares one), the zero row contributes nothing
+    val day1 = batch.filter(col("window_start") === ts("2026-01-01T00:00:00Z"))
+    assert(day1.count() === 3)
+    assert(day1.agg(sum("cnt")).head.getLong(0) === 4L)
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Double)]
+    val q = EventStream.windowedDdBuckets(mem.toDF.toDF("ts", "value"))
+      .writeStream.format("memory").queryName("dd_win")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      // advance the watermark far past the first day so its windows close
+      mem.addData((ts("2026-01-03T00:00:00Z"), 9.0))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val streamed = spark.table("dd_win")
+        .select("window_start", "bucket", "cnt")
+      val closedBatch = batch.filter(col("window_start") < ts("2026-01-02T00:00:00Z"))
+      assert(closedBatch.exceptAll(streamed).isEmpty,
+        "every closed-window batch bucket must be emitted by the stream")
+      assert(closedBatch.count() > 0)
+    } finally q.stop()
+  }
+
   test("windowedHllRegisters: stream matches batch; duplicate keys cannot move a register") {
     import spark.implicits._
     val rows = Seq(
