@@ -54,17 +54,23 @@ object DataQuality {
 
   /** Violation-count expression for a row-scan rule (fused into the
     * single shared aggregate pass). */
-  private def scanViolations(r: Rule): Option[Column] = r match {
-    case NotNull(c) =>
-      Some(sum(when(col(c).isNull, 1L).otherwise(0L)))
-    case InRange(c, lo, hi) =>
-      Some(sum(when(col(c).cast("double").between(lo, hi) === false, 1L)
-        .otherwise(0L)))
-    case Matches(c, re) =>
-      Some(sum(when(col(c).rlike(re) === false, 1L).otherwise(0L)))
-    case Accepted(c, vs) =>
-      Some(sum(when(col(c).isin(vs: _*) === false, 1L).otherwise(0L)))
-    case _ => None
+  private def scanViolations(r: Rule): Option[Column] = {
+    // coalesce: sum() over an EMPTY table is NULL — an empty batch (a
+    // realistic failed-upstream input) must PASS with 0 violations, not
+    // emit an un-checkable NULL row
+    def cnt(c: Column) = coalesce(sum(c), lit(0L))
+    r match {
+      case NotNull(c) =>
+        Some(cnt(when(col(c).isNull, 1L).otherwise(0L)))
+      case InRange(c, lo, hi) =>
+        Some(cnt(when(col(c).cast("double").between(lo, hi) === false, 1L)
+          .otherwise(0L)))
+      case Matches(c, re) =>
+        Some(cnt(when(col(c).rlike(re) === false, 1L).otherwise(0L)))
+      case Accepted(c, vs) =>
+        Some(cnt(when(col(c).isin(vs: _*) === false, 1L).otherwise(0L)))
+      case _ => None
+    }
   }
 
   /** Run every rule against `df`; returns the per-rule summary frame
@@ -105,8 +111,8 @@ object DataQuality {
         val keys = dim.select(col(dc).as("__dq_key")).distinct()
         df.select(col(c)).join(keys, col(c) === col("__dq_key"), "left")
           .agg(count(lit(1)).as("n_rows"),
-            sum(when(col(c).isNotNull && col("__dq_key").isNull, 1L)
-              .otherwise(0L)).as("n_violations"))
+            coalesce(sum(when(col(c).isNotNull && col("__dq_key").isNull, 1L)
+              .otherwise(0L)), lit(0L)).as("n_violations"))
           .select(lit("ref_integrity").as("rule"), lit(c).as("column"),
             col("n_rows"), col("n_violations"))
     }

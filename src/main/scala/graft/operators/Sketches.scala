@@ -17,6 +17,14 @@ import org.apache.spark.sql.functions._
   */
 object Sketches {
 
+  /** Column-name stem for a quantile: p50, p90, p99, and p99_5 for
+    * q=0.995 — fractional percents keep their digits instead of
+    * rounding into a neighbor's name (q≥0.995 must not masquerade as
+    * "p100"). Shared by every quantile-reporting sketch here. */
+  private def pName(q: Double): String =
+    "p" + (BigDecimal(q) * 100).underlying.stripTrailingZeros
+      .toPlainString.replace(".", "_").replace("-", "m")
+
   /** KMV distinct-count estimate per stratum over `valueCol`:
     * (stratum, n_exact, kmv_estimate). Estimate = (k-1)/u_(k) where u_(k)
     * is the k-th smallest hash-unit value of the stratum's distinct
@@ -155,7 +163,9 @@ object Sketches {
     require(k >= 1, s"sample size must be positive, got $k")
     require(quantiles.nonEmpty && quantiles.forall(q => q > 0 && q < 1),
       s"quantiles must be in (0,1), got $quantiles")
-    def name(q: Double) = s"p${(q * 100).round}"
+    require(quantiles.map(pName).distinct.size == quantiles.size,
+      s"quantiles must be distinct, got $quantiles")
+    def name(q: Double) = pName(q)
     val h = df.select(col(strataCol).as("s"), col(valueCol).as("v"),
         col(idCol).as("rid"))
       .withColumn("u", Sampling.hashUnit(col("rid")))
@@ -352,8 +362,10 @@ object Sketches {
     require(alpha > 0 && alpha < 0.5, s"alpha must be in (0, 0.5), got $alpha")
     require(quantiles.nonEmpty && quantiles.forall(q => q > 0 && q < 1),
       s"quantiles must be in (0,1), got $quantiles")
+    require(quantiles.map(pName).distinct.size == quantiles.size,
+      s"quantiles must be distinct, got $quantiles")
     val gamma = (1 + alpha) / (1 - alpha)
-    def name(q: Double) = s"p${(q * 100).round}"
+    def name(q: Double) = pName(q)
     val byBucket = Window.partitionBy(strataCol).orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val c = sketch

@@ -1017,8 +1017,11 @@ object CoreQueries {
         one("o_orderdate", "o_orderdate::DATE"))
         .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
     },
-    // one SELECT per rule; NULL semantics mirror the operator (ternary
-    // comparisons exclude nulls from range/regex/accepted violations)
+    // one SELECT per rule; NULL semantics mirror the operator: ternary
+    // comparisons exclude nulls from range/regex/accepted violations,
+    // and the unique rule counts a null-key GROUP as one distinct value
+    // (the operator's struct() wrapper is never null) — count(DISTINCT)
+    // alone would drop it, hence the count(*) > count(col) correction
     "q_dq_checks" ->
       """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM orders),
         |u AS (
@@ -1038,7 +1041,9 @@ object CoreQueries {
         |   WHERE o_orderstatus NOT IN ('O', 'F', 'P')) FROM n
         |UNION ALL
         |SELECT 'unique', 'o_orderkey', n_rows,
-        |  (SELECT CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) FROM orders) FROM n
+        |  (SELECT CAST(count(*) - (count(DISTINCT o_orderkey) +
+        |     CASE WHEN count(*) > count(o_orderkey) THEN 1 ELSE 0 END) AS BIGINT)
+        |   FROM orders) FROM n
         |UNION ALL
         |SELECT 'ref_integrity', 'o_custkey', n_rows,
         |  (SELECT CAST(count(*) AS BIGINT) FROM orders o

@@ -68,6 +68,20 @@ class DDSketchSpec extends SparkSpec {
     assert(n === 400L, "non-positive rows must not enter the sketch")
   }
 
+  test("fractional percents keep distinct names; colliding quantiles are rejected loudly") {
+    val sk = Sketches.ddSketchBuild(df, "s", "v", alpha)
+    val cols = Sketches.ddSketchQuantiles(sk, "s", Seq(0.99, 0.995, 0.999), alpha)
+      .columns.toSeq
+    assert(cols === Seq("s", "n_rows", "p99_dd", "p99_5_dd", "p99_9_dd"),
+      s"tail quantiles must not round into each other's names, got $cols")
+    // two quantiles whose names WOULD collide must fail the require, not
+    // crash later with an ambiguous-reference analysis error
+    val e = intercept[IllegalArgumentException] {
+      Sketches.ddSketchQuantiles(sk, "s", Seq(0.5, 0.50), alpha)
+    }
+    assert(e.getMessage.contains("distinct"))
+  }
+
   test("bucket midpoint honors the width invariant for a hand-placed value") {
     // v = 7.0: bucket = ceil(ln 7 / ln gamma); midpoint within alpha of v
     val one = Seq((1L, "x", 7.0)).toDF("id", "s", "v")

@@ -54,6 +54,24 @@ class DataQualitySpec extends SparkSpec {
     assert(out.forall(_.getLong(3) === 0L))
   }
 
+  test("an EMPTY batch passes every rule with zero violations (not NULL)") {
+    val empty = df.filter($"id" < 0)
+    val out = check(empty, Seq(
+        NotNull("name"), InRange("score", 0, 100), Unique(Seq("id")),
+        RefIntegrity("fk", dim, "k")))
+      .collect()
+    assert(out.length === 4)
+    assert(out.forall(r => r.getLong(3) === 0L && r.getBoolean(4)),
+      "empty input must report 0 violations / passed=true for every rule")
+  }
+
+  test("unique treats a null-key group as ONE distinct value (documented semantics)") {
+    val d = Seq(Option(1L), None, None, None, Option(2L)).toDF("id")
+    val r = check(d, Seq(Unique(Seq("id")))).head
+    // 5 rows, distinct values {1, 2, null-group} -> 2 extra rows
+    assert(r.getLong(3) === 2L)
+  }
+
   test("row-scan rules share one aggregate pass (single scan in the plan)") {
     val plan = check(df, Seq(NotNull("name"), InRange("score", 0, 100),
         Accepted("code", Seq("aa")), Matches("code", "^[a-z]+$")))
