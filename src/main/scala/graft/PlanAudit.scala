@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Full-surface physical-plan lint: walks EVERY SparkEntry.queries
+  * entry, plans it (AQE initial plan — no execution beyond what a
+  * query's own model-training collects run), and records the three
+  * anti-pattern flags HeavyPlanSpec pins on the bench top-15 —
+  * BroadcastNestedLoopJoin, CartesianProduct, SinglePartition exchange —
+  * for the WHOLE gate surface, so a scale regression in a mid-cost
+  * query is visible the round it appears, not the round it becomes
+  * expensive. Writes PLANAUDIT.json (query → flags) and prints a
+  * summary line; run at round close over sf0.001.
+  *
+  * Interpretation contract (same as HeavyPlanSpec): `cartesian` should
+  * be zero everywhere; `bnlj` and `single_partition` are legitimate
+  * ONLY for broadcast-bounded brute-force tiers and one-row/model-sized
+  * summary funnels — the close record in BUILDLOG names any new
+  * flagged query and its reviewed reason.
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val out = if (args.length > 1) args(1) else "PLANAUDIT.json"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val rows = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val flags =
+        try {
+          val plan = fn(spark, dir).queryExecution.executedPlan.toString
+          Seq(
+            "bnlj" -> plan.contains("BroadcastNestedLoopJoin"),
+            "cartesian" -> plan.contains("CartesianProduct"),
+            "single_partition" -> plan.contains("SinglePartition"),
+            "error" -> false)
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[planaudit] $name failed: ${e.getMessage}")
+            Seq("bnlj" -> false, "cartesian" -> false,
+              "single_partition" -> false, "error" -> true)
+        }
+      spark.catalog.clearCache()
+      name -> flags
+    }
+    val json = rows.map { case (n, fs) =>
+      "\"" + n + "\": {" +
+        fs.map { case (k, v) => s""""$k": $v""" }.mkString(", ") + "}"
+    }.mkString("{\n", ",\n", "\n}")
+    Files.writeString(Paths.get(out), json)
+    def countOf(key: String) =
+      rows.count(_._2.exists(f => f._1 == key && f._2))
+    println(s"PLANAUDIT n=${rows.size} bnlj=${countOf("bnlj")} " +
+      s"cartesian=${countOf("cartesian")} " +
+      s"single_partition=${countOf("single_partition")} " +
+      s"errors=${countOf("error")} -> $out")
+    spark.stop()
+  }
+}

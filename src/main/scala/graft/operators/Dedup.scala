@@ -978,4 +978,44 @@ object Dedup {
     withC.join(dropped, Seq(idCol), "left")
       .select(col(idCol), col("cluster_id"), col("is_dropped").isNull.as("kept"))
   }
+
+  /** Golden-record survivorship — the field-level merge step after
+    * entity clustering (the MDM "survivorship" contract; contrast
+    * `d_cluster_best`, which keeps one whole ROW per cluster): per
+    * cluster, each `majorityCols` field takes the most frequent value
+    * (ties to the minimum value — deterministic at any partitioning;
+    * null values vote like any other group), each `maxCols` field takes
+    * the cluster maximum, plus member count. One row per cluster.
+    *
+    * Scale shape: one keyed join (records ⋈ cluster labels) + one
+    * grouped aggregate per max/count field set + one (cluster, value)
+    * count + WindowGroupLimit argmax per majority field — everything
+    * keyed on cluster ids, nothing pairwise, no driver state. At 100 TB
+    * the cluster labels come from [[ConnectedComponents.components]]
+    * over the blocking-join pair evidence, exactly as gated here. */
+  def goldenRecord(df: DataFrame, idCol: String, clusters: DataFrame,
+                   clusterCol: String, majorityCols: Seq[String],
+                   maxCols: Seq[String]): DataFrame = {
+    require(majorityCols.nonEmpty || maxCols.nonEmpty,
+      "at least one survivorship field required")
+    val allCols = df.columns ++ clusters.columns
+    for (c <- Seq("__gr_cnt", "__gr_rn"))
+      require(!allCols.contains(c), s"column '$c' collides with an internal name")
+    val joined = df.join(clusters, Seq(idCol)).cache()
+    val base = joined.groupBy(clusterCol)
+      .agg(count(lit(1)).as("n_members"),
+        maxCols.map(c => max(col(c)).as(s"${c}_max")): _*)
+    val w = org.apache.spark.sql.expressions.Window
+    val merged = majorityCols.foldLeft(base) { (acc, c) =>
+      val argmax = w.partitionBy(clusterCol)
+        .orderBy(col("__gr_cnt").desc, col(c).asc_nulls_first)
+      val winner = joined.groupBy(col(clusterCol), col(c))
+        .agg(count(lit(1)).as("__gr_cnt"))
+        .withColumn("__gr_rn", row_number().over(argmax))
+        .filter(col("__gr_rn") === 1)
+        .select(col(clusterCol), col(c).as(s"${c}_golden"))
+      acc.join(winner, clusterCol)
+    }
+    merged
+  }
 }

@@ -160,6 +160,20 @@ object PipelineQueries {
         .orderBy("cluster_id")
     }),
 
+    // --- golden-record survivorship: per near-dup cluster merge FIELDS
+    //     (majority lang/source with min-value ties, max n_chars) — the
+    //     MDM step after entity clustering; d_cluster_best keeps one
+    //     whole row, this composes the best VALUES across members ---
+    "d_golden_record" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.minhashLsh(d, "doc_id", "text")
+      val clusters = graft.operators.ConnectedComponents.components(pairs, "d1", "d2")
+        .select(col("v").as("doc_id"), col("component").as("cluster_id"))
+      Dedup.goldenRecord(d, "doc_id", clusters, "cluster_id",
+          majorityCols = Seq("lang", "source"), maxCols = Seq("n_chars"))
+        .orderBy("cluster_id")
+    }),
+
     "d_embedding_neardup" -> ((s, dir) =>
       Dedup.embeddingNearDup(emb(s, dir), "vec_id", "embedding", "label")
         .orderBy("d1", "d2")),
@@ -2068,6 +2082,47 @@ object PipelineQueries {
            |      ORDER BY tk.n_tokens DESC, cl.doc_id) AS rk
            |  FROM cl JOIN tk USING (doc_id))
            |WHERE rk = 1 ORDER BY cluster_id""".stripMargin,
+
+      // golden record: CC replay (d_dedup_clusters chain) + per-cluster
+      // aggregates; majority argmax pins NULLS FIRST to match the Spark
+      // side's asc_nulls_first tiebreak
+      "d_golden_record" ->
+        s"""WITH RECURSIVE sh AS (
+           |  SELECT doc_id, unnest($sh3) AS s
+           |  FROM (SELECT doc_id, $toks AS t FROM documents) WHERE len(t) >= 3),
+           |sig AS (SELECT doc_id, h, min(md5(h::VARCHAR || '|' || s)) AS mh
+           |        FROM sh CROSS JOIN (SELECT unnest(range(16)) AS h) GROUP BY doc_id, h),
+           |band AS (SELECT doc_id, h // 4 AS band, md5(string_agg(mh, ',' ORDER BY h)) AS bh
+           |         FROM sig GROUP BY doc_id, h // 4),
+           |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+           |         FROM band a JOIN band b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+           |est AS (SELECT d1, d2 FROM cand JOIN sig x ON x.doc_id = d1
+           |        JOIN sig y ON y.doc_id = d2 AND y.h = x.h
+           |        GROUP BY d1, d2
+           |        HAVING count(*) FILTER (x.mh = y.mh)::DOUBLE / 16 >= 0.5),
+           |edges AS (SELECT d1 AS a, d2 AS b FROM est UNION SELECT d2, d1 FROM est),
+           |reach(v, r) AS (
+           |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+           |  UNION
+           |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.v),
+           |lab AS (SELECT v AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+           |        FROM reach GROUP BY v),
+           |j AS (SELECT lab.cluster_id, d.doc_id, d.lang, d.source, d.n_chars
+           |      FROM lab JOIN documents d USING (doc_id)),
+           |base AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+           |           CAST(max(n_chars) AS BIGINT) AS n_chars_max
+           |         FROM j GROUP BY cluster_id),
+           |lg AS (SELECT cluster_id, lang AS lang_golden FROM (
+           |    SELECT cluster_id, lang, row_number() OVER (PARTITION BY cluster_id
+           |      ORDER BY count(*) DESC, lang ASC NULLS FIRST) AS rn
+           |    FROM j GROUP BY cluster_id, lang) WHERE rn = 1),
+           |sg AS (SELECT cluster_id, source AS source_golden FROM (
+           |    SELECT cluster_id, source, row_number() OVER (PARTITION BY cluster_id
+           |      ORDER BY count(*) DESC, source ASC NULLS FIRST) AS rn
+           |    FROM j GROUP BY cluster_id, source) WHERE rn = 1)
+           |SELECT cluster_id, n_members, n_chars_max, lang_golden, source_golden
+           |FROM base JOIN lg USING (cluster_id) JOIN sg USING (cluster_id)
+           |ORDER BY cluster_id""".stripMargin,
 
       "d_incremental_neardup" ->
         s"""WITH sh AS (
