@@ -89,6 +89,27 @@ object ConnectedComponents {
     out
   }
 
+  /** INCREMENTAL maintenance: fold a batch of NEW edges into an
+    * already-converged (v, component) labeling without re-walking the
+    * old graph. Each old component is replaced by its star (v →
+    * component root), which preserves exactly its vertex set and its
+    * minimum id — so components over (stars ∪ newEdges) equal
+    * components over (oldEdges ∪ newEdges), but the propagation depth
+    * is the NEW linkage structure over 2-deep stars, not the original
+    * graph's diameter: the nightly ingest never pays the historical
+    * corpus's convergence rounds again. New vertices appearing only in
+    * `newEdges` join as themselves.
+    *
+    * At 100 TB this is the difference between touching the
+    * (model-sized-per-vertex) label table plus the day's pair evidence,
+    * and re-running clustering over every pair ever observed. */
+  def merge(labels: DataFrame, newEdges: DataFrame,
+            srcCol: String, dstCol: String, maxIter: Int = 25): DataFrame = {
+    val stars = labels.select(col("v").as(srcCol), col("component").as(dstCol))
+    components(stars.unionByName(
+      newEdges.select(col(srcCol), col(dstCol))), srcCol, dstCol, maxIter)
+  }
+
   /** Alternating large-star/small-star contraction (Kiveris et al.,
     * SOCC'14 §3): repeatedly rewrite the edge set until it is a star
     * forest rooted at each component's minimum id.

@@ -128,6 +128,28 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // --- INCREMENTAL connected components: converged corpus labels +
+    //     the day's new pair evidence (new-vs-corpus + new-vs-new LSH,
+    //     never corpus×corpus) merged via star edges — hash-equal to the
+    //     full recompute (it shares d_dedup_clusters' oracle verbatim)
+    //     without re-walking the historical graph's rounds ---
+    "g_cc_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val oldDocs = d.filter(col("doc_id") % 10 =!= 0)
+      val newDocs = d.filter(col("doc_id") % 10 === 0)
+      val oldLabels = graft.operators.ConnectedComponents.components(
+        Dedup.minhashLsh(oldDocs, "doc_id", "text").select(col("d1"), col("d2")),
+        "d1", "d2")
+      val crossPairs = Dedup.minhashLshAgainst(oldDocs, newDocs, "doc_id", "text")
+        .select(col("batch_id").as("d1"), col("corpus_id").as("d2"))
+      val newNew = Dedup.minhashLsh(newDocs, "doc_id", "text")
+        .select(col("d1"), col("d2"))
+      graft.operators.ConnectedComponents.merge(
+          oldLabels, crossPairs.unionByName(newNew), "d1", "d2")
+        .select(col("v").as("doc_id"), col("component").as("cluster_id"))
+        .orderBy("doc_id")
+    }),
+
     // --- incremental ingest: new batch (doc_id % 10 == 0) near-dup'd
     //     AGAINST the existing corpus only — no corpus×corpus pairs ---
     "d_incremental_neardup" -> ((s, dir) => {
@@ -1525,6 +1547,30 @@ object PipelineQueries {
     val toks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
     // distinct word 3-shingles over toks `t`
     val sh3 = "list_distinct(list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))"
+    // full-corpus LSH clusters (min reachable id) — shared VERBATIM by
+    // d_dedup_clusters and g_cc_incremental: the incremental merge must
+    // be hash-equal to the full recompute, so one oracle serves both
+    val dedupClustersOracle =
+      s"""WITH RECURSIVE sh AS (
+         |  SELECT doc_id, unnest($sh3) AS s
+         |  FROM (SELECT doc_id, $toks AS t FROM documents) WHERE len(t) >= 3),
+         |sig AS (SELECT doc_id, h, min(md5(h::VARCHAR || '|' || s)) AS mh
+         |        FROM sh CROSS JOIN (SELECT unnest(range(16)) AS h) GROUP BY doc_id, h),
+         |band AS (SELECT doc_id, h // 4 AS band, md5(string_agg(mh, ',' ORDER BY h)) AS bh
+         |         FROM sig GROUP BY doc_id, h // 4),
+         |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |         FROM band a JOIN band b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |est AS (SELECT d1, d2 FROM cand JOIN sig x ON x.doc_id = d1
+         |        JOIN sig y ON y.doc_id = d2 AND y.h = x.h
+         |        GROUP BY d1, d2
+         |        HAVING count(*) FILTER (x.mh = y.mh)::DOUBLE / 16 >= 0.5),
+         |edges AS (SELECT d1 AS a, d2 AS b FROM est UNION SELECT d2, d1 FROM est),
+         |reach(v, r) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+         |  UNION
+         |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.v)
+         |SELECT v AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+         |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin
     val bit = "(strpos('0123456789abcdef', substring(h, 1 + (b // 4), 1)) - 1) // ((2 ** (b % 4))::INT) % 2"
     val stopEn = "['the','and','of','to','in','is','that','for']"
     val stopDe = "['der','die','das','und','ist','nicht','mit','ein']"
@@ -2032,27 +2078,11 @@ object PipelineQueries {
            |HAVING count(*)::DOUBLE / any_value(a.n) >= 0.8
            |ORDER BY d1, d2""".stripMargin,
 
-      "d_dedup_clusters" ->
-        s"""WITH RECURSIVE sh AS (
-           |  SELECT doc_id, unnest($sh3) AS s
-           |  FROM (SELECT doc_id, $toks AS t FROM documents) WHERE len(t) >= 3),
-           |sig AS (SELECT doc_id, h, min(md5(h::VARCHAR || '|' || s)) AS mh
-           |        FROM sh CROSS JOIN (SELECT unnest(range(16)) AS h) GROUP BY doc_id, h),
-           |band AS (SELECT doc_id, h // 4 AS band, md5(string_agg(mh, ',' ORDER BY h)) AS bh
-           |         FROM sig GROUP BY doc_id, h // 4),
-           |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-           |         FROM band a JOIN band b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
-           |est AS (SELECT d1, d2 FROM cand JOIN sig x ON x.doc_id = d1
-           |        JOIN sig y ON y.doc_id = d2 AND y.h = x.h
-           |        GROUP BY d1, d2
-           |        HAVING count(*) FILTER (x.mh = y.mh)::DOUBLE / 16 >= 0.5),
-           |edges AS (SELECT d1 AS a, d2 AS b FROM est UNION SELECT d2, d1 FROM est),
-           |reach(v, r) AS (
-           |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
-           |  UNION
-           |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.v)
-           |SELECT v AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
-           |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin,
+      "d_dedup_clusters" -> dedupClustersOracle,
+
+      // incremental CC must reproduce the full recompute bit-for-bit —
+      // same oracle, by construction (see dedupClustersOracle)
+      "g_cc_incremental" -> dedupClustersOracle,
 
       "d_cluster_best" ->
         s"""WITH RECURSIVE sh AS (
