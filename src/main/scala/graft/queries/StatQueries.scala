@@ -651,6 +651,32 @@ object StatQueries {
         .orderBy("day_n")
     }),
 
+    // --- Cumulative DDSketch ledger: per day, the RUNNING p50/p99 of
+    //     event value from bucket-count sums over a stored
+    //     (day, bucket, cnt) ledger — quantiles as of ANY day with no
+    //     history re-scan (the t_hll_ledger shape for quantiles; the
+    //     oracle RE-SCANS the union per day, so the gate hash-proves
+    //     ledger merge ≡ whole-history build). Grid is day-grain ×
+    //     observed buckets — model-sized at any corpus scale. ---
+    "t_ddsketch_ledger" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events").select(
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long").as("day_n"),
+        col("value"))
+      val daily = graft.operators.Sketches.ddSketchBuild(ev, "day_n", "value")
+      val days = ev.select("day_n").distinct()
+      val grid = days.crossJoin(daily.select("bucket").distinct())
+      val cum = grid.join(daily, Seq("day_n", "bucket"), "left")
+        .withColumn("ccnt", sum(coalesce(col("cnt"), lit(0L))).over(
+          Window.partitionBy("bucket").orderBy("day_n")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter(col("ccnt") > 0)
+        .select(col("day_n"), col("bucket"), col("ccnt").as("cnt"))
+      graft.operators.Sketches.ddSketchQuantiles(cum, "day_n", Seq(0.5, 0.99))
+        .orderBy("day_n")
+    }),
+
     // --- Modularity of the SOURCE partition over the near-dup graph
     //     (Newman 2006): Q_c = m_in/m − (d_c/2m)² per source — do
     //     near-duplicates concentrate within sources (high Q: dup
@@ -1997,6 +2023,35 @@ object StatQueries {
         |             ELSE 0.709::DOUBLE * 4096::DOUBLE * 36028797018963968::DOUBLE
         |                  / s_tot END, 4) AS hll_estimate
         |FROM ex JOIN est USING (day_n) ORDER BY day_n""".stripMargin,
+
+    // the ledger contract stated directly: per day, RE-SCAN the union of
+    // all days <= d through the t_ddsketch bucket/walk algebra — the
+    // Spark side must reproduce this from cumulative ledger sums alone
+    "t_ddsketch_ledger" -> {
+      val g = (1 + 0.01) / (1 - 0.01)
+      val lng = math.log(g)
+      def pick(q: String, as: String) =
+        s"min(CASE WHEN cum >= CAST(floor(CAST($q AS DOUBLE) * (n - 1)) AS BIGINT) + 1 THEN bucket END) AS $as"
+      s"""WITH ev AS (SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day_n,
+         |    value FROM events),
+         |days AS (SELECT DISTINCT day_n FROM ev),
+         |b AS (SELECT d.day_n,
+         |    CAST(ceil(round(round(ln(CAST(e.value AS DOUBLE)), 9) / $lng, 9)) AS BIGINT) AS bucket
+         |  FROM days d JOIN ev e ON e.day_n <= d.day_n AND e.value > 0),
+         |a AS (SELECT day_n, bucket, count(*) AS cnt FROM b GROUP BY 1, 2),
+         |c AS (SELECT day_n, bucket,
+         |    sum(cnt) OVER (PARTITION BY day_n ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum,
+         |    sum(cnt) OVER (PARTITION BY day_n) AS n
+         |  FROM a),
+         |p AS (SELECT day_n, CAST(n AS BIGINT) AS n_rows,
+         |    ${pick("0.5", "b50")},
+         |    ${pick("0.99", "b99")}
+         |  FROM c GROUP BY 1, 2)
+         |SELECT day_n, n_rows,
+         |  round(2.0 * power($g, b50) / ($g + 1.0), 6) AS p50_dd,
+         |  round(2.0 * power($g, b99) / ($g + 1.0), 6) AS p99_dd
+         |FROM p ORDER BY day_n""".stripMargin
+    },
 
     "g_modularity" ->
       s"""WITH sh AS (
