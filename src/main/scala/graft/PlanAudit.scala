@@ -36,9 +36,9 @@ object PlanAudit {
         try {
           val plan = fn(spark, dir).queryExecution.executedPlan.toString
           Seq(
-            "bnlj" -> plan.contains("BroadcastNestedLoopJoin"),
-            "cartesian" -> plan.contains("CartesianProduct"),
-            "single_partition" -> plan.contains("SinglePartition"),
+            "bnlj" -> graft.plans.PlanFlags.bnlj(plan),
+            "cartesian" -> graft.plans.PlanFlags.cartesian(plan),
+            "single_partition" -> graft.plans.PlanFlags.singlePartition(plan),
             "error" -> false)
         } catch {
           case e: Throwable =>

@@ -1001,7 +1001,12 @@ object Dedup {
     val allCols = df.columns ++ clusters.columns
     for (c <- Seq("__gr_cnt", "__gr_rn"))
       require(!allCols.contains(c), s"column '$c' collides with an internal name")
-    val joined = df.join(clusters, Seq(idCol)).cache()
+    // project to the survivorship fields BEFORE caching: the cluster
+    // join would otherwise materialize every df column (at corpus scale,
+    // the text payload) for aggregates that read three small fields
+    val needed = (idCol +: (majorityCols ++ maxCols)).distinct
+    val joined = df.select(needed.map(col): _*)
+      .join(clusters, Seq(idCol)).cache()
     val base = joined.groupBy(clusterCol)
       .agg(count(lit(1)).as("n_members"),
         maxCols.map(c => max(col(c)).as(s"${c}_max")): _*)

@@ -273,16 +273,14 @@ object ParityQueries {
           |           ELSE 55 - length(bin(hv >> 6)) END) AS m_j
           |FROM h GROUP BY 1, 2 ORDER BY window_start, j""".stripMargin,
 
-      // DDSketch α=0.01 bucket arithmetic as in t_ddsketch, keyed by the
-      // tumbling day window; ln γ interpolated from the same Scala double
-      "st_ddsketch_window" -> {
-        val lng = math.log((1 + 0.01) / (1 - 0.01))
+      // DDSketch α=0.01 bucket arithmetic, keyed by the tumbling day
+      // window — ONE shared algebra builder across all DDSketch oracles
+      "st_ddsketch_window" ->
         s"""SELECT date_trunc('day', ts) AS window_start,
-           |  CAST(ceil(round(round(ln(CAST(value AS DOUBLE)), 9) / $lng, 9)) AS BIGINT) AS bucket,
+           |  ${OracleSketches.ddBucketSql("value")} AS bucket,
            |  CAST(count(*) AS BIGINT) AS cnt
            |FROM events WHERE value > 0
-           |GROUP BY 1, 2 ORDER BY window_start, bucket""".stripMargin
-      },
+           |GROUP BY 1, 2 ORDER BY window_start, bucket""".stripMargin,
 
       "st_session_window" ->
         """WITH s AS (

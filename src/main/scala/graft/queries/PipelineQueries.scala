@@ -137,12 +137,18 @@ object PipelineQueries {
       val d = docs(s, dir)
       val oldDocs = d.filter(col("doc_id") % 10 =!= 0)
       val newDocs = d.filter(col("doc_id") % 10 === 0)
+      // each side's signatures build ONCE and feed both the within-side
+      // banding and the cross-side banding — the corpus-sized signature
+      // pass is exactly what incremental ingest must not pay twice
+      val oldSig = Dedup.minhashSignatureArray(oldDocs, "doc_id", "text").cache()
+      val newSig = Dedup.minhashSignatureArray(newDocs, "doc_id", "text").cache()
       val oldLabels = graft.operators.ConnectedComponents.components(
-        Dedup.minhashLsh(oldDocs, "doc_id", "text").select(col("d1"), col("d2")),
+        Dedup.minhashLshFromSignatures(oldSig, "doc_id")
+          .select(col("d1"), col("d2")),
         "d1", "d2")
-      val crossPairs = Dedup.minhashLshAgainst(oldDocs, newDocs, "doc_id", "text")
+      val crossPairs = Dedup.minhashLshAgainstSignatures(oldSig, newSig, "doc_id")
         .select(col("batch_id").as("d1"), col("corpus_id").as("d2"))
-      val newNew = Dedup.minhashLsh(newDocs, "doc_id", "text")
+      val newNew = Dedup.minhashLshFromSignatures(newSig, "doc_id")
         .select(col("d1"), col("d2"))
       graft.operators.ConnectedComponents.merge(
           oldLabels, crossPairs.unionByName(newNew), "d1", "d2")
@@ -1547,11 +1553,12 @@ object PipelineQueries {
     val toks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
     // distinct word 3-shingles over toks `t`
     val sh3 = "list_distinct(list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))"
-    // full-corpus LSH clusters (min reachable id) — shared VERBATIM by
-    // d_dedup_clusters and g_cc_incremental: the incremental merge must
-    // be hash-equal to the full recompute, so one oracle serves both
-    val dedupClustersOracle =
-      s"""WITH RECURSIVE sh AS (
+    // the full-corpus LSH-pair → symmetrized-edge → min-label-reach CTE
+    // chain, ONE copy — every clustering oracle (d_dedup_clusters,
+    // g_cc_incremental, d_cluster_best, d_golden_record) appends its own
+    // tail, so a banding/threshold edit can never drift between copies
+    val ccReachCtes: String =
+      s"""sh AS (
          |  SELECT doc_id, unnest($sh3) AS s
          |  FROM (SELECT doc_id, $toks AS t FROM documents) WHERE len(t) >= 3),
          |sig AS (SELECT doc_id, h, min(md5(h::VARCHAR || '|' || s)) AS mh
@@ -1568,7 +1575,11 @@ object PipelineQueries {
          |reach(v, r) AS (
          |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
          |  UNION
-         |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.v)
+         |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.v)""".stripMargin
+    // shared VERBATIM by d_dedup_clusters and g_cc_incremental: the
+    // incremental merge must be hash-equal to the full recompute
+    val dedupClustersOracle =
+      s"""WITH RECURSIVE $ccReachCtes
          |SELECT v AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
          |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin
     val bit = "(strpos('0123456789abcdef', substring(h, 1 + (b // 4), 1)) - 1) // ((2 ** (b % 4))::INT) % 2"
@@ -2085,24 +2096,7 @@ object PipelineQueries {
       "g_cc_incremental" -> dedupClustersOracle,
 
       "d_cluster_best" ->
-        s"""WITH RECURSIVE sh AS (
-           |  SELECT doc_id, unnest($sh3) AS s
-           |  FROM (SELECT doc_id, $toks AS t FROM documents) WHERE len(t) >= 3),
-           |sig AS (SELECT doc_id, h, min(md5(h::VARCHAR || '|' || s)) AS mh
-           |        FROM sh CROSS JOIN (SELECT unnest(range(16)) AS h) GROUP BY doc_id, h),
-           |band AS (SELECT doc_id, h // 4 AS band, md5(string_agg(mh, ',' ORDER BY h)) AS bh
-           |         FROM sig GROUP BY doc_id, h // 4),
-           |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-           |         FROM band a JOIN band b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
-           |est AS (SELECT d1, d2 FROM cand JOIN sig x ON x.doc_id = d1
-           |        JOIN sig y ON y.doc_id = d2 AND y.h = x.h
-           |        GROUP BY d1, d2
-           |        HAVING count(*) FILTER (x.mh = y.mh)::DOUBLE / 16 >= 0.5),
-           |edges AS (SELECT d1 AS a, d2 AS b FROM est UNION SELECT d2, d1 FROM est),
-           |reach(v, r) AS (
-           |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
-           |  UNION
-           |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.v),
+        s"""WITH RECURSIVE $ccReachCtes,
            |cl AS (SELECT v AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
            |       FROM reach GROUP BY v),
            |tk AS (SELECT doc_id, len($toks)::BIGINT AS n_tokens FROM documents)
@@ -2117,24 +2111,7 @@ object PipelineQueries {
       // aggregates; majority argmax pins NULLS FIRST to match the Spark
       // side's asc_nulls_first tiebreak
       "d_golden_record" ->
-        s"""WITH RECURSIVE sh AS (
-           |  SELECT doc_id, unnest($sh3) AS s
-           |  FROM (SELECT doc_id, $toks AS t FROM documents) WHERE len(t) >= 3),
-           |sig AS (SELECT doc_id, h, min(md5(h::VARCHAR || '|' || s)) AS mh
-           |        FROM sh CROSS JOIN (SELECT unnest(range(16)) AS h) GROUP BY doc_id, h),
-           |band AS (SELECT doc_id, h // 4 AS band, md5(string_agg(mh, ',' ORDER BY h)) AS bh
-           |         FROM sig GROUP BY doc_id, h // 4),
-           |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-           |         FROM band a JOIN band b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
-           |est AS (SELECT d1, d2 FROM cand JOIN sig x ON x.doc_id = d1
-           |        JOIN sig y ON y.doc_id = d2 AND y.h = x.h
-           |        GROUP BY d1, d2
-           |        HAVING count(*) FILTER (x.mh = y.mh)::DOUBLE / 16 >= 0.5),
-           |edges AS (SELECT d1 AS a, d2 AS b FROM est UNION SELECT d2, d1 FROM est),
-           |reach(v, r) AS (
-           |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
-           |  UNION
-           |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.v),
+        s"""WITH RECURSIVE $ccReachCtes,
            |lab AS (SELECT v AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
            |        FROM reach GROUP BY v),
            |j AS (SELECT lab.cluster_id, d.doc_id, d.lang, d.source, d.n_chars
@@ -3996,12 +3973,9 @@ object PipelineQueries {
       // run the identical IEEE multiply (DuckDB would otherwise use
       // exact decimal and floor one off at the boundary)
       "t_ddsketch" -> {
-        val g = (1 + 0.01) / (1 - 0.01)
-        val lng = math.log(g)
-        def pick(q: String, as: String) =
-          s"min(CASE WHEN cum >= CAST(floor(CAST($q AS DOUBLE) * (n - 1)) AS BIGINT) + 1 THEN bucket END) AS $as"
+        import OracleSketches._
         s"""WITH b AS (SELECT event_type,
-           |    CAST(ceil(round(round(ln(CAST(value AS DOUBLE)), 9) / $lng, 9)) AS BIGINT) AS bucket
+           |    ${ddBucketSql("value")} AS bucket
            |  FROM events WHERE value > 0),
            |a AS (SELECT event_type, bucket, count(*) AS cnt FROM b GROUP BY 1, 2),
            |c AS (SELECT event_type, bucket,
@@ -4009,14 +3983,14 @@ object PipelineQueries {
            |    sum(cnt) OVER (PARTITION BY event_type) AS n
            |  FROM a),
            |p AS (SELECT event_type, CAST(n AS BIGINT) AS n_rows,
-           |    ${pick("0.5", "b50")},
-           |    ${pick("0.9", "b90")},
-           |    ${pick("0.99", "b99")}
+           |    ${ddPickSql("0.5", "b50")},
+           |    ${ddPickSql("0.9", "b90")},
+           |    ${ddPickSql("0.99", "b99")}
            |  FROM c GROUP BY 1, 2)
            |SELECT event_type, n_rows,
-           |  round(2.0 * power($g, b50) / ($g + 1.0), 6) AS p50_dd,
-           |  round(2.0 * power($g, b90) / ($g + 1.0), 6) AS p90_dd,
-           |  round(2.0 * power($g, b99) / ($g + 1.0), 6) AS p99_dd
+           |  ${ddMidpointSql("b50", "p50_dd")},
+           |  ${ddMidpointSql("b90", "p90_dd")},
+           |  ${ddMidpointSql("b99", "p99_dd")}
            |FROM p ORDER BY event_type""".stripMargin
       },
 

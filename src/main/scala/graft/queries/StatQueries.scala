@@ -2028,15 +2028,12 @@ object StatQueries {
     // all days <= d through the t_ddsketch bucket/walk algebra — the
     // Spark side must reproduce this from cumulative ledger sums alone
     "t_ddsketch_ledger" -> {
-      val g = (1 + 0.01) / (1 - 0.01)
-      val lng = math.log(g)
-      def pick(q: String, as: String) =
-        s"min(CASE WHEN cum >= CAST(floor(CAST($q AS DOUBLE) * (n - 1)) AS BIGINT) + 1 THEN bucket END) AS $as"
+      import OracleSketches._
       s"""WITH ev AS (SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day_n,
          |    value FROM events),
          |days AS (SELECT DISTINCT day_n FROM ev),
          |b AS (SELECT d.day_n,
-         |    CAST(ceil(round(round(ln(CAST(e.value AS DOUBLE)), 9) / $lng, 9)) AS BIGINT) AS bucket
+         |    ${ddBucketSql("e.value")} AS bucket
          |  FROM days d JOIN ev e ON e.day_n <= d.day_n AND e.value > 0),
          |a AS (SELECT day_n, bucket, count(*) AS cnt FROM b GROUP BY 1, 2),
          |c AS (SELECT day_n, bucket,
@@ -2044,12 +2041,12 @@ object StatQueries {
          |    sum(cnt) OVER (PARTITION BY day_n) AS n
          |  FROM a),
          |p AS (SELECT day_n, CAST(n AS BIGINT) AS n_rows,
-         |    ${pick("0.5", "b50")},
-         |    ${pick("0.99", "b99")}
+         |    ${ddPickSql("0.5", "b50")},
+         |    ${ddPickSql("0.99", "b99")}
          |  FROM c GROUP BY 1, 2)
          |SELECT day_n, n_rows,
-         |  round(2.0 * power($g, b50) / ($g + 1.0), 6) AS p50_dd,
-         |  round(2.0 * power($g, b99) / ($g + 1.0), 6) AS p99_dd
+         |  ${ddMidpointSql("b50", "p50_dd")},
+         |  ${ddMidpointSql("b99", "p99_dd")}
          |FROM p ORDER BY day_n""".stripMargin
     },
 

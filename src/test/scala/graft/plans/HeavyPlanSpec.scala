@@ -56,7 +56,13 @@ class HeavyPlanSpec extends SparkSpec {
     "t_bpe_encode" -> Allow(),                   // map-only kernel scan
     "a_ann_ivfpq_recall" -> Allow(bnlj = true),  // brute-force ground truth
     "a_contrastive_pairs" -> Allow(bnlj = true), // broadcast anchors × one corpus pass
-    "q_corr_matrix" -> Allow(single = true))     // one-row moment totals crossed
+    "q_corr_matrix" -> Allow(single = true),     // one-row moment totals crossed
+    // reviewed proactively (round-11 additions likely to enter the board)
+    "g_label_prop" -> Allow(),                   // keyed LPA rounds, WindowGroupLimit argmax
+    "g_cc_incremental" -> Allow(),               // star edges + keyed CC rounds
+    "d_golden_record" -> Allow(),                // keyed join + per-field argmax
+    "t_ddsketch_ledger" -> Allow(bnlj = true),   // day × bucket model-grid cross (t_hll_ledger class)
+    "q_dq_checks" -> Allow(single = true))       // one-row rule summaries unioned
 
   /** Top-15 of the newest committed BENCH_r<N>.json (driver record). */
   private def board: Seq[String] = {
@@ -101,13 +107,13 @@ class HeavyPlanSpec extends SparkSpec {
       val allow = sanctions(name)
       val plan = graft.SparkEntry.queries(name)(spark, dir)
         .queryExecution.executedPlan.toString
+      // detection shared with graft.PlanAudit via PlanFlags — the
+      // full-surface audit and this board pin check the SAME contract
       if (!allow.bnlj)
-        assert(!plan.contains("BroadcastNestedLoopJoin"),
-          s"$name grew a nested-loop join")
-      assert(!plan.contains("CartesianProduct"),
-        s"$name grew a cartesian product")
+        assert(!PlanFlags.bnlj(plan), s"$name grew a nested-loop join")
+      assert(!PlanFlags.cartesian(plan), s"$name grew a cartesian product")
       if (!allow.single)
-        assert(!plan.contains("SinglePartition"),
+        assert(!PlanFlags.singlePartition(plan),
           s"$name grew a single-partition exchange")
     }
   }
