@@ -478,6 +478,29 @@ object StatQueries {
             .as("risk_share"))
     }),
 
+    // --- l-diversity audit (Machanavajjhala et al. 2007): k-anonymity's
+    //     blind spot — a large group whose SENSITIVE attribute is
+    //     uniform still discloses it. Per quasi-identifier group, l =
+    //     distinct sensitive values; report the minimum and the rows in
+    //     fully-disclosed (l=1) groups. One groupBy + one summary. ---
+    "q_l_diversity" -> ((s, dir) => {
+      val g = t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"),
+          year(to_date(col("o_orderdate"))).as("o_year"))
+        .agg(count(lit(1)).as("gn"),
+          count_distinct(col("o_orderstatus")).as("l"))
+      g.agg(
+          sum(col("gn")).as("n_rows"),
+          count(lit(1)).as("n_groups"),
+          min(col("l")).as("min_l"),
+          sum(when(col("l") === 1, 1L).otherwise(0L)).as("n_disclosed_groups"),
+          sum(when(col("l") === 1, col("gn")).otherwise(0L)).as("n_rows_disclosed"))
+        .select(col("n_rows"), col("n_groups"), col("min_l"),
+          col("n_disclosed_groups"), col("n_rows_disclosed"),
+          round(col("n_rows_disclosed").cast("double") / col("n_rows"), 6)
+            .as("disclosed_share"))
+    }),
+
     // --- Referential-integrity audit across the star schema: orphan
     //     counts for every foreign key (lineitem→orders/part/supplier,
     //     orders→customer) in one report — the ingest data-quality
@@ -2194,6 +2217,17 @@ object StatQueries {
         |  CAST(sum(CASE WHEN gn < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_small_groups,
         |  CAST(sum(CASE WHEN gn < 5 THEN gn ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
         |  round(sum(CASE WHEN gn < 5 THEN gn ELSE 0 END)::DOUBLE / sum(gn), 6) AS risk_share
+        |FROM g""".stripMargin,
+    "q_l_diversity" ->
+      """WITH g AS (SELECT o_orderpriority, year(o_orderdate::DATE) AS o_year,
+        |    CAST(count(*) AS BIGINT) AS gn,
+        |    CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS l
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT CAST(sum(gn) AS BIGINT) AS n_rows, CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(min(l) AS BIGINT) AS min_l,
+        |  CAST(sum(CASE WHEN l = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_disclosed_groups,
+        |  CAST(sum(CASE WHEN l = 1 THEN gn ELSE 0 END) AS BIGINT) AS n_rows_disclosed,
+        |  round(sum(CASE WHEN l = 1 THEN gn ELSE 0 END)::DOUBLE / sum(gn), 6) AS disclosed_share
         |FROM g""".stripMargin,
     "q_fk_orphans" ->
       """SELECT 'lineitem->orders' AS relation,

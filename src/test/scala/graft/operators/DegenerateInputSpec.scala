@@ -122,6 +122,38 @@ class DegenerateInputSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet === Set(1L, 2L))
   }
 
+  test("ddSketch on an all-non-positive column is empty end to end") {
+    val df = Seq(("a", 0.0), ("a", -1.0), ("b", -2.5)).toDF("s", "v")
+    val sk = Sketches.ddSketchBuild(df, "s", "v")
+    assert(sk.isEmpty)
+    assert(Sketches.ddSketchQuantiles(sk, "s").isEmpty)
+  }
+
+  test("label propagation on an empty edge list returns no vertices") {
+    val edges = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(LabelPropagation.propagate(edges, "a", "b", rounds = 3).isEmpty)
+  }
+
+  test("label propagation on a self-loop-only graph returns no vertices") {
+    val edges = Seq((7L, 7L)).toDF("a", "b")
+    assert(LabelPropagation.propagate(edges, "a", "b", rounds = 2).isEmpty)
+  }
+
+  test("goldenRecord with an empty cluster frame is empty, not a crash") {
+    val df = Seq((1L, "en", 10L)).toDF("doc_id", "lang", "n_chars")
+    val clusters = Seq.empty[(Long, Long)].toDF("doc_id", "cluster_id")
+    assert(Dedup.goldenRecord(df, "doc_id", clusters, "cluster_id",
+      majorityCols = Seq("lang"), maxCols = Seq("n_chars")).isEmpty)
+  }
+
+  test("incremental CC merge with an EMPTY new-edge batch reproduces the labels") {
+    val oldE = Seq((1L, 2L), (5L, 6L)).toDF("a", "b")
+    val labels = ConnectedComponents.components(oldE, "a", "b")
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    val merged = ConnectedComponents.merge(labels, empty, "a", "b")
+    assert(merged.exceptAll(labels).isEmpty && labels.exceptAll(merged).isEmpty)
+  }
+
   test("temperatureSample on a single stratum keeps ~targetFrac") {
     val df = (1L to 200L).map(i => (i, "only")).toDF("id", "lang")
     val r = Sampling.temperatureSample(df, "id", "lang", targetFrac = 0.5)
