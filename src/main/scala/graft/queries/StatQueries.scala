@@ -501,6 +501,38 @@ object StatQueries {
             .as("disclosed_share"))
     }),
 
+    // --- t-closeness audit (Li, Li & Venkatasubramanian 2007):
+    //     l-diversity's blind spot — a group can be diverse yet still
+    //     SKEWED far from the global sensitive distribution. Per QI
+    //     group, TV distance = ½·Σ_s |p_group(s) − p_global(s)| over a
+    //     dense group×status grid (absent statuses contribute p_global);
+    //     terms 9-dp-rounded and decimal-summed (order-independent,
+    //     engine-portable). All frames are group/status-sized models;
+    //     only the base counts touch the corpus. ---
+    "q_t_closeness" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(
+        col("o_orderpriority"),
+        year(to_date(col("o_orderdate"))).as("o_year"),
+        col("o_orderstatus").as("st"))
+      val tot = o.agg(count(lit(1)).as("n"))
+      val global = o.groupBy("st").agg(count(lit(1)).as("ns"))
+      val groups = o.groupBy("o_orderpriority", "o_year")
+        .agg(count(lit(1)).as("gn"))
+      val gs = o.groupBy("o_orderpriority", "o_year", "st")
+        .agg(count(lit(1)).as("gns"))
+      val terms = groups.crossJoin(global)
+        .join(gs, Seq("o_orderpriority", "o_year", "st"), "left")
+        .crossJoin(tot)
+        .withColumn("term",
+          round(abs(coalesce(col("gns"), lit(0L)).cast("double") / col("gn") -
+            col("ns").cast("double") / col("n")), 9).cast("decimal(28,9)"))
+      val tv = terms.groupBy("o_orderpriority", "o_year")
+        .agg(round(sum(col("term")).cast("double") * 0.5, 6).as("tv"))
+      tv.agg(count(lit(1)).as("n_groups"),
+          round(max(col("tv")), 6).as("max_tv"),
+          sum(when(col("tv") > 0.2, 1L).otherwise(0L)).as("n_groups_above"))
+    }),
+
     // --- Referential-integrity audit across the star schema: orphan
     //     counts for every foreign key (lineitem→orders/part/supplier,
     //     orders→customer) in one report — the ingest data-quality
@@ -2229,6 +2261,29 @@ object StatQueries {
         |  CAST(sum(CASE WHEN l = 1 THEN gn ELSE 0 END) AS BIGINT) AS n_rows_disclosed,
         |  round(sum(CASE WHEN l = 1 THEN gn ELSE 0 END)::DOUBLE / sum(gn), 6) AS disclosed_share
         |FROM g""".stripMargin,
+    "q_t_closeness" ->
+      """WITH o AS (SELECT o_orderpriority, year(o_orderdate::DATE) AS o_year,
+        |    o_orderstatus AS st FROM orders),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM o),
+        |gdist AS (SELECT st, CAST(count(*) AS BIGINT) AS ns FROM o GROUP BY st),
+        |grp AS (SELECT o_orderpriority, o_year, CAST(count(*) AS BIGINT) AS gn
+        |        FROM o GROUP BY 1, 2),
+        |gs AS (SELECT o_orderpriority, o_year, st, CAST(count(*) AS BIGINT) AS gns
+        |       FROM o GROUP BY 1, 2, 3),
+        |grid AS (SELECT g.o_orderpriority, g.o_year, g.gn, gl.st, gl.ns
+        |         FROM grp g CROSS JOIN gdist gl),
+        |terms AS (SELECT grid.o_orderpriority, grid.o_year,
+        |    CAST(round(abs(COALESCE(gs.gns, 0)::DOUBLE / grid.gn - grid.ns::DOUBLE / tot.n), 9)
+        |      AS DECIMAL(28,9)) AS term
+        |  FROM grid CROSS JOIN tot
+        |  LEFT JOIN gs ON gs.o_orderpriority = grid.o_orderpriority
+        |    AND gs.o_year = grid.o_year AND gs.st = grid.st),
+        |tv AS (SELECT o_orderpriority, o_year,
+        |         round(CAST(sum(term) AS DOUBLE) * 0.5, 6) AS tv
+        |       FROM terms GROUP BY 1, 2)
+        |SELECT CAST(count(*) AS BIGINT) AS n_groups, round(max(tv), 6) AS max_tv,
+        |  CAST(sum(CASE WHEN tv > 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_groups_above
+        |FROM tv""".stripMargin,
     "q_fk_orphans" ->
       """SELECT 'lineitem->orders' AS relation,
         |  CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_child,
