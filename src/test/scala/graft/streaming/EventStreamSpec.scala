@@ -72,6 +72,48 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file stream e2e: windowed DDSketch over the real fixture matches batch on closed windows") {
+    // the streaming-quantile tier driven through a TRUE file source over
+    // the driver fixture's raw bytes (real physical ts encoding), not
+    // just MemoryStream: append mode emits exactly the batch cells for
+    // every window the final watermark provably closed
+    val dir = tmpDir("evstream_dd")
+    new java.io.File(s"$dir/in").mkdirs()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/in/events.parquet"))
+    val schema = spark.read.parquet(s"$dir/in").schema
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    def normalize(df: org.apache.spark.sql.DataFrame) =
+      if (df.schema("ts").dataType == TimestampNTZType)
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      else df
+    val stream = normalize(spark.readStream.schema(schema).parquet(s"$dir/in"))
+    val q = EventStream.windowedDdBuckets(stream)
+      .writeStream.format("memory").queryName("evfile_dd")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("evfile_dd")
+        .select("window_start", "bucket", "cnt")
+      val batchEv = graft.catalog.TableCatalog.load(
+        spark, "/root/testdata/sf0.001", "events")
+      val batch = EventStream.windowedDdBuckets(batchEv)
+        .select("window_start", "bucket", "cnt")
+      // a 1-day window closes once watermark (= max ts − 1 h) passes its
+      // end: window_start ≤ maxTs − 1 day − 1 h
+      val maxTs = batchEv.agg(max(col("ts"))).head.getTimestamp(0)
+      val closeBefore =
+        new java.sql.Timestamp(maxTs.getTime - 3600000L - 86400000L)
+      val closedBatch = batch.filter(col("window_start") <= closeBefore)
+      assert(closedBatch.count() > 0)
+      assert(closedBatch.exceptAll(streamed).isEmpty,
+        "every provably-closed batch bucket must be emitted by the stream")
+      assert(streamed.exceptAll(batch).isEmpty,
+        "the stream must not emit any cell the batch sketch does not have")
+    } finally q.stop()
+  }
+
   test("file stream e2e: watermarked sessionization over the real fixture matches batch") {
     // VERDICT r9 item 6: drive the EVENT-TIME stateful transforms through
     // a true file source over the driver fixture's raw bytes (real
