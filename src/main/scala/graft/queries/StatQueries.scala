@@ -514,12 +514,16 @@ object StatQueries {
         col("o_orderpriority"),
         year(to_date(col("o_orderdate"))).as("o_year"),
         col("o_orderstatus").as("st"))
-      val tot = o.agg(count(lit(1)).as("n"))
-      val global = o.groupBy("st").agg(count(lit(1)).as("ns"))
-      val groups = o.groupBy("o_orderpriority", "o_year")
-        .agg(count(lit(1)).as("gn"))
+      // ONE corpus scan: the (group, status) count frame; total, global
+      // and per-group counts are exact integer roll-ups of it (the
+      // q_k_anonymity discipline — model-sized frames from here on)
       val gs = o.groupBy("o_orderpriority", "o_year", "st")
         .agg(count(lit(1)).as("gns"))
+        .cache()
+      val tot = gs.agg(sum(col("gns")).as("n"))
+      val global = gs.groupBy("st").agg(sum(col("gns")).as("ns"))
+      val groups = gs.groupBy("o_orderpriority", "o_year")
+        .agg(sum(col("gns")).as("gn"))
       val terms = groups.crossJoin(global)
         .join(gs, Seq("o_orderpriority", "o_year", "st"), "left")
         .crossJoin(tot)
@@ -2264,12 +2268,12 @@ object StatQueries {
     "q_t_closeness" ->
       """WITH o AS (SELECT o_orderpriority, year(o_orderdate::DATE) AS o_year,
         |    o_orderstatus AS st FROM orders),
-        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM o),
-        |gdist AS (SELECT st, CAST(count(*) AS BIGINT) AS ns FROM o GROUP BY st),
-        |grp AS (SELECT o_orderpriority, o_year, CAST(count(*) AS BIGINT) AS gn
-        |        FROM o GROUP BY 1, 2),
         |gs AS (SELECT o_orderpriority, o_year, st, CAST(count(*) AS BIGINT) AS gns
         |       FROM o GROUP BY 1, 2, 3),
+        |tot AS (SELECT CAST(sum(gns) AS BIGINT) AS n FROM gs),
+        |gdist AS (SELECT st, CAST(sum(gns) AS BIGINT) AS ns FROM gs GROUP BY st),
+        |grp AS (SELECT o_orderpriority, o_year, CAST(sum(gns) AS BIGINT) AS gn
+        |        FROM gs GROUP BY 1, 2),
         |grid AS (SELECT g.o_orderpriority, g.o_year, g.gn, gl.st, gl.ns
         |         FROM grp g CROSS JOIN gdist gl),
         |terms AS (SELECT grid.o_orderpriority, grid.o_year,

@@ -208,6 +208,34 @@ class StatSpec extends SparkSpec {
     assert(r.getAs[Long]("n_rows_at_risk") === 1L)
   }
 
+  test("l-diversity and t-closeness: constructed corpus with hand-computed answers") {
+    // 3 QI groups, 10 rows: A = 4×F (uniform → l=1), B = 1×F + 3×O
+    // (l=2), C = 2×P (l=1). Global dist = (F .5, O .3, P .2).
+    // TV: A = ½(|1−.5|+|0−.3|+|0−.2|) = .5; B = ½(.25+.45+.2) = .45;
+    // C = ½(.5+.3+.8) = .8.
+    def row(k: Long, st: String, prio: String) =
+      (k, 1L, st, 100.0, ts("1995-03-05 00:00:00"), prio)
+    val ord = (
+      (1L to 4L).map(k => row(k, "F", "1-A")) ++
+        Seq(row(5L, "F", "2-B"), row(6L, "O", "2-B"),
+          row(7L, "O", "2-B"), row(8L, "O", "2-B")) ++
+        Seq(row(9L, "P", "3-C"), row(10L, "P", "3-C"))
+    ).toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+    val d = fixture("orders" -> ord)
+    val l = StatQueries.queries("q_l_diversity")(spark, d).collect().head
+    assert(l.getAs[Long]("n_rows") === 10L)
+    assert(l.getAs[Long]("n_groups") === 3L)
+    assert(l.getAs[Long]("min_l") === 1L)
+    assert(l.getAs[Long]("n_disclosed_groups") === 2L)
+    assert(l.getAs[Long]("n_rows_disclosed") === 6L)
+    assert(l.getAs[Double]("disclosed_share") === 0.6)
+    val t = StatQueries.queries("q_t_closeness")(spark, d).collect().head
+    assert(t.getAs[Long]("n_groups") === 3L)
+    assert(t.getAs[Double]("max_tv") === 0.8)
+    assert(t.getAs[Long]("n_groups_above") === 3L)
+  }
+
   test("FK orphan audit: a planted dangling key is counted in exactly its relation") {
     val ord = Seq(
       (1L, 10L, "O", 100.0, ts("2026-01-05 00:00:00"), "1-URGENT"),

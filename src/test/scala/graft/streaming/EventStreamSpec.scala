@@ -9,6 +9,29 @@ class EventStreamSpec extends SparkSpec {
 
   private def ts(s: String) = Timestamp.from(java.time.Instant.parse(s))
 
+  /** Copy the driver fixture's events.parquet VERBATIM into a temp dir
+    * and return a thunk producing a file-source stream over it, `ts`
+    * normalized exactly as TableCatalog.load does. The raw-bytes copy
+    * means the REAL physical ts encoding (timestamp[us]/NTZ since r8)
+    * is what the file source resolves — and the r8 encoding drift is
+    * why this normalization must live in exactly ONE place (guards
+    * VERDICT r8 item 6 for every file-source e2e below). */
+  private def fixtureStream(name: String): () => org.apache.spark.sql.DataFrame = {
+    val dir = tmpDir(name)
+    new java.io.File(s"$dir/in").mkdirs()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/in/events.parquet"))
+    val schema = spark.read.parquet(s"$dir/in").schema
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    () => {
+      val df = spark.readStream.schema(schema).parquet(s"$dir/in")
+      if (df.schema("ts").dataType == TimestampNTZType)
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      else df
+    }
+  }
+
   test("windowedCounts: same code runs batch and stream, same results") {
     import spark.implicits._
     val rows = Seq(
@@ -40,23 +63,9 @@ class EventStreamSpec extends SparkSpec {
   }
 
   test("file stream over the events table matches the batch backfill") {
-    // Stream the driver fixture's RAW bytes (copied verbatim, so the real
-    // physical ts encoding — timestamp[us]/NTZ since r8 — is what the file
-    // source resolves), normalized exactly as TableCatalog.load does.
-    // Guards VERDICT r8 item 6: watermarks must behave identically on the
-    // normalized column regardless of the fixture's encoding generation.
-    val dir = tmpDir("evstream")
-    new java.io.File(s"$dir/in").mkdirs()
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
-      java.nio.file.Paths.get(s"$dir/in/events.parquet"))
-    val schema = spark.read.parquet(s"$dir/in").schema
-    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
-    def normalize(df: org.apache.spark.sql.DataFrame) =
-      if (df.schema("ts").dataType == TimestampNTZType)
-        df.withColumn("ts", col("ts").cast(TimestampType))
-      else df
-    val stream = normalize(spark.readStream.schema(schema).parquet(s"$dir/in"))
+    // watermarks must behave identically on the normalized column
+    // regardless of the fixture's encoding generation (fixtureStream)
+    val stream = fixtureStream("evstream")()
     val q = EventStream.windowedCounts(stream)
       .writeStream.format("memory").queryName("evfile")
       .outputMode("update").start()
@@ -74,21 +83,10 @@ class EventStreamSpec extends SparkSpec {
 
   test("file stream e2e: windowed DDSketch over the real fixture matches batch on closed windows") {
     // the streaming-quantile tier driven through a TRUE file source over
-    // the driver fixture's raw bytes (real physical ts encoding), not
-    // just MemoryStream: append mode emits exactly the batch cells for
-    // every window the final watermark provably closed
-    val dir = tmpDir("evstream_dd")
-    new java.io.File(s"$dir/in").mkdirs()
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
-      java.nio.file.Paths.get(s"$dir/in/events.parquet"))
-    val schema = spark.read.parquet(s"$dir/in").schema
-    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
-    def normalize(df: org.apache.spark.sql.DataFrame) =
-      if (df.schema("ts").dataType == TimestampNTZType)
-        df.withColumn("ts", col("ts").cast(TimestampType))
-      else df
-    val stream = normalize(spark.readStream.schema(schema).parquet(s"$dir/in"))
+    // the driver fixture's raw bytes, not just MemoryStream: append mode
+    // emits exactly the batch cells for every window the final watermark
+    // provably closed
+    val stream = fixtureStream("evstream_dd")()
     val q = EventStream.windowedDdBuckets(stream)
       .writeStream.format("memory").queryName("evfile_dd")
       .outputMode("append").start()
@@ -123,22 +121,11 @@ class EventStreamSpec extends SparkSpec {
     // last_ts + gap <= watermark.
     import spark.implicits._
     import EventStream.{ClosedSession, Event}
-    val dir = tmpDir("evstream_sess")
-    new java.io.File(s"$dir/in").mkdirs()
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
-      java.nio.file.Paths.get(s"$dir/in/events.parquet"))
-    val schema = spark.read.parquet(s"$dir/in").schema
-    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
-    def normalize(df: org.apache.spark.sql.DataFrame) =
-      if (df.schema("ts").dataType == TimestampNTZType)
-        df.withColumn("ts", col("ts").cast(TimestampType))
-      else df
+    val stream = fixtureStream("evstream_sess")()
     def toEvents(df: org.apache.spark.sql.DataFrame) =
       df.select(col("user_id"), col("ts"), col("value")).as[Event]
     val batchEv = graft.catalog.TableCatalog.load(
       spark, "/root/testdata/sf0.001", "events")
-    val stream = normalize(spark.readStream.schema(schema).parquet(s"$dir/in"))
     val q = EventStream.sessionizeEventTime(toEvents(stream))
       .writeStream.format("memory").queryName("evfile_sess")
       .outputMode("append").start()
@@ -164,18 +151,7 @@ class EventStreamSpec extends SparkSpec {
   }
 
   test("file stream e2e: stream-stream interval join over the real fixture matches batch") {
-    val dir = tmpDir("evstream_ij")
-    new java.io.File(s"$dir/in").mkdirs()
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
-      java.nio.file.Paths.get(s"$dir/in/events.parquet"))
-    val schema = spark.read.parquet(s"$dir/in").schema
-    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
-    def normalize(df: org.apache.spark.sql.DataFrame) =
-      if (df.schema("ts").dataType == TimestampNTZType)
-        df.withColumn("ts", col("ts").cast(TimestampType))
-      else df
-    def src() = normalize(spark.readStream.schema(schema).parquet(s"$dir/in"))
+    val src = fixtureStream("evstream_ij")
     val batchEv = graft.catalog.TableCatalog.load(
       spark, "/root/testdata/sf0.001", "events")
     val q = EventStream.intervalJoin(
