@@ -62,7 +62,13 @@ class HeavyPlanSpec extends SparkSpec {
     "g_cc_incremental" -> Allow(),               // star edges + keyed CC rounds
     "d_golden_record" -> Allow(),                // keyed join + per-field argmax
     "t_ddsketch_ledger" -> Allow(bnlj = true),   // day × bucket model-grid cross (t_hll_ledger class)
-    "q_dq_checks" -> Allow(single = true))       // one-row rule summaries unioned
+    "q_dq_checks" -> Allow(single = true),       // one-row rule summaries unioned
+    // near-board ANN tier (final-board positions 18-20), reviewed:
+    "a_ann_ivfpq_res_topk" -> Allow(),           // bucketed probe, broadcast codebooks
+    "a_ann_ivf2_recall" -> Allow(bnlj = true),   // fixed-count brute-force ground truth
+    "a_ann_ivfpq_stored" -> Allow(),             // code-store serve, broadcast model
+    "a_ann_ivf2_topk" -> Allow(),                // two-level probe, broadcast models
+    "d_minhash_stored" -> Allow())               // stored-signature band join
 
   /** Top-15 of the newest committed BENCH_r<N>.json (driver record). */
   private def board: Seq[String] = {
