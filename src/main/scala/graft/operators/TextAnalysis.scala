@@ -454,7 +454,7 @@ object TextAnalysis {
     *
     * Output: (rk, lhs, rhs, cnt) — merge table in training order,
     * rk 1-based; may stop short of `rounds` if no pair repeats. */
-  def bpeTrain(df0: DataFrame, textCol: String, rounds: Int = 5,
+  private[operators] def bpeTrain(df0: DataFrame, textCol: String, rounds: Int = 5,
                minFreq: Long = 1, maxWords: Int = 1 << 22): DataFrame = {
     require(rounds > 0, s"rounds must be positive, got $rounds")
     require(minFreq >= 1, s"minFreq must be >= 1, got $minFreq")
@@ -521,6 +521,10 @@ object TextAnalysis {
     merges.toSeq.toDF("rk", "lhs", "rhs", "cnt")
   }
 
+  /** Test-only observability for the dispatch in [[bpeTrainDistributed]]:
+    * which path the last call on this JVM took. */
+  @volatile private[operators] var lastBpeTrainPath: String = ""
+
   /** [[bpeTrain]] with the merge rounds DISTRIBUTED — the word table
     * never leaves the executors. Per round (the ConnectedComponents
     * keyed-rounds discipline): one pair-count aggregate over the
@@ -542,14 +546,41 @@ object TextAnalysis {
     * (TakeOrdered-shaped limit); at the default 2^22 it passes
     * everything through.
     *
+    * This is the SINGLE public trainer. `driverDispatchMaxWords` is a
+    * count-based dispatch to the driver fast-path: when an
+    * approx-count-distinct over the raw token stream (one extra
+    * map-combined pass, ±5% rsd) is at or under the threshold, the
+    * bounded word table is collected and the merge rounds run
+    * driver-side — the SAME algorithm on the collected table, proved
+    * BIT-IDENTICAL by `BpeTrainEquivalenceSpec`, so which path ran is
+    * unobservable in the output. A near-threshold approx misdispatch is
+    * therefore harmless. Default 2^16: ≤65k word strings is a
+    * model-sized collect (the k-means/PQ-trainer budget); a web-corpus
+    * vocabulary (10^8+ distinct tokens) always goes distributed, closing
+    * the old footgun where calling the driver trainer directly on a big
+    * corpus collected up to 2^22 strings. Pass 0 to pin the distributed
+    * rounds (the gate queries do, so the scale path stays exercised on
+    * the small fixtures).
+    *
     * Output: (rk, lhs, rhs, cnt) — merge table in training order. */
   def bpeTrainDistributed(df0: DataFrame, textCol: String, rounds: Int = 5,
-                          minFreq: Long = 1, maxWords: Int = 1 << 22): DataFrame = {
+                          minFreq: Long = 1, maxWords: Int = 1 << 22,
+                          driverDispatchMaxWords: Long = 1L << 16): DataFrame = {
     require(rounds > 0, s"rounds must be positive, got $rounds")
     require(minFreq >= 1, s"minFreq must be >= 1, got $minFreq")
     require(maxWords >= 1, s"maxWords must be >= 1, got $maxWords")
     val spark = df0.sparkSession
     import spark.implicits._
+    if (driverDispatchMaxWords > 0) {
+      val approxVocab = graft.functions.SafeExplode.explodeSelect(
+          Dedup.widen(df0), Seq.empty, tokens(col(textCol)), "w")
+        .agg(approx_count_distinct(col("w")).as("n")).head().getLong(0)
+      if (approxVocab <= driverDispatchMaxWords) {
+        lastBpeTrainPath = "driver"
+        return bpeTrain(df0, textCol, rounds, minFreq, maxWords)
+      }
+    }
+    lastBpeTrainPath = "distributed"
     // per-round checkpoints with DETERMINISTIC block release — see
     // LocalCheckpoints for why Dataset.unpersist cannot do this. At a
     // 32k-round vocabulary, unreleased rounds are unbounded

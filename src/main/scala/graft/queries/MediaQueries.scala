@@ -94,15 +94,31 @@ object MediaQueries {
     // shape, hash-checked end to end because the band-mean features are
     // integer arithmetic over the payload bytes.
     "m_media_semantic_dedup" -> ((s, dir) => {
-      val media = TableCatalog.load(s, dir, "documents")
-        .select(col("doc_id").as("media_id"), col("text").cast("binary").as("bytes"))
+      // Pinned k=4 SemDeDup (oracle-value pin; the scale-safe auto-k twin
+      // is m_media_semantic_dedup_auto). Because the pin makes per-cluster
+      // pair volume O(N²/4), the GATE runs on the 5000 hash-minimal docs
+      // (= the full table at both gate SFs, so committed oracle values are
+      // unchanged; at sf1+ only the linear TakeOrdered scan grows — decode
+      // and dedup run on a fixed-size slice). Oracle replays the slice.
+      // repartition after the slice: a mid-plan ORDER BY + LIMIT leaves
+      // ONE partition, which would serialize the per-row BMP work onto a
+      // single task (the round-2 fan-out-guard lesson)
+      val media = graft.operators.Similarity.fixedQuerySample(
+        TableCatalog.load(s, dir, "documents")
+          .select(col("doc_id").as("media_id"), col("text").cast("binary").as("bytes")),
+        "media_id", 5000)
+        .repartition(col("media_id"))
       val all = media.unionByName(media.select(
         (col("media_id") + 1000000L).as("media_id"), col("bytes")))
+      // cached: kmeansTrain + assignment re-scan their input per pass —
+      // uncached, each pass would re-run the slice TakeOrdered and the
+      // full BMP decode. The cached frame is 2×5000 (id, 12 floats) rows.
       val feats = Multimodal.decodeBmp(
           Multimodal.encodeBmp(all, width = 4), bands = 4)
         .select(col("media_id"),
           Multimodal.bandMeanFeatures(col("band_sums"), col("band_counts"))
             .cast("array<float>").as("features"))
+        .cache()
       graft.operators.Dedup.semanticDedup(
           feats, "media_id", "features", k = 4, iters = 2, tau = 0.99)
         .orderBy("media_id")
@@ -421,8 +437,12 @@ object MediaQueries {
       // (identical bytes -> identical vectors), then the d_semantic_dedup
       // kmeans/drop logic over them
       s"""WITH $featureCtes,
-         |fl AS (SELECT media_id, list(CAST(fv AS FLOAT) ORDER BY band, ch) AS v
+         |fl0 AS (SELECT media_id, list(CAST(fv AS FLOAT) ORDER BY band, ch) AS v
          |       FROM f GROUP BY media_id),
+         |-- content-hash fixed-count corpus slice, lockstep with the Spark
+         |-- gate (5000 hash-minimal ids = the full table at gate SFs)
+         |fl AS (SELECT media_id, v FROM fl0
+         |       ORDER BY md5(CAST(media_id AS VARCHAR)), media_id LIMIT 5000),
          |fm AS (SELECT media_id, v FROM fl
          |       UNION ALL
          |       SELECT media_id + 1000000, v FROM fl),

@@ -202,8 +202,18 @@ object PipelineQueries {
         .orderBy("cluster_id")
     }),
 
+    // Pinned-blocking gate (fixed-cardinality label blocks — the
+    // deliberate oracle-value pin; the scale-safe default is the auto-k
+    // twin below). The pin makes within-block pair volume O(N²/labels),
+    // so the GATE runs on a content-hash fixed-count corpus slice: the
+    // 2000 hash-minimal vec_ids (= the full table at both gate SFs, so
+    // committed oracle values are unchanged; at sf1+ anchors only the
+    // linear TakeOrdered scan grows while the quadratic part stays
+    // fixed-size). Oracle replays the identical slice.
     "d_embedding_neardup" -> ((s, dir) =>
-      Dedup.embeddingNearDup(emb(s, dir), "vec_id", "embedding", "label")
+      Dedup.embeddingNearDup(
+          Similarity.fixedQuerySample(emb(s, dir), "vec_id", 2000),
+          "vec_id", "embedding", "label")
         .orderBy("d1", "d2")),
 
     // --- the scale-safe blocking path: k-means blocks with k = autoK
@@ -1163,14 +1173,18 @@ object PipelineQueries {
     // --- iterative BPE trainer: first 5 merges over the corpus word-
     //     frequency table (greedy left-to-right merge application) ---
     "t_bpe_train" -> ((s, dir) =>
-      TextAnalysis.bpeTrainDistributed(docs(s, dir), "text", rounds = 5)
+      // driverDispatchMaxWords = 0 pins the distributed rounds: the
+      // gate's purpose is to exercise the scale path on the small fixture
+      TextAnalysis.bpeTrainDistributed(docs(s, dir), "text", rounds = 5,
+          driverDispatchMaxWords = 0)
         .orderBy("rk")),
 
     // --- BPE trainer with the frequency threshold real trainers apply
     //     before the word table is bounded: words seen < 3 times never
     //     contribute to a merge decision ---
     "t_bpe_train_minfreq" -> ((s, dir) =>
-      TextAnalysis.bpeTrainDistributed(docs(s, dir), "text", rounds = 5, minFreq = 3)
+      TextAnalysis.bpeTrainDistributed(docs(s, dir), "text", rounds = 5,
+          minFreq = 3, driverDispatchMaxWords = 0)
         .orderBy("rk")),
 
     // --- BPE encoding under the trained merge table: per-doc word and
@@ -1181,7 +1195,8 @@ object PipelineQueries {
       // ships as a stored merge table, not an in-plan artifact — the
       // serve path a 100 TB encode job actually runs
       graft.operators.ModelStore.saveBpeMerges(
-        TextAnalysis.bpeTrainDistributed(d, "text", rounds = 5),
+        TextAnalysis.bpeTrainDistributed(d, "text", rounds = 5,
+          driverDispatchMaxWords = 0),
         modelDir, "bpe_merges")
       val merges = graft.operators.ModelStore
         .loadBpeMerges(s, modelDir, "bpe_merges")
@@ -2151,9 +2166,11 @@ object PipelineQueries {
            |ORDER BY batch_id, corpus_id""".stripMargin,
 
       "d_embedding_neardup" ->
-        s"""SELECT d1, d2, cos FROM (
+        s"""WITH es AS (SELECT * FROM embeddings
+           |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 2000)
+           |SELECT d1, d2, cos FROM (
            |  SELECT a.vec_id AS d1, b.vec_id AS d2, $cosAB AS cos
-           |  FROM embeddings a JOIN embeddings b
+           |  FROM es a JOIN es b
            |    ON a.label = b.label AND a.vec_id < b.vec_id)
            |WHERE cos >= 0.45 ORDER BY d1, d2""".stripMargin,
 

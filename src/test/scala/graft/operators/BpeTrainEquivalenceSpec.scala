@@ -22,8 +22,11 @@ class BpeTrainEquivalenceSpec extends SparkSpec {
                           minFreq: Long = 1, maxWords: Int = 1 << 22): Unit = {
     val driver = table(TextAnalysis.bpeTrain(
       docs, "text", rounds, minFreq, maxWords))
+    // driverDispatchMaxWords = 0 pins the DISTRIBUTED rounds — the default
+    // dispatch would route these small fixtures to the driver fast-path,
+    // making the comparison vacuous (driver vs driver)
     val dist = table(TextAnalysis.bpeTrainDistributed(
-      docs, "text", rounds, minFreq, maxWords))
+      docs, "text", rounds, minFreq, maxWords, driverDispatchMaxWords = 0))
     assert(dist === driver)
   }
 
@@ -44,7 +47,8 @@ class BpeTrainEquivalenceSpec extends SparkSpec {
     // lex tiebreak must pick (l,o) in both trainers
     val docs = Seq((1L, "low low lower"), (2L, "low lowest")).toDF("doc_id", "text")
     assertEquiv(docs, rounds = 5)
-    assert(table(TextAnalysis.bpeTrainDistributed(docs, "text", rounds = 5)) ===
+    assert(table(TextAnalysis.bpeTrainDistributed(docs, "text", rounds = 5,
+        driverDispatchMaxWords = 0)) ===
       Seq((1L, "l", "o", 5L), (2L, "lo", "w", 5L), (3L, "low", "e", 2L),
         (4L, "lowe", "r", 1L), (5L, "lowe", "s", 1L)))
   }
@@ -54,7 +58,8 @@ class BpeTrainEquivalenceSpec extends SparkSpec {
     // training then ends at round 2 of 5 in both trainers
     val docs = Seq((1L, "aaaa"), (2L, "aaaa")).toDF("doc_id", "text")
     assertEquiv(docs, rounds = 5)
-    assert(table(TextAnalysis.bpeTrainDistributed(docs, "text", rounds = 5)) ===
+    assert(table(TextAnalysis.bpeTrainDistributed(docs, "text", rounds = 5,
+        driverDispatchMaxWords = 0)) ===
       Seq((1L, "a", "a", 6L), (2L, "aa", "aa", 2L)))
   }
 
