@@ -4,14 +4,21 @@ import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 
 /** Full-surface physical-plan lint: walks EVERY SparkEntry.queries
-  * entry, plans it (AQE initial plan — no execution beyond what a
-  * query's own model-training collects run), and records the three
+  * entry, plans it (AQE initial plan), and records the three
   * anti-pattern flags HeavyPlanSpec pins on the bench top-15 —
   * BroadcastNestedLoopJoin, CartesianProduct, SinglePartition exchange —
   * for the WHOLE gate surface, so a scale regression in a mid-cost
   * query is visible the round it appears, not the round it becomes
   * expensive. Writes PLANAUDIT.json (query → flags) and prints a
   * summary line; run at round close over sf0.001.
+  *
+  * Construction-time side effects DO run (ADVICE r11): building the
+  * stored-path queries (d_minhash_stored, a_ann_ivf*_stored,
+  * t_bpe_encode) eagerly executes their train + ModelStore persist
+  * steps, and model-training collects run wherever a query trains at
+  * plan-construction time — so audit runtime scales with the fixture
+  * and writes model artifacts to the per-JVM temp store. Run it on
+  * sf0.001, where that cost is seconds.
   *
   * Interpretation contract (same as HeavyPlanSpec): `cartesian` should
   * be zero everywhere; `bnlj` and `single_partition` are legitimate

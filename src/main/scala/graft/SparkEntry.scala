@@ -16,7 +16,14 @@ object SparkEntry {
     queries("q_join_revenue_by_nation")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2, plus the
-    * training-data pipeline suite (dedup / similarity / text analysis). */
+    * training-data pipeline suite (dedup / similarity / text analysis).
+    *
+    * Execution contract: the harnesses (Verify, Bench, the driver) run
+    * these one at a time. The stored-model gates (a_ann_*_stored,
+    * d_minhash_stored, t_bpe_encode) write to a shared per-JVM model
+    * dir under per-query-unique artifact names, so even concurrent
+    * invocation cannot cross-clobber — but the SEQUENTIAL contract is
+    * the tested one. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.CoreQueries.queries ++
       graft.queries.PipelineQueries.queries ++

@@ -169,7 +169,7 @@ object AnalyticsQueries {
     "a_ann_ndcg" -> ((s, dir) => {
       import graft.operators.Similarity
       val e = t(s, dir, "embeddings")
-      val q = e.filter(col("vec_id") % 50 === 0)
+      val q = Similarity.fixedQuerySample(e, "vec_id")
       val bf = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
         .select(col("qid"), col("nid"), col("rk").as("trk"))
       val lsh = Similarity.lshTopK(e, q, "vec_id", "embedding", k = 5, planes = 8)
@@ -194,7 +194,7 @@ object AnalyticsQueries {
     "a_ann_multiprobe" -> ((s, dir) => {
       import graft.operators.Similarity
       val e = t(s, dir, "embeddings")
-      val q = e.filter(col("vec_id") % 50 === 0)
+      val q = Similarity.fixedQuerySample(e, "vec_id")
       val bf = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
         .select("qid", "nid")
       val mp = Similarity.multiprobeLshTopK(e, q, "vec_id", "embedding",
@@ -560,7 +560,7 @@ object AnalyticsQueries {
       import org.apache.spark.sql.expressions.Window
       import graft.operators.Vectors
       val e = t(s, dir, "embeddings")
-      val q = broadcast(e.filter(col("vec_id") % 50 === 0)
+      val q = broadcast(graft.operators.Similarity.fixedQuerySample(e, "vec_id")
         .select(col("vec_id").as("qid"), col("embedding").as("qv")))
       val sc = e.select(col("vec_id").as("nid"), col("embedding").as("nv"))
         .join(q, col("qid") =!= col("nid"))
@@ -736,7 +736,7 @@ object AnalyticsQueries {
       val spark = s
       import spark.implicits._
       val e = t(s, dir, "embeddings")
-      val q = e.filter(col("vec_id") % 50 === 0)
+      val q = Similarity.fixedQuerySample(e, "vec_id")
       val bf = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
         .select(col("qid"), col("nid"), col("rk").as("trk"))
       val lsh = Similarity.lshTopK(e, q, "vec_id", "embedding", k = 5, planes = 8)
@@ -822,7 +822,7 @@ object AnalyticsQueries {
       import org.apache.spark.sql.expressions.Window
       import graft.operators.Vectors
       val e = t(s, dir, "embeddings")
-      val x = e.filter(col("vec_id") % 50 === 0)
+      val x = graft.operators.Similarity.fixedQuerySample(e, "vec_id")
         .select(col("vec_id").as("xid"), col("embedding").as("xv"))
       val y = e.filter(col("vec_id") % 3 === 0)
         .select(col("vec_id").as("yid"), col("embedding").as("yv"))
@@ -908,7 +908,7 @@ object AnalyticsQueries {
           "(x, d) -> IF(x > 0, shiftleft(1L, cast(d as int)), 0L)), 0L, (a, b) -> a + b)"
       val bq = t(s, dir, "embeddings").select(col("vec_id"),
         expr(word(0)).as("w0"), expr(word(32)).as("w1"))
-      val q = broadcast(bq.filter(col("vec_id") % 50 === 0)
+      val q = broadcast(graft.operators.Similarity.fixedQuerySample(bq, "vec_id")
         .select(col("vec_id").as("qid"), col("w0").as("q0"), col("w1").as("q1")))
       val sc = bq.select(col("vec_id").as("nid"), col("w0"), col("w1"))
         .join(q, col("qid") =!= col("nid"))
@@ -1333,12 +1333,13 @@ object AnalyticsQueries {
        |    SELECT a.vec_id AS qid, b.vec_id AS nid,
        |      row_number() OVER (PARTITION BY a.vec_id ORDER BY $cosAB DESC, b.vec_id) AS rk
        |    FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
-       |    WHERE a.vec_id % 50 = 0)
+       |    WHERE a.vec_id IN (SELECT vec_id FROM qs))
        |  WHERE rk <= 5)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "a_ann_ndcg" ->
-      s"""WITH $bfCte,
+      s"""WITH ${OracleSamples.qsCte},
+         |$bfCte,
          |$bucketCte,
          |lsh AS (
          |  SELECT qid, nid, rk FROM (
@@ -1347,7 +1348,7 @@ object AnalyticsQueries {
          |          FROM bucket q JOIN bucket c ON q.bk = c.bk AND q.vec_id <> c.vec_id
          |          JOIN embeddings x ON x.vec_id = q.vec_id
          |          JOIN embeddings y ON y.vec_id = c.vec_id
-         |          WHERE q.vec_id % 50 = 0))
+         |          WHERE q.vec_id IN (SELECT vec_id FROM qs)))
          |  WHERE rk <= 5),
          |dcg AS (SELECT l.qid,
          |    sum(CAST(round(coalesce(6 - b.rk, 0)::DOUBLE / ln((l.rk + 1)::DOUBLE), 9)
@@ -1360,13 +1361,14 @@ object AnalyticsQueries {
          |SELECT i.qid, round(coalesce(d.dcg, 0)::DOUBLE / i.idcg::DOUBLE, 6) AS ndcg
          |FROM idcg i LEFT JOIN dcg d USING (qid) ORDER BY qid""".stripMargin,
     "a_ann_multiprobe" ->
-      s"""WITH $bfCte,
+      s"""WITH ${OracleSamples.qsCte},
+         |$bfCte,
          |$bucketCte,
          |qp AS (SELECT vec_id AS qid, unnest(list_distinct([bk,
          |    xor(bk, 1::BIGINT), xor(bk, 2::BIGINT), xor(bk, 4::BIGINT),
          |    xor(bk, 8::BIGINT), xor(bk, 16::BIGINT), xor(bk, 32::BIGINT),
          |    xor(bk, 64::BIGINT), xor(bk, 128::BIGINT)])) AS pbk
-         |  FROM bucket WHERE vec_id % 50 = 0),
+         |  FROM bucket WHERE vec_id IN (SELECT vec_id FROM qs)),
          |mp AS (
          |  SELECT qid, nid FROM (
          |    SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
@@ -1477,9 +1479,7 @@ object AnalyticsQueries {
          |${pcaIter("v1", "v2")}
          |SELECT d::BIGINT AS dim, round(val, 6) AS loading FROM v2 ORDER BY d""".stripMargin,
     "a_ann_whitened" ->
-      s"""WITH qs AS (SELECT vec_id FROM (
-         |    SELECT vec_id, md5(vec_id::VARCHAR) AS ph FROM embeddings
-         |    ORDER BY ph, vec_id LIMIT 20)),
+      s"""WITH ${OracleSamples.qsCte},
          |e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
          |e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |v0 AS (SELECT unnest(range(64)) AS d, 0.125 AS val),
@@ -1575,10 +1575,11 @@ object AnalyticsQueries {
         |  round(coalesce(n_inter, 0)::DOUBLE / (n1 + n2 - coalesce(n_inter, 0)), 6) AS jaccard
         |FROM dom LEFT JOIN inter USING (t1, t2) ORDER BY t1, t2""".stripMargin,
     "a_ann_mips_topk" ->
-      """WITH sc AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+      s"""WITH ${OracleSamples.qsCte},
+        |sc AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
         |    round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS ip
         |  FROM embeddings a JOIN embeddings b
-        |    ON a.vec_id % 50 = 0 AND a.vec_id <> b.vec_id)
+        |    ON a.vec_id IN (SELECT vec_id FROM qs) AND a.vec_id <> b.vec_id)
         |SELECT qid, nid, ip, CAST(rn AS BIGINT) AS rk FROM (
         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY ip DESC, nid) AS rn
         |  FROM sc)
@@ -1668,7 +1669,8 @@ object AnalyticsQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
         |FROM pd ORDER BY day""".stripMargin,
     "a_ann_recall_curve" ->
-      s"""WITH $bfCte,
+      s"""WITH ${OracleSamples.qsCte},
+         |$bfCte,
          |$bucketCte,
          |lsh AS (
          |  SELECT qid, nid, rk AS pos FROM (
@@ -1677,7 +1679,7 @@ object AnalyticsQueries {
          |          FROM bucket q JOIN bucket c ON q.bk = c.bk AND q.vec_id <> c.vec_id
          |          JOIN embeddings x ON x.vec_id = q.vec_id
          |          JOIN embeddings y ON y.vec_id = c.vec_id
-         |          WHERE q.vec_id % 50 = 0))
+         |          WHERE q.vec_id IN (SELECT vec_id FROM qs)))
          |  WHERE rk <= 5),
          |j AS (SELECT bf.qid, bf.rk AS trk, lsh.pos
          |      FROM bf JOIN lsh ON lsh.qid = bf.qid AND lsh.nid = bf.nid),
@@ -1711,9 +1713,10 @@ object AnalyticsQueries {
         |  quantile_disc(o_totalprice, 0.95) AS p95_disc
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "a_margin_mining" ->
-      s"""WITH p AS (SELECT a.vec_id AS xid, b.vec_id AS yid, $cosAB AS cos
+      s"""WITH ${OracleSamples.qsCte},
+         |p AS (SELECT a.vec_id AS xid, b.vec_id AS yid, $cosAB AS cos
          |      FROM embeddings a JOIN embeddings b
-         |        ON a.vec_id % 50 = 0 AND b.vec_id % 3 = 0 AND a.vec_id <> b.vec_id),
+         |        ON a.vec_id IN (SELECT vec_id FROM qs) AND b.vec_id % 3 = 0 AND a.vec_id <> b.vec_id),
          |r AS (SELECT *,
          |    row_number() OVER (PARTITION BY xid ORDER BY cos DESC, yid) AS rx,
          |    row_number() OVER (PARTITION BY yid ORDER BY cos DESC, xid) AS ry FROM p),
@@ -1764,14 +1767,15 @@ object AnalyticsQueries {
          |                    / s_tot END, 4) AS hll_union_estimate
          |FROM ex CROSS JOIN sl CROSS JOIN est""".stripMargin,
     "a_ann_bq_topk" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      s"""WITH ${OracleSamples.qsCte},
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |bq AS (SELECT vec_id,
         |    CAST(sum(CASE WHEN d < 32 AND v[d+1] > 0 THEN (2**d)::BIGINT ELSE 0 END) AS BIGINT) AS w0,
         |    CAST(sum(CASE WHEN d >= 32 AND v[d+1] > 0 THEN (2**(d-32))::BIGINT ELSE 0 END) AS BIGINT) AS w1
         |  FROM e CROSS JOIN (SELECT unnest(range(64)) AS d) GROUP BY vec_id),
         |sc AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
         |    CAST(bit_count(xor(q.w0, c.w0)) + bit_count(xor(q.w1, c.w1)) AS BIGINT) AS hamming
-        |  FROM bq q JOIN bq c ON q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id)
+        |  FROM bq q JOIN bq c ON q.vec_id IN (SELECT vec_id FROM qs) AND q.vec_id <> c.vec_id)
         |SELECT qid, nid, hamming, CAST(rn AS BIGINT) AS rk FROM (
         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY hamming, nid) AS rn FROM sc)
         |WHERE rn <= 5 ORDER BY qid, rk""".stripMargin,

@@ -81,7 +81,7 @@ object MediaQueries {
           Multimodal.bandMeanFeatures(col("band_sums"), col("band_counts"))
             .cast("array<float>").as("features"))
       graft.operators.Similarity.bruteForceTopK(
-          feats, feats.filter(col("media_id") % 97 === 0),
+          feats, graft.operators.Similarity.fixedQuerySample(feats, "media_id"),
           "media_id", "features", k = 3)
         .select("qid", "nid", "cos", "rk")
         .orderBy("qid", "rk")
@@ -296,9 +296,10 @@ object MediaQueries {
       s"""WITH $featureCtes,
          |fl AS (SELECT media_id, list(CAST(fv AS FLOAT) ORDER BY band, ch) AS v
          |       FROM f GROUP BY media_id),
+         |${OracleSamples.sampleCte("mqs", "fl", "media_id")},
          |sc AS (SELECT a.media_id AS qid, b.media_id AS nid, $cos AS cos
          |       FROM fl a JOIN fl b ON b.media_id <> a.media_id
-         |       WHERE a.media_id % 97 = 0)
+         |       WHERE a.media_id IN (SELECT media_id FROM mqs))
          |SELECT qid, nid, cos, CAST(rk AS BIGINT) AS rk FROM (
          |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
          |  FROM sc)

@@ -22,10 +22,27 @@ object PipelineQueries {
     TableCatalog.load(s, dir, "documents")
   /** One model-store root per JVM: the gate lambdas run per invocation,
     * and a createTempDirectory per call leaked a /tmp dir each gate/bench
-    * pass. Overwrite-mode writes make reuse safe (the harnesses run
-    * queries sequentially; each trains immediately before loading). */
-  private lazy val modelDir: String =
-    java.nio.file.Files.createTempDirectory("graft_models").toString
+    * pass. Overwrite-mode writes make reuse safe under two REQUIREMENTS
+    * (ADVICE r11): (1) artifact names are unique PER QUERY — a gate may
+    * only save/load names no other gate touches (currently: minhash_sig,
+    * pq_cb/pq_coarse/pq_codes, bpe_merges, ivf_stored, ivf_recall — all
+    * single-owner), so even a concurrent harness cannot interleave one
+    * query's save with another's reload of the same name; (2) within a
+    * query, train-store-reload is sequential by construction (the lambda
+    * body). The driver harnesses additionally run queries one at a time
+    * (see SparkEntry's contract note). The dir is removed at JVM exit. */
+  private lazy val modelDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_models")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles
+        if (kids != null) kids.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(d.toFile)
+    }))
+    d.toString
+  }
 
   /** Train → persist → reload (ModelStore round trip) for the coarse
     * quantizer — the stored-model serve seam the a_ann_ivf_* gates
@@ -278,7 +295,7 @@ object PipelineQueries {
       val e = emb(s, dir)
       val (cents1, cbs) = graft.operators.Vectors.kmeansTwoLevel(
         e, "vec_id", "embedding", k1 = 4, k2 = 4, iters = 2)
-      Similarity.ivf2TopK(e, e.filter(col("vec_id") % 50 === 0),
+      Similarity.ivf2TopK(e, Similarity.fixedQuerySample(e, "vec_id"),
           "vec_id", "embedding", k = 5, n1 = 2, n2 = 2, cents1, cbs)
         .orderBy("qid", "rk")
     }),
@@ -311,7 +328,7 @@ object PipelineQueries {
       val e = emb(s, dir)
       val cents = graft.operators.Vectors.kmeansTrain(
         e, "vec_id", "embedding", k = 4, iters = 2)
-      Similarity.hardNegatives(e, e.filter(col("vec_id") % 50 === 0),
+      Similarity.hardNegatives(e, Similarity.fixedQuerySample(e, "vec_id"),
           cents.toDF("cid", "cv"), "vec_id", "embedding", k = 5)
         .orderBy("qid", "rk")
     }),
@@ -423,7 +440,7 @@ object PipelineQueries {
       val cents = graft.operators.Vectors.kmeansTrain(
         e, "vec_id", "embedding", k = 4, iters = 2)
       val model = Similarity.sqTrain(e, "embedding", dims = 64)
-      Similarity.ivfSqTopK(e, e.filter(col("vec_id") % 50 === 0),
+      Similarity.ivfSqTopK(e, Similarity.fixedQuerySample(e, "vec_id"),
           cents.toDF("cid", "cv"), "vec_id", "embedding",
           k = 5, nprobe = 2, model)
         .orderBy("qid", "rk")
@@ -434,7 +451,7 @@ object PipelineQueries {
     "a_ann_sq_topk" -> ((s, dir) => {
       val e = emb(s, dir)
       val model = Similarity.sqTrain(e, "embedding", dims = 64)
-      Similarity.sqTopK(e, e.filter(col("vec_id") % 50 === 0),
+      Similarity.sqTopK(e, Similarity.fixedQuerySample(e, "vec_id"),
           "vec_id", "embedding", k = 5, model)
         .orderBy("qid", "rk")
     }),
@@ -1654,12 +1671,10 @@ object PipelineQueries {
          |  FROM embeddings e CROSS JOIN c1 c) WHERE crk = 1)""".stripMargin
 
     // fixed-count query sample — the oracle twin of
-    // Similarity.fixedQuerySample: 20 hash-minimal vec_ids
-    val qsCte: String =
-      s"""qs AS (SELECT vec_id FROM (
-         |    SELECT vec_id, md5(vec_id::VARCHAR) AS ph FROM embeddings
-         |    ORDER BY ph, vec_id LIMIT 20))""".stripMargin
-    val qsPred = "q.vec_id IN (SELECT vec_id FROM qs)"
+    // Similarity.fixedQuerySample: 20 hash-minimal vec_ids (single
+    // source shared across query modules)
+    val qsCte: String = OracleSamples.qsCte
+    val qsPred: String = OracleSamples.qsPred
     // bf ground-truth CTE over the fixed sample (shared by every recall gate)
     def bfFixedCte(cosAB: String): String =
       s"""bf AS (
@@ -2002,7 +2017,7 @@ object PipelineQueries {
          |       JOIN ev x ON x.vec_id = p.qid
          |       JOIN r y ON y.vec_id = a.nid)""".stripMargin
     }
-    val ivfSqTopkSql = ivfSqScoredCtes("", "q.vec_id % 50 = 0") +
+    val ivfSqTopkSql = ivfSqScoredCtes(qsCte + ",\n", qsPred) +
       """
         |SELECT qid, nid, cos, CAST(rk AS BIGINT) AS rk FROM (
         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk FROM sc)
@@ -2358,7 +2373,8 @@ object PipelineQueries {
         // ids in each cell, one decimal-exact mean update with empty-
         // subcluster carry) and the two-level probe (top-2 cells, top-2
         // subcells per probed cell).
-        s"""WITH c0 AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings ORDER BY vec_id LIMIT 4),
+        s"""WITH $qsCte,
+           |c0 AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings ORDER BY vec_id LIMIT 4),
            |a1 AS (SELECT vec_id, cid FROM (
            |  SELECT e.vec_id, c.cid,
            |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cos("e.embedding", "c.cv")} DESC, c.cid) AS rk
@@ -2406,7 +2422,7 @@ object PipelineQueries {
            |qp1 AS (SELECT qid, g FROM (
            |  SELECT q.vec_id AS qid, c.cid AS g,
            |    row_number() OVER (PARTITION BY q.vec_id ORDER BY ${cos("q.embedding", "c.cv")} DESC, c.cid) AS crk
-           |  FROM embeddings q CROSS JOIN c1 c WHERE q.vec_id % 50 = 0) WHERE crk <= 2),
+           |  FROM embeddings q CROSS JOIN c1 c WHERE $qsPred) WHERE crk <= 2),
            |qp2 AS (SELECT qid, g, sid FROM (
            |  SELECT p.qid, p.g, c.sid,
            |    row_number() OVER (PARTITION BY p.qid, p.g ORDER BY ${cos("q.embedding", "c.sv")} DESC, c.sid) AS srk
@@ -2429,7 +2445,8 @@ object PipelineQueries {
         // kmeans CTEs = a_kmeans_assign's training (rank-based seed);
         // assign covers queries too (queries ⊆ embeddings), and the
         // scored pairs keep only cross-cluster neighbors.
-        s"""WITH c0 AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings ORDER BY vec_id LIMIT 4),
+        s"""WITH $qsCte,
+           |c0 AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings ORDER BY vec_id LIMIT 4),
            |a1 AS (SELECT vec_id, cid FROM (
            |  SELECT e.vec_id, c.cid,
            |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cos("e.embedding", "c.cv")} DESC, c.cid) AS rk
@@ -2453,7 +2470,7 @@ object PipelineQueries {
            |       FROM embeddings q JOIN assign aq ON aq.nid = q.vec_id
            |       JOIN embeddings e ON e.vec_id <> q.vec_id
            |       JOIN assign ae ON ae.nid = e.vec_id
-           |       WHERE q.vec_id % 50 = 0 AND aq.cid <> ae.cid)
+           |       WHERE $qsPred AND aq.cid <> ae.cid)
            |SELECT qid, nid, cos, CAST(rk AS BIGINT) AS rk FROM (
            |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk FROM sc)
            |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
@@ -3413,7 +3430,8 @@ object PipelineQueries {
           |FROM r""".stripMargin,
 
       "a_ann_sq_topk" ->
-        """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        s"""WITH $qsCte,
+          |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
           |mm AS (SELECT d, min(v[d + 1]) AS mn, max(v[d + 1]) AS mx
           |       FROM e CROSS JOIN (SELECT unnest(range(64)) AS d) GROUP BY d),
           |r AS (SELECT e.vec_id,
@@ -3428,7 +3446,7 @@ object PipelineQueries {
           |           (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(br.rv, br.rv))), 6) AS cos
           |       FROM e a JOIN e b ON b.vec_id <> a.vec_id
           |       JOIN r br ON br.vec_id = b.vec_id
-          |       WHERE a.vec_id % 50 = 0)
+          |       WHERE a.vec_id IN (SELECT vec_id FROM qs))
           |SELECT qid, nid, cos, CAST(rk AS BIGINT) AS rk FROM (
           |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk FROM sc)
           |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,

@@ -609,7 +609,7 @@ object StatQueries {
       val spark = s
       import spark.implicits._
       val e = t(s, dir, "embeddings")
-      val q = e.filter(col("vec_id") % 50 === 0)
+      val q = graft.operators.Similarity.fixedQuerySample(e, "vec_id")
       val bf = graft.operators.Similarity
         .bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
         .select("qid", "nid")
@@ -1200,7 +1200,7 @@ object StatQueries {
     "a_ann_prefilter" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val e = t(s, dir, "embeddings")
-      val q = e.filter(col("vec_id") % 50 === 0)
+      val q = graft.operators.Similarity.fixedQuerySample(e, "vec_id")
         .select(col("vec_id").as("qid"), col("embedding").as("qv"),
           col("label").as("qlabel"))
       val scored = broadcast(q)
@@ -1309,7 +1309,7 @@ object StatQueries {
     "a_ann_mrr" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val e = t(s, dir, "embeddings")
-      val q = e.filter(col("vec_id") % 50 === 0)
+      val q = graft.operators.Similarity.fixedQuerySample(e, "vec_id")
       val truth = graft.operators.Similarity
         .bruteForceTopK(e, q, "vec_id", "embedding", k = 1)
         .select(col("qid"), col("nid").as("rel"))
@@ -1317,7 +1317,7 @@ object StatQueries {
         s"aggregate(zip_with(slice(embedding, ${off + 1}, 32), sequence(0, 31), " +
           "(x, d) -> IF(x > 0, shiftleft(1L, cast(d as int)), 0L)), 0L, (a, b) -> a + b)"
       val bq = e.select(col("vec_id"), expr(word(0)).as("w0"), expr(word(32)).as("w1"))
-      val qb = broadcast(bq.filter(col("vec_id") % 50 === 0)
+      val qb = broadcast(graft.operators.Similarity.fixedQuerySample(bq, "vec_id")
         .select(col("vec_id").as("qid"), col("w0").as("q0"), col("w1").as("q1")))
       val sys = bq.select(col("vec_id").as("nid"), col("w0"), col("w1"))
         .join(qb, col("qid") =!= col("nid"))
@@ -1622,7 +1622,8 @@ object StatQueries {
         |  round(quantile_cont(late_us, 0.99), 6) AS p99_late_us
         |FROM l""".stripMargin,
     "a_ann_mrr" ->
-      s"""WITH bf AS (SELECT qid, nid AS rel FROM (
+      s"""WITH ${graft.queries.OracleSamples.qsCte},
+         |bf AS (SELECT qid, nid AS rel FROM (
          |    SELECT a.vec_id AS qid, b.vec_id AS nid,
          |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
          |        round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
@@ -1630,7 +1631,7 @@ object StatQueries {
          |           sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6)
          |        DESC, b.vec_id) AS rk
          |    FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
-         |    WHERE a.vec_id % 50 = 0) WHERE rk = 1),
+         |    WHERE a.vec_id IN (SELECT vec_id FROM qs)) WHERE rk = 1),
          |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |bq AS (SELECT vec_id,
          |    CAST(sum(CASE WHEN d < 32 AND v[d+1] > 0 THEN (2**d)::BIGINT ELSE 0 END) AS BIGINT) AS w0,
@@ -1640,7 +1641,7 @@ object StatQueries {
          |  SELECT q.vec_id AS qid, c.vec_id AS nid,
          |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
          |      bit_count(xor(q.w0, c.w0)) + bit_count(xor(q.w1, c.w1)), c.vec_id) AS rk
-         |  FROM bq q JOIN bq c ON q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id)
+         |  FROM bq q JOIN bq c ON q.vec_id IN (SELECT vec_id FROM qs) AND q.vec_id <> c.vec_id)
          |  WHERE rk <= 5),
          |rr AS (SELECT bf.qid,
          |    CAST(coalesce(round(1.0 / sys.rk, 9), 0.0) AS DECIMAL(28,9)) AS rr
@@ -1713,8 +1714,9 @@ object StatQueries {
         |SELECT active_days, CAST(count(*) AS BIGINT) AS n_users
         |FROM ad GROUP BY active_days ORDER BY active_days""".stripMargin,
     "a_ann_prefilter" ->
-      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS qlabel
-         |  FROM embeddings WHERE vec_id % 50 = 0),
+      s"""WITH ${graft.queries.OracleSamples.qsCte},
+         |q AS (SELECT vec_id AS qid, embedding AS qv, label AS qlabel
+         |  FROM embeddings WHERE vec_id IN (SELECT vec_id FROM qs)),
          |sc AS (SELECT qid, e.vec_id AS nid, e.label = qlabel AS label_match,
          |    round(list_dot_product(qv::DOUBLE[], e.embedding::DOUBLE[]) /
          |      (sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[])) *
@@ -2002,12 +2004,13 @@ object StatQueries {
         |  round(csq / (ssq / n), 6) AS anisotropy
         |FROM tot CROSS JOIN cent""".stripMargin,
     "a_ivf_nprobe_curve" -> {
-      s"""WITH bf AS (
+      s"""WITH ${graft.queries.OracleSamples.qsCte},
+         |bf AS (
          |  SELECT qid, nid FROM (
          |    SELECT a.vec_id AS qid, b.vec_id AS nid,
          |      row_number() OVER (PARTITION BY a.vec_id ORDER BY $cosAB DESC, b.vec_id) AS rk
          |    FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
-         |    WHERE a.vec_id % 50 = 0)
+         |    WHERE a.vec_id IN (SELECT vec_id FROM qs))
          |  WHERE rk <= 5),
          |c0 AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings ORDER BY vec_id LIMIT 4),
          |a1 AS (SELECT vec_id, cid FROM (
@@ -2032,7 +2035,7 @@ object StatQueries {
          |probes AS (SELECT qid, cid, crk FROM (
          |  SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY ccos DESC, cid) AS crk
          |  FROM (SELECT q.vec_id AS qid, c.cid, ${cosD("q.embedding", "c.cv")} AS ccos
-         |        FROM embeddings q CROSS JOIN c1 c WHERE q.vec_id % 50 = 0)) WHERE crk <= 4),
+         |        FROM embeddings q CROSS JOIN c1 c WHERE q.vec_id IN (SELECT vec_id FROM qs))) WHERE crk <= 4),
          |cand AS (SELECT p.qid, a.nid, min(p.crk) AS mincrk,
          |         min(${cosD("x.embedding", "y.embedding")}) AS cos
          |       FROM probes p JOIN assign a ON p.cid = a.cid AND a.nid <> p.qid

@@ -1,0 +1,177 @@
+package graft.sql
+
+import scala.util.Random
+
+/** Seeded differential-SQL fuzz generator (round-12 verdict item 5):
+  * random query shapes over the fixture schema, each a single ANSI SQL
+  * string that runs UNCHANGED on both Spark and DuckDB — the
+  * `DummyGenericRecordGenerator` discipline
+  * (reference `src/test/java/.../DummyGenericRecordGenerator.java:61-66`)
+  * applied to queries instead of records. The harness (graft.Fuzz) runs
+  * each on Spark and dumps the same layout as graft.Verify, so
+  * tools/check.py hash-compares the two engines row-for-row.
+  *
+  * Dialect envelope (why these queries can be engine-portable at all —
+  * the repo's determinism contract, memory: graft-determinism-contract):
+  *   - double aggregation goes through DECIMAL accumulation and a final
+  *     6-dp round (order-independent, engine-exact);
+  *   - integer sums are CAST to BIGINT (DuckDB widens to HUGEINT);
+  *   - every ORDER BY ends in a unique-key tiebreak, and grouping-null
+  *     producers (ROLLUP) pin NULLS FIRST (engine defaults differ);
+  *   - timestamp columns are excluded (physical-encoding drift is
+  *     normalized by TableCatalog on the Spark side only);
+  *   - no integer division, no division by data values (ANSI mode).
+  */
+object SqlFuzz {
+
+  private case class Col(name: String)
+
+  /** table -> (unique order key(s), group-able cols, double cols, bigint cols) */
+  private case class Table(name: String, keys: Seq[String],
+                           groups: Seq[String], doubles: Seq[String],
+                           bigints: Seq[String])
+
+  private val tables = Vector(
+    Table("nation", Seq("n_nationkey"), Seq("n_regionkey"), Nil, Nil),
+    Table("customer", Seq("c_custkey"), Seq("c_nationkey", "c_mktsegment"),
+      Seq("c_acctbal"), Nil),
+    Table("supplier", Seq("s_suppkey"), Seq("s_nationkey"), Seq("s_acctbal"), Nil),
+    Table("part", Seq("p_partkey"), Seq("p_brand", "p_type", "p_size"),
+      Seq("p_retailprice"), Nil),
+    Table("orders", Seq("o_orderkey"), Seq("o_orderstatus", "o_orderpriority"),
+      Seq("o_totalprice"), Nil),
+    Table("lineitem", Seq("l_orderkey", "l_linenumber"),
+      Seq("l_returnflag", "l_linestatus", "l_suppkey"),
+      Seq("l_quantity", "l_extendedprice", "l_discount"), Nil),
+    Table("events", Seq("event_id"), Seq("event_type", "user_id"),
+      Seq("value"), Nil),
+    Table("documents", Seq("doc_id"), Seq("lang", "source"), Nil, Seq("n_chars")))
+
+  /** (left, right, join condition, right-side group col) — real FKs, so
+    * inner and left joins agree on the fixture (every FK resolves). */
+  private val fks = Vector(
+    ("nation", "region", "nation.n_regionkey = region.r_regionkey", "r_name"),
+    ("customer", "nation", "customer.c_nationkey = nation.n_nationkey", "n_name"),
+    ("supplier", "nation", "supplier.s_nationkey = nation.n_nationkey", "n_name"),
+    ("orders", "customer", "orders.o_custkey = customer.c_custkey", "c_mktsegment"),
+    ("lineitem", "orders", "lineitem.l_orderkey = orders.o_orderkey", "o_orderpriority"),
+    ("lineitem", "part", "lineitem.l_partkey = part.p_partkey", "p_brand"),
+    ("lineitem", "supplier", "lineitem.l_suppkey = supplier.s_suppkey", "s_nationkey"))
+
+  /** type-compatible column pairs for set operations */
+  private val setPairs = Vector(
+    ("SELECT c_nationkey AS k FROM customer", "SELECT n_nationkey AS k FROM nation"),
+    ("SELECT s_nationkey AS k FROM supplier", "SELECT n_nationkey AS k FROM nation"),
+    ("SELECT lang AS k FROM documents", "SELECT source AS k FROM documents"),
+    ("SELECT o_custkey AS k FROM orders", "SELECT c_custkey AS k FROM customer"),
+    ("SELECT l_suppkey AS k FROM lineitem", "SELECT s_suppkey AS k FROM supplier"))
+
+  private def pick[A](r: Random, xs: Seq[A]): A = xs(r.nextInt(xs.size))
+
+  /** decimal-accumulated, 6-dp-rounded double sum (engine-exact) */
+  private def dsum(c: String) =
+    s"round(CAST(sum(CAST($c AS DECIMAL(28,6))) AS DOUBLE), 6)"
+
+  /** deterministic row predicate on a unique integer key */
+  private def modPred(r: Random, key: String): String = {
+    val m = pick(r, Seq(2, 3, 5, 7))
+    val v = r.nextInt(m)
+    s"$key % $m = $v"
+  }
+
+  private def aggSelect(r: Random, t: Table): (String, String) = {
+    val aggs = scala.collection.mutable.ArrayBuffer(
+      "CAST(count(*) AS BIGINT) AS cnt")
+    if (t.doubles.nonEmpty) {
+      val d = pick(r, t.doubles)
+      aggs += s"${dsum(d)} AS sum_d"
+      if (r.nextBoolean()) aggs += s"min($d) AS min_d"
+      if (r.nextBoolean()) aggs += s"max($d) AS max_d"
+    }
+    for (b <- t.bigints.headOption if r.nextBoolean())
+      aggs += s"CAST(sum($b) AS BIGINT) AS sum_b"
+    if (r.nextBoolean())
+      aggs += s"CAST(count(DISTINCT ${pick(r, t.keys)}) AS BIGINT) AS n_keys"
+    (aggs.mkString(", "), "")
+  }
+
+  private def genOne(r: Random): String = r.nextInt(10) match {
+    case 0 => // single-table group aggregate
+      val t = pick(r, tables)
+      val g = pick(r, t.groups)
+      val (aggs, _) = aggSelect(r, t)
+      val where = if (r.nextBoolean()) s"\nWHERE ${modPred(r, t.keys.head)}" else ""
+      s"SELECT $g, $aggs FROM ${t.name}$where\nGROUP BY $g ORDER BY $g"
+    case 1 => // FK join + group on the right side
+      val (l, rt, on, g) = pick(r, fks)
+      val lt = tables.find(_.name == l).get
+      val join = if (r.nextBoolean()) "JOIN" else "LEFT JOIN"
+      val aggs = "CAST(count(*) AS BIGINT) AS cnt" +
+        (if (lt.doubles.nonEmpty) s", ${dsum(pick(r, lt.doubles))} AS sum_d" else "")
+      val where = if (r.nextBoolean()) s"\nWHERE ${modPred(r, l + "." + lt.keys.head)}" else ""
+      s"SELECT $g, $aggs FROM $l $join $rt ON $on$where\nGROUP BY $g ORDER BY $g NULLS FIRST"
+    case 2 => // window: per-group top-n by a measure
+      val t = pick(r, tables.filter(x => x.doubles.nonEmpty || x.bigints.nonEmpty))
+      val g = pick(r, t.groups)
+      val v = pick(r, t.doubles ++ t.bigints)
+      val k = t.keys.mkString(", ")
+      val n = 2 + r.nextInt(3)
+      s"""SELECT $g, $k, $v, rn FROM (
+         |  SELECT $g, $k, $v,
+         |    CAST(row_number() OVER (PARTITION BY $g ORDER BY $v DESC, $k) AS BIGINT) AS rn
+         |  FROM ${t.name}) ranked
+         |WHERE rn <= $n ORDER BY $g, rn""".stripMargin
+    case 3 => // set operation
+      val (a, b) = pick(r, setPairs)
+      val op = pick(r, Seq("UNION", "UNION ALL", "INTERSECT", "EXCEPT"))
+      s"$a\n$op\n$b\nORDER BY 1"
+    case 4 => // order-limit (deterministic: unique-key tiebreak)
+      val t = pick(r, tables.filter(_.doubles.nonEmpty))
+      val v = pick(r, t.doubles)
+      val k = t.keys.mkString(", ")
+      val dir = if (r.nextBoolean()) "DESC" else "ASC"
+      s"SELECT $k, $v FROM ${t.name} ORDER BY $v $dir, $k LIMIT ${5 + r.nextInt(20)}"
+    case 5 => // scalar expressions over a key scan
+      val t = pick(r, tables.filter(_.doubles.nonEmpty))
+      val v = pick(r, t.doubles)
+      val k = t.keys.head
+      val lit = (r.nextInt(100) + 1).toString + ".5"
+      val (c1, c2) = (r.nextInt(9) + 1, r.nextInt(100))
+      s"""SELECT $k, CASE WHEN $v >= $lit THEN 'hi' ELSE 'lo' END AS band,
+         |  round($v * $c1 + $c2, 6) AS y
+         |FROM ${t.name} WHERE ${modPred(r, k)} ORDER BY $k""".stripMargin
+    case 6 => // HAVING
+      val t = pick(r, tables)
+      val g = pick(r, t.groups)
+      s"""SELECT $g, CAST(count(*) AS BIGINT) AS cnt FROM ${t.name}
+         |GROUP BY $g HAVING count(*) >= ${2 + r.nextInt(4)} ORDER BY $g""".stripMargin
+    case 7 => // EXISTS / NOT EXISTS correlated subquery
+      val neg = if (r.nextBoolean()) "NOT " else ""
+      val lit = (r.nextInt(40) + 1) * 5000
+      s"""SELECT c_custkey FROM customer c
+         |WHERE ${neg}EXISTS (SELECT 1 FROM orders o
+         |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > $lit)
+         |ORDER BY c_custkey""".stripMargin
+    case 8 => // ROLLUP with pinned null ordering
+      val t = pick(r, tables.filter(_.groups.size >= 2))
+      val Seq(g1, g2) = r.shuffle(t.groups.toList).take(2).toSeq
+      s"""SELECT $g1, $g2, CAST(count(*) AS BIGINT) AS cnt FROM ${t.name}
+         |GROUP BY ROLLUP($g1, $g2)
+         |ORDER BY $g1 NULLS FIRST, $g2 NULLS FIRST, cnt""".stripMargin
+    case 9 => // correlated scalar-count subquery
+      val (child, parent, on, _) = pick(r, fks.filter(_._2 != "region"))
+      val pt = tables.find(_.name == parent).get
+      val pk = pt.keys.head
+      val ck = on.split(" = ")(0)
+      s"""SELECT $pk, (SELECT CAST(count(*) AS BIGINT) FROM $child
+         |  WHERE $ck = $parent.$pk) AS n_child
+         |FROM $parent ORDER BY $pk""".stripMargin
+  }
+
+  /** `n` named query shapes, fully determined by `seed` (same seed →
+    * char-identical SQL — spec-pinned). */
+  def queries(seed: Long, n: Int): Seq[(String, String)] = {
+    val r = new Random(seed)
+    (0 until n).map(i => (f"fuzz_q$i%03d", genOne(r)))
+  }
+}

@@ -70,11 +70,28 @@ class HeavyPlanSpec extends SparkSpec {
     "a_ann_ivf2_topk" -> Allow(),                // two-level probe, broadcast models
     "d_minhash_stored" -> Allow())               // stored-signature band join
 
-  /** Top-15 of the newest committed BENCH_r<N>.json (driver record). */
+  /** Top-15 of the newest committed BENCH_r<N>.json (driver record).
+    * "Committed" is literal: the candidate set comes from
+    * `git ls-files`, so an untracked record in a dev tree cannot
+    * silently re-anchor the board away from what a clean checkout
+    * would pin (ADVICE r11). Falls back to a directory listing only
+    * where git is unavailable (e.g. an exported tree). */
   private def board: Seq[String] = {
     val re = raw"BENCH_r(\d+)\.json".r
-    val files = new java.io.File(".").listFiles.toSeq
-      .filter(f => re.pattern.matcher(f.getName).matches)
+    val tracked: Seq[java.io.File] =
+      try {
+        val p = new ProcessBuilder("git", "ls-files", "BENCH_r*.json")
+          .redirectErrorStream(true).start()
+        val out = scala.io.Source.fromInputStream(p.getInputStream).getLines().toList
+        if (p.waitFor() == 0)
+          out.map(new java.io.File(_))
+            .filter(f => f.isFile && re.pattern.matcher(f.getName).matches)
+        else Seq.empty
+      } catch { case _: java.io.IOException => Seq.empty }
+    val files =
+      if (tracked.nonEmpty) tracked
+      else new java.io.File(".").listFiles.toSeq
+        .filter(f => re.pattern.matcher(f.getName).matches)
     assert(files.nonEmpty, "no committed BENCH_r<N>.json found")
     val latest = files.maxBy(f =>
       re.findFirstMatchIn(f.getName).get.group(1).toInt)
@@ -93,9 +110,25 @@ class HeavyPlanSpec extends SparkSpec {
         val start = tail.lastIndexOf("{\"metric\":\"total\"")
         assert(start >= 0, s"${latest.getName}: no parsed queries and no " +
           "compact bench line in tail")
-        val end = tail.indexOf("}}", start)
+        // brace-depth scan to the object's true end — a first-'}}' slice
+        // would truncate if 'queries' were ever not the final key or a
+        // value were ever an object (ADVICE r11); string values in the
+        // bench line never contain braces or escaped quotes, so a plain
+        // in-string guard suffices
+        var (i, depth, inStr, end) = (start, 0, false, -1)
+        while (i < tail.length && end < 0) {
+          val c = tail.charAt(i)
+          if (inStr) { if (c == '"') inStr = false }
+          else c match {
+            case '"' => inStr = true
+            case '{' => depth += 1
+            case '}' => depth -= 1; if (depth == 0) end = i
+            case _ =>
+          }
+          i += 1
+        }
         assert(end > start, s"${latest.getName}: unterminated compact bench line")
-        mapper.readTree(tail.substring(start, end + 2)).path("queries")
+        mapper.readTree(tail.substring(start, end + 1)).path("queries")
       }
     }
     assert(qs.isObject, s"${latest.getName} carries no queries map")

@@ -601,7 +601,9 @@ class StatSpec extends SparkSpec {
     }.toDF("vec_id", "embedding", "label")
     val d = fixture("embeddings" -> emb)
     val r = StatQueries.queries("a_ann_mrr")(spark, d).collect().head
-    assert(r.getAs[Long]("n_queries") === 1L)
+    // fixed-count query sample (20 hash-minimal ids): with 8 fixture
+    // vectors, every vector is a query
+    assert(r.getAs[Long]("n_queries") === 8L)
     val mrr = r.getAs[Double]("mrr")
     assert(mrr > 0.0 && mrr <= 1.0)
     // deterministic across runs
