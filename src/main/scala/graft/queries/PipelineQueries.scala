@@ -4165,17 +4165,20 @@ object PipelineQueries {
       // code-store decode serve ≡ inline-encoded IVF-PQ, same oracle
       ("a_ann_ivfpq_stored" -> m("a_ann_ivfpq_topk")) +
       // two-level recall: REUSES the a_ann_ivf2_topk chain verbatim (the
-      // two-level model algebra lives once), swapping the probe sample
-      // for the fixed-count qs and appending the recall aggregation
+      // two-level model algebra lives once — since round 12 the topk
+      // gate itself probes the fixed-count qs sample, so the chain
+      // already opens with the qs CTE) and appends the brute-force
+      // ground truth + recall aggregation
       ("a_ann_ivf2_recall" -> {
         val base = m("a_ann_ivf2_topk")
-          .replace("WHERE q.vec_id % 50 = 0", "WHERE " + qsPred)
+        require(base.startsWith("WITH qs AS"),
+          "a_ann_ivf2_topk oracle no longer opens with the qs sample — " +
+            "update the recall reuse")
         val cut = base.indexOf("\nSELECT qid, nid, cos, CAST(rk AS BIGINT) AS rk")
         require(cut > 0, "a_ann_ivf2_topk oracle shape changed — update the recall reuse")
         val chain = base.substring(0, cut).stripPrefix("WITH ")
-        s"""WITH $qsCte,
+        s"""WITH $chain,
            |${bfFixedCte(cosAB)},
-           |$chain,
            |ivf2 AS (SELECT qid, nid FROM (
            |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk FROM sc)
            |  WHERE rk <= 5),
