@@ -442,8 +442,7 @@ object MediaQueries {
          |       FROM f GROUP BY media_id),
          |-- content-hash fixed-count corpus slice, lockstep with the Spark
          |-- gate (5000 hash-minimal ids = the full table at gate SFs)
-         |fl AS (SELECT media_id, v FROM fl0
-         |       ORDER BY md5(CAST(media_id AS VARCHAR)), media_id LIMIT 5000),
+         |${OracleSamples.sliceCte("fl", "fl0", "media_id", 5000)},
          |fm AS (SELECT media_id, v FROM fl
          |       UNION ALL
          |       SELECT media_id + 1000000, v FROM fl),

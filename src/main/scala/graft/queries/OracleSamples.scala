@@ -18,6 +18,13 @@ private[queries] object OracleSamples {
   /** CTE `qs` — the fixed 20-query sample over the embeddings table. */
   val qsCte: String = sampleCte("qs", "embeddings", "vec_id")
 
+  /** Row-PRESERVING fixed-count slice over any source/CTE — the oracle
+    * twin of a corpus-side `Similarity.fixedQuerySample` (the pinned
+    * dedup gates): keeps every column, same hash-minimal ordering. */
+  def sliceCte(name: String, src: String, idCol: String, n: Int): String =
+    s"""$name AS (SELECT * FROM $src
+       |  ORDER BY md5($idCol::VARCHAR), $idCol LIMIT $n)""".stripMargin
+
   /** Membership predicate for a query alias's `vec_id`. */
   def qsPredOn(alias: String): String =
     s"$alias.vec_id IN (SELECT vec_id FROM qs)"

@@ -2181,8 +2181,7 @@ object PipelineQueries {
            |ORDER BY batch_id, corpus_id""".stripMargin,
 
       "d_embedding_neardup" ->
-        s"""WITH es AS (SELECT * FROM embeddings
-           |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 2000)
+        s"""WITH ${OracleSamples.sliceCte("es", "embeddings", "vec_id", 2000)}
            |SELECT d1, d2, cos FROM (
            |  SELECT a.vec_id AS d1, b.vec_id AS d2, $cosAB AS cos
            |  FROM es a JOIN es b

@@ -79,7 +79,7 @@ object SqlFuzz {
     s"$key % $m = $v"
   }
 
-  private def aggSelect(r: Random, t: Table): (String, String) = {
+  private def aggSelect(r: Random, t: Table): String = {
     val aggs = scala.collection.mutable.ArrayBuffer(
       "CAST(count(*) AS BIGINT) AS cnt")
     if (t.doubles.nonEmpty) {
@@ -92,14 +92,14 @@ object SqlFuzz {
       aggs += s"CAST(sum($b) AS BIGINT) AS sum_b"
     if (r.nextBoolean())
       aggs += s"CAST(count(DISTINCT ${pick(r, t.keys)}) AS BIGINT) AS n_keys"
-    (aggs.mkString(", "), "")
+    aggs.mkString(", ")
   }
 
   private def genOne(r: Random): String = r.nextInt(10) match {
     case 0 => // single-table group aggregate
       val t = pick(r, tables)
       val g = pick(r, t.groups)
-      val (aggs, _) = aggSelect(r, t)
+      val aggs = aggSelect(r, t)
       val where = if (r.nextBoolean()) s"\nWHERE ${modPred(r, t.keys.head)}" else ""
       s"SELECT $g, $aggs FROM ${t.name}$where\nGROUP BY $g ORDER BY $g"
     case 1 => // FK join + group on the right side
@@ -130,7 +130,11 @@ object SqlFuzz {
       val v = pick(r, t.doubles)
       val k = t.keys.mkString(", ")
       val dir = if (r.nextBoolean()) "DESC" else "ASC"
-      s"SELECT $k, $v FROM ${t.name} ORDER BY $v $dir, $k LIMIT ${5 + r.nextInt(20)}"
+      // NULLS LAST pinned: under LIMIT the engines' default null order
+      // (Spark ASC=NULLS FIRST, DuckDB=NULLS LAST) would select different
+      // row SETS if a measure were ever null — the one template family
+      // check.py's row re-sort cannot neutralize
+      s"SELECT $k, $v FROM ${t.name} ORDER BY $v $dir NULLS LAST, $k LIMIT ${5 + r.nextInt(20)}"
     case 5 => // scalar expressions over a key scan
       val t = pick(r, tables.filter(_.doubles.nonEmpty))
       val v = pick(r, t.doubles)

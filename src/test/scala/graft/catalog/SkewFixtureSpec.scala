@@ -13,10 +13,22 @@ import graft.SparkSpec
   * (bench numbers don't belong in a unit test). */
 class SkewFixtureSpec extends SparkSpec {
 
+  // dir name deliberately contains no "skew" substring: the AQE test
+  // greps the final plan, and a FileScan Location containing the path
+  // would make the marker assertion vacuous. Cleaned up at JVM exit
+  // (the modelDir shutdown-hook pattern).
   private lazy val dir: String = {
-    val out = java.nio.file.Files.createTempDirectory("graft_skew").toString
-    graft.SkewGen.run(spark, "/root/testdata/sf0.001", out)
-    out
+    val out = java.nio.file.Files.createTempDirectory("graft_hotkey")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles
+        if (kids != null) kids.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(out.toFile)
+    }))
+    graft.SkewGen.run(spark, "/root/testdata/sf0.001", out.toString)
+    out.toString
   }
 
   test("the planted skew is real: one supplier holds ~20% of lineitem") {
@@ -71,11 +83,27 @@ class SkewFixtureSpec extends SparkSpec {
       conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
       conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
       conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
-      // pad the fact rows so the hot partition clears the lowered
-      // threshold on the sf0.001-derived fixture
+      // Three conditions the detector needs, each load-bearing (found by
+      // driving the real rule, not assumed):
+      //  1. MULTIPLE MAP TASKS — AQE splits a skewed reduce partition by
+      //     MAPPER ranges, so a single-split parquet scan (one mapper)
+      //     makes the hot partition indivisible and the rule silently
+      //     no-ops. The 100 TB reading: a coalesced upstream stage can
+      //     disable skew-splitting downstream. Hence repartition(8).
+      //  2. INCOMPRESSIBLE pad bytes (md5 chains) — a constant pad
+      //     compresses to nothing in the shuffle write and the hot
+      //     partition ducks the size threshold.
+      //  3. Enough absolute volume on the sf0.001 fixture — the ×16
+      //     explode.
       val li = TableCatalog.load(spark, dir, "lineitem")
-        .select(col("l_suppkey"), concat(lit("x" * 64),
-          col("l_orderkey").cast("string")).as("payload"))
+        .repartition(8)
+        .select(col("l_suppkey"), explode(expr("sequence(0, 15)")).as("rep"),
+          col("l_orderkey"))
+        .select(col("l_suppkey"), concat(
+          md5(concat(col("rep"), col("l_orderkey").cast("string"))),
+          md5(concat(lit("a"), col("rep"), col("l_orderkey").cast("string"))),
+          md5(concat(lit("b"), col("rep"), col("l_orderkey").cast("string"))),
+          md5(concat(lit("c"), col("rep"), col("l_orderkey").cast("string")))).as("payload"))
       val sup = TableCatalog.load(spark, dir, "supplier")
         .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
       val joined = li.join(sup, "l_suppkey")
@@ -83,7 +111,9 @@ class SkewFixtureSpec extends SparkSpec {
       assert(qe.executedPlan.execute().count() > 0L)
       val finalPlan = qe.executedPlan.toString
       assert(finalPlan.contains("isFinalPlan=true"))
-      assert(finalPlan.toLowerCase.contains("skew"),
+      // the SMJ skew marker or the AQE shuffle-read skew annotation —
+      // NOT a bare "skew" substring, which the fixture path could fake
+      assert(finalPlan.contains("skew=true") || finalPlan.contains("skewed"),
         s"expected AQE skew handling on the planted hot supplier:\n$finalPlan")
     } finally saved.foreach {
       case (k, Some(v)) => conf.set(k, v)

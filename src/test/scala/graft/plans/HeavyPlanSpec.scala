@@ -78,21 +78,27 @@ class HeavyPlanSpec extends SparkSpec {
     * where git is unavailable (e.g. an exported tree). */
   private def board: Seq[String] = {
     val re = raw"BENCH_r(\d+)\.json".r
-    val tracked: Seq[java.io.File] =
+    // None = git itself unavailable (exported tree) → directory-listing
+    // fallback; Some(list) = git's answer is AUTHORITATIVE, even when the
+    // list filters to empty (a deleted-in-worktree tracked record must
+    // fail loudly, not silently re-anchor on an untracked one). Caveat
+    // (accepted): content still reads from the working tree — git
+    // guarantees the NAME set only.
+    val tracked: Option[Seq[java.io.File]] =
       try {
         val p = new ProcessBuilder("git", "ls-files", "BENCH_r*.json")
           .redirectErrorStream(true).start()
         val out = scala.io.Source.fromInputStream(p.getInputStream).getLines().toList
         if (p.waitFor() == 0)
-          out.map(new java.io.File(_))
-            .filter(f => f.isFile && re.pattern.matcher(f.getName).matches)
-        else Seq.empty
-      } catch { case _: java.io.IOException => Seq.empty }
-    val files =
-      if (tracked.nonEmpty) tracked
-      else new java.io.File(".").listFiles.toSeq
-        .filter(f => re.pattern.matcher(f.getName).matches)
-    assert(files.nonEmpty, "no committed BENCH_r<N>.json found")
+          Some(out.map(new java.io.File(_))
+            .filter(f => f.isFile && re.pattern.matcher(f.getName).matches))
+        else None
+      } catch { case _: java.io.IOException => None }
+    val files = tracked.getOrElse(
+      new java.io.File(".").listFiles.toSeq
+        .filter(f => re.pattern.matcher(f.getName).matches))
+    assert(files.nonEmpty,
+      "no committed BENCH_r<N>.json found (git-tracked set is authoritative)")
     val latest = files.maxBy(f =>
       re.findFirstMatchIn(f.getName).get.group(1).toInt)
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
