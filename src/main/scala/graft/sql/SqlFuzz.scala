@@ -95,7 +95,19 @@ object SqlFuzz {
     aggs.mkString(", ")
   }
 
-  private def genOne(r: Random): String = r.nextInt(10) match {
+  /** three-table FK chains: (t1, t2, t3, on1, on2, group col) */
+  private val chains = Vector(
+    ("lineitem", "orders", "customer",
+      "lineitem.l_orderkey = orders.o_orderkey",
+      "orders.o_custkey = customer.c_custkey", "c_mktsegment"),
+    ("lineitem", "supplier", "nation",
+      "lineitem.l_suppkey = supplier.s_suppkey",
+      "supplier.s_nationkey = nation.n_nationkey", "n_name"),
+    ("orders", "customer", "nation",
+      "orders.o_custkey = customer.c_custkey",
+      "customer.c_nationkey = nation.n_nationkey", "n_name"))
+
+  private def genOne(r: Random): String = r.nextInt(15) match {
     case 0 => // single-table group aggregate
       val t = pick(r, tables)
       val g = pick(r, t.groups)
@@ -170,6 +182,49 @@ object SqlFuzz {
       s"""SELECT $pk, (SELECT CAST(count(*) AS BIGINT) FROM $child
          |  WHERE $ck = $parent.$pk) AS n_child
          |FROM $parent ORDER BY $pk""".stripMargin
+    case 10 => // three-table FK join chain
+      val (t1, t2, t3, on1, on2, g) = pick(r, chains)
+      val lt = tables.find(_.name == t1).get
+      val agg = if (lt.doubles.nonEmpty) s", ${dsum(pick(r, lt.doubles))} AS sum_d" else ""
+      s"""SELECT $g, CAST(count(*) AS BIGINT) AS cnt$agg
+         |FROM $t1 JOIN $t2 ON $on1 JOIN $t3 ON $on2
+         |GROUP BY $g ORDER BY $g""".stripMargin
+    case 11 => // FILTER-clause aggregates
+      val t = pick(r, tables.filter(_.doubles.nonEmpty))
+      val g = pick(r, t.groups)
+      val v = pick(r, t.doubles)
+      val lit = (r.nextInt(50) + 1).toString
+      s"""SELECT $g, CAST(count(*) AS BIGINT) AS cnt,
+         |  CAST(count(*) FILTER (WHERE $v > $lit) AS BIGINT) AS n_over,
+         |  ${dsum(v)} AS sum_d
+         |FROM ${t.name} GROUP BY $g ORDER BY $g""".stripMargin
+    case 12 => // IN / NOT IN subquery on an FK domain
+      val neg = if (r.nextBoolean()) "NOT " else ""
+      val lit = r.nextInt(5)
+      s"""SELECT c_custkey, c_nationkey FROM customer
+         |WHERE c_nationkey ${neg}IN
+         |  (SELECT n_nationkey FROM nation WHERE n_regionkey = $lit)
+         |ORDER BY c_custkey""".stripMargin
+    case 13 => // GROUPING SETS with pinned null ordering
+      val t = pick(r, tables.filter(_.groups.size >= 2))
+      val Seq(g1, g2) = r.shuffle(t.groups.toList).take(2).toSeq
+      s"""SELECT $g1, $g2, CAST(count(*) AS BIGINT) AS cnt FROM ${t.name}
+         |GROUP BY GROUPING SETS (($g1), ($g2), ())
+         |ORDER BY $g1 NULLS FIRST, $g2 NULLS FIRST, cnt""".stripMargin
+    case 14 => // string scalar functions over a key scan
+      val t = pick(r, Vector("customer", "supplier", "part", "documents"))
+      val (k, c) = t match {
+        case "customer" => ("c_custkey", "c_name")
+        case "supplier" => ("s_suppkey", "s_name")
+        case "part" => ("p_partkey", "p_name")
+        case _ => ("doc_id", "source")
+      }
+      val off = r.nextInt(3) + 1
+      val len = r.nextInt(6) + 2
+      s"""SELECT $k, upper($c) AS u, CAST(length($c) AS BIGINT) AS n,
+         |  substring($c, $off, $len) AS sub,
+         |  replace($c, 'a', '_') AS rep
+         |FROM $t WHERE ${modPred(r, k)} ORDER BY $k""".stripMargin
   }
 
   /** `n` named query shapes, fully determined by `seed` (same seed →
