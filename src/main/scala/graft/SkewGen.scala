@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
   *  - `customer.c_name`: every 5th customer collapses to one shared name
   *    — one fuzzy-blocking bucket (1-deletion variants, sorted-
   *    neighborhood run) holds ~20% of the ER input (d_er_pipeline);
-  *  - `documents.text`: every 5th document gains a fixed 160-char
+  *  - `documents.text`: every 5th document gains a fixed 129-char
   *    boilerplate prefix — one hot shingle family through the MinHash /
   *    SimHash / AllPairs-prefix index paths (d_method_agreement,
   *    d_ngram_jaccard), the crawl-with-boilerplate shape.
@@ -28,8 +28,8 @@ object SkewGen {
 
   val HotName = "HOTBLOCK SHARED SERVICES Corp"
   val HotPrefix: String =
-    ("breaking news alert subscribe to our newsletter for daily updates " +
-      "terms of service privacy policy all rights reserved contact us ").take(160)
+    "breaking news alert subscribe to our newsletter for daily updates " +
+      "terms of service privacy policy all rights reserved contact us "
 
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -16,12 +16,17 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** The salt derivation saltedJoin applies to the large side — public
+    * so tests/diagnostics assert on the OPERATOR's bucketing rather than
+    * re-implementing it (a drifted copy would keep passing while
+    * asserting nothing). */
+  def saltExpr(large: DataFrame, factor: Int): org.apache.spark.sql.Column =
+    pmod(xxhash64(large.columns.toIndexedSeq.map(col): _*), lit(factor)).cast("int")
+
   def saltedJoin(large: DataFrame, small: DataFrame, keys: Seq[String],
                  factor: Int = 8, joinType: String = "inner"): DataFrame = {
     require(factor > 0, "salt factor must be positive")
-    val saltCols = large.columns.map(col)
-    val l = large.withColumn("__salt",
-      pmod(xxhash64(saltCols.toIndexedSeq: _*), lit(factor)).cast("int"))
+    val l = large.withColumn("__salt", saltExpr(large, factor))
     val s = small.withColumn("__salt",
       explode(sequence(lit(0), lit(factor - 1))))
     l.join(s, keys :+ "__salt", joinType).drop("__salt")

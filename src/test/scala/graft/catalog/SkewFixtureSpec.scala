@@ -55,13 +55,13 @@ class SkewFixtureSpec extends SparkSpec {
     val salted = graft.operators.Skew.saltedJoin(li, sup,
       keys = Seq("l_suppkey"), factor = 4)
     assert(salted.count() === li.join(sup, "l_suppkey").count())
-    // the hot key's rows distribute across all 4 salt buckets
+    // the hot key's rows distribute across all 4 salt buckets — derived
+    // from the OPERATOR's own salt expression, not a re-implementation
     val hot = li.groupBy("l_suppkey").count()
       .orderBy(col("count").desc).head().getLong(0)
-    val buckets = li.filter(col("l_suppkey") === hot)
-      .withColumn("__salt",
-        pmod(xxhash64(col("l_orderkey"), col("l_suppkey"), col("l_quantity")),
-          lit(4)).cast("int"))
+    val buckets = li
+      .withColumn("__salt", graft.operators.Skew.saltExpr(li, 4))
+      .filter(col("l_suppkey") === hot)
       .groupBy("__salt").count().collect()
     assert(buckets.length === 4, s"hot key landed in ${buckets.length}/4 salt buckets")
   }

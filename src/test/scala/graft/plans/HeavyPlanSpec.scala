@@ -78,14 +78,18 @@ class HeavyPlanSpec extends SparkSpec {
     * where git is unavailable (e.g. an exported tree). */
   private def board: Seq[String] = {
     val re = raw"BENCH_r(\d+)\.json".r
-    // None = git itself unavailable (exported tree) → directory-listing
-    // fallback; Some(list) = git's answer is AUTHORITATIVE, even when the
-    // list filters to empty (a deleted-in-worktree tracked record must
-    // fail loudly, not silently re-anchor on an untracked one). Caveat
-    // (accepted): content still reads from the working tree — git
-    // guarantees the NAME set only.
+    // None = no usable git answer (git missing, or cwd is not itself a
+    // repo root — an exported tree nested under some UNRELATED enclosing
+    // repo would make ls-files exit 0 with an empty, wrong answer) →
+    // directory-listing fallback. Some(list) = git's answer is
+    // AUTHORITATIVE, even when the list filters to empty (a deleted-in-
+    // worktree tracked record must fail loudly, not silently re-anchor
+    // on an untracked one). Caveat (accepted): content still reads from
+    // the working tree — git guarantees the NAME set only.
+    val inThisRepo = new java.io.File(".git").exists // dir, or worktree file
     val tracked: Option[Seq[java.io.File]] =
-      try {
+      if (!inThisRepo) None
+      else try {
         val p = new ProcessBuilder("git", "ls-files", "BENCH_r*.json")
           .redirectErrorStream(true).start()
         val out = scala.io.Source.fromInputStream(p.getInputStream).getLines().toList

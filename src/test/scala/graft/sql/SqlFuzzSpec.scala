@@ -35,7 +35,8 @@ class SqlFuzzSpec extends SparkSpec {
     assert(sqls.exists(_.contains("CASE WHEN")), "scalar case missing")
     assert(sqls.exists(_.contains("LEFT JOIN")), "outer join missing")
     assert(sqls.exists(_.contains("n_child")), "correlated scalar subquery missing")
-    assert(sqls.exists(s => s.count(_ == 'J') >= 2 && s.contains("JOIN")),
+    val chainRe = raw"FROM \w+ JOIN \w+ ON [^\n]+ JOIN \w+ ON ".r
+    assert(sqls.exists(s => chainRe.findFirstIn(s).isDefined),
       "three-table chain missing")
     assert(sqls.exists(_.contains("FILTER (WHERE")), "filter-clause agg missing")
     assert(sqls.exists(_.contains("IN\n")), "IN subquery missing")
