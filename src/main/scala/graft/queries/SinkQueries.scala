@@ -312,6 +312,23 @@ object SinkQueries {
         .orderBy("r_regionkey")
     }),
 
+    // K17: CSV file-source round-trip — the delimited-text INGEST path
+    // (the reference's text sink writes CSV lines; this gate closes the
+    // loop with Spark's csv READER under a pinned schema + header).
+    // Doubles survive because Spark writes the shortest round-trippable
+    // repr (Java Double.toString) and the parser restores the exact bits.
+    "k17_csv_roundtrip" -> ((s, dir) => {
+      clean(s, s"$base/k17")
+      TableCatalog.load(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+        .write.option("header", "true").csv(s"$base/k17/t")
+      s.read.option("header", "true")
+        .schema("c_custkey BIGINT, c_name STRING, c_nationkey INT, " +
+          "c_acctbal DOUBLE, c_mktsegment STRING")
+        .csv(s"$base/k17/t")
+        .orderBy("c_custkey")
+    }),
+
     // Deterministic fixed-shard export under the gate: seeded md5 shuffle
     // of the documents table into 8 exactly-named shard files; the line
     // carries (doc_id, content hash, shard_key) so shard membership, file
@@ -357,6 +374,10 @@ object SinkQueries {
 
     "k16_xml_roundtrip" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+
+    "k17_csv_roundtrip" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "k15_schema_merge_roundtrip" ->
       """SELECT * FROM (
