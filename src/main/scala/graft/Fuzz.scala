@@ -21,7 +21,7 @@ object Fuzz {
     val sfDir = args(0)
     val outDir = args(1)
     val seed = if (args.length > 2) args(2).toLong else 12L
-    val n = if (args.length > 3) args(3).toInt else 160
+    val n = if (args.length > 3) args(3).toInt else 200
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -107,7 +107,7 @@ object SqlFuzz {
       "orders.o_custkey = customer.c_custkey",
       "customer.c_nationkey = nation.n_nationkey", "n_name"))
 
-  private def genOne(r: Random): String = r.nextInt(15) match {
+  private def genOne(r: Random): String = r.nextInt(20) match {
     case 0 => // single-table group aggregate
       val t = pick(r, tables)
       val g = pick(r, t.groups)
@@ -225,6 +225,60 @@ object SqlFuzz {
          |  substring($c, $off, $len) AS sub,
          |  replace($c, 'a', '_') AS rep
          |FROM $t WHERE ${modPred(r, k)} ORDER BY $k""".stripMargin
+    case 15 => // COALESCE / NULLIF over group strings (null-fixture teeth)
+      // string-typed group cols only: keys/ids and p_size are integers,
+      // and int-vs-varchar coalesce coercion is a dialect divergence we
+      // deliberately stay out of
+      def isStr(g: String) =
+        !g.endsWith("key") && !g.endsWith("id") && g != "p_size"
+      val t = pick(r, tables.filter(_.groups.exists(isStr)))
+      val g = pick(r, t.groups.filter(isStr))
+      val k = t.keys.head
+      s"""SELECT $k, coalesce($g, 'missing') AS g2,
+         |  nullif($g, coalesce($g, '')) IS NULL AS same
+         |FROM ${t.name} WHERE ${modPred(r, k)} ORDER BY $k""".stripMargin
+    case 16 => // LIKE / NOT LIKE predicate
+      val (t, k, c) = pick(r, Vector(
+        ("customer", "c_custkey", "c_name"), ("supplier", "s_suppkey", "s_name"),
+        ("part", "p_partkey", "p_name"), ("documents", "doc_id", "lang")))
+      val neg = if (r.nextBoolean()) "NOT " else ""
+      val pat = pick(r, Vector("%0%", "%1", "%a%", "%e%", "_%2%"))
+      s"""SELECT $k, $c FROM $t
+         |WHERE $c ${neg}LIKE '$pat' ORDER BY $k""".stripMargin
+    case 17 => // CTE + join back
+      val t = pick(r, tables.filter(_.doubles.nonEmpty))
+      val g = pick(r, t.groups)
+      val v = pick(r, t.doubles)
+      s"""WITH agg AS (
+         |  SELECT $g, ${dsum(v)} AS sum_d, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM ${t.name} GROUP BY $g)
+         |SELECT a.$g, a.sum_d, a.cnt FROM agg a
+         |WHERE a.cnt >= ${1 + r.nextInt(3)} ORDER BY a.$g NULLS FIRST""".stripMargin
+    case 18 => // ROWS-frame running window (decimal-accumulated)
+      val t = pick(r, tables.filter(_.doubles.nonEmpty))
+      val g = pick(r, t.groups)
+      val v = pick(r, t.doubles)
+      val k = t.keys.mkString(", ")
+      val pre = 1 + r.nextInt(3)
+      // the frame ORDER must be TOTAL up to rows interchangeable for the
+      // running sum: the synthetic fixture's "keys" are NOT unique
+      // (lineitem carries 11k+ duplicate (l_orderkey, l_linenumber)
+      // pairs — found by this very template diverging), so the measure
+      // joins the sort key (ties on (g, k, v) are frame-equivalent) and
+      // its null position is pinned (engine defaults differ)
+      s"""SELECT $g, $k,
+         |  round(CAST(sum(CAST($v AS DECIMAL(28,6)))
+         |    OVER (PARTITION BY $g ORDER BY $k, $v ASC NULLS LAST
+         |          ROWS BETWEEN $pre PRECEDING AND CURRENT ROW) AS DOUBLE), 6) AS run_v
+         |FROM ${t.name} ORDER BY $g NULLS FIRST, $k""".stripMargin
+    case 19 => // integer arithmetic with explicit casts + greatest/least
+      val t = pick(r, tables)
+      val k = t.keys.head
+      val (a, b, m) = (r.nextInt(7) + 1, r.nextInt(50), r.nextInt(9) + 2)
+      s"""SELECT $k, CAST($k * $a + $b AS BIGINT) AS lin,
+         |  CAST($k % $m AS BIGINT) AS md,
+         |  CAST(greatest($k % $m, least($k % ${m + 3}, $a)) AS BIGINT) AS gl
+         |FROM ${t.name} WHERE ${modPred(r, k)} ORDER BY $k""".stripMargin
   }
 
   /** `n` named query shapes, fully determined by `seed` (same seed →

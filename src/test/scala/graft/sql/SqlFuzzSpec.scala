@@ -15,16 +15,16 @@ class SqlFuzzSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
   test("same seed regenerates char-identical SQL; different seeds differ") {
-    val a = SqlFuzz.queries(12L, 160)
-    val b = SqlFuzz.queries(12L, 160)
+    val a = SqlFuzz.queries(12L, 200)
+    val b = SqlFuzz.queries(12L, 200)
     assert(a === b)
-    assert(a.map(_._1).distinct.size === 160)
-    val c = SqlFuzz.queries(13L, 160)
+    assert(a.map(_._1).distinct.size === 200)
+    val c = SqlFuzz.queries(13L, 200)
     assert(a.map(_._2) !== c.map(_._2))
   }
 
-  test("the generator exercises every template family across 160 shapes") {
-    val sqls = SqlFuzz.queries(12L, 160).map(_._2)
+  test("the generator exercises every template family across 200 shapes") {
+    val sqls = SqlFuzz.queries(12L, 200).map(_._2)
     assert(sqls.exists(_.contains("GROUP BY ROLLUP")), "rollup missing")
     assert(sqls.exists(_.contains("row_number() OVER")), "window missing")
     assert(sqls.exists(s => s.contains("INTERSECT") || s.contains("EXCEPT")),
@@ -42,13 +42,18 @@ class SqlFuzzSpec extends SparkSpec {
     assert(sqls.exists(_.contains("IN\n")), "IN subquery missing")
     assert(sqls.exists(_.contains("GROUPING SETS")), "grouping sets missing")
     assert(sqls.exists(_.contains("upper(")), "string scalars missing")
+    assert(sqls.exists(_.contains("coalesce(")), "coalesce/nullif missing")
+    assert(sqls.exists(_.contains("LIKE '")), "like predicate missing")
+    assert(sqls.exists(_.contains("WITH agg AS")), "cte missing")
+    assert(sqls.exists(_.contains("ROWS BETWEEN")), "rows-frame window missing")
+    assert(sqls.exists(_.contains("greatest(")), "integer arithmetic missing")
   }
 
   test("every generated shape runs on Spark over the sf0.001 fixture") {
     for (t <- Seq("region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings"))
       graft.catalog.TableCatalog.load(spark, dir, t).createOrReplaceTempView(t)
-    val failures = SqlFuzz.queries(12L, 160).flatMap { case (name, sql) =>
+    val failures = SqlFuzz.queries(12L, 200).flatMap { case (name, sql) =>
       try { spark.sql(sql).collect(); None }
       catch { case e: Throwable => Some(s"$name: ${e.getMessage}") }
     }
