@@ -20,12 +20,13 @@ object Skew {
     * so tests/diagnostics assert on the OPERATOR's bucketing rather than
     * re-implementing it (a drifted copy would keep passing while
     * asserting nothing). */
-  def saltExpr(large: DataFrame, factor: Int): org.apache.spark.sql.Column =
+  def saltExpr(large: DataFrame, factor: Int): org.apache.spark.sql.Column = {
+    require(factor > 0, "salt factor must be positive")
     pmod(xxhash64(large.columns.toIndexedSeq.map(col): _*), lit(factor)).cast("int")
+  }
 
   def saltedJoin(large: DataFrame, small: DataFrame, keys: Seq[String],
                  factor: Int = 8, joinType: String = "inner"): DataFrame = {
-    require(factor > 0, "salt factor must be positive")
     val l = large.withColumn("__salt", saltExpr(large, factor))
     val s = small.withColumn("__salt",
       explode(sequence(lit(0), lit(factor - 1))))

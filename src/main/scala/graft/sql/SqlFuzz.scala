@@ -228,14 +228,17 @@ object SqlFuzz {
     case 15 => // COALESCE / NULLIF over group strings (null-fixture teeth)
       // string-typed group cols only: keys/ids and p_size are integers,
       // and int-vs-varchar coalesce coercion is a dialect divergence we
-      // deliberately stay out of
+      // deliberately stay out of. The nullif probe compares TWO DISTINCT
+      // columns (the self-compare form was a tautology — NULL for null,
+      // empty, and non-null alike — and could never catch a divergence).
       def isStr(g: String) =
         !g.endsWith("key") && !g.endsWith("id") && g != "p_size"
-      val t = pick(r, tables.filter(_.groups.exists(isStr)))
-      val g = pick(r, t.groups.filter(isStr))
+      val t = pick(r, tables.filter(_.groups.count(isStr) >= 2))
+      val Seq(g1, g2) = r.shuffle(t.groups.filter(isStr).toList).take(2).toSeq
       val k = t.keys.head
-      s"""SELECT $k, coalesce($g, 'missing') AS g2,
-         |  nullif($g, coalesce($g, '')) IS NULL AS same
+      s"""SELECT $k, coalesce($g1, 'missing') AS c1,
+         |  nullif($g1, $g2) AS nf,
+         |  ($g1 = $g2) IS NULL AS cmp_null
          |FROM ${t.name} WHERE ${modPred(r, k)} ORDER BY $k""".stripMargin
     case 16 => // LIKE / NOT LIKE predicate
       val (t, k, c) = pick(r, Vector(

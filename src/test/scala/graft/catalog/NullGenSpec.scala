@@ -11,17 +11,9 @@ import graft.SparkSpec
 class NullGenSpec extends SparkSpec {
 
   private lazy val dir: String = {
-    val out = java.nio.file.Files.createTempDirectory("graft_nullfix")
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = if (f.exists) {
-        val kids = f.listFiles
-        if (kids != null) kids.foreach(rm)
-        f.delete(): Unit
-      }
-      rm(out.toFile)
-    }))
-    graft.NullGen.run(spark, "/root/testdata/sf0.001", out.toString)
-    out.toString
+    val out = TestDirs.tempDirCleanedAtExit("graft_nullfix")
+    graft.NullGen.run(spark, "/root/testdata/sf0.001", out)
+    out
   }
 
   test("non-key columns carry ~1/7 nulls; keys and join columns carry none") {

@@ -15,20 +15,11 @@ class SkewFixtureSpec extends SparkSpec {
 
   // dir name deliberately contains no "skew" substring: the AQE test
   // greps the final plan, and a FileScan Location containing the path
-  // would make the marker assertion vacuous. Cleaned up at JVM exit
-  // (the modelDir shutdown-hook pattern).
+  // would make the marker assertion vacuous.
   private lazy val dir: String = {
-    val out = java.nio.file.Files.createTempDirectory("graft_hotkey")
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        val kids = f.listFiles
-        if (kids != null) kids.foreach(rm)
-        f.delete(): Unit
-      }
-      rm(out.toFile)
-    }))
-    graft.SkewGen.run(spark, "/root/testdata/sf0.001", out.toString)
-    out.toString
+    val out = TestDirs.tempDirCleanedAtExit("graft_hotkey")
+    graft.SkewGen.run(spark, "/root/testdata/sf0.001", out)
+    out
   }
 
   test("the planted skew is real: one supplier holds ~20% of lineitem") {
