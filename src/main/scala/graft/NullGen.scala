@@ -49,13 +49,19 @@ object NullGen {
   def run(spark: SparkSession, src: String, out: String): Unit = {
     for ((name, (key, intact)) <- keep) {
       val t = graft.catalog.TableCatalog.load(spark, src, name)
-      // column index offsets the plant per column so different columns
-      // are null on DIFFERENT rows (correlated nulls would mask bugs)
-      val planted = t.columns.zipWithIndex.foldLeft(t) {
-        case (df, (c, i)) if !intact.contains(c) =>
+      // hash of (key, column NAME) decides the plant: any affine scheme
+      // mod 7 (the r12 offset plant, or a stride variant) reduces each
+      // column's null set to ONE residue class of key mod 7, so with 7+
+      // planted columns two of them null the SAME rows by pigeonhole
+      // (ADVICE r12). crc32 mixing makes the sets pseudo-random ~1/7
+      // subsets — pairwise intersections ~1/49, identical sets
+      // impossible in practice — while staying deterministic: the twin
+      // is WRITTEN once, both engines then read identical bytes.
+      val planted = t.columns.foldLeft(t) {
+        case (df, c) if !intact.contains(c) =>
           df.withColumn(c,
-            when(pmod(col(key) + lit(i), lit(7)) === 3, lit(null))
-              .otherwise(col(c)))
+            when(pmod(crc32(concat_ws("_", col(key).cast("string"), lit(c))),
+              lit(7)) === 3, lit(null)).otherwise(col(c)))
         case (df, _) => df
       }
       // single plain FILE per table (the driver-fixture layout): DuckDB's

