@@ -40,4 +40,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // of generated classes traded the Janino recompiles for GC/metaspace
   // pressure that cost more than it saved.)
   "-XX:ReservedCodeCacheSize=1g",
+  "-Dfile.encoding=UTF-8",
 )
+// The container locale is POSIX, which makes the JVM's FILENAME encoding
+// (sun.jnu.encoding) ASCII — a unicode split key then cannot name its
+// partition directory (InvalidPathException: unmappable characters; found
+// by the r13 sink fuzz). sun.jnu.encoding is derived from the LOCALE at
+// JVM startup (a -D override is ignored on this JDK), so pin the forked
+// JVMs' locale instead — real clusters run UTF-8 locales, this makes
+// file-naming behavior the deployment behavior.
+Test / envVars += ("LC_ALL" -> "C.utf8")
+run / envVars += ("LC_ALL" -> "C.utf8")

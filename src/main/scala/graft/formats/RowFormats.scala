@@ -48,26 +48,51 @@ object RowFormats {
     case _ => concat(lit("\""), jsonEscape(c.cast("string")), lit("\""))
   }
 
+  /** Escapes `\` `"` and the three whitespace control chars that occur
+    * in real text (`\n` `\r` `\t`) — the set gson's writer escapes for
+    * the reference (r13 sink fuzz: a raw control char inside a JSON
+    * string is rejected by any strict reader). Other control bytes
+    * (U+0000–U+001F) are NOT escaped — documented contract, FIXTURES.md
+    * §3 (they do not occur in the fixture or any supported source). */
   private def jsonEscape(c: Column): Column =
-    regexp_replace(regexp_replace(regexp_replace(
-      c, "\\\\", "\\\\\\\\"), "\"", "\\\\\""), "\n", "\\\\n")
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      c, "\\\\", "\\\\\\\\"), "\"", "\\\\\""), "\n", "\\\\n"),
+      "\r", "\\\\r"), "\t", "\\\\t")
+
+  /** A field NAME rendered as a JSON object key (names are plan-time
+    * Scala strings, so this is build-time escaping — reserved characters
+    * in column names must not break the line's framing). */
+  private def jsonKey(name: String): String =
+    "\"" + name.flatMap {
+      case '\\' => "\\\\"
+      case '"' => "\\\""
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case ch => ch.toString
+    } + "\":"
 
   /** JSON object over a struct column with the reference's null policy:
     * null fields are SERIALIZED as `"f":null` (gson `addProperty` with
     * null — SURVEY P1 "null→JSON null"). */
   private def jsonObject(c: Column, st: StructType): Column = {
     val parts = st.fields.map { f =>
-      concat(lit("\"" + f.name + "\":"),
+      concat(lit(jsonKey(f.name)),
         coalesce(jsonValue(c.getField(f.name), f.dataType), lit("null")))
     }
     concat(lit("{"), concat_ws(",", parts.toIndexedSeq: _*), lit("}"))
   }
 
+  /** `col()` on the literal name (backtick-quoted: a dotted column name
+    * must not be parsed as a struct path). */
+  private def colExact(name: String): Column =
+    col("`" + name.replace("`", "``") + "`")
+
   /** One JSON line per row, fields in schema order. */
   def jsonLine(df: DataFrame): Column = {
     val parts = df.schema.fields.map { f =>
-      concat(lit("\"" + f.name + "\":"),
-        coalesce(jsonValue(col(f.name), f.dataType), lit("null")))
+      concat(lit(jsonKey(f.name)),
+        coalesce(jsonValue(colExact(f.name), f.dataType), lit("null")))
     }
     concat(lit("{"), concat_ws(",", parts.toIndexedSeq: _*), lit("}"))
   }
@@ -93,7 +118,7 @@ object RowFormats {
   /** One CSV line per row, fields in schema order. */
   def csvLine(df: DataFrame): Column =
     concat_ws(",", df.schema.fields.map { f =>
-      coalesce(csvQuote(csvValue(col(f.name), f.dataType)), lit(""))
+      coalesce(csvQuote(csvValue(colExact(f.name), f.dataType)), lit(""))
     }.toIndexedSeq: _*)
 
   /** Format dispatch of `StructToTextConverter.convert`

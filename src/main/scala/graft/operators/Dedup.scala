@@ -392,12 +392,40 @@ object Dedup {
     else ranked
   }
 
+  /** `maxDf`: optional CCNet-style hot-shingle cap (the knob
+    * [[graft.operators.TextAnalysis.fingerprintOverlap]] already has).
+    * Shingles with corpus document frequency > maxDf are removed from
+    * every shingle SET before anything else, so both candidate
+    * generation and the Jaccard itself run on the capped sets — a
+    * consistent approximation that trades boilerplate-shingle signal
+    * (by definition not meaningful overlap evidence) for a hard bound
+    * on posting-list length. The prefix filter already excludes
+    * corpus-hot shingles from the candidate JOIN losslessly; what it
+    * cannot bound is true-pair volume itself when hot shingles make
+    * whole near-dup families (the sf10 83× head, BASELINE.md) — the cap
+    * can, at the cost of exactness. Default keeps every shingle (exact
+    * semantics, equivalence spec-pinned); a 100 TB boilerplate-heavy
+    * crawl should set it. */
   def ngramJaccard(df0: DataFrame, idCol: String, textCol: String,
-                   k: Int = 3, minJaccard: Double = 0.2): DataFrame = {
+                   k: Int = 3, minJaccard: Double = 0.2,
+                   maxDf: Long = Long.MaxValue): DataFrame = {
     graft.plans.GraftFunctions.register(df0.sparkSession)
     val df = widen(df0)
     val t = minJaccard
-    val docSh = hashedShingleSets(df, idCol, textCol, k)
+    val docShAll = hashedShingleSets(df, idCol, textCol, k)
+    val docSh = if (maxDf == Long.MaxValue) docShAll else {
+      val ex = graft.functions.SafeExplode.explodeSelect(
+        docShAll, Seq(col(idCol)), col("sh"), "s")
+      val hot = ex.groupBy("s").agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxDf).select(col("s").as("hot_s"))
+      // left-anti drop of hot postings, then regroup the (still
+      // distinct) hashes into sorted arrays — the shape every
+      // downstream step expects (sorted-merge intersect, prefix ranks)
+      ex.join(hot, col("s") === col("hot_s"), "left_anti")
+        .groupBy(idCol).agg(sort_array(collect_list(col("s"))).as("sh"))
+        .withColumn("n", size(col("sh")).cast("long"))
+        .filter(col("n") >= 1)
+    }
     val prefix = rankedPostings(docSh, idCol, t, prefixOnly = true)
     // PPJoin candidate join: equi-join on prefix shingles plus the two
     // LOSSLESS pruning conditions — length filter (|B| >= t|A|) and

@@ -64,7 +64,9 @@ object DynamicFileSink {
     fs.delete(staging, true)
 
     val keyed = conf.splitField match {
-      case Some(f) => df.withColumn(SplitCol, coalesce(col(f).cast("string"), lit("")))
+      case Some(f) => df.withColumn(SplitCol, // backtick-quote: a dotted
+        // split-field name must resolve as a column, not a struct path
+        coalesce(col("`" + f.replace("`", "``") + "`").cast("string"), lit("")))
       case None => df.withColumn(SplitCol, lit(""))
     }
     val sharded = if (conf.withoutSharding) keyed.coalesce(1) else keyed

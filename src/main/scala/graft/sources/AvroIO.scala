@@ -126,10 +126,15 @@ object AvroIO {
     val rdd = spark.sparkContext
       .parallelize(files, math.min(files.size, 64))
       .flatMap { f =>
-        val ffs = FileSystem.get(new java.net.URI(f),
+        // Path(f).toUri, NOT new URI(f): the listing hands back UNENCODED
+        // path strings, and a raw URI parse rejects legal file-name
+        // characters like spaces (r13 sink fuzz: split key "key with
+        // space" → outkey with space.avro failed here)
+        val fp = new Path(f)
+        val ffs = FileSystem.get(fp.toUri,
           new org.apache.hadoop.conf.Configuration())
         val stream = new DataFileStream[GenericRecord](
-          ffs.open(new Path(f)), new GenericDatumReader[GenericRecord]())
+          ffs.open(fp), new GenericDatumReader[GenericRecord]())
         val schemaLocal = sparkSchema
         new Iterator[Row] {
           def hasNext: Boolean = {

@@ -337,16 +337,24 @@ object EventStream {
     * deployment the writer seam is where a Delta/Iceberg `MERGE INTO`
     * slots in (see UpsertWriter's Scaladoc); exactly-once then comes from
     * the sink's idempotent merge + the source's replayed offsets. */
+  /** `checkpoint`: the streaming checkpoint location. A production CDC
+    * ingest MUST set it — it is what makes the query restartable with
+    * exactly-once results (source offsets + aggregation state survive a
+    * kill; on resume, committed batches are not re-fed and open windows
+    * keep aggregating where they left off, which the restart e2e spec
+    * enforces). None = Spark's per-query temp checkpoint (tests). */
   def streamUpsert(stream: DataFrame, path: String,
-                   keyFields: Seq[String]): org.apache.spark.sql.streaming.StreamingQuery =
-    stream.writeStream
+                   keyFields: Seq[String],
+                   checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = stream.writeStream
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         graft.mutate.UpsertWriter.write(batch, path,
           graft.mutate.UpsertWriter.InsertOrUpdate, keyFields)
         ()
       }
-      .start()
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
 
   /** Stream-stream interval join: each purchase matches the same user's
     * clicks in the event-time window [p_ts - lookback, p_ts] — the
