@@ -425,6 +425,12 @@ object Dedup {
         .groupBy(idCol).agg(sort_array(collect_list(col("s"))).as("sh"))
         .withColumn("n", size(col("sh")).cast("long"))
         .filter(col("n") >= 1)
+        // same rationale as hashedShingleSets' cache: three consumers
+        // (the prefix index + both verification joins) would otherwise
+        // each re-run the explode + df aggregate + anti-join + regroup —
+        // multiple extra corpus-sized shuffles in exactly the mode the
+        // cap exists to make cheap
+        .cache()
     }
     val prefix = rankedPostings(docSh, idCol, t, prefixOnly = true)
     // PPJoin candidate join: equi-join on prefix shingles plus the two

@@ -30,9 +30,18 @@ import scala.util.Random
   *     runtime error while DuckDB yields NULL — the guard makes both
   *     engines produce NULL rows (probed by planted zero denominators).
   *     Quotients are compared either via `floor` (exact on identical
-  *     IEEE bits) or 6-dp round with denominators restricted to small
-  *     integers (the quotient then has <= 5 decimals, so the round is
-  *     the identity — no half-tie policy can diverge);
+  *     IEEE bits — the form used whenever the denominator is a data
+  *     value) or 6-dp round restricted to small-integer denominators.
+  *     The round rests on (a) bit-identical IEEE quotients in both
+  *     engines and (b) the engines' round() agreeing on those bits —
+  *     probed empirically (~5M fixture-like value/denominator
+  *     combinations, zero divergences). A divergence would need the
+  *     quotient double's SHORTEST decimal repr to terminate in a
+  *     7th-place 5 (Spark rounds the shortest repr HALF_UP, DuckDB the
+  *     actual value), which small-integer-denominator quotients
+  *     essentially never produce — but it is an empirical pin, not an
+  *     identity: widening denominators or changing the round scale
+  *     re-opens the question (re-probe before trusting it);
   *   - multi-column DISTINCT uses `a || '|' || b` (engine-portable;
   *     `concat` ignores NULLs in DuckDB but not Spark — excluded).
   */

@@ -47,14 +47,17 @@ class NullGenSpec extends SparkSpec {
     val keys = Set("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
     val planted = li.columns.filterNot(keys).toSeq
     assert(planted.size >= 7, s"expected a wide planted set, got $planted")
+    // BOTH directions per pair: a∖b alone would accept nulls(b) ⊊
+    // nulls(a) — a strict-subset correlation this test exists to catch
     val aggs = for {
       (a, i) <- planted.zipWithIndex; b <- planted.drop(i + 1)
-    } yield sum(when(col(a).isNull && !col(b).isNull, 1L).otherwise(0L))
-      .as(s"${a}__$b")
+      (x, y) <- Seq((a, b), (b, a))
+    } yield sum(when(col(x).isNull && !col(y).isNull, 1L).otherwise(0L))
+      .as(s"${x}__$y")
     val row = li.agg(aggs.head, aggs.tail: _*).collect()(0)
     for (i <- 0 until row.length)
       assert(row.getLong(i) > 0L,
-        s"null sets identical (or a ⊆ b) for pair ${row.schema(i).name}")
+        s"null set containment for pair ${row.schema(i).name}")
   }
 
   test("every FK still resolves on the planted fixture") {
