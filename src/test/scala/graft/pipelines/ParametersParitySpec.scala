@@ -73,8 +73,12 @@ class ParametersParitySpec extends AnyFunSuite {
     val problems = for {
       (tmpl, params) <- templates
       body <- sections.get(tmpl).toSeq
+      // header lines also contain '→' ("## Name → `cli-name`") — exclude
+      // them, or a parameter named like a CLI-alias word would count as
+      // mapped with no mapping row
       claims = body.linesIterator
-        .filter(l => l.trim.startsWith("|") || l.contains("→"))
+        .filter(l => !l.startsWith("#") &&
+          (l.trim.startsWith("|") || l.contains("→")))
         .mkString("\n")
       p <- params
       if !wordPresent(body, s"waived: $p") && !wordPresent(claims, p)
