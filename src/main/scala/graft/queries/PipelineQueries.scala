@@ -131,6 +131,15 @@ object PipelineQueries {
       Dedup.ngramJaccard(docs(s, dir), "doc_id", "text")
         .orderBy("d1", "d2")),
 
+    // --- the r13 maxDf hot-shingle posting cap over the same corpus:
+    //     cross-engine evidence for the CAPPED code path. maxDf=5 bites
+    //     at both gate SFs (29 shingles dropped at sf0.01, ~24.5k at
+    //     sf0.1), so the gate is non-vacuous — jaccard is computed over
+    //     the capped sets on both engines ---
+    "d_ngram_jaccard_capped" -> ((s, dir) =>
+      Dedup.ngramJaccard(docs(s, dir), "doc_id", "text", maxDf = 5L)
+        .orderBy("d1", "d2")),
+
     // --- asymmetric containment (docs embedded in larger docs) ---
     "d_containment" -> ((s, dir) =>
       Dedup.containment(docs(s, dir), "doc_id", "text")
@@ -2106,6 +2115,25 @@ object PipelineQueries {
            |FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
            |GROUP BY a.doc_id, b.doc_id
            |HAVING count(*)::DOUBLE / (any_value(a.n) + any_value(b.n) - count(*)) >= 0.2
+           |ORDER BY d1, d2""".stripMargin,
+
+      // capped twin: drop shingles with corpus df > 5 BEFORE the join and
+      // recompute per-doc set sizes over the capped sets — the exact
+      // semantics of ngramJaccard(maxDf = 5)
+      "d_ngram_jaccard_capped" ->
+        s"""WITH sh0 AS (
+           |  SELECT doc_id, unnest($sh3) AS s
+           |  FROM (SELECT doc_id, $toks AS t FROM documents) WHERE len(t) >= 3),
+           |keep AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 5),
+           |sh1 AS (SELECT doc_id, s FROM sh0 JOIN keep USING (s)),
+           |nn AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh1 GROUP BY doc_id)
+           |SELECT a.doc_id AS d1, b.doc_id AS d2,
+           |  count(*)::DOUBLE / (any_value(na.n) + any_value(nb.n) - count(*)) AS jaccard
+           |FROM sh1 a JOIN sh1 b ON a.s = b.s AND a.doc_id < b.doc_id
+           |JOIN nn na ON na.doc_id = a.doc_id
+           |JOIN nn nb ON nb.doc_id = b.doc_id
+           |GROUP BY a.doc_id, b.doc_id
+           |HAVING count(*)::DOUBLE / (any_value(na.n) + any_value(nb.n) - count(*)) >= 0.2
            |ORDER BY d1, d2""".stripMargin,
 
       "d_containment" ->

@@ -70,7 +70,10 @@ class HeavyPlanSpec extends SparkSpec {
     "a_ann_ivf2_topk" -> Allow(),                // two-level probe, broadcast models
     "d_minhash_stored" -> Allow(),               // stored-signature band join
     // r12-board entrant, reviewed round 13:
-    "t_bigram_surprise" -> Allow(bnlj = true, single = true)) // one-row vocab-size agg (SinglePartition) broadcast-crossed onto the scored bigram frame (d_lsh_eval class)
+    "t_bigram_surprise" -> Allow(bnlj = true, single = true), // one-row vocab-size agg (SinglePartition) broadcast-crossed onto the scored bigram frame (d_lsh_eval class)
+    // r13 new gate, reviewed proactively (d_ngram_jaccard + a capped-
+    // postings pre-pass: df aggregate + anti-join + regroup, all keyed):
+    "d_ngram_jaccard_capped" -> Allow())
 
   /** Top-15 of the newest committed BENCH_r<N>.json (driver record).
     * "Committed" is literal: the candidate set comes from
