@@ -43,12 +43,13 @@ class SinkFuzzSpec extends SparkSpec {
     Vector(StringType, LongType, IntegerType, DoubleType, BooleanType) ++
       (if (avroSafe) Vector() else Vector(BinaryType))
 
-  private def genSchema(r: Random, avroSafe: Boolean): StructType = {
+  private def genSchema(r: Random, avroSafe: Boolean,
+                        flat: Boolean = false): StructType = {
     val pool = if (avroSafe) safeNames else weirdNames
     val names = r.shuffle(pool).take(3 + r.nextInt(4))
       .zipWithIndex.map { case (n, i) => s"${n}_$i" } // uniqueness suffix
     val fields = names.map { n =>
-      val dt = r.nextInt(10) match {
+      val dt = (if (flat) 9 else r.nextInt(10)) match {
         case 0 => ArrayType(LongType, containsNull = true)
         case 1 => ArrayType(StringType, containsNull = true)
         case 2 | 3 =>
@@ -151,6 +152,40 @@ class SinkFuzzSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSet
     assert(keysWritten === keysExpected,
       "unicode/empty/reserved-char split keys must name files verbatim")
+  }
+
+  // ---- csv round trips (flat schemas — the P2 surface) --------------------
+
+  test("20 seeded flat schemas round-trip through the csv DynamicFileSink") {
+    // commons-csv DEFAULT quoting (quote on [\",\n\r], doubled embedded
+    // quotes) read back by Spark's csv reader with escape='\"' and
+    // multiLine for embedded newlines. CONTRACT (FIXTURES.md §3): csv
+    // cannot distinguish an empty string from null (both render as an
+    // empty field, as in the reference's converter) — the expected side
+    // maps "" → null accordingly.
+    val r = new Random(51L)
+    for (i <- 0 until 20) {
+      val schema = genSchema(r, avroSafe = false, flat = true)
+      val df = genFrame(r, schema, 12)
+      val out = tmpDir(s"sinkfuzz_csv_$i") + "/out"
+      val res = DynamicFileSink.write(df, DynamicFileSink.Config(
+        output = out, format = "csv", splitField = Some("sk")))
+      assert(res.files.nonEmpty, s"schema $i: nothing written\n$schema")
+      val back = spark.read.schema(jsonReadSchema(schema))
+        .option("mode", "FAILFAST").option("multiLine", true)
+        .option("escape", "\"")
+        .csv(res.files: _*)
+      val base64ed = jsonExpected(df) // binary → its base64 text (may be "")
+      val expected = base64ed.schema.fields.foldLeft(base64ed) {
+        case (d, f) if f.dataType == StringType =>
+          d.withColumn(f.name,
+            when(col("`" + f.name + "`") === "", lit(null))
+              .otherwise(col("`" + f.name + "`")))
+        case (d, _) => d
+      }
+      val (got, want) = (canon(back), canon(expected))
+      assert(got === want, s"schema $i diverged after csv round trip\n$schema")
+    }
   }
 
   // ---- avro round trips --------------------------------------------------
