@@ -18,21 +18,21 @@ import graft.SparkSpec
   */
 class StreamRestartSpec extends SparkSpec {
 
-  test("streamUpsert: kill-and-resume from checkpoint keeps batch parity") {
-    val dir = tmpDir("upsert_restart")
-    val in = s"$dir/in"; val cp = s"$dir/cp"; val table = s"$dir/table"
-    new java.io.File(in).mkdirs()
-    val ev = graft.catalog.TableCatalog.load(spark, "/root/testdata/sf0.001", "events")
+  private lazy val events =
+    graft.catalog.TableCatalog.load(spark, "/root/testdata/sf0.001", "events")
 
-    // four deterministic EVENT-TIME quartiles of the real fixture; each
-    // becomes ONE input file so maxFilesPerTrigger=1 yields one
-    // micro-batch per slice. Time-ordered slices are the real CDC feed
-    // shape — an id-interleaved slicing would make every batch-2 row
-    // LATE (batch 1 spans the whole month, so the watermark jumps to
-    // month-end and update-mode aggregation drops the rest by design)
-    val quartiled = ev.withColumn("__q", ntile(4).over(
+  /** Four deterministic EVENT-TIME quartiles of the real fixture; each
+    * becomes ONE input file so maxFilesPerTrigger=1 yields one
+    * micro-batch per slice. Time-ordered slices are the real CDC feed
+    * shape — an id-interleaved slicing would make every batch-2 row
+    * LATE (batch 1 spans the whole month, so the watermark jumps to
+    * month-end and event-time state drops the rest by design).
+    * Returns the per-slice writer into `in`. */
+  private def quartileSlicer(dir: String, in: String): Int => Unit = {
+    new java.io.File(in).mkdirs()
+    val quartiled = events.withColumn("__q", ntile(4).over(
       org.apache.spark.sql.expressions.Window.orderBy(col("ts"), col("event_id"))))
-    def addSlice(i: Int): Unit = {
+    (i: Int) => {
       val tmp = s"$dir/_tmp$i"
       quartiled.filter(col("__q") === i + 1).drop("__q")
         .coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -41,6 +41,13 @@ class StreamRestartSpec extends SparkSpec {
       java.nio.file.Files.move(part.toPath,
         java.nio.file.Paths.get(s"$in/slice$i.parquet"))
     }
+  }
+
+  test("streamUpsert: kill-and-resume from checkpoint keeps batch parity") {
+    val dir = tmpDir("upsert_restart")
+    val in = s"$dir/in"; val cp = s"$dir/cp"; val table = s"$dir/table"
+    val ev = events
+    val addSlice = quartileSlicer(dir, in)
     addSlice(0); addSlice(1)
     val schema = spark.read.parquet(in).schema
 
@@ -80,5 +87,48 @@ class StreamRestartSpec extends SparkSpec {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
       "restarted stream's upserted table must equal the batch backfill " +
         "(a lost window or a partial count would differ)")
+  }
+
+  test("append-mode windowed DDSketch into a parquet file sink survives restart exactly-once") {
+    // the NATIVE file sink's exactly-once contract (its commit manifest)
+    // across a checkpoint restart, on a finite-state sketch stream:
+    // windows the final watermark provably closed are emitted exactly
+    // once in total across BOTH runs — none lost at the stop boundary,
+    // none double-appended on resume
+    val dir = tmpDir("dd_restart")
+    val in = s"$dir/in"; val cp = s"$dir/cp"; val out = s"$dir/out"
+    val addSlice = quartileSlicer(dir, in)
+    addSlice(0); addSlice(1)
+    val schema = spark.read.parquet(in).schema
+
+    def start() = EventStream.windowedDdBuckets(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", cp).option("path", out)
+      .format("parquet").start()
+
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    addSlice(2); addSlice(3)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val got = spark.read.parquet(out).select("window_start", "bucket", "cnt")
+    val batchEv = events
+    val batch = EventStream.windowedDdBuckets(batchEv)
+      .select("window_start", "bucket", "cnt")
+    // a 1-day window is provably closed once watermark (max ts − 1 h)
+    // passes its end: window_start ≤ maxTs − 1 day − 1 h
+    val maxTs = batchEv.agg(max(col("ts"))).head.getTimestamp(0)
+    val closeBefore =
+      new java.sql.Timestamp(maxTs.getTime - 3600000L - 86400000L)
+    val closedBatch = batch.filter(col("window_start") <= closeBefore)
+    assert(closedBatch.count() > 0)
+    assert(closedBatch.exceptAll(got).isEmpty,
+      "every provably-closed batch bucket must be in the file sink " +
+        "(a bucket lost at the restart boundary would be missing)")
+    assert(got.exceptAll(batch).isEmpty,
+      "the file sink must hold no cell the batch sketch does not have " +
+        "(a double-append on resume would duplicate rows)")
   }
 }
