@@ -21,6 +21,16 @@ class DegenerateInputSpec extends SparkSpec {
     assert(Dedup.minhashLsh(shortDocs, "doc_id", "text").isEmpty)
   }
 
+  test("ngramJaccard maxDf: an all-hot corpus empties cleanly, never throws") {
+    // every shingle shared by every doc → the cap removes every posting;
+    // docs with no surviving shingles must drop out, not divide by zero
+    val allSame = (1L to 6L).map(i =>
+      (i, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    assert(Dedup.ngramJaccard(allSame, "doc_id", "text", maxDf = 3L).isEmpty)
+    // and the same corpus UNCAPPED is all-pairs jaccard 1.0 (sanity)
+    assert(Dedup.ngramJaccard(allSame, "doc_id", "text").count() === 15L)
+  }
+
   test("decontamination with an empty eval set reports nothing") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon"),
