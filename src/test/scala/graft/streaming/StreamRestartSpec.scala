@@ -131,4 +131,56 @@ class StreamRestartSpec extends SparkSpec {
       "the file sink must hold no cell the batch sketch does not have " +
         "(a double-append on resume would duplicate rows)")
   }
+
+  test("flatMapGroupsWithState sessionization survives restart: custom state recovered, sessions exactly-once") {
+    // the third state type across a restart: CUSTOM GroupState (open
+    // per-user session accumulators + event-time timeouts), not engine
+    // window state. Sessions OPEN at the stop boundary must close
+    // correctly after resume from their checkpointed accumulators —
+    // lost state would shear every boundary-straddling session in two
+    // (and the halves would fail the batch-parity subset checks below).
+    import spark.implicits._
+    import EventStream.Event
+    val dir = tmpDir("sess_restart")
+    val in = s"$dir/in"; val cp = s"$dir/cp"; val out = s"$dir/out"
+    val addSlice = quartileSlicer(dir, in)
+    addSlice(0); addSlice(1)
+    val schema = spark.read.parquet(in).schema
+
+    def start() = EventStream.sessionizeEventTime(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in)
+          .select(col("user_id"), col("ts"), col("value")).as[Event])
+      .toDF()
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", cp).option("path", out)
+      .format("parquet").start()
+
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    addSlice(2); addSlice(3)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val cols = Seq("user_id", "n_events", "total", "session_start", "session_end")
+    val got = spark.read.parquet(out).select(cols.head, cols.tail: _*)
+    val batchEv = events
+    val batchClosed = EventStream.sessionizeEventTime(
+        batchEv.select(col("user_id"), col("ts"), col("value")).as[Event])
+      .toDF().select(cols.head, cols.tail: _*)
+    assert(batchClosed.count() > 0)
+    // every straddle-closed batch session appears exactly once in the sink
+    assert(batchClosed.exceptAll(got).isEmpty,
+      "a batch-closed session missing from the sink = state lost at restart")
+    // no duplicates at all in the sink (exactly-once across both runs)
+    val dups = got.groupBy(cols.head, cols.tail: _*).count()
+      .filter(col("count") > 1).count()
+    assert(dups === 0L, "a session emitted twice = double-append on resume")
+    // every extra sink session was provably closed by the final watermark
+    val wmMicros = batchEv.agg(max(unix_micros(col("ts")))).head.getLong(0) -
+      3600000000L
+    val extras = got.exceptAll(batchClosed)
+      .select(unix_micros(col("session_end")).as("endUs")).as[Long].collect()
+    assert(extras.forall(_ + 3600000000L <= wmMicros),
+      "sink must only add sessions the watermark proved closed")
+  }
 }
