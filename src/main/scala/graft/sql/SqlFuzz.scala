@@ -130,7 +130,7 @@ object SqlFuzz {
       "orders.o_custkey = customer.c_custkey",
       "customer.c_nationkey = nation.n_nationkey", "n_name"))
 
-  private def genOne(r: Random): String = r.nextInt(28) match {
+  private def genOne(r: Random): String = r.nextInt(29) match {
     case 0 => // single-table group aggregate
       val t = pick(r, tables)
       val g = pick(r, t.groups)
@@ -384,6 +384,24 @@ object SqlFuzz {
          |  CAST(count(DISTINCT $k % ${3 + r.nextInt(5)} || '|' || $g2) AS BIGINT) AS nd_pair,
          |  CAST(count(*) AS BIGINT) AS cnt$sumDist
          |FROM ${t.name} GROUP BY $g1 ORDER BY $g1 NULLS FIRST""".stripMargin
+    case 28 => // null-safe comparison: IS [NOT] DISTINCT FROM (3VL teeth —
+      // on the null twin either operand can be NULL; probed identical in
+      // both engines: NULL≡NULL true, 1≡NULL false)
+      def isStr28(g: String) =
+        !g.endsWith("key") && !g.endsWith("id") && g != "p_size"
+      val t = pick(r, tables.filter(_.groups.count(isStr28) >= 2))
+      val Seq(g1, g2) = r.shuffle(t.groups.filter(isStr28).toList).take(2).toSeq
+      val k = t.keys.head
+      if (r.nextBoolean())
+        s"""SELECT $k, ($g1 IS NOT DISTINCT FROM $g2) AS ns_eq,
+           |  ($g1 IS DISTINCT FROM $g2) AS ns_ne,
+           |  CASE WHEN $g1 IS NOT DISTINCT FROM $g2 THEN 'same' ELSE 'diff' END AS tag
+           |FROM ${t.name} WHERE ${modPred(r, k)} ORDER BY $k""".stripMargin
+      else
+        s"""SELECT $g1, CAST(count(*) AS BIGINT) AS cnt,
+           |  CAST(count(*) FILTER (WHERE $g1 IS NOT DISTINCT FROM $g2) AS BIGINT) AS n_nseq,
+           |  CAST(count(*) FILTER (WHERE $g2 IS NULL) AS BIGINT) AS n_null2
+           |FROM ${t.name} GROUP BY $g1 ORDER BY $g1 NULLS FIRST""".stripMargin
     case 27 => // FULL OUTER join with forced unmatched rows on both sides
       val (l, rt, on, g) = pick(r, fks)
       val lt = tables.find(_.name == l).get

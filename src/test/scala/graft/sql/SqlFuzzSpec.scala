@@ -58,6 +58,8 @@ class SqlFuzzSpec extends SparkSpec {
     assert(sqls.exists(_.contains("avg_micro")), "aggregate-ratio family missing")
     assert(sqls.exists(_.contains("nd_pair")), "distinct-aggregate family missing")
     assert(sqls.exists(_.contains("FULL JOIN")), "full outer join family missing")
+    assert(sqls.exists(_.contains("IS NOT DISTINCT FROM")),
+      "null-safe comparison family missing")
     // the division surface must stay guarded: Spark runs ANSI mode where a
     // raw x/0 is a runtime error while DuckDB yields NULL — every '/' the
     // generator emits must divide by a nullif() (the portable ÷0→NULL pin)
