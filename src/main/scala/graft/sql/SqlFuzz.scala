@@ -91,6 +91,12 @@ object SqlFuzz {
 
   private def pick[A](r: Random, xs: Seq[A]): A = xs(r.nextInt(xs.size))
 
+  /** String-typed group columns only: keys/ids and p_size are integers,
+    * and int-vs-varchar coercion (coalesce, nullif, IS DISTINCT FROM) is
+    * a dialect divergence the envelope deliberately excludes. */
+  private def isStrGroup(g: String): Boolean =
+    !g.endsWith("key") && !g.endsWith("id") && g != "p_size"
+
   /** decimal-accumulated, 6-dp-rounded double sum (engine-exact) */
   private def dsum(c: String) =
     s"round(CAST(sum(CAST($c AS DECIMAL(28,6))) AS DOUBLE), 6)"
@@ -176,9 +182,13 @@ object SqlFuzz {
       val k = t.keys.head
       val lit = (r.nextInt(100) + 1).toString + ".5"
       val (c1, c2) = (r.nextInt(9) + 1, r.nextInt(100))
+      // ORDER BY every key column: t.keys.head alone is not a total
+      // order on lineitem's composite (and non-unique) key, and the
+      // output columns depend on data values — the module contract is
+      // that every ORDER BY is total up to output-equivalent ties
       s"""SELECT $k, CASE WHEN $v >= $lit THEN 'hi' ELSE 'lo' END AS band,
          |  round($v * $c1 + $c2, 6) AS y
-         |FROM ${t.name} WHERE ${modPred(r, k)} ORDER BY $k""".stripMargin
+         |FROM ${t.name} WHERE ${modPred(r, k)} ORDER BY ${t.keys.mkString(", ")}, y""".stripMargin
     case 6 => // HAVING
       val t = pick(r, tables)
       val g = pick(r, t.groups)
@@ -249,20 +259,19 @@ object SqlFuzz {
          |  replace($c, 'a', '_') AS rep
          |FROM $t WHERE ${modPred(r, k)} ORDER BY $k""".stripMargin
     case 15 => // COALESCE / NULLIF over group strings (null-fixture teeth)
-      // string-typed group cols only: keys/ids and p_size are integers,
-      // and int-vs-varchar coalesce coercion is a dialect divergence we
-      // deliberately stay out of. The nullif probe compares TWO DISTINCT
-      // columns (the self-compare form was a tautology — NULL for null,
-      // empty, and non-null alike — and could never catch a divergence).
-      def isStr(g: String) =
-        !g.endsWith("key") && !g.endsWith("id") && g != "p_size"
-      val t = pick(r, tables.filter(_.groups.count(isStr) >= 2))
-      val Seq(g1, g2) = r.shuffle(t.groups.filter(isStr).toList).take(2).toSeq
+      // The nullif probe compares TWO DISTINCT columns (the self-compare
+      // form was a tautology — NULL for null, empty, and non-null alike —
+      // and could never catch a divergence). ORDER pins the full key
+      // list plus the output columns (lineitem's keys are composite and
+      // non-unique; ties must be output-equivalent).
+      val t = pick(r, tables.filter(_.groups.count(isStrGroup) >= 2))
+      val Seq(g1, g2) = r.shuffle(t.groups.filter(isStrGroup).toList).take(2).toSeq
       val k = t.keys.head
       s"""SELECT $k, coalesce($g1, 'missing') AS c1,
          |  nullif($g1, $g2) AS nf,
          |  ($g1 = $g2) IS NULL AS cmp_null
-         |FROM ${t.name} WHERE ${modPred(r, k)} ORDER BY $k""".stripMargin
+         |FROM ${t.name} WHERE ${modPred(r, k)}
+         |ORDER BY ${t.keys.mkString(", ")}, c1 NULLS FIRST, nf NULLS FIRST, cmp_null""".stripMargin
     case 16 => // LIKE / NOT LIKE predicate
       val (t, k, c) = pick(r, Vector(
         ("customer", "c_custkey", "c_name"), ("supplier", "s_suppkey", "s_name"),
@@ -352,7 +361,8 @@ object SqlFuzz {
          |  round(CAST($v AS DOUBLE) / nullif(CAST($k % $m AS DOUBLE), 0), 6) AS ratio_int,
          |  CAST(floor(CAST($k AS DOUBLE) / nullif(CAST($v AS DOUBLE), 0)) AS BIGINT) AS fl_data,
          |  CAST($k % $m AS BIGINT) = 0 AS was_zero
-         |FROM ${t.name} WHERE ${modPred(r, k)} ORDER BY $k""".stripMargin
+         |FROM ${t.name} WHERE ${modPred(r, k)}
+         |ORDER BY ${t.keys.mkString(", ")}, ratio_int NULLS FIRST, fl_data NULLS FIRST""".stripMargin
     case 25 => // aggregate ratios: decimal-exact avg / ratio-of-sums (floored micros)
       // clamp before the BIGINT cast: signed columns (acctbal) can cancel a
       // denominator sum to ~0, and an unclamped quotient overflows the cast
@@ -387,16 +397,15 @@ object SqlFuzz {
     case 28 => // null-safe comparison: IS [NOT] DISTINCT FROM (3VL teeth —
       // on the null twin either operand can be NULL; probed identical in
       // both engines: NULL≡NULL true, 1≡NULL false)
-      def isStr28(g: String) =
-        !g.endsWith("key") && !g.endsWith("id") && g != "p_size"
-      val t = pick(r, tables.filter(_.groups.count(isStr28) >= 2))
-      val Seq(g1, g2) = r.shuffle(t.groups.filter(isStr28).toList).take(2).toSeq
+      val t = pick(r, tables.filter(_.groups.count(isStrGroup) >= 2))
+      val Seq(g1, g2) = r.shuffle(t.groups.filter(isStrGroup).toList).take(2).toSeq
       val k = t.keys.head
       if (r.nextBoolean())
         s"""SELECT $k, ($g1 IS NOT DISTINCT FROM $g2) AS ns_eq,
            |  ($g1 IS DISTINCT FROM $g2) AS ns_ne,
            |  CASE WHEN $g1 IS NOT DISTINCT FROM $g2 THEN 'same' ELSE 'diff' END AS tag
-           |FROM ${t.name} WHERE ${modPred(r, k)} ORDER BY $k""".stripMargin
+           |FROM ${t.name} WHERE ${modPred(r, k)}
+           |ORDER BY ${t.keys.mkString(", ")}, ns_eq, tag""".stripMargin
       else
         s"""SELECT $g1, CAST(count(*) AS BIGINT) AS cnt,
            |  CAST(count(*) FILTER (WHERE $g1 IS NOT DISTINCT FROM $g2) AS BIGINT) AS n_nseq,
