@@ -48,16 +48,35 @@ object RowFormats {
     case _ => concat(lit("\""), jsonEscape(c.cast("string")), lit("\""))
   }
 
-  /** Escapes `\` `"` and the three whitespace control chars that occur
-    * in real text (`\n` `\r` `\t`) — the set gson's writer escapes for
-    * the reference (r13 sink fuzz: a raw control char inside a JSON
-    * string is rejected by any strict reader). Other control bytes
-    * (U+0000–U+001F) are NOT escaped — documented contract, FIXTURES.md
-    * §3 (they do not occur in the fixture or any supported source). */
-  private def jsonEscape(c: Column): Column =
-    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-      c, "\\\\", "\\\\\\\\"), "\"", "\\\\\""), "\n", "\\\\n"),
-      "\r", "\\\\r"), "\t", "\\\\t")
+  /** The control chars outside the common short-escape set `\n \r \t`:
+    * `\b` `\f` get their short forms, the rest of U+0000–U+001F go to
+    * `\uXXXX` — gson's JsonWriter escapes ALL of U+0000–U+001F this way
+    * (a raw control byte inside a JSON string is rejected by any strict
+    * reader; r13 sink fuzz found the \r/\t gap, ADVICE r13 the rest). */
+  private val rareControls: Seq[(String, String)] =
+    (0x00 to 0x1F).filterNot(Seq(0x09, 0x0A, 0x0D).contains).map { cp =>
+      val repl = cp match {
+        case 0x08 => "\\\\b"
+        case 0x0C => "\\\\f"
+        case i => f"\\\\u$i%04x"
+      }
+      (f"\\x$cp%02x", repl) // regex literal escape for the code point
+    }
+
+  /** Escapes `\` `"` and all of U+0000–U+001F (gson's writer set).
+    * The 27 rare-control replaces run behind an rlike guard: values
+    * without rare controls — all fixture data, virtually all real
+    * text — pay one regex scan, not 27. */
+  private def jsonEscape(c: Column): Column = {
+    val base =
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        c, "\\\\", "\\\\\\\\"), "\"", "\\\\\""), "\n", "\\\\n"),
+        "\r", "\\\\r"), "\t", "\\\\t")
+    when(c.rlike("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"),
+      rareControls.foldLeft(base) { case (acc, (pat, repl)) =>
+        regexp_replace(acc, pat, repl)
+      }).otherwise(base)
+  }
 
   /** A field NAME rendered as a JSON object key (names are plan-time
     * Scala strings, so this is build-time escaping — reserved characters
@@ -69,6 +88,9 @@ object RowFormats {
       case '\n' => "\\n"
       case '\r' => "\\r"
       case '\t' => "\\t"
+      case '\b' => "\\b"
+      case '\f' => "\\f"
+      case ch if ch < 0x20 => f"\\u${ch.toInt}%04x"
       case ch => ch.toString
     } + "\":"
 

@@ -331,22 +331,27 @@ object Dedup {
   /** Per-doc sorted distinct hashed-shingle sets, the shared index layout
     * of every set-overlap operator (jaccard, containment, hybrid
     * retrieval): `keep` extra columns + `sh` (sorted array<long>, see
-    * [[shingleHash]]) + `n` (set size). CACHED — each operator consumes
-    * it from several join branches; the cache lives until session end
-    * (bench clears between queries; long-lived pipelines should
-    * `unpersist()` the returned frame when done). */
+    * [[shingleHash]]) + `n` (set size). CACHED by default — each operator
+    * consumes it from several join branches; the cache lives until
+    * session end (bench clears between queries; long-lived pipelines
+    * should `unpersist()` the returned frame when done). Callers that
+    * consume the frame exactly ONCE (e.g. [[ngramJaccard]]'s capped mode,
+    * which immediately rebuilds a capped twin) pass `cache = false` —
+    * caching a frame with a single consumer is pure materialization cost
+    * plus corpus-sized memory held for the session (ADVICE r13). */
   private[operators] def hashedShingleSets(df: DataFrame, idCol: String,
                                            textCol: String, k: Int,
-                                           keep: Seq[Column] = Nil): DataFrame = {
+                                           keep: Seq[Column] = Nil,
+                                           cache: Boolean = true): DataFrame = {
     val base = df.select(col(idCol) +: keep :+ tokens(col(textCol)).as("toks"): _*)
       .filter(size(col("toks")) >= k)
     // keep expressions were evaluated in the select above; from here on
     // reference them by their OUTPUT names only
     val carried = base.columns.filter(_ != "toks").map(col).toSeq
-    base.select(carried :+ sort_array(array_distinct(
+    val out = base.select(carried :+ sort_array(array_distinct(
         transform(shingles(col("toks"), k), shingleHash(_)))).as("sh"): _*)
       .withColumn("n", size(col("sh")).cast("long"))
-      .cache()
+    if (cache) out.cache() else out
   }
 
   /** Exact n-gram Jaccard similarity for all pairs with jaccard >=
@@ -412,7 +417,11 @@ object Dedup {
     graft.plans.GraftFunctions.register(df0.sparkSession)
     val df = widen(df0)
     val t = minJaccard
-    val docShAll = hashedShingleSets(df, idCol, textCol, k)
+    // capped mode consumes the uncapped frame exactly once (the explode
+    // below), so its session-lifetime cache would be pure cost — cache
+    // only when the frame IS the operator's working index (ADVICE r13)
+    val docShAll = hashedShingleSets(df, idCol, textCol, k,
+      cache = maxDf == Long.MaxValue)
     val docSh = if (maxDf == Long.MaxValue) docShAll else {
       val ex = graft.functions.SafeExplode.explodeSelect(
         docShAll, Seq(col(idCol)), col("sh"), "s")
@@ -429,7 +438,11 @@ object Dedup {
         // (the prefix index + both verification joins) would otherwise
         // each re-run the explode + df aggregate + anti-join + regroup —
         // multiple extra corpus-sized shuffles in exactly the mode the
-        // cap exists to make cheap
+        // cap exists to make cheap. Same lifetime contract too: lives
+        // until session end (bench clears between queries; long-lived
+        // pipelines should unpersist via spark.catalog.clearCache() or
+        // track the frame) — the ONE shingle-index cache of this call,
+        // since docShAll above is deliberately uncached in this mode
         .cache()
     }
     val prefix = rankedPostings(docSh, idCol, t, prefixOnly = true)

@@ -124,13 +124,21 @@ object MediaQueries {
         .orderBy("media_id")
       // the k-means passes above ran EAGERLY (driver-side centroid
       // updates), so the cache has served its purpose once the result —
-      // model-sized by construction: one row per kept media id, 1000 at
-      // every SF thanks to the fixed-count slice — is materialized.
-      // Collect-and-rebuild releases the cache entry immediately instead
-      // of leaking one cached plan per fixture dir for JVM lifetime
-      // (ADVICE r12), and later bench re-materializations read the
-      // driver-local rows rather than re-running the decode.
-      val rows = deduped.collect()
+      // model-sized by construction: one row per kept media id, at most
+      // 2×5000 at every SF thanks to the fixed-count slice — is
+      // materialized. Collect-and-rebuild releases the cache entry
+      // immediately instead of leaking one cached plan per fixture dir
+      // for JVM lifetime (ADVICE r12), and later bench re-
+      // materializations read the driver-local rows rather than
+      // re-running the decode. The limit+check makes the fixed-count
+      // invariant EXPLICIT (ADVICE r13): a future change to the slice or
+      // to semanticDedup's output fails here instead of silently turning
+      // this into an unbounded driver collect.
+      val driverBound = 2 * 5000
+      val rows = deduped.limit(driverBound + 1).collect()
+      require(rows.length <= driverBound,
+        s"m_media_semantic_dedup driver collect exceeded its fixed-count " +
+          s"bound ($driverBound): the 5000-row slice invariant broke")
       feats.unpersist()
       s.createDataFrame(java.util.Arrays.asList(rows: _*), deduped.schema)
     }),

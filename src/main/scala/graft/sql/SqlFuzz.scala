@@ -394,6 +394,15 @@ object SqlFuzz {
          |  CAST(count(DISTINCT $k % ${3 + r.nextInt(5)} || '|' || $g2) AS BIGINT) AS nd_pair,
          |  CAST(count(*) AS BIGINT) AS cnt$sumDist
          |FROM ${t.name} GROUP BY $g1 ORDER BY $g1 NULLS FIRST""".stripMargin
+    case 27 => // FULL OUTER join with forced unmatched rows on both sides
+      val (l, rt, on, g) = pick(r, fks)
+      val lt = tables.find(_.name == l).get
+      val lk = lt.keys.head
+      val restrict = s"$l.$lk % ${2 + r.nextInt(4)} = ${r.nextInt(2)}"
+      s"""SELECT $g, CAST(count(*) AS BIGINT) AS cnt,
+         |  CAST(count($l.$lk) AS BIGINT) AS n_left
+         |FROM $l FULL JOIN $rt ON $on AND $restrict
+         |GROUP BY $g ORDER BY $g NULLS FIRST, cnt""".stripMargin
     case 28 => // null-safe comparison: IS [NOT] DISTINCT FROM (3VL teeth —
       // on the null twin either operand can be NULL; probed identical in
       // both engines: NULL≡NULL true, 1≡NULL false)
@@ -411,15 +420,6 @@ object SqlFuzz {
            |  CAST(count(*) FILTER (WHERE $g1 IS NOT DISTINCT FROM $g2) AS BIGINT) AS n_nseq,
            |  CAST(count(*) FILTER (WHERE $g2 IS NULL) AS BIGINT) AS n_null2
            |FROM ${t.name} GROUP BY $g1 ORDER BY $g1 NULLS FIRST""".stripMargin
-    case 27 => // FULL OUTER join with forced unmatched rows on both sides
-      val (l, rt, on, g) = pick(r, fks)
-      val lt = tables.find(_.name == l).get
-      val lk = lt.keys.head
-      val restrict = s"$l.$lk % ${2 + r.nextInt(4)} = ${r.nextInt(2)}"
-      s"""SELECT $g, CAST(count(*) AS BIGINT) AS cnt,
-         |  CAST(count($l.$lk) AS BIGINT) AS n_left
-         |FROM $l FULL JOIN $rt ON $on AND $restrict
-         |GROUP BY $g ORDER BY $g NULLS FIRST, cnt""".stripMargin
   }
 
   /** `n` named query shapes, fully determined by `seed` (same seed →

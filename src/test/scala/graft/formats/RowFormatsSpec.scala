@@ -26,6 +26,23 @@ class RowFormatsSpec extends SparkSpec {
       """{"bool":true,"int":12,"string":"string","float":10.12,"timestamp":"2018-01-19T03:24:13Z"}""")
   }
 
+  test("JSON control chars escape with gson's full writer set (ADVICE r13)") {
+    // short forms for the common five, generic \\uXXXX for the rest of
+    // U+0000-U+001F (BEL/ESC/NUL/US planted) in values AND field names
+    val schema = StructType(Seq(
+      StructField("v", StringType), StructField("n\u0007m", StringType)))
+    val raw = "a\\b\"c\nd\re\tf\bg\fh\u0000i\u0007j\u001bk\u001fl"
+    val df = spark.createDataFrame(java.util.List.of(Row(raw, "x")), schema)
+    val got = df.select(RowFormats.jsonLine(df).as("j")).head.getString(0)
+    assert(got ===
+      "{\"v\":\"a\\\\b\\\"c\\nd\\re\\tf\\bg\\fh" +
+        "\\u0000i\\u0007j\\u001bk\\u001fl\",\"n\\u0007m\":\"x\"}")
+    // and the escaped line is valid strict JSON: Jackson round-trips it
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(got)
+    assert(node.get("v").asText() === raw)
+    assert(node.get("n\u0007m").asText() === "x")
+  }
+
   test("JSON null fields serialize as null") {
     val schema = StructType(Seq(
       StructField("a", StringType), StructField("b", LongType)))

@@ -28,52 +28,14 @@ class HeavyPlanSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  private case class Allow(bnlj: Boolean = false, single: Boolean = false)
-
-  // query -> sanctioned deviations (reasons in comments; queries with no
-  // deviation are listed too — membership is the review record)
-  private val sanctions: Map[String, Allow] = Map(
-    "t_calibration" -> Allow(),                  // fixed-round GD, linear passes
-    "d_banding_sweep" -> Allow(),                // signatures computed once, band regroups
-    "g_assortativity" -> Allow(single = true),   // one-row graph statistic
-    "a_ann_whitened" -> Allow(bnlj = true),      // deliberate brute-force tier
-    "d_method_agreement" -> Allow(bnlj = true, single = true), // 3 one-row aggregates crossed
-    "q_table_stats" -> Allow(single = true),     // one-row ANALYZE summary
-    "d_ngram_jaccard" -> Allow(),                // AllPairs prefix-filter equi-join
-    "d_lsh_eval" -> Allow(bnlj = true, single = true), // ground truth + one-row summary
-    "a_ann_ivfpq_res_recall" -> Allow(bnlj = true), // brute-force ground truth
-    "g_pagerank" -> Allow(),                     // keyed join+agg rounds
-    "d_er_pipeline" -> Allow(),                  // blocked equi-join linkage
-    "d_containment" -> Allow(),                  // shared-shingle equi-join
-    "g_modularity" -> Allow(bnlj = true, single = true), // one-row edge-total crossed onto per-community aggregates
-    "st_cms_window" -> Allow(),                  // keyed windowed sketch agg
-    "m_media_semantic_dedup" -> Allow(),         // cluster-blocked pair join
-    "d_cluster_best" -> Allow(),                 // per-cluster survivor agg
-    "g_kcore" -> Allow(),                        // keyed peeling rounds
-    "a_ann_ivfsq_recall" -> Allow(bnlj = true),  // brute-force ground truth
-    "d_curation_pipeline" -> Allow(),            // staged keyed filters
-    "t_topic_coherence" -> Allow(),              // token passes + bounded-model join
-    "t_bpe_encode" -> Allow(),                   // map-only kernel scan
-    "a_ann_ivfpq_recall" -> Allow(bnlj = true),  // brute-force ground truth
-    "a_contrastive_pairs" -> Allow(bnlj = true), // broadcast anchors × one corpus pass
-    "q_corr_matrix" -> Allow(single = true),     // one-row moment totals crossed
-    // reviewed proactively (round-11 additions likely to enter the board)
-    "g_label_prop" -> Allow(),                   // keyed LPA rounds, WindowGroupLimit argmax
-    "g_cc_incremental" -> Allow(),               // star edges + keyed CC rounds
-    "d_golden_record" -> Allow(),                // keyed join + per-field argmax
-    "t_ddsketch_ledger" -> Allow(bnlj = true),   // day × bucket model-grid cross (t_hll_ledger class)
-    "q_dq_checks" -> Allow(single = true),       // one-row rule summaries unioned
-    // near-board ANN tier (final-board positions 18-20), reviewed:
-    "a_ann_ivfpq_res_topk" -> Allow(),           // bucketed probe, broadcast codebooks
-    "a_ann_ivf2_recall" -> Allow(bnlj = true),   // fixed-count brute-force ground truth
-    "a_ann_ivfpq_stored" -> Allow(),             // code-store serve, broadcast model
-    "a_ann_ivf2_topk" -> Allow(),                // two-level probe, broadcast models
-    "d_minhash_stored" -> Allow(),               // stored-signature band join
-    // r12-board entrant, reviewed round 13:
-    "t_bigram_surprise" -> Allow(bnlj = true, single = true), // one-row vocab-size agg (SinglePartition) broadcast-crossed onto the scored bigram frame (d_lsh_eval class)
-    // r13 new gate, reviewed proactively (d_ngram_jaccard + a capped-
-    // postings pre-pass: df aggregate + anti-join + regroup, all keyed):
-    "d_ngram_jaccard_capped" -> Allow())
+  // query -> sanctioned deviations, shared with the full-surface
+  // enforcement (PlanSanctionsSpec) since r14: one committed review
+  // record, [[PlanSanctions.sanctioned]], carries the flags AND the
+  // reviewed one-line reasons for the whole gate surface. This spec
+  // keeps the board-membership semantics on top: a NEW query entering
+  // the bench top-15 without a sanctions entry fails loudly even if its
+  // plan is clean — entering the board forces the review.
+  private val sanctions = PlanSanctions.sanctioned
 
   /** Top-15 of the newest committed BENCH_r<N>.json (driver record).
     * "Committed" is literal: the candidate set comes from
@@ -162,6 +124,7 @@ class HeavyPlanSpec extends SparkSpec {
       if (!allow.single)
         assert(!PlanFlags.singlePartition(plan),
           s"$name grew a single-partition exchange")
+      assert(allow.reason.trim.nonEmpty, s"$name sanction has no reason")
     }
   }
 }

@@ -16,10 +16,12 @@ import graft.SparkSpec
   * commas, quotes, backslashes, dots, CJK).
   *
   * Supported-envelope CONTRACT (documented in FIXTURES.md §3):
-  *  - json: control characters beyond \n \r \t in string values are not
-  *    escaped; NaN/Infinity doubles are not JSON-representable; binary
-  *    round-trips as its base64 text (Spark's JSON reader has no
-  *    BinaryType parser);
+  *  - json: ALL control characters U+0000-U+001F in string values are
+  *    escaped (gson's writer set: short forms for the common five,
+  *    generic backslash-u for the rest — ADVICE r13; the pool plants
+  *    BEL/ESC/NUL/US plus backspace and form-feed); NaN/Infinity
+  *    doubles are not JSON-representable; binary round-trips as its
+  *    base64 text (Spark's JSON reader has no BinaryType parser);
   *  - split keys must not contain `/` (a path separator names a nested
   *    path, not a key);
   *  - avro: field names must be avro-legal ([A-Za-z0-9_], not starting
@@ -35,7 +37,10 @@ class SinkFuzzSpec extends SparkSpec {
     "epsilon_", "zeta0", "plainname", "B2b")
   private val strPool = Vector("", "naïve 日本語", "comma, value",
     "line\nbreak", "tab\tchar", "quote\" and \\back", "ünïcode-ß",
-    "  padded  ", "0", "{\"not\":\"parsed\"}")
+    "  padded  ", "0", "{\"not\":\"parsed\"}",
+    // rare controls: gson escapes ALL of U+0000-U+001F (ADVICE r13) —
+    // \b \f short-form, the rest \uXXXX
+    "bell\u0007beep", "bs\bff\f", "esc\u001b[0m", "\u0000nul\u001funit")
   private val splitPool = Vector("", "α-split", "key with space", "%41",
     "日本", "k=v", "-", "a,b")
 
