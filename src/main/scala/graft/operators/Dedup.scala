@@ -383,6 +383,18 @@ object Dedup {
     * corpus-hot shingles (max df ⇒ last rank) out of the candidate join
     * entirely whenever ceil(t*n) > 1. Exposed for the planted-skew spec,
     * which machine-checks that exclusion. */
+  /** ceil with a one-sided FP guard for threshold bounds. `t` is a
+    * double, so products like t·n or t/(1+t)·(na+nb) can land a hair
+    * ABOVE an exact integer (0.2/1.2 · 42 = 7.000000000000001), and a
+    * raw ceil then overstates the bound by 1 — pruning TRUE pairs whose
+    * jaccard/containment is exactly the threshold. Found by the
+    * round-14 corpus fuzzer (CorpusFuzzSpec seed=99: two jac = t = 0.2
+    * pairs vanished), breaking the AllPairs losslessness claim at the
+    * boundary. The relative+absolute epsilon biases the only safe way:
+    * an understated bound merely admits extra candidates, which the
+    * exact verification join re-scores and filters. */
+  private def ceilSafe(c: Column): Column = ceil(c - c * 1e-12 - 1e-9)
+
   private[operators] def rankedPostings(docSh: DataFrame, idCol: String,
                                         t: Double, prefixOnly: Boolean): DataFrame = {
     val ex = graft.functions.SafeExplode.explodeSelect(
@@ -393,7 +405,7 @@ object Dedup {
     val ranked = ex.join(dfreq, "s")
       .withColumn("rn", row_number().over(w).cast("long"))
       .select(col(idCol), col("s"), col("rn"), col("n"))
-    if (prefixOnly) ranked.filter(col("rn") <= col("n") - ceil(col("n") * t) + 1)
+    if (prefixOnly) ranked.filter(col("rn") <= col("n") - ceilSafe(col("n") * t) + 1)
     else ranked
   }
 
@@ -460,7 +472,7 @@ object Dedup {
         col("a.s") === col("b.s") && col(s"a.$idCol") < col(s"b.$idCol") &&
           col("b.n") >= col("a.n") * t && col("a.n") >= col("b.n") * t &&
           (lit(1L) + least(col("a.n") - col("a.rn"), col("b.n") - col("b.rn"))) >=
-            ceil(lit(t / (1 + t)) * (col("a.n") + col("b.n"))))
+            ceilSafe(lit(t / (1 + t)) * (col("a.n") + col("b.n"))))
       .select(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"))
       // distinct() is load-bearing beyond dedup: it REBALANCES. The
       // candidate join's output is partitioned by shingle hash, so hot
@@ -541,12 +553,12 @@ object Dedup {
     // b) — exchange reuse shares the window shuffle; do not cache (see
     // ngramJaccard's note).
     val ranked = rankedPostings(docSh, idCol, t, prefixOnly = false)
-    val prefixA = ranked.filter(col("rn") <= col("n") - ceil(col("n") * t) + 1)
+    val prefixA = ranked.filter(col("rn") <= col("n") - ceilSafe(col("n") * t) + 1)
     val cand = prefixA.as("a").hint("shuffle_hash").join(ranked.as("b"),
         col("a.s") === col("b.s") && col(s"a.$idCol") =!= col(s"b.$idCol") &&
-          col("b.n") >= ceil(col("a.n") * t) &&
+          col("b.n") >= ceilSafe(col("a.n") * t) &&
           (lit(1L) + least(col("a.n") - col("a.rn"), col("b.n") - col("b.rn"))) >=
-            ceil(col("a.n") * t))
+            ceilSafe(col("a.n") * t))
       .select(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"))
       .distinct() // rebalances skewed join output (see ngramJaccard)
     cand

@@ -28,9 +28,10 @@ class StreamRestartSpec extends SparkSpec {
     * LATE (batch 1 spans the whole month, so the watermark jumps to
     * month-end and event-time state drops the rest by design).
     * Returns the per-slice writer into `in`. */
-  private def quartileSlicer(dir: String, in: String): Int => Unit = {
+  private def quartileSlicer(dir: String, in: String,
+                             src: => org.apache.spark.sql.DataFrame = events): Int => Unit = {
     new java.io.File(in).mkdirs()
-    val quartiled = events.withColumn("__q", ntile(4).over(
+    val quartiled = src.withColumn("__q", ntile(4).over(
       org.apache.spark.sql.expressions.Window.orderBy(col("ts"), col("event_id"))))
     (i: Int) => {
       val tmp = s"$dir/_tmp$i"
@@ -182,5 +183,72 @@ class StreamRestartSpec extends SparkSpec {
       .select(unix_micros(col("session_end")).as("endUs")).as[Long].collect()
     assert(extras.forall(_ + 3600000000L <= wmMicros),
       "sink must only add sessions the watermark proved closed")
+  }
+
+  test("intervalJoin: stream-stream join survives restart — both sides' buffered state recovered, matches exactly-once") {
+    // the fourth (and last MemoryStream-parity-only) stateful family:
+    // a stream-STREAM join buffers BOTH inputs in watermark-bounded
+    // state. The restart must recover both buffers: a click seen in
+    // run 1 must still match a purchase that only arrives in run 2
+    // (lost click state = lost attribution), and no match may be
+    // re-emitted on resume (double-append).
+    val dir = tmpDir("ivjoin_restart")
+    val inP = s"$dir/in_p"; val inC = s"$dir/in_c"
+    val cp = s"$dir/cp"; val out = s"$dir/out"
+    val ev = events
+    val purchases = ev.filter(col("event_type") === "purchase")
+    val clicks = ev.filter(col("event_type") === "click")
+    val addP = quartileSlicer(dir, inP, purchases)
+    val addC = quartileSlicer(dir, inC, clicks)
+    addP(0); addP(1); addC(0); addC(1)
+    val schema = spark.read.parquet(inP).schema
+
+    def start() = EventStream.intervalJoin(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(inP),
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(inC))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", cp).option("path", out)
+      .format("parquet").start()
+
+    val q1 = start()
+    val ids1 = try { q1.processAllAvailable()
+      q1.recentProgress.map(_.batchId).toSeq } finally q1.stop()
+    assert(ids1.nonEmpty, "run 1 processed no batches")
+
+    // both sides grow while the query is down
+    addP(2); addP(3); addC(2); addC(3)
+
+    val q2 = start()
+    val ids2 = try { q2.processAllAvailable()
+      q2.recentProgress.map(_.batchId).toSeq } finally q2.stop()
+    assert(ids2.nonEmpty, "run 2 processed no batches")
+    assert(ids2.min > ids1.max,
+      s"resume must continue past run 1's committed batches: run1=$ids1 run2=$ids2")
+
+    // inner interval join emits a match as soon as both rows are seen,
+    // and the time-ordered slices keep every click in state until its
+    // whole match window has been fed — so the sink must equal the
+    // batch backfill EXACTLY (nothing lost at the boundary, nothing
+    // duplicated on resume)
+    val cols = Seq("p_event_id", "user_id", "p_ts", "c_event_id", "c_ts")
+    val got = spark.read.parquet(out).select(cols.head, cols.tail: _*)
+    val want = EventStream.intervalJoin(purchases, clicks)
+      .select(cols.head, cols.tail: _*)
+    assert(want.count() > 0, "fixture must produce attributed purchases")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "restarted stream-stream join must equal the batch backfill")
+
+    // the restart must have been LOAD-BEARING: some click buffered in
+    // run 1 matches a purchase that only arrived in run 2 — the pair
+    // that dies if the click-side buffer is lost at the boundary
+    val run1Clicks = spark.read.parquet(s"$inC/slice0.parquet",
+      s"$inC/slice1.parquet").select(col("event_id").as("c_event_id"))
+    val run2Purch = spark.read.parquet(s"$inP/slice2.parquet",
+      s"$inP/slice3.parquet").select(col("event_id").as("p_event_id"))
+    val straddle = want.join(run1Clicks, "c_event_id")
+      .join(run2Purch, "p_event_id")
+    assert(straddle.count() > 0,
+      "fixture slicing must produce at least one boundary-straddling " +
+        "match, else this test proves no state recovery")
   }
 }

@@ -1,0 +1,62 @@
+#!/usr/bin/env bash
+# Canonical bench measurement (BASELINE.md "Bench-noise measurement
+# protocol"): load-gate the machine, run graft.Bench TWICE in fresh
+# JVMs, keep both raw JSON lines, and emit a min-merged per-query board.
+#
+# usage: tools/bench2.sh <sfDir> <outPrefix> [SPARK_GRAFT_ONLY]
+#   writes <outPrefix>.run1.json, <outPrefix>.run2.json, <outPrefix>.min.json
+set -euo pipefail
+SF="${1:?sfDir}"
+OUT="${2:?outPrefix}"
+ONLY="${3:-}"
+
+load1() { cut -d' ' -f1 /proc/loadavg; }
+gate() {
+  # the 1-min loadavg needs ~3-5 min to decay after our OWN previous
+  # run — settle-wait (up to 10 min) before declaring the machine busy
+  for _ in $(seq 1 40); do
+    L=$(load1)
+    if python3 -c "import sys; sys.exit(0 if float('$L') < 4.0 else 1)"; then
+      echo "load gate ok: $L"
+      return 0
+    fi
+    sleep 15
+  done
+  echo "load gate FAILED: 1-min load $(load1) >= 4.0 for 10 min — refusing to record" >&2
+  exit 3
+}
+
+run() {
+  local n="$1"
+  gate
+  local pre post
+  pre=$(load1)
+  if [ -n "$ONLY" ]; then
+    SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_ONLY="$ONLY" sbt -batch "runMain graft.Bench" 2>/dev/null |
+      grep -E '^\{"metric"' | head -1 > "$OUT.run$n.json"
+  else
+    SPARK_GRAFT_SF_DIR="$SF" sbt -batch "runMain graft.Bench" 2>/dev/null |
+      grep -E '^\{"metric"' | head -1 > "$OUT.run$n.json"
+  fi
+  post=$(load1)
+  echo "run $n done (load $pre -> $post): $(head -c 120 "$OUT.run$n.json")"
+}
+
+run 1
+run 2
+
+python3 - "$OUT" <<'EOF'
+import json, sys
+out = sys.argv[1]
+a = json.load(open(f"{out}.run1.json"))
+b = json.load(open(f"{out}.run2.json"))
+qa, qb = a["queries"], b["queries"]
+merged = {k: min(qa[k], qb[k]) for k in qa if k in qb}
+rec = {"metric": "total", "value": sum(merged.values()), "unit": "sec",
+       "protocol": "min-of-2-fresh-jvm (BASELINE.md)", "sf": a["sf"],
+       "run_totals": [a["value"], b["value"]],
+       "queries": dict(sorted(merged.items()))}
+json.dump(rec, open(f"{out}.min.json", "w"), indent=1)
+print(f"min board: {sum(merged.values()):.1f}s over {len(merged)} queries "
+      f"(runs {a['value']:.1f} / {b['value']:.1f})")
+EOF

@@ -25,6 +25,12 @@ def main(sfdir, outdir):
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+    # harness-generated extra tables (e.g. graft.FuzzNested's nested
+    # fixture): both engines read the same parquet bytes
+    import os
+    for t in sorted(glob.glob(f"{outdir}/_tables/*/")):
+        name = os.path.basename(t.rstrip("/"))
+        con.sql(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{t}*.parquet')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
