@@ -30,7 +30,8 @@ import scala.util.Random
 object CorpusFuzz {
 
   final case class Doc(id: Long, text: Option[String])
-  final case class Params(k: Int, minJaccard: Double, maxDf: Long, prefixK: Int)
+  final case class Params(k: Int, minJaccard: Double, maxDf: Long, prefixK: Int,
+                          minContainment: Double, segLen: Int, minDocs: Int)
 
   // ------------------------------------------------------------------
   // corpus generator
@@ -92,7 +93,10 @@ object CorpusFuzz {
       k = 2 + r.nextInt(3),
       minJaccard = Vector(0.2, 0.3, 0.5, 0.7)(r.nextInt(4)),
       maxDf = if (r.nextBoolean()) Long.MaxValue else 2L + r.nextInt(4),
-      prefixK = 1 + r.nextInt(11))
+      prefixK = 1 + r.nextInt(11),
+      minContainment = Vector(0.25, 0.5, 0.8)(r.nextInt(3)),
+      segLen = 2 + r.nextInt(5),
+      minDocs = 2 + r.nextInt(2))
     (docs.result(), p, dupPairs)
   }
 
@@ -109,20 +113,24 @@ object CorpusFuzz {
   private def refBpeish(t: String): Vector[String] =
     "[a-z]+|[0-9]+|[^a-z0-9\\s]".r.findAllIn(t.toLowerCase).toVector
 
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+
   /** twin of Dedup.shingleHash: first 15 md5 hex chars as a base-16 long */
-  def refShingleHash(s: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8"))
-    java.lang.Long.parseLong(d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
-  }
+  def refShingleHash(s: String): Long =
+    java.lang.Long.parseLong(md5hex(s).take(15), 16)
+
+  /** per-doc distinct k-shingle STRING sets (docs with < k tokens drop) */
+  def refShingleStrings(docs: Seq[Doc], k: Int): Map[Long, Set[String]] =
+    docs.flatMap { d =>
+      d.text.map(refTokens).filter(_.size >= k)
+        .map(toks => d.id -> toks.sliding(k).map(_.mkString(" ")).toSet)
+    }.toMap
 
   /** per-doc distinct hashed k-shingle sets (docs with < k tokens drop) */
   def refShingleSets(docs: Seq[Doc], k: Int): Map[Long, Set[Long]] =
-    docs.flatMap { d =>
-      d.text.map(refTokens).filter(_.size >= k)
-        .map(toks => d.id ->
-          toks.sliding(k).map(_.mkString(" ")).map(refShingleHash).toSet)
-    }.toMap
+    refShingleStrings(docs, k).map { case (id, ss) => id -> ss.map(refShingleHash) }
 
   /** brute-force twin of Dedup.ngramJaccard (± the maxDf posting cap) */
   def refNgramJaccard(docs: Seq[Doc], p: Params): Map[(Long, Long), Double] = {
@@ -155,6 +163,64 @@ object CorpusFuzz {
   def refPrefixDedup(docs: Seq[Doc], k: Int): Set[(Long, Long)] =
     docs.groupBy(d => d.text.map(refTokens(_).take(k).mkString(" ")).getOrElse(""))
       .values.map(g => (g.map(_.id).min, g.size.toLong)).toSet
+
+  /** brute-force twin of Dedup.containment: ORDERED pairs (d1 contained
+    * in d2), inter/|A| >= t, d1 != d2 — the ceilSafe boundary class */
+  def refContainment(docs: Seq[Doc], k: Int, t: Double): Map[(Long, Long), Double] = {
+    val sets = refShingleSets(docs, k)
+    val ids = sets.keys.toVector.sorted
+    (for {
+      a <- ids.iterator; b <- ids
+      if a != b
+      inter = (sets(a) & sets(b)).size
+      c = inter.toDouble / sets(a).size
+      if c >= t
+    } yield (a, b) -> c).toMap
+  }
+
+  /** full twin of Dedup.minhashLsh: per-component signature = lexicographic
+    * min of md5(h + "|" + shingle) hex strings over the doc's distinct
+    * shingle STRINGS; banding = md5 of the comma-joined band slice;
+    * candidates share any (band, hash) bucket; est = matching components
+    * / numHashes, kept at est >= minEst. The Spark side computes the
+    * identical values entirely in-row (array_min over a transform). */
+  def refMinhashLsh(docs: Seq[Doc], numHashes: Int = 16, bands: Int = 4,
+                    minEst: Double = 0.5, k: Int = 3): Map[(Long, Long), Double] = {
+    val sh = refShingleStrings(docs, k)
+    val sig: Map[Long, Vector[String]] = sh.map { case (id, ss) =>
+      id -> (0 until numHashes).map(h => ss.map(s => md5hex(s"$h|$s")).min).toVector
+    }
+    val rows = numHashes / bands
+    def bandHashes(s: Vector[String]): Vector[String] =
+      (0 until bands).map(b => md5hex(s.slice(b * rows, b * rows + rows).mkString(","))).toVector
+    val bh = sig.map { case (id, s) => id -> bandHashes(s) }
+    val ids = sig.keys.toVector.sorted
+    (for {
+      i <- ids.indices.iterator; j <- (i + 1) until ids.size
+      a = ids(i); b = ids(j)
+      if (0 until bands).exists(x => bh(a)(x) == bh(b)(x))
+      est = sig(a).zip(sig(b)).count { case (x, y) => x == y }.toDouble / numHashes
+      if est >= minEst
+    } yield (a, b) -> est).toMap
+  }
+
+  /** twin of Dedup.commonSegmentRemoval: fixed-length token segments,
+    * a segment text shared by >= minDocs DISTINCT docs is dropped from
+    * every doc; null/short texts yield zero segments */
+  def refSegmentRemoval(docs: Seq[Doc], segLen: Int,
+                        minDocs: Int): Map[Long, (Long, Long, String)] = {
+    val segs: Map[Long, Vector[String]] = docs.map { d =>
+      d.id -> d.text.map(refTokens(_).grouped(segLen).map(_.mkString(" ")).toVector)
+        .getOrElse(Vector.empty)
+    }.toMap
+    val df = segs.toSeq.flatMap { case (id, ss) => ss.distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (s, xs) => s -> xs.size }
+    val dup = df.filter(_._2 >= minDocs).keySet
+    segs.map { case (id, ss) =>
+      val kept = ss.filterNot(dup.contains)
+      id -> (ss.size.toLong, kept.size.toLong, kept.mkString(" "))
+    }
+  }
 
   /** twin of TextAnalysis.langId's stopword vote (ties: en>de>fr>es) */
   def refLangId(d: Doc): String = d.text match {
@@ -232,11 +298,46 @@ object CorpusFuzz {
         errs += s"tokenCounts doc ${d.id}: got ${gotCounts.get(d.id)} want $want"
     }
 
+    // containment (ordered pairs, same hashed-shingle machinery +
+    // ceilSafe prefix/length/position prunes as ngramJaccard)
+    val gotCont = Dedup.containment(df, "doc_id", "text", p.k, p.minContainment)
+      .select("d1", "d2", "containment").as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    val wantCont = refContainment(docs, p.k, p.minContainment)
+    if (gotCont.keySet != wantCont.keySet)
+      errs += s"containment(k=${p.k},t=${p.minContainment}) pairs: " +
+        s"spurious=${gotCont.keySet -- wantCont.keySet} missing=${wantCont.keySet -- gotCont.keySet}"
+    else for ((pr, c) <- wantCont if math.abs(gotCont(pr) - c) > 1e-12)
+      errs += s"containment value at $pr: got ${gotCont(pr)} want $c"
+
+    // common-segment removal (cross-doc boilerplate dropping)
+    val gotSeg = Dedup.commonSegmentRemoval(df, "doc_id", "text",
+        p.segLen, p.minDocs)
+      .select("doc_id", "n_segments", "n_kept", "kept_text")
+      .as[(Long, Long, Long, String)].collect()
+      .map(x => x._1 -> (x._2, x._3, x._4)).toMap
+    val wantSeg = refSegmentRemoval(docs, p.segLen, p.minDocs)
+    if (gotSeg != wantSeg) {
+      val bad = (gotSeg.keySet ++ wantSeg.keySet)
+        .filter(id => gotSeg.get(id) != wantSeg.get(id)).take(3)
+      errs += s"segmentRemoval(segLen=${p.segLen},minDocs=${p.minDocs}): " +
+        bad.map(id => s"doc $id got=${gotSeg.get(id)} want=${wantSeg.get(id)}").mkString("; ")
+    }
+
     if (deep) {
-      // planted exact duplicates must be recalled by minhash LSH
-      // (identical text ⇒ identical signature ⇒ same buckets, est 1.0)
+      // FULL minhash LSH differential: signatures, banding, candidate
+      // buckets and estimates all re-derived by the reference model
       val got = Dedup.minhashLsh(df, "doc_id", "text")
-        .select("d1", "d2").as[(Long, Long)].collect().toSet
+        .select("d1", "d2", "est_jaccard").as[(Long, Long, Double)].collect()
+        .map { case (a, b, e) => (a, b) -> e }.toMap
+      val want = refMinhashLsh(docs)
+      if (got.keySet != want.keySet)
+        errs += s"minhashLsh pairs: spurious=${got.keySet -- want.keySet} " +
+          s"missing=${want.keySet -- got.keySet}"
+      else for ((pr, e) <- want if math.abs(got(pr) - e) > 1e-12)
+        errs += s"minhashLsh est at $pr: got ${got(pr)} want $e"
+      // planted exact duplicates must be recalled (identical text ⇒
+      // identical signature ⇒ same buckets, est 1.0)
       for ((a, b) <- dupPairs if !got.contains((math.min(a, b), math.max(a, b))))
         errs += s"minhashLsh: planted exact dup ($a,$b) not recalled"
 

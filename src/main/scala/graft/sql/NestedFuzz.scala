@@ -81,7 +81,7 @@ object NestedFuzz {
     s"id % $m = ${r.nextInt(m)}"
   }
 
-  private def genOne(r: Random): (String, String) = r.nextInt(13) match {
+  private def genOne(r: Random): (String, String) = r.nextInt(15) match {
 
     case 0 => // explode/UNNEST + re-aggregate (null elements group too)
       val arr = pick(r, Seq("arr_i", "arr_s"))
@@ -241,6 +241,27 @@ object NestedFuzz {
         s"""SELECT $e AS v, CAST(count(*) AS BIGINT) AS cnt
            |FROM nested GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin
       (q(es), q(ed))
+
+    case 13 => // true ANSI LATERAL over an array (correlated derived
+      // table — both engines accept `FROM t, LATERAL (...)`)
+      val kk = pick(r, Seq(5, 7, 9))
+      val pred = modPred(r)
+      def q(ex: String) =
+        s"""SELECT t.id % $kk AS g, CAST(count(*) AS BIGINT) AS cnt,
+           |  CAST(sum(u.x) AS BIGINT) AS sx
+           |FROM nested t, LATERAL (SELECT $ex(${filtNN("t.arr_i")}) AS x) u
+           |WHERE $pred GROUP BY 1 ORDER BY 1""".stripMargin
+      (q("explode"), q("unnest"))
+
+    case 14 => // map_entries explode: per-key value aggregation (null
+      // map values aggregate-skipped identically)
+      def q(ex: String) =
+        s"""SELECT e.key AS k, CAST(count(*) AS BIGINT) AS cnt,
+           |  CAST(sum(e.value) AS BIGINT) AS sv,
+           |  CAST(count(e.value) AS BIGINT) AS nv
+           |FROM (SELECT $ex(map_entries(m)) AS e FROM nested) t
+           |GROUP BY 1 ORDER BY 1""".stripMargin
+      (q("explode"), q("unnest"))
   }
 
   /** n seeded (name, sparkSql, duckSql) triples */

@@ -51,6 +51,8 @@ class NestedFuzzSpec extends SparkSpec {
       ducks.exists(_.contains("list_slice(")), "slice family missing")
     assert(sparks.exists(_.contains("split_part(")), "string family missing")
     assert(sparks.exists(_.contains("levenshtein(")), "levenshtein missing")
+    assert(sparks.exists(_.contains(", LATERAL (")), "ANSI LATERAL family missing")
+    assert(sparks.exists(_.contains("map_entries(")), "map_entries explode family missing")
 
     // dialect-bridge invariants (the pins this fuzzer's first sweep found)
     for (d <- ducks) {
