@@ -31,7 +31,8 @@ object CorpusFuzz {
 
   final case class Doc(id: Long, text: Option[String])
   final case class Params(k: Int, minJaccard: Double, maxDf: Long, prefixK: Int,
-                          minContainment: Double, segLen: Int, minDocs: Int)
+                          minContainment: Double, segLen: Int, minDocs: Int,
+                          subN: Int, maxHamming: Int)
 
   // ------------------------------------------------------------------
   // corpus generator
@@ -69,13 +70,32 @@ object CorpusFuzz {
     var id = 0L
     def add(t: Option[String]): Long = { val i = id; docs += Doc(i, t); id += 1; i }
     var prev = Vector.empty[(Long, String)]
+    // multi-line web-shaped doc for the C4 line rules: ~5-word lines
+    // with mixed terminal punctuation, occasional bad-phrase / brace /
+    // lorem-ipsum plants
+    def webDoc(): String = {
+      val ends = Vector(".", "!", "?", "\"", "", " .", ". ")
+      (0 until (2 + r.nextInt(6))).map { _ =>
+        val base = (0 until (3 + r.nextInt(5)))
+          .map(_ => words(r.nextInt(words.size))).mkString(" ")
+        val plant = r.nextInt(12) match {
+          case 0 => " cookie policy"
+          case 1 => " javascript"
+          case 2 => " {"
+          case 3 => " Lorem Ipsum"
+          case _ => ""
+        }
+        base + plant + ends(r.nextInt(ends.size))
+      }.mkString("\n")
+    }
     (0 until n).foreach { _ =>
-      r.nextInt(10) match {
+      r.nextInt(12) match {
         case 0 => add(None)
         case 1 => add(Some(""))
         case 2 => add(Some(Vector(" ", "\t", "\n", "   ")(r.nextInt(4))))
         case 3 => add(Some(words(r.nextInt(words.size)))) // 1 token
         case 4 => add(Some(boilerplate + " " + randText(r, r.nextInt(4))))
+        case 7 | 8 => add(Some(webDoc()))
         case 5 if prev.nonEmpty => // exact duplicate of an earlier doc
           val (pid, t) = prev(r.nextInt(prev.size))
           val nid = add(Some(t))
@@ -96,7 +116,11 @@ object CorpusFuzz {
       prefixK = 1 + r.nextInt(11),
       minContainment = Vector(0.25, 0.5, 0.8)(r.nextInt(3)),
       segLen = 2 + r.nextInt(5),
-      minDocs = 2 + r.nextInt(2))
+      minDocs = 2 + r.nextInt(2),
+      subN = 3 + r.nextInt(4),
+      // 4 pigeonhole chunks over 48 bits guarantee recall only to
+      // hamming 3 = chunks - 1; the operator's contract tops out there
+      maxHamming = 1 + r.nextInt(3))
     (docs.result(), p, dupPairs)
   }
 
@@ -222,6 +246,66 @@ object CorpusFuzz {
     }
   }
 
+  /** twin of Dedup.exactSubstringDedup (Lee et al. ExactSubstr at token
+    * granularity): every position whose n-gram occurs more than once in
+    * the WHOLE corpus (total occurrences, intra-doc repeats count) marks
+    * its n tokens covered; output (n_tokens, n_removed, kept_text).
+    * Null text keeps the operator's null-propagation shape
+    * (null sizes, '' kept_text). */
+  def refExactSubstringDedup(docs: Seq[Doc], n: Int)
+      : Map[Long, (Option[Long], Option[Long], String)] = {
+    val toks: Map[Long, Option[Vector[String]]] =
+      docs.map(d => d.id -> d.text.map(refTokens)).toMap
+    val grams = toks.toSeq.flatMap {
+      case (id, Some(t)) if t.size >= n =>
+        (1 to t.size - n + 1).map(p => (id, p, t.slice(p - 1, p - 1 + n).mkString(" ")))
+      case _ => Seq.empty
+    }
+    val cnt = grams.groupBy(_._3).map { case (g, xs) => g -> xs.size }
+    val starts: Map[Long, Seq[Int]] = grams.filter(x => cnt(x._3) > 1)
+      .groupBy(_._1).map { case (id, xs) => id -> xs.map(_._2) }
+    toks.map {
+      case (id, None) => id -> (None, None, "")
+      case (id, Some(t)) =>
+        val ss = starts.getOrElse(id, Seq.empty)
+        val kept = t.zipWithIndex.collect {
+          case (tok, i) if !ss.exists(s => s <= i + 1 && i + 1 < s + n) => tok
+        }
+        id -> (Some(t.size.toLong), Some((t.size - kept.size).toLong), kept.mkString(" "))
+    }
+  }
+
+  /** twin of Dedup.simhash (48-bit, token-frequency weighted ±1 votes
+    * from md5 hex bits); docs with zero tokens drop */
+  def refSimhash(docs: Seq[Doc], bits: Int = 48): Map[Long, Long] =
+    docs.flatMap { d =>
+      d.text.map(refTokens).filter(_.nonEmpty).map { toks =>
+        val hs = toks.map(md5hex)
+        val sim = (0 until bits).map { b =>
+          val sum = hs.map { h =>
+            val digit = Integer.parseInt(h.charAt(b / 4).toString, 16)
+            if (((digit >> (b % 4)) & 1) == 1) 1L else -1L
+          }.sum
+          if (sum > 0) 1L << b else 0L
+        }.sum
+        d.id -> sim
+      }
+    }.toMap
+
+  /** brute-force twin of Dedup.simhashNearDup: all pairs d1<d2 at
+    * hamming <= maxHamming (for maxHamming <= 3 the 4-chunk pigeonhole
+    * makes the blocked join's recall exact, so brute force IS the
+    * contract) */
+  def refSimhashNearDup(docs: Seq[Doc], maxHamming: Int): Map[(Long, Long), Long] = {
+    val sh = refSimhash(docs)
+    val ids = sh.keys.toVector.sorted
+    (for {
+      i <- ids.indices.iterator; j <- (i + 1) until ids.size
+      h = java.lang.Long.bitCount(sh(ids(i)) ^ sh(ids(j))).toLong
+      if h <= maxHamming
+    } yield (ids(i), ids(j)) -> h).toMap
+  }
+
   /** twin of TextAnalysis.langId's stopword vote (ties: en>de>fr>es) */
   def refLangId(d: Doc): String = d.text match {
     case None => "und"
@@ -235,6 +319,58 @@ object CorpusFuzz {
       else if (fr >= es && fr > 0) "fr"
       else if (es > 0) "es"
       else "und"
+  }
+
+  /** twin of TextAnalysis.repetitionMetrics (Gopher repetition half):
+    * overlapping bigram/trigram counts with multiplicity over docs with
+    * >= 3 tokens; fracs = round(x/y, 6) HALF_UP like Spark's round */
+  def refRepetitionMetrics(docs: Seq[Doc], maxTopBi: Double = 0.1,
+                           maxDupTri: Double = 0.2)
+      : Map[Long, (Long, Long, Long, Long, Double, Double, Boolean)] = {
+    def r6(v: Double) =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    docs.flatMap { d =>
+      d.text.map(refTokens).filter(_.size >= 3).map { toks =>
+        def grams(n: Int) = toks.sliding(n).map(_.mkString(" ")).toVector
+        val bi = grams(2); val tri = grams(3)
+        val maxBi = bi.groupBy(identity).values.map(_.size).max.toLong
+        val triCnt = tri.groupBy(identity).map { case (g, xs) => g -> xs.size }
+        val dupTri = tri.count(g => triCnt(g) >= 2).toLong
+        val tbf = r6(maxBi.toDouble / bi.size)
+        val dtf = r6(dupTri.toDouble / tri.size)
+        d.id -> (maxBi, bi.size.toLong, dupTri, tri.size.toLong, tbf, dtf,
+          tbf <= maxTopBi && dtf <= maxDupTri)
+      }
+    }.toMap
+  }
+
+  /** twin of TextAnalysis.c4Filters: line-level keep rules (>= 5
+    * whitespace words, terminal punctuation, no bad phrase), brace /
+    * lorem flags, clean_md5 of kept lines, and the document keep flag */
+  def refC4Filters(docs: Seq[Doc], minKeptLines: Int = 3)
+      : Map[Long, (Option[Long], Option[Long], Option[Boolean], Option[Boolean], Option[String], Option[Boolean])] = {
+    val badPhrases = Seq("javascript", "cookie policy", "privacy policy", "terms of use")
+    def lineKeep(l: String): Boolean = {
+      // Spark's rtrim strips trailing SPACES only (not tabs) — mirror it
+      val r = l.reverse.dropWhile(_ == ' ').reverse
+      val nw = l.split("\\s+", -1).count(_.nonEmpty)
+      nw >= 5 &&
+        (r.endsWith(".") || r.endsWith("!") || r.endsWith("?") || r.endsWith("\"")) &&
+        badPhrases.forall(p => !l.toLowerCase.contains(p))
+    }
+    docs.map { d =>
+      d.id -> (d.text match {
+        case None => (None, None, None, None, None, None)
+        case Some(t) =>
+          val lines = t.split("\n", -1).toVector
+          val kept = lines.filter(lineKeep)
+          val hasBrace = t.contains("{")
+          val hasLorem = t.toLowerCase.contains("lorem ipsum")
+          (Some(lines.size.toLong), Some(kept.size.toLong), Some(hasBrace),
+            Some(hasLorem), Some(md5hex(kept.mkString("\n"))),
+            Some(!hasBrace && !hasLorem && kept.size >= minKeptLines))
+      })
+    }.toMap
   }
 
   /** twin of TextAnalysis.tokenCounts (null text ⇒ null counts) */
@@ -324,7 +460,68 @@ object CorpusFuzz {
         bad.map(id => s"doc $id got=${gotSeg.get(id)} want=${wantSeg.get(id)}").mkString("; ")
     }
 
+    // Gopher repetition metrics (in-row sorted-gram folds vs naive counts)
+    val gotRep = TextAnalysis.repetitionMetrics(df, "doc_id", "text")
+      .select("doc_id", "max_bi", "n_bi", "dup_tri", "n_tri",
+        "top_bigram_frac", "dup_trigram_frac", "keep")
+      .as[(Long, Long, Long, Long, Long, Double, Double, Boolean)].collect()
+      .map(x => x._1 -> (x._2, x._3, x._4, x._5, x._6, x._7, x._8)).toMap
+    val wantRep = refRepetitionMetrics(docs)
+    if (gotRep != wantRep) {
+      val bad = (gotRep.keySet ++ wantRep.keySet)
+        .filter(id => gotRep.get(id) != wantRep.get(id)).take(3)
+      errs += "repetitionMetrics: " + bad.map(id =>
+        s"doc $id got=${gotRep.get(id)} want=${wantRep.get(id)}").mkString("; ")
+    }
+
+    // C4 line filters (line keep rules, flags, clean_md5, doc keep)
+    val gotC4 = TextAnalysis.c4Filters(df, "doc_id", "text")
+      .select("doc_id", "n_lines", "n_kept", "has_brace", "has_lorem",
+        "clean_md5", "keep")
+      .as[(Long, Option[Long], Option[Long], Option[Boolean], Option[Boolean],
+        Option[String], Option[Boolean])].collect()
+      .map(x => x._1 -> (x._2, x._3, x._4, x._5, x._6, x._7)).toMap
+    val wantC4 = refC4Filters(docs)
+    if (gotC4 != wantC4) {
+      val bad = (gotC4.keySet ++ wantC4.keySet)
+        .filter(id => gotC4.get(id) != wantC4.get(id)).take(3)
+      errs += "c4Filters: " + bad.map(id =>
+        s"doc $id got=${gotC4.get(id)} want=${wantC4.get(id)}").mkString("; ")
+    }
+
+    // ExactSubstr (Lee et al.) — spans, coverage fold, text rebuild
+    val gotSub = Dedup.exactSubstringDedup(df, "doc_id", "text", p.subN)
+      .select("doc_id", "n_tokens", "n_removed", "kept_text")
+      .as[(Long, Option[Long], Option[Long], String)].collect()
+      .map(x => x._1 -> (x._2, x._3, x._4)).toMap
+    val wantSub = refExactSubstringDedup(docs, p.subN)
+    if (gotSub != wantSub) {
+      val bad = (gotSub.keySet ++ wantSub.keySet)
+        .filter(id => gotSub.get(id) != wantSub.get(id)).take(3)
+      errs += s"exactSubstringDedup(n=${p.subN}): " +
+        bad.map(id => s"doc $id got=${gotSub.get(id)} want=${wantSub.get(id)}").mkString("; ")
+    }
+
     if (deep) {
+      // SimHash fingerprints + chunk-blocked near-dup pairs (brute-force
+      // reference is the contract for maxHamming <= chunks-1)
+      val gotSh = Dedup.simhash(df, "doc_id", "text")
+        .as[(Long, Long)].collect().toMap
+      val wantSh = refSimhash(docs)
+      if (gotSh != wantSh) {
+        val bad = (gotSh.keySet ++ wantSh.keySet)
+          .filter(id => gotSh.get(id) != wantSh.get(id)).take(3)
+        errs += s"simhash: " + bad.map(id =>
+          s"doc $id got=${gotSh.get(id)} want=${wantSh.get(id)}").mkString("; ")
+      }
+      val gotNd = Dedup.simhashNearDup(df, "doc_id", "text", p.maxHamming)
+        .select("d1", "d2", "hamming").as[(Long, Long, Long)].collect()
+        .map(x => (x._1, x._2) -> x._3).toMap
+      val wantNd = refSimhashNearDup(docs, p.maxHamming)
+      if (gotNd != wantNd)
+        errs += s"simhashNearDup(maxHamming=${p.maxHamming}): " +
+          s"spurious=${gotNd.keySet -- wantNd.keySet} missing=${wantNd.keySet -- gotNd.keySet}"
+
       // FULL minhash LSH differential: signatures, banding, candidate
       // buckets and estimates all re-derived by the reference model
       val got = Dedup.minhashLsh(df, "doc_id", "text")
