@@ -373,6 +373,56 @@ object CorpusFuzz {
     }.toMap
   }
 
+  /** twin of TextAnalysis.gopherRules (Rae et al. A1.1). Pins that
+    * matter: Spark length() counts CODE POINTS (emoji = 1, not the
+    * JVM's 2 UTF-16 units); ltrim/rtrim strip spaces only; "..." counts
+    * non-overlapping matches; n_stop_hits is DISTINCT stopword
+    * presence summed; null text propagates nulls except the
+    * when/otherwise-0.0 columns, and keep collapses to false through
+    * 3VL (null AND false = false). */
+  def refGopherRules(docs: Seq[Doc], minWords: Int, maxWords: Int)
+      : Map[Long, (Option[Long], Option[Long], Option[Double], Option[Double],
+                   Double, Option[Long], Double, Double, Boolean)] = {
+    def r6(v: Double) =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    docs.map { d =>
+      d.id -> (d.text match {
+        case None =>
+          (None, None, None, None, 0.0, None, 0.0, 0.0, false)
+        case Some(t) =>
+          val words = t.split("\\s+", -1).toVector.filter(_.nonEmpty)
+          val lines = t.split("\n", -1).toVector
+          val nWords = words.size.toLong
+          val nWordChars = words.map(w => w.codePointCount(0, w.length).toLong).sum
+          val nSymbols = t.count(_ == '#').toLong +
+            "\\.\\.\\.".r.findAllIn(t).size.toLong
+          def frac(n: Int, of: Int) = r6(n.toDouble / of)
+          val bulletFrac = frac(lines.count { l =>
+            val lt = l.dropWhile(_ == ' ')
+            lt.startsWith("-") || lt.startsWith("*") || lt.startsWith("•")
+          }, lines.size)
+          val ellipsisFrac = frac(lines.count { l =>
+            val rt = l.reverse.dropWhile(_ == ' ').reverse
+            rt.endsWith("...") || rt.endsWith("…")
+          }, lines.size)
+          val alphaFrac =
+            if (nWords > 0) frac(words.count(_.exists(c => c.isLetter && c < 128)), words.size)
+            else 0.0
+          val lowered = words.map(_.toLowerCase)
+          val nStopHits = stops.count(lowered.contains).toLong
+          val meanLen = if (nWords > 0) r6(nWordChars.toDouble / nWords) else 0.0
+          val symRatio = if (nWords > 0) r6(nSymbols.toDouble / nWords) else 0.0
+          val keep = nWords >= minWords && nWords <= maxWords &&
+            meanLen >= 3.0 && meanLen <= 10.0 && symRatio <= 0.1 &&
+            bulletFrac <= 0.9 && ellipsisFrac <= 0.3 &&
+            alphaFrac >= 0.8 && nStopHits >= 2
+          (Some(nWords), Some(nSymbols), Some(bulletFrac), Some(ellipsisFrac),
+            alphaFrac, Some(nStopHits), meanLen, symRatio, keep)
+      })
+    }.toMap
+  }
+
   /** twin of TextAnalysis.tokenCounts (null text ⇒ null counts) */
   def refTokenCounts(d: Doc): (Option[Long], Option[Long]) =
     (d.text.map(refTokens(_).size.toLong), d.text.map(refBpeish(_).size.toLong))
@@ -487,6 +537,22 @@ object CorpusFuzz {
         .filter(id => gotC4.get(id) != wantC4.get(id)).take(3)
       errs += "c4Filters: " + bad.map(id =>
         s"doc $id got=${gotC4.get(id)} want=${wantC4.get(id)}").mkString("; ")
+    }
+
+    // Gopher rule set (minWords lowered so the keep bar has teeth on
+    // fuzz-sized docs)
+    val gotGo = TextAnalysis.gopherRules(df, "doc_id", "text", minWords = 8)
+      .select("doc_id", "n_words", "n_symbols", "bullet_frac", "ellipsis_frac",
+        "alpha_word_frac", "n_stop_hits", "mean_word_len", "symbol_ratio", "keep")
+      .as[(Long, Option[Long], Option[Long], Option[Double], Option[Double],
+        Double, Option[Long], Double, Double, Boolean)].collect()
+      .map(x => x._1 -> (x._2, x._3, x._4, x._5, x._6, x._7, x._8, x._9, x._10)).toMap
+    val wantGo = refGopherRules(docs, minWords = 8, maxWords = 100000)
+    if (gotGo != wantGo) {
+      val bad = (gotGo.keySet ++ wantGo.keySet)
+        .filter(id => gotGo.get(id) != wantGo.get(id)).take(3)
+      errs += "gopherRules: " + bad.map(id =>
+        s"doc $id got=${gotGo.get(id)} want=${wantGo.get(id)}").mkString("; ")
     }
 
     // ExactSubstr (Lee et al.) — spans, coverage fold, text rebuild

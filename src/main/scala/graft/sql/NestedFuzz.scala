@@ -81,7 +81,7 @@ object NestedFuzz {
     s"id % $m = ${r.nextInt(m)}"
   }
 
-  private def genOne(r: Random): (String, String) = r.nextInt(15) match {
+  private def genOne(r: Random): (String, String) = r.nextInt(16) match {
 
     case 0 => // explode/UNNEST + re-aggregate (null elements group too)
       val arr = pick(r, Seq("arr_i", "arr_s"))
@@ -252,6 +252,22 @@ object NestedFuzz {
            |FROM nested t, LATERAL (SELECT $ex(${filtNN("t.arr_i")}) AS x) u
            |WHERE $pred GROUP BY 1 ORDER BY 1""".stripMargin
       (q("explode"), q("unnest"))
+
+    case 15 => // positional explode: Spark posexplode (0-based pos) vs
+      // DuckDB inline unnest + generate_subscripts (1-based, lockstep
+      // expansion — WITH ORDINALITY is unimplemented in DuckDB 1.0)
+      val kk = pick(r, Seq(4, 6, 8))
+      val sq = s"""SELECT x, CAST(count(*) AS BIGINT) AS cnt,
+                  |  CAST(sum(i) AS BIGINT) AS sum_pos
+                  |FROM (SELECT pos + 1 AS i, col AS x
+                  |      FROM (SELECT posexplode(arr_i) FROM nested WHERE id % $kk != 0) p) t
+                  |GROUP BY x ORDER BY x NULLS FIRST""".stripMargin
+      val dq = s"""SELECT x, CAST(count(*) AS BIGINT) AS cnt,
+                  |  CAST(sum(i) AS BIGINT) AS sum_pos
+                  |FROM (SELECT generate_subscripts(arr_i, 1) AS i, unnest(arr_i) AS x
+                  |      FROM nested WHERE id % $kk != 0) t
+                  |GROUP BY x ORDER BY x NULLS FIRST""".stripMargin
+      (sq, dq)
 
     case 14 => // map_entries explode: per-key value aggregation (null
       // map values aggregate-skipped identically)

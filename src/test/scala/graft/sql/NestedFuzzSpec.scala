@@ -53,6 +53,9 @@ class NestedFuzzSpec extends SparkSpec {
     assert(sparks.exists(_.contains("levenshtein(")), "levenshtein missing")
     assert(sparks.exists(_.contains(", LATERAL (")), "ANSI LATERAL family missing")
     assert(sparks.exists(_.contains("map_entries(")), "map_entries explode family missing")
+    assert(sparks.exists(_.contains("posexplode(")) &&
+      ducks.exists(_.contains("generate_subscripts(")),
+      "positional explode family missing")
 
     // dialect-bridge invariants (the pins this fuzzer's first sweep found)
     for (d <- ducks) {
