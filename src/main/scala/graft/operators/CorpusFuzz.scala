@@ -306,19 +306,73 @@ object CorpusFuzz {
     } yield (ids(i), ids(j)) -> h).toMap
   }
 
-  /** twin of TextAnalysis.langId's stopword vote (ties: en>de>fr>es) */
-  def refLangId(d: Doc): String = d.text match {
-    case None => "und"
-    case Some(t) =>
-      val toks = refTokens(t)
-      def hits(l: String) =
-        toks.count(graft.functions.TextFunctions.stopwords(l).contains)
-      val (en, de, fr, es) = (hits("en"), hits("de"), hits("fr"), hits("es"))
-      if (en >= de && en >= fr && en >= es && en > 0) "en"
-      else if (de >= fr && de >= es && de > 0) "de"
-      else if (fr >= es && fr > 0) "fr"
-      else if (es > 0) "es"
-      else "und"
+  /** twin of TextAnalysis.predLang's stopword vote (ties: en>de>fr>es) */
+  def refPredLang(toks: Vector[String]): String = {
+    def hits(l: String) =
+      toks.count(graft.functions.TextFunctions.stopwords(l).contains)
+    val (en, de, fr, es) = (hits("en"), hits("de"), hits("fr"), hits("es"))
+    if (en >= de && en >= fr && en >= es && en > 0) "en"
+    else if (de >= fr && de >= es && de > 0) "de"
+    else if (fr >= es && fr > 0) "fr"
+    else if (es > 0) "es"
+    else "und"
+  }
+
+  def refLangId(d: Doc): String =
+    d.text.map(t => refPredLang(refTokens(t))).getOrElse("und")
+
+  /** twin of TextAnalysis.codeSwitch: per-line language votes, dominant
+    * by (count desc, name asc), Shannon entropy via the decimal(30,15)
+    * accumulation of c·ln c terms (bit-exact: same java.lang.Math.log,
+    * same HALF_UP decimal casts). Null-text docs have no line rows and
+    * are absent from the output. */
+  def refCodeSwitch(docs: Seq[Doc]): Map[Long, (Long, Long, String, Double)] = {
+    def dec15(v: Double) =
+      BigDecimal(java.math.BigDecimal.valueOf(v).setScale(15, java.math.RoundingMode.HALF_UP))
+    def r6(v: Double) =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    docs.flatMap { d =>
+      d.text.map { t =>
+        val langs = t.split("\n", -1).toVector.map(l => refPredLang(refTokens(l)))
+        val counts = langs.groupBy(identity).map { case (l, xs) => l -> xs.size.toLong }
+        val nLines = counts.values.sum
+        val dominant = counts.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+        val sumcl = counts.values.map(c => dec15(c.toDouble * math.log(c.toDouble))).sum
+        val entropy = r6(math.log(nLines.toDouble) - sumcl.toDouble / nLines)
+        d.id -> (nLines, counts.size.toLong, dominant, entropy)
+      }
+    }.toMap
+  }
+
+  /** twin of TextAnalysis.qualityScore (code-point char counts, Java
+    * regex char classes, stopword hits with multiplicity over the
+    * combined list, when/otherwise-0.0 ratio guards, 3VL keep) */
+  def refQualityScore(docs: Seq[Doc])
+      : Map[Long, (Option[Long], Option[Long], Option[Long], Option[Long],
+                   Option[Long], Option[Long], Double, Double, Double, Boolean)] = {
+    def r6(v: Double) =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val allStop = graft.functions.TextFunctions.stopwords.values.flatten.toSeq.distinct.sorted
+    docs.map { d =>
+      d.id -> (d.text match {
+        case None =>
+          (None, None, None, None, None, None, 0.0, 0.0, 0.0, false)
+        case Some(t) =>
+          val toks = refTokens(t)
+          val nChars = t.codePointCount(0, t.length).toLong
+          val nToks = toks.size.toLong
+          val nTokChars = toks.map(w => w.codePointCount(0, w.length).toLong).sum
+          val nPunct = "[^a-zA-Z0-9\\s]".r.findAllIn(t).size.toLong
+          val nUpper = t.count(c => c >= 'A' && c <= 'Z').toLong
+          val nStop = toks.count(allStop.contains).toLong
+          val meanLen = if (nToks > 0) r6(nTokChars.toDouble / nToks) else 0.0
+          val punctR = if (nChars > 0) r6(nPunct.toDouble / nChars) else 0.0
+          val stopR = if (nToks > 0) r6(nStop.toDouble / nToks) else 0.0
+          val keep = nToks >= 10 && meanLen >= 2 && meanLen <= 12 && punctR <= 0.2
+          (Some(nChars), Some(nToks), Some(nTokChars), Some(nPunct),
+            Some(nUpper), Some(nStop), meanLen, punctR, stopR, keep)
+      })
+    }.toMap
   }
 
   /** twin of TextAnalysis.repetitionMetrics (Gopher repetition half):
@@ -537,6 +591,35 @@ object CorpusFuzz {
         .filter(id => gotC4.get(id) != wantC4.get(id)).take(3)
       errs += "c4Filters: " + bad.map(id =>
         s"doc $id got=${gotC4.get(id)} want=${wantC4.get(id)}").mkString("; ")
+    }
+
+    // per-line language mix (codeSwitch): votes, dominant, decimal
+    // entropy — bit-exact vs the reference
+    val gotCs = TextAnalysis.codeSwitch(df, "doc_id", "text")
+      .select("doc_id", "n_lines", "n_langs", "dominant", "lang_entropy")
+      .as[(Long, Long, Long, String, Double)].collect()
+      .map(x => x._1 -> (x._2, x._3, x._4, x._5)).toMap
+    val wantCs = refCodeSwitch(docs)
+    if (gotCs != wantCs) {
+      val bad = (gotCs.keySet ++ wantCs.keySet)
+        .filter(id => gotCs.get(id) != wantCs.get(id)).take(3)
+      errs += "codeSwitch: " + bad.map(id =>
+        s"doc $id got=${gotCs.get(id)} want=${wantCs.get(id)}").mkString("; ")
+    }
+
+    // generic quality metrics (code-point counts, regex char classes)
+    val gotQs = TextAnalysis.qualityScore(df, "doc_id", "text")
+      .select("doc_id", "n_chars", "n_tokens", "n_token_chars", "n_punct",
+        "n_upper", "n_stop", "mean_token_len", "punct_ratio", "stop_ratio", "keep")
+      .as[(Long, Option[Long], Option[Long], Option[Long], Option[Long],
+        Option[Long], Option[Long], Double, Double, Double, Boolean)].collect()
+      .map(x => x._1 -> (x._2, x._3, x._4, x._5, x._6, x._7, x._8, x._9, x._10, x._11)).toMap
+    val wantQs = refQualityScore(docs)
+    if (gotQs != wantQs) {
+      val bad = (gotQs.keySet ++ wantQs.keySet)
+        .filter(id => gotQs.get(id) != wantQs.get(id)).take(3)
+      errs += "qualityScore: " + bad.map(id =>
+        s"doc $id got=${gotQs.get(id)} want=${wantQs.get(id)}").mkString("; ")
     }
 
     // Gopher rule set (minWords lowered so the keep bar has teeth on
