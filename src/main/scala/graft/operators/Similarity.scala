@@ -478,12 +478,19 @@ object Similarity {
       .withColumn("g", gExpr)
       .withColumn("sub", subOf(col("g")))
       .select("nid", "nv", "g", "sub")
+    // perCellArgmax returns a SCALAR id for n == 1 (the assignment form)
+    // and an array for n > 1 (the probe form) — wrap the scalar so the
+    // n2 = 1 probe explodes a 1-element array instead of failing
+    // analysis (a null scalar for an unmodeled cell becomes array(null),
+    // whose exploded null row the isNotNull filter drops — the same
+    // semantics as a null probe array)
+    val subProbe = Vectors.perCellArgmax(spark, col("qv"), col("g"), cbs, n2)
     val probes = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
       .withColumn("g",
         explode_outer(Vectors.nearestCidsExpr(spark, col("qv"), cents1, n1)))
       .filter(col("g").isNotNull) // outer+filter: see SafeExplode
       .withColumn("sub", explode_outer(
-        Vectors.perCellArgmax(spark, col("qv"), col("g"), cbs, n2)))
+        if (n2 == 1) array(subProbe) else subProbe))
       .filter(col("sub").isNotNull)
     val scored = broadcast(probes).join(assign,
         probes("g") === assign("g") && probes("sub") === assign("sub") &&

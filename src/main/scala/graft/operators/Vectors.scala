@@ -23,9 +23,19 @@ object Vectors {
   def norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
 
-  /** Cosine similarity rounded to 6 dp (reproducibility contract). */
-  def cosine(a: Column, b: Column): Column =
-    round(dot(a, b) / (norm(a) * norm(b)), 6)
+  /** Cosine similarity rounded to 6 dp (reproducibility contract).
+    * A zero-norm side yields NaN EXPLICITLY (round passes NaN through):
+    * the kernel form's bare JVM division gives 0/0 = NaN, but the column
+    * form's SQL Divide THROWS under ANSI mode (Spark 4 default) when the
+    * norm product is exactly 0 — the r15 vector fuzzer caught the two
+    * forms diverging on planted zero vectors. The when-guard keeps the
+    * divide unevaluated on that branch, so both forms agree: NaN, which
+    * SQL orders greatest (zero vectors surface first under a desc rank,
+    * the documented brute-force contract). */
+  def cosine(a: Column, b: Column): Column = {
+    val prod = norm(a) * norm(b)
+    round(when(prod === 0.0, lit(Double.NaN)).otherwise(dot(a, b) / prod), 6)
+  }
 
   /** Native fused variant (graft.plans.CosineSimilarity — one codegen'd
     * loop, no intermediate array). Bit-identical to [[cosine]]; requires

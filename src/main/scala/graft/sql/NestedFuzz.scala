@@ -81,7 +81,7 @@ object NestedFuzz {
     s"id % $m = ${r.nextInt(m)}"
   }
 
-  private def genOne(r: Random): (String, String) = r.nextInt(16) match {
+  private def genOne(r: Random): (String, String) = r.nextInt(20) match {
 
     case 0 => // explode/UNNEST + re-aggregate (null elements group too)
       val arr = pick(r, Seq("arr_i", "arr_s"))
@@ -278,6 +278,102 @@ object NestedFuzz {
            |FROM (SELECT $ex(map_entries(m)) AS e FROM nested) t
            |GROUP BY 1 ORDER BY 1""".stripMargin
       (q("explode"), q("unnest"))
+
+    case 16 => // map_filter: DuckDB 1.0 has no map HOFs, so the twin
+      // works on map_entries: list_filter(entries, e -> p(e.value)).
+      // A NULL map value makes the predicate NULL — BOTH engines drop
+      // the entry (probed); a NULL map stays NULL via the CASE guard;
+      // the kept-sum twin coalesces DuckDB's list_sum([]) = NULL to
+      // Spark's aggregate-over-empty = 0.
+      val md = 2 + r.nextInt(3)
+      val rr = r.nextInt(md)
+      val sq =
+        s"""SELECT CASE WHEN m IS NULL THEN CAST(NULL AS BIGINT)
+           |            ELSE CAST(cardinality(map_filter(m, (k_, v_) -> v_ % $md = $rr)) AS BIGINT) END AS n_kept,
+           |  CASE WHEN m IS NULL THEN CAST(NULL AS BIGINT)
+           |       ELSE CAST(aggregate(map_values(map_filter(m, (k_, v_) -> v_ % $md = $rr)),
+           |                           CAST(0 AS BIGINT), (s_, x_) -> s_ + x_) AS BIGINT) END AS sv,
+           |  CAST(count(*) AS BIGINT) AS cnt
+           |FROM nested GROUP BY 1, 2 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin
+      val dq =
+        s"""SELECT CASE WHEN m IS NULL THEN CAST(NULL AS BIGINT)
+           |            ELSE CAST(len(list_filter(map_entries(m), e_ -> e_.value % $md = $rr)) AS BIGINT) END AS n_kept,
+           |  CASE WHEN m IS NULL THEN CAST(NULL AS BIGINT)
+           |       ELSE CAST(coalesce(list_sum(list_transform(
+           |              list_filter(map_entries(m), e_ -> e_.value % $md = $rr),
+           |              e_ -> e_.value)), 0) AS BIGINT) END AS sv,
+           |  CAST(count(*) AS BIGINT) AS cnt
+           |FROM nested GROUP BY 1, 2 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin
+      (sq, dq)
+
+    case 17 => // transform_keys + transform_values fingerprints: the
+      // DuckDB twin rebuilds both from map_entries. NULL values pin to
+      // -1/-9 sentinels BEFORE the arithmetic so neither engine's
+      // null-propagation (identical, but then null-sorted differently)
+      // reaches the fingerprint; both sides re-sort (the map entry
+      // order is not contractual).
+      val c = 1 + r.nextInt(4)
+      val sq =
+        s"""SELECT CASE WHEN m IS NULL THEN NULL
+           |            ELSE array_join(array_sort(map_keys(transform_keys(m,
+           |              (k_, v_) -> concat(k_, '#', CAST(coalesce(v_, -1) % 5 AS STRING))))), ',') END AS kf,
+           |  CASE WHEN m IS NULL THEN NULL
+           |       ELSE array_join(array_sort(transform(map_values(transform_values(m,
+           |         (k_, v_) -> coalesce(v_ * $c, -9))), x_ -> CAST(x_ AS STRING))), ',') END AS vf,
+           |  CAST(count(*) AS BIGINT) AS cnt
+           |FROM nested GROUP BY 1, 2 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin
+      val dq =
+        s"""SELECT CASE WHEN m IS NULL THEN NULL
+           |            ELSE coalesce(array_to_string(array_sort(list_transform(map_entries(m),
+           |              e_ -> concat(e_.key, '#', CAST(coalesce(e_.value, -1) % 5 AS VARCHAR)))), ','), '') END AS kf,
+           |  CASE WHEN m IS NULL THEN NULL
+           |       ELSE coalesce(array_to_string(array_sort(list_transform(map_entries(m),
+           |         e_ -> CAST(coalesce(e_.value * $c, -9) AS VARCHAR))), ','), '') END AS vf,
+           |  CAST(count(*) AS BIGINT) AS cnt
+           |FROM nested GROUP BY 1, 2 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin
+      (sq, dq)
+
+    case 18 => // arrays-of-structs: build struct elements in-row from
+      // arr_i, explode, access fields, re-aggregate (null elements
+      // filtered first so both engines see identical struct rows)
+      val gg = pick(r, Seq(3, 4, 5))
+      val pred = modPred(r)
+      val sq =
+        s"""SELECT t.e.g2 AS g, CAST(count(*) AS BIGINT) AS cnt,
+           |  CAST(sum(t.e.v) AS BIGINT) AS sv
+           |FROM (SELECT explode(transform(${filtNN("arr_i")},
+           |        x_ -> named_struct('v', x_, 'g2', x_ % $gg))) AS e
+           |      FROM nested WHERE $pred) t
+           |GROUP BY 1 ORDER BY 1""".stripMargin
+      val dq =
+        s"""SELECT t.e.g2 AS g, CAST(count(*) AS BIGINT) AS cnt,
+           |  CAST(sum(t.e.v) AS BIGINT) AS sv
+           |FROM (SELECT unnest(list_transform(${filtNN("arr_i")},
+           |        x_ -> {'v': x_, 'g2': x_ % $gg})) AS e
+           |      FROM nested WHERE $pred) t
+           |GROUP BY 1 ORDER BY 1""".stripMargin
+      (sq, dq)
+
+    case 19 => // depth-parameterized nesting: d struct wraps accessed
+      // back down, and d array wraps flattened back down (the current
+      // families pin ONE shape; this varies the depth). The array side
+      // wraps only a null-guarded, null-filtered arr_i — Spark nulls a
+      // whole flatten on a null inner array while DuckDB skips it
+      // (pinned divergence), so no null may reach the wrap.
+      val d = 1 + r.nextInt(3)
+      val wrapS = "named_struct('w', " * d + "st" + ")" * d + ".w" * d + ".a"
+      val wrapD = "{'w': " * d + "st" + "}" * d + ".w" * d + ".a"
+      def wrapArr(open: String, close: String, a: String) =
+        "flatten(" * d + (open * d) + a + (close * d) + ")" * d
+      val (as2, ad2) = asum(wrapArr("array(", ")", filtNN("arr_i")),
+                            wrapArr("[", "]", filtNN("arr_i")))
+      def q(sa: String, arrSum: String) =
+        s"""SELECT CAST($sa AS BIGINT) AS wa,
+           |  CASE WHEN arr_i IS NULL THEN CAST(NULL AS BIGINT)
+           |       ELSE CAST($arrSum AS BIGINT) END AS asum,
+           |  CAST(count(*) AS BIGINT) AS cnt
+           |FROM nested GROUP BY 1, 2 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin
+      (q(wrapS, as2), q(wrapD, ad2))
   }
 
   /** n seeded (name, sparkSql, duckSql) triples */

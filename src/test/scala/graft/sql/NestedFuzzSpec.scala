@@ -56,6 +56,19 @@ class NestedFuzzSpec extends SparkSpec {
     assert(sparks.exists(_.contains("posexplode(")) &&
       ducks.exists(_.contains("generate_subscripts(")),
       "positional explode family missing")
+    assert(sparks.exists(_.contains("map_filter(")) &&
+      ducks.exists(_.contains("list_filter(map_entries(")),
+      "map_filter family missing")
+    assert(sparks.exists(_.contains("transform_keys(")) &&
+      sparks.exists(_.contains("transform_values(")),
+      "transform_keys/values family missing")
+    assert(sparks.exists(_.contains("named_struct('v'")) &&
+      ducks.exists(_.contains("{'v':")),
+      "arrays-of-structs explode family missing")
+    assert(sparks.exists(_.contains("named_struct('w', named_struct('w', ")),
+      "depth-parameterized struct nesting missing")
+    assert(sparks.exists(_.contains("flatten(flatten(")),
+      "depth-parameterized array nesting missing")
 
     // dialect-bridge invariants (the pins this fuzzer's first sweep found)
     for (d <- ducks) {
@@ -82,7 +95,8 @@ class NestedFuzzSpec extends SparkSpec {
         assert(s.contains("coalesce(array_contains("),
           s"unguarded array_contains (3VL pin) in:\n$s")
       if (s.contains("flatten("))
-        assert(s.contains("flatten(filter("),
+        assert(s.contains("flatten(filter(") || s.contains("flatten(array(") ||
+          s.contains("flatten(flatten("),
           s"unfiltered flatten (null-inner pin) in:\n$s")
     }
   }

@@ -31,13 +31,17 @@ run() {
   gate
   local pre post
   pre=$(load1)
+  # grep -m1 (not `grep | head -1`): under pipefail, head closing the pipe
+  # after line 1 would kill grep with SIGPIPE (exit 141) and abort the
+  # script, losing a completed multi-minute run
   if [ -n "$ONLY" ]; then
     SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_ONLY="$ONLY" sbt -batch "runMain graft.Bench" 2>/dev/null |
-      grep -E '^\{"metric"' | head -1 > "$OUT.run$n.json"
+      grep -m1 -E '^\{"metric"' > "$OUT.run$n.json"
   else
     SPARK_GRAFT_SF_DIR="$SF" sbt -batch "runMain graft.Bench" 2>/dev/null |
-      grep -E '^\{"metric"' | head -1 > "$OUT.run$n.json"
+      grep -m1 -E '^\{"metric"' > "$OUT.run$n.json"
   fi
+  [ -s "$OUT.run$n.json" ] || { echo "run $n produced no metric line" >&2; exit 4; }
   post=$(load1)
   echo "run $n done (load $pre -> $post): $(head -c 120 "$OUT.run$n.json")"
 }
@@ -51,6 +55,15 @@ out = sys.argv[1]
 a = json.load(open(f"{out}.run1.json"))
 b = json.load(open(f"{out}.run2.json"))
 qa, qb = a["queries"], b["queries"]
+# a canonical record must not silently drop a query that errored or ran
+# in only one JVM: fail loudly instead of understating the total
+errs = {**{f"run1:{k}": v for k, v in (a.get("errors") or {}).items()},
+        **{f"run2:{k}": v for k, v in (b.get("errors") or {}).items()}}
+if errs:
+    sys.exit(f"REFUSING to min-merge: bench errors {errs}")
+dropped = sorted(set(qa) ^ set(qb))
+if dropped:
+    sys.exit(f"REFUSING to min-merge: queries present in only one run: {dropped}")
 merged = {k: min(qa[k], qb[k]) for k in qa if k in qb}
 rec = {"metric": "total", "value": sum(merged.values()), "unit": "sec",
        "protocol": "min-of-2-fresh-jvm (BASELINE.md)", "sf": a["sf"],

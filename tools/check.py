@@ -8,7 +8,7 @@ outDir/oracle_sql.json in DuckDB over the sfDir tables, sorts columns by
 name and rows by all columns, and compares values exactly (floats via
 bit-identical check first, then tolerance report).
 """
-import sys, json, glob, math
+import sys, json, glob, math, os, re
 import duckdb
 import pandas as pd
 
@@ -26,10 +26,14 @@ def main(sfdir, outdir):
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
     # harness-generated extra tables (e.g. graft.FuzzNested's nested
-    # fixture): both engines read the same parquet bytes
-    import os
+    # fixture): both engines read the same parquet bytes. Validate the
+    # basename before interpolating it into SQL — a stray non-identifier
+    # dir would otherwise break the whole run with a parse error.
     for t in sorted(glob.glob(f"{outdir}/_tables/*/")):
         name = os.path.basename(t.rstrip("/"))
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+            print(f"skip _tables/{name}: not a valid SQL identifier")
+            continue
         con.sql(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{t}*.parquet')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_pass = n_fail = 0
