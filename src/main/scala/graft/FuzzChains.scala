@@ -37,6 +37,13 @@ object FuzzChains {
         if (es.nonEmpty) {
           failures += 1
           es.foreach(e => System.err.println(s"[chfuzz seed=$seed chain=$i] $e"))
+          val minimal = graft.operators.Shrink.ddmin(docs,
+            (ds: Seq[graft.operators.CorpusFuzz.Doc]) =>
+              try graft.operators.ChainFuzz.runOne(spark, ds, chain).nonEmpty
+              catch { case _: Throwable => true })
+          System.err.println(s"[chfuzz seed=$seed chain=$i] SHRUNK repro " +
+            s"(${minimal.size} docs, chain=[${chain.mkString(" → ")}]): " +
+            minimal.map(d => s"${d.id}=${d.text}").mkString(" | "))
         }
         spark.catalog.clearCache()
       }

@@ -39,6 +39,16 @@ object FuzzCorpus {
           failures += 1
           es.foreach(e => System.err.println(s"[cfuzz seed=$seed corpus=$i] $e"))
           errs ++= es.map(e => s"seed=$seed corpus=$i: $e")
+          // ddmin the corpus to a 1-minimal failing doc set so the
+          // record is self-explaining (planted-dup recall is skipped in
+          // the shrink predicate — pair ids drop out of subsets)
+          val minimal = graft.operators.Shrink.ddmin(docs,
+            (ds: Seq[graft.operators.CorpusFuzz.Doc]) =>
+              try graft.operators.CorpusFuzz.runOne(spark, ds, p, Seq.empty, deep).nonEmpty
+              catch { case _: Throwable => true })
+          System.err.println(s"[cfuzz seed=$seed corpus=$i] SHRUNK repro " +
+            s"(${minimal.size} docs, $p): " +
+            minimal.map(d => s"${d.id}=${d.text}").mkString(" | "))
         }
         // the shingle caches a corpus run leaves behind are per-session;
         // clear between corpora so 250 runs don't accrete executor memory

@@ -38,6 +38,13 @@ object FuzzVectors {
         if (es.nonEmpty) {
           failures += 1
           es.foreach(e => System.err.println(s"[vfuzz seed=$seed set=$i] $e"))
+          val minimal = graft.operators.Shrink.ddmin(vs,
+            (sub: Seq[graft.operators.VectorFuzz.Vec]) =>
+              try graft.operators.VectorFuzz.runOne(spark, sub, p, deep).nonEmpty
+              catch { case _: Throwable => true })
+          System.err.println(s"[vfuzz seed=$seed set=$i] SHRUNK repro " +
+            s"(${minimal.size} vecs, $p): " +
+            minimal.map(v => s"${v.id}=[${v.v.mkString(",")}]").mkString(" | "))
         }
         spark.catalog.clearCache()
       }

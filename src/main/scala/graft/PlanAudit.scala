@@ -41,17 +41,33 @@ object PlanAudit {
     val rows = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val flags =
         try {
-          val plan = fn(spark, dir).queryExecution.executedPlan.toString
+          val qe = fn(spark, dir).queryExecution
+          // the three shape flags + pushdown read the INITIAL physical
+          // plan (static planning — what our code pins); the broadcast
+          // lint reads the OPTIMIZED LOGICAL plan (explicit hints only —
+          // physical broadcast choices at sf0.001 are statistics calls
+          // that reverse at scale); the codegen lint needs the EXECUTED
+          // final plan (AQE assigns WholeStageCodegen ids only at stage
+          // materialization, so the initial print has no `*(N)` markers)
+          val initial = qe.executedPlan.toString
+          val optimized = qe.optimizedPlan.toString
+          qe.toRdd.count()
+          val finalPlan = qe.executedPlan.toString
           Seq(
-            "bnlj" -> graft.plans.PlanFlags.bnlj(plan),
-            "cartesian" -> graft.plans.PlanFlags.cartesian(plan),
-            "single_partition" -> graft.plans.PlanFlags.singlePartition(plan),
+            "bnlj" -> graft.plans.PlanFlags.bnlj(initial),
+            "cartesian" -> graft.plans.PlanFlags.cartesian(initial),
+            "single_partition" -> graft.plans.PlanFlags.singlePartition(initial),
+            "no_codegen" -> graft.plans.PlanFlags.noCodegen(finalPlan),
+            "unpushed_scan_filter" -> graft.plans.PlanFlags.unpushedScanFilter(initial),
+            "corpus_broadcast" -> graft.plans.PlanFlags.corpusBroadcastHint(optimized),
             "error" -> false)
         } catch {
           case e: Throwable =>
             System.err.println(s"[planaudit] $name failed: ${e.getMessage}")
             Seq("bnlj" -> false, "cartesian" -> false,
-              "single_partition" -> false, "error" -> true)
+              "single_partition" -> false, "no_codegen" -> false,
+              "unpushed_scan_filter" -> false, "corpus_broadcast" -> false,
+              "error" -> true)
         }
       spark.catalog.clearCache()
       name -> flags
@@ -66,6 +82,9 @@ object PlanAudit {
     println(s"PLANAUDIT n=${rows.size} bnlj=${countOf("bnlj")} " +
       s"cartesian=${countOf("cartesian")} " +
       s"single_partition=${countOf("single_partition")} " +
+      s"no_codegen=${countOf("no_codegen")} " +
+      s"unpushed_scan_filter=${countOf("unpushed_scan_filter")} " +
+      s"corpus_broadcast=${countOf("corpus_broadcast")} " +
       s"errors=${countOf("error")} -> $out")
     spark.stop()
   }

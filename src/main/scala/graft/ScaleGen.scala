@@ -61,8 +61,16 @@ object ScaleGen {
 
     def replicate(name: String, f: (DataFrame, Int) => DataFrame): Unit = {
       val base = t(name)
-      val scaled = (0 until factor).map(k => f(base, k)).reduce(_ unionByName _)
-      scaled.repartition(32).write.mode("overwrite").parquet(s"$out/$name.parquet")
+      // chunked union+append: factor 1000 (the sf100 anchor) as ONE
+      // union would build a 1000-branch plan — minutes of analysis and
+      // a driver-memory spike for zero benefit. 25-replica chunks keep
+      // every plan small; values are identical, only file layout differs
+      // (which read-side maxPartitionBytes re-splits anyway).
+      (0 until factor).grouped(25).zipWithIndex.foreach { case (ks, gi) =>
+        val scaled = ks.map(k => f(base, k)).reduce(_ unionByName _)
+        val mode = if (gi == 0) "overwrite" else "append"
+        scaled.repartition(32).write.mode(mode).parquet(s"$out/$name.parquet")
+      }
       println(s"SCALEGEN $name -> ${factor}x")
     }
     // dimension tables keep their cardinality (one copy, not factor)
