@@ -4,8 +4,8 @@ import org.apache.spark.sql.SparkSession
 import scala.util.Random
 
 /** Full-sweep runner for the curation-chain composition fuzz
-  * ([[graft.operators.ChainFuzz]], round-14 verdict item 3): for each
-  * seeded [[graft.operators.CorpusFuzz]] adversarial corpus, builds a
+  * ([[graft.fuzz.ChainFuzz]], round-14 verdict item 3): for each
+  * seeded [[graft.fuzz.CorpusFuzz]] adversarial corpus, builds a
   * random 2–4 stage curation chain and diffs the Spark DataFrame
   * composition against the composed plain-Scala reference models,
   * stage by stage. Prints one JSON line with the divergence count.
@@ -30,16 +30,16 @@ object FuzzChains {
     for (seed <- seeds) {
       val r = new Random(seed)
       for (i <- 0 until nChains) {
-        val (docs, _, _) = graft.operators.CorpusFuzz.corpus(r)
-        val chain = graft.operators.ChainFuzz.randomChain(r)
-        val es = graft.operators.ChainFuzz.runOne(spark, docs, chain)
+        val (docs, _, _) = graft.fuzz.CorpusFuzz.corpus(r)
+        val chain = graft.fuzz.ChainFuzz.randomChain(r)
+        val es = graft.fuzz.ChainFuzz.runOne(spark, docs, chain)
         total += 1
         if (es.nonEmpty) {
           failures += 1
           es.foreach(e => System.err.println(s"[chfuzz seed=$seed chain=$i] $e"))
-          val minimal = graft.operators.Shrink.ddmin(docs,
-            (ds: Seq[graft.operators.CorpusFuzz.Doc]) =>
-              try graft.operators.ChainFuzz.runOne(spark, ds, chain).nonEmpty
+          val minimal = graft.fuzz.Shrink.ddmin(docs,
+            (ds: Seq[graft.fuzz.CorpusFuzz.Doc]) =>
+              try graft.fuzz.ChainFuzz.runOne(spark, ds, chain).nonEmpty
               catch { case _: Throwable => true })
           System.err.println(s"[chfuzz seed=$seed chain=$i] SHRUNK repro " +
             s"(${minimal.size} docs, chain=[${chain.mkString(" → ")}]): " +

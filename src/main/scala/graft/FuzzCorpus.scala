@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import scala.util.Random
 
 /** Full-sweep runner for the text/dedup corpus fuzz
-  * ([[graft.operators.CorpusFuzz]], round-13 verdict item 5): replays
+  * ([[graft.fuzz.CorpusFuzz]], round-13 verdict item 5): replays
   * `seeds × corpora` seeded adversarial corpora through the Spark
   * operators against the plain-Scala reference models and prints one
   * JSON line with the divergence count. Every 5th corpus runs the deep
@@ -31,9 +31,9 @@ object FuzzCorpus {
     for (seed <- seeds) {
       val r = new Random(seed)
       for (i <- 0 until nCorpora) {
-        val (docs, p, dupPairs) = graft.operators.CorpusFuzz.corpus(r)
+        val (docs, p, dupPairs) = graft.fuzz.CorpusFuzz.corpus(r)
         val deep = i % 5 == 0
-        val es = graft.operators.CorpusFuzz.runOne(spark, docs, p, dupPairs, deep)
+        val es = graft.fuzz.CorpusFuzz.runOne(spark, docs, p, dupPairs, deep)
         total += 1
         if (es.nonEmpty) {
           failures += 1
@@ -42,9 +42,9 @@ object FuzzCorpus {
           // ddmin the corpus to a 1-minimal failing doc set so the
           // record is self-explaining (planted-dup recall is skipped in
           // the shrink predicate — pair ids drop out of subsets)
-          val minimal = graft.operators.Shrink.ddmin(docs,
-            (ds: Seq[graft.operators.CorpusFuzz.Doc]) =>
-              try graft.operators.CorpusFuzz.runOne(spark, ds, p, Seq.empty, deep).nonEmpty
+          val minimal = graft.fuzz.Shrink.ddmin(docs,
+            (ds: Seq[graft.fuzz.CorpusFuzz.Doc]) =>
+              try graft.fuzz.CorpusFuzz.runOne(spark, ds, p, Seq.empty, deep).nonEmpty
               catch { case _: Throwable => true })
           System.err.println(s"[cfuzz seed=$seed corpus=$i] SHRUNK repro " +
             s"(${minimal.size} docs, $p): " +

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import scala.util.Random
 
 /** Full-sweep runner for the similarity/vector-tier embedding fuzz
-  * ([[graft.operators.VectorFuzz]], round-14 verdict item 1): replays
+  * ([[graft.fuzz.VectorFuzz]], round-14 verdict item 1): replays
   * `seeds × sets` seeded adversarial embedding sets through the Spark
   * ANN/quantization/k-means operators against the plain-Scala reference
   * models and prints one JSON line with the divergence count. Every 5th
@@ -31,16 +31,16 @@ object FuzzVectors {
     for (seed <- seeds) {
       val r = new Random(seed)
       for (i <- 0 until nSets) {
-        val (vs, p) = graft.operators.VectorFuzz.vectorSet(r)
+        val (vs, p) = graft.fuzz.VectorFuzz.vectorSet(r)
         val deep = i % 5 == 0
-        val es = graft.operators.VectorFuzz.runOne(spark, vs, p, deep)
+        val es = graft.fuzz.VectorFuzz.runOne(spark, vs, p, deep)
         total += 1
         if (es.nonEmpty) {
           failures += 1
           es.foreach(e => System.err.println(s"[vfuzz seed=$seed set=$i] $e"))
-          val minimal = graft.operators.Shrink.ddmin(vs,
-            (sub: Seq[graft.operators.VectorFuzz.Vec]) =>
-              try graft.operators.VectorFuzz.runOne(spark, sub, p, deep).nonEmpty
+          val minimal = graft.fuzz.Shrink.ddmin(vs,
+            (sub: Seq[graft.fuzz.VectorFuzz.Vec]) =>
+              try graft.fuzz.VectorFuzz.runOne(spark, sub, p, deep).nonEmpty
               catch { case _: Throwable => true })
           System.err.println(s"[vfuzz seed=$seed set=$i] SHRUNK repro " +
             s"(${minimal.size} vecs, $p): " +

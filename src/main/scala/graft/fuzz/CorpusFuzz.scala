@@ -1,4 +1,6 @@
-package graft.operators
+package graft.fuzz
+
+import graft.operators._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import scala.util.Random

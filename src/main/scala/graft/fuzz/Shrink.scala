@@ -1,4 +1,6 @@
-package graft.operators
+package graft.fuzz
+
+import graft.operators._
 
 /** Delta-debugging minimizer for fuzz divergences (round-14 verdict
   * item 8, the stretch): when a differential run diverges, the raw

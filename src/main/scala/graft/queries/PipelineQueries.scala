@@ -1569,22 +1569,11 @@ object PipelineQueries {
     //     near-dup clusters are dense cliques (true duplicate groups);
     //     low = chains of borderline pairs (threshold artifacts). ---
     "g_triangles" -> ((s, dir) => {
+      // census algebra lives in GraphStats.triangleCensus (differentially
+      // fuzzed on adversarial random graphs by GraphFuzz)
       val pairs = Dedup.minhashLsh(docs(s, dir), "doc_id", "text")
-        .select("d1", "d2").cache()
-      val tri = pairs.as("e1")
-        .join(pairs.as("e2"), col("e2.d1") === col("e1.d2"))
-        .join(pairs.as("e3"),
-          col("e3.d1") === col("e1.d1") && col("e3.d2") === col("e2.d2"))
-        .agg(count(lit(1)).as("n_triangles"))
-      val wed = pairs.select(col("d1").as("u"))
-        .union(pairs.select(col("d2").as("u")))
-        .groupBy("u").agg(count(lit(1)).as("deg"))
-        .agg(sum(expr("(deg * (deg - 1)) div 2")).as("n_wedges"))
-      pairs.agg(count(lit(1)).as("n_edges"))
-        .crossJoin(tri).crossJoin(wed)
-        .withColumn("clustering_coeff",
-          when(col("n_wedges") > 0,
-            round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6)))
+        .select("d1", "d2")
+      graft.operators.GraphStats.triangleCensus(pairs)
     })
   )
 

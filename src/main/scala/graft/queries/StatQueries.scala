@@ -656,25 +656,12 @@ object StatQueries {
     //     cluster-collapse policy. Exact integer moment sums over the
     //     edge list; degrees from one aggregate of the pair frame. ---
     "g_assortativity" -> ((s, dir) => {
+      // moment algebra lives in GraphStats.assortativity (differentially
+      // fuzzed on adversarial random graphs by GraphFuzz)
       val pairs = graft.operators.Dedup
         .minhashLsh(docs(s, dir), "doc_id", "text")
         .select(col("d1"), col("d2"))
-      val deg = pairs.select(col("d1").as("v"))
-        .union(pairs.select(col("d2").as("v")))
-        .groupBy("v").agg(count(lit(1)).as("deg"))
-      val stubs = pairs
-        .join(deg.withColumnRenamed("v", "d1").withColumnRenamed("deg", "ka"), "d1")
-        .join(deg.withColumnRenamed("v", "d2").withColumnRenamed("deg", "kb"), "d2")
-        .select(col("ka").as("x"), col("kb").as("y"))
-      val sym = stubs.unionAll(stubs.select(col("y").as("x"), col("x").as("y")))
-      sym.agg(count(lit(1)).as("m2"),
-          sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"),
-          sum(col("x") * col("y")).as("sxy"))
-        .select((col("m2") / 2).cast("long").as("n_edges"),
-          when(col("m2") * col("sxx") - col("sx") * col("sx") > 0,
-            round((col("m2") * col("sxy") - col("sx") * col("sx")).cast("double") /
-              (col("m2") * col("sxx") - col("sx") * col("sx")).cast("double"), 6))
-            .as("assortativity"))
+      graft.operators.GraphStats.assortativity(pairs)
     }),
 
     // --- Cumulative HLL ledger: per day, the RUNNING distinct-user
@@ -745,29 +732,14 @@ object StatQueries {
     //     pair frame is the same keyed equi-join every graph statistic
     //     here reads — no new corpus-sized work. ---
     "g_modularity" -> ((s, dir) => {
+      // partition-score algebra lives in GraphStats.modularity
+      // (differentially fuzzed on adversarial random graphs by GraphFuzz)
       val d = docs(s, dir)
-      val src = d.select(col("doc_id"), col("source"))
       val pairs = graft.operators.Dedup.minhashLsh(d, "doc_id", "text")
         .select(col("d1"), col("d2"))
-      val e = pairs
-        .join(src.select(col("doc_id").as("d1"), col("source").as("src1")), "d1")
-        .join(src.select(col("doc_id").as("d2"), col("source").as("src2")), "d2")
-      val m = e.agg(count(lit(1)).as("m"))
-      val deg = pairs.select(col("d1").as("v")).union(pairs.select(col("d2").as("v")))
-        .groupBy("v").agg(count(lit(1)).as("deg"))
-      val dsum = deg.join(src.withColumnRenamed("doc_id", "v"), "v")
-        .groupBy("source").agg(sum(col("deg")).as("d_sum"))
-      val within = e.filter(col("src1") === col("src2"))
-        .groupBy(col("src1").as("source")).agg(count(lit(1)).as("m_in"))
-      dsum.join(within, Seq("source"), "left")
-        .crossJoin(m)
-        .select(col("source"),
-          coalesce(col("m_in"), lit(0L)).as("m_in"), col("d_sum"),
-          round(coalesce(col("m_in"), lit(0L)).cast("double") / col("m") -
-            (col("d_sum").cast("double") / (lit(2L) * col("m"))) *
-              (col("d_sum").cast("double") / (lit(2L) * col("m"))), 6)
-            .as("q_part"))
-        .orderBy("source")
+      graft.operators.GraphStats.modularity(pairs,
+          d.select(col("doc_id").as("v"), col("source").as("part")))
+        .withColumnRenamed("part", "source")
     }),
 
     // --- community detection: synchronous label propagation over the
@@ -1073,24 +1045,13 @@ object StatQueries {
     //     graph whose peel depth ≤ 5; deeper peels converge in the
     //     large-star/small-star tier. ---
     "g_kcore" -> ((s, dir) => {
-      // localCheckpoint per round: each round references `edges` three
-      // times, so without lineage truncation the minhash chain would
-      // replicate ~3^5 times in the final plan (the same discipline as
-      // ConnectedComponents' rounds).
+      // peel algebra lives in GraphStats.kcorePeel (differentially
+      // fuzzed on adversarial random graphs by GraphFuzz) — the gate
+      // adds the before/after summary shape.
       val pairs = graft.operators.Dedup
         .minhashLsh(docs(s, dir), "doc_id", "text")
         .select(col("d1"), col("d2")).localCheckpoint()
-      var edges = pairs
-      for (_ <- 1 to 5) {
-        val keep = edges.select(col("d1").as("v"))
-          .unionAll(edges.select(col("d2").as("v")))
-          .groupBy("v").agg(count(lit(1)).as("deg"))
-          .filter(col("deg") >= 2).select("v")
-        edges = edges
-          .join(keep.withColumnRenamed("v", "d1"), Seq("d1"), "left_semi")
-          .join(keep.withColumnRenamed("v", "d2"), Seq("d2"), "left_semi")
-          .select("d1", "d2").localCheckpoint()
-      }
+      val edges = graft.operators.GraphStats.kcorePeel(pairs, rounds = 5, k = 2)
       val n0 = pairs.agg(count(lit(1)).as("n_edges"))
       val core = edges.agg(count(lit(1)).as("n_core_edges"))
       val nodes = edges.select(col("d1").as("v"))

@@ -38,7 +38,13 @@ class RecordLedgerSpec extends AnyFunSuite {
         s"per the open-of-round checklist): ${untracked.mkString(", ")}")
   }
 
-  test("the newest BUILDLOG round's records exist and are tracked") {
+  test("the previous round's records exist and are tracked at round open") {
+    // The driver writes BENCH_r{N}.json / CORRECTNESS_r{N}.json AFTER round
+    // N closes, so during round N (newest BUILDLOG header) the newest
+    // records that can exist are round N-1's — those are what the
+    // open-of-round checklist must have committed (r14 verdict item 2).
+    // Round N's own records, once the driver lands them, are covered by
+    // the every-record-on-disk-is-tracked test above.
     val text = {
       val src = scala.io.Source.fromFile("BUILDLOG.md", "UTF-8")
       try src.mkString finally src.close()
@@ -46,7 +52,7 @@ class RecordLedgerSpec extends AnyFunSuite {
     val rounds = "(?m)^## Round (\\d+)".r.findAllMatchIn(text)
       .map(_.group(1).toInt).toSeq
     assert(rounds.nonEmpty, "BUILDLOG.md must contain '## Round N' headers")
-    val n = rounds.max
+    val n = rounds.max - 1
     val tracked = gitTracked
     assume(tracked.nonEmpty, "not a git checkout — nothing to enforce")
     for (f <- Seq(s"BENCH_r$n.json", s"CORRECTNESS_r$n.json")) {

@@ -1,4 +1,6 @@
-package graft.operators
+package graft.fuzz
+
+import graft.operators._
 
 import org.scalatest.funsuite.AnyFunSuite
 import scala.util.Random

@@ -17,7 +17,9 @@ class PlanSanctionsSpec extends SparkSpec {
   private val auditFile = new java.io.File("PLANAUDIT.json")
 
   private case class Flags(bnlj: Boolean, cartesian: Boolean,
-                           single: Boolean, error: Boolean)
+                           single: Boolean, error: Boolean,
+                           noCodegen: Boolean, unpushedScan: Boolean,
+                           corpusBcast: Boolean)
 
   private lazy val audit: Map[String, Flags] = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -30,7 +32,10 @@ class PlanSanctionsSpec extends SparkSpec {
         bnlj = e.getValue.path("bnlj").asBoolean(false),
         cartesian = e.getValue.path("cartesian").asBoolean(false),
         single = e.getValue.path("single_partition").asBoolean(false),
-        error = e.getValue.path("error").asBoolean(false))
+        error = e.getValue.path("error").asBoolean(false),
+        noCodegen = e.getValue.path("no_codegen").asBoolean(false),
+        unpushedScan = e.getValue.path("unpushed_scan_filter").asBoolean(false),
+        corpusBcast = e.getValue.path("corpus_broadcast").asBoolean(false))
     }
     buf.toMap
   }
@@ -72,15 +77,42 @@ class PlanSanctionsSpec extends SparkSpec {
   }
 
   test("every sanction entry names an existing gate query (no stale rows)") {
-    val stale = PlanSanctions.sanctioned.keySet --
-      graft.SparkEntry.queries.keySet
+    val allNames = PlanSanctions.sanctioned.keySet ++
+      PlanSanctions.noCodegenSanctioned.keySet ++
+      PlanSanctions.unpushedScanSanctioned.keySet ++
+      PlanSanctions.corpusBroadcastSanctioned.keySet
+    val stale = allNames -- graft.SparkEntry.queries.keySet
     assert(stale.isEmpty,
       s"sanctions for queries that no longer exist: " +
         s"${stale.toSeq.sorted.mkString(", ")}")
     // and every reason is a real review line, not a placeholder
-    val blank = PlanSanctions.sanctioned.filter(_._2.reason.trim.isEmpty)
+    val blank = PlanSanctions.sanctioned.filter(_._2.reason.trim.isEmpty).keySet ++
+      (PlanSanctions.noCodegenSanctioned ++
+        PlanSanctions.unpushedScanSanctioned ++
+        PlanSanctions.corpusBroadcastSanctioned)
+        .filter(_._2.trim.isEmpty).keySet
     assert(blank.isEmpty,
-      s"sanctions without a reviewed reason: ${blank.keys.toSeq.sorted}")
+      s"sanctions without a reviewed reason: ${blank.toSeq.sorted}")
+  }
+
+  test("r15 lints: no_codegen / unpushed_scan_filter / corpus_broadcast " +
+      "flags all carry a sanction") {
+    def diff(flag: Flags => Boolean, sanctions: Map[String, String]) =
+      audit.filter { case (q, f) => flag(f) && !sanctions.contains(q) }
+        .keys.toSeq.sorted
+    val nc = diff(_.noCodegen, PlanSanctions.noCodegenSanctioned)
+    assert(nc.isEmpty, s"NEW gate(s) with NO WholeStageCodegen in the " +
+      s"executed plan — review (interpreted hot path? AQE empty-collapse " +
+      s"at the audit SF?) and sanction or fix: ${nc.mkString(", ")}")
+    val up = diff(_.unpushedScan, PlanSanctions.unpushedScanSanctioned)
+    assert(up.isEmpty, s"NEW gate(s) with a Filter on a scan whose " +
+      s"PushedFilters is EMPTY — a pushable predicate is being lost, or " +
+      s"a new expression-predicate gate needs a reviewed sanction: " +
+      s"${up.mkString(", ")}")
+    val cb = diff(_.corpusBcast, PlanSanctions.corpusBroadcastSanctioned)
+    assert(cb.isEmpty, s"NEW gate(s) broadcast-hinting a corpus-sized " +
+      s"side (grows with the corpus — an OOM at 100 TB unless it is the " +
+      s"priced %-sample tier): ${cb.mkString(", ")}")
   }
 
   test("gates added since the last audit run plan clean or sanctioned (live)") {
