@@ -25,12 +25,14 @@ object AsofJoin {
     * names and prefixed outputs must not shadow caller columns. */
   private def guardNames(left: DataFrame, right: DataFrame,
                          rightValueCols: Seq[String], prefix: String): Unit = {
-    for (c <- Seq("__ts", "__is_left")) {
+    for (c <- Seq("__ts", "__is_left", "__rrow__")) {
       require(!left.columns.contains(c),
         s"asof join: left column '$c' collides with an internal name")
       require(!right.columns.contains(c),
         s"asof join: right column '$c' collides with an internal name")
     }
+    require(rightValueCols.nonEmpty,
+      "asof join: rightValueCols must name at least one carried column")
     require(rightValueCols.distinct == rightValueCols,
       "asof join: duplicate names in rightValueCols")
     for (c <- rightValueCols.map(v => s"$prefix$v"))
@@ -49,24 +51,33 @@ object AsofJoin {
                prefix: String = "asof_"): DataFrame = {
     require(keys.nonEmpty, "asof join requires at least one key column")
     guardNames(left, right, rightValueCols, prefix)
-    val asofCols = rightValueCols.map(c => s"$prefix$c")
+    // ONE struct per right row is the atomic carry unit (the
+    // asofJoinNearest discipline): a null value column on the matched
+    // row must stay null in the output. Per-column ignoreNulls carries
+    // (the previous formulation) cannot tell "null because this slot is
+    // a left row" from "null because the matched right row's value is
+    // null", and backfilled the latter from a farther row — silently
+    // mixing rows. The struct itself is null exactly on left rows, so
+    // ignoreNulls still skips those; the TemporalFuzz differential pins
+    // the whole-row contract.
+    val rowStruct = struct(rightValueCols.map(c => col(c).as(c)): _*)
     val l2 = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__is_left", lit(1))
     val r2 = right.select(
-      (keys.map(col) :+ col(rightTs).as("__ts")) ++
-        rightValueCols.map(c => col(c).as(s"$prefix$c")): _*)
+        keys.map(col) :+ col(rightTs).as("__ts") :+ rowStruct.as("__rrow__"): _*)
       .withColumn("__is_left", lit(0))
     // right rows sort before left rows at equal ts → rightTs == leftTs matches
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__ts").asc, col("__is_left").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val u = l2.unionByName(r2, allowMissingColumns = true)
-    val carried = asofCols.foldLeft(u) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
+    val carried = u.withColumn("__rrow__",
+      last(col("__rrow__"), ignoreNulls = true).over(w))
+    val outCols = rightValueCols.map(c =>
+      col("__rrow__").getField(c).as(s"$prefix$c"))
     carried.filter(col("__is_left") === 1)
-      .select((left.columns.map(col) ++ asofCols.map(col)).toIndexedSeq: _*)
+      .select(left.columns.map(col).toIndexedSeq ++ outCols: _*)
   }
 
   /** Nearest-event join — for every left row, the right row with the
@@ -184,23 +195,24 @@ object AsofJoin {
                       prefix: String = "next_"): DataFrame = {
     require(keys.nonEmpty, "asof join requires at least one key column")
     guardNames(left, right, rightValueCols, prefix)
-    val asofCols = rightValueCols.map(c => s"$prefix$c")
+    // whole-row struct carry — see the null-safety note in [[asofJoin]]
+    val rowStruct = struct(rightValueCols.map(c => col(c).as(c)): _*)
     val l2 = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__is_left", lit(1))
     val r2 = right.select(
-      (keys.map(col) :+ col(rightTs).as("__ts")) ++
-        rightValueCols.map(c => col(c).as(s"$prefix$c")): _*)
+        keys.map(col) :+ col(rightTs).as("__ts") :+ rowStruct.as("__rrow__"): _*)
       .withColumn("__is_left", lit(0))
     // left rows sort before right rows at equal ts → rightTs == leftTs matches
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__ts").asc, col("__is_left").desc)
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val u = l2.unionByName(r2, allowMissingColumns = true)
-    val carried = asofCols.foldLeft(u) { (df, c) =>
-      df.withColumn(c, first(col(c), ignoreNulls = true).over(w))
-    }
+    val carried = u.withColumn("__rrow__",
+      first(col("__rrow__"), ignoreNulls = true).over(w))
+    val outCols = rightValueCols.map(c =>
+      col("__rrow__").getField(c).as(s"$prefix$c"))
     carried.filter(col("__is_left") === 1)
-      .select((left.columns.map(col) ++ asofCols.map(col)).toIndexedSeq: _*)
+      .select(left.columns.map(col).toIndexedSeq ++ outCols: _*)
   }
 }
