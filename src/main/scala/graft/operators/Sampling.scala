@@ -250,7 +250,16 @@ object Sampling {
     *
     * Scale shape: stats are one map-side-combined aggregate; the
     * model-sized allocation broadcasts back; the take is one window
-    * shuffle. Output: input id/stratum + `rk`, `n_alloc`. */
+    * shuffle. Output: input id/stratum + `rk`, `n_alloc`.
+    *
+    * Degenerate input: when EVERY stratum has zero variance (constant
+    * metric column — plausible at corpus scale), the Neyman weight
+    * total is 0 and the optimal-allocation ratio is undefined; the
+    * allocation falls back to PROPORTIONAL (n_h = floor(total·N_h/N),
+    * the standard survey convention when variances carry no
+    * information) instead of dividing by zero (an ANSI
+    * SparkArithmeticException — caught by the round-15 SampleFuzz
+    * differential). */
   def neymanSample(df: DataFrame, strataCol: String, idCol: String,
                    valueCol: String, total: Int): DataFrame = {
     require(total > 0, s"total must be positive, got $total")
@@ -264,10 +273,13 @@ object Sampling {
           .otherwise(lit(0.0)))
       .withColumn("whd",
         (col("nh").cast("double") * col("sh")).cast("decimal(30,12)"))
-    val tot = stats.agg(sum(col("whd")).cast("double").as("wt"))
+    val tot = stats.agg(sum(col("whd")).cast("double").as("wt"),
+      sum(col("nh")).as("n_all"))
     val alloc = stats.crossJoin(broadcast(tot))
       .select(col(strataCol),
-        floor(lit(total.toDouble) * col("whd").cast("double") / col("wt"))
+        floor(lit(total.toDouble) *
+          when(col("wt") > 0, col("whd").cast("double") / col("wt"))
+            .otherwise(col("nh").cast("double") / col("n_all")))
           .cast("long").as("n_alloc"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(strataCol)
