@@ -74,7 +74,8 @@ object Bench {
     // doubles hours of wall-clock for warmth that a 30-minute query
     // amortizes anyway). The driver never sets it; board records always
     // warm up.
-    if (!sys.env.get("SPARK_GRAFT_NOWARMUP").contains("1"))
+    val warmed = !sys.env.get("SPARK_GRAFT_NOWARMUP").contains("1")
+    if (warmed)
       names.foreach { n =>
         try run(n)
         catch { case _: Throwable => () }
@@ -109,7 +110,10 @@ object Bench {
     val ej = es.toSeq.sortBy(_._1).map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = ts.values.sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$ej,"sf":"$sfDir"}"""
+    // "warmup" is stamped into every record so a NOWARMUP run (legal only
+    // for sf100 cold-anchor spot-checks) is self-describing and can never
+    // be mistaken for a protocol-compliant board record.
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","warmup":$warmed,"queries":$qs,"errors":$ej,"sf":"$sfDir"}"""
     println(json)
     // The driver's stdout capture keeps only the LAST ~2000 chars, and a
     // 289-query record is ~10 KB — the full line above gets head-chopped
@@ -125,7 +129,7 @@ object Bench {
       def d3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
       def fmt(n: String) = jstr(n) + ":" + d3(ts(n))
       val budget = 1600
-      val head = s"""{"metric":"total","value":${d3(total)},"unit":"sec","n_queries":${ts.size},"n_errors":${es.size},"full":"BENCH_LOCAL.json","sf":"$sfDir","queries":{"""
+      val head = s"""{"metric":"total","value":${d3(total)},"unit":"sec","warmup":$warmed,"n_queries":${ts.size},"n_errors":${es.size},"full":"BENCH_LOCAL.json","sf":"$sfDir","queries":{"""
       val sb = new StringBuilder(head)
       var first = true
       bySlow.foreach { n =>

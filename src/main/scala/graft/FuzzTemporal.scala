@@ -39,14 +39,37 @@ object FuzzTemporal {
         if (errs.nonEmpty) {
           failures += 1
           errs.foreach(e => System.err.println(s"[tfuzz seed=$seed set=$i] $e"))
-          val minimal = graft.fuzz.Shrink.ddmin(set.events,
-            (es: Seq[graft.fuzz.TemporalFuzz.ERow]) =>
-              try graft.fuzz.TemporalFuzz.runOne(spark,
-                set.copy(events = es), deep).nonEmpty
-              catch { case _: Throwable => true })
-          System.err.println(s"[tfuzz seed=$seed set=$i] SHRUNK events repro " +
-            s"(${minimal.size} events, ${set.p}): " +
-            minimal.map(e => s"${e.user_id}/${e.event_type}@${e.ts}=${e.value}")
+          // shrink EVERY input collection, not just events: 6 of the 12
+          // differentials (asof/range/overlap — the tier's likeliest bug
+          // class, incl. the r15 asofJoin null-carry catch) depend only
+          // on left/right/ivals, and an events-only pass would ship a
+          // full-size unshrunk repro for exactly those. Sequential ddmin
+          // per collection: each pass starts from a still-failing set,
+          // so the ddmin precondition holds at every stage.
+          var cur = set
+          def stillFails(s: graft.fuzz.TemporalFuzz.TSet): Boolean =
+            try graft.fuzz.TemporalFuzz.runOne(spark, s, deep).nonEmpty
+            catch { case _: Throwable => true }
+          def pass[A](items: Seq[A],
+                      put: (graft.fuzz.TemporalFuzz.TSet, Seq[A]) => graft.fuzz.TemporalFuzz.TSet): Unit = {
+            val m = graft.fuzz.Shrink.ddmin(items,
+              (xs: Seq[A]) => stillFails(put(cur, xs)), maxEvals = 60)
+            if (stillFails(put(cur, m))) cur = put(cur, m)
+          }
+          pass[graft.fuzz.TemporalFuzz.ERow](cur.events, (s, xs) => s.copy(events = xs))
+          pass[graft.fuzz.TemporalFuzz.LRow](cur.left, (s, xs) => s.copy(left = xs))
+          pass[graft.fuzz.TemporalFuzz.RRow](cur.right, (s, xs) => s.copy(right = xs))
+          pass[graft.fuzz.TemporalFuzz.RRow](cur.rightDup, (s, xs) => s.copy(rightDup = xs))
+          pass[graft.fuzz.TemporalFuzz.IRow](cur.ivalsL, (s, xs) => s.copy(ivalsL = xs))
+          pass[graft.fuzz.TemporalFuzz.IRow](cur.ivalsR, (s, xs) => s.copy(ivalsR = xs))
+          System.err.println(s"[tfuzz seed=$seed set=$i] SHRUNK repro " +
+            s"(L=${cur.left.size} R=${cur.right.size} Rd=${cur.rightDup.size} " +
+            s"ev=${cur.events.size} iL=${cur.ivalsL.size} iR=${cur.ivalsR.size}, ${set.p}): " +
+            (cur.left.map(l => s"L ${l.lid}/k${l.key}@${l.lts}") ++
+             cur.right.map(x => s"R ${x.rid}/k${x.key}@${x.rts}=${x.v}/${x.s}") ++
+             cur.ivalsL.map(v => s"IL ${v.iid}/k${v.key}[${v.is},${v.ie}]") ++
+             cur.ivalsR.map(v => s"IR ${v.iid}/k${v.key}[${v.is},${v.ie}]") ++
+             cur.events.map(e => s"E ${e.user_id}/${e.event_type}@${e.ts}=${e.value}"))
               .mkString(" | "))
         }
         spark.catalog.clearCache()

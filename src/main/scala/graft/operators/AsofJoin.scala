@@ -42,7 +42,11 @@ object AsofJoin {
 
   /** @param rightValueCols right columns carried onto left rows, output
     *                       as `<prefix><name>` (include `rightTs` itself
-    *                       to expose the matched timestamp)
+    *                       to expose the matched timestamp). MUST be
+    *                       non-empty (contract since r15): pure
+    *                       existence enrichment with an empty carry list
+    *                       throws — match on `<prefix><rightTs>` is-null
+    *                       instead, carrying the timestamp column.
     * @return all left columns + the prefixed as-of columns (null when no
     *         right row precedes the left row) */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
@@ -188,7 +192,8 @@ object AsofJoin {
     * union-sort shape as [[asofJoin]], mirrored: left rows sort before
     * right rows at equal ts (>= semantics) and a `first(_, ignoreNulls)`
     * FOLLOWING window pulls each right row's values back onto the left
-    * rows that precede it. One shuffle + one sort over |L|+|R|. */
+    * rows that precede it. One shuffle + one sort over |L|+|R|.
+    * `rightValueCols` MUST be non-empty, as in [[asofJoin]]. */
   def asofJoinForward(left: DataFrame, right: DataFrame, keys: Seq[String],
                       leftTs: String, rightTs: String,
                       rightValueCols: Seq[String],

@@ -38,6 +38,35 @@ class RecordLedgerSpec extends AnyFunSuite {
         s"per the open-of-round checklist): ${untracked.mkString(", ")}")
   }
 
+  test("every closed BUILDLOG round section carries a bold CLOSE line") {
+    // r15 shipped with its close line still reading "(CLOSE line with
+    // final numbers at round end)" — the placeholder. This makes the
+    // BUILDLOG close mechanical, the RecordLedgerSpec treatment (r15
+    // verdict item 1d): once round N+1's header exists, round N's
+    // section MUST contain a line starting with ** and containing CLOSE
+    // (the convention every close since r9 follows). Enforced from
+    // round 15 on — rounds 2-5 predate the convention and history is
+    // not rewritten.
+    val text = {
+      val src = scala.io.Source.fromFile("BUILDLOG.md", "UTF-8")
+      try src.mkString finally src.close()
+    }
+    val headerRe = "(?m)^## Round (\\d+)".r
+    val ms = headerRe.findAllMatchIn(text).toSeq
+    assert(ms.nonEmpty, "BUILDLOG.md must contain '## Round N' headers")
+    val newest = ms.map(_.group(1).toInt).max
+    val sections = ms.zipWithIndex.map { case (m, i) =>
+      val end = if (i + 1 < ms.size) ms(i + 1).start else text.length
+      (m.group(1).toInt, text.substring(m.end, end))
+    }
+    val closeRe = "(?m)^\\*\\*[^\\n]*CLOSE".r
+    for ((n, body) <- sections if n >= 15 && n != newest)
+      assert(closeRe.findFirstIn(body).isDefined,
+        s"BUILDLOG round $n is closed (round $newest exists) but its " +
+          "section has no '**…CLOSE…' line — fill the close line before " +
+          "opening the next round")
+  }
+
   test("the previous round's records exist and are tracked at round open") {
     // The driver writes BENCH_r{N}.json / CORRECTNESS_r{N}.json AFTER round
     // N closes, so during round N (newest BUILDLOG header) the newest

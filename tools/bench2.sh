@@ -10,6 +10,24 @@ SF="${1:?sfDir}"
 OUT="${2:?outPrefix}"
 ONLY="${3:-}"
 
+# r15 shipped a committed 0-byte run2 after an interrupted pair: clean up
+# partial outputs on ANY non-success exit so an aborted pair can never
+# leave a truncated/empty record behind for a later commit to pick up.
+CLEAN=0
+cleanup() {
+  if [ "$CLEAN" -ne 1 ]; then
+    for f in "$OUT.run1.json" "$OUT.run2.json" "$OUT.min.json"; do
+      if [ -e "$f" ] && ! [ -s "$f" ]; then rm -f "$f"; echo "removed empty partial $f" >&2; fi
+    done
+    # an interrupted run leaves the CURRENT run file complete-or-absent
+    # (grep writes the single line atomically enough), but the min board
+    # must never survive a failed pair
+    [ -e "$OUT.min.json" ] && [ "$DONE_MERGE" != 1 ] && rm -f "$OUT.min.json" || true
+  fi
+}
+DONE_MERGE=0
+trap cleanup EXIT INT TERM
+
 load1() { cut -d' ' -f1 /proc/loadavg; }
 gate() {
   # the 1-min loadavg needs ~3-5 min to decay after our OWN previous
@@ -55,6 +73,11 @@ out = sys.argv[1]
 a = json.load(open(f"{out}.run1.json"))
 b = json.load(open(f"{out}.run2.json"))
 qa, qb = a["queries"], b["queries"]
+# records self-describe their warmup state (Bench.scala); a NOWARMUP run
+# is never a valid half of a canonical board
+for n, r in (("run1", a), ("run2", b)):
+    if r.get("warmup") is False:
+        sys.exit(f"REFUSING to min-merge: {n} ran with SPARK_GRAFT_NOWARMUP")
 # a canonical record must not silently drop a query that errored or ran
 # in only one JVM: fail loudly instead of understating the total
 errs = {**{f"run1:{k}": v for k, v in (a.get("errors") or {}).items()},
@@ -73,3 +96,5 @@ json.dump(rec, open(f"{out}.min.json", "w"), indent=1)
 print(f"min board: {sum(merged.values()):.1f}s over {len(merged)} queries "
       f"(runs {a['value']:.1f} / {b['value']:.1f})")
 EOF
+DONE_MERGE=1
+CLEAN=1
