@@ -62,7 +62,7 @@ object Multimodal {
     }(enc)
   }
 
-  private[operators] def bmpBytes(payload: Array[Byte], width: Int): Array[Byte] = {
+  private[graft] def bmpBytes(payload: Array[Byte], width: Int): Array[Byte] = {
     val rowBytes = 3 * width
     val stride = ((rowBytes + 3) / 4) * 4
     val h = math.max(1, (payload.length + rowBytes - 1) / rowBytes)
@@ -161,20 +161,26 @@ object Multimodal {
           Row.fromSeq(r.toSeq ++ Seq("ok", w, h, sums.toSeq, cnts.toSeq))
         } catch {
           case e: IllegalArgumentException =>
-            val msg = Option(e.getMessage).getOrElse("invalid")
-              // "requirement failed: " prefix + strip the sized detail
-              .stripPrefix("requirement failed: ")
-            val code = msg.indexOf(" (") match {
-              case -1 => msg
-              case i => msg.substring(0, i)
-            }
-            Row.fromSeq(r.toSeq ++ Seq(code, null, null, null, null))
+            Row.fromSeq(r.toSeq ++ Seq(reasonCode(e), null, null, null, null))
         }
       }
     }(enc)
   }
 
-  private[operators] def parseBmp(b: Array[Byte], bands: Int)
+  /** Stable quarantine reason code from a validator failure: the message
+    * up to the first parenthesized detail — every `require` in the three
+    * parsers keeps its payload-dependent detail inside `(...)`, so the
+    * code is stable across payload sizes and corrupt-byte values. */
+  private[graft] def reasonCode(e: IllegalArgumentException): String = {
+    val msg = Option(e.getMessage).getOrElse("invalid")
+      .stripPrefix("requirement failed: ")
+    msg.indexOf(" (") match {
+      case -1 => msg
+      case i => msg.substring(0, i)
+    }
+  }
+
+  private[graft] def parseBmp(b: Array[Byte], bands: Int)
       : (Int, Int, Array[Long], Array[Long]) = {
     require(b.length >= 54 && b(0) == 'B'.toByte && b(1) == 'M'.toByte,
       s"not a BMP payload (${b.length} bytes)")
@@ -247,7 +253,7 @@ object Multimodal {
     }(enc)
   }
 
-  private[operators] def wavBytes(payload: Array[Byte], sampleRate: Int): Array[Byte] = {
+  private[graft] def wavBytes(payload: Array[Byte], sampleRate: Int): Array[Byte] = {
     val dataLen = payload.length
     val pad = dataLen % 2 // RIFF chunks are word-aligned
     val riffLen = 4 + (8 + 16) + (8 + dataLen + pad)
@@ -307,7 +313,43 @@ object Multimodal {
     }(enc)
   }
 
-  private[operators] def parseWav(b: Array[Byte], segs: Int)
+  /** Quarantine-path WAV decode: the [[decodeBmpLenient]] contract for the
+    * audio codec — a malformed payload CLASSIFIES (`wav_status` = stable
+    * reason code, null decode columns) instead of failing the scan; same
+    * strict validator underneath. */
+  def decodeWavLenient(df: DataFrame, wavCol: String = "wav",
+                       segs: Int = 4): DataFrame = {
+    require(segs > 0, s"segs must be positive, got $segs")
+    val schema = StructType(df.schema.fields.toIndexedSeq ++ Seq(
+      StructField("wav_status", StringType, nullable = false),
+      StructField("sample_rate", IntegerType, nullable = true),
+      StructField("n_samples", LongType, nullable = true),
+      StructField("seg_sumsq", ArrayType(LongType, containsNull = false),
+        nullable = true),
+      StructField("seg_counts", ArrayType(LongType, containsNull = false),
+        nullable = true),
+      StructField("seg_zcs", ArrayType(LongType, containsNull = false),
+        nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = df.schema.fieldIndex(wavCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val bytes = if (r.isNullAt(idx)) Array.empty[Byte]
+          else r.getAs[Array[Byte]](idx)
+        try {
+          val (rate, n, sumsq, cnts, zcs) = parseWav(bytes, segs)
+          Row.fromSeq(r.toSeq ++ Seq("ok", rate, n, sumsq.toSeq, cnts.toSeq,
+            zcs.toSeq))
+        } catch {
+          case e: IllegalArgumentException =>
+            Row.fromSeq(r.toSeq ++
+              Seq(reasonCode(e), null, null, null, null, null))
+        }
+      }
+    }(enc)
+  }
+
+  private[graft] def parseWav(b: Array[Byte], segs: Int)
       : (Int, Long, Array[Long], Array[Long], Array[Long]) = {
     def tagAt(off: Int): String =
       new String(b.slice(off, off + 4), "US-ASCII")
@@ -325,15 +367,16 @@ object Multimodal {
       // bound — the sample loop would then AIOOBE (or the walk would
       // mis-step) instead of the documented loud reject
       require(len >= 0 && off.toLong + 8 + len <= b.length,
-        s"chunk '$id' overruns the file")
+        s"chunk overruns the file ('$id', len=$len)")
       if (id == "fmt ") {
         require(len >= 16, s"fmt chunk too short ($len)")
         val codec = rdLe16(b, off + 8)
         val channels = rdLe16(b, off + 10)
         val bits = rdLe16(b, off + 22)
         require(codec == 1 && channels == 1 && bits == 8,
-          s"only 8-bit mono PCM supported, got codec=$codec channels=$channels bits=$bits")
+          s"only 8-bit mono PCM supported (codec=$codec channels=$channels bits=$bits)")
         rate = rdLe32(b, off + 12)
+        require(rate > 0, s"bad sample rate ($rate)")
       } else if (id == "data") {
         dataOff = off + 8; dataLen = len
       }
@@ -411,7 +454,7 @@ object Multimodal {
     }(enc)
   }
 
-  private[operators] def aviBytes(payload: Array[Byte], width: Int,
+  private[graft] def aviBytes(payload: Array[Byte], width: Int,
                                   frameRows: Int): Array[Byte] = {
     val rowBytes = 3 * width
     val stride = ((rowBytes + 3) / 4) * 4
@@ -513,7 +556,44 @@ object Multimodal {
     }(enc)
   }
 
-  private[operators] def parseAvi(b: Array[Byte], bands: Int)
+  /** Quarantine-path AVI decode: the [[decodeBmpLenient]] contract for the
+    * video codec — a malformed payload CLASSIFIES (`avi_status` = stable
+    * reason code, null decode columns) instead of failing the scan; same
+    * strict validator underneath. */
+  def decodeAviLenient(df: DataFrame, aviCol: String = "avi",
+                       bands: Int = 4): DataFrame = {
+    require(bands > 0, s"bands must be positive, got $bands")
+    val schema = StructType(df.schema.fields.toIndexedSeq ++ Seq(
+      StructField("avi_status", StringType, nullable = false),
+      StructField("n_frames", IntegerType, nullable = true),
+      StructField("frame_w", IntegerType, nullable = true),
+      StructField("frame_h", IntegerType, nullable = true),
+      StructField("frame_sums",
+        ArrayType(ArrayType(LongType, containsNull = false), containsNull = false),
+        nullable = true),
+      StructField("frame_counts",
+        ArrayType(ArrayType(LongType, containsNull = false), containsNull = false),
+        nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = df.schema.fieldIndex(aviCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val bytes = if (r.isNullAt(idx)) Array.empty[Byte]
+          else r.getAs[Array[Byte]](idx)
+        try {
+          val (w, h, sums, cnts) = parseAvi(bytes, bands)
+          Row.fromSeq(r.toSeq ++ Seq("ok", sums.length, w, h,
+            sums.map(_.toSeq).toSeq, cnts.map(_.toSeq).toSeq))
+        } catch {
+          case e: IllegalArgumentException =>
+            Row.fromSeq(r.toSeq ++
+              Seq(reasonCode(e), null, null, null, null, null))
+        }
+      }
+    }(enc)
+  }
+
+  private[graft] def parseAvi(b: Array[Byte], bands: Int)
       : (Int, Int, Array[Array[Long]], Array[Array[Long]]) = {
     def tagAt(off: Int): String =
       new String(b.slice(off, off + 4), "US-ASCII")
@@ -531,11 +611,15 @@ object Multimodal {
         val id = tagAt(off)
         val len = rdLe32(b, off + 4)
         require(len >= 0 && off.toLong + 8 + len <= end,
-          s"chunk '$id' overruns its parent")
+          s"chunk overruns its parent ('$id', len=$len)")
         if (id == "LIST") {
           require(len >= 4, s"LIST chunk too short ($len)")
           walk(off + 12, off + 8 + len)
         } else if (id == "strf") {
+          // single-video-stream scope: a second strf would re-dimension
+          // frames already recorded under the first header — the feature
+          // walk would then read past their chunk bounds. Reject loudly.
+          require(stride < 0, "duplicate strf header")
           require(len >= 40, s"strf chunk too short ($len)")
           val base = off + 8
           val ww = rdLe32(b, base + 4)
@@ -543,18 +627,18 @@ object Multimodal {
           val bpp = rdLe16(b, base + 14)
           val comp = rdLe32(b, base + 16)
           require(bpp == 24 && comp == 0,
-            s"only uncompressed 24-bpp supported, got bpp=$bpp compression=$comp")
-          require(ww > 0 && hh > 0, s"bad frame dimensions ${ww}x$hh")
+            s"only uncompressed 24-bpp supported (bpp=$bpp compression=$comp)")
+          require(ww > 0 && hh > 0, s"bad frame dimensions (${ww}x$hh)")
           val strideL = ((3L * ww + 3) / 4) * 4
           require(strideL <= b.length && hh <= b.length,
-            s"frame dimensions ${ww}x$hh exceed the ${b.length}-byte payload")
+            s"frame dimensions exceed payload (${ww}x$hh, ${b.length} bytes)")
           require(strideL * hh <= b.length,
-            s"frame extent ${strideL * hh} exceeds the ${b.length}-byte payload")
+            s"frame extent exceeds payload (${strideL * hh} > ${b.length})")
           w = ww; h = hh; stride = strideL.toInt
         } else if (id == "00db") {
           require(stride > 0, "frame chunk before the strf header")
           require(len == stride * h,
-            s"frame chunk length $len != stride*h = ${stride * h}")
+            s"frame chunk length mismatch ($len != stride*h = ${stride * h})")
           frames += (off + 8)
         }
         off += 8 + len + (len % 2) // RIFF chunks are word-aligned

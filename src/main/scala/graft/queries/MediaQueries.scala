@@ -48,6 +48,44 @@ object MediaQueries {
         .orderBy("media_id")
     }),
 
+    // the audio quarantine twin: corrupt every 13th RIFF magic; the
+    // lenient WAV decoder classifies those rows (stable reason code,
+    // null decode columns) and decodes the rest
+    "m_media_quarantine_wav" -> ((s, dir) => {
+      val media = TableCatalog.load(s, dir, "documents")
+        .select(col("doc_id").as("media_id"),
+          col("text").cast("binary").as("bytes"))
+      val corrupted = Multimodal.encodeWav(media, sampleRate = 8000)
+        .withColumn("wav", when(col("media_id") % 13 === 0,
+          concat(lit(Array('X'.toByte)),
+            expr("substring(wav, 2, length(wav) - 1)")))
+          .otherwise(col("wav")))
+      Multimodal.decodeWavLenient(corrupted)
+        .select(col("media_id"), col("wav_status"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("n_samples"))
+        .orderBy("media_id")
+    }),
+
+    // the video quarantine twin: same contract over the nested-LIST AVI
+    // walk — magic damage classifies, valid frames decode
+    "m_media_quarantine_avi" -> ((s, dir) => {
+      val media = TableCatalog.load(s, dir, "documents")
+        .select(col("doc_id").as("media_id"),
+          col("text").cast("binary").as("bytes"))
+      val corrupted = Multimodal.encodeAvi(media, width = 4, frameRows = 4)
+        .withColumn("avi", when(col("media_id") % 13 === 0,
+          concat(lit(Array('X'.toByte)),
+            expr("substring(avi, 2, length(avi) - 1)")))
+          .otherwise(col("avi")))
+      Multimodal.decodeAviLenient(corrupted)
+        .select(col("media_id"), col("avi_status"),
+          col("n_frames").cast("long").as("n_frames"),
+          col("frame_w").cast("long").as("frame_w"),
+          col("frame_h").cast("long").as("frame_h"))
+        .orderBy("media_id")
+    }),
+
     // payload stats (expressions) + decoded image dimensions (REAL BMP
     // header parse) — the media-catalog row a curation run starts from
     "m_media_stats" -> ((s, dir) => {
@@ -297,6 +335,22 @@ object MediaQueries {
         |  CASE WHEN doc_id % 13 = 0 THEN NULL
         |       ELSE greatest(1, CAST(ceil(strlen(text) / 12.0) AS BIGINT))
         |  END::BIGINT AS img_h
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    "m_media_quarantine_wav" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 13 = 0 THEN 'not a RIFF/WAVE payload' ELSE 'ok' END AS wav_status,
+        |  CASE WHEN doc_id % 13 = 0 THEN NULL ELSE 8000 END::BIGINT AS sample_rate,
+        |  CASE WHEN doc_id % 13 = 0 THEN NULL ELSE strlen(text) END::BIGINT AS n_samples
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    "m_media_quarantine_avi" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 13 = 0 THEN 'not a RIFF/AVI payload' ELSE 'ok' END AS avi_status,
+        |  CASE WHEN doc_id % 13 = 0 THEN NULL
+        |       ELSE greatest(1, CAST(ceil(strlen(text) / 48.0) AS BIGINT)) END::BIGINT AS n_frames,
+        |  CASE WHEN doc_id % 13 = 0 THEN NULL ELSE 4 END::BIGINT AS frame_w,
+        |  CASE WHEN doc_id % 13 = 0 THEN NULL ELSE 4 END::BIGINT AS frame_h
         |FROM documents ORDER BY media_id""".stripMargin,
 
     "m_media_dedup" ->
