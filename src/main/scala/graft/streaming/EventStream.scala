@@ -141,6 +141,12 @@ object EventStream {
     * [[graft.operators.Sketches.ddSketchQuantiles]] keyed by
     * `window_start`.
     *
+    * Watermark note (pinned by StreamFuzz): Catalyst pushes the
+    * `value > 0` predicate BELOW the watermark node, so rows failing it
+    * never advance this query's watermark — a micro-batch of only
+    * non-positive values delays window closure (a latency effect, never
+    * a wrong answer; closed windows stay exactly batch-parity).
+    *
     * Output: (window_start, bucket, cnt). */
   def windowedDdBuckets(events: DataFrame, valueCol: String = "value",
                         alpha: Double = 0.01, windowLen: String = "1 day",
