@@ -75,10 +75,13 @@ object Series {
           .cast("decimal(38,6)")).cast("double").as("r1"))
       .select(col("n1"), col("n2"),
         (col("r1") - (col("n1") * (col("n1") + 1)).cast("double") / 2).as("u1"))
-      .withColumn("z", round(
+      // σ = 0 when either side is EMPTY — NULL z, not an ANSI
+      // DIVIDE_BY_ZERO that kills the job (found by StatFuzz r16; the
+      // neymanSample/cosine bug class)
+      .withColumn("z", when(col("n1") * col("n2") > 0, round(
         (col("u1") - (col("n1") * col("n2")).cast("double") / 2) /
           sqrt((col("n1") * col("n2") * (col("n1") + col("n2") + 1))
-            .cast("double") / 12), 6))
+            .cast("double") / 12), 6)))
       .withColumn("u1", round(col("u1"), 6))
   }
 

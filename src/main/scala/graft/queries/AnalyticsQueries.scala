@@ -80,23 +80,10 @@ object AnalyticsQueries {
     //     at the very end. The global window runs over DISTINCT
     //     lengths (a pre-aggregated, bounded domain), not rows. ---
     "t_ks_test" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
+      // extracted operator (r16): the fuzzer and this gate drive ONE body
       val d = docs(s, dir).filter(col("source").isin("src0", "src1"))
-      val byLen = d.groupBy("n_chars").agg(
-        sum(when(col("source") === "src0", 1L).otherwise(0L)).as("c1"),
-        sum(when(col("source") === "src1", 1L).otherwise(0L)).as("c2"))
-      val w = Window.orderBy("n_chars")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cum = byLen.select(
-        sum(col("c1")).over(w).as("f1"), sum(col("c2")).over(w).as("f2"))
-      val tot = d.agg(
-        sum(when(col("source") === "src0", 1L).otherwise(0L)).as("n1"),
-        sum(when(col("source") === "src1", 1L).otherwise(0L)).as("n2"))
-      cum.crossJoin(tot)
-        .groupBy("n1", "n2")
-        .agg(max(abs(col("f1") * col("n2") - col("f2") * col("n1"))).as("dnum"))
-        .select(col("n1"), col("n2"),
-          round(col("dnum").cast("double") / (col("n1") * col("n2")), 6).as("ks_d"))
+      graft.operators.StatTests.ksStatistic(d, "source", "n_chars",
+        "src0", "src1")
     }),
 
     // --- Simpson diversity of the language mix per source: unbiased

@@ -482,20 +482,8 @@ object CoreQueries {
         coalesce(sum(when(col("ts") >= cut,
           col("value").cast("decimal(18,6)"))).cast("double"), lit(0.0))
           .as("y"))
-      val th = per.agg(
-          count(lit(1)).as("n"),
-          sum(col("x").cast("decimal(38,12)")).cast("double").as("sx"),
-          sum(col("y").cast("decimal(38,12)")).cast("double").as("sy"),
-          sum((col("x") * col("x")).cast("decimal(38,12)")).cast("double").as("sxx"),
-          sum((col("x") * col("y")).cast("decimal(38,12)")).cast("double").as("sxy"))
-        .select(col("n"), col("sx"),
-          round((col("n") * col("sxy") - col("sx") * col("sy")) /
-            (col("n") * col("sxx") - col("sx") * col("sx")), 9).as("theta"))
-      per.crossJoin(broadcast(th))
-        .select(col("user_id"), col("x").as("x_pre"), col("y").as("y_post"),
-          col("theta"),
-          round(col("y") - col("theta") * (col("x") - col("sx") / col("n")), 6)
-            .as("y_cuped"))
+      // extracted operator (r16): the fuzzer and this gate drive ONE body
+      graft.operators.StatTests.cuped(per, "user_id")
         .orderBy("user_id")
     }),
 

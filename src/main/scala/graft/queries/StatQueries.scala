@@ -130,26 +130,8 @@ object StatQueries {
           datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
             .cast("long").as("day_n"))
         .agg(count(lit(1)).as("cnt"))
-      val sStat = d.as("a")
-        .join(d.as("b"),
-          col("a.event_type") === col("b.event_type") &&
-            col("a.day_n") < col("b.day_n"))
-        .groupBy(col("a.event_type").as("event_type"))
-        .agg(sum(signum(col("b.cnt") - col("a.cnt")).cast("long")).as("s"))
-      val nDays = d.groupBy("event_type").agg(count(lit(1)).as("n"))
-      val ties = d.groupBy("event_type", "cnt").agg(count(lit(1)).as("tie"))
-        .groupBy("event_type")
-        .agg(sum(col("tie") * (col("tie") - 1) * (lit(2L) * col("tie") + 5)).as("tsum"))
-      sStat.join(nDays, "event_type").join(ties, "event_type")
-        .withColumn("varnum",
-          col("n") * (col("n") - 1) * (lit(2L) * col("n") + 5) - col("tsum"))
-        .select(col("event_type"), col("s"), col("n"), col("varnum"),
-          when(col("varnum") > 0,
-            round(
-              when(col("s") > 0, (col("s") - 1).cast("double"))
-                .when(col("s") < 0, (col("s") + 1).cast("double"))
-                .otherwise(lit(0.0)) /
-                sqrt(col("varnum").cast("double") / 18.0), 6)).as("mk_z"))
+      // extracted operator (r16): the fuzzer and this gate drive ONE body
+      graft.operators.StatTests.mannKendall(d, "event_type", "day_n", "cnt")
         .orderBy("event_type")
     }),
 
@@ -247,27 +229,8 @@ object StatQueries {
           when(col("nus").isNotNull, floor((col("nus") - col("us")) / 60000000L))
             .otherwise(floor((col("hus") - col("us")) / 60000000L)).as("t_min"),
           when(col("nus").isNotNull, 1L).otherwise(0L).as("death"))
-      val grid = obs.groupBy("t_min").agg(
-        sum(col("death")).as("n_death"),
-        sum(lit(1L) - col("death")).as("n_censor"))
-      val wDesc = Window.orderBy(col("t_min").desc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wAsc = Window.orderBy(col("t_min"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      grid
-        .withColumn("n_risk", sum(col("n_death") + col("n_censor")).over(wDesc))
-        .withColumn("term",
-          when(col("n_death") > 0 && col("n_risk") > col("n_death"),
-            round(log(col("n_risk") - col("n_death")) - log(col("n_risk")), 9))
-            .otherwise(lit(0.0)).cast("decimal(28,9)"))
-        .withColumn("zf",
-          when(col("n_death") > 0 && col("n_risk") === col("n_death"), 1L)
-            .otherwise(0L))
-        .withColumn("cumterm", sum(col("term")).over(wAsc))
-        .withColumn("cumzf", sum(col("zf")).over(wAsc))
-        .select(col("t_min"), col("n_risk"), col("n_death"), col("n_censor"),
-          when(col("cumzf") > 0, lit(0.0))
-            .otherwise(round(exp(col("cumterm").cast("double")), 6)).as("survival"))
+      // extracted operator (r16): the fuzzer and this gate drive ONE body
+      graft.operators.StatTests.kaplanMeier(obs, "t_min", "death")
         .filter(col("t_min") <= 180)
         .orderBy("t_min")
     }),
