@@ -88,6 +88,10 @@ object PlanSanctions {
       "t_gini_concentration", "t_gopher_ablation") ++
     Seq(
       "t_calibration" -> Sanction(reason = "fixed-round GD, linear passes"),
+      // entered the bench top-15 on the r15 board (slower host session);
+      // plans re-reviewed r16: all six lint flags clean in PLANAUDIT
+      "d_dedup_clusters" -> Sanction(reason = "keyed join+agg CC rounds with localCheckpoint truncation — clean plan, board-membership entry"),
+      "t_cms_heavy" -> Sanction(reason = "keyed sketch-cell aggregate + bounded candidate rejoin — clean plan, board-membership entry"),
       "d_banding_sweep" -> Sanction(reason = "signatures computed once, band regroups reuse the frame"),
       "d_ngram_jaccard" -> Sanction(reason = "AllPairs prefix-filter equi-join"),
       "d_ngram_jaccard_capped" -> Sanction(reason = "capped-postings pre-pass (df aggregate + anti-join + regroup), all keyed"),
