@@ -1,6 +1,6 @@
 package graft.fuzz
 
-import graft.operators.{DataQuality, Series, StatTests}
+import graft.operators.{DataQuality, Profiling, Series, StatTests}
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
@@ -44,6 +44,7 @@ object StatFuzz {
   final case class StatSet(series: Seq[SeriesRow], groups: Seq[GroupRow],
                            obs: Seq[ObsRow], per: Seq[PerRow],
                            dq: Seq[DqRow], dims: Seq[Long],
+                           sky: Seq[(Long, Long)],
                            alpha: Double, lag: Int, minPoints: Int)
 
   // ------------------------------------------------------------------
@@ -230,6 +231,46 @@ object StatFuzz {
       if (n1 * n2 > 0) Some(rnd(dnum.toDouble / (n1 * n2), 6)) else None)
   }
 
+  /** Profiling.tableStats over the DQ frame: per-column counts and
+    * string-cast min/max (nulls excluded from distinct, SQL style). */
+  def refTableStats(rows: Seq[DqRow])
+      : Seq[(String, Long, Long, Long, Option[String], Option[String])] = {
+    val n = rows.size.toLong
+    def stat[T](name: String, vs: Seq[Option[T]], render: T => String)
+               (implicit ord: Ordering[T]) = {
+      val defined = vs.flatten
+      (name, n, vs.count(_.isEmpty).toLong, defined.distinct.size.toLong,
+        if (defined.isEmpty) None else Some(render(defined.min)),
+        if (defined.isEmpty) None else Some(render(defined.max)))
+    }
+    Seq(
+      stat[Long]("id", rows.map(_.id), _.toString),
+      stat[String]("name", rows.map(_.name), identity),
+      stat[Double]("v", rows.map(_.v), _.toString),
+      stat[Long]("fk", rows.map(_.fk), _.toString))
+  }
+
+  /** Profiling.skyline2D: rows not dominated (x' ≥ x ∧ y' ≥ y, strict
+    * in one); equal pairs are mutually non-dominating. */
+  def refSkyline(rows: Seq[(Long, Long)]): Seq[(Long, Long)] =
+    rows.filter { case (x, y) =>
+      !rows.exists { case (x2, y2) =>
+        x2 >= x && y2 >= y && (x2 > x || y2 > y)
+      }
+    }
+
+  /** Profiling.giniConcentration: exact rank-sum identity over
+    * ascending group counts (groupCol tiebreak). */
+  def refGini(groups: Seq[String]): (Long, Long, Double) = {
+    val counts = groups.groupBy(identity).toSeq
+      .map { case (g, gs) => (g, gs.size.toLong) }
+      .sortBy { case (g, x) => (x, g) }
+    val nG = counts.size.toLong
+    val nR = counts.map(_._2).sum
+    val sixi = counts.zipWithIndex.map { case ((_, x), i) => (i + 1) * x }.sum
+    (nG, nR, rnd((2.0 * sixi) / (nG * nR) - (nG + 1).toDouble / nG, 6))
+  }
+
   /** DataQuality rule fusion: the documented SQL ternary semantics. */
   def refDq(rows: Seq[DqRow], dims: Seq[Long])
       : Seq[(String, String, Long, Long, Boolean)] = {
@@ -300,7 +341,12 @@ object StatFuzz {
       val n = r.nextInt(12) // incl. EMPTY table
       (0 until n).map { i =>
         DqRow(
-          id = if (r.nextInt(5) == 0) Some(1L) else Some(i.toLong), // dup keys
+          id = r.nextInt(7) match {
+            case 0 => Some(1L) // dup keys
+            case 1 => None     // null key: groups like a value in Unique,
+                               // counts as n_null in tableStats
+            case _ => Some(i.toLong)
+          },
           name = r.nextInt(5) match {
             case 0 => None
             case 1 => Some("alpha")
@@ -322,7 +368,15 @@ object StatFuzz {
       }
     }
     val dims = (0L to 4L)
-    StatSet(series, groups, obs, per, dq, dims,
+    val sky = {
+      val n = 1 + r.nextInt(15)
+      val base = (0 until n).map(_ =>
+        (r.nextInt(8).toLong - 2, r.nextInt(8).toLong - 2)) // heavy ties
+      // exact-duplicate pairs: mutually non-dominating, both survive
+      base ++ (if (base.nonEmpty && r.nextBoolean())
+        Seq(base(r.nextInt(base.size))) else Nil)
+    }
+    StatSet(series, groups, obs, per, dq, dims, sky,
       alpha = Seq(0.5, 0.25, 0.3)(r.nextInt(3)),
       lag = 1 + r.nextInt(6), minPoints = 1 + r.nextInt(3))
   }
@@ -419,6 +473,24 @@ object StatFuzz {
     }
 
     locally {
+      val skyDf = set.sky.toDF("x", "y").repartition(4)
+      val sk = Profiling.skyline2D(skyDf, "x", "y").collect().toSeq
+        .map(r => Seq[Any](r.getLong(0), r.getLong(1)))
+      val skm = refSkyline(set.sky).map(t => Seq[Any](t._1, t._2))
+      errs ++= cmpRows("skyline2D", sk, skm)
+    }
+
+    if (set.groups.nonEmpty) {
+      val gdf = set.groups.map(g => (g.group, g.value)).toDF("grp", "value")
+        .repartition(4)
+      val gi = Profiling.giniConcentration(gdf, "grp").collect().toSeq
+        .map(r => Seq[Any](r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val gim = refGini(set.groups.map(_.group))
+      errs ++= cmpRows("giniConcentration", gi,
+        Seq(Seq[Any](gim._1, gim._2, gim._3)))
+    }
+
+    locally {
       val schema = StructType(Seq(
         StructField("id", LongType, nullable = true),
         StructField("name", StringType, nullable = true),
@@ -428,6 +500,15 @@ object StatFuzz {
         set.dq.map(r => Row(r.id.orNull, r.name.orNull, r.v.orNull,
           r.fk.orNull)): _*), schema).repartition(4)
       val dimDf = set.dims.toDF("dim_id")
+      val ts0 = Profiling.tableStats(dqDf, Seq("id", "name", "v", "fk"))
+        .collect().toSeq.map(r => Seq[Any](r.getString(0), r.getLong(1),
+          r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) null else r.getString(4),
+          if (r.isNullAt(5)) null else r.getString(5)))
+      val tsm = refTableStats(set.dq).map(t =>
+        Seq[Any](t._1, t._2, t._3, t._4, t._5.orNull, t._6.orNull))
+      errs ++= cmpRows("tableStats", ts0, tsm)
+
       val got = DataQuality.check(dqDf, Seq(
           DataQuality.NotNull("name"),
           DataQuality.InRange("v", 0.0, 100.0),

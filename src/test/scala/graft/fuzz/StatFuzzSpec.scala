@@ -37,6 +37,9 @@ class StatFuzzSpec extends SparkSpec {
     assert(sets.exists(_.dq.isEmpty), "no empty DataQuality table")
     assert(sets.exists(s => s.dq.map(_.id).distinct.size < s.dq.size),
       "no duplicate unique-keys")
+    assert(sets.exists(_.dq.exists(_.id.isEmpty)), "no null unique-keys")
+    assert(sets.exists(s => s.sky.distinct.size < s.sky.size),
+      "no duplicate skyline pairs")
   }
 
   test("differential subset: operators vs models, zero divergences") {
