@@ -354,6 +354,28 @@ object StreamFuzz {
       errs ++= cmp("windowedDdBuckets", st, bt)
     }
 
+    // 5b. stream-static enrichment join (broadcast dim re-planned per
+    // micro-batch) + windowed aggregate: batch twin over the retained
+    // events with the same dim, closed windows only. Key churn makes
+    // some users UNMATCHED -> the UNKNOWN bucket is always exercised.
+    locally {
+      import spark.implicits._
+      val dimRows = allEvs.map(_.user).distinct.sorted
+        .zipWithIndex.collect { case (u, i) if i % 2 == 0 =>
+          (u, s"SEG${u % 3}") }
+      val dim = dimRows.toDF("c_custkey", "c_mktsegment")
+      val f = (df: DataFrame) => EventStream.enrichedWindowedCounts(
+        df, dim, s.lenStr, s.delayStr)
+      val st = runStream(spark, s, "append", f)
+        .map(r => Seq[Any](microsOf(r.getTimestamp(0)), r.getString(1),
+          r.getLong(2), r.getDouble(3)))
+      val bt = f(toDf(spark, retW)).collect().toSeq
+        .map(r => Seq[Any](microsOf(r.getTimestamp(0)), r.getString(1),
+          r.getLong(2), r.getDouble(3)))
+        .filter(row => isClosed(row.head.asInstanceOf[Long], s))
+      errs ++= cmp("enrichedWindowedCounts", st, bt)
+    }
+
     // 6. CDC keep-latest (mapGroupsWithState, NO watermark): converged
     // winner per key over ALL events == batch twin
     locally {
@@ -504,8 +526,15 @@ object StreamFuzz {
       toDf(spark, b).coalesce(1).write.mode("overwrite").parquet(tmp)
       val part = new java.io.File(tmp).listFiles
         .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
-      java.nio.file.Files.move(part.toPath,
-        java.nio.file.Paths.get(s"$in/slice$j.parquet"))
+      val dst = new java.io.File(s"$in/slice$j.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      // the file source orders batches by MODIFICATION TIME and its
+      // tie-break is arbitrary — slices written inside one ms can be
+      // consumed out of order, which reorders the watermark lineage
+      // (observed: a later slice processed under an earlier slice's wm).
+      // Strictly increasing mtimes pin the batch order to slice order.
+      dst.setLastModified(dst.lastModified() / 60000L * 60000L + j * 2000L)
+      ()
     }
     val k = math.max(1, math.min(killAfter, slices.size - 1))
     slices.take(k).zipWithIndex.foreach { case (b, j) => writeSlice(b, j) }
