@@ -511,16 +511,46 @@ object StreamFuzz {
     else Seq(s"intervalJoin: stream=${st.sorted.mkString(",")} batch=${bt.sorted.mkString(",")}")
   }
 
+  /** Drop events until no event is window-late under the schedule's own
+    * watermark recurrence (fixpoint — removing a batch max can only
+    * LOWER later watermarks, so the result is a valid late-free
+    * schedule). Used by the restart round, where late handling is
+    * deliberately out of scope (see [[runRestart]]). */
+  def sanitizeNoLate(slices0: Seq[Seq[Ev]], delayMs: Long,
+                     lenMs: Long): Seq[Seq[Ev]] = {
+    var cur = slices0
+    var changed = true
+    while (changed) {
+      val wms = wmBefore(Sched(cur, delayMs, lenMs))
+      val next = cur.zipWithIndex.map { case (b, i) =>
+        b.filter(e =>
+          winStart(e.tsMicros, lenMs) + lenMs * 1000L > wms(i) * 1000L)
+      }
+      changed = next.map(_.size).sum != cur.map(_.size).sum
+      cur = next
+    }
+    cur.filter(_.nonEmpty)
+  }
+
   /** Checkpoint-kill round: file-source slices (one micro-batch each)
     * through windowedCounts → streamUpsert; the query is stopped after
-    * a random slice and resumed from the checkpoint. Final table must
-    * equal the batch twin over the model-retained events (update mode:
-    * open windows included). */
+    * a random slice and resumed from the checkpoint. The schedule is
+    * SANITIZED late-free first: in back-to-back catch-up batches the
+    * late filter runs one batch STALE relative to the reported
+    * watermark (pinned by this fuzzer's probes — interactive runs mask
+    * it with interleaved no-data batches), so late semantics here are
+    * execution-timing-dependent by design. Append-mode differentials
+    * pin late handling; this round pins exactly-once RESUME: final
+    * table == the batch twin over every slice event (update mode: open
+    * windows included), with no window lost at the kill boundary and
+    * no batch double-merged. */
   def runRestart(spark: SparkSession, s: Sched, dir: String,
                  killAfter: Int): Seq[String] = {
     val in = s"$dir/in"; val cp = s"$dir/cp"; val table = s"$dir/table"
     new java.io.File(in).mkdirs()
-    val slices = s.batches.filter(_.nonEmpty)
+    val slices = sanitizeNoLate(s.batches.filter(_.nonEmpty),
+      s.delayMs, s.lenMs)
+    if (slices.size < 2) return Nil // nothing left to straddle a kill
     def writeSlice(b: Seq[Ev], j: Int): Unit = {
       val tmp = s"$dir/_tmp$j"
       toDf(spark, b).coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -558,49 +588,15 @@ object StreamFuzz {
       .collect().toSeq
       .map(r => Seq[Any](microsOf(r.getTimestamp(0)), r.getString(1),
         r.getLong(2), r.getDouble(3)))
-    // retention model must follow the SLICE batching (empty batches
-    // dropped above do not advance the wm — they carry no events).
-    // TWO valid watermark lineages at the kill boundary: whether q1's
-    // final no-data micro-batch COMMITTED before stop() decides if the
-    // last data slice's event-time stats fold into the restored wm —
-    // lineage A (committed: the normal recurrence) or lineage B (lost:
-    // the restored wm is the one in effect FOR slice k−1, and that
-    // slice's stats never fold in). Spark's watermark is best-effort
-    // monotone, so both are correct executions; the differential
-    // accepts either and reports both on mismatch.
-    val sliceSched = Sched(slices, s.delayMs, s.lenMs)
-    def retainedWith(wms: Seq[Long]): Seq[Ev] =
-      slices.zipWithIndex.flatMap { case (b, i) =>
-        b.filter(e =>
-          winStart(e.tsMicros, s.lenMs) + s.lenMs * 1000L > wms(i) * 1000L)
-      }
-    def statsMs(b: Seq[Ev]): Long =
-      b.map(e => Math.floorDiv(e.tsMicros, 1000L)).max - s.delayMs
-    val wmA = wmBefore(sliceSched)
-    val wmB = {
-      val arr = wmA.toArray
-      // restored wm for slice k = wm in effect for slice k-1; slice
-      // k-1's stats are lost from the recurrence from there on
-      if (k < slices.size) {
-        arr(k) = wmA(k - 1)
-        for (i <- (k + 1) to slices.size)
-          arr(i) = math.max(arr(i - 1), statsMs(slices(i - 1)))
-      }
-      arr.toSeq
-    }
-    def btFor(wms: Seq[Long]): Seq[Seq[Any]] =
-      EventStream.windowedCounts(
-          toDf(spark, retainedWith(wms)), s.lenStr, s.delayStr)
-        .collect().toSeq
-        .map(r => Seq[Any](microsOf(r.getTimestamp(0)), r.getString(1),
-          r.getLong(2), r.getDouble(3)))
-    val btA = btFor(wmA)
-    if (cmp("restartUpsert", got, btA).isEmpty) Nil
-    else {
-      val btB = btFor(wmB)
-      if (cmp("restartUpsert", got, btB).isEmpty) Nil
-      else cmp("restartUpsert(lineageA)", got, btA) ++
-        cmp("restartUpsert(lineageB)", got, btB)
-    }
+    // the sanitized schedule is provably late-free under the freshest
+    // watermark, so any stale-filter execution drops the same NOTHING:
+    // expected = batch twin over every slice event, open windows
+    // included (update mode)
+    val bt = EventStream.windowedCounts(
+        toDf(spark, slices.flatten), s.lenStr, s.delayStr)
+      .collect().toSeq
+      .map(r => Seq[Any](microsOf(r.getTimestamp(0)), r.getString(1),
+        r.getLong(2), r.getDouble(3)))
+    cmp("restartUpsert", got, bt)
   }
 }
