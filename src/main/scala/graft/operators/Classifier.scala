@@ -81,9 +81,18 @@ object Classifier {
           .cast("decimal(30,15)")).cast("double") / count(lit(1))).as(s"g$j")
       }
       val g = feats.agg(aggs.head, aggs.tail: _*).head
-      val wRow = spark.range(1).select((0 until dims).map(j =>
-        round(lit(w(j)) + lit(lr) * lit(g.getDouble(j)), 9).as(s"w$j")): _*).head
-      w = (0 until dims).map(wRow.getDouble)
+      // weight update with SQL round() semantics, computed driver-side:
+      // Catalyst's Round(double, 9) is BigDecimal.valueOf(v).setScale(9,
+      // HALF_UP).toDouble, and +/* on doubles are IEEE in both engines —
+      // so this is bit-identical to the previous
+      // spark.range(1).select(round(lit(w)+lit(lr)*lit(g), 9)) form while
+      // costing zero Spark jobs (the old form paid one scheduled job per
+      // GD iteration — 20 extra jobs on the calibration gate's train).
+      // Equivalence is spec-pinned in ClassifierRoundParitySpec.
+      w = (0 until dims).map { j =>
+        java.math.BigDecimal.valueOf(w(j) + lr * g.getDouble(j))
+          .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+      }
     }
     w
   }

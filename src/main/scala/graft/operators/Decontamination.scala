@@ -34,14 +34,18 @@ object Decontamination {
                        evalPred: Column, k: Int = 3,
                        minFrac: Double = 0.05): DataFrame = {
     val df = Dedup.widen(df0)
+    graft.plans.GraftFunctions.register(df.sparkSession)
     // 8-byte hashed shingles (see Dedup.shingleHash): the overlap join
-    // keys and the broadcast eval set carry longs, not shingle strings
+    // keys and the broadcast eval set carry longs, not shingle strings.
+    // The set comes from the native ShingleHashSet kernel (r16) — same
+    // distinct hash values as array_distinct(transform(shingles, hash)),
+    // only SORTED, and explode order cannot reach the aggregate outputs.
     def shingleStream(d: DataFrame): DataFrame =
       graft.functions.SafeExplode.explodeSelect(
         d.select(col(idCol), tokens(col(textCol)).as("toks"))
           .filter(size(col("toks")) >= k),
         Seq(col(idCol)),
-        array_distinct(transform(shingles(col("toks"), k), Dedup.shingleHash(_))),
+        call_function("graft_shingle_hash_set", col("toks"), lit(k)),
         "s")
     val evalSh = broadcast(shingleStream(df.filter(evalPred))
       .select("s").distinct().withColumn("hit", lit(1)))

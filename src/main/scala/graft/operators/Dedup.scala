@@ -120,14 +120,17 @@ object Dedup {
                             numHashes: Int = 16, k: Int = 3,
                             toksCol: Option[String] = None): DataFrame = {
     val df = widen(df0)
+    // signature components come from the native MinhashSignature kernel —
+    // ONE codegen'd pass over the shingle array instead of numHashes
+    // stacked transform+array_min HOFs (bit-identical hex values; see the
+    // kernel scaladoc for the equivalence argument)
+    graft.plans.GraftFunctions.register(df.sparkSession)
     df.select(col(idCol),
         toksCol.map(col).getOrElse(tokens(col(textCol))).as("toks"))
       .filter(size(col("toks")) >= k)
       .select(col(idCol), shingles(col("toks"), k).as("sh"))
       .select(col(idCol),
-        array((0 until numHashes).map { h =>
-          array_min(transform(col("sh"), s => minhashComponent(lit(h.toLong), s)))
-        }: _*).as("sig"))
+        call_function("graft_minhash_signature", col("sh"), lit(numHashes)).as("sig"))
   }
 
   /** MinHash + LSH near-duplicate pairs. Signature arrays are banded
@@ -276,22 +279,17 @@ object Dedup {
               bits: Int = 48): DataFrame = {
     require(bits <= 48, "bits must fit pigeonhole chunks in a signed long")
     val df = widen(df0)
-    // bit b of hex-digit 1 + b/4 (positions are compile-time literals,
-    // so the substring/conv arithmetic constant-folds per column)
-    def contrib(h: Column, b: Int): Column = {
-      val digit = conv(h.substr(lit(1 + b / 4), lit(1)), 16, 10).cast("int")
-      when(shiftright(digit, b % 4).bitwiseAND(lit(1)) === 1, 1L).otherwise(-1L)
-    }
-    val scored = df
-      .select(col(idCol), transform(tokens(col(textCol)), w => md5(w)).as("hs"))
-      .filter(size(col("hs")) > 0)
-      .select(col(idCol) +: (0 until bits).map { b =>
-        aggregate(col("hs"), lit(0L), (acc, h) => acc + contrib(h, b)).as(s"s$b")
-      }: _*)
-    val sim = (0 until bits).map { b =>
-      when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    scored.select(col(idCol), sim.as("simhash"))
+    // fingerprint comes from the native SimhashFingerprint kernel — one
+    // md5-digest pass per token updating all `bits` counters, instead of
+    // `bits` separate aggregate folds over a materialized hex array
+    // (bit-identical; see the kernel scaladoc for the equivalence). The
+    // size() filter is unchanged: transform preserved length, so
+    // size(hs) > 0 ⇔ size(toks) > 0.
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol), tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col(idCol),
+        call_function("graft_simhash", col("toks"), lit(bits)).as("simhash"))
   }
 
   /** SimHash near-duplicate pairs with chunk blocking: a 48-bit hash is
@@ -343,13 +341,18 @@ object Dedup {
                                            textCol: String, k: Int,
                                            keep: Seq[Column] = Nil,
                                            cache: Boolean = true): DataFrame = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
     val base = df.select(col(idCol) +: keep :+ tokens(col(textCol)).as("toks"): _*)
       .filter(size(col("toks")) >= k)
     // keep expressions were evaluated in the select above; from here on
     // reference them by their OUTPUT names only
     val carried = base.columns.filter(_ != "toks").map(col).toSeq
-    val out = base.select(carried :+ sort_array(array_distinct(
-        transform(shingles(col("toks"), k), shingleHash(_)))).as("sh"): _*)
+    // sorted distinct hashed-shingle set from the native ShingleHashSet
+    // kernel — one pass over the token array instead of shingle-string /
+    // hex-string / conv / array_distinct / sort_array intermediates
+    // (bit-identical; see the kernel scaladoc for the equivalence)
+    val out = base.select(carried :+ call_function("graft_shingle_hash_set",
+        col("toks"), lit(k)).as("sh"): _*)
       .withColumn("n", size(col("sh")).cast("long"))
     if (cache) out.cache() else out
   }

@@ -763,13 +763,15 @@ object TextAnalysis {
   private def winnowed(df0: DataFrame, idCol: String, textCol: String,
                        k: Int, window: Int): DataFrame = {
     val df = Dedup.widen(df0)
+    // per-window minima from the native WinnowFingerprints kernel — one
+    // digest pass + an O(m) monotonic-deque sliding min, instead of the
+    // per-position slice + array_min over a materialized hex array
+    // (bit-identical; see the kernel scaladoc for the equivalence)
+    graft.plans.GraftFunctions.register(df.sparkSession)
     df.select(col(idCol), tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= k)
-      .withColumn("hs", transform(
-        sequence(lit(0), size(col("toks")) - k),
-        i => md5(concat_ws(" ", (0 until k).map(j => element_at(col("toks"), i + j + 1)): _*))))
-      .withColumn("fps", transform(sequence(lit(1), size(col("hs"))),
-        i => array_min(slice(col("hs"), i, lit(window)))))
+      .withColumn("fps",
+        call_function("graft_winnow_fps", col("toks"), lit(k), lit(window)))
   }
 
   /** Unigram-LM surprise (perplexity proxy): the corpus's own token

@@ -114,6 +114,14 @@ object GraftFunctions {
     classOf[JaroWinklerSimilarity].getName, "graft_jaro_winkler")
   val bpeTokenCountInfo = new ExpressionInfo(
     classOf[BpeTokenCount].getName, "graft_bpe_token_count")
+  val minhashSignatureInfo = new ExpressionInfo(
+    classOf[MinhashSignature].getName, "graft_minhash_signature")
+  val simhashInfo = new ExpressionInfo(
+    classOf[SimhashFingerprint].getName, "graft_simhash")
+  val shingleHashSetInfo = new ExpressionInfo(
+    classOf[ShingleHashSet].getName, "graft_shingle_hash_set")
+  val winnowFpsInfo = new ExpressionInfo(
+    classOf[WinnowFingerprints].getName, "graft_winnow_fps")
 
   private val builders: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_cosine"), cosineInfo,
@@ -133,7 +141,15 @@ object GraftFunctions {
     (FunctionIdentifier("graft_jaro_winkler"), jaroWinklerInfo,
       (c: Seq[Expression]) => JaroWinklerSimilarity(c.head, c(1))),
     (FunctionIdentifier("graft_bpe_token_count"), bpeTokenCountInfo,
-      (c: Seq[Expression]) => BpeTokenCount(c.head, c(1), c(2))))
+      (c: Seq[Expression]) => BpeTokenCount(c.head, c(1), c(2))),
+    (FunctionIdentifier("graft_minhash_signature"), minhashSignatureInfo,
+      (c: Seq[Expression]) => MinhashSignature(c.head, c(1))),
+    (FunctionIdentifier("graft_simhash"), simhashInfo,
+      (c: Seq[Expression]) => SimhashFingerprint(c.head, c(1))),
+    (FunctionIdentifier("graft_shingle_hash_set"), shingleHashSetInfo,
+      (c: Seq[Expression]) => ShingleHashSet(c.head, c(1))),
+    (FunctionIdentifier("graft_winnow_fps"), winnowFpsInfo,
+      (c: Seq[Expression]) => WinnowFingerprints(c.head, c(1), c(2))))
 
   def register(spark: SparkSession): Unit =
     builders.foreach { case (id, info, b) =>
