@@ -24,7 +24,7 @@ object Dedup {
     * fan-out into a single task. If the input has fewer partitions than
     * the cluster's parallelism, spread it; at real scale (input splits >>
     * cores) this is a no-op — no shuffle is added. */
-  private[operators] def widen(df: DataFrame): DataFrame = {
+  def widen(df: DataFrame): DataFrame = { // public: query-level pipelines share the guard
     // inputFiles is metadata-only — the previous rdd.getNumPartitions
     // probe forced a physical plan + RDD conversion per invocation and
     // pinned that branch outside AQE. File count under-estimates split

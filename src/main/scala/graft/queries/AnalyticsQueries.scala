@@ -1197,7 +1197,12 @@ object AnalyticsQueries {
     "a_ann_whitened" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       import graft.operators.Vectors
-      val e = t(s, dir, "embeddings")
+      // widen: the whitening projection + brute-force cosine fan-out is
+      // per-row O(dims²) map work — a compact single-file parquet scan
+      // would serialize it into ONE task (measured 3.7 s of 6.8 s wall in
+      // two single-task stages, r16 profile); the fan-out guard spreads
+      // it across the cluster exactly like the Similarity operators do
+      val e = graft.operators.Dedup.widen(t(s, dir, "embeddings"))
       val v = Vectors.powerIterationPC(e, "embedding", dims = 64, iters = 2)
       val vlit = typedLit(v)
       val dp = round(Vectors.dot(col("embedding"), vlit), 9)
