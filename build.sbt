@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver's `sbt test` gate must finish deterministically inside its
+// window (r16's full 52-minute suite was killed mid-run — VERDICT r16
+// item 2). The long randomized fuzz suites are tagged @graft.SlowFuzz and
+// EXCLUDED from the default gate; GRAFT_FULL_SUITE=1 restores the full
+// suite for builder-side runs. Fuzz coverage still lands each round via
+// the dedicated graft.Fuzz* mains (FUZZ_r*.json records).
+Test / testOptions ++= (
+  if (sys.env.get("GRAFT_FULL_SUITE").contains("1")) Seq.empty
+  else Seq(Tests.Argument(TestFrameworks.ScalaTest, "-l", "graft.SlowFuzz")))
 // Pass the forked JVM's stdout straight through (no [info] prefix) so the
 // driver can json-parse graft.Bench's single output line.
 outputStrategy := Some(OutputStrategy.StdoutOutput)

@@ -39,13 +39,31 @@ import org.apache.spark.sql.SparkSession
   * long-lived cluster sees.
   */
 object Bench {
-  private final val Reps = 3
+  // SPARK_GRAFT_REPS: optional override (the driver never sets it); the
+  // default stays 3 so records remain rep-comparable across rounds.
+  private final val Reps =
+    sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(3)
   private final val RepBudgetSec = 20.0
+  // r16's driver bench timed out (rc=124, no record at all — strictly
+  // worse than any precision loss). Two wall-clock trims, both OUTSIDE
+  // the timed region so per-rep numbers stay comparable to r15:
+  //   1. settle sleep 200 ms -> 50 ms and System.gc() only before
+  //      queries whose warmup ran >= 1 s (sub-second queries generate
+  //      little garbage; the 3-rep median already absorbs a stray GC
+  //      blip — ~4 min off a 322-query pass on a big heap).
+  //   2. a soft deadline (SPARK_GRAFT_DEADLINE_SEC, default 2400 s from
+  //      JVM start): once past it, remaining queries run ONE rep instead
+  //      of three. A degraded-precision record always beats rc=124.
+  //      The record self-describes via "deadline_capped".
+  private final val DeadlineSec =
+    sys.env.get("SPARK_GRAFT_DEADLINE_SEC").map(_.toDouble).getOrElse(2400.0)
+  private val startNanos = System.nanoTime()
+  private def elapsedSec: Double = (System.nanoTime() - startNanos) / 1e9
 
-  private def settle(spark: SparkSession): Unit = {
+  private def settle(spark: SparkSession, gc: Boolean): Unit = {
     spark.catalog.clearCache()
-    System.gc()
-    Thread.sleep(200)
+    if (gc) System.gc()
+    Thread.sleep(50)
   }
 
   def main(args: Array[String]): Unit = {
@@ -75,21 +93,34 @@ object Bench {
     // amortizes anyway). The driver never sets it; board records always
     // warm up.
     val warmed = !sys.env.get("SPARK_GRAFT_NOWARMUP").contains("1")
+    // warmup durations drive the settle-gc decision below: only queries
+    // that ran >= 1 s in warmup get a pre-rep System.gc() (on a large
+    // heap a full GC costs O(100 ms-1 s); paying it 3x per sub-second
+    // query burned minutes of the driver's window for noise the median
+    // already absorbs). A NOWARMUP run has no durations — it gc's always,
+    // preserving the old behavior for the sf100 cold-anchor spot-checks.
+    val warmSec = scala.collection.mutable.Map.empty[String, Double]
     if (warmed)
       names.foreach { n =>
+        val t0 = System.nanoTime()
         try run(n)
         catch { case _: Throwable => () }
+        warmSec(n) = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
       }
 
     val timings = Map.newBuilder[String, Double]
     val errors = Map.newBuilder[String, String]
+    var deadlineCapped = 0
     names.foreach { n =>
+      val maxReps =
+        if (elapsedSec > DeadlineSec) { deadlineCapped += 1; 1 } else Reps
+      val gcBefore = warmSec.get(n).forall(_ >= 1.0)
       var reps = Vector.empty[Double]
       var attempts = 0
-      while (attempts < Reps && reps.sum < RepBudgetSec) {
+      while (attempts < maxReps && reps.sum < RepBudgetSec) {
         attempts += 1
-        settle(spark)
+        settle(spark, gcBefore)
         val t0 = System.nanoTime()
         try {
           run(n)
@@ -113,7 +144,7 @@ object Bench {
     // "warmup" is stamped into every record so a NOWARMUP run (legal only
     // for sf100 cold-anchor spot-checks) is self-describing and can never
     // be mistaken for a protocol-compliant board record.
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","warmup":$warmed,"queries":$qs,"errors":$ej,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","warmup":$warmed,"deadline_capped":$deadlineCapped,"queries":$qs,"errors":$ej,"sf":"$sfDir"}"""
     println(json)
     // The driver's stdout capture keeps only the LAST ~2000 chars, and a
     // 289-query record is ~10 KB — the full line above gets head-chopped
@@ -129,7 +160,7 @@ object Bench {
       def d3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
       def fmt(n: String) = jstr(n) + ":" + d3(ts(n))
       val budget = 1600
-      val head = s"""{"metric":"total","value":${d3(total)},"unit":"sec","warmup":$warmed,"n_queries":${ts.size},"n_errors":${es.size},"full":"BENCH_LOCAL.json","sf":"$sfDir","queries":{"""
+      val head = s"""{"metric":"total","value":${d3(total)},"unit":"sec","warmup":$warmed,"deadline_capped":$deadlineCapped,"n_queries":${ts.size},"n_errors":${es.size},"full":"BENCH_LOCAL.json","sf":"$sfDir","queries":{"""
       val sb = new StringBuilder(head)
       var first = true
       bySlow.foreach { n =>

@@ -12,7 +12,9 @@ import java.nio.file.{Files, Paths}
   */
 object ExplainDump {
   def main(args: Array[String]): Unit = {
-    val names0 = args.headOption.getOrElse(sys.error("need query list or ALL"))
+    if (args.length < 3)
+      sys.error("usage: ExplainDump <query[,query...]|ALL> <outDir> <suffix> [sfDir]")
+    val names0 = args(0)
     val outDir = args(1)
     val suffix = args(2)
     val sfDir = if (args.length > 3) args(3)

@@ -90,7 +90,12 @@ object Classifier {
       // GD iteration — 20 extra jobs on the calibration gate's train).
       // Equivalence is spec-pinned in ClassifierRoundParitySpec.
       w = (0 until dims).map { j =>
-        java.math.BigDecimal.valueOf(w(j) + lr * g.getDouble(j))
+        val v = w(j) + lr * g.getDouble(j)
+        // non-finite guard (r16 ADVICE): BigDecimal.valueOf(NaN/Inf)
+        // throws; Catalyst's Round passes non-finite doubles through
+        // unchanged — keep that identity for pathological feature values
+        if (v.isNaN || v.isInfinite) v
+        else java.math.BigDecimal.valueOf(v)
           .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
       }
     }

@@ -15,15 +15,24 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Uniform [0,1) decision value from a key column. */
+  /** Uniform [0,1) decision value from a key column. The 24-bit md5
+    * prefix comes from the native kernel (graft.plans.Md5PrefixLong) —
+    * bit-identical to the conv(substring(md5(...), 1, 6), 16, 10) column
+    * form it replaces, minus the hex/substring/conv string churn paid
+    * per row by every hash-gated sampler. Callers hold a DataFrame and
+    * register GraftFunctions (TableCatalog.load does it for query paths;
+    * the operator entries below do it for direct library use). */
   def hashUnit(key: Column, seed: String = ""): Column =
-    (conv(substring(md5(concat(key.cast("string"), lit(seed))), 1, 6), 16, 10)
-      .cast("long").cast("double") / lit(16777216.0))
+    (call_function("graft_md5_prefix_long",
+        concat(key.cast("string"), lit(seed)), lit(6))
+      .cast("double") / lit(16777216.0))
 
   /** Keep ~`rate` of rows, deterministically. */
   def hashSample(df: DataFrame, keyCol: String, rate: Double,
-                 seed: String = ""): DataFrame =
+                 seed: String = ""): DataFrame = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
     df.filter(hashUnit(col(keyCol), seed) < rate)
+  }
 
   /** Deterministic train/val/test assignment: the hash unit of `keyCol`
     * lands each row in one bucket of `fractions` (cumulative-threshold
@@ -37,6 +46,7 @@ object Sampling {
                 fractions: Seq[(String, Double)] =
                   Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
                 seed: String = "", splitCol: String = "split"): DataFrame = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
     require(fractions.nonEmpty && fractions.forall(_._2 > 0),
       s"fractions must be positive, got $fractions")
     require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
@@ -60,6 +70,7 @@ object Sampling {
   def stratifiedHashSample(df: DataFrame, keyCol: String, strataCol: String,
                            rates: Map[String, Double],
                            seed: String = ""): DataFrame = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
     val rateExpr = rates.foldLeft(lit(1.0)) { case (acc, (stratum, r)) =>
       when(col(strataCol) === stratum, lit(r)).otherwise(acc)
     }
@@ -99,6 +110,7 @@ object Sampling {
   def temperatureSample(df: DataFrame, keyCol: String, strataCol: String,
                         alpha: Double = 0.5, targetFrac: Double = 0.5,
                         seed: String = ""): DataFrame = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
     val counts = df.groupBy(col(strataCol))
       .agg(count(lit(1)).as("n_stratum"))
     // sum_w accumulates in decimal: a plain double sum merges partials
@@ -136,6 +148,7 @@ object Sampling {
   def mixtureSample(df: DataFrame, keyCol: String, strataCol: String,
                     targets: Map[String, Double],
                     seed: String = ""): DataFrame = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
     require(targets.nonEmpty, "mixtureSample needs at least one target")
     require(targets.values.forall(_ > 0), "targets must be positive")
     val spark = df.sparkSession
@@ -179,9 +192,11 @@ object Sampling {
     * Output: input columns + `skey`. */
   def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
                      k: Int, seed: String = ""): DataFrame = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
     require(k >= 1, s"sample size must be >= 1, got $k")
-    val u = (conv(substring(md5(concat(col(keyCol).cast("string"), lit(seed))),
-        1, 6), 16, 10).cast("long").cast("double") + lit(0.5)) / lit(16777216.0)
+    val u = (call_function("graft_md5_prefix_long",
+        concat(col(keyCol).cast("string"), lit(seed)), lit(6))
+      .cast("double") + lit(0.5)) / lit(16777216.0)
     df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
       .withColumn("skey", round(-log(u) / col(weightCol).cast("double"), 9))
       .orderBy(col("skey").asc, col(keyCol).asc)
@@ -207,6 +222,7 @@ object Sampling {
     * zero-token documents drop out (no features, no weight). */
   def dsirWeights(df0: DataFrame, idCol: String, textCol: String,
                   targetPred: Column, buckets: Int = 256): DataFrame = {
+    graft.plans.GraftFunctions.register(df0.sparkSession)
     require(buckets >= 2 && buckets <= (1 << 24),
       s"buckets out of range: $buckets")
     val k = Iterator.from(1).find(k => math.pow(16, k) >= buckets).get
@@ -214,17 +230,30 @@ object Sampling {
     val toks = graft.functions.SafeExplode.explodeSelect(
       Dedup.widen(df0), Seq(col(idCol), targetPred.as("is_t")),
       tokens(col(textCol)), "w")
-    val bk = toks.withColumn("b",
-      conv(substring(md5(col("w")), 1, k), 16, 10).cast("long") % buckets)
-    val model = bk.groupBy("b").agg(
-      sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
-      sum(when(!col("is_t"), 1L).otherwise(0L)).as("cs"))
+    // Pre-aggregate occurrences to (id, is_t, b, c) ONCE (guide §2.3/§2.4):
+    // the occurrence-level form computed the token explode twice — once
+    // under the model aggregate (keyed b) and once under the per-doc
+    // aggregate (keyed id, b) — with no exchange reuse between the
+    // keyings. Both sides now derive from the same (id, is_t, b) count
+    // (its exchange is reused), and only distinct per-doc buckets flow
+    // into the term join. Identical values: ct/cs = Σ when(is_t, c) over
+    // groups (null is_t stays excluded from both, exactly as
+    // when(is_t, 1).otherwise(0) excluded it), per-doc c = Σ c over the
+    // (id, b) split, n_tokens = Σ c.
+    val dc = toks
+      .withColumn("b",
+        call_function("graft_md5_prefix_long", col("w"), lit(k)) % buckets)
+      .groupBy(col(idCol), col("is_t"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    val model = dc.groupBy("b").agg(
+      sum(when(col("is_t"), col("c")).otherwise(0L)).as("ct"),
+      sum(when(!col("is_t"), col("c")).otherwise(0L)).as("cs"))
     val tot = model.agg(sum("ct").as("nt"), sum("cs").as("ns"))
     val term = model.crossJoin(broadcast(tot))
       .select(col("b"),
         (log(col("ct") + 1) - log(col("nt") + buckets) -
           log(col("cs") + 1) + log(col("ns") + buckets)).as("term"))
-    bk.groupBy(col(idCol), col("b")).agg(count(lit(1)).as("c"))
+    dc.groupBy(col(idCol), col("b")).agg(sum(col("c")).as("c"))
       .join(broadcast(term), "b")
       .groupBy(idCol).agg(
         sum("c").as("n_tokens"),

@@ -40,6 +40,7 @@ object Sketches {
     * the dedup groupBy dominates either way. */
   def kmvDistinct(df: DataFrame, strataCol: String, valueCol: String,
                   k: Int = 64): DataFrame = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
     val dv = df.select(col(strataCol), col(valueCol).as("v")).distinct()
       .withColumn("u", Sampling.hashUnit(col("v")))
     val w = Window.partitionBy(strataCol).orderBy(col("u"), col("v"))
@@ -68,14 +69,11 @@ object Sketches {
     * uses); h2 is forced odd so it is coprime with a power-of-two m and
     * the probe sequence cannot collapse onto a short cycle. All
     * arithmetic is non-negative bigint mod — identical in any engine. */
-  private def bloomPositions(key: Column, mBits: Int, k: Int): Column = {
-    val hex = md5(key.cast("string"))
-    val h1 = conv(substring(hex, 1, 15), 16, 10).cast("long") % mBits
-    val h2raw = conv(substring(hex, 16, 15), 16, 10).cast("long") % mBits
-    val h2 = h2raw + lit(1L) - (h2raw % 2) // odd: +1 if even, +1-1 if odd
-    transform(sequence(lit(0), lit(k - 1)),
-      i => (h1 + i.cast("long") * h2) % mBits)
-  }
+  private def bloomPositions(key: Column, mBits: Int, k: Int): Column =
+    // native double-hash kernel — bit-identical to the md5/conv/transform
+    // column form (see graft.plans.KmPositions for the replaced shape);
+    // caller operators register GraftFunctions via TableCatalog.load
+    call_function("graft_km_positions", key.cast("string"), lit(mBits), lit(k))
 
   /** Bloom filter over the distinct values of `keyCol`, as a SPARSE
     * bitmap frame (word_idx, bits): 32 bits per word, stored in a
@@ -95,6 +93,7 @@ object Sketches {
     * capped at 2^30 and numHashes at 64, far past any useful point. */
   def bloomBuild(df: DataFrame, keyCol: String, mBits: Int,
                  numHashes: Int = 5): DataFrame = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
     require(mBits >= 32 && mBits % 32 == 0 && mBits <= (1 << 30),
       s"mBits must be a multiple of 32 in [32, 2^30], got $mBits")
     require(numHashes >= 1 && numHashes <= 64,
@@ -122,6 +121,7 @@ object Sketches {
   def bloomProbe(df: DataFrame, keyCol: String, words: Array[Long],
                  mBits: Int, numHashes: Int = 5,
                  maybeCol: String = "maybe_present"): DataFrame = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
     require(words.length == mBits / 32,
       s"dense bloom must have mBits/32 = ${mBits / 32} words, got ${words.length}")
     val wordsLit = typedLit(words)
@@ -160,6 +160,7 @@ object Sketches {
   def quantileSample(df: DataFrame, strataCol: String, valueCol: String,
                      idCol: String, k: Int = 64,
                      quantiles: Seq[Double] = Seq(0.5, 0.9)): DataFrame = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
     require(k >= 1, s"sample size must be positive, got $k")
     require(quantiles.nonEmpty && quantiles.forall(q => q > 0 && q < 1),
       s"quantiles must be in (0,1), got $quantiles")
@@ -202,12 +203,13 @@ object Sketches {
     * map-side combined. */
   def hllRegisters(df: DataFrame, strataCol: String, valueCol: String,
                    p: Int = 6): DataFrame = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
     require(p >= 4 && p <= 14, s"p must be in [4, 14], got $p")
     val m = 1 << p
     val maxRho = 60 - p + 1
     val dv = df.select(col(strataCol), col(valueCol).cast("string").as("v"))
       .distinct()
-    val h = conv(substring(md5(col("v")), 1, 15), 16, 10).cast("long")
+    val h = call_function("graft_md5_prefix_long", col("v"), lit(15))
     // shiftright/bitwiseAND, NOT `/` — Column `/` is DOUBLE division and
     // a 60-bit hash does not survive the 53-bit mantissa round-trip
     dv.select(col(strataCol),
@@ -275,14 +277,10 @@ object Sketches {
     * Kirsch-Mitzenmacher double-hash discipline as [[bloomPositions]]
     * (two md5 halves, odd stride), one bucket per sketch row. Exposed
     * package-wide for the streaming windowed-CMS builder. */
-  private[graft] def cmsPositions(key: Column, width: Int, depth: Int): Column = {
-    val hex = md5(key.cast("string"))
-    val h1 = conv(substring(hex, 1, 15), 16, 10).cast("long") % width
-    val h2raw = conv(substring(hex, 16, 15), 16, 10).cast("long") % width
-    val h2 = h2raw + lit(1L) - (h2raw % 2)
-    transform(sequence(lit(0), lit(depth - 1)),
-      r => (h1 + r.cast("long") * h2) % width)
-  }
+  private[graft] def cmsPositions(key: Column, width: Int, depth: Int): Column =
+    // native double-hash kernel (graft.plans.KmPositions) — one digest
+    // pass, no hex/conv string churn, per occurrence row of the build
+    call_function("graft_km_positions", key.cast("string"), lit(width), lit(depth))
 
   /** Count-Min sketch (Cormode & Muthukrishnan 2005) over the occurrence
     * stream of `keyCol`, as a SPARSE (row_idx, bucket, cnt) frame —
@@ -296,6 +294,7 @@ object Sketches {
     * reproduces it bit-for-bit). */
   def cmsBuild(df: DataFrame, keyCol: String, width: Int = 1 << 12,
                depth: Int = 4): DataFrame = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
     require(width >= 2 && width <= (1 << 24), s"width out of range: $width")
     require(depth >= 1 && depth <= 16, s"depth out of range: $depth")
     // widen: the depth-way md5 fan-out must not serialize into the one
@@ -418,6 +417,7 @@ object Sketches {
   def cmsEstimate(df: DataFrame, keyCol: String, sketch: DataFrame,
                   width: Int = 1 << 12, depth: Int = 4,
                   estCol: String = "cms_count"): DataFrame = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
     val probes = graft.functions.SafeExplode.posexplodeSelect(
         df, Seq(col(keyCol)), cmsPositions(col(keyCol), width, depth))
       .select(col(keyCol), col("pos").as("row_idx"), col("col").as("bucket"))

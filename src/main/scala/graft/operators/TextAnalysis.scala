@@ -279,11 +279,12 @@ object TextAnalysis {
     * accumulates in decimal. Output: one row (n_p, n_q, jsd). */
   def jsdDrift(df: DataFrame, textCol: String, pred: Column): DataFrame = {
     val spark = df.sparkSession
+    graft.plans.GraftFunctions.register(spark)
     val toks = graft.functions.SafeExplode.explodeSelect(
       df, Seq(pred.as("is_p")), tokens(col(textCol)), "w")
     val counts = toks
       .select(col("is_p"),
-        (conv(substring(md5(col("w")), 1, 2), 16, 10).cast("long") % 256)
+        (call_function("graft_md5_prefix_long", col("w"), lit(2)) % 256)
           .as("b"))
       .groupBy("b").agg(
         sum(when(col("is_p"), 1L).otherwise(0L)).as("cp"),
@@ -667,11 +668,12 @@ object TextAnalysis {
       .select(col(idCol), tokens(col(textCol)).as("toks"))
       .select(col(idCol),
         size(col("toks")).cast("long").as("n_words"),
-        aggregate(
-          transform(col("toks"), w =>
-            call_function("graft_bpe_token_count", w, lhsLit, rhsLit)
-              .cast("long")),
-          lit(0L), (acc, x) => acc + x).as("n_bpe_tokens"))
+        // one native call per DOCUMENT (graft.plans.BpeTokenSum): the
+        // transform+aggregate wrapper was interpreted HOF dispatch per
+        // word plus an intermediate long array, around an already-native
+        // per-word kernel (guide §4)
+        call_function("graft_bpe_token_sum", col("toks"), lhsLit, rhsLit)
+          .as("n_bpe_tokens"))
   }
 
   /** Corpus-relative novelty: the fraction of a document's distinct
@@ -836,10 +838,23 @@ object TextAnalysis {
       .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
     val tok = graft.functions.SafeExplode.explodeSelect(
       toks, Seq(col(idCol)), col("toks"), "w")
-    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    // Pre-aggregate the bigram stream to (id, w1, w2, c) BEFORE anything
+    // joins it (guide §2.3 "aggregate before you shuffle" / §2.4): the
+    // occurrence-level form shuffled every bigram occurrence into the
+    // c2 join AND recomputed the explode under the c2 aggregate (no
+    // exchange reuse between the two different keyings). With the
+    // (id, w1, w2) count as the shared base, c2 derives from it (its
+    // exchange is REUSED, so the token explode runs once for the bigram
+    // side), the joins carry distinct per-doc bigrams instead of
+    // occurrences, and the per-doc aggregate weights each bigram's
+    // 9-dp-rounded surprise by its exact integer multiplicity — decimal
+    // arithmetic, so Σ_occurrences s ≡ Σ_distinct c·s bit-for-bit.
+    val bgc = bg.groupBy(col(idCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c"))
+    val c2 = bgc.groupBy("w1", "w2").agg(sum(col("c")).as("c2"))
     val c1 = tok.groupBy("w").agg(count(lit(1)).as("c1"))
     val v = broadcast(c1.agg(count(lit(1)).as("v")))
-    bg.join(c2, Seq("w1", "w2"))
+    bgc.join(c2, Seq("w1", "w2"))
       .join(c1.withColumnRenamed("w", "w1"), "w1")
       .crossJoin(v)
       .withColumn("s",
@@ -847,7 +862,10 @@ object TextAnalysis {
           (col("c1").cast("double") + lit(k) * col("v"))), 9)
           .cast("decimal(28,9)"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("s")).as("sum_s"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        // c < 10^9 by construction (a doc's bigram count); decimal(28,9)
+        // × decimal(9,0) = decimal(38,9) — EXACT, no precision loss
+        sum(col("s") * col("c").cast("decimal(9,0)")).as("sum_s"))
       .select(col(idCol), col("n_bigrams"),
         round(col("sum_s").cast("double") / col("n_bigrams"), 6).as("mean_surprise"))
   }
@@ -1080,25 +1098,22 @@ object TextAnalysis {
     *
     * Output: (idCol, n_chars, entropy), NULL entropy for empty docs. */
   def charEntropy(df0: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.plans.GraftFunctions.register(df0.sparkSession)
     val df = Dedup.widen(df0)
-    val base = df.select(col(idCol), lower(col(textCol)).as("txt"))
-    val chars = graft.functions.SafeExplode.explodeSelect(
-      base, Seq(col(idCol)),
-      when(length(col("txt")) > 0,
-        transform(sequence(lit(1), length(col("txt"))),
-          i => col("txt").substr(i, lit(1))))
-        .otherwise(array().cast("array<string>")),
-      "ch")
-    val counts = chars.groupBy(col(idCol), col("ch"))
-      .agg(count(lit(1)).as("cnt"))
-    val agg = counts.groupBy(col(idCol)).agg(
-      sum(col("cnt")).as("n"),
-      sum(round(col("cnt") * log(col("cnt").cast("double")), 9)
-        .cast("decimal(28,9)")).as("s"))
-    df.select(col(idCol)).join(agg, Seq(idCol), "left")
+    // The aggregation is DOC-LOCAL: the old form exploded every character
+    // of every document and shuffled them twice (groupBy (id, ch), then
+    // groupBy id) just to count within rows. The native kernel
+    // (graft.plans.CharEntropyParts) computes the same (n, s) parts in
+    // one in-row pass — zero exchanges, pure scan (guide §2.4); the
+    // closing expression reproduces the old null shape exactly (n = 0 →
+    // log(0) = null → entropy null, matching the left-join-miss rows).
+    df.select(col(idCol), lower(col(textCol)).as("txt"))
       .select(col(idCol),
-        coalesce(col("n"), lit(0L)).as("n_chars"),
-        round(log(col("n").cast("double")) - col("s").cast("double") / col("n"), 6)
+        call_function("graft_char_entropy_parts", col("txt")).as("p"))
+      .select(col(idCol),
+        col("p.n").as("n_chars"),
+        round(log(when(col("p.n") > 0, col("p.n")).cast("double"))
+          - col("p.s") / when(col("p.n") > 0, col("p.n")), 6)
           .as("entropy"))
   }
 

@@ -90,6 +90,95 @@ case class BpeTokenCount(first: Expression, second: Expression, third: Expressio
   override def prettyName: String = "graft_bpe_token_count"
 }
 
+/** Whole-document BPE token-count sum: [[BpeTokenCount]] applied to every
+  * word of a token array and summed, in ONE native call per document —
+  * bit-identical to the HOF composition it replaces in
+  * [[graft.operators.TextAnalysis.bpeEncode]]:
+  *
+  * {{{ aggregate(transform(toks, w => graft_bpe_token_count(w, lhs, rhs)
+  *       .cast("long")), 0L, (acc, x) => acc + x) }}}
+  *
+  * Motivation (guide §4 — the same interpreted-HOF trap the per-word
+  * kernel fixed one level down): `transform` and `aggregate` are not
+  * whole-stage-codegen'd; per document they pay an interpreted lambda
+  * dispatch per word plus an intermediate long-array allocation, just to
+  * add up results of an already-native kernel. This fuses the loop.
+  *
+  * Null semantics, matching the fold exactly: null token array → null;
+  * any null ELEMENT → null sum (the null element's count null-poisons
+  * the running `acc + x`). */
+case class BpeTokenSum(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def isStrArray(dt: DataType) = dt match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    }
+    if (!isStrArray(first.dataType))
+      return TypeCheckResult.TypeCheckFailure(
+        s"graft_bpe_token_sum requires an array<string> tokens arg, got ${first.dataType.simpleString}")
+    if (!isStrArray(second.dataType) || !second.foldable ||
+        !isStrArray(third.dataType) || !third.foldable)
+      return TypeCheckResult.TypeCheckFailure(
+        "graft_bpe_token_sum requires foldable array<string> (lhs, rhs) merge args")
+    val nl = Option(second.eval()).map(_.asInstanceOf[ArrayData].numElements())
+    val nr = Option(third.eval()).map(_.asInstanceOf[ArrayData].numElements())
+    if (nl.isEmpty || nr.isEmpty)
+      TypeCheckResult.TypeCheckFailure("merge arrays must be non-null")
+    else if (nl != nr)
+      TypeCheckResult.TypeCheckFailure(
+        s"merge lhs/rhs lengths differ: ${nl.get} vs ${nr.get}")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): BpeTokenSum =
+    copy(first = newFirst, second = newSecond, third = newThird)
+
+  @transient private lazy val mergeLhs: Array[String] = BpeTokenCount.strings(second)
+  @transient private lazy val mergeRhs: Array[String] = BpeTokenCount.strings(third)
+
+  override def nullSafeEval(toks: Any, l: Any, r: Any): Any =
+    BpeTokenSum.compute(toks.asInstanceOf[ArrayData], mergeLhs, mergeRhs)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lhsRef = ctx.addReferenceObj("bpeLhs", mergeLhs, "java.lang.String[]")
+    val rhsRef = ctx.addReferenceObj("bpeRhs", mergeRhs, "java.lang.String[]")
+    val cls = BpeTokenSum.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, (toks, _, _) => {
+      s"""
+        java.lang.Long ${ev.value}Boxed = $cls.compute($toks, $lhsRef, $rhsRef);
+        if (${ev.value}Boxed == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = ${ev.value}Boxed.longValue(); }
+      """
+    })
+  }
+
+  override def prettyName: String = "graft_bpe_token_sum"
+}
+
+object BpeTokenSum {
+  /** Sum of per-word merge-surviving symbol counts; null on any null
+    * element (the old fold's poison semantics). Boxed return so codegen
+    * and interpreted eval share the null channel. */
+  def compute(toks: ArrayData, lhs: Array[String],
+              rhs: Array[String]): java.lang.Long = {
+    val n = toks.numElements()
+    var sum = 0L
+    var i = 0
+    while (i < n) {
+      if (toks.isNullAt(i)) return null
+      sum += BpeTokenCount.compute(toks.getUTF8String(i), lhs, rhs)
+      i += 1
+    }
+    java.lang.Long.valueOf(sum)
+  }
+}
+
 object BpeTokenCount {
   private[plans] def strings(e: Expression): Array[String] = {
     val ad = e.eval().asInstanceOf[ArrayData]

@@ -122,6 +122,14 @@ object GraftFunctions {
     classOf[ShingleHashSet].getName, "graft_shingle_hash_set")
   val winnowFpsInfo = new ExpressionInfo(
     classOf[WinnowFingerprints].getName, "graft_winnow_fps")
+  val md5PrefixLongInfo = new ExpressionInfo(
+    classOf[Md5PrefixLong].getName, "graft_md5_prefix_long")
+  val kmPositionsInfo = new ExpressionInfo(
+    classOf[KmPositions].getName, "graft_km_positions")
+  val charEntropyPartsInfo = new ExpressionInfo(
+    classOf[CharEntropyParts].getName, "graft_char_entropy_parts")
+  val bpeTokenSumInfo = new ExpressionInfo(
+    classOf[BpeTokenSum].getName, "graft_bpe_token_sum")
 
   private val builders: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_cosine"), cosineInfo,
@@ -149,7 +157,15 @@ object GraftFunctions {
     (FunctionIdentifier("graft_shingle_hash_set"), shingleHashSetInfo,
       (c: Seq[Expression]) => ShingleHashSet(c.head, c(1))),
     (FunctionIdentifier("graft_winnow_fps"), winnowFpsInfo,
-      (c: Seq[Expression]) => WinnowFingerprints(c.head, c(1), c(2))))
+      (c: Seq[Expression]) => WinnowFingerprints(c.head, c(1), c(2))),
+    (FunctionIdentifier("graft_md5_prefix_long"), md5PrefixLongInfo,
+      (c: Seq[Expression]) => Md5PrefixLong(c.head, c(1))),
+    (FunctionIdentifier("graft_km_positions"), kmPositionsInfo,
+      (c: Seq[Expression]) => KmPositions(c.head, c(1), c(2))),
+    (FunctionIdentifier("graft_char_entropy_parts"), charEntropyPartsInfo,
+      (c: Seq[Expression]) => CharEntropyParts(c.head)),
+    (FunctionIdentifier("graft_bpe_token_sum"), bpeTokenSumInfo,
+      (c: Seq[Expression]) => BpeTokenSum(c.head, c(1), c(2))))
 
   def register(spark: SparkSession): Unit =
     builders.foreach { case (id, info, b) =>

@@ -74,7 +74,8 @@ object EventStream {
   def windowedCmsCells(events: DataFrame, keyCol: String = "user_id",
                        width: Int = 1024, depth: Int = 4,
                        windowLen: String = "1 day",
-                       watermark: String = "1 hour"): DataFrame =
+                       watermark: String = "1 hour"): DataFrame = {
+    graft.plans.GraftFunctions.register(events.sparkSession)
     graft.functions.SafeExplode.posexplodeSelect(
         events.withWatermark("ts", watermark)
           .select(col("ts"),
@@ -86,6 +87,7 @@ object EventStream {
       .agg(count(lit(1)).as("cnt"))
       .select(col("window.start").as("window_start"),
         col("row_idx").cast("long").as("row_idx"), col("bucket"), col("cnt"))
+  }
 
   /** Windowed HyperLogLog registers over a key column — streaming
     * distinct-count infrastructure (how many UNIQUE users per window,
@@ -109,8 +111,9 @@ object EventStream {
                            watermark: String = "1 hour"): DataFrame = {
     val m = 1 << p
     val maxRho = 60 - p + 1
-    val h = conv(substring(md5(col(keyCol).cast("string")), 1, 15), 16, 10)
-      .cast("long")
+    graft.plans.GraftFunctions.register(events.sparkSession)
+    val h = call_function("graft_md5_prefix_long",
+      col(keyCol).cast("string"), lit(15))
     events.withWatermark("ts", watermark)
       .select(col("ts"),
         h.bitwiseAND(lit((m - 1).toLong)).as("j"),

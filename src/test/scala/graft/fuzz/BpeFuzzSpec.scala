@@ -8,6 +8,7 @@ import scala.util.Random
   * both trainer dispatch paths + encode vs the Sennrich-contract
   * replay. The full multi-seed sweep runs via `graft.FuzzBpe`
   * (FUZZ_r<N>.json). */
+@graft.SlowFuzz
 class BpeFuzzSpec extends SparkSpec {
 
   test("same seed regenerates the identical corpus stream") {

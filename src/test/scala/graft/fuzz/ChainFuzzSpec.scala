@@ -10,6 +10,7 @@ import scala.util.Random
   * CorpusFuzz adversarial corpora, Spark composition vs composed
   * reference models. The full multi-seed sweep runs via
   * `graft.FuzzChains` (FUZZ_r<N>.json). */
+@graft.SlowFuzz
 class ChainFuzzSpec extends SparkSpec {
 
   test("same seed regenerates the identical chain stream") {

@@ -12,6 +12,7 @@ import scala.util.Random
   * CI; the full 5-seed × 50-corpus sweep runs via `graft.FuzzCorpus`
   * and its zero-divergence record is committed per round
   * (FUZZ_r<N>.json). */
+@graft.SlowFuzz
 class CorpusFuzzSpec extends SparkSpec {
 
   test("same seed regenerates the identical corpus stream") {

@@ -10,6 +10,7 @@ import scala.util.Random
   * partitioning invariance) through CC/merge/LPA/PageRank/GraphStats vs
   * the plain-Scala reference models. The full multi-seed sweep runs via
   * `graft.FuzzGraphs` (FUZZ_r<N>.json). */
+@graft.SlowFuzz
 class GraphFuzzSpec extends SparkSpec {
 
   test("same seed regenerates the identical graph stream") {

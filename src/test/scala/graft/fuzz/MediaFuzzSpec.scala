@@ -9,6 +9,7 @@ import scala.util.Random
   * through the strict parsers and lenient DataFrame quarantine twins vs
   * the independent decoder models. The full multi-seed sweep runs via
   * `graft.FuzzMedia` (FUZZ_r<N>.json). */
+@graft.SlowFuzz
 class MediaFuzzSpec extends SparkSpec {
 
   test("same seed regenerates the identical payload stream") {

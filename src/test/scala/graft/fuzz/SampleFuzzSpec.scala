@@ -8,6 +8,7 @@ import scala.util.Random
   * invariance) through the Sampling operators vs the plain-Scala
   * contract replays. The full multi-seed sweep runs via
   * `graft.FuzzSamples` (FUZZ_r<N>.json). */
+@graft.SlowFuzz
 class SampleFuzzSpec extends SparkSpec {
 
   test("same seed regenerates the identical set stream") {

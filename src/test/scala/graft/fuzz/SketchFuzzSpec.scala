@@ -10,6 +10,7 @@ import scala.util.Random
   * KMV/HLL/CMS/Bloom/DDSketch/quantile-sample vs the exact plain-Scala
   * md5 reference models. The full multi-seed sweep runs via
   * `graft.FuzzSketches` (FUZZ_r<N>.json). */
+@graft.SlowFuzz
 class SketchFuzzSpec extends SparkSpec {
 
   test("same seed regenerates the identical value-set stream") {

@@ -7,6 +7,7 @@ import scala.util.Random
   * 2 seeds × 3 adversarial frame sets through Series / StatTests /
   * DataQuality vs the plain-Scala contract replays. The full sweep runs
   * via `graft.FuzzStats` (FUZZ_r<N>.json). */
+@graft.SlowFuzz
 class StatFuzzSpec extends SparkSpec {
 
   test("same seed regenerates the identical set stream") {

@@ -8,6 +8,7 @@ import scala.util.Random
   * MemoryStream differentials, the session differential, and one
   * checkpoint-kill round. The full multi-seed sweep runs via
   * `graft.FuzzStream` (FUZZ_r<N>.json). */
+@graft.SlowFuzz
 class StreamFuzzSpec extends SparkSpec {
 
   test("same seed regenerates the identical schedule stream") {

@@ -8,6 +8,7 @@ import scala.util.Random
   * through the as-of / range / overlap joins and the EventStream batch
   * faces vs the plain-Scala reference models. The full multi-seed sweep
   * runs via `graft.FuzzTemporal` (FUZZ_r<N>.json). */
+@graft.SlowFuzz
 class TemporalFuzzSpec extends SparkSpec {
 
   test("same seed regenerates the identical set stream") {

@@ -12,6 +12,7 @@ import scala.util.Random
   * catch a contract break in CI; the full 5-seed × 50-set sweep runs
   * via `graft.FuzzVectors` and its zero-divergence record is committed
   * per round (FUZZ_r<N>.json). */
+@graft.SlowFuzz
 class VectorFuzzSpec extends SparkSpec {
 
   test("same seed regenerates the identical embedding-set stream") {

@@ -70,8 +70,22 @@ class HeavyPlanSpec extends SparkSpec {
         .filter(f => re.pattern.matcher(f.getName).matches))
     assert(files.nonEmpty,
       "no committed BENCH_r<N>.json found (git-tracked set is authoritative)")
-    val latest = files.maxBy(f =>
-      re.findFirstMatchIn(f.getName).get.group(1).toInt)
+    // Newest USABLE record: a driver bench that timed out (BENCH_r16:
+    // rc=124, parsed=null, tail holds only Spark startup logs) carries no
+    // board at all — anchor on the next-newest record that does, instead
+    // of aborting the whole suite on the driver's environmental failure.
+    val byNewest = files.sortBy(f =>
+      -re.findFirstMatchIn(f.getName).get.group(1).toInt)
+    val boards = byNewest.iterator.map(f => f -> boardOf(f))
+    val usable = boards.collectFirst { case (f, Some(qs)) => (f, qs) }
+    assert(usable.nonEmpty, "no committed BENCH_r<N>.json carries a " +
+      "queries map (all records empty/timed out?)")
+    usable.get._2
+  }
+
+  /** The top-15 query names of one record, or None when the record
+    * carries no queries map anywhere (a timed-out driver run). */
+  private def boardOf(latest: java.io.File): Option[Seq[String]] = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.readTree(latest)
     val qs = {
@@ -85,8 +99,7 @@ class HeavyPlanSpec extends SparkSpec {
         // {"metric":"total",...,"queries":{...}} object from it
         val tail = root.path("tail").asText("")
         val start = tail.lastIndexOf("{\"metric\":\"total\"")
-        assert(start >= 0, s"${latest.getName}: no parsed queries and no " +
-          "compact bench line in tail")
+        if (start < 0) return None // no board in this record at all
         // Jackson's streaming parser anchored at the found offset reads
         // exactly ONE complete JSON value and stops at its true end —
         // unlike the previous hand-rolled brace scanner it honors
@@ -105,7 +118,7 @@ class HeavyPlanSpec extends SparkSpec {
     val it = qs.fields()
     val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     while (it.hasNext) { val e = it.next(); buf += ((e.getKey, e.getValue.asDouble)) }
-    buf.sortBy(-_._2).take(15).map(_._1).toSeq
+    Some(buf.sortBy(-_._2).take(15).map(_._1).toSeq)
   }
 
   board.foreach { name =>

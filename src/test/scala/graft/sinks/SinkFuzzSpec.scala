@@ -27,6 +27,7 @@ import graft.SparkSpec
   *  - avro: field names must be avro-legal ([A-Za-z0-9_], not starting
   *    with a digit) — the format's own restriction, enforced by the
   *    avro library at schema build. */
+@graft.SlowFuzz
 class SinkFuzzSpec extends SparkSpec {
 
   // ---- seeded generators -------------------------------------------------

@@ -11,6 +11,7 @@ import org.apache.spark.sql.functions._
   * over the generated nested fixture. The cross-engine half runs via
   * `graft.FuzzNested` + `tools/check.py`; its zero-divergence record is
   * committed per round (BUILDLOG + FUZZ_r<N>.json). */
+@graft.SlowFuzz
 class NestedFuzzSpec extends SparkSpec {
 
   test("same seed regenerates char-identical dialect PAIRS; seeds differ") {

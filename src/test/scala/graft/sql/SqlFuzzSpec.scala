@@ -10,6 +10,7 @@ import graft.SparkSpec
   * `graft.Fuzz` + `tools/check.py` (DuckDB is driver-side tooling, not a
   * JVM dependency); its zero-divergence record is committed per round
   * (BUILDLOG + FUZZ_r<N>.json). */
+@graft.SlowFuzz
 class SqlFuzzSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
