@@ -47,10 +47,12 @@ object Bench {
   // r16's driver bench timed out (rc=124, no record at all — strictly
   // worse than any precision loss). Two wall-clock trims, both OUTSIDE
   // the timed region so per-rep numbers stay comparable to r15:
-  //   1. settle sleep 200 ms -> 50 ms and System.gc() only before
-  //      queries whose warmup ran >= 1 s (sub-second queries generate
-  //      little garbage; the 3-rep median already absorbs a stray GC
-  //      blip — ~4 min off a 322-query pass on a big heap).
+  //   1. settle sleep 200 ms -> 50 ms (the sleep is pure idle; the
+  //      synchronous System.gc() right before it is the actual quiesce).
+  //      System.gc() stays UNCONDITIONAL: an r17 A/B that skipped it for
+  //      sub-second queries measured those queries ~2x slower — they
+  //      absorb the previous query's garbage inside their timed region,
+  //      which would fake regressions against the gc-always r15 board.
   //   2. a soft deadline (SPARK_GRAFT_DEADLINE_SEC, default 2400 s from
   //      JVM start): once past it, remaining queries run ONE rep instead
   //      of three. A degraded-precision record always beats rc=124.
@@ -60,9 +62,9 @@ object Bench {
   private val startNanos = System.nanoTime()
   private def elapsedSec: Double = (System.nanoTime() - startNanos) / 1e9
 
-  private def settle(spark: SparkSession, gc: Boolean): Unit = {
+  private def settle(spark: SparkSession): Unit = {
     spark.catalog.clearCache()
-    if (gc) System.gc()
+    System.gc()
     Thread.sleep(50)
   }
 
@@ -93,19 +95,10 @@ object Bench {
     // amortizes anyway). The driver never sets it; board records always
     // warm up.
     val warmed = !sys.env.get("SPARK_GRAFT_NOWARMUP").contains("1")
-    // warmup durations drive the settle-gc decision below: only queries
-    // that ran >= 1 s in warmup get a pre-rep System.gc() (on a large
-    // heap a full GC costs O(100 ms-1 s); paying it 3x per sub-second
-    // query burned minutes of the driver's window for noise the median
-    // already absorbs). A NOWARMUP run has no durations — it gc's always,
-    // preserving the old behavior for the sf100 cold-anchor spot-checks.
-    val warmSec = scala.collection.mutable.Map.empty[String, Double]
     if (warmed)
       names.foreach { n =>
-        val t0 = System.nanoTime()
         try run(n)
         catch { case _: Throwable => () }
-        warmSec(n) = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
       }
 
@@ -115,12 +108,11 @@ object Bench {
     names.foreach { n =>
       val maxReps =
         if (elapsedSec > DeadlineSec) { deadlineCapped += 1; 1 } else Reps
-      val gcBefore = warmSec.get(n).forall(_ >= 1.0)
       var reps = Vector.empty[Double]
       var attempts = 0
       while (attempts < maxReps && reps.sum < RepBudgetSec) {
         attempts += 1
-        settle(spark, gcBefore)
+        settle(spark)
         val t0 = System.nanoTime()
         try {
           run(n)

@@ -230,30 +230,22 @@ object Sampling {
     val toks = graft.functions.SafeExplode.explodeSelect(
       Dedup.widen(df0), Seq(col(idCol), targetPred.as("is_t")),
       tokens(col(textCol)), "w")
-    // Pre-aggregate occurrences to (id, is_t, b, c) ONCE (guide §2.3/§2.4):
-    // the occurrence-level form computed the token explode twice — once
-    // under the model aggregate (keyed b) and once under the per-doc
-    // aggregate (keyed id, b) — with no exchange reuse between the
-    // keyings. Both sides now derive from the same (id, is_t, b) count
-    // (its exchange is reused), and only distinct per-doc buckets flow
-    // into the term join. Identical values: ct/cs = Σ when(is_t, c) over
-    // groups (null is_t stays excluded from both, exactly as
-    // when(is_t, 1).otherwise(0) excluded it), per-doc c = Σ c over the
-    // (id, b) split, n_tokens = Σ c.
-    val dc = toks
-      .withColumn("b",
-        call_function("graft_md5_prefix_long", col("w"), lit(k)) % buckets)
-      .groupBy(col(idCol), col("is_t"), col("b"))
-      .agg(count(lit(1)).as("c"))
-    val model = dc.groupBy("b").agg(
-      sum(when(col("is_t"), col("c")).otherwise(0L)).as("ct"),
-      sum(when(!col("is_t"), col("c")).otherwise(0L)).as("cs"))
+    // (an r17 pre-aggregation to (id, is_t, b, c) was tried here and
+    // REVERTED: without exchange reuse the shared subtree still computed
+    // twice, and the extra aggregation level measured 2.5x SLOWER in the
+    // paired A/B — the two single-level map-side-combined aggregates
+    // below are the cheaper shape)
+    val bk = toks.withColumn("b",
+      call_function("graft_md5_prefix_long", col("w"), lit(k)) % buckets)
+    val model = bk.groupBy("b").agg(
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
+      sum(when(!col("is_t"), 1L).otherwise(0L)).as("cs"))
     val tot = model.agg(sum("ct").as("nt"), sum("cs").as("ns"))
     val term = model.crossJoin(broadcast(tot))
       .select(col("b"),
         (log(col("ct") + 1) - log(col("nt") + buckets) -
           log(col("cs") + 1) + log(col("ns") + buckets)).as("term"))
-    dc.groupBy(col(idCol), col("b")).agg(sum(col("c")).as("c"))
+    bk.groupBy(col(idCol), col("b")).agg(count(lit(1)).as("c"))
       .join(broadcast(term), "b")
       .groupBy(idCol).agg(
         sum("c").as("n_tokens"),
