@@ -297,12 +297,24 @@ object Sketches {
     graft.plans.GraftFunctions.register(df.sparkSession)
     require(width >= 2 && width <= (1 << 24), s"width out of range: $width")
     require(depth >= 1 && depth <= 16, s"depth out of range: $depth")
+    // Count occurrences per DISTINCT key first, then hash each distinct
+    // key once and weight its cells by the count (guide §2.3 "aggregate
+    // before you shuffle"): on a Zipf-shaped key stream the md5 position
+    // work drops from one digest per OCCURRENCE to one per distinct key,
+    // and the cell aggregate sums the carried counts — identical cells
+    // for any input (cnt per (row, bucket) = Σ over keys hashing there of
+    // the key's occurrence count; null keys form their own group exactly
+    // as their exploded null positions grouped before). A linear chain —
+    // the extra keyed aggregate is map-side combined and model-bounded
+    // per partition, no subtree duplication.
     // widen: the depth-way md5 fan-out must not serialize into the one
     // task a compact parquet scan yields (the r2 fan-out-guard lesson)
+    val keyCounts = Dedup.widen(df)
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("kc"))
     graft.functions.SafeExplode.posexplodeSelect(
-        Dedup.widen(df), Seq.empty, cmsPositions(col(keyCol), width, depth))
+        keyCounts, Seq(col("kc")), cmsPositions(col(keyCol), width, depth))
       .groupBy(col("pos").as("row_idx"), col("col").as("bucket"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("kc")).as("cnt"))
   }
 
   /** The DDSketch bucket index of a positive value: i = ceil(ln(x)/ln γ)

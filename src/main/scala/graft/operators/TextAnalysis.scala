@@ -851,10 +851,13 @@ object TextAnalysis {
     // arithmetic, so Σ_occurrences s ≡ Σ_distinct c·s bit-for-bit.
     val bgc = bg.groupBy(col(idCol), col("w1"), col("w2"))
       .agg(count(lit(1)).as("c"))
-    val c2 = bgc.groupBy("w1", "w2").agg(sum(col("c")).as("c2"))
+    // corpus bigram count as a WINDOW sum over bgc (one bigram-explode
+    // pass total) — the aggregate+join form computed bgc twice with no
+    // exchange reuse; sum(c) over (partition by w1, w2) ≡ the joined c2
+    val wBg = org.apache.spark.sql.expressions.Window.partitionBy("w1", "w2")
     val c1 = tok.groupBy("w").agg(count(lit(1)).as("c1"))
     val v = broadcast(c1.agg(count(lit(1)).as("v")))
-    bgc.join(c2, Seq("w1", "w2"))
+    bgc.withColumn("c2", sum(col("c")).over(wBg))
       .join(c1.withColumnRenamed("w", "w1"), "w1")
       .crossJoin(v)
       .withColumn("s",
@@ -882,11 +885,19 @@ object TextAnalysis {
         df, Seq(col(idCol)), tokens(col(textCol)), "token")
       .groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    // document frequency as a WINDOW count over the tf frame, not a
+    // second aggregate joined back (guide §2.4 "window functions
+    // partitioned by the same key as a preceding aggregation"): the
+    // groupBy+join form computed the token-explode/tf subtree TWICE
+    // (once under dfreq, once as the join's left — no exchange reuse)
+    // and paid a join shuffle; the window shares the single tf pass.
+    // df = count(*) over (partition by token) ≡ dfreq's count, and the
+    // inner join kept every tf row (df >= 1 always) — identical rows.
+    val wDf = org.apache.spark.sql.expressions.Window.partitionBy("token")
     val nDocs = broadcast(df.agg(count_distinct(col(idCol)).as("n_docs")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(idCol).orderBy(col("score").desc, col("token").asc)
-    tf.join(dfreq, "token").crossJoin(nDocs)
+    tf.withColumn("df", count(lit(1)).over(wDf)).crossJoin(nDocs)
       .withColumn("score",
         round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
       .withColumn("rk", row_number().over(w).cast("long"))
